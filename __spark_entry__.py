@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship retrieval query on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the beyond-reference scale operators (dedup,
+similarity search, text analysis). ``oracle_sql()`` provides the DuckDB
+oracle for every SQL-expressible entry; hashing between the two engines
+is md5-based so values match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +13,502 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.operators import eventops as E
+from githubrepostorag_spark.operators import graph as G
+from githubrepostorag_spark.operators import relational as R
+from githubrepostorag_spark.operators import similarity as S
+from githubrepostorag_spark.operators import textops as TO
+from githubrepostorag_spark.functions.text import SIGNATURE_SETS, STOPWORDS
+from githubrepostorag_spark.operators.dedup import (
+    LSH_BANDS,
+    MINHASH_FUNCS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
+from githubrepostorag_spark.operators.textops import CHUNK_STRIDE, CHUNK_WINDOW
+from githubrepostorag_spark.sources.testdata import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact cosine top-5 retrieval joined back to the
+    document corpus — the engine's core RAG-serving shape (SURVEY V2+F7)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    top = S.knn_to_query(emb, query_vec_id=0, k=5)
+    return (
+        top.join(docs, top.vec_id == docs.doc_id, "left")
+        .select(
+            "vec_id",
+            F.col("label"),
+            F.col("score"),
+            F.substring(F.col("text"), 1, 200).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): Spark implementations
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+        return load_table(spark, sf_dir, name)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational suite (SURVEY §2.4 aggregation, §2.5 joins, §2.7) ---
+        "q01_pricing_summary": lambda sp, sf: R.pricing_summary(t(sp, sf, "lineitem")),
+        "q02_shipping_priority": lambda sp, sf: R.shipping_priority(
+            t(sp, sf, "customer"), t(sp, sf, "orders"), t(sp, sf, "lineitem")
+        ),
+        "q03_local_supplier_volume": lambda sp, sf: R.local_supplier_volume(
+            t(sp, sf, "region"),
+            t(sp, sf, "nation"),
+            t(sp, sf, "customer"),
+            t(sp, sf, "supplier"),
+            t(sp, sf, "orders"),
+            t(sp, sf, "lineitem"),
+        ),
+        "q04_order_priority": lambda sp, sf: R.order_priority_checking(
+            t(sp, sf, "orders"), t(sp, sf, "lineitem")
+        ),
+        "q05_topk_per_group": lambda sp, sf: R.top_k_per_group(t(sp, sf, "lineitem")),
+        "q06_customers_without_orders": lambda sp, sf: R.customers_without_recent_orders(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
+        "q07_running_count": lambda sp, sf: R.running_revenue(t(sp, sf, "lineitem")),
+        "q08_rollup_agg": lambda sp, sf: R.rollup_aggregate(t(sp, sf, "lineitem")),
+        "q09_distinct_agg": lambda sp, sf: R.distinct_agg(t(sp, sf, "lineitem")),
+        "q10_pivot_linestatus": lambda sp, sf: R.pivot_linestatus(t(sp, sf, "lineitem")),
+        "q11_market_share": lambda sp, sf: R.market_share_join(
+            t(sp, sf, "part"), t(sp, sf, "lineitem"), t(sp, sf, "supplier"), t(sp, sf, "nation")
+        ),
+        # --- event-stream semantics in batch (SURVEY §2.10) ---
+        "q12_events_tumbling": lambda sp, sf: E.tumbling_counts(t(sp, sf, "events")),
+        "q13_events_sessionize": lambda sp, sf: E.sessionize(t(sp, sf, "events")),
+        "q14_events_json": lambda sp, sf: E.json_props_stats(t(sp, sf, "events")),
+        "q15_events_transitions": lambda sp, sf: E.event_type_transitions(t(sp, sf, "events")),
+        # --- text analysis (beyond-reference deliverables) ---
+        "q16_doc_token_stats": lambda sp, sf: TO.token_stats(t(sp, sf, "documents")),
+        "q17_doc_quality": lambda sp, sf: TO.quality_scores(t(sp, sf, "documents")),
+        "q18_doc_topics": lambda sp, sf: TO.topic_signatures(t(sp, sf, "documents")),
+        "q19_doc_fingerprints": lambda sp, sf: TO.fingerprints(t(sp, sf, "documents")),
+        "q20_doc_chunks": lambda sp, sf: TO.chunk_documents(t(sp, sf, "documents")),
+        "q21_doc_source_rollup": lambda sp, sf: TO.source_rollup(t(sp, sf, "documents")),
+        "q22_doc_lang_profile": lambda sp, sf: TO.lang_profile(t(sp, sf, "documents")),
+        # --- dedup suite (exact / MinHash LSH / Jaccard / SimHash) ---
+        "q23_minhash_signatures": lambda sp, sf: DD.minhash_signatures(t(sp, sf, "documents")),
+        "q24_lsh_buckets": lambda sp, sf: DD.lsh_buckets(t(sp, sf, "documents")),
+        "q25_jaccard_pairs": lambda sp, sf: DD.jaccard_pairs(t(sp, sf, "documents")),
+        "q26_simhash": lambda sp, sf: DD.simhash(t(sp, sf, "documents")),
+        "q27_simhash_buckets": lambda sp, sf: DD.simhash_bucket_dedup(t(sp, sf, "documents")),
+        # --- similarity search (SURVEY V2 + IVF scale path) ---
+        "q28_knn_bruteforce": lambda sp, sf: S.knn_to_query(t(sp, sf, "embeddings")),
+        "q29_label_centroids": lambda sp, sf: S.label_centroids(t(sp, sf, "embeddings")),
+        "q30_ivf_assign": lambda sp, sf: S.ivf_assignments(t(sp, sf, "embeddings")),
+        "q31_near_dup_pairs": lambda sp, sf: S.near_dup_pairs(t(sp, sf, "embeddings")),
+        "q32_knn_per_label": lambda sp, sf: S.knn_per_label(t(sp, sf, "embeddings")),
+        # --- bounded graph traversal (SURVEY V3/J1) ---
+        "q33_graph_2hop": lambda sp, sf: G.two_hop_reach(t(sp, sf, "documents")),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents
+# ---------------------------------------------------------------------------
+
+# Whitespace tokens of trimmed text (DuckDB mirror of functions.text.tokens).
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _shingles_sql(k: int) -> str:
+    """Distinct char-k-grams of lowercased text (mirror of char_shingles)."""
+    return (
+        f"CASE WHEN length(lower(text)) - {k - 1} < 1 THEN []::VARCHAR[] "
+        f"ELSE list_distinct(list_transform(range(1, length(lower(text)) - {k - 1} + 1), "
+        f"i -> substr(lower(text), CAST(i AS INT), {k}))) END"
+    )
+
+
+def _minhash_cte(k: int, n_funcs: int) -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_funcs)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest({_shingles_sql(k)}) AS shingle FROM documents), "
+        f"sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
+    )
+
+
+def _simhash_cte() -> str:
+    ws = ", ".join(
+        f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS w_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN w_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
+        "counted AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok), "
+        "hashed AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS v "
+        "FROM counted), "
+        f"w AS (SELECT doc_id, {ws} FROM hashed GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM w)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_hits = {
+        name: f"CAST(len(list_filter({_TOKS}, tk -> list_contains({_sql_list(words)}, tk))) AS BIGINT)"
+        for name, words in SIGNATURE_SETS.items()
+    }
+    names = list(SIGNATURE_SETS)
+    stop_list = _sql_list(STOPWORDS)
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "q03_local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q05_topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3
+        """,
+        "q06_customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY c_mktsegment
+        """,
+        "q07_running_count": """
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   count(*) OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                  ROWS UNBOUNDED PRECEDING) AS cum_count
+            FROM lineitem
+        """,
+        "q08_rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q09_distinct_agg": """
+            SELECT l_suppkey,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "q10_pivot_linestatus": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_fulfilled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q11_market_share": """
+            SELECT p.p_brand, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY p.p_brand, n.n_name
+        """,
+        "q12_events_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q13_events_sessionize": """
+            WITH m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m
+            )
+            SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "q14_events_json": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q15_events_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type, count(*) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "q16_doc_token_stats": f"""
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS BIGINT)
+                     AS n_stopwords,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "q17_doc_quality": f"""
+            WITH x AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                         + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4) AS quality
+            FROM x
+        """,
+        "q18_doc_topics": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {sig_hits[names[0]]} AS hits_{names[0]},
+                     {sig_hits[names[1]]} AS hits_{names[1]},
+                     {sig_hits[names[2]]} AS hits_{names[2]}
+              FROM documents
+            )
+            SELECT doc_id, hits_{names[0]}, hits_{names[1]}, hits_{names[2]},
+                   CASE WHEN hits_{names[2]} > greatest(hits_{names[0]}, hits_{names[1]})
+                          THEN '{names[2]}'
+                        WHEN hits_{names[1]} > hits_{names[0]} THEN '{names[1]}'
+                        ELSE '{names[0]}' END AS topic
+            FROM h
+        """,
+        "q19_doc_fingerprints": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS canonical_doc_id, count(*) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        "q20_doc_chunks": f"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) <= {w} THEN 1
+                          ELSE 1 + CAST(floor((length(text) - {w} + {s - 1}) / {s}.0) AS INT)
+                     END AS n_chunks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(chunk_idx * {s} + 1 AS INT), {w}) AS chunk_text,
+                   CAST(length(substr(text, CAST(chunk_idx * {s} + 1 AS INT), {w})) AS BIGINT)
+                     AS chunk_len
+            FROM e
+        """,
+        "q21_doc_source_rollup": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   substr(string_agg(text, e'\\n\\n' ORDER BY doc_id), 1, 1000) AS rollup_text,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS rollup_of
+            FROM documents GROUP BY source
+        """,
+        "q22_doc_lang_profile": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   bool_or(lang = 'zh') AS has_zh,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "q23_minhash_signatures": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)}
+            SELECT * FROM sigs
+        """,
+        "q24_lsh_buckets": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)}
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band_idx, "
+                f"md5(sig_{b * (MINHASH_FUNCS // LSH_BANDS)} || '|' || "
+                f"sig_{b * (MINHASH_FUNCS // LSH_BANDS) + 1}) AS band_val FROM sigs"
+                for b in range(LSH_BANDS)
+            )}
+        """,
+        "q25_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, source, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), shared AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+                   round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) >= 0.7
+        """,
+        "q26_simhash": f"""
+            {_simhash_cte()}
+            SELECT doc_id, simhash FROM sim
+        """,
+        "q27_simhash_buckets": f"""
+            {_simhash_cte()}
+            SELECT simhash >> {SIMHASH_BITS - 16} AS bucket,
+                   count(*) AS group_size, min(doc_id) AS canonical_doc_id
+            FROM sim GROUP BY 1
+        """,
+        "q28_knn_bruteforce": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q29_label_centroids": """
+            SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS centroid_v
+            FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings)
+            GROUP BY label, dim
+        """,
+        "q30_ivf_assign": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.label, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            )
+            SELECT label, centroid_label AS assigned_label, count(*) AS n_vectors
+            FROM ranked WHERE rn = 1 GROUP BY label, centroid_label
+        """,
+        "q31_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "q32_knn_per_label": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+              FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, label, score, rn
+            FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                               ORDER BY score DESC, vec_id) AS rn
+                  FROM scored)
+            WHERE rn <= 2
+        """,
+        "q33_graph_2hop": """
+            WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),
+            h0 AS (SELECT doc_id, 0 AS hop FROM seeds),
+            f0 AS (SELECT DISTINCT d.source, d.lang FROM documents d JOIN h0 USING (doc_id)),
+            n1 AS (SELECT DISTINCT d.doc_id FROM documents d, f0 f
+                   WHERE d.source = f.source OR d.lang = f.lang),
+            h1 AS (SELECT doc_id, 1 AS hop FROM n1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM h0)),
+            f1 AS (SELECT DISTINCT d.source, d.lang FROM documents d JOIN h1 USING (doc_id)),
+            n2 AS (SELECT DISTINCT d.doc_id FROM documents d, f1 f
+                   WHERE d.source = f.source OR d.lang = f.lang),
+            h2 AS (SELECT doc_id, 2 AS hop FROM n2
+                   WHERE doc_id NOT IN (SELECT doc_id FROM h0 UNION ALL SELECT doc_id FROM h1))
+            SELECT doc_id, hop FROM h0
+            UNION ALL SELECT doc_id, hop FROM h1
+            UNION ALL SELECT doc_id, hop FROM h2
+        """,
+    }

@@ -1,0 +1,23 @@
+"""githubrepostorag_spark — a PySpark-native analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference system ``jasonbuchanan145/GithubReposToRag`` (a hierarchical
+RAG pipeline over GitHub repositories), re-expressed Spark-first:
+
+- batch ETL (document filter → language tag → chunk → enrich → hierarchy
+  rollup → embed → partitioned vector store) as declarative DataFrame
+  pipelines that Catalyst optimizes,
+- retrieval (metadata-filtered cosine top-k + bounded graph traversal +
+  agent loop) as composable DataFrame operators with driver-side bounded
+  iteration,
+- plus the large-scale training-data-pipeline operators the reference
+  lacks: exact/MinHash/SimHash/Jaccard dedup, ANN similarity search,
+  text analytics, multimodal column plumbing.
+
+Everything here derives from public knowledge only: the Apache Spark /
+PySpark API and the public reference repo snapshot.
+"""
+
+__version__ = "0.1.0"
+
+from githubrepostorag_spark.session import get_spark  # noqa: F401

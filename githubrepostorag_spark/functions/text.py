@@ -1,0 +1,103 @@
+"""Text-analysis column functions (pure Spark SQL expressions — JVM-side).
+
+These implement the text-pipeline primitives a training-data pipeline
+needs (tokenize / shingle / fingerprint / quality / topic signature)
+entirely with built-in functions so they stay inside whole-stage
+codegen. No Python UDFs in any hot path.
+
+Cross-engine determinism: every hash is md5-based (md5 is identical in
+Spark and DuckDB), so the DuckDB oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Token-signature sets used by the topic classifier. Declared once and
+# shared with the DuckDB oracle builders (see __spark_entry__).
+SIGNATURE_SETS: dict[str, tuple[str, ...]] = {
+    "compute": ("spark", "batch", "stream", "vector", "window", "query"),
+    "olap": ("scan", "agg", "join", "filter", "sort", "hash", "merge", "group"),
+    "storage": ("table", "row", "column", "value", "key", "data", "part"),
+}
+STOPWORDS: tuple[str, ...] = ("the", "a")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def signature_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) falling in a signature set."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: lexical diversity + content ratio.
+
+    Mirrors the shape of the reference's README-quality heuristic
+    (catalog_builder.py:8-31 — length + content checks) as a scalable
+    column expression.
+    """
+    n = token_count(col).cast("double")
+    d = distinct_token_count(col).cast("double")
+    sw = stopword_count(col).cast("double")
+    diversity = F.when(n > 0, d / n).otherwise(F.lit(0.0))
+    content = F.when(n > 0, (n - sw) / n).otherwise(F.lit(0.0))
+    return F.round(0.5 * diversity + 0.5 * content, 4)
+
+
+def char_shingles(col: Column, k: int = 4) -> Column:
+    """Distinct character k-grams of lowercased text (MinHash/Jaccard input)."""
+    lowered = F.lower(col)
+    n = F.length(lowered) - F.lit(k - 1)
+    # guard: Spark's sequence(1, n) with n < 1 produces a DESCENDING
+    # sequence, not an empty one — short texts must yield no shingles.
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, F.lit(k)))
+        )
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Engine analog of the reference's content-hash dedup key
+    (agent_graph.py:257-280 uses Python hash(); md5 here for
+    cross-engine and cross-run stability).
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def stable_id(*cols: Column) -> Column:
+    """sha1 of '|'-joined fields — the reference's node-id rule
+    (vector_write_service.py:186-193)."""
+    return F.sha1(F.concat_ws("|", *cols))
+
+
+def md5_bigint(col: Column, hex_digits: int = 15) -> Column:
+    """First `hex_digits` hex chars of md5 as a non-negative bigint.
+
+    The engine's portable hash function: DuckDB computes the identical
+    value with ('0x' || substr(md5(x),1,n))::BIGINT. 15 hex digits
+    < 2^60 so it always fits in a signed 64-bit int.
+    """
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("bigint")

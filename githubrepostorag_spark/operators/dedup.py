@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The scale story (100 TB):
+- exact dedup: one shuffle on the md5 fingerprint — always cheap.
+- n-gram Jaccard all-pairs is the *exact* verifier, quadratic per
+  group — only run it scoped (here: within `source`) or on LSH
+  candidate pairs.
+- MinHash+LSH is the scale path: per-doc signature (narrow), band
+  buckets (one shuffle on band value), candidate pairs only where a
+  band collides — the classic shingle→minhash→band→bucket-join design
+  (Broder 1997; MMDS ch.3).
+- SimHash gives a 32-bit near-dup key (Charikar 2002); hamming-close
+  docs collide on rotated prefixes.
+
+All hashing is md5-based so the DuckDB oracle reproduces values
+bit-for-bit (see functions.text.md5_bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+
+# Shared with the DuckDB oracle builders.
+SHINGLE_K = 4
+MINHASH_FUNCS = 8
+LSH_BANDS = 4  # rows per band = MINHASH_FUNCS // LSH_BANDS = 2
+SIMHASH_BITS = 32
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup: keep min doc_id per normalized-content fingerprint."""
+    return (
+        documents.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct char-k-gram rows."""
+    return documents.select(
+        "doc_id", F.explode(TXT.char_shingles(F.col("text"), SHINGLE_K)).alias("shingle")
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of md5(i:shingle).
+
+    Min over lexicographic md5 hex strings — identical in any engine.
+    One explode + one groupBy(doc_id): a single shuffle keyed on doc_id.
+    """
+    sh = _shingled(documents)
+    sigs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(MINHASH_FUNCS)
+    ]
+    return sh.groupBy("doc_id").agg(*sigs)
+
+
+def lsh_buckets(documents: DataFrame) -> DataFrame:
+    """LSH band buckets: band_val = md5(concat of the band's signatures).
+
+    Docs sharing (band_idx, band_val) are near-dup candidates; at scale
+    the candidate join shuffles on band_val only — never all-pairs.
+    """
+    sigs = minhash_signatures(documents)
+    rows_per_band = MINHASH_FUNCS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs colliding in ≥1 LSH band."""
+    b = lsh_buckets(documents)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs, scoped within `source`.
+
+    Shingle equi-join (co-partitioned on shingle) → per-pair shared
+    count → |A∪B| from per-doc sizes. Quadratic within group — the
+    exact verifier for the MinHash path, intentionally scoped to keep
+    the pair space bounded at scale.
+    """
+    sh = _shingled(documents.select("doc_id", "source", "text"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    src = documents.select("doc_id", "source")
+    sh_s = sh.join(F.broadcast(src), "doc_id")
+    a = sh_s.alias("a")
+    b = sh_s.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (with multiplicity).
+
+    Per token: v = first 8 md5 hex digits as int; each bit contributes
+    ±count to the bit's weight; simhash bit j = (weight_j > 0).
+    One explode + two aggregations, all JVM-side.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counted.withColumn("v", TXT.md5_bigint(F.col("tok"), 8))
+    weights = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"w_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*weights)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"w_{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_bucket_dedup(documents: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Group docs by high SimHash prefix — near-dup *bucket* summary.
+
+    At scale: rotate the hash to probe multiple prefixes; here one
+    prefix suffices to demonstrate the bucket-join shape.
+    """
+    s = simhash(documents)
+    return (
+        s.withColumn("bucket", F.shiftright(F.col("simhash"), SIMHASH_BITS - prefix_bits))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))
+    )

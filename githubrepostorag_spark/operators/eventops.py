@@ -1,0 +1,87 @@
+"""Event-stream operators (batch form).
+
+The reference's "streaming" is a job/event plane (SURVEY §2.10) — no
+event-time windows exist there. This engine exposes real event-time
+semantics: tumbling windows, sessionization, JSON property extraction.
+The same transformations run unchanged under Structured Streaming
+(see githubrepostorag_spark.streaming) where the tumbling window gains a
+watermark; in batch they are plain window/groupBy plans.
+
+Scale notes: windowed aggregation shuffles once on (window, key) with
+map-side partial aggregation; sessionization shuffles once on user_id
+and then runs two windows over the same partitioning (Catalyst reuses
+the single Exchange — no second shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Tumbling event-time window: count + value sum per (window, event_type)."""
+    return (
+        events.withColumn("window_start", F.date_trunc(unit, F.col("ts")))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: per-user session count and average length.
+
+    lag(ts) over (user, ts-order) marks session starts; a running sum of
+    the marker assigns session ids — the classic two-window plan that
+    shares one shuffle on user_id.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_marker = events.select("user_id", "ts", "event_id").withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user) > gap_s,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    with_session = with_marker.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_session.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Extract a JSON property column-side (no Python UDF) and aggregate."""
+    return (
+        events.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """Markov-style transition counts: per user, consecutive event_type pairs."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(by_user))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1,0 +1,70 @@
+"""Bounded graph traversal — engine form of the reference's graph-RAG
+expansion (SURVEY V3/J1: seed via vector search, expand ≤max_depth hops
+over metadata-equality edges, collect bounded neighbors).
+
+The traversal loop runs on the driver (like GraphFrames/Pregel
+iterations) with the *frontier* broadcast at every hop — the big node
+table never shuffles. Depth is bounded (reference uses max_depth=2), so
+the loop unrolls into a fixed, small number of broadcast joins that
+Catalyst plans as one job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bounded_bfs(
+    nodes: DataFrame,
+    id_col: str,
+    edge_cols: Sequence[str],
+    seeds: DataFrame,
+    max_depth: int = 2,
+) -> DataFrame:
+    """Multi-hop reachability over equality edges with minimum-hop labels.
+
+    nodes: table with `id_col` and the edge attribute columns.
+    seeds: DataFrame with `id_col` (hop 0 members).
+    Two nodes are adjacent iff they agree on ANY edge column (the
+    reference's metadata-equality edge semantics,
+    graph_rag_retrievers.py:82-100).
+
+    Returns (id_col, hop) with hop = minimum hop count ≤ max_depth.
+    """
+    attrs = nodes.select(id_col, *edge_cols)
+    reached = (
+        seeds.select(id_col).distinct().withColumn("hop", F.lit(0))
+    )
+    frontier = reached
+    for depth in range(1, max_depth + 1):
+        fr_attrs = F.broadcast(
+            frontier.join(attrs, id_col).select(
+                *[F.col(c).alias(f"fr_{c}") for c in edge_cols]
+            ).distinct()
+        )
+        cond = None
+        for c in edge_cols:
+            clause = attrs[c] == F.col(f"fr_{c}")
+            cond = clause if cond is None else (cond | clause)
+        neighbors = (
+            attrs.join(fr_attrs, cond)
+            .select(id_col)
+            .distinct()
+            .join(reached.select(id_col), id_col, "left_anti")
+            .withColumn("hop", F.lit(depth))
+        )
+        reached = reached.unionByName(neighbors)
+        frontier = neighbors
+    return reached
+
+
+def two_hop_reach(documents: DataFrame, n_seeds: int = 3) -> DataFrame:
+    """Fixed-shape traversal for the correctness oracle: seeds are
+    doc_id < n_seeds, edges = shared `source` OR shared `lang` (the
+    reference's multi-edge-key semantics), depth 2; returns every
+    reached doc with its minimum hop."""
+    seeds = documents.filter(F.col("doc_id") < n_seeds).select("doc_id")
+    return bounded_bfs(documents, "doc_id", ["source", "lang"], seeds, max_depth=2)

@@ -1,0 +1,240 @@
+"""Relational operator suite over the TPC-H-ish star schema.
+
+These exercise the engine's aggregation / join / window / set-op surface
+(SURVEY.md §2.4, §2.5, §2.7). The reference gets its relational power
+"for free" from Python dicts and loops on one box; this engine expresses
+the same computations declaratively so Catalyst picks broadcast vs
+sort-merge joins, pushes filters into the parquet scan, and AQE fixes
+shuffle sizing at runtime.
+
+Scale notes (100 TB design intent):
+- Every fact-to-dimension join broadcasts the dimension
+  (`F.broadcast`): region/nation/supplier/part/customer stay bounded or
+  sub-linear while facts grow, so these joins never shuffle the fact.
+- Fact-to-fact joins (orders ⋈ lineitem) shuffle on the join key; both
+  sides are pre-filtered and column-pruned before the shuffle so the
+  exchange carries minimal bytes. With bucketed storage on l_orderkey /
+  o_orderkey the shuffle disappears entirely (see sinks.write_bucketed).
+- Aggregations use partial (map-side) aggregation automatically; the
+  rounding to fixed decimals happens *after* the agg so it does not
+  block partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary report.
+
+    Two-column groupBy with 8 aggregates; Catalyst plans a partial
+    hash-agg before the (tiny, 4-group) shuffle.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3-style: top-10 unshipped orders by revenue for one segment.
+
+    customer is broadcast (bounded dim); orders⋈lineitem shuffles on
+    orderkey with both sides filtered first.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ord_f = orders.filter(F.col("o_orderdate") < F.lit("1995-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share a nation.
+
+    All dimensions broadcast; the only shuffle is orders⋈lineitem.
+    """
+    nat = nation.select("n_nationkey", "n_name", "n_regionkey")
+    reg = region.select("r_regionkey", "r_name")
+    dims = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cust = customer.select("c_custkey", "c_nationkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def top_k_per_group(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k rows per group via ranking window (SURVEY D2 idiom).
+
+    At scale: window shuffles once on the partition key; with AQE the
+    skewed `l_returnflag` partitions split automatically.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        lineitem.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def order_priority_checking(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one late lineitem, counted by priority.
+
+    `left_semi` join = EXISTS; Spark never materializes the matched
+    rows, only the existence bit, so the shuffle carries keys only.
+    """
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    late_keys = (
+        lineitem.join(
+            ord_f.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderkey")
+    )
+    return (
+        ord_f.join(late_keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_without_recent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join (NOT EXISTS) — the engine's dedup-against-seen primitive (SURVEY D1):
+    customers with no order since 2001-01-01, counted by segment."""
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        customer.join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def running_revenue(lineitem: DataFrame) -> DataFrame:
+    """Cumulative revenue per supplier ordered by ship date (window running agg)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        lineitem.select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .withColumn(
+            "cum_count", F.count(F.lit(1)).over(w)
+        )
+    )
+
+
+def rollup_aggregate(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP grouping sets — free from Spark SQL, absent in the reference (SURVEY §2.4)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def distinct_agg(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct-count per group (expand + two-phase agg under the hood)."""
+    return lineitem.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def pivot_linestatus(lineitem: DataFrame) -> DataFrame:
+    """Pivot on a known value set (names fixed so downstream schemas are stable)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_fulfilled")
+    )
+
+
+def market_share_join(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Multi-dim broadcast join: revenue by part brand × supplier nation."""
+    p = part.select("p_partkey", "p_brand")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over the ``embeddings`` vector table.
+
+Engine form of the reference's Cassandra SAI cosine search (SURVEY V2):
+- brute-force exact cosine top-k — the correctness baseline, a single
+  scan + dot + TakeOrderedAndProject (no full sort at any scale),
+- IVF-style coarse quantization: build centroids, assign vectors to
+  cells, prune to the query's nearest cells before exact scoring — the
+  100 TB path (scan cost drops by n_cells/probes),
+- all-pairs near-dup over embeddings (embedding-cosine dedup
+  deliverable), scoped/thresholded.
+
+Distance math lives in functions.vectors (built-in higher-order
+functions, JVM-side, double accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import vectors as V
+
+
+def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact cosine top-k to the vector of `query_vec_id` (excluded from results).
+
+    The 1-row query side is broadcast (crossJoin of a broadcast
+    singleton = map-side zip); ordering uses TakeOrderedAndProject so
+    only k rows survive per partition before the final merge.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid as (label, dim, value) rows — IVF codebook build.
+
+    posexplode + groupBy(label, dim): one shuffle keyed on a small key
+    space; at 100 TB you'd sample the input for the codebook, the plan
+    shape is the same.
+    """
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+def _centroid_arrays(embeddings: DataFrame) -> DataFrame:
+    """Centroids assembled back into arrays: (label, centroid array<double>)."""
+    return (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("centroid_v")))),
+                lambda s: s["centroid_v"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("centroid_label"), "centroid")
+    )
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell assignment).
+
+    Confusion-matrix output (true label × assigned cell). Centroids are
+    broadcast — the fact table never shuffles.
+    """
+    cents = F.broadcast(_centroid_arrays(embeddings))
+    scored = embeddings.crossJoin(cents).select(
+        "vec_id",
+        "label",
+        "centroid_label",
+        V.cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("centroid_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ivf_knn(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_probes: int = 3
+) -> DataFrame:
+    """IVF-pruned approximate KNN: score only vectors whose cell is among
+    the query's `n_probes` nearest centroids.
+
+    This is the 100 TB plan: centroid scoring is O(n_cells), candidate
+    scan reads ~n_probes/n_cells of the data (partition pruning when the
+    table is written partitioned by cell id).
+    """
+    cents = _centroid_arrays(embeddings)
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    probe_cells = F.broadcast(
+        cents.crossJoin(q)
+        .select("centroid_label", V.cosine(F.col("centroid"), F.col("qvec")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("centroid_label"))
+        .limit(n_probes)
+        .select("centroid_label")
+    )
+    assigned = _assign_cells(embeddings, cents)
+    return (
+        assigned.join(probe_cells, assigned.cell == probe_cells.centroid_label, "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "centroid_label",
+        V.cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("centroid_label").alias("cell"))
+    )
+
+
+def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above `threshold`.
+
+    All-pairs here (the exact verifier); the scale path buckets by IVF
+    cell / random-hyperplane sign first so only same-bucket pairs are
+    scored.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def knn_per_label(embeddings: DataFrame, query_vec_id: int = 0, k: int = 2) -> DataFrame:
+    """Grouped top-k: k nearest to the query within every label (window rank)."""
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` corpus table.
+
+Implements the text-pipeline analytics a training-data pipeline needs
+(SURVEY.md "beyond the reference" scope): token statistics, quality
+scoring, topic/language signature classification, fixed-window chunking
+(the engine form of the reference's SentenceSplitter, SURVEY C3/C4),
+and corpus rollups (the engine form of hierarchy summaries A4/A5).
+
+Everything is built-in-function only — single scan, no shuffle except
+the final groupBy where one is semantically required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+
+# Fixed-window chunker parameters (shared with the DuckDB oracle).
+CHUNK_WINDOW = 120
+CHUNK_STRIDE = 80
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token statistics (token counting deliverable)."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        "lang",
+        TXT.token_count(t).cast("long").alias("n_tokens"),
+        TXT.distinct_token_count(t).cast("long").alias("n_distinct"),
+        TXT.stopword_count(t).cast("long").alias("n_stopwords"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality score + corpus percentile bucket."""
+    return documents.select(
+        "doc_id",
+        "lang",
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def topic_signatures(documents: DataFrame) -> DataFrame:
+    """Signature-set classifier (language-ID-shaped operator): argmax of
+    per-set token hits with deterministic tie-break by declaration order."""
+    t = F.col("text")
+    hits = {
+        name: TXT.signature_hits(t, words).cast("long").alias(f"hits_{name}")
+        for name, words in TXT.SIGNATURE_SETS.items()
+    }
+    df = documents.select("doc_id", t.alias("text"), *hits.values())
+    names = list(TXT.SIGNATURE_SETS)
+    # argmax with first-declared-wins tie-break
+    best = F.col(f"hits_{names[0]}")
+    label = F.lit(names[0])
+    for name in names[1:]:
+        cond = F.col(f"hits_{name}") > best
+        label = F.when(cond, F.lit(name)).otherwise(label)
+        best = F.when(cond, F.col(f"hits_{name}")).otherwise(best)
+    return df.select(
+        "doc_id",
+        *[F.col(f"hits_{n}") for n in names],
+        label.alias("topic"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprint per document + duplicate-group stats (exact dedup D1)."""
+    fp = documents.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return groups
+
+
+def chunk_documents(documents: DataFrame) -> DataFrame:
+    """Fixed-window overlapping character chunker (C3-shaped splitter).
+
+    window=120, stride=80 → every doc yields ceil(max(len-window,0)/stride)+1
+    chunks. Expressed as sequence+transform+explode: a single narrow
+    stage, no shuffle, parallel per input split — at 100 TB this is the
+    exact shape you want (chunking is embarrassingly parallel).
+    """
+    t = F.col("text")
+    n_chunks = F.when(
+        F.length(t) <= CHUNK_WINDOW, F.lit(1)
+    ).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.length(t) - F.lit(CHUNK_WINDOW) + F.lit(CHUNK_STRIDE - 1)) / F.lit(CHUNK_STRIDE)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(t, i * CHUNK_STRIDE + 1, F.lit(CHUNK_WINDOW)).alias("chunk_text"),
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.length("c.chunk_text").cast("long").alias("chunk_len"),
+        )
+    )
+
+
+def source_rollup(documents: DataFrame, max_chars: int = 1000) -> DataFrame:
+    """Per-source corpus rollup — engine form of the reference's
+    file/module summary aggregation (hierarchy_summary_service.py:13-145):
+    concat member texts in stable doc_id order, truncate, keep lineage ids.
+
+    The reference truncates rollup input to 25000 chars (SURVEY A4-A6);
+    parameterized here. sort_array(collect_list(struct)) keeps the
+    concat deterministic under any partitioning.
+    """
+    member = F.struct(F.col("doc_id"), F.col("text"))
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sort_array(F.collect_list(member)).alias("members"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.substring(
+                F.array_join(F.transform("members", lambda m: m["text"]), "\n\n"),
+                1,
+                max_chars,
+            ).alias("rollup_text"),
+            F.array_join(
+                F.transform("members", lambda m: m["doc_id"].cast("string")), ","
+            ).alias("rollup_of"),
+        )
+    )
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Corpus composition per (source, lang) — grouping-flag aggregate
+    (engine form of the reference's per-repo flag aggregation A9/F3)."""
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+            F.max(F.when(F.col("lang") == "zh", True).otherwise(False)).alias("has_zh"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

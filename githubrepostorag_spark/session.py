@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is used for tests/bench (``local[N]``); the same settings are
+what we would ship as cluster defaults:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB the static shuffle-partition number is always wrong for some
+  stage, so let the engine re-plan from runtime statistics.
+- Arrow on — every Pandas UDF (embedder, chunker, LLM ops) moves data in
+  Arrow batches instead of pickled rows.
+- UTC session timezone — parquet timestamps compare bit-for-bit against
+  the DuckDB oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS,false), which Spark's parquet
+        # reader rejects; read as raw nanos and convert in the source layer.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Parquet sources for the driver-generated synthetic tables.
+
+TPC-H-ish star schema (``region nation customer supplier part orders
+lineitem``) plus an ``events`` stream table, a ``documents`` corpus table
+and an ``embeddings`` vector table (see TESTDATA.md).
+
+Reading stays fully declarative (``spark.read.parquet``) so Catalyst
+performs column pruning and predicate pushdown into the parquet scan —
+at 100 TB the scan is the dominant cost and pushdown is the single
+biggest lever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor. At
+# 100 TB the facts (lineitem/orders/events/documents) grow; these stay
+# bounded (region=5, nation=25) or grow sub-linearly.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # These must hold even when the caller (e.g. the verify driver) built
+    # its own SparkSession: nanos timestamps readable, UTC semantics so
+    # date_trunc/epoch match the (UTC-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw nanos (see session.py): convert to
+        # microsecond timestamps with integer division (ns values exceed
+        # double precision, so no float math here).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API) and return the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

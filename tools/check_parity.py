@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted
+by all columns).
+
+Usage: python tools/check_parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from githubrepostorag_spark.session import get_spark
+from githubrepostorag_spark.sources.testdata import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = canon(spark_df), canon(duck_df)
+    if len(a) == len(b):
+        for col in a.columns:
+            av, bv = a[col], b[col]
+            try:
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    import numpy as np
+
+                    ok = np.allclose(
+                        av.astype(float).fillna(-1e308),
+                        bv.astype(float).fillna(-1e308),
+                        rtol=0,
+                        atol=1e-9,
+                    )
+                else:
+                    ok = av.astype(str).equals(bv.astype(str))
+            except Exception as e:  # pragma: no cover
+                problems.append(f"col {col}: compare error {e}")
+                continue
+            if not ok:
+                mism = (av.astype(str) != bv.astype(str)).to_numpy().nonzero()[0][:3]
+                ex = [(av.iloc[i], bv.iloc[i]) for i in mism]
+                problems.append(f"col {col}: values differ, e.g. {ex}")
+    # dtype report (informational; driver may compare schemas)
+    for col in sorted(spark_df.columns):
+        sd, dd = str(spark_df[col].dtype), str(duck_df[col].dtype)
+        if sd != dd:
+            problems.append(f"DTYPE col {col}: spark={sd} duck={dd}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity-check", cpus=8)
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        probs = compare(sdf, ddf)
+        hard = [p for p in probs if not p.startswith("DTYPE")]
+        status = "OK  " if not hard else "FAIL"
+        if hard:
+            failures += 1
+        print(f"{status} {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+        for p in probs:
+            print(f"     - {p}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
