@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every engine query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with a noop datasource write (computes
+every output column — a plain count() would let Catalyst prune the
+expensive expressions and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from githubrepostorag_spark.session import get_spark
+
+WARMUP_QUERY = "q01_pricing_summary"
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    qs = entry_mod.queries()
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    run_query(qs[WARMUP_QUERY](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    t_total0 = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        run_query(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

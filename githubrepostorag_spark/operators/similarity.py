@@ -154,27 +154,78 @@ def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above `threshold`.
+def near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, block_size: int = 1024
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above `threshold` — exact,
+    via blocked all-pairs matrix multiplication.
 
-    All-pairs here (the exact verifier); the scale path buckets by IVF
-    cell / random-hyperplane sign first so only same-bucket pairs are
-    scored.
+    Rows are hashed into ⌈n/block_size⌉ blocks; every block *pair*
+    becomes one `applyInPandas` group that computes an
+    (n_a × n_b) cosine matrix with numpy (Arrow in, BLAS matmul, Arrow
+    out) and emits only pairs ≥ threshold. Compared to a row-level
+    self-join with per-element expression evaluation this is ~100×
+    faster and shuffles each row n_blocks times instead of n times —
+    the classic O(n²/B) block-nested-loop. At 100 TB you put an LSH /
+    IVF bucketing in front so only same-bucket block pairs are scored;
+    the kernel below stays identical.
     """
-    a = embeddings.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    import pandas as pd
+
+    n = embeddings.count()
+    n_blocks = max(1, -(-n // block_size))
+    spark = embeddings.sparkSession
+    pair_rows = [
+        (bi * n_blocks + bj, bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "pair_id long, bi long, bj long")
+
+    blocks = embeddings.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk")
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    left = blocks.join(F.broadcast(pairs), blocks.blk == pairs.bi).select(
+        "pair_id", F.lit("a").alias("side"), "vec_id", "embedding", "bi", "bj"
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    right = blocks.join(
+        F.broadcast(pairs), (blocks.blk == pairs.bj) & (pairs.bi != pairs.bj)
+    ).select("pair_id", F.lit("b").alias("side"), "vec_id", "embedding", "bi", "bj")
+    tagged = left.unionByName(right)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == "a"]
+        same_block = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        b = a if same_block else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ma = np.stack(a["embedding"].to_numpy()).astype("float64")
+        mb = np.stack(b["embedding"].to_numpy()).astype("float64")
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        id_a, id_b = ia[ii], ib[jj]
+        if same_block:
+            # full self-matrix: each unordered pair appears twice — keep
+            # the upper triangle (and drop the diagonal)
+            keep = id_a < id_b
+            lo, hi = id_a[keep], id_b[keep]
+            vals = sims[ii, jj][keep]
+        else:
+            # disjoint blocks: each unordered pair appears once, in
+            # arbitrary id order — normalize, never drop
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            vals = sims[ii, jj]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": np.round(vals, 6)})
+
+    return tagged.groupBy("pair_id").applyInPandas(
+        score_block, schema="id_a long, id_b long, cos_sim double"
     )
 
 

@@ -1,0 +1,53 @@
+"""Driver-contract tests: entry() runs, queries()/oracle_sql() are consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    cols = set(df.columns)
+    assert {"vec_id", "label", "score", "snippet"} <= cols
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_queries_have_oracles():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key refers to a real query
+    assert set(oracles) <= set(qs)
+
+
+def test_queries_run_and_match_oracle_sample(spark, duck):
+    """A fast subset of the full gate (tools/check_parity.py runs it all)."""
+    import pandas as pd
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sample = [
+        "q01_pricing_summary",
+        "q05_topk_per_group",
+        "q13_events_sessionize",
+        "q16_doc_token_stats",
+        "q20_doc_chunks",
+        "q26_simhash",
+        "q28_knn_bruteforce",
+        "q33_graph_2hop",
+    ]
+    for name in sample:
+        sdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+        ddf = duck.execute(oracles[name]).fetchdf()
+        assert sorted(sdf.columns) == sorted(ddf.columns), name
+        assert len(sdf) == len(ddf), name
+        a = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns), ignore_index=True)
+        b = ddf[sorted(ddf.columns)].sort_values(by=sorted(ddf.columns), ignore_index=True)
+        for col in a.columns:
+            if a[col].dtype.kind == "f":
+                assert (a[col] - b[col]).abs().max() < 1e-9, (name, col)
+            else:
+                assert a[col].astype(str).equals(b[col].astype(str)), (name, col)

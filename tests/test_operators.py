@@ -1,0 +1,159 @@
+"""Operator-semantics tests on small controlled inputs (not oracle replays)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.operators import graph as G
+from githubrepostorag_spark.operators import similarity as S
+from githubrepostorag_spark.operators import textops as TO
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups_whitespace_variants(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello  World", "en", "s0", 12),
+            (2, "hello world", "en", "s0", 11),
+            (3, "different", "en", "s1", 9),
+        ],
+    )
+    got = {r.canonical_doc_id: r.group_size for r in DD.exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "abcdefgh", "en", "s0", 8),
+            (2, "abcdefgh", "en", "s0", 8),
+            (3, "zzzzyyyy", "en", "s0", 8),
+        ],
+    )
+    rows = DD.jaccard_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert abs(rows[0].jaccard - 1.0) < 1e-12
+
+
+def test_lsh_identical_docs_are_candidates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps", "en", "s0", 25),
+            (2, "the quick brown fox jumps", "en", "s0", 25),
+            (3, "completely unrelated words here", "en", "s0", 31),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in DD.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma", "en", "s0", 16),
+            (2, "alpha beta gamma", "en", "s0", 16),
+            (3, "delta epsilon zeta", "en", "s0", 18),
+        ],
+    )
+    got = {r.doc_id: r.simhash for r in DD.simhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert 0 <= got[1] < 2**32
+
+
+def test_chunker_covers_text_with_overlap(spark):
+    text = "x" * 300  # window 120 stride 80 -> chunks at 0,80,160,240 -> 4 chunks
+    df = _docs(spark, [(1, text, "en", "s0", 300)])
+    rows = sorted(TO.chunk_documents(df).collect(), key=lambda r: r.chunk_idx)
+    assert len(rows) == 4
+    assert rows[0].chunk_len == 120
+    assert rows[-1].chunk_len == 60  # 240..300
+    # overlap: consecutive chunks share stride overlap region
+    assert rows[0].chunk_text[80:] == rows[1].chunk_text[:40]
+
+
+def test_bounded_bfs_hops(spark):
+    # chain: (1: s=A,l=x) (2: s=A,l=y) (3: s=B,l=y) (4: s=B,l=z) (5: s=C,l=w)
+    df = _docs(
+        spark,
+        [
+            (1, "t", "x", "A", 1),
+            (2, "t", "y", "A", 1),
+            (3, "t", "y", "B", 1),
+            (4, "t", "z", "B", 1),
+            (5, "t", "w", "C", 1),
+        ],
+    )
+    seeds = df.filter(F.col("doc_id") == 1).select("doc_id")
+    got = {
+        r.doc_id: r.hop
+        for r in G.bounded_bfs(df, "doc_id", ["source", "lang"], seeds, max_depth=2).collect()
+    }
+    # hop1: share source A or lang x with node 1 -> node 2
+    # hop2: share source/lang with node 2 -> node 3 (lang y)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_knn_excludes_query_and_orders_desc(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [1.0, 0.01], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = S.knn_to_query(emb, query_vec_id=0, k=3).collect()
+    assert [r.vec_id for r in rows] == [3, 1, 2]
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_near_dup_pairs_blocked_matches_naive(spark):
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist(), int(i % 3)) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.near_dup_pairs(emb, threshold=0.3, block_size=16).collect()
+    }
+    want = {}
+    for i, j in itertools.combinations(range(40), 2):
+        a, b = vecs[i].astype("float64"), vecs[j].astype("float64")
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        if round(c, 6) >= 0.3:
+            want[(i, j)] = round(c, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_source_rollup_truncates_and_orders(spark):
+    df = _docs(
+        spark,
+        [(2, "bbb", "en", "s0", 3), (1, "aaa", "en", "s0", 3), (3, "c" * 2000, "en", "s0", 2000)],
+    )
+    row = TO.source_rollup(df, max_chars=100).collect()[0]
+    assert row.rollup_of == "1,2,3"
+    assert row.rollup_text.startswith("aaa\n\nbbb\n\nccc")
+    assert len(row.rollup_text) == 100
+    assert row.total_chars == 2006

@@ -1,0 +1,74 @@
+"""Unit tests for text/vector column functions on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.functions import vectors as V
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("  ",), ("the a the",)], "text string"
+    ).select(
+        TXT.token_count(F.col("text")).alias("n"),
+        TXT.distinct_token_count(F.col("text")).alias("d"),
+        TXT.stopword_count(F.col("text")).alias("sw"),
+    )
+    rows = df.collect()
+    assert [r.n for r in rows] == [3, 0, 3]
+    assert [r.d for r in rows] == [3, 0, 2]
+    assert [r.sw for r in rows] == [1, 0, 3]  # 'a' is a stopword
+
+
+def test_char_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("ab",), ("abcd",), ("abcde",)], "text string").select(
+        TXT.char_shingles(F.col("text"), 4).alias("sh")
+    )
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == []
+    assert rows[1] == ["abcd"]
+    assert rows[2] == ["abcd", "bcde"]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("other",)], "text string"
+    ).select(TXT.fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_stable_id_is_sha1_of_joined_fields(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("chunk", "default", "r1")], "a string, b string, c string")
+    got = df.select(TXT.stable_id(F.col("a"), F.col("b"), F.col("c")).alias("id")).head().id
+    assert got == hashlib.sha1(b"chunk|default|r1").hexdigest()
+
+
+def test_cosine_and_normalize(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([3.0, 4.0], [3.0, 4.0])],
+        "a array<float>, b array<float>",
+    )
+    got = df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(got[0].c - 0.0) < 1e-12
+    assert abs(got[1].c - 1.0) < 1e-12
+    norm = df.select(V.l2_normalize(F.col("a")).alias("n")).collect()[2].n
+    assert abs(math.hypot(*norm) - 1.0) < 1e-12
+
+
+def test_md5_bigint_matches_duckdb(spark, duck):
+    got = (
+        spark.createDataFrame([("x",)], "s string")
+        .select(TXT.md5_bigint(F.col("s")).alias("v"))
+        .head()
+        .v
+    )
+    want = duck.execute("SELECT ('0x' || substr(md5('x'), 1, 15))::BIGINT").fetchone()[0]
+    assert got == want
