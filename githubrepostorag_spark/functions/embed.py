@@ -1,0 +1,88 @@
+"""Embedding operators (SURVEY V1).
+
+The reference embeds with sentence-transformers (384-dim, MiniLM/E5 —
+rag_shared/config.py:24-25) through a batched in-process model. This
+engine keeps the same shape — a batched, Arrow-fed pandas UDF producing
+``array<float>`` of fixed dim — with a pluggable backend:
+
+- `hash_embedder`: deterministic seeded token-hash embedder (the test
+  double from FIXTURES.md §3): each token hashes to a stable pseudo-
+  random unit pattern; a document embeds as the L2-normalized sum of
+  its token vectors (weighted by count). Similarity is token-overlap-
+  meaningful, fully reproducible across runs/engines.
+- a sentence-transformers backend can be slotted in behind the same
+  UDF signature where the library is available (not in this container).
+
+Scale notes: embedding is the canonical Arrow-batched UDF workload —
+per-partition batches, zero shuffle; at 100 TB you size the batch via
+`spark.sql.execution.arrow.maxRecordsPerBatch` and pin model replicas
+per executor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EMBED_DIM = 384  # reference: rag_shared/config.py:25
+
+
+def _token_vector(token: str, dim: int) -> np.ndarray:
+    """Stable pseudo-random vector for one token: sha256-expanded bytes
+    mapped to [-0.5, 0.5)."""
+    chunks = []
+    n_blocks = (dim + 31) // 32
+    for b in range(n_blocks):
+        digest = hashlib.sha256(f"{b}:{token}".encode()).digest()
+        chunks.append(np.frombuffer(digest, dtype=np.uint8).astype(np.float64))
+    vec = np.concatenate(chunks)[:dim]
+    return vec / 255.0 - 0.5
+
+
+def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic document embedding: normalized sum of token vectors."""
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return np.zeros(dim)
+    acc = np.zeros(dim)
+    for tok in tokens:
+        acc += _token_vector(tok, dim)
+    n = np.linalg.norm(acc)
+    return acc / n if n > 0 else acc
+
+
+def make_hash_embedder(dim: int = EMBED_DIM):
+    """Build the batched embedding UDF (array<float> of `dim`)."""
+
+    @pandas_udf("array<float>")
+    def hash_embed(texts: pd.Series) -> pd.Series:
+        # cache token vectors within the batch — corpora repeat tokens heavily
+        cache: dict[str, np.ndarray] = {}
+
+        def one(text: str) -> list[float]:
+            tokens = (text or "").lower().split()
+            if not tokens:
+                return [0.0] * dim
+            acc = np.zeros(dim)
+            for tok in tokens:
+                v = cache.get(tok)
+                if v is None:
+                    v = _token_vector(tok, dim)
+                    cache[tok] = v
+                acc += v
+            n = np.linalg.norm(acc)
+            out = acc / n if n > 0 else acc
+            return [float(x) for x in out]
+
+        return texts.map(one)
+
+    return hash_embed
+
+
+def with_embedding(df, text_col: str = "text", out_col: str = "vector", dim: int = EMBED_DIM):
+    return df.withColumn(out_col, make_hash_embedder(dim)(F.col(text_col)))

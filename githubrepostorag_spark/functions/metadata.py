@@ -1,0 +1,91 @@
+"""Metadata sanitize + allow-list projection (SURVEY F5) and stable ids (F6).
+
+The reference stores all metadata as MAP<TEXT,TEXT> with a per-scope
+allow-list plus an always-keep set, stringifying every value and
+dropping nulls (vector_write_service.py:28-34,44-98). This engine keeps
+*typed* columns internally and applies the sanitize only at the storage
+boundary, emitting a map<string,string> column — so Catalyst can prune
+and push down on the typed columns everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-scope allow-lists (vector_write_service.py:28-34).
+ALLOW_FIELDS_BY_SCOPE: dict[str, tuple[str, ...]] = {
+    "catalog": ("namespace", "repo", "owner", "language", "topics", "labels", "component_kind"),
+    "repo": ("namespace", "repo", "owner", "language", "topics", "labels"),
+    "module": ("namespace", "repo", "module", "language", "topics", "imports", "labels"),
+    "file": ("namespace", "repo", "module", "file_path", "language", "topics", "imports", "labels"),
+    "chunk": ("namespace", "repo", "module", "file_path", "symbol", "language", "topics", "imports"),
+}
+
+# Always-keep set (vector_write_service.py:58-63).
+KEEP_ALWAYS: tuple[str, ...] = (
+    "scope", "namespace", "repo", "module", "file_path",
+    "symbol", "owner", "component_kind", "branch", "language", "row_id",
+)
+
+
+def stringify(col: Column, dtype: str) -> Column:
+    """The reference's to_text rule (vector_write_service.py:68-86):
+    scalars → str, lists → comma-join, null → null (dropped later)."""
+    if dtype.startswith("array"):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+    if dtype.startswith("map") or dtype.startswith("struct"):
+        return F.to_json(col)
+    if dtype == "boolean":
+        # Python str(bool) — 'True'/'False' — is the reference's observable output
+        return F.when(col, "True").when(~col, "False")
+    return col.cast("string")
+
+
+def sanitized_metadata(df: DataFrame, scope: str) -> Column:
+    """Build the map<string,string> storage column for one scope,
+    keeping (allow-list ∪ always-keep) ∩ present columns, stringified,
+    nulls dropped."""
+    keep = set(ALLOW_FIELDS_BY_SCOPE.get(scope, ())) | set(KEEP_ALWAYS)
+    dtypes = dict(df.dtypes)
+    entries = []
+    for name in sorted(keep):
+        if name not in dtypes:
+            continue
+        entries.append(
+            F.when(
+                stringify(F.col(name), dtypes[name]).isNotNull(),
+                F.struct(
+                    F.lit(name).alias("key"),
+                    stringify(F.col(name), dtypes[name]).alias("value"),
+                ),
+            )
+        )
+    # map_from_entries over the non-null entries
+    arr = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    return F.map_from_entries(arr)
+
+
+def stable_node_id(
+    scope: Column,
+    namespace: Column,
+    repo: Column,
+    module: Column,
+    file_path: Column,
+    start: Column,
+    end: Column,
+) -> Column:
+    """F6: sha1 over '|'-joined identity fields
+    (vector_write_service.py:186-193). Null segments join as empty."""
+    return F.sha1(
+        F.concat_ws(
+            "|",
+            F.coalesce(scope, F.lit("")),
+            F.coalesce(namespace, F.lit("")),
+            F.coalesce(repo, F.lit("")),
+            F.coalesce(module, F.lit("")),
+            F.coalesce(file_path, F.lit("")),
+            F.coalesce(start.cast("string"), F.lit("")),
+            F.coalesce(end.cast("string"), F.lit("")),
+        )
+    )

@@ -1,0 +1,3 @@
+from githubrepostorag_spark.llm.stub import DeterministicLLM, sanitize_llm_output
+
+__all__ = ["DeterministicLLM", "sanitize_llm_output"]

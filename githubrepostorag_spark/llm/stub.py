@@ -1,0 +1,133 @@
+"""Pluggable LLM surface (SURVEY §2.8).
+
+Every LLM call in the reference is ``llm.complete(prompt) -> text``
+over HTTP (llm_init.py:99-143, qwen_llm.py:104-148). This engine keeps
+that exact call shape behind a protocol so the production backend is an
+HTTP client and tests/batch runs use `DeterministicLLM` — a scripted
+stub honoring the observable prompt contracts:
+
+- L7 scope planner → JSON {scope, filters?}
+- L8 coverage judge → JSON {coverage, needs_more, stage_down?, ...}
+- L9 query rewriter → plain text
+- L10 query expander → JSON array of strings
+- L11 synthesizer → cited answer text
+- L1-L3 summary/title/keywords, L4 README judge, L5/L6 catalog +
+  hierarchy summaries → deterministic text functions of the prompt
+
+A `script` list of (regex, response) pairs overrides any prompt —
+including malformed responses, to exercise the reference's parse-
+failure fallbacks (plan → heuristic scope, judge → fixed stage-down
+coverages, agent_graph.py:226-228,346-355).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Sequence
+from typing import Protocol
+
+
+class LLM(Protocol):
+    def complete(self, prompt: str) -> str: ...
+
+
+_THINK_RE = re.compile(r"<think>.*?</think>", re.S)
+_ROLE_RE = re.compile(r"^(system|user|assistant)\s*:\s*", re.I | re.M)
+_FENCE_RE = re.compile(r"^```[a-zA-Z]*\n|\n```$")
+
+
+def sanitize_llm_output(text: str) -> str:
+    """L12 output sanitizer: strip <think> blocks, role tags, markdown
+    fences (reference: llm_init.py:36-48, qwen_llm.py:26-102)."""
+    out = _THINK_RE.sub("", text or "")
+    out = _ROLE_RE.sub("", out)
+    out = _FENCE_RE.sub("", out.strip())
+    return out.strip()
+
+
+def _stable_words(text: str, n: int) -> list[str]:
+    seen: list[str] = []
+    for w in re.findall(r"[a-zA-Z_][\w\-]*", text.lower()):
+        if w not in seen:
+            seen.append(w)
+        if len(seen) >= n:
+            break
+    return seen
+
+
+class DeterministicLLM:
+    """Scripted, deterministic `complete()` implementation."""
+
+    def __init__(self, script: Sequence[tuple[str, str]] = ()) -> None:
+        self.script = [(re.compile(pat, re.S), resp) for pat, resp in script]
+        self.calls: list[str] = []
+
+    def complete(self, prompt: str) -> str:
+        self.calls.append(prompt)
+        for pat, resp in self.script:
+            if pat.search(prompt):
+                return resp
+        return self._default(prompt)
+
+    # -- default contract-honoring behavior ---------------------------------
+    def _default(self, prompt: str) -> str:
+        p = prompt
+        if "Choose the best search scope" in p:  # L7
+            q = self._question_of(p)
+            ql = q.lower()
+            if any(w in ql for w in ("projects", "repositories", "overview", "tell me about")):
+                scope = "project"
+            elif any(w in ql for w in ("error", "exception", "stacktrace", "function ", "class ")):
+                scope = "code"
+            elif "module" in ql or "package" in ql:
+                scope = "package"
+            else:
+                scope = "file"
+            return json.dumps({"scope": scope})
+        if "Judge if the retrieved content" in p:  # L8
+            n_items = p.count('"i":')
+            if n_items == 0:
+                return json.dumps(
+                    {"coverage": 0.1, "needs_more": True, "semantic_match": False}
+                )
+            return json.dumps(
+                {"coverage": 0.9, "needs_more": False, "semantic_match": True}
+            )
+        if "Generate 3-4 semantically related" in p:  # L10
+            q = self._question_of(p, marker="Original question:")
+            words = _stable_words(q, 4) or ["code"]
+            variants = [
+                " ".join(words) + " implementation",
+                " ".join(reversed(words)) + " design",
+                words[0] + " configuration details",
+            ]
+            return json.dumps(variants)
+        if "Rewrite this codebase question" in p:  # L9
+            m = re.search(r"question to be more specific and searchable: '([^']*)'", p)
+            base = m.group(1) if m else "the question"
+            return base + " implementation details"
+        if "You are a senior developer assistant" in p or "You are a helpful developer assistant" in p:  # L11
+            n_blocks = len(re.findall(r"^\[\d+\] repo=", p, re.M))
+            cites = "".join(f"[{i}]" for i in range(1, min(n_blocks, 3) + 1)) or "[1]"
+            q = self._question_of(p)
+            return f"Based on the retrieved context, regarding '{q}': see {cites}."
+        if "GOOD" in p and "README" in p:  # L4 readme judge
+            m = re.search(r"README:\n(.*)$", p, re.S)
+            body = m.group(1) if m else ""
+            return "GOOD" if len(body) > 200 and "todo" not in body.lower() else "BAD"
+        if "keywords" in p.lower():  # L3
+            src = p.rsplit(":", 1)[-1]
+            return ", ".join(_stable_words(src, 10))
+        if "title" in p.lower():  # L2
+            src = p.rsplit(":", 1)[-1]
+            return " ".join(_stable_words(src, 5)).title() or "Untitled"
+        # L1/L5/L6 summaries: deterministic head of the source text
+        src = sanitize_llm_output(p.rsplit(":", 1)[-1])
+        words = _stable_words(src, 24)
+        return "Summary: " + " ".join(words)
+
+    @staticmethod
+    def _question_of(prompt: str, marker: str = "Question:") -> str:
+        m = re.search(re.escape(marker) + r"\s*(.+)", prompt)
+        return (m.group(1).splitlines()[0].strip() if m else "").strip()

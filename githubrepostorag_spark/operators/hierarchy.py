@@ -1,0 +1,244 @@
+"""Hierarchy construction (SURVEY A1-A7): chunk → file → module → repo
+→ catalog rollups with LLM summarization at each level.
+
+Reference behavior (hierarchy_summary_service.py, catalog_builder.py):
+- file summary: concat chunk texts ("\\n\\n".join, truncated to 25000
+  chars) → LLM → one summary doc with rollup_of ids (A4)
+- module summary: ≤40 file summaries per module, concat[:25000] → LLM
+  (A5); repo overview: ≤3 READMEs + ≤10 module summaries (A6)
+- catalog: README judged GOOD/BAD by LLM (len>200 & no 'todo'
+  heuristic fallback) → use README else generate from ≤10 chunk
+  summaries (A7)
+
+Engine shape: every rollup is groupBy + sort_array(collect_list(...))
++ slice + concat + substring — deterministic under any partitioning —
+followed by ONE batched LLM pandas UDF per level. The LLM is the only
+Python in the pipeline and it is Arrow-batched; everything else is
+JVM-side. Shuffles: exactly one per level, keyed on the rollup key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+ROLLUP_TRUNCATE = 25_000  # hierarchy_summary_service.py:31,81,157
+MAX_FILES_PER_MODULE = 40  # :107
+MODULE_LIMIT = 10  # :157
+README_LIMIT = 3  # :158
+CATALOG_SUMMARY_LIMIT = 10  # catalog_builder.py:162
+
+
+def make_llm_udf(llm_factory: Callable, template: str):
+    """Batched LLM scalar UDF: prompt = template.format(text=...)."""
+
+    @pandas_udf("string")
+    def llm_complete(texts: pd.Series) -> pd.Series:
+        llm = llm_factory()
+        return texts.map(lambda t: llm.complete(template.format(text=t)))
+
+    return llm_complete
+
+
+FILE_SUMMARY_PROMPT = (
+    "Summarize this source file for a code-search index (~200 words). "
+    "Focus on purpose, key symbols and behavior.\nContent:{text}"
+)
+MODULE_SUMMARY_PROMPT = (
+    "Summarize this module from its file summaries (~250 words). "
+    "Describe responsibilities and how the files relate.\nContent:{text}"
+)
+REPO_SUMMARY_PROMPT = (
+    "Write a repository overview from its READMEs and module summaries "
+    "(~300 words).\nContent:{text}"
+)
+CATALOG_PROMPT = (
+    "Write a catalog entry describing this repository from code summaries "
+    "(markdown).\nContent:{text}"
+)
+README_JUDGE_PROMPT = (
+    "Judge whether this README is informative. Answer exactly GOOD or BAD."
+    "\nREADME:\n{text}"
+)
+
+
+def _ordered_concat(member_struct, text_field: str, limit: int | None = None):
+    """sort_array(collect_list(struct)) → optionally slice → join texts."""
+    arr = F.sort_array(F.collect_list(member_struct))
+    if limit is not None:
+        arr = F.slice(arr, 1, limit)
+    return arr
+
+
+def file_summaries(chunks: DataFrame, llm_factory: Callable) -> DataFrame:
+    """A4: one summary doc per file with rollup lineage."""
+    member = F.struct(
+        F.col("chunk_idx"), F.col("node_id"), F.col("text")
+    )
+    grouped = (
+        chunks.groupBy("namespace", "repo", "module", "file_path", "language")
+        .agg(_ordered_concat(member, "text").alias("members"))
+        .select(
+            "namespace",
+            "repo",
+            "module",
+            "file_path",
+            "language",
+            F.substring(
+                F.array_join(F.transform("members", lambda m: m["text"]), "\n\n"),
+                1,
+                ROLLUP_TRUNCATE,
+            ).alias("rollup_input"),
+            F.transform("members", lambda m: m["node_id"]).alias("rollup_of"),
+        )
+    )
+    summarize = make_llm_udf(llm_factory, FILE_SUMMARY_PROMPT)
+    return (
+        grouped.withColumn("text", summarize(F.col("rollup_input")))
+        .withColumn("rollup_count", F.size("rollup_of").cast("int"))
+        .withColumn("doc_type", F.lit("file"))
+        .drop("rollup_input")
+    )
+
+
+def module_summaries(file_sums: DataFrame, llm_factory: Callable) -> DataFrame:
+    """A5: one summary doc per module (≤40 files, concat truncated)."""
+    member = F.struct(F.col("file_path"), F.col("text"), F.col("node_id"))
+    grouped = (
+        file_sums.groupBy("namespace", "repo", "module")
+        .agg(_ordered_concat(member, "text", MAX_FILES_PER_MODULE).alias("members"))
+        .select(
+            "namespace",
+            "repo",
+            "module",
+            F.substring(
+                F.array_join(F.transform("members", lambda m: m["text"]), "\n\n"),
+                1,
+                ROLLUP_TRUNCATE,
+            ).alias("rollup_input"),
+            F.transform("members", lambda m: m["node_id"]).alias("rollup_of"),
+            F.transform("members", lambda m: m["file_path"]).alias("constituent_files"),
+        )
+    )
+    summarize = make_llm_udf(llm_factory, MODULE_SUMMARY_PROMPT)
+    return (
+        grouped.withColumn("text", summarize(F.col("rollup_input")))
+        .withColumn("rollup_count", F.size("rollup_of").cast("int"))
+        .withColumn("doc_type", F.lit("module"))
+        .drop("rollup_input")
+    )
+
+
+def repo_overviews(
+    module_sums: DataFrame, readmes: DataFrame, llm_factory: Callable
+) -> DataFrame:
+    """A6: one overview doc per repo from ≤3 READMEs + ≤10 module summaries."""
+    rm = (
+        readmes.groupBy("namespace", "repo")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col("file_path"), F.col("text")))),
+                1,
+                README_LIMIT,
+            ).alias("rms")
+        )
+        .select(
+            "namespace",
+            "repo",
+            F.array_join(F.transform("rms", lambda m: m["text"]), "\n\n").alias("readme_text"),
+        )
+    )
+    ms = (
+        module_sums.groupBy("namespace", "repo")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col("module"), F.col("text"), F.col("node_id")))),
+                1,
+                MODULE_LIMIT,
+            ).alias("mods")
+        )
+        .select(
+            "namespace",
+            "repo",
+            F.array_join(F.transform("mods", lambda m: m["text"]), "\n\n").alias("module_text"),
+            F.transform("mods", lambda m: m["node_id"]).alias("rollup_of"),
+            F.transform("mods", lambda m: m["module"]).alias("constituent_modules"),
+        )
+    )
+    joined = ms.join(rm, ["namespace", "repo"], "left").select(
+        "namespace",
+        "repo",
+        F.substring(
+            F.concat_ws("\n\n", F.coalesce(F.col("readme_text"), F.lit("")), F.col("module_text")),
+            1,
+            ROLLUP_TRUNCATE,
+        ).alias("rollup_input"),
+        "rollup_of",
+        "constituent_modules",
+    )
+    summarize = make_llm_udf(llm_factory, REPO_SUMMARY_PROMPT)
+    return (
+        joined.withColumn("text", summarize(F.col("rollup_input")))
+        .withColumn("rollup_count", F.size("rollup_of").cast("int"))
+        .withColumn("doc_type", F.lit("repo"))
+        .drop("rollup_input")
+    )
+
+
+def catalog_docs(
+    readmes: DataFrame, chunk_summaries: DataFrame, llm_factory: Callable
+) -> DataFrame:
+    """A7: catalog entry per repo — README if judged GOOD, else generated
+    from ≤10 chunk summaries. Judge fallback heuristic (len>200, no
+    'todo') is the stub default, mirroring catalog_builder.py:8-31."""
+    rm = (
+        readmes.groupBy("namespace", "repo")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col("file_path"), F.col("text")))),
+                1,
+                1,
+            ).alias("rms")
+        )
+        .select(
+            "namespace", "repo", F.element_at(F.col("rms"), 1)["text"].alias("readme_text")
+        )
+    )
+    cs = (
+        chunk_summaries.groupBy("namespace", "repo")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col("node_id"), F.col("text")))),
+                1,
+                CATALOG_SUMMARY_LIMIT,
+            ).alias("sums")
+        )
+        .select(
+            "namespace",
+            "repo",
+            F.array_join(F.transform("sums", lambda m: m["text"]), "\n\n").alias("summaries_text"),
+        )
+    )
+    joined = cs.join(rm, ["namespace", "repo"], "left")
+    judge = make_llm_udf(llm_factory, README_JUDGE_PROMPT)
+    generate = make_llm_udf(llm_factory, CATALOG_PROMPT)
+    judged = joined.withColumn(
+        "readme_ok",
+        F.when(
+            F.col("readme_text").isNotNull(), judge(F.col("readme_text")) == "GOOD"
+        ).otherwise(F.lit(False)),
+    )
+    return (
+        judged.withColumn(
+            "text",
+            F.when(F.col("readme_ok"), F.col("readme_text")).otherwise(
+                generate(F.substring(F.col("summaries_text"), 1, ROLLUP_TRUNCATE))
+            ),
+        )
+        .withColumn("doc_type", F.lit("catalog"))
+        .select("namespace", "repo", "doc_type", "text", "readme_ok")
+    )

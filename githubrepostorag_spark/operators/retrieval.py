@@ -1,0 +1,193 @@
+"""Graph-RAG retrieval (SURVEY V2/V3/V5, J1).
+
+Reference behavior (graph_rag_retrievers.py:104-134, agent_graph.py:171-176):
+seed via metadata-filtered cosine top-`start_k`, expand ≤`max_depth`
+hops over metadata-equality edges (namespace/repo/module/file_path),
+collect `adjacent_k` per hop, return ≤`k` by score. Per-scope params:
+
+    project (repo table):   k=10, start_k=2, adjacent_k=6, max_depth=2
+    package (module table): k=8,  start_k=2, adjacent_k=6, max_depth=2
+    file:                   k=8,  start_k=2, adjacent_k=6, max_depth=2
+    code (chunk table):     k=10, start_k=3, adjacent_k=8, max_depth=2
+
+Engine shape: the whole batch of queries retrieves in ONE plan per
+scope — queries join the scope partition (partition-pruned, filter
+pushdown), score = dot on unit vectors, per-query ranking windows. The
+hop loop is a bounded driver loop with the (tiny) frontier broadcast,
+like GraphFrames iterations; the store never shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import vectors as V
+
+
+@dataclass(frozen=True)
+class ScopeParams:
+    k: int
+    start_k: int
+    adjacent_k: int
+    max_depth: int
+
+
+SCOPE_PARAMS: dict[str, ScopeParams] = {
+    "project": ScopeParams(10, 2, 6, 2),
+    "package": ScopeParams(8, 2, 6, 2),
+    "file": ScopeParams(8, 2, 6, 2),
+    "code": ScopeParams(10, 3, 8, 2),
+}
+
+# agent scope name → storage scope partition (worker builders
+# for_repo/for_module/for_file/for_chunk)
+SCOPE_TO_TABLE = {
+    "project": "repo",
+    "package": "module",
+    "file": "file",
+    "code": "chunk",
+}
+
+EDGE_KEYS = ("namespace", "repo", "module", "file_path")  # graph_rag_retrievers.py:82-100
+
+_DOC_COLS = (
+    "row_id",
+    "body",
+    "scope",
+    "namespace",
+    "repo",
+    "module",
+    "file_path",
+    "language",
+    "topics",
+)
+
+
+def _filter_condition(store, q):
+    """Per-query metadata pre-filter (SURVEY F10): equality on provided
+    filters, pass-through on nulls; topics matches list membership."""
+    cond = F.lit(True)
+    for key in ("namespace", "repo", "module"):
+        cond = cond & (F.col(f"q.flt_{key}").isNull() | (store[key] == F.col(f"q.flt_{key}")))
+    cond = cond & (
+        F.col("q.flt_topics").isNull()
+        | F.array_contains(F.coalesce(store["topics"], F.array()), F.col("q.flt_topics"))
+    )
+    return cond
+
+
+def _scored(store: DataFrame, queries: DataFrame) -> DataFrame:
+    """All (query × candidate) scores under the query's filters.
+    Vectors are unit-normalized at write → cosine == dot."""
+    st = store.alias("s")
+    q = queries.alias("q")
+    joined = st.join(q, _filter_condition(st, q))
+    return joined.select(
+        F.col("q.query_id").alias("query_id"),
+        *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+        F.round(V.dot(V.as_double(F.col("s.vector")), V.as_double(F.col("q.qvec"))), 6).alias(
+            "score"
+        ),
+    )
+
+
+def retrieve_batch(
+    store: DataFrame,
+    queries: DataFrame,
+    scope: str,
+    params: ScopeParams | None = None,
+) -> DataFrame:
+    """Seed-and-expand retrieval for a batch of queries against one scope.
+
+    queries: (query_id string, qvec array<float>, flt_namespace,
+    flt_repo, flt_module, flt_topics — nullable strings).
+    Returns ≤k rows per query with hop + score, score-desc ranked.
+    """
+    params = params or SCOPE_PARAMS[scope]
+    table_scope = SCOPE_TO_TABLE.get(scope, scope)
+    part = store.filter(F.col("scope") == table_scope)
+
+    scored = _scored(part, queries).cache()
+    try:
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
+        seeds = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= params.start_k)
+            .drop("rn")
+            .withColumn("hop", F.lit(0))
+        )
+
+        reached = seeds
+        frontier = seeds
+        for depth in range(1, params.max_depth + 1):
+            fr = frontier.select(
+                "query_id", *[F.col(k).alias(f"fr_{k}") for k in EDGE_KEYS]
+            ).distinct()
+            cond = F.lit(False)
+            for key in EDGE_KEYS:
+                cond = cond | (F.col(key) == F.col(f"fr_{key}"))
+            neighbors = (
+                scored.join(F.broadcast(fr), on=["query_id"], how="inner")
+                .filter(cond)
+                .select("query_id", *_DOC_COLS, "score")
+                .distinct()
+                .join(
+                    reached.select("query_id", "row_id"),
+                    ["query_id", "row_id"],
+                    "left_anti",
+                )
+            )
+            wn = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
+            hop_k = (
+                neighbors.withColumn("rn", F.row_number().over(wn))
+                .filter(F.col("rn") <= params.adjacent_k)
+                .drop("rn")
+                .withColumn("hop", F.lit(depth))
+            )
+            reached = reached.unionByName(hop_k)
+            frontier = hop_k
+
+        wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
+        return (
+            reached.dropDuplicates(["query_id", "row_id"])
+            .withColumn("rn", F.row_number().over(wf))
+            .filter(F.col("rn") <= params.k)
+            .drop("rn")
+        )
+    finally:
+        scored.unpersist()
+
+
+def mmr_rerank(rows: list[dict], k: int, lambda_mult: float = 0.35) -> list[dict]:
+    """Maximal-marginal-relevance re-rank (ingest factory strategy,
+    GraphRetrieverFactory.py:148-161): greedy pick balancing query
+    relevance vs redundancy. Runs driver-side on ≤k candidates (tiny).
+
+    rows: dicts with 'score' (relevance) and 'body'; diversity proxy is
+    token-set overlap of bodies (no vectors needed at this stage).
+    """
+    if not rows:
+        return []
+    chosen: list[dict] = []
+    remaining = list(rows)
+
+    def overlap(a: dict, b: dict) -> float:
+        ta = set((a.get("body") or "").lower().split())
+        tb = set((b.get("body") or "").lower().split())
+        if not ta or not tb:
+            return 0.0
+        return len(ta & tb) / len(ta | tb)
+
+    while remaining and len(chosen) < k:
+        best, best_val = None, float("-inf")
+        for r in remaining:
+            redundancy = max((overlap(r, c) for c in chosen), default=0.0)
+            val = lambda_mult * (r.get("score") or 0.0) - (1 - lambda_mult) * redundancy
+            if val > best_val:
+                best, best_val = r, val
+        chosen.append(best)
+        remaining.remove(best)
+    return chosen

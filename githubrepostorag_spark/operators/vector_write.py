@@ -1,0 +1,90 @@
+"""Vector-table sink (SURVEY S4 + F5/F6 + shredding).
+
+The reference embeds per scope and batch-writes LangChain documents
+into 5 Cassandra tables with sanitized MAP<TEXT,TEXT> metadata
+(vector_write_service.py:100-210). The engine writes ONE parquet
+dataset partitioned by `scope` (+`namespace`) with:
+
+- promoted typed columns (namespace/repo/module/file_path/language/...)
+  → Catalyst partition pruning & predicate pushdown replace the
+  reference's "allow-list keeps SAI indexes tight" tactic (SURVEY §4),
+- `metadata` map<string,string> built by the same sanitize rule at the
+  storage boundary only,
+- unit-normalized vectors at write time (cosine → plain dot at query
+  time, mirroring the cosine SAI index),
+- stable row ids (sha1 identity rule, vector_write_service.py:186-193).
+
+Scale: partitionBy(scope, namespace) gives pruning on the two
+highest-selectivity query dimensions; within files, rows are laid out
+sorted by (repo, module) so row-group statistics prune repo-filtered
+scans too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import metadata as MD
+from githubrepostorag_spark.functions import vectors as V
+from githubrepostorag_spark.functions.embed import with_embedding
+
+
+def build_vector_rows(nodes: DataFrame, scope: str) -> DataFrame:
+    """nodes (one scope) → storage rows: row_id, body, vector, metadata,
+    promoted columns. Embeds + normalizes + sanitizes."""
+    cols = set(nodes.columns)
+
+    def col_or_null(name: str):
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    base = nodes
+    if "node_id" not in cols:
+        base = base.withColumn(
+            "node_id",
+            MD.stable_node_id(
+                F.lit(scope),
+                col_or_null("namespace"),
+                col_or_null("repo"),
+                col_or_null("module"),
+                col_or_null("file_path"),
+                col_or_null("start_line"),
+                col_or_null("end_line"),
+            ),
+        )
+    embedded = with_embedding(base, text_col="text", out_col="vector")
+    normalized = embedded.withColumn(
+        "vector", V.l2_normalize(F.col("vector")).cast("array<float>")
+    )
+    return normalized.select(
+        F.col("node_id").alias("row_id"),
+        F.col("text").alias("body"),
+        "vector",
+        MD.sanitized_metadata(normalized, scope).alias("metadata"),
+        F.lit(scope).alias("scope"),
+        *[
+            col_or_null(c).alias(c)
+            for c in ("namespace", "repo", "module", "file_path", "language", "component_kind")
+        ],
+        *(
+            [F.col("topics")]
+            if "topics" in cols
+            else [F.array().cast("array<string>").alias("topics")]
+        ),
+    )
+
+
+def write_vector_tables(rows: DataFrame, path: str) -> None:
+    """Partitioned parquet sink — scope+namespace pruning, repo/module
+    row-group ordering."""
+    (
+        rows.repartition("scope", "namespace")
+        .sortWithinPartitions("repo", "module")
+        .write.mode("overwrite")
+        .partitionBy("scope", "namespace")
+        .parquet(path)
+    )
+
+
+def read_vector_tables(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,467 @@
+"""Agent loop (SURVEY §2.9): plan → retrieve → judge → rewrite/stage-down
+(≤3 attempts) → synthesize, over a BATCH of queries.
+
+Control-flow semantics ported from the reference's LangGraph agent
+(agent_graph.py:178-543) — these fallbacks are observable behavior and
+are preserved bit-for-bit:
+
+- plan: filters seeded with namespace; regex repo hint; LLM scope JSON;
+  parse failure → heuristic (code if looks_codey else project); list-
+  valued filter values → singular key, first element (:198-239);
+  TECH_SYNONYMS topic injection (:230-233).
+- retrieve: graph retrieval; if hits<3 or attempt>0, LLM query
+  expansion (JSON array, keyword fallback), merge+content-hash dedup,
+  cap at ROUTER_TOP_K=5; score-desc order (:241-302).
+- judge: LLM coverage JSON; parse failure → fixed stage-down coverages
+  0.2/0.3/0.4 by scope; suggest_filters accretion; explicit stage_down
+  else coverage<0.3 ladder project→package→file→code (:304-384).
+- rewrite_or_end: stop when attempts≥3; stuck detection (attempt>1,
+  all docs lack file_path, scope∈{project,package} → force file);
+  attempt-1 LLM rewrite (fallback 'q in context'), later attempts use
+  first expansion (:386-446).
+- synthesize: ≤5 blocks × 800 chars with [i] repo/module/file headers;
+  overview-vs-specific prompt; conservative-answer detector with one
+  retry (:448-516). Sources = 6-key metadata + ≤1200-char text (:70-85).
+
+The loop itself is driver-side (bounded, ≤3 iterations) while every
+retrieval is a batched DataFrame job — the Spark analog of the
+reference's per-query state machine, amortized across the whole query
+batch.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from githubrepostorag_spark.functions.embed import EMBED_DIM, embed_text
+from githubrepostorag_spark.llm.stub import LLM
+from githubrepostorag_spark.operators.retrieval import SCOPE_PARAMS, retrieve_batch
+
+MAX_RAG_ATTEMPTS = 3  # rag_shared/config.py:6,37
+ROUTER_TOP_K = 5  # rag_shared/config.py:35
+MIN_SOURCE_NODES = 1  # rag_shared/config.py:7,38
+
+TECH_SYNONYMS = {
+    "activemq": ["activemq", "jms", "amq", "failovertransport", "redeliverypolicy", "broker", "stomp"]
+}
+
+CODEY_TERMS = (
+    "stacktrace", "traceback", "exception", "error", "class ", "function ", "method ",
+    "nullpointer", "undefined", "timeout", "reconnect", "retry", "activemq", "jms",
+)
+
+OVERVIEW_TERMS = ("projects", "repositories", "overview", "tell me about", "what is", "describe")
+CONSERVATIVE_PHRASES = ("insufficient", "don't see enough", "can't answer", "not enough information")
+
+STAGE_DOWN = {"project": "package", "package": "file", "file": "code"}
+
+
+def looks_codey(q: str) -> bool:
+    ql = q.lower()
+    return any(s in ql for s in CODEY_TERMS)
+
+
+def extract_repo_hint(q: str) -> str | None:
+    m = re.search(r"(?:repo(?:sitory)?[:\s]+)([\w\-./]+)", q, re.I)
+    return m.group(1) if m else None
+
+
+def _merge_filters(filters: dict, suggested: dict) -> None:
+    """String values kept; list values → singular key, first element."""
+    for k, v in (suggested or {}).items():
+        if isinstance(v, str) and v:
+            filters[k] = v
+        elif isinstance(v, list) and v:
+            singular = k.rstrip("s") if k.endswith("s") else k
+            filters[singular] = v[0]
+
+
+def _slice_json(raw: str, open_ch: str = "{", close_ch: str = "}") -> Any:
+    start = raw.find(open_ch)
+    end = raw.rfind(close_ch) + 1
+    return json.loads(raw[start:end])
+
+
+@dataclass
+class QueryState:
+    job_id: str
+    query: str
+    namespace: str = "default"
+    force_level: str | None = None
+    scope: str = "project"
+    filters: dict = field(default_factory=dict)
+    attempt: int = 0
+    docs: list[dict] = field(default_factory=list)
+    needs_more: bool = False
+    rewrite: str | None = None
+    answer: str | None = None
+    done: bool = False
+    events: list[dict] = field(default_factory=list)
+    sources: list[dict] = field(default_factory=list)
+
+    def emit(self, stage: str, **data: Any) -> None:
+        self.events.append({"job_id": self.job_id, "seq": len(self.events), "event": stage, **data})
+
+
+class GraphRAGAgent:
+    """Batched agent over a vector store DataFrame (all scopes)."""
+
+    def __init__(self, spark: SparkSession, store: DataFrame, llm: LLM, max_iters: int = MAX_RAG_ATTEMPTS):
+        self.spark = spark
+        self.store = store
+        self.llm = llm
+        self.max_iters = max_iters
+
+    # ---------------- plan ----------------
+    def plan(self, st: QueryState) -> None:
+        filters = dict(st.filters)
+        filters.setdefault("namespace", st.namespace)
+        rh = extract_repo_hint(st.query)
+        if rh:
+            filters["repo"] = rh
+        msg = (
+            "Choose the best search scope for a codebase question. "
+            "Return JSON: {scope: project|package|file|code, filters?:{repo?,module?,topics?}}"
+            f"\nQuestion: {st.query}\nJSON:"
+        )
+        try:
+            data = _slice_json(self.llm.complete(msg).strip())
+            scope = data.get("scope") or ("code" if looks_codey(st.query) else "project")
+            _merge_filters(filters, data.get("filters") or {})
+        except Exception:
+            scope = "code" if looks_codey(st.query) else "project"
+        if st.force_level and st.force_level in SCOPE_PARAMS:
+            scope = st.force_level
+        for tech, syns in TECH_SYNONYMS.items():
+            if any(t in st.query.lower() for t in syns) and "topics" not in filters:
+                filters["topics"] = tech
+                break
+        st.scope, st.filters = scope, filters
+        st.emit("plan", scope=scope, filters=dict(filters), attempt=st.attempt)
+
+    # ---------------- retrieve ----------------
+    def _queries_df(self, entries: list[tuple[str, str, dict]]) -> DataFrame:
+        rows = []
+        for qid, text, filters in entries:
+            rows.append(
+                (
+                    qid,
+                    [float(x) for x in embed_text(text, EMBED_DIM)],
+                    filters.get("namespace"),
+                    filters.get("repo"),
+                    filters.get("module"),
+                    filters.get("topics"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "query_id string, qvec array<float>, flt_namespace string, "
+            "flt_repo string, flt_module string, flt_topics string",
+        )
+
+    def _retrieve_scope(self, batch: list[QueryState]) -> dict[str, list[dict]]:
+        """One retrieval job per scope for the current texts of `batch`."""
+        out: dict[str, list[dict]] = {st.job_id: [] for st in batch}
+        by_scope: dict[str, list[QueryState]] = {}
+        for st in batch:
+            by_scope.setdefault(st.scope, []).append(st)
+        for scope, members in by_scope.items():
+            qdf = self._queries_df([(m.job_id, m.query, m.filters) for m in members])
+            rows = retrieve_batch(self.store, qdf, scope).collect()
+            for r in rows:
+                d = r.asDict()
+                out[d.pop("query_id")].append(d)
+        return out
+
+    def retrieve(self, batch: list[QueryState]) -> None:
+        hits = self._retrieve_scope(batch)
+        need_expand: list[QueryState] = []
+        for st in batch:
+            st.docs = sorted(hits[st.job_id], key=lambda d: (-(d["score"] or 0.0), d["row_id"]))
+            if len(st.docs) < 3 or st.attempt > 0:
+                need_expand.append(st)
+        if need_expand:
+            self._expand(need_expand)
+        for st in batch:
+            st.emit("retrieve", scope=st.scope, filters=dict(st.filters), hits=len(st.docs))
+
+    def _expand_queries(self, st: QueryState) -> list[str]:
+        """L10 expansion with the reference's keyword fallback."""
+        prompt = (
+            "Generate 3-4 semantically related search queries for a codebase question. "
+            "Return JSON array of strings.\n\n"
+            f"Original question: {st.query}\n\nJSON array:"
+        )
+        try:
+            raw = self.llm.complete(prompt).strip()
+            arr = _slice_json(raw, "[", "]")
+            qs = [q for q in arr if isinstance(q, str) and q.strip()]
+            if qs:
+                return qs
+        except Exception:
+            pass
+        fallbacks: list[str] = []
+        ql = st.query.lower()
+        if "auth" in ql or "login" in ql:
+            fallbacks += ["authentication mechanism", "security configuration", "OAuth2 setup"]
+        if "cache" in ql or "caching" in ql:
+            fallbacks += ["caching strategy", "cache configuration", "data caching implementation"]
+        if "config" in ql or "configuration" in ql:
+            fallbacks += ["application settings", "environment configuration", "setup parameters"]
+        return fallbacks[:3] if fallbacks else [st.query]
+
+    def _expand(self, batch: list[QueryState]) -> None:
+        """V4 fan-out: union expansion results, content-dedup, cap at 5."""
+        expansions: list[tuple[str, str, dict]] = []
+        owners: dict[str, QueryState] = {}
+        per_state: dict[str, list[str]] = {}
+        for st in batch:
+            eqs = self._expand_queries(st)
+            per_state[st.job_id] = eqs
+            for i, eq in enumerate(eqs):
+                key = f"{st.job_id}::exp{i}"
+                owners[key] = st
+                expansions.append((key, eq, st.filters))
+        if not expansions:
+            return
+        qdf = self._queries_df(expansions)
+        by_scope: dict[str, list[str]] = {}
+        for key, _, _ in expansions:
+            by_scope.setdefault(owners[key].scope, []).append(key)
+        results: dict[str, list[dict]] = {}
+        for scope in {st.scope for st in batch}:
+            keys = set(by_scope.get(scope, []))
+            if not keys:
+                continue
+            sub = qdf.filter(qdf.query_id.isin(list(keys)))
+            for r in retrieve_batch(self.store, sub, scope).collect():
+                d = r.asDict()
+                results.setdefault(d.pop("query_id"), []).append(d)
+        for st in batch:
+            seen = {hash(d["body"] or "") for d in st.docs}
+            original = len(st.docs)
+            merged = list(st.docs)
+            for i in range(len(per_state[st.job_id])):
+                if len(merged) >= ROUTER_TOP_K:
+                    break
+                for d in sorted(
+                    results.get(f"{st.job_id}::exp{i}", []),
+                    key=lambda d: (-(d["score"] or 0.0), d["row_id"]),
+                ):
+                    if len(merged) >= ROUTER_TOP_K:
+                        break
+                    h = hash(d["body"] or "")
+                    if h not in seen:
+                        merged.append(d)
+                        seen.add(h)
+            st.docs = sorted(merged[:ROUTER_TOP_K], key=lambda d: (-(d["score"] or 0.0), d["row_id"]))
+            if len(st.docs) > original:
+                st.emit(
+                    "retrieve_expanded",
+                    original_hits=original,
+                    expanded_hits=len(st.docs),
+                    expanded_queries=per_state[st.job_id],
+                )
+
+    # ---------------- judge ----------------
+    def judge(self, st: QueryState) -> None:
+        inv = [
+            {
+                "i": i,
+                "repo": d.get("repo") or "",
+                "module": d.get("module") or "",
+                "file": d.get("file_path") or "",
+                "content_preview": (d.get("body") or "")[:200],
+                "relevance_score": d.get("score"),
+            }
+            for i, d in enumerate(st.docs, start=1)
+        ]
+        msg = (
+            "Judge if the retrieved content is semantically relevant and sufficient to "
+            "answer the question. Return JSON: {coverage:0..1, needs_more:boolean, "
+            "suggest_filters?, stage_down?, rewrite?, semantic_match:boolean}"
+            f"\n\nQuestion: {st.query}\nRetrieved items: {json.dumps(inv)}\nJSON:"
+        )
+        try:
+            data = _slice_json(self.llm.complete(msg).strip())
+        except Exception:
+            # reference fallback: fixed stage-down coverages (agent_graph.py:346-355)
+            if st.scope == "project":
+                data = {"coverage": 0.2, "needs_more": True, "stage_down": "package"}
+            elif st.scope == "package":
+                data = {"coverage": 0.3, "needs_more": True, "stage_down": "file"}
+            else:
+                data = {"coverage": 0.4, "needs_more": False}
+        _merge_filters(st.filters, data.get("suggest_filters") or {})
+        next_scope = st.scope
+        stage_down = data.get("stage_down")
+        if stage_down in {"package", "file", "code"}:
+            next_scope = stage_down
+        elif data.get("coverage", 0) < 0.3 and len(st.docs) > 0:
+            next_scope = STAGE_DOWN.get(st.scope, st.scope)
+        st.needs_more = bool(data.get("needs_more"))
+        st.rewrite = data.get("rewrite")
+        st.scope = next_scope
+        st.emit("judge", decision=data)
+
+    # ---------------- rewrite_or_end ----------------
+    def rewrite_or_end(self, st: QueryState) -> None:
+        if not st.needs_more:
+            return
+        attempt = st.attempt + 1
+        if attempt >= self.max_iters:
+            st.needs_more = False
+            st.attempt = attempt
+            return
+        if attempt > 1 and st.docs:
+            all_repo_level = all(not d.get("file_path") for d in st.docs)
+            if all_repo_level and st.scope in ("project", "package"):
+                st.scope = "file"
+                st.attempt = attempt
+                return
+        base = st.rewrite or st.query
+        if attempt == 1:
+            ctx = " ".join(
+                v for v in (st.filters.get("repo"), st.filters.get("module")) if v
+            )
+            prompt = (
+                f"Rewrite this codebase question to be more specific and searchable: '{base}'"
+                f"{' Context: ' + ctx if ctx else ''}"
+                "\nReturn only the rewritten question, no explanation:"
+            )
+            try:
+                sharpened = self.llm.complete(prompt).strip().strip("\"'").strip()
+                if not sharpened or len(sharpened) < 10:
+                    raise ValueError("Rewrite too short")
+            except Exception:
+                sharpened = " ".join([base] + ([f"in {ctx}"] if ctx else []))
+        else:
+            eqs = self._expand_queries(st)
+            sharpened = eqs[0] if eqs else base
+        st.query = sharpened
+        st.attempt = attempt
+        st.emit("rewrite", action="retry", attempt=attempt + 1, query=sharpened)
+
+    # ---------------- synthesize ----------------
+    def synthesize(self, st: QueryState) -> None:
+        max_blocks = min(5, len(st.docs))
+        blocks, sources = [], []
+        for i, d in enumerate(st.docs[:max_blocks], start=1):
+            text = d.get("body") or ""
+            blocks.append(
+                f"[{i}] repo={d.get('repo') or ''} module={d.get('module') or ''} "
+                f"file={d.get('file_path') or ''}\n{text[:800]}"
+            )
+            sources.append(
+                {
+                    "block": i,
+                    "score": d.get("score"),
+                    "metadata": {
+                        "scope": d.get("scope") or "",
+                        "namespace": d.get("namespace") or "",
+                        "repo": d.get("repo") or "",
+                        "module": d.get("module") or "",
+                        "file_path": d.get("file_path") or "",
+                        "topics": ",".join(d.get("topics") or []),
+                    },
+                    "text": text[:1200],
+                }
+            )
+        ql = st.query.lower()
+        question_type = "overview" if any(w in ql for w in OVERVIEW_TERMS) else "specific"
+        has_content = any(len(b.split("\n", 1)[-1].strip()) > 50 for b in blocks)
+        if question_type == "overview" and has_content:
+            sys = (
+                "You are a senior developer assistant. Use the provided context blocks to "
+                "give a comprehensive answer. Cite sources as [1], [2], etc."
+            )
+        else:
+            sys = (
+                "You are a senior developer assistant. Answer using the provided context "
+                "blocks. Cite blocks as [1], [2]."
+            )
+        prompt = f"{sys}\n\nQuestion: {st.query}\n\nContext:\n" + "\n\n".join(blocks) + "\n\nAnswer:"
+        try:
+            text = self.llm.complete(prompt)
+            if (
+                has_content
+                and len(st.docs) >= 3
+                and any(p in text.lower() for p in CONSERVATIVE_PHRASES)
+            ):
+                retry_sys = (
+                    "You are a helpful developer assistant. Use the context provided to "
+                    "describe the projects you can see. Cite sources as [1], [2]."
+                )
+                retry = self.llm.complete(
+                    f"{retry_sys}\n\nQuestion: {st.query}\n\nContext:\n"
+                    + "\n\n".join(blocks)
+                    + "\n\nAnswer:"
+                )
+                if not any(p in retry.lower() for p in CONSERVATIVE_PHRASES):
+                    text = retry
+        except Exception as e:  # reference surfaces the error string
+            text = f"(LLM error) {e}"
+        st.answer = text
+        st.sources = sources
+        st.emit(
+            "synthesize",
+            final_ctx_blocks=len(blocks),
+            sources_count=len(sources),
+            answer_length=len(text),
+        )
+
+    # ---------------- driver ----------------
+    def run_batch(self, jobs: list[dict]) -> list[QueryState]:
+        """jobs: dicts with job_id, query, optional namespace/force_level."""
+        states = [
+            QueryState(
+                job_id=j["job_id"],
+                query=j["query"],
+                namespace=j.get("namespace") or "default",
+                force_level=j.get("force_level"),
+            )
+            for j in jobs
+        ]
+        for st in states:
+            st.emit("started", query=st.query)
+            self.plan(st)
+        active = list(states)
+        while active:
+            self.retrieve(active)
+            for st in active:
+                self.judge(st)
+                self.rewrite_or_end(st)
+            active = [st for st in active if st.needs_more]
+        for st in states:
+            self.synthesize(st)
+            st.emit("final", answer_length=len(st.answer or ""), scope=st.scope)
+        return states
+
+    def answers_df(self, states: list[QueryState]) -> DataFrame:
+        rows = [
+            (
+                st.job_id,
+                st.answer or "",
+                st.scope,
+                json.dumps(st.sources),
+            )
+            for st in states
+        ]
+        return self.spark.createDataFrame(
+            rows, "job_id string, answer string, scope string, sources string"
+        )
+
+    def events_df(self, states: list[QueryState]) -> DataFrame:
+        rows = []
+        for st in states:
+            for e in st.events:
+                e = dict(e)
+                rows.append(
+                    (e.pop("job_id"), e.pop("seq"), e.pop("event"), json.dumps(e, default=str))
+                )
+        return self.spark.createDataFrame(rows, "job_id string, seq int, event string, data string")
