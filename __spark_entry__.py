@@ -29,6 +29,7 @@ from githubrepostorag_spark.operators.dedup import (
     SIMHASH_BITS,
 )
 from githubrepostorag_spark.operators.textops import CHUNK_STRIDE, CHUNK_WINDOW
+from githubrepostorag_spark.plans import parity as P
 from githubrepostorag_spark.sources.testdata import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -116,6 +117,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_knn_per_label": lambda sp, sf: S.knn_per_label(t(sp, sf, "embeddings")),
         # --- bounded graph traversal (SURVEY V3/J1) ---
         "q33_graph_2hop": lambda sp, sf: G.two_hop_reach(t(sp, sf, "documents")),
+        # --- scale-composed dedup + ANN (round-2: LSH-scoped verify, IVF path) ---
+        "q34_jaccard_lsh": lambda sp, sf: DD.jaccard_on_candidates(t(sp, sf, "documents")),
+        "q35_ivf_knn": lambda sp, sf: S.ivf_knn(t(sp, sf, "embeddings")),
+        # --- RAG parity layer under the oracle (SURVEY F1-F6/A2/C1-C3/A4-A5/V3/L1-L3) ---
+        "q36_code_chunks": lambda sp, sf: P.code_chunks(t(sp, sf, "documents")),
+        "q37_file_rollup": lambda sp, sf: P.file_rollups(t(sp, sf, "documents")),
+        "q38_module_rollup": lambda sp, sf: P.module_rollups(t(sp, sf, "documents")),
+        "q39_vector_rows": lambda sp, sf: P.vector_row_identities(t(sp, sf, "documents")),
+        "q40_retrieve_chunk": lambda sp, sf: P.retrieve_chunk(
+            t(sp, sf, "documents"), t(sp, sf, "embeddings")
+        ),
+        "q41_enrich_chunks": lambda sp, sf: P.enriched(t(sp, sf, "documents")),
+        "q42_preprocess_flags": lambda sp, sf: P.preprocess_flags(t(sp, sf, "documents")),
+        "q43_component_kind": lambda sp, sf: P.component_kinds(t(sp, sf, "documents")),
+        # --- multimodal binary-column path ---
+        "q44_multimodal_meta": lambda sp, sf: P.multimodal_meta(t(sp, sf, "documents")),
+        "q45_multimodal_dedup": lambda sp, sf: P.multimodal_dedup(t(sp, sf, "documents")),
     }
 
 
@@ -141,6 +159,113 @@ def _shingles_sql(k: int) -> str:
         f"ELSE list_distinct(list_transform(range(1, length(lower(text)) - {k - 1} + 1), "
         f"i -> substr(lower(text), CAST(i AS INT), {k}))) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared fixture CTEs for the RAG-parity oracles (mirror plans/parity.py's
+# column-wise derivations EXACTLY — case order matters).
+# ---------------------------------------------------------------------------
+
+from githubrepostorag_spark.operators.chunking import (  # noqa: E402
+    CODE_CHUNK_LINES,
+    CODE_CHUNK_LINES_OVERLAP,
+    CODE_MAX_CHARS,
+    TEXT_CHUNK_OVERLAP,
+    TEXT_CHUNK_SIZE,
+)
+from githubrepostorag_spark.operators.hierarchy import (  # noqa: E402
+    MAX_FILES_PER_MODULE,
+    ROLLUP_TRUNCATE,
+)
+
+_LINE_STRIDE = CODE_CHUNK_LINES - CODE_CHUNK_LINES_OVERLAP  # 190
+_CHAR_STRIDE = TEXT_CHUNK_SIZE - TEXT_CHUNK_OVERLAP  # 3800
+
+_CODE_DOCS_CTE = """
+  code_docs AS (
+    SELECT doc_id, text, lang, source, source AS repo,
+           'm' || CAST(doc_id % 7 AS VARCHAR) || '/' ||
+           CASE WHEN doc_id % 13 = 4 THEN 'package.json'
+                WHEN doc_id % 11 = 3 THEN 'nb_' || CAST(doc_id AS VARCHAR) || '.ipynb'
+                WHEN doc_id % 17 = 6 THEN '.gitignore'
+                WHEN doc_id % 5 = 0 THEN 'f_' || CAST(doc_id AS VARCHAR) || '.md'
+                ELSE 'f_' || CAST(doc_id AS VARCHAR) || '.py' END AS file_path,
+           CASE WHEN doc_id % 13 = 4 THEN 'json'
+                WHEN doc_id % 11 = 3 THEN 'notebook'
+                WHEN doc_id % 17 = 6 THEN '.gitignore'
+                WHEN doc_id % 5 = 0 THEN 'markdown'
+                ELSE 'python' END AS language,
+           CASE WHEN doc_id % 13 = 4 THEN '.json'
+                WHEN doc_id % 11 = 3 THEN '.ipynb'
+                WHEN doc_id % 17 = 6 THEN ''
+                WHEN doc_id % 5 = 0 THEN '.md'
+                ELSE '.py' END AS ext,
+           NOT (doc_id % 13 <> 4 AND doc_id % 11 <> 3 AND doc_id % 17 = 6) AS keep,
+           'm' || CAST(doc_id % 7 AS VARCHAR) AS module
+    FROM documents)
+"""
+
+_CHUNKS_CTE = f"""{_CODE_DOCS_CTE},
+  chunkdocs AS (
+    SELECT doc_id, repo, module, file_path, language,
+           CASE WHEN language = 'python'
+                THEN translate(repeat(text || ' ', 10), ' ', chr(10))
+                ELSE repeat(text, 12) END AS text
+    FROM code_docs WHERE keep),
+  sized AS (
+    SELECT *, language IN ('python', 'notebook') AS is_line,
+           string_split(text, chr(10)) AS lines
+    FROM chunkdocs),
+  counted AS (
+    SELECT *,
+      CASE WHEN is_line THEN
+             CASE WHEN len(lines) <= {CODE_CHUNK_LINES} THEN 1
+                  ELSE 1 + CAST(floor((len(lines) - {CODE_CHUNK_LINES} + {_LINE_STRIDE - 1})
+                                      / {_LINE_STRIDE}.0) AS INT) END
+           ELSE
+             CASE WHEN length(text) <= {TEXT_CHUNK_SIZE} THEN 1
+                  ELSE 1 + CAST(floor((length(text) - {TEXT_CHUNK_SIZE} + {_CHAR_STRIDE - 1})
+                                      / {_CHAR_STRIDE}.0) AS INT) END
+      END AS n_chunks
+    FROM sized),
+  expanded AS (
+    SELECT *, unnest(range(0, n_chunks)) AS i FROM counted),
+  chunks AS (
+    SELECT doc_id, repo, module, file_path, language,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CASE WHEN is_line
+                THEN substr(array_to_string(
+                       list_slice(lines, CAST(i * {_LINE_STRIDE} + 1 AS INT),
+                                  CAST(i * {_LINE_STRIDE} + {CODE_CHUNK_LINES} AS INT)),
+                       chr(10)), 1, {CODE_MAX_CHARS})
+                ELSE substr(text, CAST(i * {_CHAR_STRIDE} + 1 AS INT), {TEXT_CHUNK_SIZE})
+           END AS text,
+           CAST(CASE WHEN is_line THEN i * {_LINE_STRIDE}
+                     ELSE i * {_CHAR_STRIDE} END AS BIGINT) AS start_line,
+           CAST(CASE WHEN is_line THEN least(i * {_LINE_STRIDE} + {CODE_CHUNK_LINES}, len(lines))
+                     ELSE i * {_CHAR_STRIDE} + {TEXT_CHUNK_SIZE} END AS BIGINT) AS end_line
+    FROM expanded)
+"""
+
+_STABLE_WORDS_CTE = r"""
+  arrs AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z_][a-z0-9_\-]*') AS toks
+           FROM documents),
+  toklist AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+              FROM arrs),
+  firsts AS (SELECT doc_id, tok, min(pos) AS p FROM toklist GROUP BY doc_id, tok),
+  ranked AS (SELECT doc_id, tok, p,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+             FROM firsts)
+"""
+
+
+def _band_select(b: int, n_bands: int = LSH_BANDS) -> str:
+    """One LSH band's bucket rows — concat built from rows_per_band
+    programmatically (mirrors dedup.lsh_buckets for ANY band geometry)."""
+    rows_per_band = MINHASH_FUNCS // n_bands
+    concat = " || '|' || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+    return f"SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sigs"
 
 
 def _minhash_cte(k: int, n_funcs: int) -> str:
@@ -401,12 +526,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_lsh_buckets": f"""
             {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)}
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band_idx, "
-                f"md5(sig_{b * (MINHASH_FUNCS // LSH_BANDS)} || '|' || "
-                f"sig_{b * (MINHASH_FUNCS // LSH_BANDS) + 1}) AS band_val FROM sigs"
-                for b in range(LSH_BANDS)
-            )}
+            {" UNION ALL ".join(_band_select(b) for b in range(LSH_BANDS))}
         """,
         "q25_jaccard_pairs": f"""
             WITH sh AS (
@@ -493,6 +613,228 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, vec_id) AS rn
                   FROM scored)
             WHERE rn <= 2
+        """,
+        "q34_jaccard_lsh": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+            SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+                   round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.doc_a
+            JOIN sizes sb ON sb.doc_id = s.doc_b
+            WHERE round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.8
+        """,
+        "q35_ivf_knn": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), probes AS (
+              SELECT centroid_label FROM (
+                SELECT c.centroid_label,
+                       list_cosine_similarity(CAST(c.centroid AS DOUBLE[]), q.qv) AS sim
+                FROM cent c CROSS JOIN q
+                ORDER BY sim DESC, centroid_label LIMIT 3)
+            ), assigned AS (
+              SELECT vec_id, label, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                         CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+            )
+            SELECT a.vec_id, a.label,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 6) AS score
+            FROM assigned a
+            JOIN probes p ON a.cell = p.centroid_label
+            CROSS JOIN q
+            WHERE a.vec_id <> 0
+            ORDER BY score DESC, a.vec_id
+            LIMIT 10
+        """,
+        "q36_code_chunks": f"""
+            WITH {_CHUNKS_CTE}
+            SELECT doc_id, file_path, language, chunk_idx, text, start_line, end_line
+            FROM chunks
+        """,
+        "q37_file_rollup": f"""
+            WITH {_CHUNKS_CTE},
+            ch2 AS (
+              SELECT *, md5(file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
+              FROM chunks)
+            SELECT 'default' AS namespace, repo, module, file_path, language,
+                   substr(string_agg(text, e'\\n\\n' ORDER BY chunk_idx, node_id),
+                          1, {ROLLUP_TRUNCATE}) AS rollup_input,
+                   string_agg(node_id, ',' ORDER BY chunk_idx, node_id) AS rollup_ids,
+                   count(*) AS rollup_count
+            FROM ch2 GROUP BY repo, module, file_path, language
+        """,
+        "q38_module_rollup": f"""
+            WITH {_CODE_DOCS_CTE},
+            fd AS (
+              SELECT doc_id, repo, module, file_path, text, md5(file_path) AS node_id
+              FROM code_docs WHERE keep),
+            lim AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, module ORDER BY file_path, text, node_id) AS rn
+              FROM fd)
+            SELECT 'default' AS namespace, repo, module,
+                   substr(string_agg(text, e'\\n\\n' ORDER BY file_path, text, node_id),
+                          1, {ROLLUP_TRUNCATE}) AS rollup_input,
+                   string_agg(node_id, ',' ORDER BY file_path, text, node_id) AS rollup_ids,
+                   string_agg(file_path, ',' ORDER BY file_path, text, node_id) AS files_csv
+            FROM lim WHERE rn <= {MAX_FILES_PER_MODULE} GROUP BY repo, module
+        """,
+        "q39_vector_rows": f"""
+            WITH {_CHUNKS_CTE}
+            SELECT md5('chunk|default|' || repo || '|' || module || '|' || file_path || '|' ||
+                       CAST(start_line AS VARCHAR) || '|' || CAST(end_line AS VARCHAR))
+                     AS identity_md5,
+                   'default' AS namespace, repo, module, file_path, language,
+                   CAST(6 AS BIGINT) AS n_meta,
+                   language AS meta_language,
+                   'service' AS meta_component
+            FROM chunks
+        """,
+        "q40_retrieve_chunk": """
+            WITH store AS (
+              SELECT CAST(d.doc_id AS VARCHAR) AS row_id,
+                     d.source AS namespace, d.source AS repo,
+                     'm' || CAST(d.doc_id % 7 AS VARCHAR) AS module,
+                     'm' || CAST(d.doc_id % 7 AS VARCHAR) || '/f_' ||
+                       CAST(d.doc_id AS VARCHAR) || '.py' AS file_path,
+                     CAST(e.embedding AS DOUBLE[]) AS vec
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ), qs AS (
+              SELECT * FROM (VALUES
+                ('q0', 0, NULL, NULL),
+                ('q1', 1, 'src1', NULL),
+                ('q2', 2, NULL, 'm3')) AS t(query_id, qid, flt_repo, flt_module)
+            ), qv AS (
+              SELECT q.query_id, q.flt_repo, q.flt_module,
+                     CAST(e.embedding AS DOUBLE[]) AS qvec
+              FROM qs q JOIN embeddings e ON e.vec_id = q.qid
+            ), scored AS (
+              SELECT q.query_id, s.row_id, s.namespace, s.repo, s.module, s.file_path,
+                     round(list_cosine_similarity(s.vec, q.qvec), 6) AS score
+              FROM store s JOIN qv q
+                ON (q.flt_repo IS NULL OR s.repo = q.flt_repo)
+               AND (q.flt_module IS NULL OR s.module = q.flt_module)
+            ), seeds AS (
+              SELECT query_id, row_id, namespace, repo, module, file_path, score, 0 AS hop
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, row_id) AS rn
+                    FROM scored) WHERE rn <= 3
+            ), fr1 AS (
+              SELECT DISTINCT query_id, namespace, repo, module, file_path FROM seeds
+            ), n1 AS (
+              SELECT DISTINCT s.query_id, s.row_id, s.namespace, s.repo, s.module,
+                              s.file_path, s.score
+              FROM scored s JOIN fr1 f ON s.query_id = f.query_id
+               AND (s.namespace = f.namespace OR s.repo = f.repo
+                    OR s.module = f.module OR s.file_path = f.file_path)
+              WHERE NOT EXISTS (SELECT 1 FROM seeds x
+                                WHERE x.query_id = s.query_id AND x.row_id = s.row_id)
+            ), hop1 AS (
+              SELECT query_id, row_id, namespace, repo, module, file_path, score, 1 AS hop
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, row_id) AS rn
+                    FROM n1) WHERE rn <= 8
+            ), reached1 AS (
+              SELECT query_id, row_id FROM seeds
+              UNION SELECT query_id, row_id FROM hop1
+            ), fr2 AS (
+              SELECT DISTINCT query_id, namespace, repo, module, file_path FROM hop1
+            ), n2 AS (
+              SELECT DISTINCT s.query_id, s.row_id, s.namespace, s.repo, s.module,
+                              s.file_path, s.score
+              FROM scored s JOIN fr2 f ON s.query_id = f.query_id
+               AND (s.namespace = f.namespace OR s.repo = f.repo
+                    OR s.module = f.module OR s.file_path = f.file_path)
+              WHERE NOT EXISTS (SELECT 1 FROM reached1 x
+                                WHERE x.query_id = s.query_id AND x.row_id = s.row_id)
+            ), hop2 AS (
+              SELECT query_id, row_id, namespace, repo, module, file_path, score, 2 AS hop
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, row_id) AS rn
+                    FROM n2) WHERE rn <= 8
+            ), allr AS (
+              SELECT * FROM seeds UNION ALL SELECT * FROM hop1 UNION ALL SELECT * FROM hop2
+            )
+            SELECT query_id, row_id, repo, module, file_path, score, CAST(hop AS BIGINT) AS hop
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, row_id) AS rn
+                  FROM allr) WHERE rn <= 10
+        """,
+        "q41_enrich_chunks": f"""
+            WITH {_STABLE_WORDS_CTE}
+            SELECT doc_id,
+                   'Summary: ' || coalesce(
+                     string_agg(CASE WHEN rn <= 24 THEN tok END, ' ' ORDER BY p), '')
+                     AS section_summary,
+                   coalesce(string_agg(
+                     CASE WHEN rn <= 5 THEN upper(substr(tok, 1, 1)) || substr(tok, 2) END,
+                     ' ' ORDER BY p), '') AS document_title,
+                   coalesce(string_agg(CASE WHEN rn <= 10 THEN tok END, ', ' ORDER BY p), '')
+                     AS excerpt_keywords
+            FROM ranked GROUP BY doc_id
+        """,
+        "q42_preprocess_flags": f"""
+            WITH {_CODE_DOCS_CTE}
+            SELECT doc_id, file_path, keep, ext, language, module FROM code_docs
+        """,
+        "q43_component_kind": f"""
+            WITH {_CODE_DOCS_CTE}
+            SELECT repo,
+                   bool_or(doc_id % 11 = 3 AND doc_id % 13 <> 4) AS has_notebook,
+                   bool_or(doc_id % 13 = 4) AS has_manifest,
+                   bool_or(false) AS has_openapi,
+                   CASE WHEN bool_or(doc_id % 11 = 3 AND doc_id % 13 <> 4)
+                             AND NOT bool_or(doc_id % 13 = 4)
+                        THEN 'standalone' ELSE 'service' END AS component_kind
+            FROM code_docs WHERE keep GROUP BY repo
+        """,
+        "q44_multimodal_meta": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(strlen(text) AS BIGINT) AS byte_len,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+              FROM documents)
+            SELECT doc_id, 'image/fake' AS mime, byte_len, phash,
+                   CAST(phash % 1920 + 1 AS INT) AS width,
+                   CAST((phash // 7) % 1080 + 1 AS INT) AS height
+            FROM m
+        """,
+        "q45_multimodal_dedup": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(strlen(text) AS BIGINT) AS byte_len,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+              FROM documents)
+            SELECT phash, min(doc_id) AS canonical_id, count(*) AS group_size,
+                   max(byte_len) AS max_bytes
+            FROM m GROUP BY phash
         """,
         "q33_graph_2hop": """
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),

@@ -228,14 +228,22 @@ def detect_kernel_language(raw: str) -> str:
         return "python"
 
 
-@pandas_udf("string")
-def normalize_notebook_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(normalize_notebook_text)
+def normalize_notebook_udf():
+    """Built lazily — pandas_udf type parsing needs an active session."""
+
+    @pandas_udf("string")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(normalize_notebook_text)
+
+    return _udf
 
 
-@pandas_udf("string")
-def kernel_language_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(detect_kernel_language)
+def kernel_language_udf():
+    @pandas_udf("string")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(detect_kernel_language)
+
+    return _udf
 
 
 def transform_special_files(docs: DataFrame, path_col: str = "file_path") -> DataFrame:
@@ -245,5 +253,5 @@ def transform_special_files(docs: DataFrame, path_col: str = "file_path") -> Dat
     is_nb = F.lower(F.col(path_col)).endswith(".ipynb")
     return docs.withColumn(
         "text",
-        F.when(is_nb, normalize_notebook_udf(F.col("text"))).otherwise(F.col("text")),
+        F.when(is_nb, normalize_notebook_udf()(F.col("text"))).otherwise(F.col("text")),
     )

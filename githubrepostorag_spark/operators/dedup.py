@@ -63,14 +63,18 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*sigs)
 
 
-def lsh_buckets(documents: DataFrame) -> DataFrame:
+def lsh_buckets(documents: DataFrame, n_bands: int = LSH_BANDS) -> DataFrame:
     """LSH band buckets: band_val = md5(concat of the band's signatures).
 
     Docs sharing (band_idx, band_val) are near-dup candidates; at scale
     the candidate join shuffles on band_val only — never all-pairs.
+    Band geometry tunes the similarity threshold: collision prob =
+    1-(1-s^r)^b with r = MINHASH_FUNCS/n_bands rows per band — fewer,
+    wider bands admit only higher-similarity candidates (MMDS §3.4.2).
     """
+    assert MINHASH_FUNCS % n_bands == 0, "bands must divide MINHASH_FUNCS"
     sigs = minhash_signatures(documents)
-    rows_per_band = MINHASH_FUNCS // LSH_BANDS
+    rows_per_band = MINHASH_FUNCS // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -82,7 +86,7 @@ def lsh_buckets(documents: DataFrame) -> DataFrame:
                     )
                 ).alias("band_val"),
             )
-            for b in range(LSH_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sigs.select("doc_id", F.explode(bands).alias("band")).select(
@@ -90,9 +94,9 @@ def lsh_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(documents: DataFrame, n_bands: int = LSH_BANDS) -> DataFrame:
     """Candidate near-dup pairs: docs colliding in ≥1 LSH band."""
-    b = lsh_buckets(documents)
+    b = lsh_buckets(documents, n_bands)
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -141,6 +145,50 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
             F.round(
                 F.col("n_shared")
                 / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def jaccard_on_candidates(
+    documents: DataFrame, threshold: float = 0.8, n_bands: int = 2
+) -> DataFrame:
+    """Exact Jaccard computed ONLY on LSH candidate pairs — the scale
+    composition (shingle→minhash→band→bucket-join→verify).
+
+    Unlike `jaccard_pairs`' raw shingle self-join (quadratic on any
+    hot shingle key), the pair space here is bounded by LSH collisions:
+    the shingle join is keyed on (candidate doc pair), so a popular
+    4-gram never fans out. This is the operator you run at 100 TB;
+    `jaccard_pairs` remains the small-scale exact verifier.
+
+    Default geometry (2 bands × 4 rows) targets near-dups: collision
+    prob ≈ 12% at s=0.5, 65% at s=0.8 — the candidate set stays sparse
+    even on a corpus where *every* pair has moderate overlap.
+    """
+    cand = lsh_candidate_pairs(documents, n_bands)
+    sh = documents.select(
+        "doc_id", TXT.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # per-pair array_intersect stays JVM-side: the pair table shuffles
+    # once per side, and the shingle sets never explode into rows (an
+    # exploded candidate×shingle join is ~|shingles|× more shuffle rows).
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")).cast("double"),
                 6,
             ),
         )

@@ -1,0 +1,49 @@
+"""Per-chunk LLM enrichment (SURVEY L1-L3).
+
+The reference runs three llama-index extractors over every code chunk
+(code_pipeline_service.py:26-51): SummaryExtractor → `section_summary`,
+TitleExtractor → `document_title`, KeywordExtractor(keywords=10) →
+`excerpt_keywords`. Each becomes one batched Arrow pandas UDF adding a
+metadata column; the LLM client is pluggable (DeterministicLLM in
+tests/oracles, HTTP backend in production) and every response passes
+the L12 sanitizer.
+
+Scale shape: three narrow map-side stages, no shuffle; batching is the
+Arrow batch size. At 100 TB the LLM endpoint is the bottleneck, not
+Spark — parallelism is executor-count × endpoint replicas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators.hierarchy import make_llm_udf
+
+SECTION_SUMMARY_PROMPT = (
+    "Write a 2-3 sentence section summary of this code chunk for a "
+    "search index.\nContent:{text}"
+)
+DOCUMENT_TITLE_PROMPT = (
+    "Give a short document title for this content.\nContent:{text}"
+)
+EXCERPT_KEYWORDS_PROMPT = (
+    "List 10 excerpt keywords for this content, comma separated."
+    "\nContent:{text}"
+)
+
+
+def enrich_chunks(
+    chunks: DataFrame, llm_factory: Callable, text_col: str = "text"
+) -> DataFrame:
+    """Attach section_summary / document_title / excerpt_keywords."""
+    summarize = make_llm_udf(llm_factory, SECTION_SUMMARY_PROMPT)
+    title = make_llm_udf(llm_factory, DOCUMENT_TITLE_PROMPT)
+    keywords = make_llm_udf(llm_factory, EXCERPT_KEYWORDS_PROMPT)
+    return (
+        chunks.withColumn("section_summary", summarize(F.col(text_col)))
+        .withColumn("document_title", title(F.col(text_col)))
+        .withColumn("excerpt_keywords", keywords(F.col(text_col)))
+    )

@@ -77,9 +77,13 @@ def file_name(path: Column) -> Column:
 
 
 def file_ext(path: Column) -> Column:
+    # os.path.splitext semantics (the reference's rule): a leading dot
+    # alone (".gitignore") is NOT an extension — require a '.' after
+    # position 1 of the filename.
     name = F.element_at(F.split(path, "/"), -1)
+    has_ext = F.instr(F.substring(name, 2, 1_000_000), ".") > 0
     return F.when(
-        name.contains("."), F.concat(F.lit("."), F.lower(F.element_at(F.split(name, r"\."), -1)))
+        has_ext, F.concat(F.lit("."), F.lower(F.element_at(F.split(name, r"\."), -1)))
     ).otherwise(F.lit(""))
 
 
@@ -100,7 +104,6 @@ def language_of(path: Column) -> Column:
     then the reference's fallback ladder."""
     name = file_name(path)
     ext = file_ext(path)
-    mapping = F.lit(None).cast("string")
     expr = None
     for e, lang in EXTENSION_TO_LANGUAGE.items():
         clause = F.when(ext == e, F.lit(lang))
@@ -120,6 +123,18 @@ def language_of(path: Column) -> Column:
 
 def tag_language(docs: DataFrame, path_col: str = "file_path") -> DataFrame:
     return docs.withColumn("language", language_of(F.col(path_col)))
+
+
+def top_directory(path: Column, depth: int = 1) -> Column:
+    """A2: first `depth` path segments = module (reference
+    scope_utils.py:8-11 — '.'/'' parts dropped, '' for empty paths)."""
+    parts = F.filter(F.split(path, "/"), lambda x: (x != "") & (x != "."))
+    return F.array_join(F.slice(parts, 1, depth), "/")
+
+
+def with_module(docs: DataFrame, path_col: str = "file_path", depth: int = 1) -> DataFrame:
+    """A2/A3 prep: derive the `module` rollup key from the file path."""
+    return docs.withColumn("module", top_directory(F.col(path_col), depth))
 
 
 def infer_component_kind(docs: DataFrame, repo_col: str = "repo") -> DataFrame:

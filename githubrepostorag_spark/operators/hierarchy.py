@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -34,12 +34,14 @@ CATALOG_SUMMARY_LIMIT = 10  # catalog_builder.py:162
 
 
 def make_llm_udf(llm_factory: Callable, template: str):
-    """Batched LLM scalar UDF: prompt = template.format(text=...)."""
+    """Batched LLM scalar UDF: prompt = template.format(text=...).
+    Every result passes the L12 sanitizer (reference: llm_init.py:36-48)."""
+    from githubrepostorag_spark.llm.stub import sanitize_llm_output
 
     @pandas_udf("string")
     def llm_complete(texts: pd.Series) -> pd.Series:
         llm = llm_factory()
-        return texts.map(lambda t: llm.complete(template.format(text=t)))
+        return texts.map(lambda t: sanitize_llm_output(llm.complete(template.format(text=t))))
 
     return llm_complete
 
@@ -66,36 +68,58 @@ README_JUDGE_PROMPT = (
 )
 
 
-def _ordered_concat(member_struct, text_field: str, limit: int | None = None):
-    """sort_array(collect_list(struct)) → optionally slice → join texts."""
-    arr = F.sort_array(F.collect_list(member_struct))
-    if limit is not None:
-        arr = F.slice(arr, 1, limit)
-    return arr
+def _limit_per_group(df: DataFrame, keys: list[str], order: list[str], limit: int) -> DataFrame:
+    """Window-rank members and keep ≤limit per group BEFORE collect_list —
+    equivalent to slice(sort_array(collect_list(...)), 1, limit) but the
+    aggregation buffer never materializes an unbounded group (a vendored
+    mega-module can't OOM the rollup)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")
 
 
-def file_summaries(chunks: DataFrame, llm_factory: Callable) -> DataFrame:
-    """A4: one summary doc per file with rollup lineage."""
-    member = F.struct(
-        F.col("chunk_idx"), F.col("node_id"), F.col("text")
+def file_rollup_inputs(chunks: DataFrame) -> DataFrame:
+    """A4 pure stage: per-file ordered concat (truncated to 25000) +
+    rollup lineage — everything BEFORE the LLM call, oracle-checkable.
+
+    Memory guard: only chunks whose cumulative offset falls inside the
+    25000-char truncation window contribute their TEXT to the collect
+    (later text could never appear in the truncated concat); rollup_of
+    ids — tiny — are collected for every chunk, matching the reference's
+    full lineage.
+    """
+    keys = ["namespace", "repo", "module", "file_path", "language"]
+    w = Window.partitionBy(*keys).orderBy("chunk_idx", "node_id")
+    cum_before = F.coalesce(
+        F.sum(F.length("text") + 2).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
     )
+    member = F.struct(F.col("chunk_idx"), F.col("node_id"), F.col("text"))
+    id_member = F.struct(F.col("chunk_idx"), F.col("node_id"))
     grouped = (
-        chunks.groupBy("namespace", "repo", "module", "file_path", "language")
-        .agg(_ordered_concat(member, "text").alias("members"))
+        chunks.withColumn("_cum_before", cum_before)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_cum_before") < ROLLUP_TRUNCATE, member))
+            ).alias("members"),
+            F.sort_array(F.collect_list(id_member)).alias("id_members"),
+        )
         .select(
-            "namespace",
-            "repo",
-            "module",
-            "file_path",
-            "language",
+            *keys,
             F.substring(
                 F.array_join(F.transform("members", lambda m: m["text"]), "\n\n"),
                 1,
                 ROLLUP_TRUNCATE,
             ).alias("rollup_input"),
-            F.transform("members", lambda m: m["node_id"]).alias("rollup_of"),
+            F.transform("id_members", lambda m: m["node_id"]).alias("rollup_of"),
         )
     )
+    return grouped
+
+
+def file_summaries(chunks: DataFrame, llm_factory: Callable) -> DataFrame:
+    """A4: one summary doc per file with rollup lineage."""
+    grouped = file_rollup_inputs(chunks)
     summarize = make_llm_udf(llm_factory, FILE_SUMMARY_PROMPT)
     return (
         grouped.withColumn("text", summarize(F.col("rollup_input")))
@@ -105,12 +129,19 @@ def file_summaries(chunks: DataFrame, llm_factory: Callable) -> DataFrame:
     )
 
 
-def module_summaries(file_sums: DataFrame, llm_factory: Callable) -> DataFrame:
-    """A5: one summary doc per module (≤40 files, concat truncated)."""
+def module_rollup_inputs(file_sums: DataFrame) -> DataFrame:
+    """A5 pure stage: per-module ordered concat of ≤40 file summaries
+    (window-limited BEFORE collect) + lineage."""
     member = F.struct(F.col("file_path"), F.col("text"), F.col("node_id"))
-    grouped = (
-        file_sums.groupBy("namespace", "repo", "module")
-        .agg(_ordered_concat(member, "text", MAX_FILES_PER_MODULE).alias("members"))
+    limited = _limit_per_group(
+        file_sums,
+        ["namespace", "repo", "module"],
+        ["file_path", "text", "node_id"],
+        MAX_FILES_PER_MODULE,
+    )
+    return (
+        limited.groupBy("namespace", "repo", "module")
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
         .select(
             "namespace",
             "repo",
@@ -124,6 +155,11 @@ def module_summaries(file_sums: DataFrame, llm_factory: Callable) -> DataFrame:
             F.transform("members", lambda m: m["file_path"]).alias("constituent_files"),
         )
     )
+
+
+def module_summaries(file_sums: DataFrame, llm_factory: Callable) -> DataFrame:
+    """A5: one summary doc per module (≤40 files, concat truncated)."""
+    grouped = module_rollup_inputs(file_sums)
     summarize = make_llm_udf(llm_factory, MODULE_SUMMARY_PROMPT)
     return (
         grouped.withColumn("text", summarize(F.col("rollup_input")))
@@ -138,12 +174,11 @@ def repo_overviews(
 ) -> DataFrame:
     """A6: one overview doc per repo from ≤3 READMEs + ≤10 module summaries."""
     rm = (
-        readmes.groupBy("namespace", "repo")
+        _limit_per_group(readmes, ["namespace", "repo"], ["file_path", "text"], README_LIMIT)
+        .groupBy("namespace", "repo")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(F.col("file_path"), F.col("text")))),
-                1,
-                README_LIMIT,
+            F.sort_array(
+                F.collect_list(F.struct(F.col("file_path"), F.col("text")))
             ).alias("rms")
         )
         .select(
@@ -153,12 +188,13 @@ def repo_overviews(
         )
     )
     ms = (
-        module_sums.groupBy("namespace", "repo")
+        _limit_per_group(
+            module_sums, ["namespace", "repo"], ["module", "text", "node_id"], MODULE_LIMIT
+        )
+        .groupBy("namespace", "repo")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(F.col("module"), F.col("text"), F.col("node_id")))),
-                1,
-                MODULE_LIMIT,
+            F.sort_array(
+                F.collect_list(F.struct(F.col("module"), F.col("text"), F.col("node_id")))
             ).alias("mods")
         )
         .select(
@@ -196,25 +232,21 @@ def catalog_docs(
     from ≤10 chunk summaries. Judge fallback heuristic (len>200, no
     'todo') is the stub default, mirroring catalog_builder.py:8-31."""
     rm = (
-        readmes.groupBy("namespace", "repo")
+        _limit_per_group(readmes, ["namespace", "repo"], ["file_path", "text"], 1)
+        .groupBy("namespace", "repo")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(F.col("file_path"), F.col("text")))),
-                1,
-                1,
-            ).alias("rms")
+            F.min(F.struct(F.col("file_path"), F.col("text"))).alias("rm")
         )
-        .select(
-            "namespace", "repo", F.element_at(F.col("rms"), 1)["text"].alias("readme_text")
-        )
+        .select("namespace", "repo", F.col("rm")["text"].alias("readme_text"))
     )
     cs = (
-        chunk_summaries.groupBy("namespace", "repo")
+        _limit_per_group(
+            chunk_summaries, ["namespace", "repo"], ["node_id", "text"], CATALOG_SUMMARY_LIMIT
+        )
+        .groupBy("namespace", "repo")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(F.col("node_id"), F.col("text")))),
-                1,
-                CATALOG_SUMMARY_LIMIT,
+            F.sort_array(
+                F.collect_list(F.struct(F.col("node_id"), F.col("text")))
             ).alias("sums")
         )
         .select(

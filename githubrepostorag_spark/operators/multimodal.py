@@ -1,0 +1,95 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with typed metadata — the Spark-side plumbing (schema, Arrow batching,
+partitioning) is real; the pixel-level decode is STUBBED because no
+image/audio library ships in this container (see `decode_image_stub`).
+
+Pipeline shape (mirrors the text path):
+    binary content → metadata extract (pandas UDF over Arrow batches)
+    → perceptual-hash dedup (one shuffle on phash) → filter/join like
+    any other column.
+
+At 100 TB binary payloads dominate I/O: keep them in their own parquet
+column (Spark reads it lazily), partition by content-date/source, and
+never shuffle the bytes — every operator here shuffles only the small
+metadata projection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+PHASH_HEX_DIGITS = 15  # < 2^60, same portable-hash rule as md5_bigint
+
+
+def with_binary_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture adapter: utf-8 bytes of a text column as the opaque
+    binary payload (real ingest reads `binaryFile` / blob columns)."""
+    return docs.withColumn("content", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "mime", F.lit("image/fake")
+    )
+
+
+def _image_meta_udf():
+    """Deterministic fake decode over raw bytes, Arrow-batched.
+
+    byte_len is real; phash is md5-derived (the portable 60-bit hash
+    rule, identical to functions.text.md5_bigint); width/height are a
+    deterministic arithmetic function of the phash standing in for real
+    pixel dimensions. A real decoder (PIL/ffmpeg) slots into this exact
+    UDF signature — see `decode_image_stub`. (Built lazily: struct
+    return types need an active SparkSession to parse.)
+    """
+
+    @pandas_udf("struct<byte_len: long, phash: long, width: int, height: int>")
+    def image_meta_udf(contents: pd.Series) -> pd.DataFrame:
+        def one(b) -> tuple[int, int, int, int]:
+            data = bytes(b) if b is not None else b""
+            ph = int(hashlib.md5(data).hexdigest()[:PHASH_HEX_DIGITS], 16)
+            width = ph % 1920 + 1
+            height = (ph // 7) % 1080 + 1
+            return (len(data), ph, width, height)
+
+        rows = [one(b) for b in contents]
+        return pd.DataFrame(rows, columns=["byte_len", "phash", "width", "height"])
+
+    return image_meta_udf
+
+
+def decode_image_stub(content: bytes) -> "object":
+    """Real pixel decode — NOT implemented in this container (no PIL /
+    libjpeg). Kept as the single marked seam where a real decoder goes;
+    everything around it (binary schema, Arrow batching, metadata flow)
+    is real and tested with the deterministic fake above."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this environment"
+    )
+
+
+def image_metadata(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach byte_len/phash/width/height from the binary payload."""
+    meta = _image_meta_udf()(F.col(content_col))
+    return (
+        docs.withColumn("_m", meta)
+        .withColumn("byte_len", F.col("_m.byte_len"))
+        .withColumn("phash", F.col("_m.phash"))
+        .withColumn("width", F.col("_m.width"))
+        .withColumn("height", F.col("_m.height"))
+        .drop("_m")
+    )
+
+
+def phash_dedup(meta: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact perceptual-hash dedup: one shuffle keyed on phash — the
+    binary-column analog of text exact_dedup."""
+    return meta.groupBy("phash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.max("byte_len").alias("max_bytes"),
+    )

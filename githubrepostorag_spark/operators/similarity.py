@@ -155,7 +155,10 @@ def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, block_size: int = 1024
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    block_size: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above `threshold` — exact,
     via blocked all-pairs matrix multiplication.
@@ -172,16 +175,19 @@ def near_dup_pairs(
     """
     import pandas as pd
 
-    n = embeddings.count()
-    n_blocks = max(1, -(-n // block_size))
+    if n_blocks is None:
+        # no extra job: input partition count scales with input bytes,
+        # so blocks stay near block_size without an eager count().
+        n_blocks = max(1, embeddings.rdd.getNumPartitions())
     spark = embeddings.sparkSession
     pair_rows = [
         (bi * n_blocks + bj, bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)
     ]
     pairs = spark.createDataFrame(pair_rows, "pair_id long, bi long, bj long")
 
+    # hash-derived block id: uniform even for sparse/skewed vec_id spaces
     blocks = embeddings.select(
-        "vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk")
+        "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("long").alias("blk")
     )
     left = blocks.join(F.broadcast(pairs), blocks.blk == pairs.bi).select(
         "pair_id", F.lit("a").alias("side"), "vec_id", "embedding", "bi", "bj"

@@ -31,6 +31,7 @@ batch.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 from dataclasses import dataclass, field
@@ -39,7 +40,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from githubrepostorag_spark.functions.embed import EMBED_DIM, embed_text
-from githubrepostorag_spark.llm.stub import LLM
+from githubrepostorag_spark.llm.stub import LLM, sanitize_llm_output
 from githubrepostorag_spark.operators.retrieval import SCOPE_PARAMS, retrieve_batch
 
 MAX_RAG_ATTEMPTS = 3  # rag_shared/config.py:6,37
@@ -69,6 +70,12 @@ def looks_codey(q: str) -> bool:
 def extract_repo_hint(q: str) -> str | None:
     m = re.search(r"(?:repo(?:sitory)?[:\s]+)([\w\-./]+)", q, re.I)
     return m.group(1) if m else None
+
+
+def _content_key(body: str | None) -> str:
+    """Cross-run-stable content dedup key (md5, not salted hash())
+    — the engine's fingerprint rule (functions/text.py:80-88)."""
+    return hashlib.md5((body or "").encode("utf-8", "ignore")).hexdigest()
 
 
 def _merge_filters(filters: dict, suggested: dict) -> None:
@@ -130,7 +137,7 @@ class GraphRAGAgent:
             f"\nQuestion: {st.query}\nJSON:"
         )
         try:
-            data = _slice_json(self.llm.complete(msg).strip())
+            data = _slice_json(sanitize_llm_output(self.llm.complete(msg)))
             scope = data.get("scope") or ("code" if looks_codey(st.query) else "project")
             _merge_filters(filters, data.get("filters") or {})
         except Exception:
@@ -198,7 +205,7 @@ class GraphRAGAgent:
             f"Original question: {st.query}\n\nJSON array:"
         )
         try:
-            raw = self.llm.complete(prompt).strip()
+            raw = sanitize_llm_output(self.llm.complete(prompt))
             arr = _slice_json(raw, "[", "]")
             qs = [q for q in arr if isinstance(q, str) and q.strip()]
             if qs:
@@ -243,7 +250,7 @@ class GraphRAGAgent:
                 d = r.asDict()
                 results.setdefault(d.pop("query_id"), []).append(d)
         for st in batch:
-            seen = {hash(d["body"] or "") for d in st.docs}
+            seen = {_content_key(d["body"]) for d in st.docs}
             original = len(st.docs)
             merged = list(st.docs)
             for i in range(len(per_state[st.job_id])):
@@ -255,7 +262,7 @@ class GraphRAGAgent:
                 ):
                     if len(merged) >= ROUTER_TOP_K:
                         break
-                    h = hash(d["body"] or "")
+                    h = _content_key(d["body"])
                     if h not in seen:
                         merged.append(d)
                         seen.add(h)
@@ -288,7 +295,7 @@ class GraphRAGAgent:
             f"\n\nQuestion: {st.query}\nRetrieved items: {json.dumps(inv)}\nJSON:"
         )
         try:
-            data = _slice_json(self.llm.complete(msg).strip())
+            data = _slice_json(sanitize_llm_output(self.llm.complete(msg)))
         except Exception:
             # reference fallback: fixed stage-down coverages (agent_graph.py:346-355)
             if st.scope == "project":
@@ -335,7 +342,7 @@ class GraphRAGAgent:
                 "\nReturn only the rewritten question, no explanation:"
             )
             try:
-                sharpened = self.llm.complete(prompt).strip().strip("\"'").strip()
+                sharpened = sanitize_llm_output(self.llm.complete(prompt)).strip("\"'").strip()
                 if not sharpened or len(sharpened) < 10:
                     raise ValueError("Rewrite too short")
             except Exception:
@@ -387,7 +394,7 @@ class GraphRAGAgent:
             )
         prompt = f"{sys}\n\nQuestion: {st.query}\n\nContext:\n" + "\n\n".join(blocks) + "\n\nAnswer:"
         try:
-            text = self.llm.complete(prompt)
+            text = sanitize_llm_output(self.llm.complete(prompt))
             if (
                 has_content
                 and len(st.docs) >= 3
@@ -397,10 +404,12 @@ class GraphRAGAgent:
                     "You are a helpful developer assistant. Use the context provided to "
                     "describe the projects you can see. Cite sources as [1], [2]."
                 )
-                retry = self.llm.complete(
-                    f"{retry_sys}\n\nQuestion: {st.query}\n\nContext:\n"
-                    + "\n\n".join(blocks)
-                    + "\n\nAnswer:"
+                retry = sanitize_llm_output(
+                    self.llm.complete(
+                        f"{retry_sys}\n\nQuestion: {st.query}\n\nContext:\n"
+                        + "\n\n".join(blocks)
+                        + "\n\nAnswer:"
+                    )
                 )
                 if not any(p in retry.lower() for p in CONSERVATIVE_PHRASES):
                     text = retry

@@ -1,0 +1,185 @@
+"""Composed ingest pipeline (reference: ingest_controller.py:192-487).
+
+One linear DataFrame chain replacing the reference's six serial
+stages — preprocess → code_nodes (+L1-L3 enrichment) → file/module/
+repo summaries → catalog → vector rows per scope → audit:
+
+    docs(repo, file_path, text)
+      → F1 filter → C5 notebook normalize → F2 language → F3 kind
+      → A2 module → C1-C3 chunk → F4 metadata → F6 node ids
+      → L1-L3 enrich → A4-A7 rollups → F5/S4 vector rows → S6 audit
+
+Everything is lazily-composed DataFrames: the driver never collects;
+per-repo parallelism is Spark partitioning instead of the reference's
+serial per-repo loop (SURVEY §3.2). The LLM factory is pluggable
+(DeterministicLLM for tests/oracles).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import metadata as MD
+from githubrepostorag_spark.operators import filters as FL
+from githubrepostorag_spark.operators.chunking import (
+    split_code_documents,
+    transform_special_files,
+)
+from githubrepostorag_spark.operators.enrich import enrich_chunks
+from githubrepostorag_spark.operators.hierarchy import (
+    catalog_docs,
+    file_summaries,
+    module_summaries,
+    repo_overviews,
+)
+from githubrepostorag_spark.operators.vector_write import (
+    build_vector_rows,
+    write_vector_tables,
+)
+
+
+@dataclass
+class IngestResult:
+    chunks: DataFrame
+    file_sums: DataFrame
+    module_sums: DataFrame
+    repo_sums: DataFrame
+    catalog: DataFrame
+    rows: DataFrame  # union of all 5 scopes' vector rows
+    audit: DataFrame  # ingest_runs (S6/A8)
+
+
+def _node_id_for(df: DataFrame, scope: str) -> DataFrame:
+    cols = set(df.columns)
+
+    def c(name: str):
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    return df.withColumn(
+        "node_id",
+        MD.stable_node_id(
+            F.lit(scope), c("namespace"), c("repo"), c("module"), c("file_path"),
+            c("start_line"), c("end_line"),
+        ),
+    )
+
+
+def preprocess(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F1 → C5 → F2 → A2, plus the per-repo F3 kind flags."""
+    kept = FL.filter_documents(docs)
+    normalized = transform_special_files(kept)
+    tagged = FL.tag_language(normalized)
+    kinds = FL.infer_component_kind(kept).select("repo", "component_kind")
+    prepped = FL.with_module(
+        tagged.join(F.broadcast(kinds), "repo", "left")
+    )
+    return prepped, kinds
+
+
+def ingest_pipeline(
+    docs: DataFrame,
+    *,
+    ingest_run_id: str,
+    llm_factory: Callable,
+    namespace: str = "default",
+    branch: str = "main",
+    collection: str = "misc",
+    dev_forced: bool = False,
+    output_path: str | None = None,
+) -> IngestResult:
+    """docs(repo, file_path, text) → 5-scope vector rows + audit."""
+    prepped, kinds = preprocess(docs)
+
+    def attach(df: DataFrame, doc_type: str, scope: str) -> DataFrame:
+        with_kind = (
+            df if "component_kind" in df.columns
+            else df.join(F.broadcast(kinds), "repo", "left")
+        )
+        attached = FL.attach_common_metadata(
+            with_kind.withColumn("doc_type", F.lit(doc_type)),
+            namespace=namespace,
+            branch=branch,
+            collection=collection,
+            ingest_run_id=ingest_run_id,
+            dev_forced=dev_forced,
+        )
+        return _node_id_for(attached, scope)
+
+    # code_nodes stage: chunk + ids + L1-L3 enrichment
+    chunks = enrich_chunks(
+        attach(split_code_documents(prepped), "code", "chunk"), llm_factory
+    )
+
+    # hierarchy rollups (A4-A6)
+    file_sums = attach(
+        file_summaries(chunks, llm_factory).drop("namespace"), "file", "file"
+    )
+    module_sums = attach(
+        module_summaries(file_sums, llm_factory).drop("namespace"), "module", "module"
+    )
+    readmes = prepped.filter(
+        FL.file_name(F.col("file_path")).startswith("readme")
+    ).withColumn("namespace", F.lit(namespace))
+    repo_sums = attach(
+        repo_overviews(module_sums, readmes, llm_factory).drop("namespace"),
+        "repo",
+        "repo",
+    )
+
+    # catalog (A7) from READMEs + chunk section summaries
+    chunk_summaries = chunks.select(
+        "namespace", "repo", "node_id", F.col("section_summary").alias("text")
+    )
+    catalog = attach(
+        catalog_docs(readmes, chunk_summaries, llm_factory).drop("namespace"),
+        "catalog",
+        "catalog",
+    )
+
+    rows = None
+    for df, scope in (
+        (chunks, "chunk"),
+        (file_sums, "file"),
+        (module_sums, "module"),
+        (repo_sums, "repo"),
+        (catalog, "catalog"),
+    ):
+        part = build_vector_rows(df, scope)
+        rows = part if rows is None else rows.unionByName(part)
+
+    # S6/A8 audit: one ingest_runs row per repo with the chunk node count
+    started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    audit = (
+        chunks.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("node_count"))
+        .join(F.broadcast(kinds), "repo", "left")
+        .select(
+            F.lit(ingest_run_id).alias("run_id"),
+            F.lit(namespace).alias("namespace"),
+            "repo",
+            F.lit(branch).alias("branch"),
+            F.lit(collection).alias("collection"),
+            "component_kind",
+            F.lit(started).cast("timestamp").alias("started_at"),
+            F.current_timestamp().alias("finished_at"),
+            F.col("node_count").cast("long"),
+        )
+    )
+
+    if output_path is not None:
+        write_vector_tables(rows, output_path)
+
+    return IngestResult(
+        chunks=chunks,
+        file_sums=file_sums,
+        module_sums=module_sums,
+        repo_sums=repo_sums,
+        catalog=catalog,
+        rows=rows,
+        audit=audit,
+    )

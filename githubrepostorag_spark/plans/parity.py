@@ -1,0 +1,225 @@
+"""Oracle-checkable parity queries over the driver's `documents` /
+`embeddings` tables.
+
+Round-1 verdict: the RAG-parity layer (chunking / filters / hierarchy /
+metadata / retrieval / enrichment) had zero callers and zero oracle
+entries. These functions run those operators on DETERMINISTIC fixtures
+derived column-wise from the provided tables (repo = source, file_path
+from doc_id arithmetic, …) so the identical derivation is expressible
+in DuckDB SQL and every operator lands in CORRECTNESS_r{N}.json.
+
+Reference behaviors exercised (citations in each operator's module):
+F1/F2/A2 preprocess (transform_service.py, preprocess_service.py,
+scope_utils.py), F3 kind inference, C1-C3 chunking ladder
+(code_pipeline.py, langauge_detector.py), A4/A5 rollup inputs
+(hierarchy_summary_service.py), F5/F6 sanitize + stable ids
+(vector_write_service.py), V3/J1 seed-and-expand retrieval
+(graph_rag_retrievers.py), L1-L3 enrichment (code_pipeline_service.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import metadata as MD
+from githubrepostorag_spark.functions import vectors as V
+from githubrepostorag_spark.llm.stub import DeterministicLLM
+from githubrepostorag_spark.operators import filters as FL
+from githubrepostorag_spark.operators import hierarchy as H
+from githubrepostorag_spark.operators import multimodal as MM
+from githubrepostorag_spark.operators.chunking import split_code_documents
+from githubrepostorag_spark.operators.enrich import enrich_chunks
+from githubrepostorag_spark.operators.retrieval import retrieve_batch
+
+
+def code_docs_fixture(documents: DataFrame) -> DataFrame:
+    """documents → synthetic-but-deterministic repo/file_path columns.
+    Case order matters — the DuckDB oracle mirrors it exactly."""
+    d = F.col("doc_id")
+    name = (
+        F.when(d % 13 == 4, F.lit("package.json"))
+        .when(d % 11 == 3, F.concat(F.lit("nb_"), d, F.lit(".ipynb")))
+        .when(d % 17 == 6, F.lit(".gitignore"))
+        .when(d % 5 == 0, F.concat(F.lit("f_"), d, F.lit(".md")))
+        .otherwise(F.concat(F.lit("f_"), d, F.lit(".py")))
+    )
+    return documents.withColumn("repo", F.col("source")).withColumn(
+        "file_path", F.concat(F.lit("m"), d % 7, F.lit("/"), name)
+    )
+
+
+def preprocess_flags(documents: DataFrame) -> DataFrame:
+    """F1 keep-filter + F2 language + A2 module per document (incl. the
+    dotfile / special-name edge cases)."""
+    cd = code_docs_fixture(documents)
+    return cd.select(
+        "doc_id",
+        "file_path",
+        FL.keep_document(F.col("file_path")).alias("keep"),
+        FL.file_ext(F.col("file_path")).alias("ext"),
+        FL.language_of(F.col("file_path")).alias("language"),
+        FL.top_directory(F.col("file_path")).alias("module"),
+    )
+
+
+def component_kinds(documents: DataFrame) -> DataFrame:
+    """F3: standalone iff notebook present and no manifest/openapi."""
+    cd = code_docs_fixture(documents)
+    return FL.infer_component_kind(FL.filter_documents(cd)).select(
+        "repo", "has_notebook", "has_manifest", "has_openapi", "component_kind"
+    )
+
+
+def chunk_fixture(documents: DataFrame) -> DataFrame:
+    """Kept docs with multi-line/long text (so both chunkers produce
+    multiple chunks) + language + module."""
+    cd = code_docs_fixture(documents)
+    kept = FL.tag_language(FL.filter_documents(cd))
+    text2 = F.when(
+        F.col("language") == "python",
+        F.translate(F.repeat(F.concat(F.col("text"), F.lit(" ")), 10), " ", "\n"),
+    ).otherwise(F.repeat(F.col("text"), 12))
+    return FL.with_module(kept.withColumn("text", text2))
+
+
+def code_chunks(documents: DataFrame) -> DataFrame:
+    """C1-C3 dispatch: line windows for code languages, char windows
+    otherwise."""
+    out = split_code_documents(chunk_fixture(documents))
+    return out.select(
+        "doc_id", "file_path", "language", "chunk_idx", "text", "start_line", "end_line"
+    )
+
+
+def _chunks_with_ids(documents: DataFrame) -> DataFrame:
+    return (
+        split_code_documents(chunk_fixture(documents))
+        .withColumn("namespace", F.lit("default"))
+        .withColumn(
+            "node_id",
+            F.md5(F.concat_ws(":", F.col("file_path"), F.col("chunk_idx").cast("string"))),
+        )
+    )
+
+
+def file_rollups(documents: DataFrame) -> DataFrame:
+    """A4 pure stage over real chunk output (ordered concat, 25000-char
+    truncation, full rollup lineage)."""
+    grouped = H.file_rollup_inputs(_chunks_with_ids(documents))
+    return grouped.select(
+        "namespace",
+        "repo",
+        "module",
+        "file_path",
+        "language",
+        "rollup_input",
+        F.array_join("rollup_of", ",").alias("rollup_ids"),
+        F.size("rollup_of").cast("long").alias("rollup_count"),
+    )
+
+
+def module_rollups(documents: DataFrame) -> DataFrame:
+    """A5 pure stage: docs as file-summary rows → per-module ≤40 concat."""
+    cd = FL.with_module(FL.tag_language(FL.filter_documents(code_docs_fixture(documents))))
+    fd = cd.withColumn("namespace", F.lit("default")).withColumn(
+        "node_id", F.md5(F.col("file_path"))
+    )
+    grouped = H.module_rollup_inputs(fd)
+    return grouped.select(
+        "namespace",
+        "repo",
+        "module",
+        "rollup_input",
+        F.array_join("rollup_of", ",").alias("rollup_ids"),
+        F.array_join("constituent_files", ",").alias("files_csv"),
+    )
+
+
+def vector_row_identities(documents: DataFrame) -> DataFrame:
+    """F5/F6 storage boundary: sanitized metadata map + the stable-id
+    identity string (verified via md5 — DuckDB has no sha1; pytest
+    separately asserts row_id == sha1(identity))."""
+    nodes = _chunks_with_ids(documents).drop("node_id").withColumn(
+        "component_kind", F.lit("service")
+    )
+    identity = F.concat_ws(
+        "|",
+        F.lit("chunk"),
+        F.coalesce(F.col("namespace"), F.lit("")),
+        F.coalesce(F.col("repo"), F.lit("")),
+        F.coalesce(F.col("module"), F.lit("")),
+        F.coalesce(F.col("file_path"), F.lit("")),
+        F.coalesce(F.col("start_line").cast("string"), F.lit("")),
+        F.coalesce(F.col("end_line").cast("string"), F.lit("")),
+    )
+    meta = MD.sanitized_metadata(nodes, "chunk")
+    return nodes.select(
+        F.md5(identity).alias("identity_md5"),
+        "namespace",
+        "repo",
+        "module",
+        "file_path",
+        "language",
+        F.size(meta).cast("long").alias("n_meta"),
+        F.element_at(meta, "language").alias("meta_language"),
+        F.element_at(meta, "component_kind").alias("meta_component"),
+    )
+
+
+def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """V3/J1 seed-and-expand retrieval over a store assembled from the
+    provided tables (vectors = real embeddings, unit-normalized; edges
+    over namespace/repo/module/file_path equality; per-scope params of
+    the 'code' scope: k=10, start_k=3, adjacent_k=8, depth=2)."""
+    d = F.col("doc_id")
+    store = (
+        documents.join(embeddings, documents["doc_id"] == embeddings["vec_id"])
+        .select(
+            d.cast("string").alias("row_id"),
+            F.col("text").alias("body"),
+            F.lit("chunk").alias("scope"),
+            F.col("source").alias("namespace"),
+            F.col("source").alias("repo"),
+            F.concat(F.lit("m"), d % 7).alias("module"),
+            F.concat(F.lit("m"), d % 7, F.lit("/f_"), d, F.lit(".py")).alias("file_path"),
+            F.col("lang").alias("language"),
+            F.array(F.col("lang")).alias("topics"),
+            V.l2_normalize(F.col("embedding")).alias("vector"),
+        )
+    )
+    qv = (
+        embeddings.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+            V.l2_normalize(F.col("embedding")).alias("qvec"),
+            F.lit(None).cast("string").alias("flt_namespace"),
+            F.when(F.col("vec_id") == 1, F.lit("src1")).alias("flt_repo"),
+            F.when(F.col("vec_id") == 2, F.lit("m3")).alias("flt_module"),
+            F.lit(None).cast("string").alias("flt_topics"),
+        )
+    )
+    out = retrieve_batch(store, qv, "code")
+    return out.select(
+        "query_id", "row_id", "repo", "module", "file_path", "score", F.col("hop").cast("long").alias("hop")
+    )
+
+
+def enriched(documents: DataFrame) -> DataFrame:
+    """L1-L3 enrichment with the DeterministicLLM (stable-words
+    contract — reproduced token-for-token by the DuckDB oracle)."""
+    out = enrich_chunks(documents, DeterministicLLM)
+    return out.select("doc_id", "section_summary", "document_title", "excerpt_keywords")
+
+
+def multimodal_meta(documents: DataFrame) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload → Arrow-batched fake
+    decode → typed metadata columns."""
+    meta = MM.image_metadata(MM.with_binary_content(documents))
+    return meta.select("doc_id", "mime", "byte_len", "phash", "width", "height")
+
+
+def multimodal_dedup(documents: DataFrame) -> DataFrame:
+    """Perceptual-hash dedup over the binary metadata."""
+    meta = MM.image_metadata(MM.with_binary_content(documents))
+    return MM.phash_dedup(meta).select("phash", "canonical_id", "group_size", "max_bytes")
