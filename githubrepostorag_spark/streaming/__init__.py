@@ -1,0 +1,8 @@
+from githubrepostorag_spark.streaming.jobs import (
+    CancelFlags,
+    QUERY_SCHEMA,
+    read_query_stream,
+    run_job_stream,
+)
+
+__all__ = ["CancelFlags", "QUERY_SCHEMA", "read_query_stream", "run_job_stream"]

@@ -1,0 +1,140 @@
+"""Streaming job/event plane (SURVEY §2.10, S8-S10).
+
+The reference's serving loop is an ARQ/Redis job queue: REST enqueues
+`run_rag_job(job_id, req)`, a worker dequeues (max_jobs=10), runs the
+agent, and publishes per-stage progress + the final answer over Redis
+pub/sub, with a cooperative cancel flag checked before expensive work
+(rag_shared/bus.py:5-41, worker.py:99-187, jobs_controller.py:15-32).
+
+Structured Streaming equivalent:
+
+    queries stream (file/Kafka source, schema = QueryRequest)
+      → foreachBatch: cancel-filter → GraphRAGAgent.run_batch
+      → append to an `answers` sink and a per-stage `events` sink
+
+- S8 queue: the streaming source IS the queue; `maxFilesPerTrigger`
+  (or Kafka `maxOffsetsPerTrigger`) caps jobs per micro-batch like the
+  reference's max_jobs.
+- S9 event bus: the agent's per-stage events append to the events sink
+  (job_id, seq, event, data) — consumers tail it exactly like the
+  Redis channel; SSE framing stays API-layer, out of engine scope.
+- S10 cancel: `CancelFlags` is a flag-file directory (any process can
+  cancel by touching `{dir}/{job_id}`); checked cooperatively before
+  the agent runs, mirroring worker.py:121-124. Cancelled jobs emit a
+  `final {cancelled: true}` event and an empty answer.
+
+Scale: each micro-batch of queries is tiny (job rows, not data rows);
+the heavy lifting inside `run_batch` is the same partition-parallel
+retrieval plan as batch mode, and checkpointing gives exactly-once
+sink appends across restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from githubrepostorag_spark.plans.agent import GraphRAGAgent
+
+QUERY_SCHEMA = "job_id string, query string, namespace string, force_level string"
+
+
+class CancelFlags:
+    """S10 cancel flag — flag-file per job_id (the reference uses a
+    Redis key with TTL 3600; a shared directory is the engine-local
+    equivalent any process can write)."""
+
+    def __init__(self, flag_dir: str) -> None:
+        self.flag_dir = flag_dir
+        os.makedirs(flag_dir, exist_ok=True)
+
+    def _path(self, job_id: str) -> str:
+        return os.path.join(self.flag_dir, job_id)
+
+    def cancel(self, job_id: str) -> None:
+        with open(self._path(job_id), "w") as f:
+            f.write("1")
+
+    def is_cancelled(self, job_id: str) -> bool:
+        return os.path.exists(self._path(job_id))
+
+
+def read_query_stream(
+    spark: SparkSession, input_path: str, max_jobs_per_trigger: int = 10
+) -> DataFrame:
+    """S8 queue source: JSON files of QueryRequest rows; the per-trigger
+    file cap is the reference's worker max_jobs=10."""
+    return (
+        spark.readStream.schema(QUERY_SCHEMA)
+        .option("maxFilesPerTrigger", max_jobs_per_trigger)
+        .json(input_path)
+    )
+
+
+def run_job_stream(
+    queries: DataFrame,
+    store: DataFrame,
+    llm_factory: Callable,
+    *,
+    answers_path: str,
+    events_path: str,
+    checkpoint_path: str,
+    cancel_flags: CancelFlags | None = None,
+    available_now: bool = False,
+):
+    """Wire the query stream through the agent into answers/events sinks.
+
+    Returns the started StreamingQuery; `query.stop()` is the engine's
+    job-plane shutdown (the reference's worker SIGTERM).
+    """
+    spark = queries.sparkSession
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # job rows are control-plane small — collecting them IS the
+        # dequeue step (the data plane stays distributed inside run_batch)
+        jobs = [r.asDict() for r in batch_df.collect()]
+        if not jobs:
+            return
+        cancelled = [
+            j for j in jobs if cancel_flags is not None and cancel_flags.is_cancelled(j["job_id"])
+        ]
+        live = [j for j in jobs if j not in cancelled]
+
+        answer_rows: list[tuple] = []
+        event_rows: list[tuple] = []
+        for j in cancelled:
+            # worker.py:121-124: cancelled before work → empty final
+            answer_rows.append((j["job_id"], "", "", json.dumps(None)))
+            event_rows.append(
+                (j["job_id"], 0, "final", json.dumps({"cancelled": True}))
+            )
+        if live:
+            agent = GraphRAGAgent(spark, store, llm_factory())
+            states = agent.run_batch(live)
+            for st in states:
+                answer_rows.append(
+                    (st.job_id, st.answer or "", st.scope, json.dumps(st.sources))
+                )
+                for e in st.events:
+                    e = dict(e)
+                    event_rows.append(
+                        (e.pop("job_id"), e.pop("seq"), e.pop("event"), json.dumps(e, default=str))
+                    )
+        spark.createDataFrame(
+            answer_rows, "job_id string, answer string, scope string, sources string"
+        ).write.mode("append").parquet(answers_path)
+        spark.createDataFrame(
+            event_rows, "job_id string, seq int, event string, data string"
+        ).write.mode("append").parquet(events_path)
+
+    writer = (
+        queries.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

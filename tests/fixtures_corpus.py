@@ -1,0 +1,60 @@
+"""Shared fixture corpus for ingest/agent/streaming e2e tests.
+
+Two repos exercising the observable reference behaviors: a `service`
+repo (manifest present) with code + README + a notebook, and a
+`standalone` repo (notebook, no manifest) with a BAD readme (short +
+'todo' → catalog falls back to generated text).
+"""
+
+from __future__ import annotations
+
+import json
+
+GOOD_README = (
+    "# alpha\n\nAlpha is a data-plane service that ingests commit events, "
+    "normalizes them, and serves aggregated views over a REST API. It ships "
+    "with a scheduler, a storage adapter layer, and a small CLI for "
+    "operational tasks. See docs/guide.md for deployment instructions and "
+    "configuration reference material covering every supported backend."
+)
+
+BAD_README = "# beta\n\ntodo: write this"
+
+NOTEBOOK = json.dumps(
+    {
+        "metadata": {"kernelspec": {"language": "python", "name": "python3"}},
+        "cells": [
+            {"cell_type": "markdown", "source": ["## Analysis\n", "Explores event rates."]},
+            {"cell_type": "code", "source": ["!pip install pandas\n", "%matplotlib inline"]},
+            {
+                "cell_type": "code",
+                "source": ["import pandas as pd\n", "df = pd.DataFrame({'a': [1, 2]})\n", "df.sum()"],
+                "outputs": [
+                    {"output_type": "execute_result", "data": {"text/plain": "a    3"}}
+                ],
+            },
+            {"cell_type": "code", "source": ["   \n"]},
+        ],
+    }
+)
+
+MAIN_PY = "\n".join(
+    [f"def handler_{i}(event):\n    return transform(event, mode={i})" for i in range(120)]
+)
+
+CORPUS = [
+    ("alpha", "README.md", GOOD_README),
+    ("alpha", "src/main.py", MAIN_PY),
+    ("alpha", "src/util.py", "def helper(x):\n    return x * 2\n\nSHARED = 'alpha util'"),
+    ("alpha", "docs/guide.md", "Deployment guide for alpha: configure the broker and storage."),
+    ("alpha", "nb/analysis.ipynb", NOTEBOOK),
+    ("alpha", "package.json", '{"name": "alpha", "version": "1.0.0"}'),
+    ("alpha", "LICENSE", "MIT License - this file must be filtered out"),
+    ("beta", "README.md", BAD_README),
+    ("beta", "notebooks/run.ipynb", NOTEBOOK),
+    ("beta", "lib/core.py", "class Core:\n    def run(self):\n        return 'beta core'"),
+]
+
+
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "repo string, file_path string, text string")

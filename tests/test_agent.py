@@ -1,0 +1,134 @@
+"""Agent-loop golden tests (reference: agent_graph.py:178-543).
+
+Runs GraphRAGAgent.run_batch over the ingested fixture store with
+scripted LLMs, asserting the observable control-flow semantics: event
+sequences, heuristic fallbacks on malformed LLM output, the fixed
+stage-down ladder, filter accretion, the ≤3 attempt cap, and
+cross-run determinism."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from githubrepostorag_spark.llm.stub import DeterministicLLM
+from githubrepostorag_spark.plans.agent import GraphRAGAgent
+from githubrepostorag_spark.plans.ingest import ingest_pipeline
+from tests.fixtures_corpus import corpus_df
+
+
+class SeqLLM:
+    """Per-pattern response sequences (last response repeats); falls
+    back to the DeterministicLLM defaults for unmatched prompts."""
+
+    def __init__(self, script):
+        self.script = [(re.compile(pat, re.S), list(resps)) for pat, resps in script]
+        self.base = DeterministicLLM()
+
+    def complete(self, prompt: str) -> str:
+        for pat, resps in self.script:
+            if pat.search(prompt):
+                return resps.pop(0) if len(resps) > 1 else resps[0]
+        return self.base.complete(prompt)
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="run-agent", llm_factory=DeterministicLLM,
+        namespace="default",
+    )
+    rows = res.rows.persist()
+    rows.count()
+    yield rows
+    rows.unpersist()
+
+
+def test_happy_path_events_and_citations(spark, store):
+    agent = GraphRAGAgent(spark, store, DeterministicLLM())
+    [st] = agent.run_batch(
+        [{"job_id": "j1", "query": "Tell me about the projects in this workspace"}]
+    )
+    names = [e["event"] for e in st.events]
+    assert names[:2] == ["started", "plan"]
+    assert names[-2:] == ["synthesize", "final"]
+    assert "retrieve" in names and "judge" in names
+    # overview question → project scope (stub L7 contract)
+    assert st.events[1]["scope"] == "project"
+    assert st.docs, "retrieval returned no documents"
+    assert "[1]" in st.answer  # synthesized citations
+    assert st.sources and st.sources[0]["block"] == 1
+    assert st.sources[0]["metadata"]["scope"] == "repo"
+    assert len(st.sources[0]["text"]) <= 1200
+
+
+def test_malformed_llm_stage_down_ladder(spark, store):
+    # plan + judge always return garbage → heuristic scope, then the
+    # reference's fixed stage-down coverages 0.2/0.3/0.4
+    llm = SeqLLM(
+        [
+            ("Choose the best search scope", ["not json at all"]),
+            ("Judge if the retrieved content", ["<garbage/>"]),
+            ("Rewrite this codebase question", ["x"]),  # <10 chars → fallback
+            ("Generate 3-4 semantically related", ["not a json array"]),
+        ]
+    )
+    agent = GraphRAGAgent(spark, store, llm)
+    [st] = agent.run_batch([{"job_id": "j2", "query": "how are documents stored"}])
+    plans = [e for e in st.events if e["event"] == "plan"]
+    judges = [e for e in st.events if e["event"] == "judge"]
+    # non-codey query → heuristic 'project'
+    assert plans[0]["scope"] == "project"
+    # ladder: project(0.2→package) → package(0.3→file) → file(0.4, stop)
+    assert [j["decision"]["coverage"] for j in judges] == [0.2, 0.3, 0.4]
+    assert [j["decision"].get("stage_down") for j in judges] == ["package", "file", None]
+    assert st.scope == "file"
+    assert st.attempt == 2  # two retries, under the ≤3 cap
+    assert st.answer is not None
+
+
+def test_codey_heuristic_and_force_level(spark, store):
+    llm = SeqLLM([("Choose the best search scope", ["nope"])])
+    agent = GraphRAGAgent(spark, store, llm)
+    st_code, st_forced = agent.run_batch(
+        [
+            {"job_id": "j3", "query": "stacktrace NullPointer exception in handler"},
+            {"job_id": "j4", "query": "anything at all", "force_level": "package"},
+        ]
+    )
+    assert st_code.events[1]["scope"] == "code"  # looks_codey fallback
+    assert st_forced.events[1]["scope"] == "package"  # force_level wins
+
+
+def test_filter_accretion_and_repo_hint(spark, store):
+    llm = SeqLLM(
+        [
+            (
+                "Judge if the retrieved content",
+                [
+                    '{"coverage": 0.2, "needs_more": true, '
+                    '"suggest_filters": {"repos": ["alpha"]}, "stage_down": "file"}',
+                    '{"coverage": 0.9, "needs_more": false, "semantic_match": true}',
+                ],
+            ),
+        ]
+    )
+    agent = GraphRAGAgent(spark, store, llm)
+    [st] = agent.run_batch(
+        [{"job_id": "j5", "query": "repo: beta how does core run work"}]
+    )
+    # F8 regex hint seeds repo=beta; judge suggestion (list-valued,
+    # plural key) overwrites with singular repo=alpha
+    assert st.filters["repo"] == "alpha"
+    assert any(e["event"] == "rewrite" for e in st.events)
+    assert st.scope == "file"
+
+
+def test_deterministic_across_runs(spark, store):
+    def run():
+        agent = GraphRAGAgent(spark, store, DeterministicLLM())
+        [st] = agent.run_batch([{"job_id": "jd", "query": "describe the alpha service"}])
+        return st.answer, [e["event"] for e in st.events], [s["metadata"] for s in st.sources]
+
+    assert run() == run()  # md5 content keys → no PYTHONHASHSEED flake

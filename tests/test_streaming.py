@@ -1,0 +1,80 @@
+"""Streaming job/event plane test (SURVEY §2.10, S8-S10).
+
+File-source query stream → foreachBatch agent → answers/events parquet
+sinks, with a cooperatively-cancelled job (reference worker.py:121-124)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.llm.stub import DeterministicLLM
+from githubrepostorag_spark.plans.ingest import ingest_pipeline
+from githubrepostorag_spark.streaming import (
+    CancelFlags,
+    read_query_stream,
+    run_job_stream,
+)
+from tests.fixtures_corpus import corpus_df
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="run-stream", llm_factory=DeterministicLLM,
+        namespace="default",
+    )
+    rows = res.rows.persist()
+    rows.count()
+    yield rows
+    rows.unpersist()
+
+
+def test_job_stream_end_to_end(spark, store, tmp_path):
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    jobs = [
+        {"job_id": "s1", "query": "tell me about the projects", "namespace": "default"},
+        {"job_id": "s2", "query": "how does the core run method work", "namespace": "default"},
+        {"job_id": "s3", "query": "cancel me please", "namespace": "default"},
+    ]
+    for j in jobs:
+        with open(qdir / f"{j['job_id']}.json", "w") as f:
+            f.write(json.dumps(j))
+
+    flags = CancelFlags(str(tmp_path / "flags"))
+    flags.cancel("s3")  # S10: cancelled before the worker picks it up
+
+    q = run_job_stream(
+        read_query_stream(spark, str(qdir)),
+        store,
+        DeterministicLLM,
+        answers_path=str(tmp_path / "answers"),
+        events_path=str(tmp_path / "events"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cancel_flags=flags,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    answers = {
+        r["job_id"]: r.asDict()
+        for r in spark.read.parquet(str(tmp_path / "answers")).collect()
+    }
+    assert set(answers) == {"s1", "s2", "s3"}
+    assert answers["s1"]["answer"] and "[1]" in answers["s1"]["answer"]
+    assert json.loads(answers["s1"]["sources"])  # non-empty source list
+    assert answers["s3"]["answer"] == ""  # cancelled → empty final
+
+    events = spark.read.parquet(str(tmp_path / "events"))
+    s1_events = [
+        r["event"]
+        for r in events.filter(F.col("job_id") == "s1").orderBy("seq").collect()
+    ]
+    assert s1_events[0] == "started" and s1_events[-1] == "final"
+    s3_final = events.filter(F.col("job_id") == "s3").collect()
+    assert len(s3_final) == 1
+    assert json.loads(s3_final[0]["data"])["cancelled"] is True
