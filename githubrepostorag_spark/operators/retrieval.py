@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import vectors as V
 
+FILTER_KEYS = ("namespace", "repo", "module")
+
 
 @dataclass(frozen=True)
 class ScopeParams:
@@ -66,27 +68,157 @@ _DOC_COLS = (
 )
 
 
-def _filter_condition(store, q):
-    """Per-query metadata pre-filter (SURVEY F10): equality on provided
-    filters, pass-through on nulls; topics matches list membership."""
-    cond = F.lit(True)
-    for key in ("namespace", "repo", "module"):
-        cond = cond & (F.col(f"q.flt_{key}").isNull() | (store[key] == F.col(f"q.flt_{key}")))
-    cond = cond & (
-        F.col("q.flt_topics").isNull()
-        | F.array_contains(F.coalesce(store["topics"], F.array()), F.col("q.flt_topics"))
-    )
-    return cond
-
-
 def _scored(store: DataFrame, queries: DataFrame) -> DataFrame:
-    """All (query × candidate) scores under the query's filters.
-    Vectors are unit-normalized at write → cosine == dot."""
+    """All (query × candidate) scores under the query's filters (SURVEY
+    F10). Vectors are unit-normalized at write → cosine == dot.
+
+    Scale plan: a single null-or-equal join over every filter key is a
+    non-equi predicate, which Spark can only execute as a broadcast
+    nested-loop over the whole scope partition. Instead the (tiny)
+    query batch is split by WHICH filter keys are non-null — one tiny
+    driver-side pass over the query rows — and each group joins the
+    store on its equality keys as a broadcast HASH join (the store side
+    never shuffles; provided keys prune candidates before any vector
+    math). The filterless group is the one genuine full-scan — exactly
+    the brute-force semantics those queries ask for. `flt_topics` is a
+    list-membership test, applied as a post-join filter per group.
+    """
+    meta_rows = queries.select(
+        "query_id", *[f"flt_{k}" for k in FILTER_KEYS], "flt_topics"
+    ).collect()
+    groups: dict[tuple[str, ...], list[str]] = {}
+    topic_ids = set()
+    for r in meta_rows:
+        keys = tuple(k for k in FILTER_KEYS if r[f"flt_{k}"] is not None)
+        groups.setdefault(keys, []).append(r["query_id"])
+        if r["flt_topics"] is not None:
+            topic_ids.add(r["query_id"])
+
+    out: DataFrame | None = None
+    st = store.alias("s")
+    for keys, qids in groups.items():
+        q = F.broadcast(queries.filter(F.col("query_id").isin(qids)).alias("q"))
+        if keys:
+            cond = None
+            for k in keys:
+                c = F.col(f"s.{k}") == F.col(f"q.flt_{k}")
+                cond = c if cond is None else cond & c
+            joined = st.join(q, cond)
+        else:
+            joined = st.crossJoin(q)
+        if topic_ids.intersection(qids):
+            joined = joined.filter(
+                F.col("q.flt_topics").isNull()
+                | F.array_contains(
+                    F.coalesce(F.col("s.topics"), F.array()), F.col("q.flt_topics")
+                )
+            )
+        part = joined.select(
+            F.col("q.query_id").alias("query_id"),
+            *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+            F.round(
+                V.dot(V.as_double(F.col("s.vector")), V.as_double(F.col("q.qvec"))), 6
+            ).alias("score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # empty query batch
+        empty = _scored_schema_like(store, queries)
+        return empty
+    return out
+
+
+def _scored_schema_like(store: DataFrame, queries: DataFrame) -> DataFrame:
     st = store.alias("s")
     q = queries.alias("q")
-    joined = st.join(q, _filter_condition(st, q))
-    return joined.select(
-        F.col("q.query_id").alias("query_id"),
+    return (
+        st.crossJoin(q)
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+            F.lit(0.0).alias("score"),
+        )
+        .limit(0)
+    )
+
+
+@dataclass
+class IvfIndex:
+    """Coarse-quantization index over one store scope: a sampled
+    codebook plus per-row cell assignments (both precomputed once per
+    store version — the engine analog of the reference's SAI index
+    build at write time)."""
+
+    centroids: DataFrame  # (cell long, centroid array<double>)
+    assignments: DataFrame  # (row_id string, cell long)
+
+
+def build_ivf_index(store: DataFrame, n_cells: int = 16) -> IvfIndex:
+    """Deterministic IVF codebook: the `n_cells` lowest-row_id vectors
+    seed the cells; every row is assigned to its nearest centroid.
+
+    One broadcast of the tiny codebook; the store scan never shuffles.
+    (A k-means refinement loop slots in here without changing the
+    index shape.)
+    """
+    # orderBy+limit = TakeOrderedAndProject (top-k per partition + merge,
+    # no global sort); the row_number window then runs over n_cells rows
+    seeds = store.select("row_id", "vector").orderBy("row_id").limit(n_cells)
+    cents = (
+        seeds.withColumn("rn", F.row_number().over(Window.orderBy("row_id")))
+        .select(
+            (F.col("rn") - 1).cast("long").alias("cell"),
+            V.as_double("vector").alias("centroid"),
+        )
+    )
+    scored = store.select("row_id", "vector").crossJoin(F.broadcast(cents)).select(
+        "row_id", "cell", V.dot(V.as_double("vector"), F.col("centroid")).alias("sim")
+    )
+    wa = Window.partitionBy("row_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("row_id", "cell")
+    )
+    return IvfIndex(centroids=cents, assignments=assignments)
+
+
+def _scored_ivf(
+    store: DataFrame, queries: DataFrame, ivf: IvfIndex, n_probes: int
+) -> DataFrame:
+    """IVF-pruned candidate scoring: each query scores ONLY rows whose
+    cell is among its `n_probes` nearest centroids — the 100 TB serving
+    plan (scan cost ~ n_probes/n_cells of the scope; all joins hash).
+    Equality/topics filters apply on the pruned candidates."""
+    probes = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(ivf.centroids))
+        .select(
+            "query_id", "cell", V.dot(F.col("centroid"), V.as_double("qvec")).alias("sim")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", "cell")
+    )
+    cand = (
+        store.join(ivf.assignments, "row_id")
+        .join(F.broadcast(probes), "cell")
+        .alias("s")
+        .join(F.broadcast(queries.alias("q")), F.col("s.query_id") == F.col("q.query_id"))
+    )
+    filt = F.lit(True)
+    for k in FILTER_KEYS:
+        filt = filt & (F.col(f"q.flt_{k}").isNull() | (F.col(f"s.{k}") == F.col(f"q.flt_{k}")))
+    filt = filt & (
+        F.col("q.flt_topics").isNull()
+        | F.array_contains(F.coalesce(F.col("s.topics"), F.array()), F.col("q.flt_topics"))
+    )
+    return cand.filter(filt).select(
+        F.col("s.query_id").alias("query_id"),
         *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
         F.round(V.dot(V.as_double(F.col("s.vector")), V.as_double(F.col("q.qvec"))), 6).alias(
             "score"
@@ -99,18 +231,26 @@ def retrieve_batch(
     queries: DataFrame,
     scope: str,
     params: ScopeParams | None = None,
+    ivf: IvfIndex | None = None,
+    n_probes: int = 3,
 ) -> DataFrame:
     """Seed-and-expand retrieval for a batch of queries against one scope.
 
     queries: (query_id string, qvec array<float>, flt_namespace,
     flt_repo, flt_module, flt_topics — nullable strings).
     Returns ≤k rows per query with hop + score, score-desc ranked.
+
+    With `ivf` set, seeding AND expansion are restricted to the query's
+    probe cells (approximate, like the reference's ANN index); without
+    it the scoring is exact with hash-join filter pruning.
     """
     params = params or SCOPE_PARAMS[scope]
     table_scope = SCOPE_TO_TABLE.get(scope, scope)
     part = store.filter(F.col("scope") == table_scope)
 
-    scored = _scored(part, queries).cache()
+    scored = (
+        _scored_ivf(part, queries, ivf, n_probes) if ivf is not None else _scored(part, queries)
+    ).cache()
     try:
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
         seeds = (

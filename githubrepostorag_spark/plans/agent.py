@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from githubrepostorag_spark.functions.embed import EMBED_DIM, embed_text
 from githubrepostorag_spark.llm.stub import LLM, sanitize_llm_output
-from githubrepostorag_spark.operators.retrieval import SCOPE_PARAMS, retrieve_batch
+from githubrepostorag_spark.operators.retrieval import (
+    SCOPE_PARAMS,
+    IvfIndex,
+    retrieve_batch,
+)
 
 MAX_RAG_ATTEMPTS = 3  # rag_shared/config.py:6,37
 ROUTER_TOP_K = 5  # rag_shared/config.py:35
@@ -118,11 +122,21 @@ class QueryState:
 class GraphRAGAgent:
     """Batched agent over a vector store DataFrame (all scopes)."""
 
-    def __init__(self, spark: SparkSession, store: DataFrame, llm: LLM, max_iters: int = MAX_RAG_ATTEMPTS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: DataFrame,
+        llm: LLM,
+        max_iters: int = MAX_RAG_ATTEMPTS,
+        ivf: dict[str, IvfIndex] | None = None,
+    ):
         self.spark = spark
         self.store = store
         self.llm = llm
         self.max_iters = max_iters
+        # per-scope ANN indexes (precomputed, like the reference's SAI);
+        # scopes without an index retrieve exactly
+        self.ivf = ivf or {}
 
     # ---------------- plan ----------------
     def plan(self, st: QueryState) -> None:
@@ -179,7 +193,9 @@ class GraphRAGAgent:
             by_scope.setdefault(st.scope, []).append(st)
         for scope, members in by_scope.items():
             qdf = self._queries_df([(m.job_id, m.query, m.filters) for m in members])
-            rows = retrieve_batch(self.store, qdf, scope).collect()
+            rows = retrieve_batch(
+                self.store, qdf, scope, ivf=self.ivf.get(scope)
+            ).collect()
             for r in rows:
                 d = r.asDict()
                 out[d.pop("query_id")].append(d)
@@ -246,7 +262,9 @@ class GraphRAGAgent:
             if not keys:
                 continue
             sub = qdf.filter(qdf.query_id.isin(list(keys)))
-            for r in retrieve_batch(self.store, sub, scope).collect():
+            for r in retrieve_batch(
+                self.store, sub, scope, ivf=self.ivf.get(scope)
+            ).collect():
                 d = r.asDict()
                 results.setdefault(d.pop("query_id"), []).append(d)
         for st in batch:

@@ -167,13 +167,12 @@ def vector_row_identities(documents: DataFrame) -> DataFrame:
     )
 
 
-def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """V3/J1 seed-and-expand retrieval over a store assembled from the
-    provided tables (vectors = real embeddings, unit-normalized; edges
-    over namespace/repo/module/file_path equality; per-scope params of
-    the 'code' scope: k=10, start_k=3, adjacent_k=8, depth=2)."""
+def fixture_store(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Chunk-scope vector store assembled from the provided tables
+    (vectors = real embeddings, unit-normalized; metadata derived
+    column-wise so DuckDB can rebuild it)."""
     d = F.col("doc_id")
-    store = (
+    return (
         documents.join(embeddings, documents["doc_id"] == embeddings["vec_id"])
         .select(
             d.cast("string").alias("row_id"),
@@ -188,7 +187,11 @@ def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
             V.l2_normalize(F.col("embedding")).alias("vector"),
         )
     )
-    qv = (
+
+
+def fixture_queries(embeddings: DataFrame) -> DataFrame:
+    """Three queries: unfiltered / repo-filtered / module-filtered."""
+    return (
         embeddings.filter(F.col("vec_id").isin(0, 1, 2))
         .select(
             F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
@@ -199,6 +202,14 @@ def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("flt_topics"),
         )
     )
+
+
+def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """V3/J1 seed-and-expand retrieval over the fixture store (edges
+    over namespace/repo/module/file_path equality; per-scope params of
+    the 'code' scope: k=10, start_k=3, adjacent_k=8, depth=2)."""
+    store = fixture_store(documents, embeddings)
+    qv = fixture_queries(embeddings)
     out = retrieve_batch(store, qv, "code")
     return out.select(
         "query_id", "row_id", "repo", "module", "file_path", "score", F.col("hop").cast("long").alias("hop")

@@ -1,0 +1,78 @@
+"""Retrieval scale-path tests: hash-join filter pruning and the IVF
+ANN index (SURVEY V2/V3 + the reference's SAI-index tactic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators.retrieval import (
+    build_ivf_index,
+    retrieve_batch,
+)
+from githubrepostorag_spark.plans.parity import fixture_queries, fixture_store
+from githubrepostorag_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = fixture_store(
+        load_table(spark, SF, "documents"), load_table(spark, SF, "embeddings")
+    ).persist()
+    s.count()
+    yield s
+    s.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return fixture_queries(load_table(spark, SF, "embeddings"))
+
+
+def test_ivf_all_probes_equals_exact(spark, store, queries):
+    """Probing every cell makes the ANN candidate set the full store —
+    the pruned plan must reproduce the exact results bit-for-bit."""
+    ivf = build_ivf_index(store, n_cells=8)
+    exact = {
+        (r["query_id"], r["row_id"], r["score"], r["hop"])
+        for r in retrieve_batch(store, queries, "code").collect()
+    }
+    ann = {
+        (r["query_id"], r["row_id"], r["score"], r["hop"])
+        for r in retrieve_batch(store, queries, "code", ivf=ivf, n_probes=8).collect()
+    }
+    assert ann == exact
+
+
+def test_ivf_pruning_subsets_and_overlaps(spark, store, queries):
+    """With fewer probes the candidate set shrinks but stays useful:
+    every ANN hit is a real store row from a probed cell, per-query
+    caps hold, and the seeds overlap the exact top-k substantially."""
+    ivf = build_ivf_index(store, n_cells=8)
+    ann = retrieve_batch(store, queries, "code", ivf=ivf, n_probes=4).collect()
+    per_query: dict[str, list] = {}
+    for r in ann:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) == {"q0", "q1", "q2"}
+    for qid, rows in per_query.items():
+        assert len(rows) <= 10  # k cap holds under pruning
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # filtered query only returns rows matching its filter
+    assert all(r["repo"] == "src1" for r in per_query["q1"])
+    # overlap with exact top-k on the unfiltered query
+    exact_ids = {
+        r["row_id"]
+        for r in retrieve_batch(store, queries, "code").collect()
+        if r["query_id"] == "q0"
+    }
+    ann_ids = {r["row_id"] for r in per_query["q0"]}
+    assert len(ann_ids & exact_ids) / len(exact_ids) >= 0.3
+
+
+def test_empty_query_batch(spark, store, queries):
+    out = retrieve_batch(store, queries.limit(0), "code")
+    assert out.count() == 0
+    assert "query_id" in out.columns and "score" in out.columns
