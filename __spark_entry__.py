@@ -269,12 +269,15 @@ def _band_select(b: int, n_bands: int = LSH_BANDS) -> str:
 
 
 def _minhash_cte(k: int, n_funcs: int) -> str:
+    # mirror of dedup.minhash_signatures: 8 hash functions = 8-hex
+    # slices of md5(shingle) || md5('1:' || shingle)
     sigs = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_funcs)
+        f"min(substr(hx, {i * 8 + 1}, 8)) AS sig_{i}" for i in range(n_funcs)
     )
     return (
         f"WITH sh AS (SELECT doc_id, unnest({_shingles_sql(k)}) AS shingle FROM documents), "
-        f"sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
+        "hashed AS (SELECT doc_id, md5(shingle) || md5('1:' || shingle) AS hx FROM sh), "
+        f"sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)"
     )
 
 

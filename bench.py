@@ -42,6 +42,22 @@ def main() -> None:
         t0 = time.time()
         run_query(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+
+    # composed ingest pipeline (docs → chunk → enrich → rollups → 5-scope
+    # vector rows) with the deterministic LLM + hash embedder — the
+    # end-to-end write path the per-query suite doesn't exercise
+    from githubrepostorag_spark.llm.stub import DeterministicLLM
+    from githubrepostorag_spark.plans.ingest import ingest_pipeline
+    from githubrepostorag_spark.plans.parity import code_docs_fixture
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    t0 = time.time()
+    docs = code_docs_fixture(load_table(spark, sf_dir, "documents")).select(
+        "repo", "file_path", "text"
+    )
+    res = ingest_pipeline(docs, ingest_run_id="bench", llm_factory=DeterministicLLM)
+    run_query(res.rows)
+    times["ingest_pipeline"] = round(time.time() - t0, 3)
     total = round(time.time() - t_total0, 3)
 
     print(

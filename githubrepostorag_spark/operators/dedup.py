@@ -50,14 +50,23 @@ def _shingled(documents: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """MinHash signature per doc: sig_i = min over shingles of md5(i:shingle).
+    """MinHash signature per doc: sig_i = min over shingles of the i-th
+    8-hex slice of md5(shingle) || md5('1:' || shingle).
 
-    Min over lexicographic md5 hex strings — identical in any engine.
+    TWO md5 calls per shingle yield all 8 hash functions (64 hex chars
+    → 8 independent 32-bit slices) instead of one md5 per function —
+    the hash is the dominant cost of the whole MinHash family at scale.
+    Min over lexicographic hex strings — identical in any engine.
     One explode + one groupBy(doc_id): a single shuffle keyed on doc_id.
     """
-    sh = _shingled(documents)
+    sh = _shingled(documents).withColumn(
+        "hx",
+        F.concat(
+            F.md5(F.col("shingle")), F.md5(F.concat_ws(":", F.lit("1"), F.col("shingle")))
+        ),
+    )
     sigs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(F.substring(F.col("hx"), i * 8 + 1, 8)).alias(f"sig_{i}")
         for i in range(MINHASH_FUNCS)
     ]
     return sh.groupBy("doc_id").agg(*sigs)
@@ -115,9 +124,13 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs, scoped within `source`.
 
     Shingle equi-join (co-partitioned on shingle) → per-pair shared
-    count → |A∪B| from per-doc sizes. Quadratic within group — the
-    exact verifier for the MinHash path, intentionally scoped to keep
-    the pair space bounded at scale.
+    count → |A∪B| from per-doc sizes. Quadratic within group by
+    definition — the exact verifier for the MinHash path, intentionally
+    scoped to keep the pair space bounded; `jaccard_on_candidates` is
+    the unscoped scale composition. (A per-pair array_intersect variant
+    measures ~17× slower here: Catalyst collapses the projection and
+    recomputes the shingle arrays once per PAIR — exploded shingle rows
+    materialize them once per doc.)
     """
     sh = _shingled(documents.select("doc_id", "source", "text"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -170,25 +183,31 @@ def jaccard_on_candidates(
     even on a corpus where *every* pair has moderate overlap.
     """
     cand = lsh_candidate_pairs(documents, n_bands)
-    sh = documents.select(
-        "doc_id", TXT.char_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    sh = _shingled(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # shared-shingle counting keyed on the CANDIDATE PAIR (never on a
+    # hot shingle): the sparse candidate table fans out by |shingles_a|
+    # and hash-joins back on (doc_b, shingle) — exploded rows also
+    # materialize the shingle computation once per doc (array-per-pair
+    # variants recompute it per pair after projection collapse).
+    shared = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    # per-pair array_intersect stays JVM-side: the pair table shuffles
-    # once per side, and the shingle sets never explode into rows (an
-    # exploded candidate×shingle join is ~|shingles|× more shuffle rows).
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "n_shared", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-        )
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_shared")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")).cast("double"),
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
                 6,
             ),
         )
