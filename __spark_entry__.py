@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal binary-column path ---
         "q44_multimodal_meta": lambda sp, sf: P.multimodal_meta(t(sp, sf, "documents")),
         "q45_multimodal_dedup": lambda sp, sf: P.multimodal_dedup(t(sp, sf, "documents")),
+        # --- J2 rollup-lineage drill-down ---
+        "q46_drill_down": lambda sp, sf: P.drilldown(t(sp, sf, "documents")),
     }
 
 
@@ -684,7 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_file_rollup": f"""
             WITH {_CHUNKS_CTE},
             ch2 AS (
-              SELECT *, md5(file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
+              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
               FROM chunks)
             SELECT 'default' AS namespace, repo, module, file_path, language,
                    substr(string_agg(text, e'\\n\\n' ORDER BY chunk_idx, node_id),
@@ -838,6 +840,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT phash, min(doc_id) AS canonical_id, count(*) AS group_size,
                    max(byte_len) AS max_bytes
             FROM m GROUP BY phash
+        """,
+        "q46_drill_down": f"""
+            WITH {_CHUNKS_CTE},
+            ch2 AS (
+              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
+              FROM chunks)
+            SELECT 'default' AS namespace, repo, module, file_path, language,
+                   node_id, chunk_idx, start_line
+            FROM ch2
         """,
         "q33_graph_2hop": """
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),

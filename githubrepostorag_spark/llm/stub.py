@@ -46,6 +46,52 @@ def sanitize_llm_output(text: str) -> str:
     return out.strip()
 
 
+_SELECTOR_INDICATORS = (
+    "choice 1:", "choice 2:", "choice 3:", "choice 4:",
+    "select one of the following", "choose from the following options",
+    "pick the best option",
+)
+
+
+def is_selector_prompt(prompt: str) -> bool:
+    """Router selector prompt detector (qwen_llm.py:41-52)."""
+    pl = prompt.lower()
+    return any(ind in pl for ind in _SELECTOR_INDICATORS)
+
+
+def clean_selector_response(text: str) -> str:
+    """D3 selector-output repair (qwen_llm.py:54-102): dedupe repeated
+    lines (≤3 unique), extract a {"choice": n} JSON or a bare 1-4, else
+    default "1" — the reference's observable fallback ladder."""
+    if not text:
+        return "1"
+    unique_lines: list[str] = []
+    seen: set[str] = set()
+    for line in text.split("\n"):
+        stripped = line.strip()
+        if stripped and stripped not in seen:
+            unique_lines.append(stripped)
+            seen.add(stripped)
+            if len(unique_lines) >= 3:
+                break
+    cleaned = "\n".join(unique_lines)
+    m = re.findall(r'\{"choice":\s*(\d+)(?:,\s*"reason":[^}]*)?\}', cleaned)
+    if m:
+        return m[0]
+    nums = re.findall(r"\b([1-4])\b", cleaned)
+    if nums:
+        return nums[0]
+    try:
+        fixed = re.sub(r"]}]+$", "]", cleaned)
+        fixed = re.sub(r"^[{\[]+", "[", fixed)
+        parsed = json.loads(fixed)
+        if isinstance(parsed, list) and parsed and isinstance(parsed[0], dict) and "choice" in parsed[0]:
+            return str(parsed[0]["choice"])
+    except Exception:
+        pass
+    return "1"
+
+
 def _stable_words(text: str, n: int) -> list[str]:
     seen: list[str] = []
     for w in re.findall(r"[a-zA-Z_][\w\-]*", text.lower()):

@@ -225,6 +225,34 @@ def repo_overviews(
     )
 
 
+def drill_down(
+    summaries: DataFrame,
+    members: DataFrame,
+    keep_cols: list[str] | None = None,
+    broadcast_summaries: bool = True,
+) -> DataFrame:
+    """J2 rollup-lineage drill-down: explode a summary's `rollup_of`
+    ids and join the member rows on node_id — how a hit on a
+    file/module/repo summary expands to its constituent chunks
+    (reference: hierarchy_summary_service.py:44-60, the lineage the
+    agent stages down through).
+
+    Plan: explode (narrow) + one hash join keyed on node_id. In the
+    serving path `summaries` is a handful of retrieval hits → broadcast
+    (default); for bulk lineage materialization over ALL summaries pass
+    broadcast_summaries=False and let AQE pick the join."""
+    keep_cols = keep_cols or [c for c in summaries.columns if c not in ("rollup_of", "text")]
+    exploded = summaries.select(
+        *[F.col(c).alias(f"summary_{c}") if c == "node_id" else F.col(c) for c in keep_cols],
+        F.explode("rollup_of").alias("member_id"),
+    )
+    if broadcast_summaries:
+        exploded = F.broadcast(exploded)
+    return exploded.join(
+        members, exploded["member_id"] == members["node_id"], "inner"
+    ).drop("member_id")
+
+
 def catalog_docs(
     readmes: DataFrame, chunk_summaries: DataFrame, llm_factory: Callable
 ) -> DataFrame:

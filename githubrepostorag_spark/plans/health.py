@@ -1,0 +1,70 @@
+"""Health probes (SURVEY V6 + S7; reference: rest_api/src/app/health.py:32-142).
+
+The reference health endpoint checks Cassandra (COUNT(*) on the chunk
+table), the LLM endpoint, and optionally runs a k=1 probe retrieval.
+Engine equivalents over the vector-store DataFrame: storage readable,
+per-scope row counts, a probe retrieval through the real serving path,
+and an LLM round-trip. Driver-side control plane — each check is one
+tiny Spark job."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions.embed import EMBED_DIM, embed_text
+from githubrepostorag_spark.operators.retrieval import ScopeParams, retrieve_batch
+
+
+def count_rows(df: DataFrame) -> int:
+    """S7 row-count util (cassandra_service.py:200-210)."""
+    return df.count()
+
+
+def scope_counts(store: DataFrame) -> dict[str, int]:
+    return {
+        r["scope"]: r["n"]
+        for r in store.groupBy("scope").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def probe_retrieval(spark: SparkSession, store: DataFrame, text: str = "health check") -> int:
+    """V6: k=1 retrieval through the real path (health.py:103-115)."""
+    qdf = spark.createDataFrame(
+        [(
+            "health",
+            [float(x) for x in embed_text(text, EMBED_DIM)],
+            None, None, None, None,
+        )],
+        "query_id string, qvec array<float>, flt_namespace string, "
+        "flt_repo string, flt_module string, flt_topics string",
+    )
+    return retrieve_batch(store, qdf, "code", ScopeParams(1, 1, 1, 0)).count()
+
+
+def health_check(spark: SparkSession, store: DataFrame, llm: Any | None = None) -> dict:
+    """Aggregate health dict; `status` mirrors the reference's UP/DOWN
+    contract (503 on any DOWN is API-layer)."""
+    out: dict[str, Any] = {"checks": {}}
+    try:
+        counts = scope_counts(store)
+        out["checks"]["storage"] = {"status": "UP", "scope_counts": counts}
+    except Exception as e:
+        out["checks"]["storage"] = {"status": "DOWN", "error": str(e)}
+    try:
+        hits = probe_retrieval(spark, store)
+        out["checks"]["retrieval"] = {"status": "UP" if hits >= 0 else "DOWN", "hits": hits}
+    except Exception as e:
+        out["checks"]["retrieval"] = {"status": "DOWN", "error": str(e)}
+    if llm is not None:
+        try:
+            resp = llm.complete("health check: reply OK")
+            out["checks"]["llm"] = {"status": "UP" if resp else "DOWN"}
+        except Exception as e:
+            out["checks"]["llm"] = {"status": "DOWN", "error": str(e)}
+    out["status"] = (
+        "UP" if all(c.get("status") == "UP" for c in out["checks"].values()) else "DOWN"
+    )
+    return out

@@ -91,9 +91,13 @@ def ingest_pipeline(
     collection: str = "misc",
     dev_forced: bool = False,
     output_path: str | None = None,
+    raw_dump_path: str | None = None,
 ) -> IngestResult:
     """docs(repo, file_path, text) → 5-scope vector rows + audit."""
     prepped, kinds = preprocess(docs)
+    if raw_dump_path is not None:
+        # S3 raw-doc debug dump (ingest_controller.py:154-161)
+        docs.write.mode("overwrite").json(raw_dump_path)
 
     def attach(df: DataFrame, doc_type: str, scope: str) -> DataFrame:
         with_kind = (

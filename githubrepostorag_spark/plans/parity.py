@@ -98,7 +98,11 @@ def _chunks_with_ids(documents: DataFrame) -> DataFrame:
         .withColumn("namespace", F.lit("default"))
         .withColumn(
             "node_id",
-            F.md5(F.concat_ws(":", F.col("file_path"), F.col("chunk_idx").cast("string"))),
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("repo"), F.col("file_path"), F.col("chunk_idx").cast("string")
+                )
+            ),
         )
     )
 
@@ -214,6 +218,18 @@ def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     return out.select(
         "query_id", "row_id", "repo", "module", "file_path", "score", F.col("hop").cast("long").alias("hop")
     )
+
+
+def drilldown(documents: DataFrame) -> DataFrame:
+    """J2 rollup-lineage drill-down: file rollups → explode rollup_of →
+    join chunks on node_id. Every chunk must reappear exactly once under
+    its file's keys — the oracle is the chunk fixture itself."""
+    chunks = _chunks_with_ids(documents)
+    rollups = H.file_rollup_inputs(chunks).select(
+        "namespace", "repo", "module", "file_path", "language", "rollup_of"
+    )
+    members = chunks.select("node_id", "chunk_idx", "start_line")
+    return H.drill_down(rollups, members)
 
 
 def enriched(documents: DataFrame) -> DataFrame:

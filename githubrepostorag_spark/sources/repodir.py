@@ -1,0 +1,66 @@
+"""Local repo-directory source (SURVEY S1 stand-in).
+
+The reference loads repositories over the GitHub API
+(github_service.py:16-25, concurrent_requests=6). The engine's batch
+source reads an already-cloned tree with Spark's binaryFile source —
+distributed, no network in the read path — yielding the same
+`(repo, branch, file_path, text)` document schema the ingest pipeline
+consumes. Fetching/cloning stays an external step (like the
+reference's token-auth fetch), so the engine source is pure I/O.
+
+Scale: binaryFile lists and reads files in parallel across executors;
+`pathGlobFilter`/`recursiveFileLookup` prune at the listing, and the
+text decode is a column expression.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_repo_directory(
+    spark: SparkSession,
+    path: str,
+    repo: str | None = None,
+    branch: str = "main",
+    glob: str | None = None,
+) -> DataFrame:
+    """One cloned repo tree → documents(repo, branch, file_path, text).
+
+    file_path is repo-relative (the metadata key the chunker, module
+    derivation, and hierarchy group on)."""
+    root = os.path.abspath(path)
+    repo = repo or os.path.basename(root.rstrip("/"))
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(root)
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("path"), f"^file:{root}/", ""), "^file:/*", ""
+    )
+    return raw.select(
+        F.lit(repo).alias("repo"),
+        F.lit(branch).alias("branch"),
+        rel.alias("file_path"),
+        F.col("content").cast("string").alias("text"),
+    )
+
+
+def read_repo_directories(
+    spark: SparkSession, base_path: str, branch: str = "main"
+) -> DataFrame:
+    """S2 stand-in: every immediate subdirectory of `base_path` is one
+    repo (the layout `git clone` into a workspace produces)."""
+    out: DataFrame | None = None
+    for name in sorted(os.listdir(base_path)):
+        full = os.path.join(base_path, name)
+        if not os.path.isdir(full):
+            continue
+        df = read_repo_directory(spark, full, repo=name, branch=branch)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(f"no repo directories under {base_path}")
+    return out

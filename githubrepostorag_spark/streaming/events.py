@@ -1,0 +1,37 @@
+"""Streaming event-plane transformations.
+
+The batch event operators (operators/eventops.py) re-expressed for
+Structured Streaming: the tumbling count gains a watermark so state is
+bounded and late rows beyond the watermark drop — semantics Spark
+gives for free that the reference's job/event plane never had
+(SURVEY §2.10: "no watermarks ... exist — nothing to replicate").
+
+Scale: streaming state is keyed on (window, event_type); the watermark
+bounds it to horizon/window_size generations per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling window counts over a streaming events frame
+    (same aggregate as eventops.tumbling_counts; append-mode safe)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

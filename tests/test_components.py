@@ -1,0 +1,147 @@
+"""Component tests for the round-2 surface additions: D3 selector
+repair, J2 drill-down, V6/S7 health, S1 repo-directory source, S3 raw
+dump, and the watermarked streaming event aggregate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.llm.stub import (
+    DeterministicLLM,
+    clean_selector_response,
+    is_selector_prompt,
+)
+from githubrepostorag_spark.plans.health import health_check
+from githubrepostorag_spark.plans.ingest import ingest_pipeline
+from githubrepostorag_spark.plans.parity import drilldown
+from githubrepostorag_spark.sources.repodir import (
+    read_repo_directories,
+    read_repo_directory,
+)
+from githubrepostorag_spark.sources.testdata import load_table
+from githubrepostorag_spark.streaming.events import stream_tumbling_counts
+from tests.fixtures_corpus import CORPUS, corpus_df
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- D3 selector repair (qwen_llm.py:26-102) ----------------
+
+
+def test_selector_prompt_detection():
+    assert is_selector_prompt("Choice 1: foo\nChoice 2: bar\npick one")
+    assert not is_selector_prompt("Summarize this file")
+
+
+def test_selector_response_ladder():
+    # repeated-line dedup caps at 3 unique lines, then number extraction
+    assert clean_selector_response("2\n2\n2\n2") == "2"
+    assert clean_selector_response('{"choice": 3, "reason": "best"}') == "3"
+    assert clean_selector_response("I think option 4 fits") == "4"
+    assert clean_selector_response("") == "1"
+    assert clean_selector_response("no digits here at all") == "1"
+
+
+# ---------------- J2 drill-down ----------------
+
+
+def test_drill_down_roundtrip(spark):
+    docs = load_table(spark, SF, "documents")
+    dd = drilldown(docs)
+    from githubrepostorag_spark.plans.parity import _chunks_with_ids
+
+    n_chunks = _chunks_with_ids(docs).count()
+    # every chunk reappears exactly once under its file's rollup
+    assert dd.count() == n_chunks
+    assert dd.select("node_id").distinct().count() == n_chunks
+
+
+# ---------------- V6/S7 health ----------------
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="run-health", llm_factory=DeterministicLLM,
+        namespace="default",
+    )
+    rows = res.rows.persist()
+    rows.count()
+    yield rows
+    rows.unpersist()
+
+
+def test_health_check_up(spark, store):
+    h = health_check(spark, store, DeterministicLLM())
+    assert h["status"] == "UP"
+    assert h["checks"]["storage"]["scope_counts"]["chunk"] > 0
+    assert h["checks"]["retrieval"]["hits"] == 1  # k=1 probe
+    assert h["checks"]["llm"]["status"] == "UP"
+
+
+# ---------------- S1 repo-directory source + S3 dump ----------------
+
+
+def test_repodir_source_roundtrip(spark, tmp_path):
+    base = tmp_path / "workspace"
+    for repo, file_path, text in CORPUS:
+        p = base / repo / file_path
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+
+    one = read_repo_directory(spark, str(base / "alpha"))
+    rows = {r["file_path"]: r for r in one.collect()}
+    assert set(rows) == {fp for rp, fp, _ in CORPUS if rp == "alpha"}
+    assert rows["src/util.py"]["text"].startswith("def helper")
+    assert rows["src/util.py"]["repo"] == "alpha"
+
+    docs = read_repo_directories(spark, str(base))
+    assert docs.count() == len(CORPUS)
+
+    # the source feeds the real pipeline, incl. the S3 raw dump
+    dump = str(tmp_path / "raw_dump")
+    res = ingest_pipeline(
+        docs.drop("branch"),
+        ingest_run_id="run-dir",
+        llm_factory=DeterministicLLM,
+        raw_dump_path=dump,
+    )
+    assert res.chunks.count() > 0
+    dumped = spark.read.json(dump)
+    assert dumped.count() == len(CORPUS)
+
+
+# ---------------- streaming events (watermarked tumbling) ----------------
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    from githubrepostorag_spark.operators.eventops import tumbling_counts
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("tumbling_mem").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(events).collect()
+    }
+    assert got == want
