@@ -68,7 +68,9 @@ _DOC_COLS = (
 )
 
 
-def _scored(store: DataFrame, queries: DataFrame) -> DataFrame:
+def _scored(
+    store: DataFrame, queries: DataFrame, query_meta: list[dict] | None = None
+) -> DataFrame:
     """All (query × candidate) scores under the query's filters (SURVEY
     F10). Vectors are unit-normalized at write → cosine == dot.
 
@@ -83,9 +85,13 @@ def _scored(store: DataFrame, queries: DataFrame) -> DataFrame:
     the brute-force semantics those queries ask for. `flt_topics` is a
     list-membership test, applied as a post-join filter per group.
     """
-    meta_rows = queries.select(
-        "query_id", *[f"flt_{k}" for k in FILTER_KEYS], "flt_topics"
-    ).collect()
+    meta_rows = (
+        query_meta
+        if query_meta is not None
+        else queries.select(
+            "query_id", *[f"flt_{k}" for k in FILTER_KEYS], "flt_topics"
+        ).collect()
+    )
     groups: dict[tuple[str, ...], list[str]] = {}
     topic_ids = set()
     for r in meta_rows:
@@ -233,6 +239,7 @@ def retrieve_batch(
     params: ScopeParams | None = None,
     ivf: IvfIndex | None = None,
     n_probes: int = 3,
+    query_meta: list[dict] | None = None,
 ) -> DataFrame:
     """Seed-and-expand retrieval for a batch of queries against one scope.
 
@@ -242,14 +249,18 @@ def retrieve_batch(
 
     With `ivf` set, seeding AND expansion are restricted to the query's
     probe cells (approximate, like the reference's ANN index); without
-    it the scoring is exact with hash-join filter pruning.
+    it the scoring is exact with hash-join filter pruning. Callers that
+    already hold the filter metadata driver-side (the agent does) pass
+    `query_meta` to skip the tiny metadata-collect job.
     """
     params = params or SCOPE_PARAMS[scope]
     table_scope = SCOPE_TO_TABLE.get(scope, scope)
     part = store.filter(F.col("scope") == table_scope)
 
     scored = (
-        _scored_ivf(part, queries, ivf, n_probes) if ivf is not None else _scored(part, queries)
+        _scored_ivf(part, queries, ivf, n_probes)
+        if ivf is not None
+        else _scored(part, queries, query_meta)
     ).cache()
     try:
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))

@@ -166,8 +166,10 @@ class GraphRAGAgent:
         st.emit("plan", scope=scope, filters=dict(filters), attempt=st.attempt)
 
     # ---------------- retrieve ----------------
-    def _queries_df(self, entries: list[tuple[str, str, dict]]) -> DataFrame:
-        rows = []
+    def _queries_df(
+        self, entries: list[tuple[str, str, dict]]
+    ) -> tuple[DataFrame, list[dict]]:
+        rows, meta = [], []
         for qid, text, filters in entries:
             rows.append(
                 (
@@ -179,11 +181,21 @@ class GraphRAGAgent:
                     filters.get("topics"),
                 )
             )
-        return self.spark.createDataFrame(
+            meta.append(
+                {
+                    "query_id": qid,
+                    "flt_namespace": filters.get("namespace"),
+                    "flt_repo": filters.get("repo"),
+                    "flt_module": filters.get("module"),
+                    "flt_topics": filters.get("topics"),
+                }
+            )
+        df = self.spark.createDataFrame(
             rows,
             "query_id string, qvec array<float>, flt_namespace string, "
             "flt_repo string, flt_module string, flt_topics string",
         )
+        return df, meta
 
     def _retrieve_scope(self, batch: list[QueryState]) -> dict[str, list[dict]]:
         """One retrieval job per scope for the current texts of `batch`."""
@@ -192,9 +204,9 @@ class GraphRAGAgent:
         for st in batch:
             by_scope.setdefault(st.scope, []).append(st)
         for scope, members in by_scope.items():
-            qdf = self._queries_df([(m.job_id, m.query, m.filters) for m in members])
+            qdf, meta = self._queries_df([(m.job_id, m.query, m.filters) for m in members])
             rows = retrieve_batch(
-                self.store, qdf, scope, ivf=self.ivf.get(scope)
+                self.store, qdf, scope, ivf=self.ivf.get(scope), query_meta=meta
             ).collect()
             for r in rows:
                 d = r.asDict()
@@ -252,7 +264,8 @@ class GraphRAGAgent:
                 expansions.append((key, eq, st.filters))
         if not expansions:
             return
-        qdf = self._queries_df(expansions)
+        qdf, qmeta = self._queries_df(expansions)
+        meta_by_id = {m["query_id"]: m for m in qmeta}
         by_scope: dict[str, list[str]] = {}
         for key, _, _ in expansions:
             by_scope.setdefault(owners[key].scope, []).append(key)
@@ -262,8 +275,9 @@ class GraphRAGAgent:
             if not keys:
                 continue
             sub = qdf.filter(qdf.query_id.isin(list(keys)))
+            sub_meta = [meta_by_id[k] for k in keys]
             for r in retrieve_batch(
-                self.store, sub, scope, ivf=self.ivf.get(scope)
+                self.store, sub, scope, ivf=self.ivf.get(scope), query_meta=sub_meta
             ).collect():
                 d = r.asDict()
                 results.setdefault(d.pop("query_id"), []).append(d)

@@ -1,0 +1,103 @@
+"""Physical-plan audits: the properties that make these operators hold
+up at 100 TB (pruning, pushdown, broadcast, codegen) asserted against
+`.explain` output so regressions fail loudly rather than silently
+degrading to full scans or nested loops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.llm.stub import DeterministicLLM
+from githubrepostorag_spark.operators.retrieval import retrieve_batch
+from githubrepostorag_spark.operators.vector_write import (
+    read_vector_tables,
+    write_vector_tables,
+)
+from githubrepostorag_spark.plans.ingest import ingest_pipeline
+from githubrepostorag_spark.plans.parity import fixture_queries
+from githubrepostorag_spark.sources.testdata import load_table
+from tests.fixtures_corpus import corpus_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_store_scan_partition_pruning(spark, tmp_path):
+    """The parquet store is partitioned by (scope, namespace); a
+    retrieval against one scope must prune partitions at the scan —
+    the engine form of the reference's per-scope physical tables."""
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="run-plan", llm_factory=DeterministicLLM,
+        namespace="default",
+    )
+    path = str(tmp_path / "store")
+    write_vector_tables(res.rows, path)
+    store = read_vector_tables(spark, path)
+
+    emb = load_table(spark, SF, "embeddings")
+    out = retrieve_batch(store, fixture_queries(emb), "code")
+    plan = plan_of(out)
+    # chunk-scope filter reached the scan as a partition filter
+    assert "PartitionFilters" in plan
+    assert "scope = chunk" in plan.replace("#", " #").replace("(", " ").replace(")", " ") or (
+        "scope" in plan and "chunk" in plan
+    )
+    # filtered queries join hash-style; column pruning keeps the scan narrow
+    assert "BroadcastHashJoin" in plan
+
+
+def test_store_scan_column_pruning(spark, tmp_path):
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="run-plan2", llm_factory=DeterministicLLM,
+        namespace="default",
+    )
+    path = str(tmp_path / "store2")
+    write_vector_tables(res.rows, path)
+    store = read_vector_tables(spark, path)
+    # a 2-column projection must not read body/vector/metadata
+    narrow = store.filter(F.col("scope") == "chunk").select("row_id", "repo")
+    plan = plan_of(narrow)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "row_id" in read_schema and "repo" in read_schema
+    assert "vector" not in read_schema and "body" not in read_schema
+
+
+def test_relational_join_broadcasts_dims(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    df = R.local_supplier_volume(
+        *[load_table(spark, SF, t) for t in ("region", "nation", "customer", "supplier", "orders", "lineitem")]
+    )
+    df.collect()  # AQE finalizes this df's own plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # all five dimension joins broadcast — the fact table never shuffles
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    # every scan prunes columns and pushes its date filters down
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters", 2)[-1]
+
+
+def test_knn_uses_take_ordered(spark):
+    from githubrepostorag_spark.operators import similarity as S
+
+    df = S.knn_to_query(load_table(spark, SF, "embeddings"))
+    plan = plan_of(df)
+    # top-k must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    from githubrepostorag_spark.operators.dedup import exact_dedup
+
+    plan = plan_of(exact_dedup(load_table(spark, SF, "documents")))
+    # map-side partial agg before the single shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
