@@ -115,6 +115,37 @@ def test_repodir_source_roundtrip(spark, tmp_path):
     assert dumped.count() == len(CORPUS)
 
 
+# ---------------- MMR re-rank + notebook helpers ----------------
+
+
+def test_mmr_rerank_balances_relevance_and_redundancy():
+    from githubrepostorag_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        {"body": "spark shuffle partition join", "score": 0.9},
+        {"body": "spark shuffle partition join", "score": 0.89},  # near-dup of #1
+        {"body": "cassandra vector index sai", "score": 0.5},
+    ]
+    picked = mmr_rerank(rows, k=2, lambda_mult=0.35)
+    # the redundant twin loses to the diverse lower-scored row
+    assert picked[0]["score"] == 0.9
+    assert picked[1]["body"].startswith("cassandra")
+    assert mmr_rerank([], 3) == []
+
+
+def test_kernel_language_detection():
+    from githubrepostorag_spark.operators.chunking import (
+        detect_kernel_language,
+        normalize_notebook_text,
+    )
+    from tests.fixtures_corpus import NOTEBOOK
+
+    assert detect_kernel_language(NOTEBOOK) == "python"
+    assert detect_kernel_language("not json") == "python"  # reference default
+    # malformed notebook → raw passthrough (transform_service fallback)
+    assert normalize_notebook_text("{broken") == "{broken"
+
+
 # ---------------- streaming events (watermarked tumbling) ----------------
 
 
