@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_multimodal_dedup": lambda sp, sf: P.multimodal_dedup(t(sp, sf, "documents")),
         # --- J2 rollup-lineage drill-down ---
         "q46_drill_down": lambda sp, sf: P.drilldown(t(sp, sf, "documents")),
+        # --- grouping-set + bounded-frame window surface (SURVEY §2.4/§2.7) ---
+        "q47_cube_agg": lambda sp, sf: R.cube_aggregate(t(sp, sf, "lineitem")),
+        "q48_rolling_avg": lambda sp, sf: R.rolling_avg_price(t(sp, sf, "lineitem")),
     }
 
 
@@ -849,6 +852,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'default' AS namespace, repo, module, file_path, language,
                    node_id, chunk_idx, start_line
             FROM ch2
+        """,
+        "q47_cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q48_rolling_avg": """
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   round(avg(l_extendedprice) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
+            FROM lineitem
         """,
         "q33_graph_2hop": """
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),

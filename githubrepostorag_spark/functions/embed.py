@@ -61,25 +61,30 @@ def make_hash_embedder(dim: int = EMBED_DIM):
 
     @pandas_udf("array<float>")
     def hash_embed(texts: pd.Series) -> pd.Series:
-        # cache token vectors within the batch — corpora repeat tokens heavily
-        cache: dict[str, np.ndarray] = {}
+        # vectorized over the Arrow batch: one token-vector matrix for
+        # the batch vocabulary (corpora repeat tokens heavily), then one
+        # fancy-index + sum per document instead of a per-token loop
+        doc_tokens = [(t or "").lower().split() for t in texts]
+        vocab: dict[str, int] = {}
+        for toks in doc_tokens:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        mat = np.zeros((max(len(vocab), 1), dim))
+        for tok, i in vocab.items():
+            mat[i] = _token_vector(tok, dim)
 
-        def one(text: str) -> list[float]:
-            tokens = (text or "").lower().split()
-            if not tokens:
-                return [0.0] * dim
-            acc = np.zeros(dim)
-            for tok in tokens:
-                v = cache.get(tok)
-                if v is None:
-                    v = _token_vector(tok, dim)
-                    cache[tok] = v
-                acc += v
+        out = []
+        for toks in doc_tokens:
+            if not toks:
+                out.append([0.0] * dim)
+                continue
+            acc = mat[[vocab[t] for t in toks]].sum(axis=0)
             n = np.linalg.norm(acc)
-            out = acc / n if n > 0 else acc
-            return [float(x) for x in out]
-
-        return texts.map(one)
+            if n > 0:
+                acc = acc / n
+            out.append(acc.astype(np.float32).tolist())
+        return pd.Series(out)
 
     return hash_embed
 

@@ -238,3 +238,34 @@ def market_share_join(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def cube_aggregate(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping-set combos
+    in ONE pass — Spark expands the sets before the single shuffle
+    (the reference would need four separate Python loops)."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def rolling_avg_price(lineitem: DataFrame) -> DataFrame:
+    """Rolling 4-row average price per supplier — bounded-frame window
+    (state is 4 rows per partition regardless of scale)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return lineitem.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("rolling_avg_price"),
+    )
