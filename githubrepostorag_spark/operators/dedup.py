@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.session import scale_out
 
 # Shared with the DuckDB oracle builders.
 SHINGLE_K = 4
@@ -43,8 +44,11 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def _shingled(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded distinct char-k-gram rows."""
-    return documents.select(
+    """(doc_id, shingle) exploded distinct char-k-gram rows.
+
+    Input is spread across the cluster first — the explode+hash work
+    downstream dominates the tiny raw-row shuffle."""
+    return scale_out(documents, "doc_id").select(
         "doc_id", F.explode(TXT.char_shingles(F.col("text"), SHINGLE_K)).alias("shingle")
     )
 
@@ -223,7 +227,7 @@ def simhash(documents: DataFrame) -> DataFrame:
     ±count to the bit's weight; simhash bit j = (weight_j > 0).
     One explode + two aggregations, all JVM-side.
     """
-    toks = documents.select(
+    toks = scale_out(documents, "doc_id").select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
     )
     counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))

@@ -14,7 +14,8 @@ Scale notes (100 TB design intent):
 - Fact-to-fact joins (orders ⋈ lineitem) shuffle on the join key; both
   sides are pre-filtered and column-pruned before the shuffle so the
   exchange carries minimal bytes. With bucketed storage on l_orderkey /
-  o_orderkey the shuffle disappears entirely (see sinks.write_bucketed).
+  o_orderkey the shuffle disappears entirely (see
+  githubrepostorag_spark.sinks.write_bucketed + tests/test_plans.py).
 - Aggregations use partial (map-side) aggregation automatically; the
   rounding to fixed decimals happens *after* the agg so it does not
   block partial aggregation.

@@ -70,7 +70,15 @@ def _node_id_for(df: DataFrame, scope: str) -> DataFrame:
 
 
 def preprocess(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """F1 → C5 → F2 → A2, plus the per-repo F3 kind flags."""
+    """F1 → C5 → F2 → A2, plus the per-repo F3 kind flags.
+
+    The corpus is spread across the cluster up front: everything
+    downstream (notebook normalize, chunk explode, enrichment and
+    embedding UDFs) is per-row work that would otherwise inherit the
+    source's split count."""
+    from githubrepostorag_spark.session import scale_out
+
+    docs = scale_out(docs, "file_path")
     kept = FL.filter_documents(docs)
     normalized = transform_special_files(kept)
     tagged = FL.tag_language(normalized)
@@ -114,10 +122,13 @@ def ingest_pipeline(
         )
         return _node_id_for(attached, scope)
 
-    # code_nodes stage: chunk + ids + L1-L3 enrichment
+    # code_nodes stage: chunk + ids + L1-L3 enrichment. Persisted: four
+    # downstream consumers (chunk rows, file rollups, catalog summaries,
+    # audit counts) would otherwise re-run the chunk explode + LLM +
+    # embedding UDFs once each — the most expensive stage in the DAG.
     chunks = enrich_chunks(
         attach(split_code_documents(prepped), "code", "chunk"), llm_factory
-    )
+    ).persist()
 
     # hierarchy rollups (A4-A6)
     file_sums = attach(

@@ -31,6 +31,7 @@ from githubrepostorag_spark.operators import multimodal as MM
 from githubrepostorag_spark.operators.chunking import split_code_documents
 from githubrepostorag_spark.operators.enrich import enrich_chunks
 from githubrepostorag_spark.operators.retrieval import retrieve_batch
+from githubrepostorag_spark.session import scale_out
 
 
 def code_docs_fixture(documents: DataFrame) -> DataFrame:
@@ -74,7 +75,7 @@ def component_kinds(documents: DataFrame) -> DataFrame:
 def chunk_fixture(documents: DataFrame) -> DataFrame:
     """Kept docs with multi-line/long text (so both chunkers produce
     multiple chunks) + language + module."""
-    cd = code_docs_fixture(documents)
+    cd = code_docs_fixture(scale_out(documents, "doc_id"))
     kept = FL.tag_language(FL.filter_documents(cd))
     text2 = F.when(
         F.col("language") == "python",

@@ -21,6 +21,27 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def scale_out(df, *cols: str):
+    """Spread a narrow input across the cluster before expensive
+    map-side work (explode / hash / Arrow UDF stages).
+
+    The driver's synthetic parquet ships ONE row group per table, so
+    every scan starts as a single task; a hash repartition on a key
+    costs one tiny shuffle of the raw rows and buys full parallelism
+    for everything downstream. At 100 TB inputs arrive multi-split and
+    this becomes a no-op choice — the operators that call it do so
+    because their per-row work dominates the repartition cost at ANY
+    input layout.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    return df.repartition(n)
+
+
 def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     cpus = cpus or DEFAULT_CPUS

@@ -94,6 +94,42 @@ def test_knn_uses_take_ordered(spark):
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join without any
+    Exchange — the 100 TB answer to repeated fact-to-fact joins."""
+    from githubrepostorag_spark.sinks import read_table, write_bucketed
+
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(
+        orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"],
+        path=str(tmp_path / "ob"),
+    )
+    write_bucketed(
+        lineitem, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"],
+        path=str(tmp_path / "lb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must co-locate — the case
+        # bucketing exists for (at 100 TB neither fact side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "t_lineitem_b").join(
+            read_table(spark, "t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "o_orderdate", "l_extendedprice")
+        joined.collect()
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # bucket co-location replaced the shuffle
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_exact_dedup_partial_aggregation(spark):
     from githubrepostorag_spark.operators.dedup import exact_dedup
 
