@@ -12,8 +12,63 @@ bounds it to horizon/window_size generations per key.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+SESSION_STATE_SCHEMA = "last_ts long, n_sessions long, n_events long"
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+
+
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    per-user sessionization carrying (last_ts, session count, event
+    count) across micro-batches — the engine's example of stateful
+    semantics Spark's built-in windows can't express (a session id
+    depends on the PREVIOUS event's time, not a fixed grid).
+
+    Emits the running per-user totals each batch; on a bounded input
+    (availableNow) the final emission equals the batch `sessionize`.
+    State per key is three longs — bounded regardless of scale; add a
+    ProcessingTimeTimeout eviction for truly unbounded key spaces.
+    """
+    gap_s = gap_minutes * 60
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        for ts in rows["ts"].astype("int64") // 1_000_000_000:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_s:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def stream_tumbling_counts(

@@ -149,6 +149,60 @@ def test_kernel_language_detection():
 # ---------------- streaming events (watermarked tumbling) ----------------
 
 
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries across
+    micro-batches; the final per-user totals equal batch sessionize."""
+    from githubrepostorag_spark.operators.eventops import sessionize
+    from githubrepostorag_spark.streaming.events import stream_sessionize
+
+    import time as _time
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "sess_src")
+    # three TIME-ORDERED files → three micro-batches in event-time order
+    # (gap sessions are order-sensitive; the file source replays files
+    # by modification time) → real cross-batch state carry-over
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo, lo + span, lo + 2 * span, hi]
+    for i in range(3):
+        upper_ok = (
+            F.col("ts") <= bounds[i + 1] if i == 2 else F.col("ts") < bounds[i + 1]
+        )
+        events.filter((F.col("ts") >= bounds[i]) & upper_ok).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_df = spark.table("sess_mem").toPandas()
+    # update mode emits one row per (user, batch); n_events grows
+    # monotonically, so the max-n_events row is the final state
+    got_final = {
+        int(r["user_id"]): (int(r["n_sessions"]), int(r["n_events"]))
+        for _, r in got_df.sort_values("n_events").iterrows()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize(events).collect()
+    }
+    assert got_final == want
+
+
 def test_stream_tumbling_matches_batch(spark, tmp_path):
     from githubrepostorag_spark.operators.eventops import tumbling_counts
 

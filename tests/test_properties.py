@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the pure kernels whose edge
+cases are easy to miss with example tests: chunk-window arithmetic,
+notebook normalization robustness, selector repair, embedding
+normalization, and stable-word extraction."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from githubrepostorag_spark.functions.embed import embed_text
+from githubrepostorag_spark.llm.stub import (
+    _stable_words,
+    clean_selector_response,
+    sanitize_llm_output,
+)
+from githubrepostorag_spark.operators.chunking import (
+    CODE_CHUNK_LINES,
+    CODE_CHUNK_LINES_OVERLAP,
+    detect_kernel_language,
+    normalize_notebook_text,
+)
+
+STRIDE = CODE_CHUNK_LINES - CODE_CHUNK_LINES_OVERLAP
+
+
+def expected_line_chunks(n_lines: int) -> int:
+    """The closed-form chunk count both engines implement."""
+    if n_lines <= CODE_CHUNK_LINES:
+        return 1
+    return 1 + math.floor((n_lines - CODE_CHUNK_LINES + STRIDE - 1) / STRIDE)
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+def test_line_chunk_count_covers_every_line(n_lines):
+    """Windows of 200 lines with stride 190 must cover line n_lines-1
+    and start no chunk past the input."""
+    n_chunks = expected_line_chunks(n_lines)
+    last_start = (n_chunks - 1) * STRIDE
+    assert last_start < n_lines  # no empty trailing chunk
+    assert last_start + CODE_CHUNK_LINES >= n_lines  # full coverage
+    if n_chunks > 1:
+        # one fewer chunk would leave lines uncovered
+        assert (n_chunks - 2) * STRIDE + CODE_CHUNK_LINES < n_lines
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200)
+def test_notebook_normalizer_never_raises(raw):
+    out = normalize_notebook_text(raw)
+    assert isinstance(out, str)
+    assert detect_kernel_language(raw)  # always yields a language
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200)
+def test_selector_repair_always_valid(raw):
+    out = clean_selector_response(raw)
+    assert isinstance(out, str) and out.strip()
+    # with no recognizable choice the ladder lands on "1"
+    assert out == "1" or any(ch.isdigit() for ch in out)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200)
+def test_sanitizer_idempotent(raw):
+    once = sanitize_llm_output(raw)
+    assert sanitize_llm_output(once) == once
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Zs")), max_size=400))
+@settings(max_examples=100)
+def test_embedding_unit_norm_or_zero(text):
+    v = embed_text(text)
+    n = math.sqrt(float((v * v).sum()))
+    assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+@given(st.text(max_size=400), st.integers(min_value=1, max_value=30))
+@settings(max_examples=200)
+def test_stable_words_distinct_ordered_capped(text, n):
+    words = _stable_words(text, n)
+    assert len(words) <= n
+    assert len(set(words)) == len(words)  # first-occurrence distinct
+    lowered = text.lower()
+    pos = [lowered.find(w) for w in words]
+    assert all(p >= 0 for p in pos)
