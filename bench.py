@@ -58,6 +58,29 @@ def main() -> None:
     res = ingest_pipeline(docs, ingest_run_id="bench", llm_factory=DeterministicLLM)
     run_query(res.rows)
     times["ingest_pipeline"] = round(time.time() - t0, 3)
+    res.chunks.unpersist()
+
+    # agent serving latency: a 4-query batch through the full
+    # plan → retrieve → judge → synthesize loop with the scripted LLM
+    from githubrepostorag_spark.plans.agent import GraphRAGAgent
+    from githubrepostorag_spark.plans.parity import fixture_store
+
+    t0 = time.time()
+    store = fixture_store(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    ).persist()
+    store.count()
+    agent = GraphRAGAgent(spark, store, DeterministicLLM())
+    agent.run_batch(
+        [
+            {"job_id": "b1", "query": "tell me about the projects"},
+            {"job_id": "b2", "query": "how is the cache configured"},
+            {"job_id": "b3", "query": "stacktrace timeout exception in stream"},
+            {"job_id": "b4", "query": "repo: src1 what does module m3 contain"},
+        ]
+    )
+    times["agent_batch4"] = round(time.time() - t0, 3)
+    store.unpersist()
     total = round(time.time() - t_total0, 3)
 
     print(

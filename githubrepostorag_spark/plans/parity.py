@@ -224,8 +224,12 @@ def retrieve_chunk(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
 def drilldown(documents: DataFrame) -> DataFrame:
     """J2 rollup-lineage drill-down: file rollups → explode rollup_of →
     join chunks on node_id. Every chunk must reappear exactly once under
-    its file's keys — the oracle is the chunk fixture itself."""
-    chunks = _chunks_with_ids(documents)
+    its file's keys — the oracle is the chunk fixture itself.
+
+    The post-chunking repartition gives both branches (rollups +
+    members) an identical exchange subplan, so ReuseExchange runs the
+    expensive chunk explode ONCE instead of once per branch."""
+    chunks = scale_out(_chunks_with_ids(documents), "node_id")
     rollups = H.file_rollup_inputs(chunks).select(
         "namespace", "repo", "module", "file_path", "language", "rollup_of"
     )
