@@ -10,11 +10,14 @@ collect `adjacent_k` per hop, return ≤`k` by score. Per-scope params:
     file:                   k=8,  start_k=2, adjacent_k=6, max_depth=2
     code (chunk table):     k=10, start_k=3, adjacent_k=8, max_depth=2
 
-Engine shape: the whole batch of queries retrieves in ONE plan per
-scope — queries join the scope partition (partition-pruned, filter
-pushdown), score = dot on unit vectors, per-query ranking windows. The
-hop loop is a bounded driver loop with the (tiny) frontier broadcast,
-like GraphFrames iterations; the store never shuffles.
+Engine shape: a whole mixed-scope batch of queries retrieves in ONE
+shared set of jobs — queries hash-join the scope partitions
+(partition-pruned, filter pushdown), score = dot on unit vectors into
+a narrow cached (query_id, row_id, edge keys, score) table, then a
+bounded driver loop walks the hops: each ≤batch×k frontier row set is
+pushed back as literal isin predicates over the cached scores (no
+broadcast joins, no lineage recursion), and the final ≤k ids fetch doc
+bodies with one broadcast hash join. The store never shuffles.
 """
 
 from __future__ import annotations
@@ -67,6 +70,32 @@ _DOC_COLS = (
     "topics",
 )
 
+# per-query ranking params carried as columns on the query batch — the
+# driver reads them (via query_meta or a collect) so queries against
+# DIFFERENT scopes (different k/start_k/adjacent_k) rank correctly
+# inside one shared job
+_PARAM_COLS = ("p_k", "p_start_k", "p_adjacent_k", "p_max_depth")
+
+# slim scoring schema: ranking + hop expansion need only ids, edge
+# keys, and the score — doc bodies are fetched once for the final ≤k
+# rows, so the cached score table stays narrow at any store size
+_SLIM_COLS = ("row_id", "namespace", "repo", "module", "file_path")
+
+
+def with_scope_params(
+    queries: DataFrame, scope: str, params: "ScopeParams | None" = None
+) -> DataFrame:
+    """Attach the table-scope + ranking-param columns for one agent
+    scope, turning a plain query batch into multi-scope form."""
+    p = params or SCOPE_PARAMS[scope]
+    return (
+        queries.withColumn("q_scope", F.lit(SCOPE_TO_TABLE.get(scope, scope)))
+        .withColumn("p_k", F.lit(p.k))
+        .withColumn("p_start_k", F.lit(p.start_k))
+        .withColumn("p_adjacent_k", F.lit(p.adjacent_k))
+        .withColumn("p_max_depth", F.lit(p.max_depth))
+    )
+
 
 def _scored(
     store: DataFrame, queries: DataFrame, query_meta: list[dict] | None = None
@@ -79,19 +108,21 @@ def _scored(
     nested-loop over the whole scope partition. Instead the (tiny)
     query batch is split by WHICH filter keys are non-null — one tiny
     driver-side pass over the query rows — and each group joins the
-    store on its equality keys as a broadcast HASH join (the store side
-    never shuffles; provided keys prune candidates before any vector
-    math). The filterless group is the one genuine full-scan — exactly
-    the brute-force semantics those queries ask for. `flt_topics` is a
-    list-membership test, applied as a post-join filter per group.
+    store on scope + its equality keys as a broadcast HASH join (the
+    store side never shuffles; provided keys prune candidates before
+    any vector math). The scope column is always an equality key, so
+    even the filterless group hash-joins instead of nested-looping.
+    `flt_topics` is a list-membership test, applied post-join per group.
     """
     meta_rows = (
         query_meta
         if query_meta is not None
         else queries.select(
-            "query_id", *[f"flt_{k}" for k in FILTER_KEYS], "flt_topics"
+            "query_id", *[f"flt_{k}" for k in FILTER_KEYS], "flt_topics", "q_scope"
         ).collect()
     )
+    # static scan pruning to the scopes this batch touches
+    scopes = sorted({r["q_scope"] for r in meta_rows})
     groups: dict[tuple[str, ...], list[str]] = {}
     topic_ids = set()
     for r in meta_rows:
@@ -101,17 +132,13 @@ def _scored(
             topic_ids.add(r["query_id"])
 
     out: DataFrame | None = None
-    st = store.alias("s")
+    st = store.filter(F.col("scope").isin(scopes)).alias("s")
     for keys, qids in groups.items():
         q = F.broadcast(queries.filter(F.col("query_id").isin(qids)).alias("q"))
-        if keys:
-            cond = None
-            for k in keys:
-                c = F.col(f"s.{k}") == F.col(f"q.flt_{k}")
-                cond = c if cond is None else cond & c
-            joined = st.join(q, cond)
-        else:
-            joined = st.crossJoin(q)
+        cond = F.col("s.scope") == F.col("q.q_scope")
+        for k in keys:
+            cond = cond & (F.col(f"s.{k}") == F.col(f"q.flt_{k}"))
+        joined = st.join(q, cond)
         if topic_ids.intersection(qids):
             joined = joined.filter(
                 F.col("q.flt_topics").isNull()
@@ -121,7 +148,7 @@ def _scored(
             )
         part = joined.select(
             F.col("q.query_id").alias("query_id"),
-            *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+            *[F.col(f"s.{c}").alias(c) for c in _SLIM_COLS],
             F.round(
                 V.dot(V.as_double(F.col("s.vector")), V.as_double(F.col("q.qvec"))), 6
             ).alias("score"),
@@ -140,7 +167,7 @@ def _scored_schema_like(store: DataFrame, queries: DataFrame) -> DataFrame:
         st.crossJoin(q)
         .select(
             F.col("q.query_id").alias("query_id"),
-            *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+            *[F.col(f"s.{c}").alias(c) for c in _SLIM_COLS],
             F.lit(0.0).alias("score"),
         )
         .limit(0)
@@ -225,10 +252,187 @@ def _scored_ivf(
     )
     return cand.filter(filt).select(
         F.col("s.query_id").alias("query_id"),
-        *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+        *[F.col(f"s.{c}").alias(c) for c in _SLIM_COLS],
         F.round(V.dot(V.as_double(F.col("s.vector")), V.as_double(F.col("q.qvec"))), 6).alias(
             "score"
         ),
+    )
+
+
+def retrieve_batch_multi(
+    store: DataFrame,
+    queries: DataFrame,
+    ivf: dict[str, IvfIndex] | None = None,
+    n_probes: int = 3,
+    query_meta: list[dict] | None = None,
+    max_depth: int = 2,
+) -> DataFrame:
+    """Seed-and-expand retrieval for a batch of queries spanning ANY mix
+    of scopes — the whole batch runs as ONE Spark job.
+
+    queries: (query_id string, qvec array<float>, flt_namespace,
+    flt_repo, flt_module, flt_topics — nullable strings, q_scope string
+    = TABLE scope, p_k/p_start_k/p_adjacent_k/p_max_depth ints); use
+    `with_scope_params` to attach the last five. Returns ≤p_k rows per
+    query with hop + score, score-desc ranked.
+
+    `ivf` maps TABLE scope → IvfIndex; queries on indexed scopes score
+    only their probe cells (approximate, like the reference's ANN
+    index), the rest score exactly with hash-join filter pruning.
+    The per-hop loop bound is `max_depth` globally with per-query
+    p_max_depth gating, so mixed-depth batches rank correctly. Callers
+    holding filter metadata driver-side (the agent does) pass
+    `query_meta` (with q_scope per row) to skip the metadata collect.
+    """
+    ivf = ivf or {}
+    meta_rows = (
+        query_meta
+        if query_meta is not None
+        else queries.select(
+            "query_id",
+            *[f"flt_{k}" for k in FILTER_KEYS],
+            "flt_topics",
+            "q_scope",
+            *_PARAM_COLS,
+        ).collect()
+    )
+    params = {
+        r["query_id"]: (r["p_k"], r["p_start_k"], r["p_adjacent_k"], r["p_max_depth"])
+        for r in meta_rows
+    }
+
+    ids_schema = "query_id string, row_id string, score double, hop int"
+    batch_scopes = sorted({r["q_scope"] for r in meta_rows})
+    if not meta_rows:
+        ids = store.sparkSession.createDataFrame([], ids_schema)
+        return _fetch_docs(store, ids, batch_scopes)
+
+    exact_meta = [r for r in meta_rows if r["q_scope"] not in ivf]
+    parts: list[DataFrame] = []
+    if exact_meta:
+        exact_ids = [r["query_id"] for r in exact_meta]
+        sub = queries if not ivf else queries.filter(F.col("query_id").isin(exact_ids))
+        parts.append(_scored(store, sub, exact_meta))
+    for tscope, index in ivf.items():
+        qids = [r["query_id"] for r in meta_rows if r["q_scope"] == tscope]
+        if not qids:
+            continue
+        sub = queries.filter(F.col("query_id").isin(qids))
+        parts.append(
+            _scored_ivf(store.filter(F.col("scope") == tscope), sub, index, n_probes)
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    scored = scored.cache()
+    try:
+        # --- seeds: one job ranks every query's top start_k ---
+        max_start = max(p[1] for p in params.values())
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
+        seed_rows = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_start)
+            .drop("rn")
+            .collect()
+        )
+        by_q: dict[str, list] = {}
+        for r in seed_rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+
+        def rank_key(r):
+            # Spark desc() is NULLS LAST; mirror it driver-side
+            return (r["score"] is None, -(r["score"] or 0.0), r["row_id"])
+        reached: dict[str, list[tuple]] = {}  # qid -> [(row_id, score, hop)]
+        frontier: dict[str, list] = {}
+        for qid, (k, start_k, adj_k, depth_q) in params.items():
+            top = sorted(by_q.get(qid, []), key=rank_key)[:start_k]
+            reached[qid] = [(r["row_id"], r["score"], 0) for r in top]
+            frontier[qid] = top
+
+        # --- hops: the frontier is ≤ batch×k rows by construction, so
+        # it travels driver→executors as literal isin predicates over
+        # the cached slim score table — no broadcast joins, no
+        # re-computation of prior hops (the old lineage-recursive plan
+        # re-ran hop N-1's subplan once per later reference) ---
+        for depth in range(1, max_depth + 1):
+            conds = []
+            active_adj: dict[str, int] = {}
+            for qid, (k, start_k, adj_k, depth_q) in params.items():
+                fr = frontier.get(qid) or []
+                if depth > depth_q or not fr:
+                    continue
+                key_sets = {
+                    key: sorted({r[key] for r in fr if r[key] is not None})
+                    for key in EDGE_KEYS
+                }
+                edge_cond = None
+                for key, vals in key_sets.items():
+                    if not vals:
+                        continue
+                    c = F.col(key).isin(vals)
+                    edge_cond = c if edge_cond is None else edge_cond | c
+                if edge_cond is None:
+                    continue
+                seen_ids = [row_id for row_id, _, _ in reached[qid]]
+                conds.append(
+                    (F.col("query_id") == qid)
+                    & edge_cond
+                    & ~F.col("row_id").isin(seen_ids)
+                )
+                active_adj[qid] = adj_k
+            if not conds:
+                break
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            max_adj = max(active_adj.values())
+            hop_rows = (
+                scored.filter(cond)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_adj)
+                .drop("rn")
+                .collect()
+            )
+            hop_by_q: dict[str, list] = {}
+            for r in hop_rows:
+                hop_by_q.setdefault(r["query_id"], []).append(r)
+            frontier = {}
+            for qid, adj_k in active_adj.items():
+                top = sorted(hop_by_q.get(qid, []), key=rank_key)[:adj_k]
+                reached[qid].extend((r["row_id"], r["score"], depth) for r in top)
+                frontier[qid] = top
+
+        # --- final: rank ≤k per query driver-side, fetch doc columns once ---
+        final: list[tuple] = []
+        for qid, (k, _, _, _) in params.items():
+            rows = sorted(
+                reached.get(qid, []), key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0])
+            )[:k]
+            final.extend((qid, row_id, score, hop) for row_id, score, hop in rows)
+        ids = store.sparkSession.createDataFrame(final, ids_schema)
+        return _fetch_docs(store, ids, batch_scopes)
+    finally:
+        scored.unpersist()
+
+
+def _fetch_docs(store: DataFrame, ids: DataFrame, scopes: list[str] | None = None) -> DataFrame:
+    """Join the (tiny) ranked id list back to the store for doc columns.
+    row_id is globally unique across scopes (sha1 over scope|keys); the
+    scope filter keeps partition pruning in the fetch scan."""
+    if scopes:
+        store = store.filter(F.col("scope").isin(scopes))
+    s = store.alias("s")
+    i = F.broadcast(ids.alias("i"))
+    return (
+        s.join(i, F.col("s.row_id") == F.col("i.row_id"))
+        .select(
+            F.col("i.query_id").alias("query_id"),
+            *[F.col(f"s.{c}").alias(c) for c in _DOC_COLS],
+            F.col("i.score").alias("score"),
+            F.col("i.hop").alias("hop"),
+        )
+        # callers read rows score-desc (V5); the result is ≤k×batch rows
+        .orderBy(F.desc("score"), F.asc("row_id"))
     )
 
 
@@ -241,75 +445,38 @@ def retrieve_batch(
     n_probes: int = 3,
     query_meta: list[dict] | None = None,
 ) -> DataFrame:
-    """Seed-and-expand retrieval for a batch of queries against one scope.
+    """Single-scope convenience wrapper over `retrieve_batch_multi`.
 
     queries: (query_id string, qvec array<float>, flt_namespace,
     flt_repo, flt_module, flt_topics — nullable strings).
     Returns ≤k rows per query with hop + score, score-desc ranked.
-
-    With `ivf` set, seeding AND expansion are restricted to the query's
-    probe cells (approximate, like the reference's ANN index); without
-    it the scoring is exact with hash-join filter pruning. Callers that
-    already hold the filter metadata driver-side (the agent does) pass
-    `query_meta` to skip the tiny metadata-collect job.
     """
     params = params or SCOPE_PARAMS[scope]
-    table_scope = SCOPE_TO_TABLE.get(scope, scope)
-    part = store.filter(F.col("scope") == table_scope)
-
-    scored = (
-        _scored_ivf(part, queries, ivf, n_probes)
-        if ivf is not None
-        else _scored(part, queries, query_meta)
-    ).cache()
-    try:
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
-        seeds = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= params.start_k)
-            .drop("rn")
-            .withColumn("hop", F.lit(0))
-        )
-
-        reached = seeds
-        frontier = seeds
-        for depth in range(1, params.max_depth + 1):
-            fr = frontier.select(
-                "query_id", *[F.col(k).alias(f"fr_{k}") for k in EDGE_KEYS]
-            ).distinct()
-            cond = F.lit(False)
-            for key in EDGE_KEYS:
-                cond = cond | (F.col(key) == F.col(f"fr_{key}"))
-            neighbors = (
-                scored.join(F.broadcast(fr), on=["query_id"], how="inner")
-                .filter(cond)
-                .select("query_id", *_DOC_COLS, "score")
-                .distinct()
-                .join(
-                    reached.select("query_id", "row_id"),
-                    ["query_id", "row_id"],
-                    "left_anti",
-                )
+    tscope = SCOPE_TO_TABLE.get(scope, scope)
+    q2 = with_scope_params(queries, scope, params)
+    meta = (
+        [
+            dict(
+                r,
+                q_scope=tscope,
+                p_k=params.k,
+                p_start_k=params.start_k,
+                p_adjacent_k=params.adjacent_k,
+                p_max_depth=params.max_depth,
             )
-            wn = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
-            hop_k = (
-                neighbors.withColumn("rn", F.row_number().over(wn))
-                .filter(F.col("rn") <= params.adjacent_k)
-                .drop("rn")
-                .withColumn("hop", F.lit(depth))
-            )
-            reached = reached.unionByName(hop_k)
-            frontier = hop_k
-
-        wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("row_id"))
-        return (
-            reached.dropDuplicates(["query_id", "row_id"])
-            .withColumn("rn", F.row_number().over(wf))
-            .filter(F.col("rn") <= params.k)
-            .drop("rn")
-        )
-    finally:
-        scored.unpersist()
+            for r in query_meta
+        ]
+        if query_meta is not None
+        else None
+    )
+    return retrieve_batch_multi(
+        store,
+        q2,
+        ivf={tscope: ivf} if ivf is not None else None,
+        n_probes=n_probes,
+        query_meta=meta,
+        max_depth=params.max_depth,
+    )
 
 
 def mmr_rerank(rows: list[dict], k: int, lambda_mult: float = 0.35) -> list[dict]:

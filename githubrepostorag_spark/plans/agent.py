@@ -43,8 +43,9 @@ from githubrepostorag_spark.functions.embed import EMBED_DIM, embed_text
 from githubrepostorag_spark.llm.stub import LLM, sanitize_llm_output
 from githubrepostorag_spark.operators.retrieval import (
     SCOPE_PARAMS,
+    SCOPE_TO_TABLE,
     IvfIndex,
-    retrieve_batch,
+    retrieve_batch_multi,
 )
 
 MAX_RAG_ATTEMPTS = 3  # rag_shared/config.py:6,37
@@ -167,10 +168,15 @@ class GraphRAGAgent:
 
     # ---------------- retrieve ----------------
     def _queries_df(
-        self, entries: list[tuple[str, str, dict]]
+        self, entries: list[tuple[str, str, dict, str]]
     ) -> tuple[DataFrame, list[dict]]:
+        """entries: (query_id, text, filters, agent_scope). The scope
+        rides along as a table-scope column + per-query ranking params,
+        so one DataFrame serves a mixed-scope batch."""
         rows, meta = [], []
-        for qid, text, filters in entries:
+        for qid, text, filters, scope in entries:
+            tscope = SCOPE_TO_TABLE.get(scope, scope)
+            p = SCOPE_PARAMS[scope]
             rows.append(
                 (
                     qid,
@@ -179,6 +185,11 @@ class GraphRAGAgent:
                     filters.get("repo"),
                     filters.get("module"),
                     filters.get("topics"),
+                    tscope,
+                    p.k,
+                    p.start_k,
+                    p.adjacent_k,
+                    p.max_depth,
                 )
             )
             meta.append(
@@ -188,40 +199,59 @@ class GraphRAGAgent:
                     "flt_repo": filters.get("repo"),
                     "flt_module": filters.get("module"),
                     "flt_topics": filters.get("topics"),
+                    "q_scope": tscope,
+                    "p_k": p.k,
+                    "p_start_k": p.start_k,
+                    "p_adjacent_k": p.adjacent_k,
+                    "p_max_depth": p.max_depth,
                 }
             )
         df = self.spark.createDataFrame(
             rows,
             "query_id string, qvec array<float>, flt_namespace string, "
-            "flt_repo string, flt_module string, flt_topics string",
+            "flt_repo string, flt_module string, flt_topics string, "
+            "q_scope string, p_k int, p_start_k int, p_adjacent_k int, p_max_depth int",
         )
         return df, meta
 
-    def _retrieve_scope(self, batch: list[QueryState]) -> dict[str, list[dict]]:
-        """One retrieval job per scope for the current texts of `batch`."""
-        out: dict[str, list[dict]] = {st.job_id: [] for st in batch}
-        by_scope: dict[str, list[QueryState]] = {}
-        for st in batch:
-            by_scope.setdefault(st.scope, []).append(st)
-        for scope, members in by_scope.items():
-            qdf, meta = self._queries_df([(m.job_id, m.query, m.filters) for m in members])
-            rows = retrieve_batch(
-                self.store, qdf, scope, ivf=self.ivf.get(scope), query_meta=meta
-            ).collect()
-            for r in rows:
-                d = r.asDict()
-                out[d.pop("query_id")].append(d)
+    def _retrieve_all(
+        self, entries: list[tuple[str, str, dict, str]]
+    ) -> dict[str, list[dict]]:
+        """ONE retrieval job for the whole mixed-scope entry list — the
+        latency-critical path, so every scope and every expansion query
+        shares a single plan instead of a job per scope."""
+        out: dict[str, list[dict]] = {qid: [] for qid, _, _, _ in entries}
+        if not entries:
+            return out
+        qdf, meta = self._queries_df(entries)
+        ivf_t = {
+            SCOPE_TO_TABLE.get(s, s): idx for s, idx in self.ivf.items() if idx is not None
+        }
+        rows = retrieve_batch_multi(
+            self.store, qdf, ivf=ivf_t or None, query_meta=meta
+        ).collect()
+        for r in rows:
+            d = r.asDict()
+            out[d.pop("query_id")].append(d)
         return out
 
     def retrieve(self, batch: list[QueryState]) -> None:
-        hits = self._retrieve_scope(batch)
-        need_expand: list[QueryState] = []
+        # expansion is unconditional for attempt>0 (reference :253-257),
+        # so those expansion queries are folded into the SAME Spark job
+        # as the originals; attempt-0 states expand only if hits<3,
+        # which needs a (rare) second job
+        pre = [st for st in batch if st.attempt > 0]
+        pre_entries, pre_qs = self._expansion_entries(pre)
+        hits = self._retrieve_all(
+            [(st.job_id, st.query, st.filters, st.scope) for st in batch] + pre_entries
+        )
         for st in batch:
             st.docs = sorted(hits[st.job_id], key=lambda d: (-(d["score"] or 0.0), d["row_id"]))
-            if len(st.docs) < 3 or st.attempt > 0:
-                need_expand.append(st)
-        if need_expand:
-            self._expand(need_expand)
+        late = [st for st in batch if st.attempt == 0 and len(st.docs) < 3]
+        late_entries, late_qs = self._expansion_entries(late)
+        late_hits = self._retrieve_all(late_entries)
+        self._merge_expansions(pre, pre_qs, hits)
+        self._merge_expansions(late, late_qs, late_hits)
         for st in batch:
             st.emit("retrieve", scope=st.scope, filters=dict(st.filters), hits=len(st.docs))
 
@@ -250,37 +280,27 @@ class GraphRAGAgent:
             fallbacks += ["application settings", "environment configuration", "setup parameters"]
         return fallbacks[:3] if fallbacks else [st.query]
 
-    def _expand(self, batch: list[QueryState]) -> None:
-        """V4 fan-out: union expansion results, content-dedup, cap at 5."""
-        expansions: list[tuple[str, str, dict]] = []
-        owners: dict[str, QueryState] = {}
+    def _expansion_entries(
+        self, batch: list[QueryState]
+    ) -> tuple[list[tuple[str, str, dict, str]], dict[str, list[str]]]:
+        """V4 fan-out inputs: one entry per expansion query, keyed
+        `{job_id}::exp{i}`, plus the per-state expansion texts."""
+        entries: list[tuple[str, str, dict, str]] = []
         per_state: dict[str, list[str]] = {}
         for st in batch:
             eqs = self._expand_queries(st)
             per_state[st.job_id] = eqs
             for i, eq in enumerate(eqs):
-                key = f"{st.job_id}::exp{i}"
-                owners[key] = st
-                expansions.append((key, eq, st.filters))
-        if not expansions:
-            return
-        qdf, qmeta = self._queries_df(expansions)
-        meta_by_id = {m["query_id"]: m for m in qmeta}
-        by_scope: dict[str, list[str]] = {}
-        for key, _, _ in expansions:
-            by_scope.setdefault(owners[key].scope, []).append(key)
-        results: dict[str, list[dict]] = {}
-        for scope in {st.scope for st in batch}:
-            keys = set(by_scope.get(scope, []))
-            if not keys:
-                continue
-            sub = qdf.filter(qdf.query_id.isin(list(keys)))
-            sub_meta = [meta_by_id[k] for k in keys]
-            for r in retrieve_batch(
-                self.store, sub, scope, ivf=self.ivf.get(scope), query_meta=sub_meta
-            ).collect():
-                d = r.asDict()
-                results.setdefault(d.pop("query_id"), []).append(d)
+                entries.append((f"{st.job_id}::exp{i}", eq, st.filters, st.scope))
+        return entries, per_state
+
+    def _merge_expansions(
+        self,
+        batch: list[QueryState],
+        per_state: dict[str, list[str]],
+        results: dict[str, list[dict]],
+    ) -> None:
+        """Union expansion results into st.docs, content-dedup, cap at 5."""
         for st in batch:
             seen = {_content_key(d["body"]) for d in st.docs}
             original = len(st.docs)
