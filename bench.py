@@ -56,7 +56,10 @@ def main() -> None:
         "repo", "file_path", "text"
     )
     res = ingest_pipeline(docs, ingest_run_id="bench", llm_factory=DeterministicLLM)
-    store = res.rows.persist()
+    # serving store: cap cached partitions at cluster parallelism (the
+    # ingest lineage is partitioned for write throughput, not for the
+    # many tiny rescans the serving loop issues)
+    store = res.rows.coalesce(spark.sparkContext.defaultParallelism).persist()
     run_query(store)  # materializes the cache the serving bench reads
     times["ingest_pipeline"] = round(time.time() - t0, 3)
     res.chunks.unpersist()

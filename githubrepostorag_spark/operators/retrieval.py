@@ -324,7 +324,12 @@ def retrieve_batch_multi(
     scored = parts[0]
     for p in parts[1:]:
         scored = scored.unionByName(p)
-    scored = scored.cache()
+    # the slim score table is scanned once per hop plus once for seeds;
+    # cap its cached partition count at cluster parallelism (coalesce is
+    # narrow — no shuffle) so those rescans don't pay per-partition task
+    # overhead proportional to the store's write-time partitioning
+    n_slots = store.sparkSession.sparkContext.defaultParallelism
+    scored = scored.coalesce(max(1, n_slots)).cache()
     try:
         # --- seeds: one job ranks every query's top start_k ---
         max_start = max(p[1] for p in params.values())
