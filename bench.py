@@ -62,7 +62,7 @@ def main() -> None:
     store = res.rows.coalesce(spark.sparkContext.defaultParallelism).persist()
     run_query(store)  # materializes the cache the serving bench reads
     times["ingest_pipeline"] = round(time.time() - t0, 3)
-    res.chunks.unpersist()
+    res.unpersist()
 
     # agent serving latency: a 4-query batch through the full
     # plan → retrieve → judge → synthesize loop with the scripted LLM,

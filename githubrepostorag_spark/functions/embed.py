@@ -31,6 +31,12 @@ from pyspark.sql.functions import pandas_udf
 
 EMBED_DIM = 384  # reference: rag_shared/config.py:25
 
+# per-worker token-vector cache: {dim: {token: vec}}; capped so a
+# pathological vocabulary (minified JS, hashes) can't grow unbounded —
+# at 384-d float64 the cap bounds each worker at ~200 MB
+_TOKEN_VEC_MEMO: dict[int, dict[str, np.ndarray]] = {}
+_TOKEN_VEC_MEMO_CAP = 65_536
+
 
 def _token_vector(token: str, dim: int) -> np.ndarray:
     """Stable pseudo-random vector for one token: sha256-expanded bytes
@@ -63,7 +69,12 @@ def make_hash_embedder(dim: int = EMBED_DIM):
     def hash_embed(texts: pd.Series) -> pd.Series:
         # vectorized over the Arrow batch: one token-vector matrix for
         # the batch vocabulary (corpora repeat tokens heavily), then one
-        # fancy-index + sum per document instead of a per-token loop
+        # fancy-index + sum per document instead of a per-token loop.
+        # Token vectors memoize across batches/tasks: Spark reuses the
+        # Python worker process, and corpus vocabulary is tiny relative
+        # to total token count, so the 12-digest sha256 expansion runs
+        # once per distinct token per executor (capped to bound memory).
+        memo = _TOKEN_VEC_MEMO.setdefault(dim, {})
         doc_tokens = [(t or "").lower().split() for t in texts]
         vocab: dict[str, int] = {}
         for toks in doc_tokens:
@@ -72,7 +83,12 @@ def make_hash_embedder(dim: int = EMBED_DIM):
                     vocab[tok] = len(vocab)
         mat = np.zeros((max(len(vocab), 1), dim))
         for tok, i in vocab.items():
-            mat[i] = _token_vector(tok, dim)
+            vec = memo.get(tok)
+            if vec is None:
+                vec = _token_vector(tok, dim)
+                if len(memo) < _TOKEN_VEC_MEMO_CAP:
+                    memo[tok] = vec
+            mat[i] = vec
 
         out = []
         for toks in doc_tokens:

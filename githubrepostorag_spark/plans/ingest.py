@@ -52,6 +52,12 @@ class IngestResult:
     catalog: DataFrame
     rows: DataFrame  # union of all 5 scopes' vector rows
     audit: DataFrame  # ingest_runs (S6/A8)
+    _cached: tuple = ()  # frames persisted by the pipeline
+
+    def unpersist(self) -> None:
+        """Release every cache the pipeline created."""
+        for df in self._cached:
+            df.unpersist()
 
 
 def _node_id_for(df: DataFrame, scope: str) -> DataFrame:
@@ -130,16 +136,19 @@ def ingest_pipeline(
         attach(split_code_documents(prepped), "code", "chunk"), llm_factory
     ).persist()
 
-    # hierarchy rollups (A4-A6)
+    # hierarchy rollups (A4-A6). file/module summaries and READMEs are
+    # tiny (one row per file/module/README) but feed 2-3 branches of the
+    # 5-scope union below — persisted, or each branch re-runs the rollup
+    # aggregations and the preprocess pandas UDFs from scratch.
     file_sums = attach(
         file_summaries(chunks, llm_factory).drop("namespace"), "file", "file"
-    )
+    ).persist()
     module_sums = attach(
         module_summaries(file_sums, llm_factory).drop("namespace"), "module", "module"
-    )
+    ).persist()
     readmes = prepped.filter(
         FL.file_name(F.col("file_path")).startswith("readme")
-    ).withColumn("namespace", F.lit(namespace))
+    ).withColumn("namespace", F.lit(namespace)).persist()
     repo_sums = attach(
         repo_overviews(module_sums, readmes, llm_factory).drop("namespace"),
         "repo",
@@ -197,4 +206,5 @@ def ingest_pipeline(
         catalog=catalog,
         rows=rows,
         audit=audit,
+        _cached=(chunks, file_sums, module_sums, readmes),
     )
