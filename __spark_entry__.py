@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal binary-column path ---
         "q44_multimodal_meta": lambda sp, sf: P.multimodal_meta(t(sp, sf, "documents")),
         "q45_multimodal_dedup": lambda sp, sf: P.multimodal_dedup(t(sp, sf, "documents")),
+        "q49_multimodal_resize": lambda sp, sf: P.multimodal_resize(t(sp, sf, "documents")),
+        "q50_frame_sample": lambda sp, sf: P.multimodal_frames(t(sp, sf, "documents")),
+        "q51_binary_features": lambda sp, sf: P.multimodal_features(t(sp, sf, "documents")),
         # --- J2 rollup-lineage drill-down ---
         "q46_drill_down": lambda sp, sf: P.drilldown(t(sp, sf, "documents")),
         # --- grouping-set + bounded-frame window surface (SURVEY §2.4/§2.7) ---
@@ -843,6 +846,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT phash, min(doc_id) AS canonical_id, count(*) AS group_size,
                    max(byte_len) AS max_bytes
             FROM m GROUP BY phash
+        """,
+        "q49_multimodal_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(strlen(text) AS BIGINT) AS byte_len,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+              FROM documents),
+            g AS (
+              SELECT doc_id, byte_len,
+                     CAST(phash % 1920 + 1 AS INT) AS width,
+                     CAST((phash // 7) % 1080 + 1 AS INT) AS height
+              FROM m),
+            s AS (
+              SELECT *, greatest(width, height) AS longest,
+                     least(greatest(width, height), 512) AS scale_num
+              FROM g)
+            SELECT doc_id, width, height,
+                   CAST(greatest(1, width * scale_num // longest) AS INT) AS new_width,
+                   CAST(greatest(1, height * scale_num // longest) AS INT) AS new_height,
+                   byte_len,
+                   CAST(greatest(1, byte_len
+                        * (greatest(1, width * scale_num // longest))
+                        * (greatest(1, height * scale_num // longest))
+                        // (width * height)) AS BIGINT) AS new_byte_len
+            FROM s
+        """,
+        "q50_frame_sample": """
+            WITH f AS (SELECT doc_id, strlen(text) AS len, text FROM documents),
+            idx AS (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(greatest(1, (len + 63) // 64) AS BIGINT), 2))
+                       AS frame_idx
+              FROM f)
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(strlen(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS BIGINT)
+                     AS frame_len,
+                   CAST(('0x' || substr(
+                       md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)), 1, 15))
+                     AS BIGINT) AS frame_phash
+            FROM idx
+        """,
+        "q51_binary_features": """
+            WITH h AS (
+              SELECT doc_id, md5(text) || md5('1:' || text) AS hx FROM documents)
+            SELECT doc_id,
+                   round(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f0,
+                   round(CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) / 4294967296.0, 6) AS f1,
+                   round(CAST(('0x' || substr(hx, 17, 8)) AS BIGINT) / 4294967296.0, 6) AS f2,
+                   round(CAST(('0x' || substr(hx, 25, 8)) AS BIGINT) / 4294967296.0, 6) AS f3,
+                   round(CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) / 4294967296.0, 6) AS f4,
+                   round(CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) / 4294967296.0, 6) AS f5,
+                   round(CAST(('0x' || substr(hx, 49, 8)) AS BIGINT) / 4294967296.0, 6) AS f6,
+                   round(CAST(('0x' || substr(hx, 57, 8)) AS BIGINT) / 4294967296.0, 6) AS f7
+            FROM h
         """,
         "q46_drill_down": f"""
             WITH {_CHUNKS_CTE},

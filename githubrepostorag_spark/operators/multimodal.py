@@ -93,3 +93,106 @@ def phash_dedup(meta: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         F.max("byte_len").alias("max_bytes"),
     )
+
+
+def resize_images(meta: DataFrame, max_dim: int = 512) -> DataFrame:
+    """Bounded-box resize over the binary column, `mapInPandas`-batched.
+
+    Images whose longest side exceeds `max_dim` are scaled down
+    preserving aspect ratio (integer floor, min 1 px); the payload is
+    deterministically "re-encoded" as a byte-proportional prefix — the
+    stand-in for a real pixel resample, which slots into the same
+    per-batch loop (see `decode_image_stub`). Narrow map-only stage:
+    bytes never shuffle; output carries both old and new geometry so a
+    downstream filter can audit the reduction.
+    """
+    out_schema = (
+        "doc_id bigint, width int, height int, new_width int, new_height int, "
+        "byte_len bigint, new_byte_len bigint"
+    )
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            longest = pdf[["width", "height"]].max(axis=1)
+            scale_num = longest.clip(upper=max_dim)
+            new_w = (pdf["width"] * scale_num // longest).clip(lower=1).astype("int32")
+            new_h = (pdf["height"] * scale_num // longest).clip(lower=1).astype("int32")
+            new_len = (
+                (pdf["byte_len"] * new_w * new_h // (pdf["width"] * pdf["height"]))
+                .clip(lower=1)
+                .astype("int64")
+            )
+            # real resample seam: content[:new_len] stands in for
+            # encode(resample(decode(content), new_w, new_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": new_w,
+                    "new_height": new_h,
+                    "byte_len": pdf["byte_len"],
+                    "new_byte_len": new_len,
+                }
+            )
+
+    cols = ["doc_id", "content", "byte_len", "width", "height"]
+    return meta.select(*cols).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    meta: DataFrame, frame_size: int = 4096, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling over a video-like binary payload: split the bytes
+    into fixed-size frames, keep every `every_n`-th, hash each kept
+    frame. `mapInPandas` so one input row fans out to many frame rows
+    inside the Arrow batch — the decoder-loop shape (demux → sample →
+    per-frame feature) without a decoder dependency.
+
+    Scale: map-only fan-out; the frame rows carry a 60-bit content hash
+    (not the bytes), so downstream frame-level dedup/joins shuffle only
+    hashes. A real demuxer replaces the fixed-stride splitter at the
+    marked seam.
+    """
+    out_schema = "doc_id bigint, frame_idx int, frame_len bigint, frame_phash bigint"
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                n_frames = max(1, -(-len(data) // frame_size))
+                for i in range(0, n_frames, every_n):
+                    frame = data[i * frame_size : (i + 1) * frame_size]  # demux seam
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    hashes.append(
+                        int(hashlib.md5(frame).hexdigest()[:PHASH_HEX_DIGITS], 16)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_phash": hashes}
+            )
+
+    return meta.select("doc_id", "content").mapInPandas(batches, out_schema)
+
+
+def binary_features(meta: DataFrame, n_features: int = 8) -> DataFrame:
+    """Feature extraction from the binary payload: `n_features` floats
+    in [0,1) from md5-slice expansion of the bytes (two digests → eight
+    32-bit slices, the minhash trick) — the deterministic stand-in for
+    a real visual/audio embedding, with the same shape: Arrow-batched
+    UDF, fixed-width numeric output, no shuffle. Feeds the cosine-KNN /
+    IVF operators exactly like a text embedding."""
+    assert n_features <= 16, "two md5 digests yield 16 32-bit slices"
+
+    @pandas_udf("array<double>")
+    def feats(contents: pd.Series) -> pd.Series:
+        def one(b) -> list[float]:
+            data = bytes(b) if b is not None else b""
+            hx = hashlib.md5(data).hexdigest() + hashlib.md5(b"1:" + data).hexdigest()
+            return [int(hx[8 * i : 8 * i + 8], 16) / 2**32 for i in range(n_features)]
+
+        return pd.Series([one(b) for b in contents])
+
+    return meta.withColumn("features", feats(F.col("content")))

@@ -255,3 +255,29 @@ def multimodal_dedup(documents: DataFrame) -> DataFrame:
     """Perceptual-hash dedup over the binary metadata."""
     meta = MM.image_metadata(MM.with_binary_content(documents))
     return MM.phash_dedup(meta).select("phash", "canonical_id", "group_size", "max_bytes")
+
+
+def multimodal_resize(documents: DataFrame, max_dim: int = 512) -> DataFrame:
+    """Bounded-box resize plumbing (mapInPandas over the bytes)."""
+    meta = MM.image_metadata(MM.with_binary_content(documents))
+    return MM.resize_images(meta, max_dim).select(
+        "doc_id", "width", "height", "new_width", "new_height", "byte_len", "new_byte_len"
+    )
+
+
+def multimodal_frames(documents: DataFrame) -> DataFrame:
+    """Fixed-stride frame sampling over the binary payload (64-byte
+    frames so the ~300-char fixture docs genuinely fan out)."""
+    meta = MM.with_binary_content(documents)
+    return MM.sample_frames(meta, frame_size=64).select(
+        "doc_id", "frame_idx", "frame_len", "frame_phash"
+    )
+
+
+def multimodal_features(documents: DataFrame, n_features: int = 8) -> DataFrame:
+    """md5-slice pseudo-features from the bytes (embedding stand-in)."""
+    feat = MM.binary_features(MM.with_binary_content(documents), n_features)
+    return feat.select(
+        "doc_id",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(n_features)],
+    )

@@ -157,3 +157,61 @@ def test_source_rollup_truncates_and_orders(spark):
     assert row.rollup_text.startswith("aaa\n\nbbb\n\nccc")
     assert len(row.rollup_text) == 100
     assert row.total_chars == 2006
+
+
+def test_multimodal_resize_bounds_and_preserves_small(spark):
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x" * 600, "en", "s0", 600),
+            (2, "tiny", "en", "s0", 4),
+        ],
+    )
+    meta = MM.image_metadata(MM.with_binary_content(docs))
+    out = {r.doc_id: r for r in MM.resize_images(meta, max_dim=100).collect()}
+    for r in out.values():
+        if max(r.width, r.height) <= 100:
+            # small images pass through untouched
+            assert (r.new_width, r.new_height, r.new_byte_len) == (
+                r.width, r.height, r.byte_len,
+            )
+        else:
+            assert max(r.new_width, r.new_height) == 100
+            # integer-floor scale formula holds exactly
+            longest = max(r.width, r.height)
+            assert r.new_width == max(1, r.width * 100 // longest)
+            assert r.new_height == max(1, r.height * 100 // longest)
+            assert 1 <= r.new_byte_len <= r.byte_len
+
+
+def test_frame_sampler_strides_and_hashes(spark):
+    import hashlib
+
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    text = "abcdefgh" * 40  # 320 bytes -> 5 frames of 64, keep 0/2/4
+    docs = _docs(spark, [(7, text, "en", "s0", len(text))])
+    rows = sorted(
+        MM.sample_frames(
+            MM.with_binary_content(docs), frame_size=64, every_n=2
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert all(r.frame_len == 64 for r in rows)
+    expected = int(
+        hashlib.md5(text.encode()[0:64]).hexdigest()[: MM.PHASH_HEX_DIGITS], 16
+    )
+    assert rows[0].frame_phash == expected
+
+
+def test_binary_features_deterministic_unit_range(spark):
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    docs = _docs(spark, [(1, "hello", "en", "s0", 5), (2, "hello", "en", "s0", 5)])
+    rows = MM.binary_features(MM.with_binary_content(docs)).select("doc_id", "features").collect()
+    feats = {r.doc_id: r.features for r in rows}
+    assert feats[1] == feats[2]  # same bytes -> same features
+    assert len(feats[1]) == 8 and all(0.0 <= v < 1.0 for v in feats[1])
