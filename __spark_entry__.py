@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- grouping-set + bounded-frame window surface (SURVEY §2.4/§2.7) ---
         "q47_cube_agg": lambda sp, sf: R.cube_aggregate(t(sp, sf, "lineitem")),
         "q48_rolling_avg": lambda sp, sf: R.rolling_avg_price(t(sp, sf, "lineitem")),
+        # --- content language-ID + winnowing fingerprints (text deliverables) ---
+        "q52_language_id": lambda sp, sf: TO.language_id(t(sp, sf, "documents")),
+        "q53_winnow_fingerprints": lambda sp, sf: TO.winnow_fingerprints(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -158,6 +163,69 @@ _TOKS = (
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# Lowercased tokens (mirror of operators.textops.language_id input).
+_LOW_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
+def _language_id_sql() -> str:
+    """Generated from LANG_MARKERS so Spark and oracle can't drift."""
+    from githubrepostorag_spark.operators.textops import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n                     ".join(
+        f"len(list_filter({_LOW_TOKS}, t -> list_contains({_sql_list(LANG_MARKERS[lang])}, t)))"
+        f" AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und'\n"
+    for lang in langs[:-1]:
+        case += f"                        WHEN h_{lang} = {best} THEN '{lang}'\n"
+    case += f"                        ELSE '{langs[-1]}' END"
+    return f"""
+            WITH h AS (
+              SELECT doc_id, lang, CAST(len({_LOW_TOKS}) AS BIGINT) AS n,
+                     {hit_cols}
+              FROM documents)
+            SELECT doc_id, lang AS declared_lang,
+                   {case} AS detected_lang,
+                   CAST({best} AS BIGINT) AS marker_hits,
+                   CASE WHEN n > 0 THEN round({best} / CAST(n AS DOUBLE), 6)
+                        ELSE 0.0 END AS confidence
+            FROM h
+        """
+
+
+def _winnow_sql() -> str:
+    """Generated from the winnowing constants (k-gram size, window)."""
+    from githubrepostorag_spark.operators.textops import WINNOW_K, WINNOW_WINDOW
+
+    k, w = WINNOW_K, WINNOW_WINDOW
+    return f"""
+            WITH g AS (
+              SELECT doc_id, text,
+                     strlen(text) - {k} + 1 AS n_grams,
+                     unnest(range(1, CAST(greatest(strlen(text) - {k} + 2, 1) AS BIGINT)))
+                       AS pos
+              FROM documents),
+            h AS (
+              SELECT doc_id, pos, n_grams,
+                     CAST(('0x' || substr(md5(lower(substr(text, CAST(pos AS INT), {k}))), 1, 15))
+                       AS BIGINT) AS h
+              FROM g WHERE n_grams >= 1),
+            wm AS (
+              SELECT doc_id, pos, n_grams,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS win_min
+              FROM h)
+            SELECT DISTINCT doc_id, win_min AS fingerprint
+            FROM wm WHERE pos <= n_grams - {w} + 1
+        """
 
 
 def _shingles_sql(k: int) -> str:
@@ -926,6 +994,8 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
             FROM lineitem
         """,
+        "q52_language_id": _language_id_sql(),
+        "q53_winnow_fingerprints": _winnow_sql(),
         "q33_graph_2hop": """
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),
             h0 AS (SELECT doc_id, 0 AS hop FROM seeds),

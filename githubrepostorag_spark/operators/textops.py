@@ -158,3 +158,99 @@ def lang_profile(documents: DataFrame) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+# Stopword-marker lexicons for the language-ID heuristic (shared with
+# the DuckDB oracle). Alphabetical language order doubles as the
+# deterministic tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "that", "it"),
+    "es": ("el", "los", "las", "y", "que", "un", "una", "por", "con", "para"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "pour", "une", "dans"),
+}
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Content-based language ID (the n-gram-heuristic deliverable):
+    score each language by marker-stopword hit count over lowercased
+    tokens, pick the argmax (alphabetical tie-break), 'und' when no
+    marker hits. Pure column expressions — one scan, no shuffle, no
+    UDF; at 100 TB this is a free map alongside any other per-doc pass.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+
+    def hit_count(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hits = {lang: hit_count(words) for lang, words in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        detected = detected.when(hits[lang] == best, F.lit(lang))
+    n = F.size(toks)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        detected.alias("detected_lang"),
+        best.cast("long").alias("marker_hits"),
+        F.when(n > 0, F.round(best / n.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("confidence"),
+    )
+
+
+# Winnowing parameters (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# scheme) — shared with the DuckDB oracle.
+WINNOW_K = 5
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, window: int = WINNOW_WINDOW
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing: hash every
+    char k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum, dedupe — the guarantee is any shared substring of
+    length ≥ k+w-1 yields a shared fingerprint. Returns the fingerprint
+    SET (doc_id, fingerprint) — the inverted-index payload.
+
+    Scale shape: explode a POSITION sequence and slice one gram per
+    output row (O(k) work each) — never a per-doc gram array, which
+    Catalyst's projection collapse would rebuild once per consumer
+    (array-based draft measured ~20× slower). Then one window function
+    partitioned by doc_id (a single shuffle on doc_id, same key as the
+    final groupBy so it reuses the partitioning). Fingerprint sets are
+    ~2/(w+1) of gram count — the compact sketch you inverted-index for
+    cross-corpus containment search at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from githubrepostorag_spark.session import scale_out
+
+    base = scale_out(documents, "doc_id").select(
+        "doc_id", "text", (F.length("text") - F.lit(k - 1)).cast("int").alias("n_grams")
+    )
+    g = (
+        base.filter(F.col("n_grams") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            TXT.md5_bigint(F.lower(F.expr(f"substring(text, pos, {int(k)})"))).alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        g.withColumn("win_min", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - window + 1)  # full windows only
+        .select("doc_id", F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )

@@ -215,3 +215,41 @@ def test_binary_features_deterministic_unit_range(spark):
     feats = {r.doc_id: r.features for r in rows}
     assert feats[1] == feats[2]  # same bytes -> same features
     assert len(feats[1]) == 8 and all(0.0 <= v < 1.0 for v in feats[1])
+
+
+def test_language_id_markers_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "der Hund und die Katze ist das nicht", "xx", "s0", 36),
+            (2, "the cat and the dog is in of it", "xx", "s0", 31),
+            (3, "no markers here whatsoever", "xx", "s0", 26),
+            (4, "the le", "xx", "s0", 6),  # en/fr tie -> alphabetical
+        ],
+    )
+    got = {r.doc_id: r for r in TO.language_id(df).collect()}
+    assert got[1].detected_lang == "de"
+    assert got[2].detected_lang == "en"
+    assert got[3].detected_lang == "und" and got[3].marker_hits == 0
+    assert got[4].detected_lang == "en"  # tie broken alphabetically
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: common substring of length >= k+w-1 (= 8)
+    # yields at least one common fingerprint
+    df = _docs(
+        spark,
+        [
+            (1, "qwartzylbv MIDDLEGROUND pfxujklmno", "en", "s0", 34),
+            (2, "zzz MIDDLEGROUND kkk", "en", "s0", 20),
+            (3, "totally unrelated content here", "en", "s0", 30),
+        ],
+    )
+    fps = TO.winnow_fingerprints(df).collect()
+    by_doc = {i: {r.fingerprint for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # identical input -> identical fingerprint set (determinism)
+    again = TO.winnow_fingerprints(df).collect()
+    assert {(r.doc_id, r.fingerprint) for r in again} == {
+        (r.doc_id, r.fingerprint) for r in fps
+    }
