@@ -51,16 +51,27 @@ def main() -> None:
     from githubrepostorag_spark.plans.parity import code_docs_fixture
     from githubrepostorag_spark.sources.testdata import load_table
 
-    t0 = time.time()
     docs = code_docs_fixture(load_table(spark, sf_dir, "documents")).select(
         "repo", "file_path", "text"
     )
-    res = ingest_pipeline(docs, ingest_run_id="bench", llm_factory=DeterministicLLM)
-    # serving store: cap cached partitions at cluster parallelism (the
-    # ingest lineage is partitioned for write throughput, not for the
-    # many tiny rescans the serving loop issues)
-    store = res.rows.coalesce(spark.sparkContext.defaultParallelism).persist()
-    run_query(store)  # materializes the cache the serving bench reads
+
+    def run_ingest(run_id: str):
+        res = ingest_pipeline(docs, ingest_run_id=run_id, llm_factory=DeterministicLLM)
+        # serving store: cap cached partitions at cluster parallelism (the
+        # ingest lineage is partitioned for write throughput, not for the
+        # many tiny rescans the serving loop issues)
+        s = res.rows.coalesce(spark.sparkContext.defaultParallelism).persist()
+        run_query(s)  # materializes the cache the serving bench reads
+        return res, s
+
+    # warmup pass compiles the ~15-stage plan and spins up the Python
+    # UDF workers; the measured pass is steady-state ingest throughput
+    # (same discipline as the suite warmup and the agent warmup batch)
+    res, store = run_ingest("bench-warmup")
+    store.unpersist()
+    res.unpersist()
+    t0 = time.time()
+    res, store = run_ingest("bench")
     times["ingest_pipeline"] = round(time.time() - t0, 3)
     res.unpersist()
 
