@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_winnow_fingerprints": lambda sp, sf: TO.winnow_fingerprints(
             t(sp, sf, "documents")
         ),
+        # --- IVF-bucketed near-dup (the 100 TB composition; q31 is the verifier) ---
+        "q54_near_dup_in_cells": lambda sp, sf: S.near_dup_in_cells(
+            t(sp, sf, "embeddings")
+        ),
     }
 
 
@@ -996,6 +1000,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q52_language_id": _language_id_sql(),
         "q53_winnow_fingerprints": _winnow_sql(),
+        "q54_near_dup_in_cells": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM ranked WHERE rn = 1
+            )
+            SELECT CAST(a.cell AS INT) AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
         "q33_graph_2hop": """
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 3),
             h0 AS (SELECT doc_id, 0 AS hop FROM seeds),

@@ -256,3 +256,50 @@ def knn_per_label(embeddings: DataFrame, query_vec_id: int = 0, k: int = 2) -> D
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def near_dup_in_cells(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """IVF-bucketed near-duplicate pairs — the 100 TB composition whose
+    small-scale exact verifier is `near_dup_pairs`.
+
+    Vectors are assigned to their nearest coarse cell (broadcast
+    codebook; the fact table never shuffles for assignment), then exact
+    cosine pairs are scored ONLY within each cell: one shuffle keyed on
+    cell, and total FLOPs drop from O(n²) to Σ|cell|². Near-dups that
+    straddle a cell boundary are missed — the standard IVF recall
+    trade; probe neighboring cells or verify a sample against
+    `near_dup_pairs` to bound it. The codebook here is the
+    deterministic label-centroid one (`label_centroids`); at 100 TB you
+    sample a k-means codebook and split oversized cells — the plan
+    shape (broadcast assign → shuffle on cell → per-cell matmul) is
+    identical.
+    """
+    import pandas as pd
+
+    assigned = _assign_cells(embeddings, _centroid_arrays(embeddings))
+    out_schema = "cell int, id_a bigint, id_b bigint, cos_sim double"
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["cell", "id_a", "id_b", "cos_sim"])
+        m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        vals = np.round(sims[iu, ju], 6)
+        keep = vals >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": vals[keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(score_cell, out_schema)

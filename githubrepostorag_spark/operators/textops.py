@@ -251,6 +251,11 @@ def winnow_fingerprints(
     return (
         g.withColumn("win_min", F.min("h").over(w))
         .filter(F.col("pos") <= F.col("n_grams") - window + 1)  # full windows only
-        .select("doc_id", F.col("win_min").alias("fingerprint"))
-        .distinct()
+        # dedupe via collect_set per doc: the groupBy reuses the window's
+        # hash(doc_id) partitioning, so no second exchange (a plain
+        # .distinct() on (doc_id, fingerprint) would add one); set size
+        # is bounded by the doc's gram count
+        .groupBy("doc_id")
+        .agg(F.collect_set("win_min").alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
     )

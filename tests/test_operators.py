@@ -253,3 +253,27 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     assert {(r.doc_id, r.fingerprint) for r in again} == {
         (r.doc_id, r.fingerprint) for r in fps
     }
+
+
+def test_near_dup_in_cells_subset_of_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist(), int(i % 4)) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.near_dup_pairs(emb, threshold=0.3, block_size=16).collect()
+    }
+    cellwise = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.near_dup_in_cells(emb, threshold=0.3).collect()
+    }
+    # every in-cell pair is a true near-dup with the identical score
+    assert set(cellwise) <= set(exact)
+    for k, v in cellwise.items():
+        assert abs(v - exact[k]) < 1e-9
+    assert cellwise, "some near-dups should fall in the same cell"
