@@ -151,6 +151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_near_dup_in_cells": lambda sp, sf: S.near_dup_in_cells(
             t(sp, sf, "embeddings")
         ),
+        # --- near-dup clustering: pairs -> connected components (hash-min) ---
+        "q55_dedup_components": lambda sp, sf: DD.dedup_components(
+            S.near_dup_pairs(t(sp, sf, "embeddings")),
+            t(sp, sf, "embeddings").select(F.col("vec_id").alias("node")),
+        ),
     }
 
 
@@ -1000,6 +1005,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q52_language_id": _language_id_sql(),
         "q53_winnow_fingerprints": _winnow_sql(),
+        "q55_dedup_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+        """,
         "q54_near_dup_in_cells": """
             WITH dims AS (
               SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v

@@ -260,3 +260,63 @@ def simhash_bucket_dedup(documents: DataFrame, prefix_bits: int = 16) -> DataFra
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))
     )
+
+
+def dedup_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by
+    hash-min label propagation — the clustering step that turns
+    pairwise near-dup evidence into dedup groups (keep one canonical
+    doc per component).
+
+    Iterative: every node adopts the minimum component id among itself
+    and its neighbors until a fixpoint; converges in O(graph diameter)
+    rounds, and near-dup graphs are unions of near-cliques, so the
+    diameter is tiny. Each round is one join + one groupBy (two
+    shuffles) on the edge list; the driver only evaluates the
+    converged? count — labels never collect. At 100 TB you bound skew
+    with the large-star/small-star split of the same propagation
+    (Kiveris et al. 2014); the per-round plan is unchanged.
+
+    `nodes` (one `node` column) seeds singleton components so isolated
+    docs keep themselves as canonical.
+
+    Each round's labels are ``localCheckpoint``-ed: iterative lineage
+    otherwise doubles the logical plan every round and overflows the
+    planner stack long before the data is the problem. On a real
+    cluster swap in reliable ``checkpoint`` (HDFS) for executor-loss
+    tolerance; the algorithm is unchanged.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -277,3 +277,23 @@ def test_near_dup_in_cells_subset_of_exact(spark):
     for k, v in cellwise.items():
         assert abs(v - exact[k]) < 1e-9
     assert cellwise, "some near-dups should fall in the same cell"
+
+
+def test_dedup_components_two_clusters_and_singleton(spark):
+    # edges form {1,2,3} (via 1-2, 2-3) and {7,8}; node 9 is isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 7, 8, 9]], "node long")
+    got = {r.node: r.component for r in DD.dedup_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_dedup_components_chain_needs_multiple_rounds(spark):
+    # a path graph 0-1-2-...-9: min-label must propagate the full diameter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in range(10)], "node long")
+    got = {r.node: r.component for r in DD.dedup_components(edges, nodes).collect()}
+    assert got == {n: 0 for n in range(10)}
