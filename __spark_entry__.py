@@ -156,6 +156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.near_dup_pairs(t(sp, sf, "embeddings")),
             t(sp, sf, "embeddings").select(F.col("vec_id").alias("node")),
         ),
+        # --- dedup end-to-end: LSH candidates -> Jaccard verify ->
+        #     components -> surviving corpus ---
+        "q56_dedup_survivors": lambda sp, sf: DD.dedup_survivors(
+            t(sp, sf, "documents"),
+            DD.dedup_components(
+                DD.jaccard_on_candidates(t(sp, sf, "documents")),
+                t(sp, sf, "documents").select(F.col("doc_id").alias("node")),
+                id_a="doc_a",
+                id_b="doc_b",
+            ),
+        ).select("doc_id", "source", "component_size"),
     }
 
 
@@ -1021,6 +1032,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             )
             SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+        """,
+        "q56_dedup_survivors": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+            comp AS (SELECT component, min(node) AS doc_id,
+                            count(*) AS component_size
+                     FROM labels GROUP BY component)
+            SELECT d.doc_id, d.source, c.component_size
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

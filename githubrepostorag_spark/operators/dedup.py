@@ -320,3 +320,29 @@ def dedup_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_survivors(
+    documents: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: one canonical row per
+    component (min id wins), annotated with `component_size` so a
+    downstream quality filter can audit how much each survivor
+    represents. This is the last stage of the dedup pipeline
+    (candidates → verify → components → survivors).
+
+    Scale: `labels` is two ids per doc, so the per-component min/count
+    is one cheap shuffle; the survivor join is a plain equi-join on the
+    id that AQE turns into a broadcast when the surviving side is
+    small. The full documents table is never shuffled on anything but
+    its own id.
+    """
+    keep = (
+        labels.groupBy("component")
+        .agg(
+            F.min("node").alias(id_col),
+            F.count(F.lit(1)).alias("component_size"),
+        )
+        .drop("component")
+    )
+    return documents.join(keep, id_col)

@@ -234,7 +234,10 @@ def drilldown(documents: DataFrame) -> DataFrame:
         "namespace", "repo", "module", "file_path", "language", "rollup_of"
     )
     members = chunks.select("node_id", "chunk_idx", "start_line")
-    return H.drill_down(rollups, members)
+    # bulk lineage over ALL summaries: shuffle join on node_id — the
+    # broadcast default is for the serving path's handful of hits and
+    # would ship every summary to every executor here
+    return H.drill_down(rollups, members, broadcast_summaries=False)
 
 
 def enriched(documents: DataFrame) -> DataFrame:

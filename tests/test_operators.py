@@ -297,3 +297,19 @@ def test_dedup_components_chain_needs_multiple_rounds(spark):
     nodes = spark.createDataFrame([(n,) for n in range(10)], "node long")
     got = {r.node: r.component for r in DD.dedup_components(edges, nodes).collect()}
     assert got == {n: 0 for n in range(10)}
+
+
+def test_dedup_survivors_keeps_min_id_with_sizes(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"text {i}") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    edges = spark.createDataFrame([(0, 4), (1, 5)], "id_a long, id_b long")
+    labels = DD.dedup_components(
+        edges, docs.select(F.col("doc_id").alias("node"))
+    )
+    got = {
+        r.doc_id: r.component_size
+        for r in DD.dedup_survivors(docs, labels).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
