@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from githubrepostorag_spark.operators import curation as CU
 from githubrepostorag_spark.operators import dedup as DD
 from githubrepostorag_spark.operators import eventops as E
 from githubrepostorag_spark.operators import graph as G
@@ -167,6 +168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 id_b="doc_b",
             ),
         ).select("doc_id", "source", "component_size"),
+        # --- corpus curation: sampling + batch packing ---
+        "q57_stratified_sample": lambda sp, sf: CU.stratified_sample(
+            t(sp, sf, "documents"), "source", 10
+        ).select("doc_id", "source"),
+        "q58_quota_sample": lambda sp, sf: CU.quota_sample(
+            t(sp, sf, "documents"), {"src0": 0.25, "src1": 0.5, "src2": 0.0}
+        ).select("doc_id", "source"),
+        "q59_pack_batches": lambda sp, sf: CU.pack_token_batches(
+            t(sp, sf, "documents"), budget=2000
+        ),
     }
 
 
@@ -1069,6 +1080,45 @@ def oracle_sql() -> dict[str, str]:
                      FROM labels GROUP BY component)
             SELECT d.doc_id, d.source, c.component_size
             FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        """,
+        "q57_stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10
+        """,
+        "q58_quota_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10000 AS h
+              FROM documents)
+            WHERE NOT ((source = 'src0' AND h >= 2500)
+                    OR (source = 'src1' AND h >= 5000)
+                    OR (source = 'src2' AND h >= 0))
+        """,
+        "q59_pack_batches": f"""
+            WITH toks AS (
+              SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                          AS BIGINT) AS start_offset
+              FROM toks
+            ), with_batch AS (
+              SELECT *, CAST(floor(start_offset / 2000.0) AS BIGINT) AS batch_id
+              FROM packed
+            )
+            SELECT source, doc_id, n_tokens, start_offset, batch_id,
+                   CAST(sum(n_tokens) OVER (PARTITION BY source, batch_id) AS BIGINT)
+                     AS batch_tokens
+            FROM with_batch
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

@@ -1,0 +1,117 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+sampling and token-budget batch packing.
+
+A 100 TB pretraining corpus is never used whole: it is quality-filtered,
+deduplicated (operators.dedup), then *sampled to a target mixture* (so
+much code, so much prose, capped per source) and *packed into batches*
+by token budget. These operators express those steps as single-shuffle
+DataFrame plans.
+
+Determinism: "random" sampling uses the engine's portable md5 hash of
+the row id (functions.text.md5_bigint), not rand() — the same row set
+is selected on every run, on any cluster, and the DuckDB oracle
+reproduces the selection bit-for-bit. That reproducibility is a feature
+for training-data lineage, not just for tests.
+
+Scale notes per operator are in the docstrings; none of them shuffles
+the corpus more than once, and none collects anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ≤n rows per group, chosen by hash order — a per-group
+    uniform sample with a hard cap (the "at most N documents per
+    source" rule of a training mix).
+
+    Plan: one shuffle on `group_col` for the row_number window; the
+    hash sort key is computed map-side. Skewed groups sort more rows
+    but never materialize the group in memory (window top-k uses a
+    running counter, and at 1000× you'd swap in the same rank-filter
+    over a pre-aggregated per-group threshold).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        TXT.md5_bigint(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Per-group Bernoulli sampling at fixed per-group rates — the
+    "mixture weights" step of corpus curation (e.g. keep 100% of docs,
+    30% of web text).
+
+    Keeps a row iff md5(id) mod denom < fraction*denom. Purely narrow:
+    NO shuffle at all — each row decides its own fate from its id, so
+    this composes with any upstream plan for free and the sampled set
+    is stable under re-partitioning, retries, and cluster size. Groups
+    not named in `fractions` are kept (fraction 1.0).
+    """
+    h = F.pmod(TXT.md5_bigint(F.col(id_col).cast("string")), F.lit(denom))
+    keep = F.lit(True)
+    expr = None
+    for grp, frac in sorted(fractions.items()):
+        cond = (F.col(group_col) == grp) & (h >= int(frac * denom))
+        expr = cond if expr is None else (expr | cond)
+    if expr is not None:
+        keep = ~expr
+    return df.filter(keep)
+
+
+def pack_token_batches(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training batch by cumulative token
+    offset within its group: batch_id = floor(start_offset / budget)
+    where start_offset is the sum of token counts of all earlier docs
+    (hash-deterministic order). The packer every sequence-building
+    pipeline needs before writing tokenized shards.
+
+    Offset packing (batch = the budget window the doc STARTS in) is
+    chosen over greedy first-fit because it is a pure window expression
+    — one shuffle on `group_col`, no iteration — and batch sizes still
+    converge to `budget` (each batch overflows by at most one doc).
+
+    Returns one row per doc with `n_tokens`, `start_offset`,
+    `batch_id`, plus a per-batch `batch_tokens` total for auditing.
+    """
+    toks = df.select(
+        group_col,
+        order_col,
+        TXT.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("batch_id", F.floor(F.col("start_offset") / budget))
+    wb = Window.partitionBy(group_col, "batch_id")
+    return packed.withColumn("batch_tokens", F.sum("n_tokens").over(wb))

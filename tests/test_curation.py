@@ -1,0 +1,62 @@
+"""Corpus-curation operators: deterministic sampling + batch packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators import curation as CU
+
+
+def _docs(spark, n=40, sources=("a", "b")):
+    rows = [
+        (i, sources[i % len(sources)], " ".join(["tok"] * (i % 7 + 1)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_stratified_sample_caps_each_group_deterministically(spark):
+    df = _docs(spark)
+    got = CU.stratified_sample(df, "source", 5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert {len(v) for v in per.values()} == {5}
+    again = CU.stratified_sample(df, "source", 5).collect()
+    assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in got}
+    # small group: cap never drops below group size
+    tiny = CU.stratified_sample(df.filter(F.col("doc_id") < 3), "source", 5)
+    assert tiny.count() == 3
+
+
+def test_quota_sample_rates_and_untouched_groups(spark):
+    df = _docs(spark, n=200)
+    got = CU.quota_sample(df, {"a": 0.0, "b": 1.0})
+    per = {r.source: r.n for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "a" not in per  # fraction 0 drops everything
+    assert per["b"] == 100  # fraction 1 keeps everything
+    half = CU.quota_sample(df, {"a": 0.5}).filter(F.col("source") == "a").count()
+    assert 30 <= half <= 70  # Bernoulli at 0.5 over 100 ids
+
+
+def test_pack_batches_offsets_and_budget(spark):
+    df = _docs(spark, n=30, sources=("s",))
+    got = CU.pack_token_batches(df, budget=10).orderBy("doc_id").collect()
+    # offsets are the running sum of earlier docs, in doc_id order
+    run = 0
+    for r in got:
+        assert r.start_offset == run
+        assert r.batch_id == run // 10
+        run += r.n_tokens
+    # stream coverage: each non-final batch's docs reach the next
+    # window boundary (so batches tile the token stream with no gaps),
+    # and batch_tokens audits the per-batch sum
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for bid, rows in by_batch.items():
+        assert all(r.batch_tokens == sum(x.n_tokens for x in rows) for r in rows)
+        if bid != max(by_batch):
+            last = max(rows, key=lambda r: r.start_offset)
+            assert last.start_offset + last.n_tokens >= (bid + 1) * 10
+        assert all(r.start_offset // 10 == bid for r in rows)
