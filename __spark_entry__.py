@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pack_batches": lambda sp, sf: CU.pack_token_batches(
             t(sp, sf, "documents"), budget=2000
         ),
+        "q60_repetition": lambda sp, sf: TO.repetition_metrics(t(sp, sf, "documents")),
     }
 
 
@@ -1119,6 +1120,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) OVER (PARTITION BY source, batch_id) AS BIGINT)
                      AS batch_tokens
             FROM with_batch
+        """,
+        "q60_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                           i -> tk[i] || ' ' || tk[i + 1])) AS gram
+              FROM toks),
+            counted AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top_gram_count,
+                     CAST(sum(c) AS BIGINT) AS n_grams,
+                     CAST(count(*) AS BIGINT) AS n_distinct_grams
+              FROM counted GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   coalesce(a.top_gram_count, 0) AS top_gram_count,
+                   round(CAST(a.top_gram_count AS DOUBLE) / a.n_grams, 6) AS top_gram_frac,
+                   round(1 - CAST(a.n_distinct_grams AS DOUBLE) / a.n_grams, 6) AS dup_gram_frac
+            FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

@@ -259,3 +259,48 @@ def winnow_fingerprints(
         .agg(F.collect_set("win_min").alias("fps"))
         .select("doc_id", F.explode("fps").alias("fingerprint"))
     )
+
+
+def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1): the fraction of token n-grams taken by the single most
+    frequent n-gram, and the fraction that are repeats of an earlier
+    occurrence. High values flag boilerplate/spam a pretraining corpus
+    should drop — the quality-filter companion to `quality_scores`.
+
+    Plan: explode n-grams → count per (doc, gram) → per-doc max/sum —
+    two partial-aggregated shuffles on bounded keys, never a per-row
+    quadratic expression, so a 100× corpus scales linearly. Docs too
+    short to form an n-gram keep NULL fractions (n_grams = 0).
+    """
+    toks = TXT.tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        documents.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counted.groupBy("doc_id").agg(
+        F.max("c").alias("top_gram_count"),
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias("top_gram_count"),
+            F.round(F.col("top_gram_count") / F.col("n_grams"), 6).alias("top_gram_frac"),
+            F.round(1 - F.col("n_distinct_grams") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        )
+    )

@@ -313,3 +313,19 @@ def test_dedup_survivors_keeps_min_id_with_sizes(spark):
         for r in DD.dedup_survivors(docs, labels).collect()
     }
     assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # one bigram repeated 4x
+            (2, "alpha beta gamma delta"),      # all bigrams unique
+            (3, "one"),                         # too short for a bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TO.repetition_metrics(docs).collect()}
+    assert got[1].n_grams == 4 and got[1].top_gram_frac == 1.0
+    assert got[1].dup_gram_frac == 0.75
+    assert got[2].top_gram_frac < 0.5 and got[2].dup_gram_frac == 0.0
+    assert got[3].n_grams == 0 and got[3].top_gram_frac is None
