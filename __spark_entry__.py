@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents"), budget=2000
         ),
         "q60_repetition": lambda sp, sf: TO.repetition_metrics(t(sp, sf, "documents")),
+        "q61_srp_buckets": lambda sp, sf: S.srp_lsh_buckets(t(sp, sf, "embeddings")),
     }
 
 
@@ -231,6 +232,31 @@ def _language_id_sql() -> str:
                         ELSE 0.0 END AS confidence
             FROM h
         """
+
+
+def _srp_sql() -> str:
+    """Generated from the same integer hyperplanes the Spark operator
+    uses (similarity.srp_hyperplanes) — exact int64 arithmetic on both
+    engines, so bucket ids match bit-for-bit."""
+    from githubrepostorag_spark.operators.similarity import (
+        SRP_PLANES,
+        SRP_QUANT,
+        srp_hyperplanes,
+    )
+
+    dim = 64  # the testdata embedding width
+    planes = srp_hyperplanes(SRP_PLANES, dim)
+    bits = []
+    for p, weights in enumerate(planes):
+        wlit = "[" + ", ".join(str(v) for v in weights) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+            f"CAST(round(CAST(embedding[d] AS DOUBLE) * {SRP_QUANT}) AS BIGINT)"
+            f" * ({wlit})[d]))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"SELECT vec_id, label, {bucket} AS bucket FROM embeddings"
 
 
 def _winnow_sql() -> str:
@@ -1141,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - CAST(a.n_distinct_grams AS DOUBLE) / a.n_grams, 6) AS dup_gram_frac
             FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
+        "q61_srp_buckets": _srp_sql(),
         "q54_near_dup_in_cells": """
             WITH dims AS (
               SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v

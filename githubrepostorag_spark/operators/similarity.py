@@ -303,3 +303,64 @@ def near_dup_in_cells(embeddings: DataFrame, threshold: float = 0.35) -> DataFra
         )
 
     return assigned.groupBy("cell").applyInPandas(score_cell, out_schema)
+
+
+# --- signed-random-projection LSH (SimHash for embeddings) -----------------
+
+SRP_PLANES = 8
+SRP_QUANT = 1_000_000  # embedding quantization: round(v * 1e6) as int64
+
+
+def srp_hyperplanes(n_planes: int = SRP_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000], derived
+    from md5 of (plane, dim) — the model parameters of the SRP hash,
+    reproducible anywhere (the DuckDB oracle inlines the same values).
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_lsh_buckets(
+    embeddings: DataFrame, n_planes: int = SRP_PLANES, dim: int = 64
+) -> DataFrame:
+    """Charikar-style SRP-LSH over the embedding column: the sign bit of
+    each random projection concatenates into an n-bit bucket. Cosine-close
+    vectors agree on most sign bits, so same-bucket vectors are near-dup /
+    ANN candidates — the vector twin of the text-side SimHash dedup.
+
+    Purely narrow: bucket assignment is a per-row map (NO shuffle — the
+    one shuffle is the optional downstream bucket groupBy/join), so at
+    100 TB it composes with any scan for free. The projection is an
+    Arrow-batched int64 matmul (quantized embedding x integer
+    hyperplanes, rounding half away from zero like SQL round), so
+    bucket ids are bit-identical across engines and cluster sizes — no
+    float summation-order hazards.
+    """
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(srp_hyperplanes(n_planes, dim), dtype=np.int64)
+    pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def _bucket_of(col: pandas.Series) -> pandas.Series:
+        M = np.stack(col.to_numpy()).astype(np.float64) * SRP_QUANT
+        ints = np.where(M >= 0, np.floor(M + 0.5), np.ceil(M - 0.5)).astype(np.int64)
+        bits = (ints @ W.T > 0).astype(np.int64)
+        return pandas.Series(bits @ pows)
+
+    # annotations must be resolvable at decoration time (PEP 563 is on
+    # module-wide), so register the udf from the closure's real objects
+    _bucket_of.__annotations__ = {"col": pandas.Series, "return": pandas.Series}
+    bucket_of = pandas_udf(_bucket_of, "bigint")
+
+    return embeddings.select(
+        "vec_id", "label", bucket_of(F.col("embedding")).alias("bucket")
+    )

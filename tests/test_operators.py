@@ -329,3 +329,18 @@ def test_repetition_metrics_flags_boilerplate(spark):
     assert got[1].dup_gram_frac == 0.75
     assert got[2].top_gram_frac < 0.5 and got[2].dup_gram_frac == 0.0
     assert got[3].n_grams == 0 and got[3].top_gram_frac is None
+
+
+def test_srp_buckets_sign_structure(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8).astype("float32")
+    near = (base + rng.normal(scale=1e-4, size=8).astype("float32")).astype("float32")
+    rows = [(0, base.tolist(), 0), (1, near.tolist(), 0), (2, (-base).tolist(), 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.bucket for r in S.srp_lsh_buckets(emb, dim=8).collect()}
+    assert got[0] == got[1], "near-identical vectors share the SRP bucket"
+    # negation flips every non-zero projection's sign bit
+    assert got[2] == 255 - got[0]
+    assert S.srp_lsh_buckets(emb, dim=8).schema["bucket"].dataType.typeName() == "long"
