@@ -59,6 +59,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q62(sp: SparkSession, sf: str) -> DataFrame:
+    """Each purchase annotated with the same user's latest click at or
+    before it (as-of join, union+running-window plan)."""
+    ev = load_table(sp, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return E.asof_join(purchases, clicks, value_cols=["value"])
+
+
+def _q63(sp: SparkSession, sf: str) -> DataFrame:
+    """Per error event: purchases from ANY user within ±5 minutes
+    (keyless bucketed range join; zero-match errors kept)."""
+    ev = load_table(sp, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    pairs = E.range_join_bucketed(errors, purchases, right_ts="p_ts")
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("purchase_value"),
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "ts",
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_table(spark, sf_dir, name)
@@ -180,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q60_repetition": lambda sp, sf: TO.repetition_metrics(t(sp, sf, "documents")),
         "q61_srp_buckets": lambda sp, sf: S.srp_lsh_buckets(t(sp, sf, "embeddings")),
+        # --- time joins: as-of enrichment + keyless range join ---
+        "q62_asof_join": lambda sp, sf: _q62(sp, sf),
+        "q63_range_join": lambda sp, sf: _q63(sp, sf),
     }
 
 
@@ -1168,6 +1205,24 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "q61_srp_buckets": _srp_sql(),
+        "q62_asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS prior_ts, c.value AS prior_value
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q63_range_join": """
+            WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+                 p AS (SELECT ts AS p_ts, value FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.ts,
+                   CAST(count(p.p_ts) AS BIGINT) AS n_purchases,
+                   round(coalesce(sum(p.value), 0), 4) AS purchase_value
+            FROM e LEFT JOIN p
+              ON p.p_ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+            GROUP BY e.event_id, e.ts
+        """,
         "q54_near_dup_in_cells": """
             WITH dims AS (
               SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v

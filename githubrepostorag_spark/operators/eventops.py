@@ -85,3 +85,91 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "prior_",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    right.ts <= left.ts for the same key (ties at equal ts count as
+    "at or before"). The standard event-stream enrichment Spark lacks
+    as a built-in — e.g. each purchase annotated with the user's most
+    recent click.
+
+    Plan (the union trick): tag sides, union, and take
+    `last(right_values, ignorenulls)` over a (key, ts)-ordered running
+    window — ONE shuffle on the key, no range-condition join, so no
+    broadcast-nested-loop degeneration and no per-key quadratic blowup;
+    at 100 TB this is a single sort-shuffle exactly like sessionize.
+    Right rows sharing an identical (key, ts) are tie-broken
+    arbitrarily (sub-microsecond collisions).
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
+    rv_struct = F.struct(
+        F.col(ts).alias(ts), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(F.col(on), F.col(ts), F.lit(0).alias("__side"), rv_struct.alias("__rv"))
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(r.schema["__rv"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__last", F.last("__rv", ignorenulls=True).over(w))
+    out_rv = [F.col("__last")[ts].alias(f"{prefix}{ts}")] + [
+        F.col("__last")[c].alias(f"{prefix}{c}") for c in value_cols
+    ]
+    return filled.filter(F.col("__side") == 1).select(*lcols, *out_rv)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: int = 300,
+) -> DataFrame:
+    """Keyless time-range join: pair every left row with every right row
+    whose timestamp lies within ±tolerance of it, WITHOUT the
+    broadcast-nested-loop plan Spark would pick for a bare range
+    predicate. Left rows with no match survive (left semantics).
+
+    Plan: both sides map each timestamp to tolerance-sized integer
+    cells; a left row joins the 2-3 cells its window overlaps (explode,
+    narrow), the right row exactly one — so the range condition becomes
+    an equi-join on the cell id plus an exact |Δ| filter, and each
+    qualifying pair meets exactly once (the right row's cell is
+    unique — no post-join dedup). Shuffle volume is |left|·3 + |right|
+    rows regardless of time span; cell width = tolerance keeps per-cell
+    fanout bounded by data density, and a hot cell is AQE skew-split.
+
+    Returns the matched pairs (all left columns + all right columns,
+    which must not collide — rename before calling). Compose a left
+    aggregate (e.g. per-left counts including zeros) by joining the
+    pair aggregate back to `left`.
+    """
+    tol_us = int(tolerance_s) * 1_000_000
+    lm = F.unix_micros(F.col(left_ts))
+    rm = F.unix_micros(F.col(right_ts))
+    cells = F.sequence(
+        F.floor((lm - tol_us) / tol_us), F.floor((lm + tol_us) / tol_us)
+    )
+    lx = left.withColumn("__lm", lm).withColumn("__cell", F.explode(cells))
+    rx = right.withColumn("__rm", rm).withColumn("__cell", F.floor(rm / tol_us))
+    return (
+        lx.join(rx, "__cell")
+        .filter(
+            (F.col("__rm") >= F.col("__lm") - tol_us)
+            & (F.col("__rm") <= F.col("__lm") + tol_us)
+        )
+        .drop("__cell", "__lm", "__rm")
+    )

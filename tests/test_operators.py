@@ -344,3 +344,46 @@ def test_srp_buckets_sign_structure(spark):
     # negation flips every non-zero projection's sign bit
     assert got[2] == 255 - got[0]
     assert S.srp_lsh_buckets(emb, dim=8).schema["bucket"].dataType.typeName() == "long"
+
+
+def test_asof_join_latest_at_or_before(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, T(10), 5.0), (2, 100, T(20), 6.0), (3, 200, T(5), 7.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, T(10), 1.0), (100, T(15), 2.0), (100, T(21), 3.0), (300, T(1), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    from githubrepostorag_spark.operators import eventops as EV
+
+    got = {r.event_id: r for r in EV.asof_join(left, right, value_cols=["value"]).collect()}
+    assert got[1].prior_value == 1.0  # equal ts counts as "at or before"
+    assert got[2].prior_value == 2.0  # T(21) is after T(20)
+    assert got[3].prior_value is None and got[3].prior_ts is None  # no right rows for user
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, base + dt.timedelta(seconds=37 * i)) for i in range(40)]
+    rrows = [(100 + j, base + dt.timedelta(seconds=53 * j)) for j in range(40)]
+    left = spark.createDataFrame(lrows, "lid long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, r_ts timestamp")
+    from githubrepostorag_spark.operators import eventops as EV
+
+    got = {
+        (r.lid, r.rid)
+        for r in EV.range_join_bucketed(left, right, right_ts="r_ts", tolerance_s=60).collect()
+    }
+    naive = {
+        (l, r)
+        for l, lt in lrows
+        for r, rt in rrows
+        if abs((lt - rt).total_seconds()) <= 60
+    }
+    assert got == naive
