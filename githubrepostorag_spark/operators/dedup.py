@@ -286,6 +286,12 @@ def dedup_components(
     `nodes` (one `node` column) seeds singleton components so isolated
     docs keep themselves as canonical.
 
+    Only nodes that touch an edge can ever change label, so the
+    iteration runs on that (tiny — dup-pair members only) subgraph and
+    the untouched majority unions back in as singletons at the end: at
+    a 1% dup rate the per-round shuffles handle 1% of the corpus, not
+    all of it.
+
     Each round's labels are ``localCheckpoint``-ed: iterative lineage
     otherwise doubles the logical plan every round and overflows the
     planner stack long before the data is the problem. On a real
@@ -297,8 +303,12 @@ def dedup_components(
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=True
+    all_nodes = nodes.select("node")
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = sym.join(
@@ -319,7 +329,10 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    singletons = all_nodes.join(labels.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_survivors(
