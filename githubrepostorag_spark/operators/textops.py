@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.session import scale_out
 
 # Fixed-window chunker parameters (shared with the DuckDB oracle).
 CHUNK_WINDOW = 120
@@ -284,7 +285,8 @@ def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counted = (
-        documents.select("doc_id", F.explode(grams).alias("gram"))
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
