@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- time joins: as-of enrichment + keyless range join ---
         "q62_asof_join": lambda sp, sf: _q62(sp, sf),
         "q63_range_join": lambda sp, sf: _q63(sp, sf),
+        # --- corpus profiling: length quantiles + vocabulary head ---
+        "q64_length_profile": lambda sp, sf: TO.length_profile(t(sp, sf, "documents")),
+        "q65_vocab_top": lambda sp, sf: TO.vocab_top(t(sp, sf, "documents")),
     }
 
 
@@ -1222,6 +1225,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e LEFT JOIN p
               ON p.p_ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
             GROUP BY e.event_id, e.ts
+        """,
+        "q64_length_profile": f"""
+            WITH x AS (SELECT source, CAST(len({_TOKS}) AS DOUBLE) AS n FROM documents),
+            q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         quantile_cont(n, [0.5, 0.9, 0.99]) AS qs
+                  FROM x GROUP BY source)
+            SELECT source, n_docs,
+                   round(qs[1], 4) AS p50_tokens,
+                   round(qs[2], 4) AS p90_tokens,
+                   round(qs[3], 4) AS p99_tokens
+            FROM q
+        """,
+        "q65_vocab_top": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)
+            GROUP BY token
+            ORDER BY df DESC, token ASC
+            LIMIT 100
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

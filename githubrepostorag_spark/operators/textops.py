@@ -306,3 +306,49 @@ def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
             F.round(1 - F.col("n_distinct_grams") / F.col("n_grams"), 6).alias("dup_gram_frac"),
         )
     )
+
+
+def length_profile(documents: DataFrame) -> DataFrame:
+    """Per-source token-length distribution: doc count and exact
+    p50/p90/p99 token-count quantiles — the corpus profiling step that
+    sizes chunking windows and flags degenerate sources before
+    training. Exact `percentile` (sort-based within group) matches the
+    DuckDB oracle's quantile_cont interpolation; at 100 TB swap in
+    approx_percentile and drop the oracle to a tolerance check.
+    One shuffle on source.
+    """
+    qs = (
+        documents.select("source", TXT.token_count(F.col("text")).alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile(
+                F.col("x"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("q"),
+        )
+    )
+    return qs.select(
+        "source",
+        "n_docs",
+        F.round(F.col("q")[0], 4).alias("p50_tokens"),
+        F.round(F.col("q")[1], 4).alias("p90_tokens"),
+        F.round(F.col("q")[2], 4).alias("p99_tokens"),
+    )
+
+
+def vocab_top(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Global vocabulary head by document frequency: for each token the
+    number of documents containing it, top-k with a total order
+    (df desc, token asc). Zipf-head inspection / stopword discovery
+    over the corpus. Distinct-per-doc explode → one partially-
+    aggregated shuffle on token → TakeOrdered(k); no global sort of
+    the vocabulary ever materializes.
+    """
+    return (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )

@@ -387,3 +387,32 @@ def test_range_join_bucketed_matches_naive(spark):
         if abs((lt - rt).total_seconds()) <= 60
     }
     assert got == naive
+
+
+def test_asof_join_matches_naive_on_random_streams(spark):
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    T = lambda s: base + dt.timedelta(seconds=s)
+    lrows = [
+        (i, rng.randrange(5), T(rng.randrange(1000)), float(i)) for i in range(120)
+    ]
+    rrows = [
+        (rng.randrange(5), T(rng.randrange(1000)), 1000.0 + j) for j in range(120)
+    ]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(rrows, "user_id long, ts timestamp, value double")
+    from githubrepostorag_spark.operators import eventops as EV
+
+    got = {
+        r.event_id: (r.prior_ts, r.prior_value)
+        for r in EV.asof_join(left, right, value_cols=["value"]).collect()
+    }
+    for eid, uid, ts, _ in lrows:
+        cands = [(rt, rv) for ru, rt, rv in rrows if ru == uid and rt <= ts]
+        want = max(cands) if cands else (None, None)  # ts unique per (user,val) draw
+        assert got[eid] == want, f"event {eid}"
