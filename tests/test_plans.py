@@ -137,3 +137,45 @@ def test_exact_dedup_partial_aggregation(spark):
     # map-side partial agg before the single shuffle
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of plan must stay one hash exchange on the
+    key — the property that keeps it linear at 100 TB (a range-predicate
+    join would degenerate to a broadcast nested loop)."""
+    from githubrepostorag_spark.operators import eventops as EV
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    plan = plan_of(EV.asof_join(p, c, value_cols=["value"]))
+    assert plan.count("Exchange") == 1
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_bucketed_avoids_nested_loop(spark):
+    """The cell trick must turn the pure range predicate into an
+    equi-join; a BNLJ/Cartesian here means the rewrite regressed."""
+    from githubrepostorag_spark.operators import eventops as EV
+
+    ev = load_table(spark, SF, "events")
+    e = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    plan = plan_of(EV.range_join_bucketed(e, p, right_ts="p_ts"))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_batches_single_exchange(spark):
+    """Both windows (running offset, per-batch total) must share the
+    one group-key exchange; a second exchange would shuffle the corpus
+    twice for bookkeeping."""
+    from githubrepostorag_spark.operators import curation as CU
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(CU.pack_token_batches(docs, 2000))
+    assert plan.count("Exchange") == 1
