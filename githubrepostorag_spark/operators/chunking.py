@@ -95,29 +95,27 @@ def split_code_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     chunks = F.when(known_code, _line_chunks(F.col(text_col))).otherwise(
         _char_chunks(F.col(text_col), TEXT_CHUNK_SIZE, TEXT_CHUNK_OVERLAP)
     )
-    out = docs.withColumn("c", F.explode(chunks))
-    return (
-        out.drop(text_col)
-        .withColumn("chunk_idx", F.col("c.chunk_idx"))
-        .withColumn("text", F.col("c.chunk_text"))
-        .withColumn("start_line", F.col("c.start_line"))
-        .withColumn("end_line", F.col("c.end_line"))
-        .drop("c")
-    )
+    return _exploded_chunks(docs, chunks, text_col)
+
+
+def _exploded_chunks(docs: DataFrame, chunks, text_col: str) -> DataFrame:
+    """Explode + unpack in two projections (withColumn chains re-analyze
+    the plan per call — measurable across the ingest lineage)."""
+    out = docs.withColumn("c", F.explode(chunks)).drop(text_col)
+    return out.withColumns(
+        {
+            "chunk_idx": F.col("c.chunk_idx"),
+            "text": F.col("c.chunk_text"),
+            "start_line": F.col("c.start_line"),
+            "end_line": F.col("c.end_line"),
+        }
+    ).drop("c")
 
 
 def split_catalog_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """C4: 1500/100 char splitter for catalog/summary docs."""
     chunks = _char_chunks(F.col(text_col), CATALOG_CHUNK_SIZE, CATALOG_CHUNK_OVERLAP)
-    out = docs.withColumn("c", F.explode(chunks))
-    return (
-        out.drop(text_col)
-        .withColumn("chunk_idx", F.col("c.chunk_idx"))
-        .withColumn("text", F.col("c.chunk_text"))
-        .withColumn("start_line", F.col("c.start_line"))
-        .withColumn("end_line", F.col("c.end_line"))
-        .drop("c")
-    )
+    return _exploded_chunks(docs, chunks, text_col)
 
 
 # --------------------------------------------------------------------------

@@ -183,14 +183,18 @@ def attach_common_metadata(
         .when(F.col("doc_type") == "file", "file")
         .otherwise("chunk")
     )
-    return (
-        nodes.withColumn("namespace", F.lit(namespace))
-        .withColumn("branch", F.lit(branch))
-        .withColumn("collection", F.lit(collection))
-        .withColumn("is_standalone", F.col("component_kind") == "standalone")
-        .withColumn("dev_forced_standalone", F.lit(dev_forced))
-        .withColumn("ingest_run_id", F.lit(ingest_run_id))
-        .withColumn("scope", scope)
+    # one projection, not seven: each withColumn re-analyzes the whole
+    # plan, which adds up across the ~15-stage ingest lineage
+    return nodes.withColumns(
+        {
+            "namespace": F.lit(namespace),
+            "branch": F.lit(branch),
+            "collection": F.lit(collection),
+            "is_standalone": F.col("component_kind") == "standalone",
+            "dev_forced_standalone": F.lit(dev_forced),
+            "ingest_run_id": F.lit(ingest_run_id),
+            "scope": scope,
+        }
     )
 
 
