@@ -62,8 +62,18 @@ def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     return acc / n if n > 0 else acc
 
 
+_EMBEDDER_CACHE: dict[int, object] = {}
+
+
 def make_hash_embedder(dim: int = EMBED_DIM):
-    """Build the batched embedding UDF (array<float> of `dim`)."""
+    """Build the batched embedding UDF (array<float> of `dim`).
+
+    Cached per dim: each pandas_udf construction cloudpickles the
+    closure over py4j, which adds up when the 5-scope ingest plan
+    builds the embedder once per scope."""
+    cached = _EMBEDDER_CACHE.get(dim)
+    if cached is not None:
+        return cached
 
     @pandas_udf("array<float>")
     def hash_embed(texts: pd.Series) -> pd.Series:
@@ -102,6 +112,7 @@ def make_hash_embedder(dim: int = EMBED_DIM):
             out.append(acc.astype(np.float32).tolist())
         return pd.Series(out)
 
+    _EMBEDDER_CACHE[dim] = hash_embed
     return hash_embed
 
 

@@ -52,13 +52,11 @@ def sanitized_metadata(df: DataFrame, scope: str) -> Column:
     for name in sorted(keep):
         if name not in dtypes:
             continue
+        s = stringify(F.col(name), dtypes[name])
         entries.append(
             F.when(
-                stringify(F.col(name), dtypes[name]).isNotNull(),
-                F.struct(
-                    F.lit(name).alias("key"),
-                    stringify(F.col(name), dtypes[name]).alias("value"),
-                ),
+                s.isNotNull(),
+                F.struct(F.lit(name).alias("key"), s.alias("value")),
             )
         )
     # map_from_entries over the non-null entries
