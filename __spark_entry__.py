@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- corpus profiling: length quantiles + vocabulary head ---
         "q64_length_profile": lambda sp, sf: TO.length_profile(t(sp, sf, "documents")),
         "q65_vocab_top": lambda sp, sf: TO.vocab_top(t(sp, sf, "documents")),
+        "q66_srp_near_dups": lambda sp, sf: S.srp_near_dup_pairs(
+            t(sp, sf, "embeddings")
+        ),
     }
 
 
@@ -1243,6 +1246,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY df DESC, token ASC
             LIMIT 100
+        """,
+        "q66_srp_near_dups": f"""
+            WITH bk AS ({_srp_sql()})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM bk a
+            JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

@@ -364,3 +364,39 @@ def srp_lsh_buckets(
     return embeddings.select(
         "vec_id", "label", bucket_of(F.col("embedding")).alias("bucket")
     )
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = SRP_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via SRP-LSH blocking: candidates are pairs
+    sharing an SRP bucket, then exact cosine verifies against the
+    threshold. The third blocking strategy next to text-LSH
+    (dedup.jaccard_on_candidates) and IVF cells (near_dup_in_cells):
+    pair work is confined to bucket-equi-join collisions — expected
+    bucket size n/2^planes — instead of the all-pairs matmul, and the
+    plan is one narrow bucket map + one equi-join self-join. Recall is
+    tunable by n_planes (fewer planes → bigger buckets → higher
+    recall, more verify work).
+    """
+    b = srp_lsh_buckets(embeddings, n_planes, dim).select("vec_id", "bucket")
+    e = embeddings.select("vec_id", "embedding").join(b, "vec_id")
+    a, c = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

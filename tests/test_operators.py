@@ -416,3 +416,20 @@ def test_asof_join_matches_naive_on_random_streams(spark):
         cands = [(rt, rv) for ru, rt, rv in rrows if ru == uid and rt <= ts]
         want = max(cands) if cands else (None, None)  # ts unique per (user,val) draw
         assert got[eid] == want, f"event {eid}"
+
+
+def test_srp_near_dups_catch_identical_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.normal(size=8).astype("float32") for _ in range(20)]
+    vecs.append(vecs[0])  # vec 20 duplicates vec 0
+    emb = spark.createDataFrame(
+        [(i, v.tolist(), 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.srp_near_dup_pairs(emb, threshold=0.99, dim=8).collect()
+    }
+    assert got.get((0, 20)) == 1.0  # identical vectors always share a bucket
