@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_srp_near_dups": lambda sp, sf: S.srp_near_dup_pairs(
             t(sp, sf, "embeddings")
         ),
+        # --- event funnel + cohort retention (event-suite analytics) ---
+        "q67_funnel": lambda sp, sf: E.funnel_steps(t(sp, sf, "events")),
+        "q68_cohort_retention": lambda sp, sf: E.cohort_retention(t(sp, sf, "events")),
+        # --- lexical retrieval: BM25 (hybrid-search complement to KNN) ---
+        "q69_bm25": lambda sp, sf: TO.bm25_scores(t(sp, sf, "documents")),
     }
 
 
@@ -475,6 +480,43 @@ def _simhash_cte() -> str:
         f"w AS (SELECT doc_id, {ws} FROM hashed GROUP BY doc_id), "
         f"sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM w)"
     )
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    """Cascading-first-occurrence funnel, generated from the same step
+    tuple the Spark operator uses. Each stage keeps the earliest
+    qualifying (ts, event_id) strictly after the previous stage's —
+    row-value comparison so simultaneous-timestamp ties break the same
+    way as the Spark fold's (ts, event_id) sort."""
+    ctes = [
+        f"""s1 AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = '{steps[0]}') WHERE rn = 1)"""
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""s{i + 1} AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT e.user_id, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN s{i} p USING (user_id)
+            WHERE e.event_type = '{steps[i]}'
+              AND (e.ts, e.event_id) > (p.ts, p.event_id)) WHERE rn = 1)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+        WITH {", ".join(ctes)},
+        counts AS ({unions})
+        SELECT step, event_type, n_users,
+               round(CAST(n_users AS DOUBLE) /
+                     max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS pct_of_first
+        FROM counts
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1246,6 +1288,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY df DESC, token ASC
             LIMIT 100
+        """,
+        "q67_funnel": _funnel_sql(E.FUNNEL_STEPS),
+        "q68_cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id, f.cohort_week,
+                     date_trunc('week', e.ts) AS active_week
+              FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort_week, week_offset
+        """,
+        "q69_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl, {_TOKS} AS t
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM toks
+            ), tf AS (
+              SELECT doc_id, dl, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(t) AS token FROM toks)
+              WHERE lower(token) IN {str(tuple(TO.BM25_TERMS))}
+              GROUP BY doc_id, dl, lower(token)
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                       * (tf.tf * ({TO.BM25_K1} + 1))
+                       / (tf.tf + {TO.BM25_K1} * (1 - {TO.BM25_B} + {TO.BM25_B} * tf.dl / s.avgdl))
+                       AS term_score
+              FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id
         """,
         "q66_srp_near_dups": f"""
             WITH bk AS ({_srp_sql()})

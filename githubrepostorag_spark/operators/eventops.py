@@ -87,6 +87,104 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+# Default conversion funnel (shared with the DuckDB oracle).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly after it, then step 3 after that — the classic
+    conversion query (view → click → purchase).
+
+    Matching is greedy-earliest over the user's (ts, event_id)-ordered
+    events, which is exactly the cascading-first-occurrence semantics
+    (t1 = first step-1 event; t2 = first step-2 event after t1; ...):
+    greedy subsequence matching reaches the maximal step.
+
+    Plan: non-step events are pruned at the scan, then ONE shuffle on
+    user_id collects each user's step-typed events and a fold
+    (`aggregate` over the sorted array) computes the reached depth
+    JVM-side — no per-user cascade of k self-joins (k shuffles) and no
+    Python. Per-user state is only the user's step-typed events; a
+    pathological bot user is one oversized row, not a skewed join.
+    Output is k rows: step, event_type, n_users, pct_of_first.
+    """
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    depth = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.aggregate(
+                F.col("evs"),
+                F.lit(0),
+                lambda acc, e: F.when(
+                    (acc < F.lit(len(steps)))
+                    & (e["event_type"] == F.element_at(steps_arr, acc + 1)),
+                    acc + 1,
+                ).otherwise(acc),
+            ).alias("depth")
+        )
+    )
+    counts = (
+        depth.filter(F.col("depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w_all = Window.partitionBy()  # k rows total — a single-partition window is free
+    return counts.select(
+        "step",
+        F.element_at(steps_arr, F.col("step")).alias("event_type"),
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w_all),
+            6,
+        ).alias("pct_of_first"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users bucketed by the week of their first event;
+    for each (cohort_week, week_offset) the number of distinct cohort
+    members active that week.
+
+    Plan: first-event time per user via min() over a user-partitioned
+    window — the activity rows keep their partitioning, so cohort
+    assignment costs the one shuffle on user_id; then distinct
+    (cohort, offset, user) and a partial-aggregated count. No join of
+    the events table back to a per-user table.
+    """
+    w_user = Window.partitionBy("user_id")
+    base = events.select("user_id", "ts").withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w_user))
+    )
+    active = base.select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")).cast("date"),
+                F.col("cohort_week").cast("date"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    ).distinct()
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -352,3 +352,76 @@ def vocab_top(documents: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(k)
     )
+
+
+# BM25 parameters (shared with the DuckDB oracle).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "join", "stream")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 keyword relevance of every document against a bag of query
+    terms — the lexical retrieval complement to the embedding KNN
+    operators (hybrid search = union of this and `similarity.knn`).
+
+    Plan: tokens are exploded and immediately filtered to the query
+    terms, so the shuffled term-frequency table holds only
+    |matching docs| × |query terms| rows; document frequency and the
+    corpus stats (N, avgdl) reduce to broadcast-sized singletons, and
+    the score assembles with one equi-join of the slim tf table back to
+    per-doc lengths. No all-terms inverted index is materialized.
+    idf is rounded to 6 decimals before use so the remaining
+    arithmetic (+,*,/ on doubles) is bit-stable against the oracle.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = documents.select(
+        "doc_id", F.size(TXT.tokens(F.col("text"))).alias("dl"), TXT.tokens(F.col("text")).alias("toks")
+    )
+    stats = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.lower(F.col("token")).isin(terms))
+        .groupBy("doc_id", "dl", F.lower(F.col("token")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    # per-term scores are rounded then summed as exact decimals: float
+    # addition is not associative, so a double sum could disagree with
+    # the oracle depending on aggregation order
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("term_score"), 6).cast("decimal(18,6)")
+            ).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )

@@ -433,3 +433,86 @@ def test_srp_near_dups_catch_identical_vectors(spark):
         for r in S.srp_near_dup_pairs(emb, threshold=0.99, dim=8).collect()
     }
     assert got.get((0, 20)) == 1.0  # identical vectors always share a bucket
+
+
+def test_funnel_steps_cascading_semantics(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (click must not
+    # count) then views -> depth 1; u3 views+purchases but never clicks ->
+    # depth 1; u4 never does step 1 -> depth 0.
+    rows = [
+        (1, T(1), 1, "view"), (2, T(2), 1, "click"), (3, T(3), 1, "purchase"),
+        (4, T(1), 2, "click"), (5, T(2), 2, "view"),
+        (6, T(1), 3, "view"), (7, T(2), 3, "purchase"),
+        (8, T(1), 4, "purchase"), (9, T(2), 4, "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from githubrepostorag_spark.operators import eventops as EV
+
+    got = {r.step: r for r in EV.funnel_steps(events).collect()}
+    assert got[1].n_users == 3 and got[1].event_type == "view"
+    assert got[2].n_users == 1 and got[2].event_type == "click"
+    assert got[3].n_users == 1 and got[3].event_type == "purchase"
+    assert got[3].pct_of_first == round(1 / 3, 6)
+
+
+def test_cohort_retention_week_offsets(spark):
+    import datetime as dt
+
+    D = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    # Jan 1 2024 is a Monday. u1 first seen wk0, active wk0 and wk2
+    # (twice -> still one row); u2 first seen wk1, active wk1 only.
+    rows = [
+        (1, 1, D(2)), (2, 1, D(16)), (3, 1, D(17)),
+        (4, 2, D(9)),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    from githubrepostorag_spark.operators import eventops as EV
+
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in EV.cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_bm25_matches_naive(spark):
+    import math
+
+    corpus = [
+        (0, "vector join stream vector"),
+        (1, "join the big table"),
+        (2, "no relevant words here"),
+        (3, "stream stream stream"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    from githubrepostorag_spark.operators import textops as TOPS
+
+    got = {r.doc_id: r for r in TOPS.bm25_scores(docs).collect()}
+    # naive reference computation
+    toks = {d: t.split() for d, t in corpus}
+    n, avgdl = len(corpus), sum(len(v) for v in toks.values()) / len(corpus)
+    terms = TOPS.BM25_TERMS
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    k1, b = TOPS.BM25_K1, TOPS.BM25_B
+    for d, v in toks.items():
+        score, hits = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = round(math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0), 6)
+            score += round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl)), 6)
+        if hits:
+            assert abs(got[d].bm25 - score) < 1e-9, d
+            assert got[d].n_terms_hit == hits
+    assert 2 not in got  # zero-hit docs are absent, not zero-scored
