@@ -35,6 +35,17 @@ def main() -> None:
     qs = entry_mod.queries()
     # JVM/codegen warmup so the first measured query isn't charged for it
     run_query(qs[WARMUP_QUERY](spark, sf_dir))
+    # Python-worker warmup: the first Arrow UDF otherwise pays the
+    # per-core worker fork (seconds) that steady-state queries never see
+    from pyspark.sql import functions as F
+
+    n_cores = spark.sparkContext.defaultParallelism
+    warm = (
+        spark.range(n_cores * 4, numPartitions=n_cores)
+        .groupBy((F.col("id") % n_cores).alias("g"))
+        .applyInPandas(lambda p: p, "id long")
+    )
+    run_query(warm)
 
     times: dict[str, float] = {}
     t_total0 = time.time()
