@@ -311,22 +311,29 @@ def dedup_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # own label tagged is_self so the same aggregate yields BOTH the
+        # new min-label and the previous one — the convergence test is a
+        # count on the checkpointed result, not a second join+shuffle
+        # per round
+        own = labels.select("node", "component", F.lit(1).alias("is_self"))
         nbr = sym.join(
             labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "component")
+        ).select(
+            F.col("src").alias("node"), "component", F.lit(0).alias("is_self")
+        )
         new_labels = (
-            labels.unionByName(nbr)
+            own.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_self") == 1, F.col("component"))).alias(
+                    "prev"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("prev")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     singletons = all_nodes.join(labels.select("node"), "node", "left_anti").select(
