@@ -108,18 +108,38 @@ def lsh_buckets(documents: DataFrame, n_bands: int = LSH_BANDS) -> DataFrame:
 
 
 def lsh_candidate_pairs(documents: DataFrame, n_bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate near-dup pairs: docs colliding in ≥1 LSH band."""
+    """Candidate near-dup pairs: docs colliding in ≥1 LSH band.
+
+    Shape: groupBy(band) → sorted member list → in-bucket pair explode.
+    ONE scan of the MinHash chain and one shuffle on the band value — a
+    band self-join would evaluate the signature computation twice (once
+    per join side) and shuffle both. A d-member bucket yields d²/2 pair
+    rows either way (one hot band value = one reducer in both shapes);
+    at scale you cap runaway buckets (drop or sample buckets past a few
+    thousand members — a bucket that big is not "near-duplicate"
+    evidence anyway), which the grouped form makes a one-line filter.
+    """
     b = lsh_buckets(documents, n_bands)
-    left = b.alias("l")
-    right = b.alias("r")
+    grouped = (
+        b.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -185,9 +205,22 @@ def jaccard_on_candidates(
     Default geometry (2 bands × 4 rows) targets near-dups: collision
     prob ≈ 12% at s=0.5, 65% at s=0.8 — the candidate set stays sparse
     even on a corpus where *every* pair has moderate overlap.
+
+    The candidate set is ``localCheckpoint``-ed: it is consumed three
+    times downstream (doc restriction + pair fan-out), and without the
+    cut each consumer would replay the full shingle→minhash→band chain.
+    Verification then shingles ONLY candidate-touched docs (left_semi)
+    — at a realistic dup rate that is a sliver of the corpus, so the
+    full corpus is shingled exactly once (inside the LSH pass) no
+    matter how the verify step is composed.
     """
-    cand = lsh_candidate_pairs(documents, n_bands)
-    sh = _shingled(documents)
+    cand = lsh_candidate_pairs(documents, n_bands).localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled(documents.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -303,6 +336,15 @@ def dedup_components(
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # Right-size the loop to the materialized edge list: the union above
+    # doubles the upstream partition count, but the dup subgraph is tiny
+    # relative to the corpus, so without this every round schedules
+    # mostly-empty tasks. count() on a checkpointed frame is ~free;
+    # coalesce doesn't shuffle. ~100k slim edge rows per task keeps a
+    # genuinely large graph wide.
+    n_edges = sym.count()
+    parts = max(1, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    sym = sym.coalesce(parts)
     all_nodes = nodes.select("node")
     labels = (
         sym.select(F.col("src").alias("node"))
