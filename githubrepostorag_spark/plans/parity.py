@@ -226,10 +226,15 @@ def drilldown(documents: DataFrame) -> DataFrame:
     join chunks on node_id. Every chunk must reappear exactly once under
     its file's keys — the oracle is the chunk fixture itself.
 
-    The post-chunking repartition gives both branches (rollups +
-    members) an identical exchange subplan, so ReuseExchange runs the
-    expensive chunk explode ONCE instead of once per branch."""
-    chunks = scale_out(_chunks_with_ids(documents), "node_id")
+    The chunk table feeds two branches (rollups + members); per-branch
+    column pruning gives each a different exchange subplan, so
+    ReuseExchange can NOT kick in and the expensive chunk explode would
+    run once per branch. ``localCheckpoint`` materializes it exactly
+    once instead — at scale the equivalent cut is reading chunks back
+    from the vector table rather than re-deriving them."""
+    chunks = scale_out(_chunks_with_ids(documents), "node_id").localCheckpoint(
+        eager=False
+    )
     rollups = H.file_rollup_inputs(chunks).select(
         "namespace", "repo", "module", "file_path", "language", "rollup_of"
     )
