@@ -331,20 +331,22 @@ def dedup_components(
     cluster swap in reliable ``checkpoint`` (HDFS) for executor-loss
     tolerance; the algorithm is unchanged.
     """
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint(eager=True)
+    # Checkpoint the ONE-SIDED edge list before symmetrizing: a
+    # union(edges, edges.swapped) would evaluate the upstream pair
+    # chain once per branch — for a verify composition that is the
+    # single most expensive subtree in the whole dedup pipeline.
+    one = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
     )
-    # Right-size the loop to the materialized edge list: the union above
-    # doubles the upstream partition count, but the dup subgraph is tiny
-    # relative to the corpus, so without this every round schedules
-    # mostly-empty tasks. count() on a checkpointed frame is ~free;
-    # coalesce doesn't shuffle. ~100k slim edge rows per task keeps a
-    # genuinely large graph wide.
-    n_edges = sym.count()
-    parts = max(1, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
-    sym = sym.coalesce(parts)
+    # Right-size the loop to the materialized edge list: the dup
+    # subgraph is tiny relative to the corpus, so without this every
+    # round schedules mostly-empty tasks. count() on a checkpointed
+    # frame is ~free; coalesce doesn't shuffle. ~100k slim edge rows
+    # per task keeps a genuinely large graph wide.
+    n_edges = one.count()
+    parts = max(1, min(one.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    one = one.coalesce(parts)
+    sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     all_nodes = nodes.select("node")
     labels = (
         sym.select(F.col("src").alias("node"))
