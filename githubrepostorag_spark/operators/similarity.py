@@ -177,8 +177,17 @@ def near_dup_pairs(
 
     if n_blocks is None:
         # no extra job: input partition count scales with input bytes,
-        # so blocks stay near block_size without an eager count().
-        n_blocks = max(1, embeddings.rdd.getNumPartitions())
+        # so blocks stay near block_size without an eager count(). The
+        # parallelism floor matters on few-split inputs (e.g. one parquet
+        # row group): block PAIRS are the unit of work, so m blocks must
+        # give m(m+1)/2 >= cores or most of the cluster idles while one
+        # task multiplies the whole matrix. Smaller blocks only ever help
+        # memory; FLOPs are unchanged.
+        cores = embeddings.sparkSession.sparkContext.defaultParallelism
+        m = 1
+        while m * (m + 1) // 2 < cores:
+            m += 1
+        n_blocks = max(embeddings.rdd.getNumPartitions(), m)
     spark = embeddings.sparkSession
     pair_rows = [
         (bi * n_blocks + bj, bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)
