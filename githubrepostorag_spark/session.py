@@ -57,6 +57,10 @@ def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None)
         # events.parquet stores TIMESTAMP(NANOS,false), which Spark's parquet
         # reader rejects; read as raw nanos and convert in the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # plain timestamp[us] parquet (no isAdjustedToUTC) must read as
+        # TIMESTAMP (UTC session), not TIMESTAMP_NTZ — the event-time
+        # operators cast ts to epoch seconds, which NTZ forbids.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

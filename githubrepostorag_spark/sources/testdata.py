@@ -42,12 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date_trunc/epoch match the (UTC-naive) DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timestamp[us] without isAdjustedToUTC would otherwise infer as
+    # TIMESTAMP_NTZ, which rejects the epoch casts the event operators
+    # rely on; with a UTC session both readings denote the same instant.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw nanos (see session.py): convert to
-        # microsecond timestamps with integer division (ns values exceed
-        # double precision, so no float math here).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as raw nanos (see session.py): convert to
+            # microsecond timestamps with integer division (ns values exceed
+            # double precision, so no float math here).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Reader built before the conf was set: NTZ→LTZ cast reads the
+            # naive value in the (UTC) session zone — the same instant.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
