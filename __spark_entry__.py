@@ -228,12 +228,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_cohort_retention": lambda sp, sf: E.cohort_retention(t(sp, sf, "events")),
         # --- lexical retrieval: BM25 (hybrid-search complement to KNN) ---
         "q69_bm25": lambda sp, sf: TO.bm25_scores(t(sp, sf, "documents")),
+        # --- train/eval decontamination: word-trigram overlap vs a
+        # held-out slice (doc_id % 101 == 0 plays the eval suite) ---
+        "q70_decontaminate": lambda sp, sf: CU.decontaminate(
+            t(sp, sf, "documents").filter(F.col("doc_id") % 101 != 0),
+            t(sp, sf, "documents").filter(F.col("doc_id") % 101 == 0),
+        ),
+        # --- PII / secret scan over deterministically salted text (the
+        # synthetic corpus is PII-free, so inject matches derived from
+        # driver data — same derivation mirrored in the oracle) ---
+        "q71_pii_scan": lambda sp, sf: TO.pii_scan(_pii_salted(t(sp, sf, "documents"))),
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB equivalents
 # ---------------------------------------------------------------------------
+
+
+def _pii_salted(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII-shaped strings to a slice of docs so
+    q71 exercises real matches (emails on %7, IPv4 on %11, a 32-hex
+    md5 "secret" on %13); mirrored exactly by the oracle CTE."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".25")),
+            ).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.concat(F.lit(" token="), F.md5(F.col("text")))).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
 
 # Whitespace tokens of trimmed text (DuckDB mirror of functions.text.tokens).
 _TOKS = (
@@ -1341,6 +1376,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings eb ON eb.vec_id = b.vec_id
             WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                                CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "q70_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < {CU.DECON_N} THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(t) - {CU.DECON_N} + 2),
+                                 i -> array_to_string(t[i:i+{CU.DECON_N - 1}], ' ')))
+                     END AS grams
+              FROM toks
+            ),
+            b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 101 = 0),
+            c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+                  FROM g WHERE doc_id % 101 <> 0),
+            o AS (SELECT doc_id, n_grams, count(*) AS overlap
+                  FROM c JOIN b USING (gram) GROUP BY 1, 2)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(overlap AS BIGINT) AS overlap,
+                   round(overlap / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
+            FROM o WHERE overlap >= {CU.DECON_MIN_OVERLAP}
+        """,
+        "q71_pii_scan": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' host 10.0.' || (doc_id % 256) || '.25' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' token=' || md5(text) ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TO.PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{TO.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{TO.PII_HEX_SECRET}')) AS BIGINT) AS n_hex_secrets,
+                   CAST(len(regexp_extract_all(text, '{TO.PII_AWS_KEY}')) AS BIGINT) AS n_aws_keys,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{TO.PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{TO.PII_IPV4}', '[IP]', 'g'),
+                       '{TO.PII_HEX_SECRET}', '[SECRET]', 'g'),
+                       '{TO.PII_AWS_KEY}', '[KEY]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '{TO.PII_EMAIL}'))
+                      + len(regexp_extract_all(text, '{TO.PII_IPV4}'))
+                      + len(regexp_extract_all(text, '{TO.PII_HEX_SECRET}'))
+                      + len(regexp_extract_all(text, '{TO.PII_AWS_KEY}')) AS BIGINT) AS pii_hits
+            FROM salted
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

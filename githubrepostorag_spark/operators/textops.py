@@ -425,3 +425,45 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+
+
+# PII / secret patterns shared with the DuckDB oracle: both Java regex
+# and RE2 interpret these identically (no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_HEX_SECRET = r"\b[0-9a-f]{32,}\b"
+PII_AWS_KEY = r"\bAKIA[0-9A-Z]{16}\b"
+
+_PII_RULES = (
+    ("emails", PII_EMAIL, "[EMAIL]"),
+    ("ipv4", PII_IPV4, "[IP]"),
+    ("hex_secrets", PII_HEX_SECRET, "[SECRET]"),
+    ("aws_keys", PII_AWS_KEY, "[KEY]"),
+)
+
+
+def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact PII / leaked-secret patterns per document —
+    the scrub pass a training-data pipeline runs before anything ships
+    (emails, IPv4 addresses, ≥32-hex-char secrets, AWS access keys).
+
+    Single narrow scan, no shuffle, no UDF: counts are
+    size(regexp_extract_all(...)) and redaction is a chain of
+    regexp_replace, all whole-stage-codegen expressions. At 100 TB this
+    is embarrassingly parallel and bounded by read throughput.
+
+    Returns one row per doc: per-pattern counts, total `pii_hits`, and
+    the redacted text (placeholders substituted in rule order).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in _PII_RULES
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in _PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    out = documents.select("doc_id", *counts, red.alias("redacted"))
+    total = sum(F.col(f"n_{name}") for name, _, _ in _PII_RULES)
+    return out.withColumn("pii_hits", total.cast("long"))

@@ -60,3 +60,35 @@ def test_pack_batches_offsets_and_budget(spark):
             last = max(rows, key=lambda r: r.start_offset)
             assert last.start_offset + last.n_tokens >= (bid + 1) * 10
         assert all(r.start_offset // 10 == bid for r in rows)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # copies 5 consecutive benchmark tokens -> 3 shared trigrams
+            (1, "intro words then quick brown fox jumps over closing remark"),
+            (2, "entirely different vocabulary with no shared phrases at all"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in CU.decontaminate(corpus, bench).collect()}
+    assert set(got) == {1}  # only the copying doc is flagged
+    # "quick brown fox", "brown fox jumps", "fox jumps over" = 3 shared trigrams
+    assert got[1].overlap == 3
+    assert got[1].n_grams == 8  # 10 tokens -> 8 trigrams
+    assert abs(got[1].overlap_frac - 3 / 8) < 1e-9
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    plan = CU.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the n-gram transform must NOT be re-evaluated per exploded row:
+    # the corpus-side Generate explodes a materialized attribute
+    assert "Generate explode(grams#" in plan
