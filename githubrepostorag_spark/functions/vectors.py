@@ -40,7 +40,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize; the engine normalizes at write time (like the
-    reference's cosine SAI index) so query-time scoring is a plain dot."""
+    reference's cosine SAI index) so query-time scoring is a plain dot.
+
+    The norm is bound once per row via array_repeat + zip_with: a
+    transform lambda that references the norm EXPRESSION would
+    re-aggregate the whole array per element (O(d²) per row —
+    interpreted higher-order lambdas don't CSE their captures).
+    """
     ad = as_double(a)
     n = F.nullif(norm(ad), F.lit(0.0))
-    return F.transform(ad, lambda x: x / n)
+    return F.zip_with(ad, F.array_repeat(n, F.size(ad)), lambda x, nn: x / nn)

@@ -43,29 +43,38 @@ CATALOG_CHUNK_OVERLAP = 100
 
 def _line_chunks(text: Column) -> Column:
     """array<struct<chunk_idx,chunk_text,start_line,end_line>> of
-    200-line windows with 10-line overlap, 4000-char cap per chunk."""
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines)
+    200-line windows with 10-line overlap, 4000-char cap per chunk.
+
+    The split-lines array is bound once per row by routing it through
+    a single-element array into a nested transform: a chunk lambda
+    that referenced the split EXPRESSION would re-split the whole
+    document per chunk (interpreted higher-order lambdas re-evaluate
+    their captures)."""
     stride = CODE_CHUNK_LINES - CODE_CHUNK_LINES_OVERLAP
-    n_chunks = F.when(n_lines <= CODE_CHUNK_LINES, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.floor((n_lines - F.lit(CODE_CHUNK_LINES) + F.lit(stride - 1)) / F.lit(stride)).cast(
-            "int"
+
+    def per_doc(ls: Column) -> Column:
+        n_lines = F.size(ls)
+        n_chunks = F.when(n_lines <= CODE_CHUNK_LINES, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.floor(
+                (n_lines - F.lit(CODE_CHUNK_LINES) + F.lit(stride - 1)) / F.lit(stride)
+            ).cast("int")
         )
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.substring(
-                F.array_join(F.slice(lines, i * stride + 1, F.lit(CODE_CHUNK_LINES)), "\n"),
-                1,
-                CODE_MAX_CHARS,
-            ).alias("chunk_text"),
-            (i * stride).cast("long").alias("start_line"),
-            F.least(i * stride + CODE_CHUNK_LINES, n_lines).cast("long").alias("end_line"),
-        ),
-    )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.substring(
+                    F.array_join(F.slice(ls, i * stride + 1, F.lit(CODE_CHUNK_LINES)), "\n"),
+                    1,
+                    CODE_MAX_CHARS,
+                ).alias("chunk_text"),
+                (i * stride).cast("long").alias("start_line"),
+                F.least(i * stride + CODE_CHUNK_LINES, F.size(ls)).cast("long").alias("end_line"),
+            ),
+        )
+
+    return F.get(F.transform(F.array(F.split(text, "\n")), per_doc), 0)
 
 
 def _char_chunks(text: Column, size: int, overlap: int) -> Column:

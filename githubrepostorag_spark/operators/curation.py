@@ -122,20 +122,9 @@ DECON_MIN_OVERLAP = 3
 
 
 def word_ngram_set(text_col, n: int):
-    """Distinct word n-grams (space-joined) of whitespace-tokenized text.
-
-    Built-in-only (split → sequence → transform → slice → concat_ws →
-    array_distinct): stays inside whole-stage codegen, no Python UDF.
-    """
-    toks = TXT.tokens(text_col)
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
-    )
+    """Distinct word n-grams of whitespace-tokenized text (see
+    functions.text.word_ngrams for the zip_with plan rationale)."""
+    return F.array_distinct(TXT.word_ngrams(text_col, n))
 
 
 def decontaminate(

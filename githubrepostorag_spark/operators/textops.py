@@ -274,16 +274,7 @@ def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
     quadratic expression, so a 100× corpus scales linearly. Docs too
     short to form an n-gram keep NULL fractions (n_grams = 0).
     """
-    toks = TXT.tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = TXT.word_ngrams(F.col("text"), n)
     counted = (
         scale_out(documents.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(grams).alias("gram"))
