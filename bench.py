@@ -10,6 +10,7 @@ expensive expressions and under-report).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -53,6 +54,13 @@ def main() -> None:
         t0 = time.time()
         run_query(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # Some query plans persist/localCheckpoint internally (retrieval
+        # score table, dedup label propagation). Those blocks are never
+        # shared across queries — drop them so they don't squeeze later
+        # queries' execution memory. gc releases the Python-side refs
+        # that keep localCheckpoint RDDs pinned JVM-side.
+        spark.catalog.clearCache()
+        gc.collect()
 
     # composed ingest pipeline (docs → chunk → enrich → rollups → 5-scope
     # vector rows) with the deterministic LLM + hash embedder — the

@@ -84,12 +84,32 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     Confusion-matrix output (true label × assigned cell). Centroids are
     broadcast — the fact table never shuffles.
     """
-    cents = F.broadcast(_centroid_arrays(embeddings))
-    scored = embeddings.crossJoin(cents).select(
+    # cast + norm hoisted per SIDE before the join: a plain
+    # cosine(embedding, centroid) per pair would recompute each side's
+    # double-cast and norm for every (vector × centroid) pair; after
+    # the hoist the per-pair work is one dot product. The projections
+    # sit below the join, so each is evaluated once per input row.
+    vecs = embeddings.select(
+        "vec_id",
+        "label",
+        V.as_double(F.col("embedding")).alias("ve"),
+        V.norm(V.as_double(F.col("embedding"))).alias("vn"),
+    )
+    cents = F.broadcast(
+        _centroid_arrays(embeddings).select(
+            "centroid_label",
+            F.col("centroid").alias("ce"),
+            V.norm(F.col("centroid")).alias("cn"),
+        )
+    )
+    scored = vecs.crossJoin(cents).select(
         "vec_id",
         "label",
         "centroid_label",
-        V.cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+        (
+            V.dot(F.col("ve"), F.col("ce"))
+            / F.nullif(F.col("vn") * F.col("cn"), F.lit(0.0))
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_label"))
     return (
