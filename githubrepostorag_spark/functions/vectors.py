@@ -38,6 +38,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / F.nullif(denom, F.lit(0.0))
 
 
+def prepare(df, vec_col: str, vec_out: str, norm_out: str):
+    """Project the double-cast vector and its norm ONCE per row.
+
+    Pairwise scoring helper: cosine(a, b) written per pair re-evaluates
+    each side's cast and norm for every pair it appears in (and the
+    cast 3× within one cosine, since norm(ad) = sqrt(dot(ad, ad))).
+    Hoisting both below the join makes the per-pair work a single dot:
+    score with `prepared_cosine` on the outputs.
+    """
+    step = df.withColumn(vec_out, as_double(F.col(vec_col)))
+    return step.withColumn(norm_out, norm(F.col(vec_out)))
+
+
+def prepared_cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    """Cosine from `prepare`d sides; null-safe for zero vectors."""
+    return dot(va, vb) / F.nullif(na * nb, F.lit(0.0))
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize; the engine normalizes at write time (like the
     reference's cosine SAI index) so query-time scoring is a plain dot.

@@ -29,17 +29,24 @@ def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> D
     only k rows survive per partition before the final merge.
     """
     q = F.broadcast(
-        embeddings.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("embedding").alias("qvec")
-        )
+        V.prepare(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                F.col("embedding").alias("qvec")
+            ),
+            "qvec", "qv", "qn",
+        ).select("qv", "qn")
     )
+    scored = V.prepare(
+        embeddings.filter(F.col("vec_id") != query_vec_id), "embedding", "ve", "vn"
+    ).select("vec_id", "label", "ve", "vn")
     return (
-        embeddings.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(q)
+        scored.crossJoin(q)
         .select(
             "vec_id",
             "label",
-            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
@@ -132,26 +139,41 @@ def ivf_knn(
     """
     cents = _centroid_arrays(embeddings)
     q = F.broadcast(
-        embeddings.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("embedding").alias("qvec")
-        )
+        V.prepare(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                F.col("embedding").alias("qvec")
+            ),
+            "qvec", "qv", "qn",
+        ).select("qv", "qn")
     )
     probe_cells = F.broadcast(
-        cents.crossJoin(q)
-        .select("centroid_label", V.cosine(F.col("centroid"), F.col("qvec")).alias("sim"))
+        V.prepare(cents, "centroid", "cv", "cn")
+        .crossJoin(q)
+        .select(
+            "centroid_label",
+            V.prepared_cosine(F.col("cv"), F.col("cn"), F.col("qv"), F.col("qn")).alias(
+                "sim"
+            ),
+        )
         .orderBy(F.desc("sim"), F.asc("centroid_label"))
         .limit(n_probes)
         .select("centroid_label")
     )
     assigned = _assign_cells(embeddings, cents)
+    candidates = V.prepare(
+        assigned.join(
+            probe_cells, assigned.cell == probe_cells.centroid_label, "left_semi"
+        ).filter(F.col("vec_id") != query_vec_id),
+        "embedding", "ve", "vn",
+    )
     return (
-        assigned.join(probe_cells, assigned.cell == probe_cells.centroid_label, "left_semi")
-        .filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(q)
+        candidates.crossJoin(q)
         .select(
             "vec_id",
             "label",
-            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
@@ -159,12 +181,18 @@ def ivf_knn(
 
 
 def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+    vecs = V.prepare(embeddings, "embedding", "ve", "vn")
+    prepped_cents = F.broadcast(
+        V.prepare(cents, "centroid", "cv", "cn").select("centroid_label", "cv", "cn")
+    )
+    scored = vecs.crossJoin(prepped_cents).select(
         "vec_id",
         "label",
         "embedding",
         "centroid_label",
-        V.cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+        V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_label"))
     return (
@@ -267,17 +295,24 @@ def near_dup_pairs(
 def knn_per_label(embeddings: DataFrame, query_vec_id: int = 0, k: int = 2) -> DataFrame:
     """Grouped top-k: k nearest to the query within every label (window rank)."""
     q = F.broadcast(
-        embeddings.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("embedding").alias("qvec")
-        )
+        V.prepare(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                F.col("embedding").alias("qvec")
+            ),
+            "qvec", "qv", "qn",
+        ).select("qv", "qn")
     )
     scored = (
-        embeddings.filter(F.col("vec_id") != query_vec_id)
+        V.prepare(
+            embeddings.filter(F.col("vec_id") != query_vec_id), "embedding", "ve", "vn"
+        )
         .crossJoin(q)
         .select(
             "vec_id",
             "label",
-            F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -412,7 +447,10 @@ def srp_near_dup_pairs(
     recall, more verify work).
     """
     b = srp_lsh_buckets(embeddings, n_planes, dim).select("vec_id", "bucket")
-    e = embeddings.select("vec_id", "embedding").join(b, "vec_id")
+    e = V.prepare(
+        embeddings.select("vec_id", "embedding").join(b, "vec_id"),
+        "embedding", "ve", "vn",
+    ).select("vec_id", "bucket", "ve", "vn")
     a, c = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -424,7 +462,10 @@ def srp_near_dup_pairs(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                V.prepared_cosine(
+                    F.col("a.ve"), F.col("a.vn"), F.col("b.ve"), F.col("b.vn")
+                ),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
