@@ -179,24 +179,35 @@ def language_id(documents: DataFrame) -> DataFrame:
     marker hits. Pure column expressions — one scan, no shuffle, no
     UDF; at 100 TB this is a free map alongside any other per-doc pass.
     """
-    toks = TXT.tokens(F.lower(F.col("text")))
-
-    def hit_count(words: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
-
-    hits = {lang: hit_count(words) for lang, words in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[hits[lang] for lang in langs])
-    detected = F.when(best == 0, F.lit("und"))
+    # Staged projections: the per-language hit counts are interpreted
+    # higher-order filters, and `best`/the argmax chain reference each
+    # count several times — materializing counts (then best) as columns
+    # keeps every filter evaluated once per row instead of O(langs²)
+    # times (argmax whens × greatest re-expansion; no CSE outside
+    # codegen).
+    tok_df = documents.select(
+        "doc_id", "lang", TXT.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    counted = tok_df.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n"),
+        *[
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(*LANG_MARKERS[lang])))
+            .alias(f"h_{lang}")
+            for lang in langs
+        ],
+    ).withColumn("best", F.greatest(*[F.col(f"h_{lang}") for lang in langs]))
+    detected = F.when(F.col("best") == 0, F.lit("und"))
     for lang in langs:
-        detected = detected.when(hits[lang] == best, F.lit(lang))
-    n = F.size(toks)
-    return documents.select(
+        detected = detected.when(F.col(f"h_{lang}") == F.col("best"), F.lit(lang))
+    return counted.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
         detected.alias("detected_lang"),
-        best.cast("long").alias("marker_hits"),
-        F.when(n > 0, F.round(best / n.cast("double"), 6))
+        F.col("best").cast("long").alias("marker_hits"),
+        F.when(F.col("n") > 0, F.round(F.col("best") / F.col("n").cast("double"), 6))
         .otherwise(F.lit(0.0))
         .alias("confidence"),
     )
