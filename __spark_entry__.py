@@ -238,6 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthetic corpus is PII-free, so inject matches derived from
         # driver data — same derivation mirrored in the oracle) ---
         "q71_pii_scan": lambda sp, sf: TO.pii_scan(_pii_salted(t(sp, sf, "documents"))),
+        # --- hybrid retrieval: BM25 + cosine-KNN fused by RRF ---
+        "q72_hybrid_rrf": lambda sp, sf: S.hybrid_rrf(
+            t(sp, sf, "documents"), t(sp, sf, "embeddings")
+        ),
+        # --- IVF codebook refinement: 2 Lloyd rounds from label init ---
+        "q73_kmeans_refine": lambda sp, sf: S.kmeans_refined_centroids(
+            t(sp, sf, "embeddings"), iters=2
+        ),
     }
 
 
@@ -279,6 +287,84 @@ _TOKS = (
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _bm25_sql() -> str:
+    """BM25 per-doc scores (mirror of textops.bm25_scores); shared by
+    q69 and the q72 hybrid-fusion oracle."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl, {_TOKS} AS t
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM toks
+            ), tf AS (
+              SELECT doc_id, dl, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(t) AS token FROM toks)
+              WHERE lower(token) IN {str(tuple(TO.BM25_TERMS))}
+              GROUP BY doc_id, dl, lower(token)
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                       * (tf.tf * ({TO.BM25_K1} + 1))
+                       / (tf.tf + {TO.BM25_K1} * (1 - {TO.BM25_B} + {TO.BM25_B} * tf.dl / s.avgdl))
+                       AS term_score
+              FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+        """
+
+
+def _kmeans_sql(iters: int) -> str:
+    """Lloyd-refined codebook (mirror of similarity.kmeans_refined_centroids):
+    the label-centroid init plus `iters` unrolled assign+re-average rounds."""
+    ctes = [
+        """d0 AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cd0 AS (
+              SELECT label AS cell, dim, round(avg(v), 6) AS centroid_v
+              FROM d0 GROUP BY label, dim
+            ), cent0 AS (
+              SELECT cell AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cd0 GROUP BY cell
+            )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""assign{i} AS (
+              SELECT vec_id, centroid_label AS cell FROM (
+                SELECT e.vec_id, c.centroid_label,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(c.centroid AS DOUBLE[])) DESC,
+                         c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent{i - 1} c
+              ) WHERE rn = 1
+            ), cd{i} AS (
+              SELECT cell, dim, round(avg(v), 6) AS centroid_v FROM (
+                SELECT a.cell, generate_subscripts(e.embedding, 1) - 1 AS dim,
+                       unnest(e.embedding) AS v
+                FROM assign{i} a JOIN embeddings e USING (vec_id)
+              ) GROUP BY cell, dim
+            ), cent{i} AS (
+              SELECT cell AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cd{i} GROUP BY cell
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+            SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim, centroid_v
+            FROM cd{iters}"""
+    )
 
 
 # Lowercased tokens (mirror of operators.textops.language_id input).
@@ -1339,32 +1425,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM a GROUP BY cohort_week, week_offset
         """,
-        "q69_bm25": f"""
-            WITH toks AS (
-              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl, {_TOKS} AS t
-              FROM documents
-            ), stats AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM toks
-            ), tf AS (
-              SELECT doc_id, dl, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
-              FROM (SELECT doc_id, dl, unnest(t) AS token FROM toks)
-              WHERE lower(token) IN {str(tuple(TO.BM25_TERMS))}
-              GROUP BY doc_id, dl, lower(token)
-            ), dfreq AS (
-              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-            ), scored AS (
-              SELECT tf.doc_id,
-                     round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
-                       * (tf.tf * ({TO.BM25_K1} + 1))
-                       / (tf.tf + {TO.BM25_K1} * (1 - {TO.BM25_B} + {TO.BM25_B} * tf.dl / s.avgdl))
-                       AS term_score
-              FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-            )
-            SELECT doc_id,
-                   CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
-                   CAST(count(*) AS BIGINT) AS n_terms_hit
-            FROM scored GROUP BY doc_id
-        """,
+        "q69_bm25": _bm25_sql(),
         "q66_srp_near_dups": f"""
             WITH bk AS ({_srp_sql()})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1426,6 +1487,43 @@ def oracle_sql() -> dict[str, str]:
                       + len(regexp_extract_all(text, '{TO.PII_AWS_KEY}')) AS BIGINT) AS pii_hits
             FROM salted
         """,
+        "q72_hybrid_rrf": f"""
+            WITH lex_all AS ({_bm25_sql()}),
+            lex_top AS (
+              SELECT doc_id AS id, bm25 FROM lex_all
+              ORDER BY bm25 DESC, doc_id LIMIT {S.HYBRID_TOP_N}
+            ),
+            lex_ranked AS (
+              SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS lex_rank
+              FROM lex_top
+            ),
+            vec_all AS (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(q.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+            ),
+            vec_top AS (
+              SELECT vec_id AS id, score FROM vec_all
+              ORDER BY score DESC, vec_id LIMIT {S.HYBRID_TOP_N}
+            ),
+            vec_ranked AS (
+              SELECT id, row_number() OVER (ORDER BY score DESC, id) AS vec_rank
+              FROM vec_top
+            ),
+            fused AS (
+              SELECT id, lex_rank, vec_rank,
+                     COALESCE(CAST(1.0 AS DOUBLE) / ({S.RRF_K} + lex_rank), 0.0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / ({S.RRF_K} + vec_rank), 0.0) AS rrf
+              FROM lex_ranked FULL OUTER JOIN vec_ranked USING (id)
+            )
+            SELECT id AS doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+                   CAST(vec_rank AS BIGINT) AS vec_rank, round(rrf, 6) AS rrf_score
+            FROM fused ORDER BY rrf DESC, id LIMIT 10
+        """,
+        "q73_kmeans_refine": _kmeans_sql(2),
         "q54_near_dup_in_cells": """
             WITH dims AS (
               SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v

@@ -470,3 +470,118 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- hybrid lexical + semantic retrieval (RRF fusion) ----------------------
+
+RRF_K = 60
+HYBRID_TOP_N = 50
+
+
+def hybrid_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    top_n: int = HYBRID_TOP_N,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid search: BM25 lexical ranking fused with cosine-KNN
+    semantic ranking by Reciprocal Rank Fusion (Cormack et al. 2009):
+    score(d) = Σ 1/(rrf_k + rank_i(d)) over the retrievers that
+    returned d. Rows are identified across modalities by
+    vec_id == doc_id (the synthetic corpus ships embeddings for the
+    first N docs).
+
+    Scale shape: each retriever reduces to its own top-`top_n` via
+    TakeOrderedAndProject (no global window over the corpus — ranks
+    are assigned on the ≤top_n survivors), then two tiny lists
+    full-outer join and fuse. This is exactly how hybrid serving works
+    at 100 TB: fusion cost is O(top_n), independent of corpus size.
+    """
+    from githubrepostorag_spark.operators.textops import bm25_scores
+
+    lex_top = (
+        bm25_scores(documents)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(F.col("doc_id").alias("id"), "bm25")
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("id"))
+    lex_ranked = lex_top.select(
+        "id", "bm25", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    vec_top = (
+        knn_to_query(embeddings, query_vec_id=query_vec_id, k=top_n)
+        .select(F.col("vec_id").alias("id"), "score")
+    )
+    w_vec = Window.orderBy(F.desc("score"), F.asc("id"))
+    vec_ranked = vec_top.select(
+        "id", "score", F.row_number().over(w_vec).alias("vec_rank")
+    )
+
+    fused = (
+        lex_ranked.join(vec_ranked, "id", "full_outer")
+        .select(
+            "id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            (
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias("doc_id"),
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+def kmeans_refined_centroids(embeddings: DataFrame, iters: int = 2) -> DataFrame:
+    """IVF codebook refinement: `iters` Lloyd (k-means) rounds starting
+    from the deterministic label-centroid codebook. Output is the
+    refined codebook as (cell, dim, centroid_v) rows.
+
+    Each round is: broadcast-assign every vector to its nearest
+    centroid (fact table never shuffles for assignment), then one
+    shuffle keyed on (cell, dim) to re-average — the 100 TB shape for
+    codebook training (run it on a sample; the plan is unchanged).
+    Per-dim averages round to 6 decimals each round so the refinement
+    is bit-stable across engines (the DuckDB oracle unrolls the same
+    rounds). Cells that lose all members drop out (standard Lloyd).
+    """
+    cents = _centroid_arrays(embeddings)
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, cents)
+        dims = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        )
+        cents = (
+            dims.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("centroid_v")))
+                    ),
+                    lambda s: s["centroid_v"],
+                ).alias("centroid")
+            )
+            .select(F.col("cell").alias("centroid_label"), "centroid")
+        )
+    return (
+        cents.select(
+            F.col("centroid_label").cast("long").alias("cell"),
+            F.posexplode("centroid").alias("dim", "centroid_v"),
+        )
+        .select("cell", F.col("dim").cast("long").alias("dim"), "centroid_v")
+    )

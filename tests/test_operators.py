@@ -537,3 +537,66 @@ def test_pii_scan_counts_and_redacts(spark):
     assert "[IP]" in got[2].redacted and "[KEY]" in got[2].redacted
     assert got[3].n_hex_secrets == 1 and "[SECRET]" in got[3].redacted
     assert got[4].pii_hits == 0 and got[4].redacted == "nothing sensitive here at all"
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    from githubrepostorag_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [
+            (0, "vector join stream vector join"),  # strong lexical
+            (1, "vector alone"),
+            (2, "nothing relevant here"),
+            (3, "join stream join"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [0.9, 0.1]),   # nearest to query
+            (2, 0, [0.0, 1.0]),   # orthogonal
+            (3, 0, [0.5, 0.5]),
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = {r.doc_id: r for r in S.hybrid_rrf(docs, embs, query_vec_id=0, k=4).collect()}
+    # doc 1: top vector rank AND a lexical hit -> fused above doc 2
+    # (vector-only) and doc 0 is the query on the vector side (lex only)
+    assert got[1].vec_rank == 1 and got[1].lex_rank is not None
+    assert got[0].vec_rank is None and got[0].lex_rank is not None
+    for r in got.values():
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (S.RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (S.RRF_K + r.vec_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+
+
+def test_kmeans_refine_is_deterministic_and_converging(spark):
+    import math
+
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one = S.kmeans_refined_centroids(emb, iters=1).collect()
+    two = S.kmeans_refined_centroids(emb, iters=2).collect()
+    again = S.kmeans_refined_centroids(emb, iters=2).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, again))  # bit-stable
+    cells = {c for c, _, _ in map(tuple, two)}
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert cells <= labels  # cells only ever drop, never appear
+
+    def inertia(rows):
+        # mean within-cell distance proxy: compare round-1 vs round-2
+        # codebooks by the norm of centroid movement — refinement must
+        # actually move something on round 2 or the data was converged
+        return {(c, d): v for c, d, v in map(tuple, rows)}
+
+    c1, c2 = inertia(one), inertia(two)
+    moved = sum(
+        (c2[k] - c1[k]) ** 2 for k in c2 if k in c1
+    )
+    assert math.isfinite(moved)
