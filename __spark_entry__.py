@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_kmeans_refine": lambda sp, sf: S.kmeans_refined_centroids(
             t(sp, sf, "embeddings"), iters=2
         ),
+        # --- int8-quantized cosine KNN (compressed-storage scoring) ---
+        "q74_int8_knn": lambda sp, sf: S.int8_knn(t(sp, sf, "embeddings")),
     }
 
 
@@ -1524,6 +1526,27 @@ def oracle_sql() -> dict[str, str]:
             FROM fused ORDER BY rrf DESC, id LIMIT 10
         """,
         "q73_kmeans_refine": _kmeans_sql(2),
+        "q74_int8_knn": f"""
+            WITH mx AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS m
+              FROM embeddings
+            ), qz AS (
+              SELECT vec_id, label,
+                     list_transform(ve, x -> CAST(COALESCE(
+                       floor(x * {S.INT8_LEVELS} / NULLIF(m, 0) + 0.5), 0) AS INT)) AS qvec
+              FROM mx
+            ), scored AS (
+              SELECT e.vec_id, e.label,
+                     round(list_cosine_similarity(CAST(e.qvec AS DOUBLE[]),
+                                                  CAST(q.qvec AS DOUBLE[])), 6) AS q_score
+              FROM qz e CROSS JOIN (SELECT qvec FROM qz WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, label, q_score FROM scored
+            ORDER BY q_score DESC, vec_id LIMIT 10
+        """,
         "q54_near_dup_in_cells": """
             WITH dims AS (
               SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v

@@ -585,3 +585,79 @@ def kmeans_refined_centroids(embeddings: DataFrame, iters: int = 2) -> DataFrame
         )
         .select("cell", F.col("dim").cast("long").alias("dim"), "centroid_v")
     )
+
+
+# --- int8 scalar quantization (compressed vector storage) ------------------
+
+INT8_LEVELS = 127
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: qv[i] =
+    round_half_up(v[i] * 127 / max|v|), stored with the per-vector
+    max-abs scale. 4× smaller than float32 at rest and in shuffle —
+    the standard first compression step for a 100 TB vector table
+    (rerank the survivors against the full-precision column).
+
+    Rounding is floor(x + 0.5) — identical in Spark and DuckDB (plain
+    round() differs between the engines on .5 ties).
+    """
+    ad = V.as_double(F.col("embedding"))
+    with_scale = embeddings.select(
+        "vec_id",
+        "label",
+        ad.alias("ve"),
+        F.array_max(F.transform(ad, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    # bind the per-row scalar with array_repeat so the quantize lambda
+    # doesn't re-reduce the array per element (same hoist as l2_normalize)
+    return with_scale.select(
+        "vec_id",
+        "label",
+        F.when(F.col("max_abs") == 0, F.lit(0.0))
+        .otherwise(F.col("max_abs") / INT8_LEVELS)
+        .alias("scale"),
+        F.zip_with(
+            F.col("ve"),
+            F.array_repeat(
+                F.nullif(F.col("max_abs"), F.lit(0.0)), F.size(F.col("ve"))
+            ),
+            lambda x, m: F.coalesce(
+                F.floor(x * INT8_LEVELS / m + 0.5), F.lit(0.0)
+            ).cast("int"),
+        ).alias("qvec"),
+    )
+
+
+def int8_knn(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Cosine top-k computed entirely on int8-quantized vectors.
+
+    The per-vector scales cancel in cosine, so scoring is integer dot
+    and norms over the quantized arrays — no dequantization. Returns
+    the quantized score; recall vs the exact path is the quantization
+    error (bounded, since ranks are preserved up to ~1/127 resolution).
+    """
+    q = F.broadcast(
+        V.prepare(
+            quantize_int8(embeddings)
+            .filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("qvec").alias("qq")),
+            "qq", "qv", "qn",
+        ).select("qv", "qn")
+    )
+    scored = V.prepare(
+        quantize_int8(embeddings).filter(F.col("vec_id") != query_vec_id),
+        "qvec", "ve", "vn",
+    ).select("vec_id", "label", "ve", "vn")
+    return (
+        scored.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
+            ).alias("q_score"),
+        )
+        .orderBy(F.desc("q_score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -600,3 +600,22 @@ def test_kmeans_refine_is_deterministic_and_converging(spark):
         (c2[k] - c1[k]) ** 2 for k in c2 if k in c1
     )
     assert math.isfinite(moved)
+
+
+def test_int8_quantization_bounds_and_recall(spark):
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qz = S.quantize_int8(emb)
+    stats = qz.selectExpr(
+        "max(array_max(qvec)) AS hi",
+        "min(array_min(qvec)) AS lo",
+        "min(scale) AS smin",
+    ).collect()[0]
+    assert -127 <= stats.lo and stats.hi <= 127 and stats.smin > 0
+    exact = {r.vec_id for r in S.knn_to_query(emb, k=10).collect()}
+    quant = {r.vec_id for r in S.int8_knn(emb, k=10).collect()}
+    # quantization error may swap rank neighbors but must preserve most
+    # of the true top-k (deterministic, so this is a fixed number)
+    assert len(exact & quant) >= 7
