@@ -90,3 +90,25 @@ def stream_tumbling_counts(
             "sum_value",
         )
     )
+
+
+def stream_dedup_exact(
+    docs: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content
+    fingerprint, dropping repeats that arrive within the watermark
+    horizon (operators/dedup.exact_dedup's semantics for a document
+    STREAM — the shape an always-on ingest pipeline needs).
+
+    dropDuplicatesWithinWatermark bounds the dedup state to the
+    watermark window: at 100 TB/day the state store holds one
+    fingerprint per distinct doc seen in the horizon, not the full
+    history (exactly the bounded-state trade a streaming deduper must
+    make; the batch operator is the unbounded-history complement).
+    """
+    from githubrepostorag_spark.functions import text as TXT
+
+    fp = docs.withColumn("fingerprint", TXT.fingerprint(F.col("text")))
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

@@ -78,3 +78,37 @@ def test_job_stream_end_to_end(spark, store, tmp_path):
     s3_final = events.filter(F.col("job_id") == "s3").collect()
     assert len(s3_final) == 1
     assert json.loads(s3_final[0]["data"])["cancelled"] is True
+
+
+def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.streaming.events import stream_dedup_exact
+
+    rows = [
+        (1, "the same   text", "2026-01-01 00:00:00"),
+        (2, "THE SAME TEXT", "2026-01-01 00:10:00"),  # dup after normalize
+        (3, "different text", "2026-01-01 00:20:00"),
+        (4, "the same text", "2026-01-01 00:30:00"),  # dup again
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_mem").select("doc_id", "fingerprint").collect()
+    # one survivor per fingerprint; survivors are 2 distinct contents
+    assert len(got) == 2
+    assert len({r.fingerprint for r in got}) == 2
