@@ -248,6 +248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- int8-quantized cosine KNN (compressed-storage scoring) ---
         "q74_int8_knn": lambda sp, sf: S.int8_knn(t(sp, sf, "embeddings")),
+        # --- event-volume anomaly days (integer-exact z-scores) ---
+        "q75_daily_anomalies": lambda sp, sf: E.daily_anomalies(t(sp, sf, "events")),
+        # --- distinct-user cardinality sketch (linear counting) ---
+        "q76_distinct_sketch": lambda sp, sf: E.distinct_user_sketch(
+            t(sp, sf, "events")
+        ),
     }
 
 
@@ -1546,6 +1552,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, label, q_score FROM scored
             ORDER BY q_score DESC, vec_id LIMIT 10
+        """,
+        "q75_daily_anomalies": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            ), stats AS (
+              SELECT event_type, count(*) AS n_days,
+                     sum(n_events) AS s1, sum(n_events * n_events) AS s2
+              FROM daily GROUP BY event_type
+            ), enriched AS (
+              SELECT event_type,
+                     round(s1 / CAST(n_days AS DOUBLE), 6) AS mean_n,
+                     round(sqrt((s2 - s1 * s1 / CAST(n_days AS DOUBLE))
+                                / (n_days - 1)), 6) AS std_n
+              FROM stats
+            )
+            SELECT d.event_type, d.day, d.n_events, e.mean_n, e.std_n,
+                   round((d.n_events - e.mean_n) / NULLIF(e.std_n, 0.0), 4) AS z
+            FROM daily d JOIN enriched e USING (event_type)
+            WHERE abs(round((d.n_events - e.mean_n) / NULLIF(e.std_n, 0.0), 4)) >= 1.5
+        """,
+        "q76_distinct_sketch": f"""
+            WITH b AS (
+              SELECT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % {E.SKETCH_BUCKETS} AS bucket,
+                     user_id
+              FROM events
+            ), agg AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT bucket) AS BIGINT) AS occupied,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+              FROM b GROUP BY event_type
+            )
+            SELECT event_type, occupied, exact_users,
+                   CASE WHEN occupied >= {E.SKETCH_BUCKETS} THEN NULL
+                        ELSE round(-{E.SKETCH_BUCKETS}.0
+                                   * ln(({E.SKETCH_BUCKETS} - occupied)
+                                        / {E.SKETCH_BUCKETS}.0), 4)
+                   END AS est_users
+            FROM agg
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from githubrepostorag_spark.functions import text as TXT
+
 
 def tumbling_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling event-time window: count + value sum per (window, event_type)."""
@@ -270,4 +272,82 @@ def range_join_bucketed(
             & (F.col("__rm") <= F.col("__lm") + tol_us)
         )
         .drop("__cell", "__lm", "__rm")
+    )
+
+
+def daily_anomalies(events: DataFrame, z_threshold: float = 1.5) -> DataFrame:
+    """Daily event-count anomaly detection per event type: z-score of
+    each day's count against that type's daily mean/stddev, keeping
+    days with |z| ≥ threshold — the monitoring query every event
+    pipeline runs over its volumes.
+
+    Two aggregations on tiny keys (type×day, then type); variance is
+    computed from integer sums (sum, sum of squares), so the stats are
+    exact and the oracle matches bit-for-bit — no engine-specific
+    stddev accumulation order involved.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    # sample variance from exact integer sums: (s2 - s1^2/n) / (n-1)
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    enriched = F.broadcast(
+        stats.select(
+            "event_type",
+            F.round(mean, 6).alias("mean_n"),
+            F.round(F.sqrt(var), 6).alias("std_n"),
+        )
+    )
+    return (
+        daily.join(enriched, "event_type")
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("n_events") - F.col("mean_n"))
+                / F.nullif(F.col("std_n"), F.lit(0.0)),
+                4,
+            ),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select("event_type", "day", "n_events", "mean_n", "std_n", "z")
+    )
+
+
+SKETCH_BUCKETS = 1024
+
+
+def distinct_user_sketch(events: DataFrame, m: int = SKETCH_BUCKETS) -> DataFrame:
+    """Per-event-type distinct-user cardinality by linear counting
+    (Whang et al. 1990): hash users into m buckets, count occupied
+    buckets o, estimate n̂ = -m·ln((m-o)/m). Deterministic (md5-bucket,
+    not a randomized sketch), so the DuckDB oracle reproduces it
+    exactly — unlike approx_count_distinct's engine-specific HLL.
+
+    Scale story: the shuffled state per event type is ≤m bucket ids
+    instead of the full distinct-user set — the sketch is the 100 TB
+    answer to count-distinct (mergeable across partitions; here the
+    partial aggregation does the merge). The exact count is emitted
+    alongside for error auditing (drop it at scale).
+    """
+    bucket = F.pmod(TXT.md5_bigint(F.col("user_id").cast("string")), F.lit(m))
+    per_type = events.groupBy("event_type").agg(
+        F.countDistinct(bucket).alias("occupied"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    frac = (F.lit(m) - F.col("occupied")) / F.lit(float(m))
+    return per_type.select(
+        "event_type",
+        F.col("occupied").cast("long").alias("occupied"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(F.col("occupied") >= m, F.lit(None).cast("double"))
+        .otherwise(F.round(-F.lit(float(m)) * F.log(frac), 4))
+        .alias("est_users"),
     )

@@ -619,3 +619,33 @@ def test_int8_quantization_bounds_and_recall(spark):
     # quantization error may swap rank neighbors but must preserve most
     # of the true top-k (deterministic, so this is a fixed number)
     assert len(exact & quant) >= 7
+
+
+def test_distinct_sketch_estimates_within_error(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    rows = E.distinct_user_sketch(ev).collect()
+    assert rows
+    for r in rows:
+        assert r.occupied <= E.SKETCH_BUCKETS
+        # linear counting at load factor << 1 is a few-percent estimator
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.15
+
+
+def test_daily_anomalies_z_math(spark):
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        # type a: 5 quiet days and one 10x spike
+        *[(1, "a", f"2026-01-0{d} 12:00:00", 1.0) for d in range(1, 6) for _ in range(10)],
+        *[(1, "a", "2026-01-06 12:00:00", 1.0) for _ in range(100)],
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = E.daily_anomalies(ev).collect()
+    assert len(got) == 1 and got[0].n_events == 100 and got[0].z > 2
