@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_distinct_sketch": lambda sp, sf: E.distinct_user_sketch(
             t(sp, sf, "events")
         ),
+        # --- PageRank over the LSH near-dup candidate graph ---
+        "q77_doc_pagerank": lambda sp, sf: G.doc_pagerank(t(sp, sf, "documents")),
     }
 
 
@@ -326,6 +328,50 @@ def _bm25_sql() -> str:
                    CAST(count(*) AS BIGINT) AS n_terms_hit
             FROM scored GROUP BY doc_id
         """
+
+
+def _pagerank_sql(iters: int) -> str:
+    """PageRank over the symmetrized LSH candidate graph (mirror of
+    graph.doc_pagerank): candidate CTE + unrolled power iterations."""
+    from githubrepostorag_spark.operators.graph import PAGERANK_DAMPING as D
+
+    ctes = [
+        f"""bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cand),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+            pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                    FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst, sum(p.pr / d.deg) AS contrib
+              FROM edges e
+              JOIN pr{i - 1} p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), pr{i} AS (
+              SELECT c.dst AS node,
+                     round(CAST({1.0 - D} AS DOUBLE) / nn.n + {D} * c.contrib, 10) AS pr
+              FROM c{i} c CROSS JOIN nn
+            )"""
+        )
+    return (
+        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
+        + ",\n".join(ctes)
+        + f"""
+            SELECT node AS doc_id, round(pr, 6) AS pr FROM pr{iters}"""
+    )
 
 
 def _kmeans_sql(iters: int) -> str:
@@ -1532,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fused ORDER BY rrf DESC, id LIMIT 10
         """,
         "q73_kmeans_refine": _kmeans_sql(2),
+        "q77_doc_pagerank": _pagerank_sql(G.PAGERANK_ITERS),
         "q74_int8_knn": f"""
             WITH mx AS (
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve,

@@ -68,3 +68,71 @@ def two_hop_reach(documents: DataFrame, n_seeds: int = 3) -> DataFrame:
     reached doc with its minimum hop."""
     seeds = documents.filter(F.col("doc_id") < n_seeds).select("doc_id")
     return bounded_bfs(documents, "doc_id", ["source", "lang"], seeds, max_depth=2)
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (directed; feed both
+    directions for an undirected graph). Returns (node, pr) after
+    `iters` power iterations from the uniform vector.
+
+    Each iteration is one join of the edge list to the current ranks
+    plus one groupBy on the destination — the standard two-shuffle
+    Pregel round. Degrees and ranks join on `src`, so at scale you
+    co-partition edges and ranks on src and the iteration reuses that
+    exchange. Per-iteration ranks round to 10 decimals, which pins the
+    float accumulation drift between engines far below the rounding
+    step — the DuckDB oracle unrolls the same rounds bit-for-bit.
+    Assumes every node has out-degree ≥ 1 (true for symmetrized
+    edges); dangling mass handling would add one singleton aggregate.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        pr = contrib.crossJoin(nn).select(
+            F.col("dst").alias("node"),
+            F.round(
+                (1.0 - damping) / F.col("n") + damping * F.col("contrib"), 10
+            ).alias("pr"),
+        )
+    return pr
+
+
+def doc_pagerank(documents: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """PageRank over the LSH near-dup candidate graph: which documents
+    sit at the center of duplication clusters (high rank = template /
+    boilerplate hub worth one canonical copy). Composes the dedup
+    candidate generator with the graph kernel; candidates are
+    checkpointed so the minhash chain runs once, not once per
+    iteration.
+    """
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    # near-dup geometry (2 bands × 4 rows), same as jaccard_on_candidates
+    cand = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
+    sym = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(sym, iters=iters).select(
+        F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )

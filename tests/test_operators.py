@@ -649,3 +649,19 @@ def test_daily_anomalies_z_math(spark):
     ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
     got = E.daily_anomalies(ev).collect()
     assert len(got) == 1 and got[0].n_events == 100 and got[0].z > 2
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    from githubrepostorag_spark.operators import graph as G
+
+    # star: hub 0 <-> spokes 1..5 (symmetric edges)
+    pairs = [(0, s) for s in range(1, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    got = {r.node: r.pr for r in G.pagerank(edges).collect()}
+    assert max(got, key=got.get) == 0
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved (no dangling)
+    spokes = {v for k, v in got.items() if k != 0}
+    assert len(spokes) == 1  # symmetry: all spokes equal
