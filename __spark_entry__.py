@@ -256,6 +256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- PageRank over the LSH near-dup candidate graph ---
         "q77_doc_pagerank": lambda sp, sf: G.doc_pagerank(t(sp, sf, "documents")),
+        # --- banded phash Hamming near-dups (multimodal dedup scale path) ---
+        "q78_phash_near_dups": lambda sp, sf: P.multimodal_near_dups(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -1579,6 +1583,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q73_kmeans_refine": _kmeans_sql(2),
         "q77_doc_pagerank": _pagerank_sql(G.PAGERANK_ITERS),
+        "q78_phash_near_dups": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, phash, i AS band_idx,
+                     (phash >> CAST(15 * i AS INT)) & 32767 AS band_val
+              FROM m CROSS JOIN (SELECT unnest(range(4)) AS i)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.phash AS ph_a, b.phash AS ph_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        """,
         "q74_int8_knn": f"""
             WITH mx AS (
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve,

@@ -196,3 +196,71 @@ def binary_features(meta: DataFrame, n_features: int = 8) -> DataFrame:
         return pd.Series([one(b) for b in contents])
 
     return meta.withColumn("features", feats(F.col("content")))
+
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+def phash_near_dups(
+    meta: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    found with band blocking: split the 60-bit phash into 4 bands of 15
+    bits; any pair within Hamming distance ≤ 3 must agree on at least
+    one whole band (pigeonhole), so candidates come from a bucket
+    equi-join on (band_idx, band_value) — never an all-pairs scan —
+    and popcount(xor) verifies exactly. The image-side analog of
+    SimHash bucket dedup for text; at 100 TB the bucket join is the
+    only wide operation and hot buckets (true duplicate floods) are
+    the AQE-skew-join case, not a plan problem.
+    """
+    band_w = PHASH_BITS // PHASH_BANDS
+    bands = meta.select(
+        F.col(id_col).alias("id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("phash"), i * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "phash", "b.band_idx", "b.band_val")
+    a, c = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            "hamming",
+        )
+    )

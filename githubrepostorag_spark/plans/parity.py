@@ -289,3 +289,9 @@ def multimodal_features(documents: DataFrame, n_features: int = 8) -> DataFrame:
         "doc_id",
         *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(n_features)],
     )
+
+
+def multimodal_near_dups(documents: DataFrame) -> DataFrame:
+    """Banded phash Hamming near-dup pairs over the binary metadata."""
+    meta = MM.image_metadata(MM.with_binary_content(documents))
+    return MM.phash_near_dups(meta)

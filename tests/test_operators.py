@@ -665,3 +665,26 @@ def test_pagerank_star_graph_hub_dominates(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved (no dangling)
     spokes = {v for k, v in got.items() if k != 0}
     assert len(spokes) == 1  # symmetry: all spokes equal
+
+
+def test_phash_near_dups_banding_and_hamming(spark):
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    meta = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base ^ 0b1),          # hamming 1 -> pair
+            (3, base ^ 0b111),        # hamming 3 from 1 -> pair
+            (4, base ^ (1 << 59) ^ (1 << 44) ^ (1 << 29) ^ (1 << 14)),
+            # ^ hamming 4, one bit per band: agrees on NO band -> must
+            #   be excluded by blocking AND would fail verify anyway
+            (5, 0),                   # far away
+        ],
+        "doc_id long, phash long",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in MM.phash_near_dups(meta).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 2
+    assert all(4 not in pair and 5 not in pair for pair in got)
