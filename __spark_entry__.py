@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_phash_near_dups": lambda sp, sf: P.multimodal_near_dups(
             t(sp, sf, "documents")
         ),
+        # --- per-source percentile quality filter (training-mix rule) ---
+        "q79_quality_filter": lambda sp, sf: TO.quality_filter(t(sp, sf, "documents")),
+        # --- character-distribution Shannon entropy ---
+        "q80_char_entropy": lambda sp, sf: TO.char_entropy(t(sp, sf, "documents")),
     }
 
 
@@ -1665,6 +1669,41 @@ def oracle_sql() -> dict[str, str]:
                                         / {E.SKETCH_BUCKETS}.0), 4)
                    END AS est_users
             FROM agg
+        """,
+        "q79_quality_filter": f"""
+            WITH x AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4) AS quality
+              FROM x
+            ), r AS (
+              SELECT doc_id, source, quality,
+                     round(percent_rank() OVER (PARTITION BY source
+                                                ORDER BY quality, doc_id), 6) AS quality_pct
+              FROM scored
+            )
+            SELECT doc_id, source, quality, quality_pct
+            FROM r WHERE quality_pct >= {TO.QUALITY_FILTER_PCT}
+        """,
+        "q80_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                     unnest(list_transform(range(1, length(text) + 1),
+                                           i -> substr(text, CAST(i AS INT), 1))) AS c0
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, n_chars, c0, count(*) AS c FROM ch GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, n_chars, CAST(count(*) AS BIGINT) AS distinct_chars,
+                   round(-sum((c / CAST(n_chars AS DOUBLE))
+                              * ln(c / CAST(n_chars AS DOUBLE))), 6) AS entropy
+            FROM counted GROUP BY doc_id, n_chars
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

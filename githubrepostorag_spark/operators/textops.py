@@ -12,7 +12,7 @@ the final groupBy where one is semantically required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
@@ -469,3 +469,69 @@ def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
     out = documents.select("doc_id", *counts, red.alias("redacted"))
     total = sum(F.col(f"n_{name}") for name, _, _ in _PII_RULES)
     return out.withColumn("pii_hits", total.cast("long"))
+
+
+QUALITY_FILTER_PCT = 0.25
+
+
+def quality_filter(
+    documents: DataFrame, min_pct: float = QUALITY_FILTER_PCT
+) -> DataFrame:
+    """Percentile-based quality filtering per source: keep documents at
+    or above the `min_pct` percent_rank of quality WITHIN their source
+    (the training-mix rule "drop each source's worst quartile" — an
+    absolute threshold would gut low-register sources and keep spam
+    from high-register ones).
+
+    One shuffle on `source` for the rank window; ties break on doc_id
+    so the cut is deterministic. At 1000× you pre-aggregate approximate
+    per-source quantile cut points instead of ranking every row; the
+    output contract is the same.
+    """
+    scored = documents.select(
+        "doc_id", "source", TXT.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct") >= min_pct)
+        .select("doc_id", "source", "quality", F.col("pct").alias("quality_pct"))
+    )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the randomness complement to the repetition metrics: very
+    low entropy flags padding/repeated filler, very high flags
+    minified/binary-ish content a text corpus should route elsewhere.
+
+    chars explode → count per (doc, char) → -Σ p·ln p: two shuffles on
+    bounded keys (alphabet ≤ a few hundred per doc), linear in corpus
+    size.
+    """
+    # sequence(1, 0) would be DESCENDING, not empty — guard empty text
+    # (such docs drop from the output, same as the oracle's empty range)
+    chars = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.when(F.length("text") == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text")),
+                    lambda i: F.substring(F.col("text"), i, F.lit(1)),
+                )
+            )
+        ).alias("ch"),
+    )
+    counted = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("n_chars")
+    return (
+        counted.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "distinct_chars", "entropy")
+    )

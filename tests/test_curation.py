@@ -92,3 +92,31 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     # the n-gram transform must NOT be re-evaluated per exploded row:
     # the corpus-side Generate explodes a materialized attribute
     assert "Generate explode(grams#" in plan
+
+
+def test_quality_filter_drops_worst_quartile_per_source(spark):
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = TO.quality_filter(docs)
+    per_before = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_after = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per_before.items():
+        # percent_rank >= 0.25 keeps ~75% of every source (ties aside)
+        assert 0.6 * n <= per_after[src] <= 0.8 * n
+    assert kept.agg(F.min("quality_pct")).collect()[0][0] >= 0.25
+
+
+def test_char_entropy_extremes(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TO.char_entropy(docs).collect()}
+    assert got[1].entropy == 0.0 and got[1].distinct_chars == 1
+    import math
+    assert abs(got[2].entropy - math.log(8)) < 1e-6  # uniform over 8 chars
+    assert 3 not in got  # empty text drops (no distribution to score)
