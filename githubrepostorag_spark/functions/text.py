@@ -67,29 +67,29 @@ def quality_score(col: Column) -> Column:
 def char_shingles(col: Column, k: int = 4) -> Column:
     """Distinct character k-grams of lowercased text (MinHash/Jaccard input).
 
-    The lowered text is bound ONCE per row by routing it through a
-    single-element array into a nested transform: a lambda that
-    references the lower(text) EXPRESSION would re-lowercase the whole
-    document per shingle (O(len²) per row — interpreted higher-order
-    lambdas re-evaluate their captures). Measured 2× faster at sf0.1.
+    Built like word_ngrams: split('') chars the text in one JVM call,
+    then zip_with over shifted copies concatenates k-grams with every
+    array argument evaluated once per ROW — a transform(i -> substring)
+    lambda evaluates interpreted per shingle and re-evaluates its
+    captures (originally the whole lower(text) per shingle, O(len²)
+    per row). zip_with pads the short side with null and concat
+    nullifies those tail entries; the final slice cuts them (empty for
+    texts shorter than k).
     """
     lowered = F.lower(col)
-    n = F.length(lowered) - F.lit(k - 1)
-    shingled = F.get(
-        F.transform(
-            F.array(lowered),
-            lambda lw: F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(lw) - (k - 1)),
-                    lambda i: F.substring(lw, i, F.lit(k)),
-                )
-            ),
-        ),
-        0,
+    chars = F.when(
+        F.length(lowered) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lowered, ""))
+    g = chars
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(chars, j + 1, F.greatest(F.size(chars) - j, F.lit(0))),
+            lambda x, y: F.concat(x, y),
+        )
+    return F.array_distinct(
+        F.slice(g, 1, F.greatest(F.size(chars) - (k - 1), F.lit(0)))
     )
-    # guard: Spark's sequence(1, n) with n < 1 produces a DESCENDING
-    # sequence, not an empty one — short texts must yield no shingles.
-    return F.when(n < 1, F.array().cast("array<string>")).otherwise(shingled)
 
 
 def word_ngrams(col: Column, n: int) -> Column:
