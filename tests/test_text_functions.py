@@ -72,3 +72,43 @@ def test_md5_bigint_matches_duckdb(spark, duck):
     )
     want = duck.execute("SELECT ('0x' || substr(md5('x'), 1, 15))::BIGINT").fetchone()[0]
     assert got == want
+
+
+def test_ngram_kernels_match_python_reference(spark):
+    """The zip_with-based n-gram/shingle kernels must agree with the
+    obvious Python implementations on a diverse corpus (unicode,
+    whitespace runs, empties, short strings, long repeats)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.functions import text as TXT
+
+    corpus = [
+        "", " ", "a", "ab", "abc", "abcd", "abcde",
+        "the quick brown fox", "  padded   with   runs  ",
+        "ünïcødé strings höld tøö", "日本語のテキスト",
+        "a a a a a a", "tab\tand\nnewline separated words",
+        "x" * 500, ("word " * 100).strip(),
+        "MiXeD CaSe ShInGlEs", "punct, marks; every. where!",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "i long, text string"
+    )
+    got = {
+        r.i: (r.sh, r.ng)
+        for r in df.select(
+            "i",
+            TXT.char_shingles(F.col("text"), 4).alias("sh"),
+            TXT.word_ngrams(F.col("text"), 3).alias("ng"),
+        ).collect()
+    }
+    for i, s in enumerate(corpus):
+        low = s.lower()
+        want_sh = list(dict.fromkeys(
+            low[j : j + 4] for j in range(len(low) - 3)
+        ))
+        toks = re.split(r"\s+", s.strip()) if s.strip() else []
+        want_ng = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert got[i][0] == want_sh, f"shingles diverge on {s!r}"
+        assert got[i][1] == want_ng, f"ngrams diverge on {s!r}"
