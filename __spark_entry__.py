@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_quality_filter": lambda sp, sf: TO.quality_filter(t(sp, sf, "documents")),
         # --- character-distribution Shannon entropy ---
         "q80_char_entropy": lambda sp, sf: TO.char_entropy(t(sp, sf, "documents")),
+        # --- per-source vocabulary drift: KL(source || corpus) ---
+        "q81_source_kl": lambda sp, sf: TO.source_kl_divergence(t(sp, sf, "documents")),
     }
 
 
@@ -1704,6 +1706,26 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum((c / CAST(n_chars AS DOUBLE))
                               * ln(c / CAST(n_chars AS DOUBLE))), 6) AS entropy
             FROM counted GROUP BY doc_id, n_chars
+        """,
+        "q81_source_kl": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS token FROM documents
+            ), per_src AS (
+              SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2
+            ), src_tot AS (
+              SELECT source, sum(c) AS n_src FROM per_src GROUP BY source
+            ), corpus AS (
+              SELECT token, sum(c) / (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS q
+              FROM per_src GROUP BY token
+            )
+            SELECT p.source,
+                   CAST(max(t.n_src) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   round(sum((p.c / t.n_src) * ln((p.c / t.n_src) / cq.q)), 6) AS kl_nats
+            FROM per_src p
+            JOIN src_tot t USING (source)
+            JOIN corpus cq USING (token)
+            GROUP BY p.source
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

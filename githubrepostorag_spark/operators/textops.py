@@ -534,3 +534,38 @@ def char_entropy(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "distinct_chars", "entropy")
     )
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Vocabulary drift per source: KL(p_source ‖ p_corpus) over token
+    distributions — the mixture-health metric that flags a source
+    whose language shifted against the corpus (scraper drift, spam
+    injection) before it skews a training mix.
+
+    Token counts aggregate per (source, token) and per token — two
+    bounded-key shuffles; the corpus distribution joins back on token
+    (broadcast: vocabularies are small relative to corpora). Every
+    source token also appears in the corpus distribution, so the KL
+    sum is always finite.
+    """
+    toks = documents.select(
+        "source", F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    per_src = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n_src"))
+    corpus = F.broadcast(
+        per_src.groupBy("token").agg(F.sum("c").alias("cc"))
+        .crossJoin(F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_all"))))
+        .select("token", (F.col("cc") / F.col("n_all")).alias("q"))
+    )
+    p = F.col("c") / F.col("n_src")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "token")
+        .groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl_nats"),
+        )
+    )

@@ -688,3 +688,23 @@ def test_phash_near_dups_banding_and_hamming(spark):
     assert got[(1, 3)] == 3
     assert got[(2, 3)] == 2
     assert all(4 not in pair and 5 not in pair for pair in got)
+
+
+def test_source_kl_divergence_properties(spark):
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [
+            # source "a" mirrors the corpus blend; "b" is skewed
+            (1, "a", "x y z x y z"),
+            (2, "a", "z z q x y"),
+            (3, "b", "q q q q q q q q"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in TO.source_kl_divergence(docs).collect()}
+    assert got["a"].kl_nats >= 0 and got["b"].kl_nats >= 0  # Gibbs
+    assert got["b"].kl_nats > got["a"].kl_nats  # skew detected
+    assert got["a"].n_tokens == 11 and got["b"].n_tokens == 8
