@@ -179,3 +179,58 @@ def test_pack_batches_single_exchange(spark):
     docs = load_table(spark, SF, "documents")
     plan = plan_of(CU.pack_token_batches(docs, 2000))
     assert plan.count("Exchange") == 1
+
+
+def test_hybrid_rrf_no_corpus_wide_window(spark):
+    """Each retriever must reduce to top-N via TakeOrderedAndProject
+    BEFORE any window ranks rows — the fusion windows run on the ≤N
+    survivors only, so no corpus-scale single-partition exchange."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    df = S.hybrid_rrf(
+        load_table(spark, SF, "documents"), load_table(spark, SF, "embeddings")
+    )
+    plan = plan_of(df)
+    assert plan.count("TakeOrderedAndProject") >= 2  # both retrievers
+    # the window input is a local limit result, not a corpus scan:
+    # every Window sits above a TakeOrderedAndProject in the tree
+    first_window = plan.index("Window")
+    assert "TakeOrderedAndProject" in plan[first_window:]
+
+
+def test_int8_knn_take_ordered_and_broadcast_query(spark):
+    from githubrepostorag_spark.operators import similarity as S
+
+    plan = plan_of(S.int8_knn(load_table(spark, SF, "embeddings")))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_knn_semi_join_prunes_candidates(spark):
+    from githubrepostorag_spark.operators import similarity as S
+
+    plan = plan_of(S.ivf_knn(load_table(spark, SF, "embeddings")))
+    assert "LeftSemi" in plan  # probe-cell pruning before scoring
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kl_divergence_broadcasts_distributions(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    plan = plan_of(TO.source_kl_divergence(load_table(spark, SF, "documents")))
+    # corpus distribution + per-source totals join broadcast-side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_phash_near_dups_bucket_equijoin(spark):
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    meta = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "doc_id long, phash long"
+    )
+    plan = plan_of(MM.phash_near_dups(meta))
+    # candidates come from a hash equi-join on the band keys
+    assert "Join" in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
