@@ -62,8 +62,16 @@ def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None)
         # operators cast ts to epoch seconds, which NTZ forbids.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # The live status store retains per-execution plan data even with
+        # the UI disabled; across a long query suite that accumulation
+        # squeezes the (shared driver+executor) heap and throttles later
+        # analysis-heavy plans. Keep only a short history.
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .config("spark.ui.retainedJobs", "30")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
