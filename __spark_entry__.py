@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_char_entropy": lambda sp, sf: TO.char_entropy(t(sp, sf, "documents")),
         # --- per-source vocabulary drift: KL(source || corpus) ---
         "q81_source_kl": lambda sp, sf: TO.source_kl_divergence(t(sp, sf, "documents")),
+        # --- BPE-ish pretokenizer token counting (brief deliverable) ---
+        "q82_bpe_tokens": lambda sp, sf: TO.bpe_token_stats(t(sp, sf, "documents")),
     }
 
 
@@ -430,6 +432,9 @@ def _kmeans_sql(iters: int) -> str:
             FROM cd{iters}"""
     )
 
+
+# BPE pretokenizer pattern escaped for a DuckDB string literal.
+_BPE_SQL = TO.BPE_PATTERN.replace("'", "''")
 
 # Lowercased tokens (mirror of operators.textops.language_id input).
 _LOW_TOKS = (
@@ -1726,6 +1731,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN src_tot t USING (source)
             JOIN corpus cq USING (token)
             GROUP BY p.source
+        """,
+        "q82_bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                                        tk -> regexp_matches(tk, '\\S'))) AS BIGINT)
+                     AS n_bpe_tokens,
+                   round(len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                                         tk -> regexp_matches(tk, '\\S')))
+                         / CAST(NULLIF(len({_TOKS}), 0) AS DOUBLE), 4) AS bpe_per_ws
+            FROM documents
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

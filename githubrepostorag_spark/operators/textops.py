@@ -569,3 +569,35 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
             F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl_nats"),
         )
     )
+
+
+# GPT-2-shaped pretokenizer pattern, simplified to the subset Java
+# regex and RE2 implement identically (no lookahead): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex next to the
+    whitespace count — the budget a sequence-packing pipeline actually
+    bills against (subword tokenizers see punctuation and digit runs
+    that whitespace counting hides; the ratio flags code-like or
+    punctuation-heavy docs whose true token cost runs high).
+
+    Whitespace matches count as pretoken boundaries and are excluded
+    from n_bpe_tokens. Single regexp_extract_all scan per row, no
+    shuffle, whole-stage codegen.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    non_ws = F.filter(toks, lambda t: t.rlike(r"\S"))
+    return documents.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(non_ws).cast("long").alias("n_bpe_tokens"),
+    ).withColumn(
+        "bpe_per_ws",
+        F.round(
+            F.col("n_bpe_tokens") / F.nullif(F.col("n_ws_tokens"), F.lit(0)).cast("double"),
+            4,
+        ),
+    )

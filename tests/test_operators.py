@@ -708,3 +708,23 @@ def test_source_kl_divergence_properties(spark):
     assert got["a"].kl_nats >= 0 and got["b"].kl_nats >= 0  # Gibbs
     assert got["b"].kl_nats > got["a"].kl_nats  # skew detected
     assert got["a"].n_tokens == 11 and got["b"].n_tokens == 8
+
+
+def test_bpe_token_stats_counts_subword_pretokens(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),            # 2 ws tokens, 2 pretokens
+            (2, "don't panic!"),           # contraction + punct split
+            (3, "x=1+2;  # comment"),      # code-ish: punct runs dominate
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TO.bpe_token_stats(docs).collect()}
+    assert got[1].n_ws_tokens == 2 and got[1].n_bpe_tokens == 2
+    # don / 't / panic / ! -> 4 pretokens vs 2 whitespace tokens
+    assert got[2].n_bpe_tokens == 4 and got[2].bpe_per_ws == 2.0
+    assert got[3].n_bpe_tokens > got[3].n_ws_tokens  # code costs more
+    assert got[4].n_bpe_tokens == 0 and got[4].bpe_per_ws is None
