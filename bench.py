@@ -77,10 +77,16 @@ def main() -> None:
     res, store = run_ingest("bench-warmup")
     store.unpersist()
     res.unpersist()
-    t0 = time.time()
-    res, store = run_ingest("bench")
-    times["ingest_pipeline"] = round(time.time() - t0, 3)
-    res.unpersist()
+    # min of 2 measured passes, same discipline as the query loop
+    best = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        res, store = run_ingest(f"bench-{i}")
+        best = min(best, time.time() - t0)
+        res.unpersist()
+        if i == 0:
+            store.unpersist()
+    times["ingest_pipeline"] = round(best, 3)
 
     # agent serving latency: a 4-query batch through the full
     # plan → retrieve → judge → synthesize loop with the scripted LLM,
@@ -90,17 +96,19 @@ def main() -> None:
 
     agent = GraphRAGAgent(spark, store, DeterministicLLM())
     agent.run_batch([{"job_id": "w0", "query": "warmup probe"}])  # codegen warmup
-    t0 = time.time()
-    states = agent.run_batch(
-        [
-            {"job_id": "b1", "query": "tell me about the projects"},
-            {"job_id": "b2", "query": "how is the cache configured"},
-            {"job_id": "b3", "query": "stacktrace timeout exception in stream"},
-            {"job_id": "b4", "query": "repo: src1 what does module m3 contain"},
-        ]
-    )
-    assert all(st.answer for st in states)
-    times["agent_batch4"] = round(time.time() - t0, 3)
+    batch = [
+        {"job_id": "b1", "query": "tell me about the projects"},
+        {"job_id": "b2", "query": "how is the cache configured"},
+        {"job_id": "b3", "query": "stacktrace timeout exception in stream"},
+        {"job_id": "b4", "query": "repo: src1 what does module m3 contain"},
+    ]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        states = agent.run_batch(batch)
+        best = min(best, time.time() - t0)
+        assert all(st.answer for st in states)
+    times["agent_batch4"] = round(best, 3)
     store.unpersist()
     # drop everything the composed pipeline left behind before the
     # per-query loop (measured FIRST: long query churn accumulates
