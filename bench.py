@@ -29,6 +29,7 @@ def run_query(df) -> None:
 
 
 def main() -> None:
+    harness_t0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
@@ -139,22 +140,50 @@ def main() -> None:
             gc.collect()
         times[name] = round(best, 3)
 
-    # headline = sum of the recorded per-entry times (the steady-state
-    # suite cost), NOT the harness wall-clock — the wall includes each
-    # query's warmup duplicate, which no consumer of these numbers wants
-    total = round(sum(times.values()), 3)
+    # Two totals, named so consumers know which definition they read
+    # (r01 reported wall-clock under this metric name; r02 silently
+    # switched to steady-state — emit both from now on):
+    #   steady_state_total — sum of per-entry min-of-2 times (the
+    #     reproducible suite cost; this is the headline value).
+    #   wall_clock_total   — harness wall-clock including each entry's
+    #     warmup duplicate and session startup.
+    steady_total = round(sum(times.values()), 3)
+    wall_total = round(time.time() - harness_t0, 3)
 
+    detail = {
+        "metric": "engine_query_suite_total_time",
+        "value": steady_total,
+        "unit": "sec",
+        "steady_state_total": steady_total,
+        "wall_clock_total": wall_total,
+        "queries": times,
+        "sf": sf,
+    }
+    # Full per-query detail: one (long) line of stdout plus a durable
+    # file copy — the driver's tail buffer is ~2 KB, so this line may be
+    # truncated in its capture; the file is the committed record.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail, separators=(",", ":")))
+    sys.stdout.flush()
+    # Headline: a SHORT object as the very last line so any tail capture
+    # parses it (BENCH_r02 lost the round's number to line overflow).
     print(
         json.dumps(
             {
                 "metric": "engine_query_suite_total_time",
-                "value": total,
+                "value": steady_total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
-            }
+                "n_queries": len(times),
+                "wall_clock_total": wall_total,
+                "detail_file": "bench_result.json",
+            },
+            separators=(",", ":"),
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

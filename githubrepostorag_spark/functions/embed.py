@@ -116,5 +116,34 @@ def make_hash_embedder(dim: int = EMBED_DIM):
     return hash_embed
 
 
-def with_embedding(df, text_col: str = "text", out_col: str = "vector", dim: int = EMBED_DIM):
-    return df.withColumn(out_col, make_hash_embedder(dim)(F.col(text_col)))
+def with_embedding(
+    df,
+    text_col: str = "text",
+    out_col: str = "vector",
+    dim: int = EMBED_DIM,
+    embedder=None,
+):
+    """Attach embeddings through the pluggable embedder seam.
+
+    `embedder` is any callable mapping a text Column to an
+    ``array<float>`` Column — typically a `pandas_udf` wrapping a real
+    model (sentence-transformers slots in here); defaults to the
+    deterministic hash embedder. Output width is dim-checked row-wise
+    at runtime: a model whose vector width disagrees with the
+    configured store dim fails the job on the first mismatching row
+    (SURVEY §7.3's embedding-model-ambiguity mitigation) instead of
+    silently writing ragged vectors that corrupt every downstream
+    cosine."""
+    fn = embedder if embedder is not None else make_hash_embedder(dim)
+    out = df.withColumn(out_col, fn(F.col(text_col)))
+    return out.withColumn(
+        out_col,
+        F.when(F.size(F.col(out_col)) == dim, F.col(out_col)).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"embedding dim mismatch: expected {dim}, got %s",
+                    F.size(F.col(out_col)),
+                )
+            )
+        ),
+    )

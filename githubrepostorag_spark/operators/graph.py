@@ -92,28 +92,50 @@ def pagerank(
     exchange. Per-iteration ranks round to 10 decimals, which pins the
     float accumulation drift between engines far below the rounding
     step — the DuckDB oracle unrolls the same rounds bit-for-bit.
-    Assumes every node has out-degree ≥ 1 (true for symmetrized
-    edges); dangling mass handling would add one singleton aggregate.
+
+    General edge lists are handled fully: the node set is src UNION dst
+    (dst-only nodes keep receiving their teleport share every round),
+    and dangling mass (rank held by nodes with out-degree 0) is
+    redistributed uniformly via one broadcast singleton aggregate per
+    round. For symmetrized edges both corrections are exact no-ops, so
+    the common undirected path costs only the (tiny) dangling probe.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = nodes.crossJoin(nn).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(iters):
+        # rank mass sitting on out-degree-0 nodes this round (0 for
+        # symmetrized graphs) — redistributed uniformly below
+        dangling = F.broadcast(
+            pr.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
         )
-        pr = contrib.crossJoin(nn).select(
-            F.col("dst").alias("node"),
-            F.round(
-                (1.0 - damping) / F.col("n") + damping * F.col("contrib"), 10
-            ).alias("pr"),
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(nn)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / F.col("n")),
+                    10,
+                ).alias("pr"),
+            )
         )
     return pr
 

@@ -637,16 +637,20 @@ def int8_knn(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     the quantized score; recall vs the exact path is the quantization
     error (bounded, since ranks are preserved up to ~1/127 resolution).
     """
+    # Filter BEFORE quantizing on both branches so the max-abs + zip_with
+    # pass runs exactly once per vector across the whole query (Catalyst
+    # does not share the quantize subtree between the two consumers, so
+    # quantize-then-filter evaluated the full corpus pass twice).
     q = F.broadcast(
         V.prepare(
-            quantize_int8(embeddings)
-            .filter(F.col("vec_id") == query_vec_id)
-            .select(F.col("qvec").alias("qq")),
+            quantize_int8(embeddings.filter(F.col("vec_id") == query_vec_id)).select(
+                F.col("qvec").alias("qq")
+            ),
             "qq", "qv", "qn",
         ).select("qv", "qn")
     )
     scored = V.prepare(
-        quantize_int8(embeddings).filter(F.col("vec_id") != query_vec_id),
+        quantize_int8(embeddings.filter(F.col("vec_id") != query_vec_id)),
         "qvec", "ve", "vn",
     ).select("vec_id", "label", "ve", "vn")
     return (

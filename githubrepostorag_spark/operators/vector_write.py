@@ -30,9 +30,13 @@ from githubrepostorag_spark.functions import vectors as V
 from githubrepostorag_spark.functions.embed import with_embedding
 
 
-def build_vector_rows(nodes: DataFrame, scope: str) -> DataFrame:
+def build_vector_rows(
+    nodes: DataFrame, scope: str, embedder=None, dim: int | None = None
+) -> DataFrame:
     """nodes (one scope) → storage rows: row_id, body, vector, metadata,
-    promoted columns. Embeds + normalizes + sanitizes."""
+    promoted columns. Embeds + normalizes + sanitizes. `embedder`/`dim`
+    pass through the pluggable seam in functions.embed.with_embedding
+    (dim-guarded: a real model of the wrong width fails fast)."""
     cols = set(nodes.columns)
 
     def col_or_null(name: str):
@@ -52,7 +56,10 @@ def build_vector_rows(nodes: DataFrame, scope: str) -> DataFrame:
                 col_or_null("end_line"),
             ),
         )
-    embedded = with_embedding(base, text_col="text", out_col="vector")
+    embed_kwargs = {"embedder": embedder}
+    if dim is not None:
+        embed_kwargs["dim"] = dim
+    embedded = with_embedding(base, text_col="text", out_col="vector", **embed_kwargs)
     normalized = embedded.withColumn(
         "vector", V.l2_normalize(F.col("vector")).cast("array<float>")
     )

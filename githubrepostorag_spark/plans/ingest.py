@@ -106,8 +106,15 @@ def ingest_pipeline(
     dev_forced: bool = False,
     output_path: str | None = None,
     raw_dump_path: str | None = None,
+    embedder=None,
+    embed_dim: int | None = None,
 ) -> IngestResult:
-    """docs(repo, file_path, text) → 5-scope vector rows + audit."""
+    """docs(repo, file_path, text) → 5-scope vector rows + audit.
+
+    `embedder`/`embed_dim` thread the pluggable embedding seam through
+    every scope's vector build (functions.embed.with_embedding): plug a
+    real-model pandas UDF and the store is built with it, dim-guarded.
+    """
     prepped, kinds = preprocess(docs)
     if raw_dump_path is not None:
         # S3 raw-doc debug dump (ingest_controller.py:154-161)
@@ -173,7 +180,7 @@ def ingest_pipeline(
         (repo_sums, "repo"),
         (catalog, "catalog"),
     ):
-        part = build_vector_rows(df, scope)
+        part = build_vector_rows(df, scope, embedder=embedder, dim=embed_dim)
         rows = part if rows is None else rows.unionByName(part)
 
     # S6/A8 audit: one ingest_runs row per repo with the chunk node count

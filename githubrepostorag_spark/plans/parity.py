@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import metadata as MD
+from githubrepostorag_spark.functions import text as TXT
 from githubrepostorag_spark.functions import vectors as V
 from githubrepostorag_spark.llm.stub import DeterministicLLM
 from githubrepostorag_spark.operators import filters as FL
@@ -292,6 +293,30 @@ def multimodal_features(documents: DataFrame, n_features: int = 8) -> DataFrame:
 
 
 def multimodal_near_dups(documents: DataFrame) -> DataFrame:
-    """Banded phash Hamming near-dup pairs over the binary metadata."""
-    meta = MM.image_metadata(MM.with_binary_content(documents))
-    return MM.phash_near_dups(meta)
+    """Banded phash Hamming near-dup pairs over a SEEDED phash geometry.
+
+    The md5-derived fake phashes of distinct texts are uniform 60-bit
+    values, so true near-pairs (Hamming ≤ 3) essentially never occur —
+    round 2's oracle row was vacuously green on 0 rows. Without a real
+    perceptual hash the only deterministic way to produce near-dups is
+    to seed them: docs form groups of 5 (``doc_id div 5``) sharing an
+    md5-derived 60-bit base hash; each member flips one distinct bit at
+    position ``(doc_id % 5) * 13`` (0/13/26/39/52 — spanning all four
+    15-bit bands), so every in-group pair sits at Hamming distance
+    exactly 2 and is only discoverable through the ≥2 bands that still
+    agree (the pigeonhole the banded join relies on). The DuckDB oracle
+    mirrors the same seeding, so the band-join + popcount-verify logic
+    is checked against ~n_docs·2 nonzero pairs instead of an empty set.
+    """
+    d = F.col("doc_id")
+    seeded = documents.select(
+        "doc_id",
+        TXT.md5_bigint(
+            F.concat(F.lit("g"), F.floor(d / 5).cast("bigint").cast("string")), 15
+        )
+        # python shiftleft() only takes a literal bit count — expr form
+        # allows the per-row position column
+        .bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 5) * 13 AS INT))"))
+        .alias("phash"),
+    )
+    return MM.phash_near_dups(seeded)

@@ -64,6 +64,10 @@ def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench harness prints its result JSON as
+        # the final stdout line and the driver's tail capture is small —
+        # progress bars (carriage-return spam) would swamp it.
+        .config("spark.ui.showConsoleProgress", "false")
         # The live status store retains per-execution plan data even with
         # the UI disabled; across a long query suite that accumulation
         # squeezes the (shared driver+executor) heap and throttles later

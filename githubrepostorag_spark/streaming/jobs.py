@@ -94,7 +94,11 @@ def run_job_stream(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # job rows are control-plane small — collecting them IS the
-        # dequeue step (the data plane stays distributed inside run_batch)
+        # dequeue step (the data plane stays distributed inside run_batch).
+        # Bound: one row per submitted job, capped per micro-batch by the
+        # source's maxFilesPerTrigger / maxOffsetsPerTrigger (the
+        # reference worker's max_jobs=10); even an uncapped burst is
+        # O(jobs), never O(corpus) — see test_job_stream_burst.
         jobs = [r.asDict() for r in batch_df.collect()]
         if not jobs:
             return

@@ -1,0 +1,60 @@
+"""V1 embedder seam hardening (SURVEY §7.3 mitigation).
+
+The reference's embedding model is configured, not hardcoded
+(rag_shared/config.py:24-25); the engine mirrors that as the
+`embedder=` seam on with_embedding / build_vector_rows /
+ingest_pipeline. These tests plug an arbitrary "real-model stand-in"
+pandas UDF through the seam and pin the dim guard: a model whose
+output width disagrees with the configured store dim must fail the
+job, not silently write ragged vectors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from githubrepostorag_spark.functions.embed import with_embedding
+from githubrepostorag_spark.llm.stub import DeterministicLLM
+from githubrepostorag_spark.plans.ingest import ingest_pipeline
+from tests.fixtures_corpus import corpus_df
+
+
+def _fake_model(dim: int):
+    """Arbitrary batched embedder with a non-default width — the shape a
+    sentence-transformers wrapper would have."""
+
+    @pandas_udf("array<float>")
+    def fake(texts: pd.Series) -> pd.Series:
+        return pd.Series([[float(len(t or "") % 7)] * dim for t in texts])
+
+    return fake
+
+
+def test_custom_embedder_plugs_through_with_embedding(spark):
+    df = spark.createDataFrame([("hello world",), ("",)], "text string")
+    out = with_embedding(df, dim=8, embedder=_fake_model(8)).collect()
+    assert all(len(r.vector) == 8 for r in out)
+
+
+def test_dim_guard_fails_fast_on_width_mismatch(spark):
+    df = spark.createDataFrame([("hello world",)], "text string")
+    # declared store dim 384, model emits 8 → job must fail, not write
+    bad = with_embedding(df, dim=384, embedder=_fake_model(8))
+    with pytest.raises(Exception, match="dim mismatch"):
+        bad.collect()
+
+
+def test_ingest_pipeline_accepts_custom_embedder(spark):
+    res = ingest_pipeline(
+        corpus_df(spark),
+        ingest_run_id="run-seam",
+        llm_factory=DeterministicLLM,
+        namespace="seam",
+        embedder=_fake_model(16),
+        embed_dim=16,
+    )
+    dims = res.rows.select(F.size("vector").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [16]

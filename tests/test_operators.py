@@ -667,6 +667,19 @@ def test_pagerank_star_graph_hub_dominates(spark):
     assert len(spokes) == 1  # symmetry: all spokes equal
 
 
+def test_pagerank_directed_dangling_mass_conserved(spark):
+    from githubrepostorag_spark.operators import graph as G
+
+    # chain 0 -> 1 -> 2: node 2 is dst-only AND dangling (out-degree 0).
+    # The general operator must keep it in the node set every round and
+    # redistribute its held mass instead of silently dropping it.
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: r.pr for r in G.pagerank(edges).collect()}
+    assert set(got) == {0, 1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # no mass lost to dangling
+    assert got[2] > got[1] > got[0]  # rank flows down the chain
+
+
 def test_phash_near_dups_banding_and_hamming(spark):
     from githubrepostorag_spark.operators import multimodal as MM
 

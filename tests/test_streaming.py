@@ -80,6 +80,38 @@ def test_job_stream_end_to_end(spark, store, tmp_path):
     assert json.loads(s3_final[0]["data"])["cancelled"] is True
 
 
+@pytest.mark.slow
+def test_job_stream_burst(spark, store, tmp_path):
+    """S8 degradation: 1000 queued queries landing in ONE micro-batch
+    (no per-trigger cap) must drain in a single foreachBatch call —
+    the driver-side dequeue is O(jobs) rows and the agent's plan cost
+    is batched, not per-job."""
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    lines = [
+        json.dumps(
+            {"job_id": f"b{i}", "query": f"tell me about project {i % 7}", "namespace": "default"}
+        )
+        for i in range(1000)
+    ]
+    with open(qdir / "burst.json", "w") as f:
+        f.write("\n".join(lines))
+
+    q = run_job_stream(
+        read_query_stream(spark, str(qdir), max_jobs_per_trigger=2000),
+        store,
+        DeterministicLLM,
+        answers_path=str(tmp_path / "answers"),
+        events_path=str(tmp_path / "events"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(1200)
+    answers = spark.read.parquet(str(tmp_path / "answers"))
+    assert answers.count() == 1000
+    assert answers.filter(F.length("answer") > 0).count() == 1000
+
+
 def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
     from pyspark.sql import functions as F
 
