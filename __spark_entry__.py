@@ -273,6 +273,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_source_kl": lambda sp, sf: TO.source_kl_divergence(t(sp, sf, "documents")),
         # --- BPE-ish pretokenizer token counting (brief deliverable) ---
         "q82_bpe_tokens": lambda sp, sf: TO.bpe_token_stats(t(sp, sf, "documents")),
+        # --- deterministic hash-bucket train/val/test split ---
+        "q83_train_split": lambda sp, sf: CU.train_split(
+            t(sp, sf, "documents")
+        ).select("doc_id", "source", "split"),
+        # --- temperature-scaled source mixture (p ∝ tokens^0.5) ---
+        "q84_source_mixture": lambda sp, sf: CU.temperature_mixture(
+            t(sp, sf, "documents")
+        ),
+        # --- curation filter-chain funnel audit (single-scan) ---
+        "q85_curation_funnel": lambda sp, sf: CU.curation_funnel(
+            t(sp, sf, "documents")
+        ),
+        # --- product quantization: encode + asymmetric-distance KNN ---
+        "q86_pq_codes": lambda sp, sf: S.pq_codes(t(sp, sf, "embeddings")),
+        "q87_pq_adc_knn": lambda sp, sf: S.pq_adc_knn(t(sp, sf, "embeddings")),
+        # --- PQ serving pipeline: ADC shortlist -> exact cosine rerank ---
+        "q88_pq_rerank": lambda sp, sf: S.pq_adc_rerank(t(sp, sf, "embeddings")),
     }
 
 
@@ -314,6 +331,54 @@ _TOKS = (
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _pq_cte() -> str:
+    """Shared PQ CTEs (mirror of similarity.pq_codebooks / _pq_subvectors
+    / pq_codes): label-seeded subspace codebooks, per-vector subspace
+    slices, squared-L2 assignment with code tie-break. Ends with the
+    `pqcodes` CTE so callers can append further CTEs with a comma."""
+    m = S.PQ_M
+    return f"""
+            WITH nrm AS (
+              SELECT vec_id, label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x / sqrt(list_inner_product(
+                                           CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))) AS e
+              FROM embeddings
+            ), dims AS (
+              SELECT label, len(e) AS nd,
+                     generate_subscripts(e, 1) - 1 AS dim,
+                     unnest(e) AS v
+              FROM nrm
+            ), cent AS (
+              SELECT label, dim, round(avg(v), 6) AS cv, max(nd) AS nd
+              FROM dims GROUP BY label, dim
+            ), cb AS (
+              SELECT CAST(dim // (nd // {m}) AS INT) AS subspace, label AS code,
+                     list(cv ORDER BY dim) AS centroid
+              FROM cent GROUP BY 1, 2
+            ), subs AS (
+              SELECT vec_id, label, CAST(s.i AS INT) AS subspace,
+                     list_slice(e,
+                                CAST(s.i * (len(e) // {m}) + 1 AS INT),
+                                CAST((s.i + 1) * (len(e) // {m}) AS INT)) AS subvec
+              FROM nrm CROSS JOIN (SELECT unnest(range({m})) AS i) s
+            ), pqdist AS (
+              SELECT v.vec_id, v.label, v.subspace, c.code,
+                     round(list_inner_product(v.subvec, v.subvec)
+                           + list_inner_product(c.centroid, c.centroid)
+                           - 2 * list_inner_product(v.subvec, c.centroid), 6) AS d2
+              FROM subs v JOIN cb c ON c.subspace = v.subspace
+            ), pqcodes AS (
+              SELECT vec_id, label, subspace, code, d2
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                                 ORDER BY d2, code) AS rn
+                    FROM pqdist)
+              WHERE rn = 1
+            )
+    """
 
 
 def _bm25_sql() -> str:
@@ -1749,6 +1814,112 @@ def oracle_sql() -> dict[str, str]:
                                          tk -> regexp_matches(tk, '\\S')))
                          / CAST(NULLIF(len({_TOKS}), 0) AS DOUBLE), 4) AS bpe_per_ws
             FROM documents
+        """,
+        "q83_train_split": f"""
+            SELECT doc_id, source,
+                   CASE WHEN h < 10 THEN 'test'
+                        WHEN h < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id, source,
+                         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) % {CU.SPLIT_DENOM} AS h
+                  FROM documents)
+        """,
+        "q84_source_mixture": f"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(sqrt(CAST(n_tokens AS DOUBLE))
+                         / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS mixture_weight,
+                   round(sqrt(CAST(n_tokens AS DOUBLE))
+                         / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                         * sum(n_tokens) OVER () / n_tokens, 6) AS oversample_factor
+            FROM per
+        """,
+        "q85_curation_funnel": f"""
+            WITH base AS (
+              SELECT length(text) >= {CU.FUNNEL_MIN_CHARS} AS c1,
+                     length(text) >= {CU.FUNNEL_MIN_CHARS}
+                       AND len({_TOKS}) >= {CU.FUNNEL_MIN_TOKENS} AS c2,
+                     length(text) >= {CU.FUNNEL_MIN_CHARS}
+                       AND len({_TOKS}) >= {CU.FUNNEL_MIN_TOKENS}
+                       AND (CASE WHEN length(text) > 0
+                                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                      / CAST(length(text) AS DOUBLE)
+                                 ELSE 0.0 END) >= {CU.FUNNEL_MIN_ALPHA} AS c3,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents
+            ), agg AS (
+              SELECT count(*) AS raw,
+                     sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
+                     sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS s2,
+                     sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS s3,
+                     count(DISTINCT CASE WHEN c3 THEN fp END) AS s4
+              FROM base
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+                   CAST(raw AS BIGINT) AS n_docs,
+                   round(raw / CAST(raw AS DOUBLE), 6) AS pct_of_raw FROM agg
+            UNION ALL
+            SELECT 1, 'min_chars', CAST(s1 AS BIGINT),
+                   round(s1 / CAST(raw AS DOUBLE), 6) FROM agg
+            UNION ALL
+            SELECT 2, 'min_tokens', CAST(s2 AS BIGINT),
+                   round(s2 / CAST(raw AS DOUBLE), 6) FROM agg
+            UNION ALL
+            SELECT 3, 'alpha_ratio', CAST(s3 AS BIGINT),
+                   round(s3 / CAST(raw AS DOUBLE), 6) FROM agg
+            UNION ALL
+            SELECT 4, 'exact_dedup', CAST(s4 AS BIGINT),
+                   round(s4 / CAST(raw AS DOUBLE), 6) FROM agg
+        """,
+        "q86_pq_codes": f"""
+            {_pq_cte()}
+            SELECT vec_id, label, subspace, code, d2 FROM pqcodes
+        """,
+        "q87_pq_adc_knn": f"""
+            {_pq_cte()},
+            lut AS (
+              SELECT c.subspace, c.code,
+                     list_inner_product(q.subvec, c.centroid) AS qdot
+              FROM (SELECT subspace, subvec FROM subs WHERE vec_id = 0) q
+              JOIN cb c ON c.subspace = q.subspace
+            )
+            SELECT p.vec_id, p.label, round(sum(l.qdot), 6) AS q_score
+            FROM (SELECT * FROM pqcodes WHERE vec_id <> 0) p
+            JOIN lut l ON l.subspace = p.subspace AND l.code = p.code
+            GROUP BY p.vec_id, p.label
+            ORDER BY q_score DESC, p.vec_id
+            LIMIT 10
+        """,
+        "q88_pq_rerank": f"""
+            {_pq_cte()},
+            lut AS (
+              SELECT c.subspace, c.code,
+                     list_inner_product(q.subvec, c.centroid) AS qdot
+              FROM (SELECT subspace, subvec FROM subs WHERE vec_id = 0) q
+              JOIN cb c ON c.subspace = q.subspace
+            ),
+            adc AS (
+              SELECT p.vec_id, round(sum(l.qdot), 6) AS adc_score
+              FROM (SELECT * FROM pqcodes WHERE vec_id <> 0) p
+              JOIN lut l ON l.subspace = p.subspace AND l.code = p.code
+              GROUP BY p.vec_id
+              ORDER BY adc_score DESC, p.vec_id
+              LIMIT 150
+            )
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                     AS score
+            FROM embeddings e
+            JOIN adc a ON a.vec_id = e.vec_id
+            CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id = 0) q
+            ORDER BY score DESC, e.vec_id
+            LIMIT 10
         """,
         "q54_near_dup_in_cells": """
             WITH dims AS (

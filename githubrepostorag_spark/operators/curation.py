@@ -117,6 +117,130 @@ def pack_token_batches(
     return packed.withColumn("batch_tokens", F.sum("n_tokens").over(wb))
 
 
+SPLIT_DENOM = 1000
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable hash bucket —
+    the split every training corpus needs, with the properties rand()
+    cannot give: stable across runs/clusters/partitionings, and stable
+    under corpus growth (a doc's split never changes when other docs
+    arrive, so eval sets stay eval sets across corpus versions).
+
+    The hash is salted ("split:" prefix) so the bucket is independent
+    of every other md5-keyed decision in the pipeline (sampling,
+    dedup canonical choice). Purely narrow — no shuffle.
+    """
+    h = F.pmod(
+        TXT.md5_bigint(F.concat(F.lit("split:"), F.col(id_col).cast("string"))),
+        F.lit(SPLIT_DENOM),
+    )
+    split = (
+        F.when(h < test_permille, F.lit("test"))
+        .when(h < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source mixture weights: p(source) ∝
+    n_tokens^alpha (alpha<1 upweights small sources — the multilingual
+    /multi-domain sampling rule from the T5/mT5 recipes). Returns per
+    source: doc/token counts, the normalized mixture weight, and the
+    oversample factor (expected-epoch tokens ÷ actual tokens; >1 means
+    the source repeats within an epoch).
+
+    One groupBy shuffle to ~n_sources rows, then an empty-frame window
+    for the normalizing sum over those few rows — corpus-size-free.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    # sqrt for the default temperature: correctly-rounded IEEE on both
+    # engines, unlike pow(x, 0.5) whose last ulp is libm-dependent
+    nt = F.col("n_tokens").cast("double")
+    w = F.sqrt(nt) if alpha == 0.5 else F.pow(nt, F.lit(alpha))
+    wsum = F.sum(w).over(Window.partitionBy())
+    tok_total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(w / wsum, 6).alias("mixture_weight"),
+        F.round((w / wsum) * tok_total / F.col("n_tokens"), 6).alias("oversample_factor"),
+    )
+
+
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MIN_ALPHA = 0.4
+
+
+def curation_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-by-stage audit of a standard curation filter chain — the
+    funnel report a pipeline owner reads before shipping a corpus
+    (CCNet/RefinedWeb-style): raw → min length → min tokens → alpha
+    ratio → exact-dedup survivors, each stage cumulative.
+
+    Everything is ONE corpus scan: the per-stage predicates accumulate
+    as boolean columns and a single global aggregate counts each
+    cumulative stage (plus a distinct-fingerprint count for the dedup
+    stage); the stage rows then unfold from that one aggregate row.
+    At 100 TB this costs exactly one pass + one 1-row exchange —
+    running each stage as its own filtered count would scan five times.
+    """
+    t = F.col(text_col)
+    c1 = F.length(t) >= FUNNEL_MIN_CHARS
+    c2 = c1 & (TXT.token_count(t) >= FUNNEL_MIN_TOKENS)
+    alpha_ratio = F.when(
+        F.length(t) > 0,
+        F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / F.length(t).cast("double"),
+    ).otherwise(F.lit(0.0))
+    c3 = c2 & (alpha_ratio >= FUNNEL_MIN_ALPHA)
+    fp = TXT.fingerprint(t)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(c1.cast("long")).alias("s1"),
+        F.sum(c2.cast("long")).alias("s2"),
+        F.sum(c3.cast("long")).alias("s3"),
+        F.count_distinct(F.when(c3, fp)).alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(c).cast("long").alias("n_docs"),
+                F.round(F.col(c) / F.col("raw").cast("double"), 6).alias("pct_of_raw"),
+            )
+            for i, (name, c) in enumerate(
+                [
+                    ("raw", "raw"),
+                    ("min_chars", "s1"),
+                    ("min_tokens", "s2"),
+                    ("alpha_ratio", "s3"),
+                    ("exact_dedup", "s4"),
+                ]
+            )
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_docs", "s.pct_of_raw"
+    )
+
+
 DECON_N = 3
 DECON_MIN_OVERLAP = 3
 

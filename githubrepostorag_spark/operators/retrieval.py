@@ -97,6 +97,21 @@ def with_scope_params(
     )
 
 
+def _or_tree(conds: list):
+    """Balanced OR of a condition list. A left-deep ``c0 | c1 | ...``
+    fold nests O(n) deep and overflows the JVM stack during
+    Column→Expression conversion at ~1000 branches (observed with a
+    1000-query burst batch); pairwise reduction keeps the tree
+    log₂(n) deep, so batch size is bounded by plan-analysis cost, not
+    by stack depth."""
+    while len(conds) > 1:
+        conds = [
+            conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+            for i in range(0, len(conds), 2)
+        ]
+    return conds[0]
+
+
 def _scored(
     store: DataFrame, queries: DataFrame, query_meta: list[dict] | None = None
 ) -> DataFrame:
@@ -387,9 +402,7 @@ def retrieve_batch_multi(
                 active_adj[qid] = adj_k
             if not conds:
                 break
-            cond = conds[0]
-            for c in conds[1:]:
-                cond = cond | c
+            cond = _or_tree(conds)
             max_adj = max(active_adj.values())
             hop_rows = (
                 scored.filter(cond)

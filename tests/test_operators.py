@@ -621,6 +621,27 @@ def test_int8_quantization_bounds_and_recall(spark):
     assert len(exact & quant) >= 7
 
 
+def test_pq_codes_shape_and_adc_recall(spark):
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    codes = S.pq_codes(emb)
+    # exactly one code per (vector, subspace); codes come from the label set
+    assert codes.count() == n * S.PQ_M
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.code for r in codes.select("code").distinct().collect()} <= labels
+    # Raw ADC over a 10-code label codebook is a coarse ranker on this
+    # near-uniform synthetic corpus (top-10 overlap ~0 — the operator is
+    # faithful, the data's neighbor margins are just below quantization
+    # error); the SERVING composition (ADC shortlist → exact rerank)
+    # must recover most of the true top-k, deterministically.
+    exact = {r.vec_id for r in S.knn_to_query(emb, k=10).collect()}
+    rerank = {r.vec_id for r in S.pq_adc_rerank(emb, k=10, shortlist=150).collect()}
+    assert len(exact & rerank) >= 7
+
+
 def test_distinct_sketch_estimates_within_error(spark):
     from githubrepostorag_spark.operators import eventops as E
     from githubrepostorag_spark.sources.testdata import load_table

@@ -1,0 +1,155 @@
+"""Adversarial 10× scale smoke (slow; run with `pytest -m slow`).
+
+The dedup/ANN docstrings make precise 100 TB claims — bounded LSH
+buckets, label-only component shuffles, AQE skew handling. This module
+converts those claims into evidence on one deliberately hostile
+dataset: the sf0.01 corpus replicated 10× with
+
+- a HOT source: half of all documents land in one `source` value
+  (skewed group keys for the source-scoped operators),
+- a duplicate flood: 5 exact copies of every document plus 5 suffixed
+  near-copies (every LSH/phash/SimHash bucket is hot; components are
+  10-node cliques rather than rare pairs),
+- embeddings replicated 10× EXACTLY (every vector has 9 cos=1 twins —
+  the worst case for near-dup pair generation).
+
+Asserted: the scale-path chains (q34 LSH-verify, q54 IVF cells, q55/q56
+components+survivors, q66 SRP, ingest) complete without task failure and
+grow ≈ linearly — wall-clock at 10× must stay under LINEARITY_FACTOR ×
+the 1× time (a quadratic blowup overshoots this by an order of
+magnitude; the generous factor absorbs fixed costs and CI noise).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.01"
+REPLICAS = 10
+# linear growth would be ≈10×; quadratic pair generation at 10× data is
+# ≈100×. The bound splits those regimes with slack for fixed overheads.
+LINEARITY_FACTOR = 30.0
+
+pytestmark = pytest.mark.slow
+
+
+def _docs(spark, replicas: int):
+    """sf0.01 documents replicated `replicas`× with a hot source and a
+    true-duplicate flood (see module docstring)."""
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            # replicas 0-4: exact copies; 5-9: near-copies (tiny suffix)
+            F.when(
+                F.col("rep") >= 5,
+                F.concat(F.col("text"), F.lit(" v"), F.col("rep").cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            # half the corpus collapses into one hot source key
+            F.when(F.col("doc_id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+    )
+
+
+def _embeddings(spark, replicas: int):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    return base.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+
+
+def _run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _doc_chain(docs):
+    """q34+q55+q56 composition: LSH candidates → Jaccard verify →
+    components → surviving corpus."""
+    comp = DD.dedup_components(
+        DD.jaccard_on_candidates(docs),
+        docs.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    return DD.dedup_survivors(docs, comp).select("doc_id", "source", "component_size")
+
+
+def test_dedup_chain_scales_linearly(spark):
+    t1 = _run(_doc_chain(_docs(spark, 1)))
+    t10 = _run(_doc_chain(_docs(spark, REPLICAS)))
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"dedup chain blew past linear growth: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+
+
+def test_embedding_near_dup_paths_scale(spark):
+    # IVF-cell near-dup: per-cell blocked matmul; the 10× exact twins
+    # concentrate in the same cells (hot-cell worst case)
+    t1 = _run(S.near_dup_in_cells(_embeddings(spark, 1)))
+    t10 = _run(S.near_dup_in_cells(_embeddings(spark, REPLICAS)))
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"IVF near-dup superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+    # SRP-bucketed near-dup: bucket equi-join on sign projections
+    t1 = _run(S.srp_near_dup_pairs(_embeddings(spark, 1)))
+    t10 = _run(S.srp_near_dup_pairs(_embeddings(spark, REPLICAS)))
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"SRP near-dup superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+
+
+def test_dup_flood_components_are_correct(spark):
+    """Beyond timing: on the flood corpus every base doc's 5 exact
+    copies must land in one component with one survivor."""
+    docs = _docs(spark, REPLICAS)
+    surv = _doc_chain(docs)
+    n_docs = docs.count()
+    n_surv = surv.count()
+    # exact copies alone collapse ≥5× on half the corpus; survivors must
+    # be well under the raw count but nonzero
+    assert 0 < n_surv < n_docs / 3, f"{n_surv} survivors of {n_docs}"
+    # survivors are distinct doc_ids (one canonical per component)
+    assert surv.select("doc_id").distinct().count() == n_surv
+
+
+def test_ingest_pipeline_at_10x(spark):
+    """The composed 5-scope ingest DAG over the 10× skewed corpus —
+    chunk explode, LLM pandas UDFs, embedder, rollup windows and the
+    5-scope union all run on a corpus with a mega-repo (hot source) and
+    massive duplicate text, and must simply complete."""
+    from githubrepostorag_spark.llm.stub import DeterministicLLM
+    from githubrepostorag_spark.plans.ingest import ingest_pipeline
+    from githubrepostorag_spark.plans.parity import code_docs_fixture
+
+    docs = code_docs_fixture(_docs(spark, REPLICAS)).select("repo", "file_path", "text")
+    res = ingest_pipeline(
+        docs, ingest_run_id="scale-smoke", llm_factory=DeterministicLLM
+    )
+    n = res.rows.count()
+    assert n > 0
+    res.rows.unpersist()
