@@ -290,7 +290,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_pq_adc_knn": lambda sp, sf: S.pq_adc_knn(t(sp, sf, "embeddings")),
         # --- PQ serving pipeline: ADC shortlist -> exact cosine rerank ---
         "q88_pq_rerank": lambda sp, sf: S.pq_adc_rerank(t(sp, sf, "embeddings")),
+        # --- substring-level dedup (line boilerplate / duplicated spans) ---
+        "q89_line_dedup": lambda sp, sf: TO.line_dedup_stats(
+            _wrapped_lines(t(sp, sf, "documents"))
+        ),
+        "q90_dup_spans": lambda sp, sf: TO.duplicated_spans(t(sp, sf, "documents")),
+        # --- cross-corpus containment (big-benchmark decontamination) ---
+        "q91_containment": lambda sp, sf: TO.containment_search(
+            t(sp, sf, "documents"), bench_source="src0"
+        ),
+        # --- corpus-LM quality scoring + collocations ---
+        "q92_surprisal": lambda sp, sf: TO.unigram_surprisal(t(sp, sf, "documents")),
+        "q93_pmi_pairs": lambda sp, sf: TO.pmi_pairs(t(sp, sf, "documents")),
+        # --- sketches / distribution summaries / sliding windows ---
+        "q94_hll_distinct": lambda sp, sf: E.hll_distinct(t(sp, sf, "events")),
+        "q95_value_percentiles": lambda sp, sf: E.value_percentiles(t(sp, sf, "events")),
+        "q96_sliding_counts": lambda sp, sf: E.sliding_counts(t(sp, sf, "events")),
+        # --- SemDeDup: cell-local semantic dedup survivors ---
+        "q97_semantic_dedup": lambda sp, sf: S.semantic_dedup(t(sp, sf, "embeddings")),
     }
+
+
+def _wrapped_lines(documents: DataFrame) -> DataFrame:
+    """Fixture adapter for line-level operators: the synthetic corpus is
+    single-line, so wrap every 3 words to a line (same regex in the
+    oracle) — boilerplate lines then occur organically from the small
+    vocabulary."""
+    return documents.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+\s+){2}\S+)\s+", "$1\n")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1965,5 +1993,172 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, hop FROM h0
             UNION ALL SELECT doc_id, hop FROM h1
             UNION ALL SELECT doc_id, hop FROM h2
+        """,
+        "q89_line_dedup": r"""
+            WITH wrapped AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){2}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS wt
+              FROM documents),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM (SELECT doc_id, unnest(string_split(wt, chr(10))) AS l
+                    FROM wrapped)
+              WHERE length(trim(l)) > 0),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h
+              FROM lines),
+            common AS (
+              SELECT h, count(DISTINCT doc_id) AS df FROM h
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 3)
+            SELECT doc_id, count(*) AS n_lines,
+                   count(c.df) AS boilerplate_lines,
+                   round(count(c.df) * 1.0 / count(*), 6) AS boilerplate_frac
+            FROM h LEFT JOIN common c USING (h) GROUP BY doc_id
+        """,
+        "q90_dup_spans": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(floor((strlen(text) - 20) / 5) + 1 AS INT) AS n_spans
+              FROM documents WHERE strlen(text) >= 20),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(range(1, CAST(n_spans * 5 - 4 + 1 AS BIGINT), 5)) AS p
+              FROM base),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(lower(substr(text, CAST(p AS INT), 20))),
+                                          1, 15)) AS BIGINT) AS h
+              FROM pos),
+            dup AS (SELECT h, count(*) AS occ FROM h GROUP BY h HAVING count(*) >= 2)
+            SELECT doc_id, count(*) AS n_spans, count(d.occ) AS dup_spans,
+                   round(count(d.occ) * 1.0 / count(*), 6) AS dup_frac
+            FROM h LEFT JOIN dup d USING (h) GROUP BY doc_id
+        """,
+        "q91_containment": """
+            WITH g AS (
+              SELECT doc_id, source, text, strlen(text) - 12 + 1 AS n_grams,
+                     unnest(range(1, CAST(greatest(strlen(text) - 12 + 2, 1) AS BIGINT)))
+                       AS pos
+              FROM documents),
+            h AS (
+              SELECT doc_id, source, pos, n_grams,
+                     CAST(('0x' || substr(md5(lower(substr(text, CAST(pos AS INT), 12))),
+                                          1, 15)) AS BIGINT) AS h
+              FROM g WHERE n_grams >= 1),
+            wm AS (
+              SELECT doc_id, source, pos, n_grams,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM h),
+            fps AS (SELECT DISTINCT doc_id, source, fp FROM wm
+                    WHERE pos <= n_grams - 4 + 1),
+            bench AS (SELECT doc_id AS bench_doc, fp FROM fps WHERE source = 'src0'),
+            train AS (SELECT doc_id AS train_doc, fp FROM fps WHERE source != 'src0'),
+            bsize AS (SELECT bench_doc, count(*) AS n_fp FROM bench GROUP BY bench_doc),
+            ov AS (SELECT train_doc, bench_doc, count(*) AS n_shared
+                   FROM train JOIN bench USING (fp) GROUP BY 1, 2)
+            SELECT train_doc, bench_doc, n_shared,
+                   round(n_shared * 1.0 / n_fp, 6) AS containment
+            FROM ov JOIN bsize USING (bench_doc)
+            WHERE round(n_shared * 1.0 / n_fp, 6) >= 0.05
+        """,
+        "q92_surprisal": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT sum(c) AS total FROM tc),
+            p AS (SELECT term, c * 1.0 / total AS p FROM tc CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-log2(p)), 6) AS avg_surprisal_bits
+            FROM toks JOIN p USING (term) GROUP BY doc_id
+        """,
+        "q93_pmi_pairs": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b, count(*) AS pair_docs
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT term_a, term_b, pair_docs,
+                   round(log2(pair_docs * 1.0 * n_docs / (da.df * db.df)), 6) AS pmi
+            FROM pairs
+            JOIN df da ON da.term = pairs.term_a
+            JOIN df db ON db.term = pairs.term_b
+            CROSS JOIN n
+        """,
+        "q94_hll_distinct": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+              FROM events),
+            r AS (
+              SELECT event_type, h % 64 AS register,
+                     CASE WHEN (h >> 6) = 0 THEN 55
+                          ELSE 54 - length(bin(h >> 6)) + 1 END AS rank
+              FROM h),
+            regs AS (SELECT event_type, register, max(rank) AS max_rank
+                     FROM r GROUP BY 1, 2)
+            SELECT event_type, count(*) AS occupied,
+                   round(((0.7213 / (1 + 1.079 / 64)) * 64) * 64
+                         / (sum(pow(2.0, -max_rank)) + (64 - count(*))), 4)
+                     AS est_users
+            FROM regs GROUP BY event_type
+        """,
+        "q95_value_percentiles": """
+            SELECT event_type, count(value) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "q96_sliding_counts": """
+            WITH w AS (
+              SELECT event_type,
+                     make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - i * 900)
+                                         * 1000000 AS BIGINT)) AS window_start
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM w GROUP BY 1, 2
+        """,
+        "q97_semantic_dedup": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM ranked WHERE rn = 1
+            ), pairs AS (
+              SELECT b.vec_id AS id_b
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            )
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
         """,
     }

@@ -351,3 +351,105 @@ def distinct_user_sketch(events: DataFrame, m: int = SKETCH_BUCKETS) -> DataFram
         .otherwise(F.round(-F.lit(float(m)) * F.log(frac), 4))
         .alias("est_users"),
     )
+
+
+HLL_REGISTERS = 64  # m = 2^6 registers; md5_bigint supplies 60 hash bits
+
+
+def hll_distinct(events: DataFrame, m: int = HLL_REGISTERS) -> DataFrame:
+    """Per-event-type distinct-user cardinality by HyperLogLog
+    (Flajolet et al. 2007), built deterministically from md5 so the
+    DuckDB oracle reproduces it bit-for-bit — the register-based
+    complement to the linear-counting sketch (`distinct_user_sketch`):
+    linear counting wins at low fill, HLL keeps a fixed m·6-bit state
+    at ANY cardinality.
+
+    register = h mod m; rank = leading-zeros-of(h div m)+1 computed
+    exactly as (60 - log2(m)) - length(bin(w)) + 1 (bin() drops
+    leading zeros in both engines — integer-exact, no float log).
+    Estimate = α·m² / Σ 2^(-M_j) with empty registers contributing
+    2^0 each. Shuffled state per type is m registers, mergeable by
+    max() — partial aggregation does the merge map-side, which is the
+    whole 100 TB story for count-distinct.
+    """
+    import math
+
+    p_bits = int(math.log2(m))
+    rest_bits = 60 - p_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = TXT.md5_bigint(F.col("user_id").cast("string"))
+    # integer shift, not h/m: float division would round 60-bit hashes
+    # (double mantissa is 53 bits) and corrupt the rank for h > 2^53
+    w = F.shiftright(h, p_bits)
+    rank = F.when(w == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        events.select(F.col("event_type"), F.pmod(h, F.lit(m)).alias("register"), rank.alias("rank"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("occupied"),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_occ"),
+        )
+        .select(
+            "event_type",
+            F.col("occupied").cast("long").alias("occupied"),
+            F.round(
+                F.lit(alpha * m * m)
+                / (F.col("z_occ") + (F.lit(m) - F.col("occupied"))),
+                4,
+            ).alias("est_users"),
+        )
+    )
+
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of `value` per event type —
+    the latency/size distribution summary every event pipeline serves.
+
+    Uses the engine's exact `percentile` (both Spark and the oracle's
+    quantile_cont interpolate at rank p·(n-1)). Exact percentile
+    shuffles the full value column per group; that is the point of
+    this operator as the small-group verifier — at 100 TB per-group
+    state no longer fits and the approximate path (t-digest /
+    approx_percentile, same API shape) replaces it, trading the exact
+    rank for bounded memory.
+    """
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(p) for p in PCTS]))
+    return events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window_minutes: int = 60, slide_minutes: int = 15
+) -> DataFrame:
+    """Sliding-window event counts (60-min window every 15 min) — the
+    batch twin of the streaming sliding aggregation (each event lands
+    in window/slide overlapping windows; `F.window` expands them
+    engine-side). Emitted per (window_start, event_type).
+
+    One explode-by-window (a fixed 4× row multiplier here) and one
+    groupBy — the same plan Structured Streaming runs incrementally
+    with watermark-bounded state.
+    """
+    w = F.window(F.col("ts"), f"{window_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

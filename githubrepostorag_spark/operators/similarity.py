@@ -912,3 +912,30 @@ def ivf_knn_from_store(
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = SEMANTIC_DEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into coarse
+    cells, score exact cosine only within each cell, and drop every
+    vector that has a higher-similarity-than-threshold neighbor with a
+    smaller id — keeping one canonical representative per semantic
+    near-dup neighborhood. Unlike the connected-components survivor
+    chain (`dedup.canonical_survivors`), SemDeDup is deliberately
+    non-transitive: the keep/drop decision is local to each pair, so
+    it needs no iterative propagation — one cell-bucketed matmul and
+    one anti-join.
+
+    Scale shape: reuses `near_dup_in_cells` (broadcast codebook
+    assign → one shuffle on cell → per-cell BLAS kernel); the drop set
+    is pair-bounded and joins back as a left-anti on vec_id. At 100 TB
+    the codebook comes from sampled k-means (`refine_codebook`) and
+    oversized cells split — the plan shape is unchanged.
+    """
+    pairs = near_dup_in_cells(embeddings, threshold=threshold)
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return embeddings.select("vec_id", "label").join(drop, "vec_id", "left_anti")

@@ -601,3 +601,241 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
             4,
         ),
     )
+
+
+# --- boilerplate / substring-level dedup -----------------------------------
+
+LINE_DEDUP_MIN_DOCS = 3
+SPAN_K = 20
+SPAN_STRIDE = 5
+
+
+def line_dedup_stats(documents: DataFrame, min_docs: int = LINE_DEDUP_MIN_DOCS) -> DataFrame:
+    """Line-level boilerplate profile: hash every trimmed non-empty
+    line, find lines appearing in >= `min_docs` distinct documents
+    (license headers, generated-code banners, nav chrome), and report
+    each document's boilerplate-line fraction — the removal signal
+    line-level dedup pipelines (e.g. CCNet/RefinedWeb-style paragraph
+    dedup) act on.
+
+    Scale shape: one explode + one groupBy on the 60-bit line hash
+    (never the line text), then the frequent-line set — bounded by the
+    df >= min_docs threshold to the corpus's true boilerplate, a tiny
+    fraction of distinct lines — joins back against the exploded lines.
+    AQE turns that join into a broadcast when the frequent set is small
+    (the common case); the per-doc rollup reuses the doc_id shuffle.
+    """
+    lines = (
+        scale_out(documents, "doc_id")
+        .select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .select("doc_id", F.trim("line").alias("line"))
+        .filter(F.length("line") > 0)
+        .select("doc_id", TXT.md5_bigint(F.col("line")).alias("h"))
+    )
+    common = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+    return (
+        lines.join(common, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("df").alias("boilerplate_lines"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(F.col("boilerplate_lines") / F.col("n_lines").cast("double"), 6),
+        )
+    )
+
+
+def duplicated_spans(
+    documents: DataFrame, k: int = SPAN_K, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Duplicated-substring profile (the signal behind exact substring
+    dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): hash the k-char window at every stride-th
+    position, find window hashes occurring >= 2 times corpus-wide, and
+    report each document's duplicated-span fraction. The full
+    suffix-array method finds *maximal* repeats; strided fixed-k
+    windows are the one-pass engine approximation — any repeated
+    substring of length >= k + stride - 1 is guaranteed to cover at
+    least one sampled window on each side.
+
+    Scale shape: identical to `winnow_fingerprints` — explode a
+    POSITION sequence (never a per-doc gram array, see the measured
+    note there), hash one k-slice per row, one groupBy on the hash,
+    join the duplicated-hash set back, roll up per doc on the same
+    doc_id key.
+    """
+    base = scale_out(documents, "doc_id").select(
+        "doc_id",
+        "text",
+        (F.floor((F.length("text") - k) / stride) + 1).cast("int").alias("n_spans"),
+    )
+    spans = (
+        base.filter(F.col("n_spans") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_spans") * stride - (stride - 1), F.lit(stride))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            TXT.md5_bigint(F.lower(F.expr(f"substring(text, pos, {int(k)})"))).alias("h"),
+        )
+    )
+    dup = spans.groupBy("h").agg(F.count("*").alias("occ")).filter(F.col("occ") >= 2)
+    return (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"), F.count("occ").alias("dup_spans"))
+        .withColumn(
+            "dup_frac", F.round(F.col("dup_spans") / F.col("n_spans").cast("double"), 6)
+        )
+    )
+
+
+CONTAIN_K = 12
+CONTAIN_WINDOW = 4
+CONTAIN_THRESHOLD = 0.05
+
+
+def containment_search(
+    documents: DataFrame,
+    bench_source: str,
+    k: int = CONTAIN_K,
+    window: int = CONTAIN_WINDOW,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """Cross-corpus containment search: which training documents
+    contain substantial parts of a benchmark document? Both sides are
+    winnowed (`winnow_fingerprints` guarantees any shared substring of
+    length >= k+window-1 yields a shared fingerprint), then joined on
+    fingerprint — an inverted-index equi-join — and scored by
+    containment |fp(train) ∩ fp(bench)| / |fp(bench)|.
+
+    This is the BIG-benchmark complement to `decontaminate` (q70):
+    decontaminate broadcasts a small benchmark gram set; here both
+    sides may be 100 TB-scale, so the join shuffles on the fingerprint
+    key instead, with partial aggregation on (train_doc, bench_doc)
+    collapsing the pair counts map-side. Fingerprint sets are ~2/(w+1)
+    of gram count, so the joined relation is a fraction of the token
+    stream.
+    """
+    fps = winnow_fingerprints(documents, k=k, window=window).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    bench = fps.filter(F.col("source") == bench_source).select(
+        F.col("doc_id").alias("bench_doc"), "fingerprint"
+    )
+    train = fps.filter(F.col("source") != bench_source).select(
+        F.col("doc_id").alias("train_doc"), "fingerprint"
+    )
+    bench_size = bench.groupBy("bench_doc").agg(F.count("*").alias("n_fp"))
+    overlap = (
+        train.join(bench, "fingerprint")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        overlap.join(bench_size, "bench_doc")
+        .withColumn(
+            "containment", F.round(F.col("n_shared") / F.col("n_fp").cast("double"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("train_doc", "bench_doc", "n_shared", "containment")
+    )
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram cross-entropy per document — the engine form of
+    perplexity-based quality filtering (CCNet trains a KenLM; the
+    unigram LM is its one-pass distributed floor): fit p(term) on the
+    whole corpus, score each document by mean -log2 p(token) over its
+    tokens. Outlier-high surprisal = rare-token noise; outlier-low =
+    degenerate repetition.
+
+    Scale shape: one token explode feeding BOTH the corpus counts and
+    the per-doc scores; the term-probability table is vocabulary-sized
+    (Heaps' law: sublinear in corpus size), so the score join is a
+    broadcast at any realistic scale, with the corpus token total
+    attached as a broadcast scalar.
+    """
+    toks = scale_out(documents, "doc_id").select(
+        "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    term_counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = term_counts.agg(F.sum("c").alias("total"))
+    probs = term_counts.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("c") / F.col("total")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2("p")), 6).alias("avg_surprisal_bits"),
+        )
+    )
+
+
+PMI_MIN_PAIR_DOCS = 5
+
+
+def pmi_pairs(documents: DataFrame, min_pair_docs: int = PMI_MIN_PAIR_DOCS) -> DataFrame:
+    """Pointwise mutual information over within-document term
+    co-occurrence: PMI(a,b) = log2( p(a,b) / (p(a) p(b)) ) with
+    document-level probabilities — the classic collocation /
+    topic-drift signal over a training corpus.
+
+    Scale shape: distinct (doc, term) pairs self-join on doc_id with
+    a < b ordering — per-doc work is quadratic in DISTINCT terms per
+    doc, so production runs first restrict terms to a bounded
+    vocabulary head (`vocab_top`); the support filter then prunes the
+    pair tail before the final join against the term-frequency table
+    (vocabulary-sized, broadcast).
+    """
+    doc_terms = (
+        scale_out(documents, "doc_id")
+        .select("doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"))
+        .distinct()
+    )
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    term_df = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    pairs = (
+        doc_terms.alias("a")
+        .join(doc_terms.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(term_df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(term_df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "pair_docs",
+            F.round(
+                F.log2(
+                    F.col("pair_docs").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -112,3 +112,56 @@ def stream_dedup_exact(
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "60 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts — the streaming twin of
+    eventops.sliding_counts (each event lands in window/slide
+    overlapping windows; Spark expands them engine-side and the
+    watermark closes windows whose end passed the horizon, so state is
+    bounded to horizon/slide generations per key)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_lag_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the view
+    events by the same user in the preceding `max_lag_minutes` — the
+    canonical attribution join. Both sides carry watermarks and the
+    join predicate carries the time bound, so Spark can expire buffered
+    state once the watermark passes a row's join horizon (an unbounded
+    stream-stream join would otherwise hold both streams forever —
+    the state bound IS the 100 TB/day story here).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""c_user = v_user AND
+                view_ts <= click_ts AND
+                view_ts >= click_ts - INTERVAL {int(max_lag_minutes)} MINUTES"""
+        ),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")

@@ -230,3 +230,74 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
         for r in tumbling_counts(events).collect()
     }
     assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, tmp_path):
+    from githubrepostorag_spark.operators.eventops import sliding_counts
+    from githubrepostorag_spark.streaming.events import stream_sliding_counts
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_sliding_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("sliding_mem").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in sliding_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_stream_interval_join_attributes_within_lag(spark, tmp_path):
+    from githubrepostorag_spark.streaming.events import stream_interval_join
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 01:00:00", 7, "click"),
+            (2, "2024-01-01 03:00:00", 7, "click"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    views = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:45:00", 7, "view"),   # within 30 min of click 1
+            (11, "2024-01-01 00:10:00", 7, "view"),   # too early for click 1
+            (12, "2024-01-01 02:59:00", 7, "view"),   # within 30 min of click 2
+            (13, "2024-01-01 02:59:00", 8, "view"),   # other user
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    c_src, v_src = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.write.parquet(c_src)
+    views.write.parquet(v_src)
+    c_stream = spark.readStream.schema(spark.read.parquet(c_src).schema).parquet(c_src)
+    v_stream = spark.readStream.schema(spark.read.parquet(v_src).schema).parquet(v_src)
+
+    q = (
+        stream_interval_join(c_stream, v_stream)
+        .writeStream.format("memory")
+        .queryName("attr_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r["click_id"], r["view_id"]) for r in spark.table("attr_mem").collect()}
+    assert got == {(1, 10), (2, 12)}

@@ -762,3 +762,125 @@ def test_bpe_token_stats_counts_subword_pretokens(spark):
     assert got[2].n_bpe_tokens == 4 and got[2].bpe_per_ws == 2.0
     assert got[3].n_bpe_tokens > got[3].n_ws_tokens  # code costs more
     assert got[4].n_bpe_tokens == 0 and got[4].bpe_per_ws is None
+
+
+def test_line_dedup_flags_shared_lines(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "MIT License\nalpha beta", "en", "s0", 20),
+            (2, "MIT License\ngamma delta", "en", "s0", 20),
+            (3, "MIT License\nepsilon", "en", "s1", 18),
+            (4, "totally unique\ncontent here", "en", "s1", 26),
+        ],
+    )
+    got = {r.doc_id: r for r in TO.line_dedup_stats(df, min_docs=3).collect()}
+    assert got[1].n_lines == 2 and got[1].boilerplate_lines == 1
+    assert got[3].boilerplate_lines == 1
+    assert got[4].boilerplate_lines == 0 and got[4].boilerplate_frac == 0.0
+
+
+def test_duplicated_spans_detects_repeated_substring(spark):
+    shared = "x" * 40  # long enough to cover >= one strided window on each side
+    df = _docs(
+        spark,
+        [
+            (1, "aaaa" + shared + "bbbb", "en", "s0", 48),
+            (2, "cccc" + shared + "dddd", "en", "s0", 48),
+            (3, "q" * 48, "en", "s1", 48),  # self-repetitive: dups within one doc
+            (4, "".join(chr(97 + (7 * i) % 26) for i in range(48)), "en", "s1", 48),
+        ],
+    )
+    got = {r.doc_id: r for r in TO.duplicated_spans(df, k=20, stride=5).collect()}
+    assert got[1].dup_spans > 0 and got[2].dup_spans > 0
+    assert got[3].dup_spans > 0  # within-doc repetition counts (Lee et al. semantics)
+    assert got[4].dup_spans == 0
+
+
+def test_containment_finds_benchmark_copy(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(
+        spark,
+        [
+            (1, bench_text, "en", "bench", 60),
+            (2, "prefix " + bench_text + " suffix", "en", "train", 74),
+            (3, "completely unrelated words with no overlap at all here", "en", "train", 54),
+        ],
+    )
+    rows = TO.containment_search(df, bench_source="bench", threshold=0.5).collect()
+    assert {(r.train_doc, r.bench_doc) for r in rows} == {(2, 1)}
+    assert rows[0].containment >= 0.9  # near-total containment of the copy
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    df = _docs(
+        spark,
+        [(1, "common common common common", "en", "s0", 27)]
+        + [(i, "common word", "en", "s0", 11) for i in range(2, 10)]
+        + [(10, "xylophone quixotic", "en", "s0", 18)],
+    )
+    got = {r.doc_id: r.avg_surprisal_bits for r in TO.unigram_surprisal(df).collect()}
+    assert got[10] > got[1]  # rare-token doc is more surprising
+
+
+def test_pmi_positive_for_cooccurring_terms(spark):
+    # alpha+beta always co-occur; gamma appears alone
+    rows = [(i, "alpha beta", "en", "s0", 10) for i in range(8)]
+    rows += [(i, "gamma", "en", "s0", 5) for i in range(8, 16)]
+    got = TO.pmi_pairs(_docs(spark, rows), min_pair_docs=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.term_a, r.term_b) == ("alpha", "beta")
+    # p(a,b)=8/16, p(a)=p(b)=8/16 -> PMI = log2(0.5/0.25) = 1
+    assert abs(r.pmi - 1.0) < 1e-9
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [(i, "2024-01-01 00:00:00", i % 500, "click", 1.0, "{}") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = E.hll_distinct(df).collect()[0]
+    # m=64 -> standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(r.est_users - 500) / 500 < 0.4
+
+
+def test_value_percentiles_interpolation(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "t", float(i), "{}") for i in range(101)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = E.value_percentiles(df).collect()[0]
+    assert (r.p50, r.p90, r.p99) == (50.0, 90.0, 99.0)
+
+
+def test_sliding_counts_window_multiplicity(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    # one event lands in exactly window/slide = 4 sliding windows
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 02:07:00", 1, "t", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = E.sliding_counts(df).collect()
+    assert len(rows) == 4
+    starts = sorted(str(r.window_start) for r in rows)
+    assert starts[0].endswith("01:15:00") and starts[-1].endswith("02:00:00")
+
+
+def test_semantic_dedup_keeps_lowest_id_canonical(spark):
+    # vecs 1 and 2 are near-identical (same cell, cos ~ 1); 3 is orthogonal
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.001], 0),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kept = {r.vec_id for r in S.semantic_dedup(df, threshold=0.9).collect()}
+    assert kept == {1, 3}
