@@ -727,8 +727,16 @@ def containment_search(
     of gram count, so the joined relation is a fraction of the token
     stream.
     """
-    fps = winnow_fingerprints(documents, k=k, window=window).join(
-        documents.select("doc_id", "source"), "doc_id"
+    # the fingerprint SET is ~2/(w+1) of the gram stream; checkpoint it
+    # for the three consumers below (bench split, train split, bench
+    # sizes). Measured at sf0.1: steady-state is a wash (Spark's
+    # ReusedExchange already shares the winnow shuffle across branches)
+    # but first-run drops ~2× and the lineage stays flat — the cut
+    # matters when this feeds an iterative consumer
+    fps = (
+        winnow_fingerprints(documents, k=k, window=window)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     bench = fps.filter(F.col("source") == bench_source).select(
         F.col("doc_id").alias("bench_doc"), "fingerprint"
@@ -800,10 +808,14 @@ def pmi_pairs(documents: DataFrame, min_pair_docs: int = PMI_MIN_PAIR_DOCS) -> D
     pair tail before the final join against the term-frequency table
     (vocabulary-sized, broadcast).
     """
+    # compact after distinct (≤ docs × per-doc vocab); checkpointed so
+    # the three consumers (both self-join sides, the df table) don't
+    # each replay the token explode + distinct
     doc_terms = (
         scale_out(documents, "doc_id")
         .select("doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     term_df = doc_terms.groupBy("term").agg(F.count("*").alias("df"))

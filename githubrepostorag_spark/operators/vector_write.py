@@ -30,13 +30,11 @@ from githubrepostorag_spark.functions import vectors as V
 from githubrepostorag_spark.functions.embed import with_embedding
 
 
-def build_vector_rows(
-    nodes: DataFrame, scope: str, embedder=None, dim: int | None = None
-) -> DataFrame:
-    """nodes (one scope) → storage rows: row_id, body, vector, metadata,
-    promoted columns. Embeds + normalizes + sanitizes. `embedder`/`dim`
-    pass through the pluggable seam in functions.embed.with_embedding
-    (dim-guarded: a real model of the wrong width fails fast)."""
+def storage_projection(nodes: DataFrame, scope: str) -> DataFrame:
+    """nodes (one scope) → the common storage schema MINUS the vector:
+    row_id, body, sanitized metadata, promoted columns. Scope-specific
+    column sets collapse here, so projections from different scopes
+    union cleanly and can share one embedding pass (`finalize_vectors`)."""
     cols = set(nodes.columns)
 
     def col_or_null(name: str):
@@ -56,18 +54,10 @@ def build_vector_rows(
                 col_or_null("end_line"),
             ),
         )
-    embed_kwargs = {"embedder": embedder}
-    if dim is not None:
-        embed_kwargs["dim"] = dim
-    embedded = with_embedding(base, text_col="text", out_col="vector", **embed_kwargs)
-    normalized = embedded.withColumn(
-        "vector", V.l2_normalize(F.col("vector")).cast("array<float>")
-    )
-    return normalized.select(
+    return base.select(
         F.col("node_id").alias("row_id"),
         F.col("text").alias("body"),
-        "vector",
-        MD.sanitized_metadata(normalized, scope).alias("metadata"),
+        MD.sanitized_metadata(base, scope).alias("metadata"),
         F.lit(scope).alias("scope"),
         *[
             col_or_null(c).alias(c)
@@ -79,6 +69,46 @@ def build_vector_rows(
             else [F.array().cast("array<string>").alias("topics")]
         ),
     )
+
+
+def finalize_vectors(
+    projected: DataFrame, embedder=None, dim: int | None = None
+) -> DataFrame:
+    """Attach + normalize the vector over storage projections (one scope
+    or a union of scopes — a multi-scope union embeds in a SINGLE
+    Arrow-UDF subtree instead of one per scope, which halves the ingest
+    pipeline's Python-worker round-trips)."""
+    embed_kwargs = {"embedder": embedder}
+    if dim is not None:
+        embed_kwargs["dim"] = dim
+    embedded = with_embedding(projected, text_col="body", out_col="vector", **embed_kwargs)
+    normalized = embedded.withColumn(
+        "vector", V.l2_normalize(F.col("vector")).cast("array<float>")
+    )
+    return normalized.select(
+        "row_id",
+        "body",
+        "vector",
+        "metadata",
+        "scope",
+        "namespace",
+        "repo",
+        "module",
+        "file_path",
+        "language",
+        "component_kind",
+        "topics",
+    )
+
+
+def build_vector_rows(
+    nodes: DataFrame, scope: str, embedder=None, dim: int | None = None
+) -> DataFrame:
+    """nodes (one scope) → storage rows: row_id, body, vector, metadata,
+    promoted columns. Embeds + normalizes + sanitizes. `embedder`/`dim`
+    pass through the pluggable seam in functions.embed.with_embedding
+    (dim-guarded: a real model of the wrong width fails fast)."""
+    return finalize_vectors(storage_projection(nodes, scope), embedder=embedder, dim=dim)
 
 
 def write_vector_tables(rows: DataFrame, path: str) -> None:

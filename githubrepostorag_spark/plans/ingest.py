@@ -38,7 +38,8 @@ from githubrepostorag_spark.operators.hierarchy import (
     repo_overviews,
 )
 from githubrepostorag_spark.operators.vector_write import (
-    build_vector_rows,
+    finalize_vectors,
+    storage_projection,
     write_vector_tables,
 )
 
@@ -172,7 +173,10 @@ def ingest_pipeline(
         "catalog",
     )
 
-    rows = None
+    # project every scope to the common storage schema FIRST, then embed
+    # the union once: one Arrow-UDF subtree (and one Python-worker
+    # round-trip) instead of five per-scope embedding stages
+    projected = None
     for df, scope in (
         (chunks, "chunk"),
         (file_sums, "file"),
@@ -180,8 +184,9 @@ def ingest_pipeline(
         (repo_sums, "repo"),
         (catalog, "catalog"),
     ):
-        part = build_vector_rows(df, scope, embedder=embedder, dim=embed_dim)
-        rows = part if rows is None else rows.unionByName(part)
+        part = storage_projection(df, scope)
+        projected = part if projected is None else projected.unionByName(part)
+    rows = finalize_vectors(projected, embedder=embedder, dim=embed_dim)
 
     # S6/A8 audit: one ingest_runs row per repo with the chunk node count
     started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
