@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_sliding_counts": lambda sp, sf: E.sliding_counts(t(sp, sf, "events")),
         # --- SemDeDup: cell-local semantic dedup survivors ---
         "q97_semantic_dedup": lambda sp, sf: S.semantic_dedup(t(sp, sf, "embeddings")),
+        # --- A-ES weighted sampling (quality-biased corpus slice) ---
+        "q98_weighted_sample": lambda sp, sf: CU.weighted_sample(
+            t(sp, sf, "documents"), weight_col="n_chars", n=100
+        ),
     }
 
 
@@ -2160,5 +2164,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.vec_id, e.label FROM embeddings e
             WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+        """,
+        "q98_weighted_sample": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *,
+                     -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) + 1) / 1152921504606846976.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0
+              ORDER BY k, doc_id LIMIT 100)
         """,
     }

@@ -305,3 +305,33 @@ def decontaminate(
             F.round(F.col("overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws key = -ln(u)/w with u uniform
+    from the portable md5 hash of its id, and the n smallest keys win —
+    equivalent to sequential draws with probability ∝ weight. The
+    training-data use: sample a fixed-size corpus slice biased toward
+    high quality scores without hard-cutting the tail.
+
+    Determinism: u = (md5_bigint(id)+1)/2^60 — same selection every
+    run, any cluster, reproducible by the SQL oracle. Scale: one global
+    top-n by key (TakeOrderedAndProject — per-partition heaps, no full
+    sort); rows with weight <= 0 are excluded (they would never be
+    drawn).
+    """
+    u = (TXT.md5_bigint(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy(F.asc("__key"), F.asc(id_col))
+        .limit(n)
+        .drop("__key")
+    )

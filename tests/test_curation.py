@@ -120,3 +120,20 @@ def test_char_entropy_extremes(spark):
     import math
     assert abs(got[2].entropy - math.log(8)) < 1e-6  # uniform over 8 chars
     assert 3 not in got  # empty text drops (no distribution to score)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from githubrepostorag_spark.operators.curation import weighted_sample
+
+    # 50 heavy rows (w=1000) vs 950 light rows (w=1): a 50-row sample
+    # should be dominated by heavy rows; zero-weight rows never appear
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)] + [(1000, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", 50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.w == 1000.0)
+    assert heavy >= 35
+    assert all(r.w > 0 for r in got)
+    # deterministic: same selection on re-run
+    again = {r.doc_id for r in weighted_sample(df, "w", 50).collect()}
+    assert again == {r.doc_id for r in got}

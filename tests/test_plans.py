@@ -259,3 +259,50 @@ def test_ivf_store_partition_pruning(spark, tmp_path):
     mem = {r.vec_id for r in S.ivf_knn(emb, query_vec_id=0, k=10, n_probes=2).collect()}
     store_ids = {r.vec_id for r in got}
     assert len(mem & store_ids) >= 7
+
+
+def test_hll_partial_aggregation_two_level(spark):
+    """HLL registers must partially aggregate map-side at BOTH levels
+    (register max, then per-type merge) — the mergeable-sketch property
+    that makes count-distinct scale."""
+    from githubrepostorag_spark.operators.eventops import hll_distinct
+
+    plan = plan_of(hll_distinct(load_table(spark, SF, "events")))
+    assert plan.count("HashAggregate") >= 4  # partial+final at each level
+    assert "SortAggregate" not in plan
+
+
+def test_surprisal_broadcasts_vocab(spark):
+    """The term-probability table is vocabulary-sized — it must reach
+    the token stream as a broadcast, never shuffle the corpus tokens
+    on the term key."""
+    from githubrepostorag_spark.operators.textops import unigram_surprisal
+
+    plan = plan_of(unigram_surprisal(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    """A-ES top-n must be per-partition heaps + driver merge
+    (TakeOrderedAndProject), not a global sort."""
+    from githubrepostorag_spark.operators.curation import weighted_sample
+
+    plan = plan_of(
+        weighted_sample(load_table(spark, SF, "documents"), "n_chars", 100)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full global sort node
+
+
+def test_line_dedup_joins_on_hash_not_text(spark):
+    """The frequent-line join key must be the 60-bit hash, never the
+    line text (shuffling raw text on a hot boilerplate key is the
+    100 TB failure mode)."""
+    from githubrepostorag_spark.operators.textops import line_dedup_stats
+
+    df = line_dedup_stats(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    # the join condition references the hash column h, not line
+    joins = [seg for seg in plan.splitlines() if "Join" in seg]
+    assert any("h#" in seg for seg in joins)
+    assert not any("line#" in seg for seg in joins)
