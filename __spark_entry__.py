@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_weighted_sample": lambda sp, sf: CU.weighted_sample(
             t(sp, sf, "documents"), weight_col="n_chars", n=100
         ),
+        # --- embedding drift monitor + JL projection shortlist ---
+        "q99_centroid_drift": lambda sp, sf: S.centroid_drift(t(sp, sf, "embeddings")),
+        "q100_jl_knn": lambda sp, sf: S.jl_knn(t(sp, sf, "embeddings")),
     }
 
 
@@ -2172,5 +2175,40 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) + 1) / 1152921504606846976.0) / n_chars AS k
               FROM documents WHERE n_chars > 0
               ORDER BY k, doc_id LIMIT 100)
+        """,
+        "q99_centroid_drift": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            pl AS (SELECT label, dim, round(avg(v), 6) AS lv, count(*) AS n
+                   FROM dims GROUP BY 1, 2),
+            g AS (SELECT dim, round(avg(v), 6) AS gv FROM dims GROUP BY dim)
+            SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+                   round(sum(lv * gv) / (sqrt(sum(lv * lv)) * sqrt(sum(gv * gv))), 6)
+                     AS cos_to_global
+            FROM pl JOIN g USING (dim) GROUP BY label
+        """,
+        "q100_jl_knn": """
+            WITH sig AS (
+              SELECT d, j,
+                     CASE WHEN CAST(('0x' || substr(md5(d || ':' || j), 1, 15))
+                               AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(range(0, 64)) AS d)
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+            dims AS (
+              SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, label, j, round(sum(v * s), 6) AS y
+              FROM dims JOIN sig USING (d) GROUP BY 1, 2, 3),
+            vecs AS (SELECT vec_id, label, list(y ORDER BY j) AS jl
+                     FROM proj GROUP BY 1, 2),
+            q AS (SELECT jl AS qv FROM vecs WHERE vec_id = 0)
+            SELECT vec_id, label, round(list_cosine_similarity(jl, qv), 6) AS jl_score
+            FROM vecs CROSS JOIN q
+            ORDER BY jl_score DESC, vec_id LIMIT 10
         """,
     }

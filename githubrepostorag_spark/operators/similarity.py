@@ -939,3 +939,126 @@ def semantic_dedup(
     pairs = near_dup_in_cells(embeddings, threshold=threshold)
     drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return embeddings.select("vec_id", "label").join(drop, "vec_id", "left_anti")
+
+
+def centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid vs the global corpus centroid, scored by
+    cosine — the dataset-drift monitor a training pipeline runs per
+    source/shard: a label whose centroid swings away from the corpus
+    mean signals a distribution change (new scraper, encoding bug,
+    domain shift).
+
+    One posexplode feeds BOTH centroid aggregations (per-label and
+    global); the global centroid is 64 rows and broadcasts back onto
+    the per-label rows, so nothing shuffles twice and the output is
+    label-cardinality-sized. Centroid components round to 6dp before
+    the cosine (the engine's cross-engine float discipline, as in
+    `label_centroids`).
+    """
+    dims = embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
+    per_label = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("lv"), F.count(F.lit(1)).alias("n")
+    )
+    global_c = dims.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("gv"))
+    joined = per_label.join(F.broadcast(global_c), "dim")
+    return (
+        joined.groupBy("label")
+        .agg(
+            (F.first("n")).cast("long").alias("n_vectors"),
+            F.sum(F.col("lv") * F.col("gv")).alias("dot"),
+            F.sqrt(F.sum(F.col("lv") * F.col("lv"))).alias("nl"),
+            F.sqrt(F.sum(F.col("gv") * F.col("gv"))).alias("ng"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.round(F.col("dot") / (F.col("nl") * F.col("ng")), 6).alias(
+                "cos_to_global"
+            ),
+        )
+    )
+
+
+JL_OUT_DIM = 16
+
+
+def _jl_signs(in_dim: int, out_dim: int = JL_OUT_DIM) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) projection matrix from md5 parity
+    (Achlioptas 2003 database-friendly JL variant) — reproducible on
+    any engine that has md5, which is how the oracle rebuilds it."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    embeddings: DataFrame, in_dim: int = 64, out_dim: int = JL_OUT_DIM
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `out_dim` dims: the
+    cheap end of the vector-compression ladder (JL 4x -> int8 4x ->
+    PQ 64x) — distances are preserved within (1±eps) whp, and the
+    projection is a compile-time ±1 literal matrix, so the whole map
+    runs as JVM-side zip_with/aggregate expressions: no UDF, no
+    shuffle, column-pruned to the embedding column.
+    """
+    rows = _jl_signs(in_dim, out_dim)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda v, s: v * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for row in rows
+    ]
+    return embeddings.select("vec_id", "label", F.array(*comps).alias("jl_vec"))
+
+
+def jl_knn(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    in_dim: int = 64,
+    out_dim: int = JL_OUT_DIM,
+) -> DataFrame:
+    """Brute-force cosine top-k in the JL-reduced space — the shortlist
+    stage of a compress-then-rerank pipeline (rerank with the exact
+    vectors as in `pq_adc_rerank`). 4x fewer multiplies per comparison
+    and 4x less shuffle width than full-width KNN, same
+    TakeOrderedAndProject plan.
+    """
+    proj = jl_project(embeddings, in_dim, out_dim)
+    q = proj.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("jl_vec").alias("qvec")
+    )
+    scored = proj.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(F.col("jl_vec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm("jl_vec") * norm("qvec")), 6).alias("jl_score"),
+        )
+        .orderBy(F.desc("jl_score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -884,3 +884,41 @@ def test_semantic_dedup_keeps_lowest_id_canonical(spark):
     )
     kept = {r.vec_id for r in S.semantic_dedup(df, threshold=0.9).collect()}
     assert kept == {1, 3}
+
+
+def test_centroid_drift_identical_labels_score_one(spark):
+    # all vectors in label 0 identical and equal to the corpus mean
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = S.centroid_drift(df).collect()[0]
+    assert r.n_vectors == 4 and abs(r.cos_to_global - 1.0) < 1e-6
+
+
+def test_jl_knn_finds_planted_neighbor(spark):
+    # On near-uniform random vectors every pair is almost equidistant, so
+    # top-k ranking there is noise JL cannot (and need not) preserve; the
+    # JL guarantee is about GAPS. Plant one strong neighbor and assert
+    # the reduced space keeps it at the top.
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.01) for v in base]
+    rows = [(0, base, 0), (1, near, 0)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)], 1) for i in range(2, 200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    top = [r.vec_id for r in S.jl_knn(df, query_vec_id=0, k=3).collect()]
+    assert top[0] == 0 and top[1] == 1  # self, then the planted near-dup
+
+
+def test_jl_projection_is_deterministic_literal_matrix(spark):
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    a = S.jl_project(df).collect()[0].jl_vec
+    b = S.jl_project(df).collect()[0].jl_vec
+    assert a == b and len(a) == S.JL_OUT_DIM
