@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- embedding drift monitor + JL projection shortlist ---
         "q99_centroid_drift": lambda sp, sf: S.centroid_drift(t(sp, sf, "embeddings")),
         "q100_jl_knn": lambda sp, sf: S.jl_knn(t(sp, sf, "embeddings")),
+        # --- LPA communities over the near-dup graph ---
+        "q101_doc_communities": lambda sp, sf: G.doc_communities(t(sp, sf, "documents")),
+        # --- mergeable histogram percentile sketch (scale path of q95) ---
+        "q102_hist_percentiles": lambda sp, sf: E.hist_percentiles(t(sp, sf, "events")),
     }
 
 
@@ -488,6 +492,44 @@ def _pagerank_sql(iters: int) -> str:
         + ",\n".join(ctes)
         + f"""
             SELECT node AS doc_id, round(pr, 6) AS pr FROM pr{iters}"""
+    )
+
+
+def _lpa_sql(iters: int) -> str:
+    """Fixed-iteration label propagation over the symmetrized LSH
+    candidate graph (mirror of graph.doc_communities)."""
+    ctes = [
+        f"""bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cand),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""n{i} AS (
+              SELECT e.src AS node, l.label, count(*) AS cnt
+              FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+              GROUP BY 1, 2
+            ), l{i} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM n{i}) WHERE rn = 1
+            )"""
+        )
+    return (
+        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
+        + ",\n".join(ctes)
+        + f"""
+            SELECT node AS doc_id, label AS community FROM l{iters}"""
     )
 
 
@@ -2210,5 +2252,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, round(list_cosine_similarity(jl, qv), 6) AS jl_score
             FROM vecs CROSS JOIN q
             ORDER BY jl_score DESC, vec_id LIMIT 10
+        """,
+        "q101_doc_communities": _lpa_sql(G.LPA_ITERS),
+        "q102_hist_percentiles": """
+            WITH stats AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi,
+                     count(value) AS n
+              FROM events GROUP BY event_type),
+            binned AS (
+              SELECT e.event_type, s.lo, s.hi, s.n,
+                     CASE WHEN s.hi = s.lo THEN 0
+                          ELSE least(127, CAST(floor((e.value - s.lo)
+                                 / ((s.hi - s.lo) / 128.0)) AS INT)) END AS bin
+              FROM events e JOIN stats s USING (event_type)),
+            counts AS (
+              SELECT event_type, lo, hi, n, bin, count(*) AS cnt
+              FROM binned GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT *,
+                     coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+              FROM counts)
+            SELECT event_type, max(n) AS n,
+                   round(min(CASE WHEN cum_before + cnt >= 0.5 * n THEN
+                     struct_pack(bin := bin, v := greatest(lo + ((hi - lo) / 128.0) * bin,
+                       least(lo + ((hi - lo) / 128.0) * (bin + (0.5 * n - cum_before) / cnt),
+                             lo + ((hi - lo) / 128.0) * (bin + 1)))) END).v, 6) AS p50_est,
+                   round(min(CASE WHEN cum_before + cnt >= 0.9 * n THEN
+                     struct_pack(bin := bin, v := greatest(lo + ((hi - lo) / 128.0) * bin,
+                       least(lo + ((hi - lo) / 128.0) * (bin + (0.9 * n - cum_before) / cnt),
+                             lo + ((hi - lo) / 128.0) * (bin + 1)))) END).v, 6) AS p90_est,
+                   round(min(CASE WHEN cum_before + cnt >= 0.99 * n THEN
+                     struct_pack(bin := bin, v := greatest(lo + ((hi - lo) / 128.0) * bin,
+                       least(lo + ((hi - lo) / 128.0) * (bin + (0.99 * n - cum_before) / cnt),
+                             lo + ((hi - lo) / 128.0) * (bin + 1)))) END).v, 6) AS p99_est
+            FROM cum GROUP BY event_type
         """,
     }

@@ -453,3 +453,77 @@ def sliding_counts(
             "n_events",
         )
     )
+
+
+HIST_BINS = 128
+
+
+def hist_percentiles(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """Approximate p50/p90/p99 per event type from a fixed-width
+    128-bin histogram — the bounded-state scale path next to the exact
+    `value_percentiles` (whose per-group sort state is unbounded):
+    histogram counts are mergeable (one partial-aggregating shuffle of
+    ≤bins rows per group), and the estimate interpolates linearly
+    inside the selected bin, error ≤ bin width. Deterministic on both
+    engines: bin index and interpolation are closed-form IEEE double
+    expressions, no engine-private sketch (t-digest/GK would differ by
+    implementation; at 100 TB you would swap one in at the same API
+    shape and give up oracle-exactness).
+    """
+    from pyspark.sql import Window
+
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("value").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    binned = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        "n",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "lo", "hi", "n", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+
+    def est(p: float):
+        target = F.lit(p) * F.col("n")
+        hit = (F.col("cum_before") + F.col("cnt")) >= target
+        interp = F.col("lo") + width * (
+            F.col("bin")
+            + (target - F.col("cum_before")) / F.col("cnt")
+        )
+        # min-struct picks the FIRST qualifying bin; interpolation is
+        # clamped into that bin so partial-rank targets below the bin
+        # start (possible when target < cum_before) don't extrapolate
+        clamped = F.greatest(
+            F.col("lo") + width * F.col("bin"), F.least(interp, F.col("lo") + width * (F.col("bin") + 1))
+        )
+        return F.round(
+            F.min(F.when(hit, F.struct(F.col("bin"), clamped.alias("v"))))["v"], 6
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
+    )

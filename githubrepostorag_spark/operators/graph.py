@@ -158,3 +158,67 @@ def doc_pagerank(documents: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame
     return pagerank(sym, iters=iters).select(
         F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr")
     )
+
+
+LPA_ITERS = 3
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = LPA_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over an undirected edge list (pass one direction; it is
+    symmetrized here): every node adopts the most frequent label among
+    its neighbors each round, ties broken by the smallest label —
+    fully deterministic, so the DuckDB oracle unrolls the identical
+    rounds. Communities out of LPA differ from connected components
+    (dedup_components): a bridge edge joins two components but LPA
+    keeps dense groups distinct — the structure signal for
+    boilerplate-family grouping vs strict dup clusters.
+
+    Each round is one edge-to-labels join + one (node, label) count +
+    one per-node argmax — three shuffles on the edge list, the same
+    Pregel shape as `pagerank`. Labels localCheckpoint per round
+    (lineage would otherwise double per iteration). Isolated nodes
+    never appear in the edge list and keep their own id via the final
+    union, mirroring `dedup_components`.
+    """
+    from pyspark.sql import Window
+
+    one = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        nbr = sym.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def doc_communities(documents: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """LPA communities over the LSH near-dup candidate graph — the
+    boilerplate-family grouping (communities keep dense dup clusters
+    apart even when a single bridge pair links them; compare
+    dedup_components, which would merge across the bridge). Candidates
+    are checkpointed so the minhash chain runs once, not per round.
+    """
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
+    return label_propagation(cand, iters=iters, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )

@@ -922,3 +922,41 @@ def test_jl_projection_is_deterministic_literal_matrix(spark):
     a = S.jl_project(df).collect()[0].jl_vec
     b = S.jl_project(df).collect()[0].jl_vec
     assert a == b and len(a) == S.JL_OUT_DIM
+
+
+def test_label_propagation_keeps_bridged_cliques_apart(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge edge:
+    # connected components would merge them; LPA keeps two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in G.label_propagation(edges).collect()}
+    left = {got[1], got[2]}
+    right = {got[10], got[11], got[12]}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge did not merge the cliques
+
+    from githubrepostorag_spark.operators.dedup import dedup_components
+
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    comp = {r.node: r.component for r in dedup_components(
+        edges, nodes, id_a="src", id_b="dst"
+    ).collect()}
+    assert comp[1] == comp[12]  # CC merges across the bridge, LPA did not
+
+
+def test_hist_percentiles_tracks_exact_within_bin_width(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "t", float(i), "{}") for i in range(1001)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    est = E.hist_percentiles(df).collect()[0]
+    exact = E.value_percentiles(df).collect()[0]
+    bin_width = 1000.0 / 128
+    for e, x in ((est.p50_est, exact.p50), (est.p90_est, exact.p90), (est.p99_est, exact.p99)):
+        assert abs(e - x) <= bin_width + 1e-6
