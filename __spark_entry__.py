@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_doc_communities": lambda sp, sf: G.doc_communities(t(sp, sf, "documents")),
         # --- mergeable histogram percentile sketch (scale path of q95) ---
         "q102_hist_percentiles": lambda sp, sf: E.hist_percentiles(t(sp, sf, "events")),
+        # --- single-scan data-quality profile + 3-step path mining ---
+        "q103_table_profile": lambda sp, sf: E.table_profile(t(sp, sf, "events")),
+        "q104_trigram_paths": lambda sp, sf: E.event_trigram_paths(t(sp, sf, "events")),
     }
 
 
@@ -2288,5 +2291,49 @@ def oracle_sql() -> dict[str, str]:
                        least(lo + ((hi - lo) / 128.0) * (bin + (0.99 * n - cum_before) / cnt),
                              lo + ((hi - lo) / 128.0) * (bin + 1)))) END).v, 6) AS p99_est
             FROM cum GROUP BY event_type
+        """,
+        "q103_table_profile": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_s,
+                   CAST(max(event_id) AS VARCHAR) AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*),
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT ts),
+                   CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT event_type),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT value),
+                   CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+            FROM events
+        """,
+        "q104_trigram_paths": """
+            WITH tri AS (
+              SELECT lag(event_type, 2) OVER w AS step1,
+                     lag(event_type, 1) OVER w AS step2,
+                     event_type AS step3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT step1, step2, step3, count(*) AS n_paths
+            FROM tri WHERE step1 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20
         """,
     }

@@ -527,3 +527,62 @@ def hist_percentiles(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
         est(0.9).alias("p90_est"),
         est(0.99).alias("p99_est"),
     )
+
+
+def table_profile(events: DataFrame) -> DataFrame:
+    """Single-scan data-quality profile of the events table — the
+    ANALYZE/expectations audit a pipeline runs before trusting a drop:
+    per column, row count, null count, distinct count, min/max (as
+    strings). One wide aggregate computes every stat in one pass;
+    stack() unpivots the scalar row to (column, stats) rows — nothing
+    shuffles but one row per aggregate. At 100 TB swap the exact
+    distinct for approx_count_distinct at the same shape (kept exact
+    here for the oracle).
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # aggregate on the NATIVE type, stringify the scalar result:
+            # min of a string-cast double would be lexicographic
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "as (column, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+def event_trigram_paths(events: DataFrame, top_n: int = 20) -> DataFrame:
+    """Most common 3-step event-type paths per user stream (path mining
+    one step beyond `event_type_transitions`' bigrams): two lag windows
+    over the same user_id shuffle (one Exchange, Catalyst reuses the
+    sort), then a count on the trigram key and a deterministic top-n.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev1", F.lag("event_type", 1).over(by_user))
+        .withColumn("prev2", F.lag("event_type", 2).over(by_user))
+        .filter(F.col("prev2").isNotNull())
+    )
+    return (
+        tri.groupBy(
+            F.col("prev2").alias("step1"),
+            F.col("prev1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(top_n)
+    )
