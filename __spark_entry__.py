@@ -322,6 +322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- single-scan data-quality profile + 3-step path mining ---
         "q103_table_profile": lambda sp, sf: E.table_profile(t(sp, sf, "events")),
         "q104_trigram_paths": lambda sp, sf: E.event_trigram_paths(t(sp, sf, "events")),
+        # --- correlated-subquery shapes (TPC-H Q20/Q22), decorrelated ---
+        "q105_excess_suppliers": lambda sp, sf: R.excess_suppliers(
+            t(sp, sf, "supplier"), t(sp, sf, "lineitem")
+        ),
+        "q106_rich_inactive": lambda sp, sf: R.rich_inactive_customers(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
     }
 
 
@@ -2335,5 +2342,26 @@ def oracle_sql() -> dict[str, str]:
             FROM tri WHERE step1 IS NOT NULL
             GROUP BY 1, 2, 3
             ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20
+        """,
+        "q105_excess_suppliers": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem l
+              GROUP BY l_partkey, l_suppkey
+              HAVING sum(l_quantity) > 0.15 * (
+                SELECT sum(l_quantity) FROM lineitem
+                WHERE l_partkey = l.l_partkey))
+            ORDER BY s_suppkey
+        """,
+        "q106_rich_inactive": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= '2001-01-01')
+            GROUP BY c_mktsegment
         """,
     }

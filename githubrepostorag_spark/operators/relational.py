@@ -270,3 +270,56 @@ def rolling_avg_price(lineitem: DataFrame) -> DataFrame:
         "l_linenumber",
         F.round(F.avg("l_extendedprice").over(w), 4).alias("rolling_avg_price"),
     )
+
+
+def excess_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Correlated-aggregate semi-join (TPC-H Q20 shape): suppliers who
+    shipped more than 15% of some part's total shipped quantity — the
+    'WHERE qty > (SELECT 0.15*sum(qty) ... correlated on part)' pattern,
+    decorrelated by hand into two aggregations on the same key + one
+    join, which is exactly the plan Catalyst's subquery decorrelation
+    would produce: no per-row subquery execution at any scale.
+    """
+    per = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    tot = lineitem.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    heavy = (
+        per.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") > 0.15 * F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+def rich_inactive_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Scalar-subquery + anti-join (TPC-H Q22 shape): customers whose
+    balance beats the average positive balance and who have no order
+    since 2001-01-01, rolled up by segment. The scalar average
+    broadcasts (one row), the NOT EXISTS is a left-anti hash join — no
+    correlated execution.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
