@@ -960,3 +960,44 @@ def test_hist_percentiles_tracks_exact_within_bin_width(spark):
     bin_width = 1000.0 / 128
     for e, x in ((est.p50_est, exact.p50), (est.p90_est, exact.p90), (est.p99_est, exact.p99)):
         assert abs(e - x) <= bin_width + 1e-6
+
+
+def test_hist_percentiles_bounded_and_monotone_on_random_data(spark):
+    import random
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rng = random.Random(3)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "a" if i % 2 else "b", rng.lognormvariate(0, 2), "{}")
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    stats = {r.event_type: r for r in E.hist_percentiles(df).collect()}
+    lohi = {
+        r["event_type"]: r
+        for r in df.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
+    }
+    for et, r in stats.items():
+        assert lohi[et].lo <= r.p50_est <= r.p90_est <= r.p99_est <= lohi[et].hi
+
+
+def test_sliding_counts_total_is_four_times_events(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    total = E.sliding_counts(ev).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4 * ev.count()  # every event lands in window/slide windows
+
+
+def test_weighted_sample_n_exceeding_rows_returns_all_positive(spark):
+    from githubrepostorag_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, 1.0)], "doc_id long, w double"
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", 100).collect()}
+    assert got == {1, 3}  # zero-weight row excluded, everything else kept
