@@ -1,0 +1,84 @@
+"""JSONL corpus source/sink — the interchange format large text corpora
+actually arrive in (one JSON document per line, sharded and usually
+compressed).
+
+Reading stays declarative (`spark.read.schema(...).json`): an explicit
+schema skips Spark's two-pass inference (a full extra scan at 100 TB)
+and lets Catalyst prune unread fields at the scan. Writes shard by a
+target row count per file so the corpus lands as evenly-sized splits —
+downstream scans parallelize by file, and a 100 TB drop becomes
+O(100k) uniform shards instead of a few giant lines-files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENT_SCHEMA
+) -> DataFrame:
+    """Schema-first JSONL read; corrupt lines are captured, not fatal
+    (PERMISSIVE + explicit corrupt-record column), because a 100 TB
+    crawl drop always contains some broken lines and one of them must
+    not kill the job. Filter `_corrupt_record IS NOT NULL` to audit."""
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_jsonl_documents(
+    df: DataFrame, path: str, rows_per_shard: int = 100_000
+) -> None:
+    """Evenly-sharded JSONL write: repartition to ceil(n/rows_per_shard)
+    output files. The count here is one cheap job over the source;
+    for incremental pipelines pass a known row estimate instead."""
+    n = df.count()
+    shards = max(1, (n + rows_per_shard - 1) // rows_per_shard)
+    df.repartition(shards).write.mode("overwrite").json(path)
+
+
+def corrupt_line_audit(docs_with_corrupt: DataFrame) -> DataFrame:
+    """(n_rows, n_ok, n_corrupt) audit of a PERMISSIVE JSONL read.
+
+    Spark rejects queries that touch ONLY the corrupt-record column of
+    a raw JSON read (the column exists per-row only while data fields
+    are parsed) and prescribes caching the parsed result. The audit is
+    therefore TERMINAL: it persists, computes the counts, and
+    unpersists before returning a literal frame — leaving the cache
+    registered would make a later re-read of the same path silently
+    serve stale rows (CacheManager matches by logical plan). In a real
+    pipeline these counters ride the job that writes the parsed corpus
+    out (observer/accumulator shape), not a second scan.
+    """
+    c = F.col("_corrupt_record")
+    parsed = docs_with_corrupt.persist()
+    try:
+        row = parsed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("n_ok"),
+            F.sum(F.when(c.isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        ).collect()[0]
+    finally:
+        parsed.unpersist()
+    return docs_with_corrupt.sparkSession.createDataFrame(
+        [row], "n_rows long, n_ok long, n_corrupt long"
+    )

@@ -1,0 +1,85 @@
+"""Continuous document ingest: a document stream chunked, embedded, and
+appended to a versioned vector store — the always-on form of the batch
+`plans.ingest` pipeline (reference: the ingest controller runs per-repo
+batch jobs; SURVEY §2.10's job plane has no continuous document path,
+so this is engine-added capability).
+
+Design: each micro-batch runs the chunk→project→embed chain (the same
+operators as batch ingest) and APPENDS to parquet partitioned by repo,
+stamped with a monotonically increasing `batch_id`. Appending new repo
+VERSIONS instead of rewriting in place keeps the sink safe under
+failure (a torn batch re-appends idempotently on replay — Spark's
+foreachBatch may re-deliver a batch id, and the reader's latest-wins
+view makes duplicate appends harmless) and turns time travel into a
+filter. `read_latest_store` resolves latest-batch-per-repo at read
+time; a periodic batch compaction (drop superseded batch partitions)
+bounds the log, exactly like a table format's snapshot expiry — with
+Delta/Iceberg this sink becomes a MERGE and the view goes away.
+
+State: the stream itself is stateless (chunking/embedding are per-row);
+all versioning lives in the sink layout, so the query restarts from the
+checkpoint with no state-store growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from githubrepostorag_spark.operators.chunking import split_code_documents
+from githubrepostorag_spark.operators.vector_write import (
+    finalize_vectors,
+    storage_projection,
+)
+
+
+def _batch_rows(batch: DataFrame, embedder=None, dim: int | None = None) -> DataFrame:
+    """docs(repo, file_path, text) -> chunk-scope vector rows (the
+    incremental path embeds chunks only; hierarchy rollups stay batch
+    jobs over the accumulated store)."""
+    chunks = split_code_documents(
+        batch.withColumn("language", F.lit(None).cast("string"))
+        .withColumn("module", F.split("file_path", "/")[0])
+    )
+    return finalize_vectors(
+        storage_projection(chunks, "chunk"), embedder=embedder, dim=dim
+    )
+
+
+def stream_ingest_docs(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    embedder=None,
+    dim: int | None = None,
+):
+    """Start the continuous ingest query: docs stream → chunk+embed →
+    append versioned parquet. Returns the StreamingQuery."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        rows = _batch_rows(batch, embedder=embedder, dim=dim).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        rows.write.mode("append").partitionBy("repo").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_latest_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Latest-version-per-repo view of the append-only store: the max
+    batch_id seen for each repo wins wholesale (repo-grain replace,
+    same rule as vector_write.merge_vector_tables — deleted files
+    disappear because the whole repo version is replaced). One window
+    over the repo partitioning; repo partition pruning still applies
+    to filtered reads because `repo` is the physical partition key."""
+    df = spark.read.parquet(store_path)
+    latest = df.withColumn(
+        "_max_b", F.max("batch_id").over(Window.partitionBy("repo"))
+    )
+    return latest.filter(F.col("batch_id") == F.col("_max_b")).drop("_max_b")

@@ -144,3 +144,83 @@ def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
     # one survivor per fingerprint; survivors are 2 distinct contents
     assert len(got) == 2
     assert len({r.fingerprint for r in got}) == 2
+
+
+def test_stream_ingest_versions_repos_latest_wins(spark, tmp_path):
+    from githubrepostorag_spark.streaming.ingest import (
+        read_latest_store,
+        stream_ingest_docs,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "vec_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, file_path string, text string"
+
+    # batch 1: repos A and B
+    spark.createDataFrame(
+        [
+            ("repoA", "m0/a.py", "def a():\n    return 1\n" * 300),
+            ("repoB", "m0/b.py", "def b():\n    return 2\n" * 300),
+        ],
+        schema,
+    ).write.mode("overwrite").json(src)
+    q = stream_ingest_docs(
+        spark.readStream.schema(schema).json(src), store, ckpt
+    )
+    q.awaitTermination(300)
+
+    first = read_latest_store(spark, store)
+    assert {r.repo for r in first.select("repo").distinct().collect()} == {
+        "repoA", "repoB",
+    }
+    a_v1 = {r.row_id for r in first.filter("repo = 'repoA'").collect()}
+    assert a_v1  # chunks landed with stable ids + vectors
+    assert first.filter("size(vector) != 384").count() == 0
+
+    # batch 2: repoA re-ingested with fewer files (B untouched)
+    spark.createDataFrame(
+        [("repoA", "m0/a.py", "def a():\n    return 99\n")], schema
+    ).write.mode("append").json(src)
+    q = stream_ingest_docs(
+        spark.readStream.schema(schema).json(src), store, ckpt
+    )
+    q.awaitTermination(300)
+
+    latest = read_latest_store(spark, store)
+    a_rows = latest.filter("repo = 'repoA'").collect()
+    b_rows = latest.filter("repo = 'repoB'").collect()
+    # repoA replaced wholesale: the shrunken re-ingest has fewer chunks
+    assert 0 < len(a_rows) < len(a_v1)
+    # repoB's ORIGINAL version survives (no re-ingest in batch 2)
+    assert {r.row_id for r in b_rows} == {
+        r.row_id for r in first.filter("repo = 'repoB'").collect()
+    }
+
+
+def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
+    from githubrepostorag_spark.sources.textfiles import (
+        corrupt_line_audit,
+        read_jsonl_documents,
+        write_jsonl_documents,
+    )
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl_documents(docs, path, rows_per_shard=100)
+
+    back = read_jsonl_documents(spark, path)
+    audit = corrupt_line_audit(back).collect()[0]
+    assert audit.n_ok == docs.count() and audit.n_corrupt == 0
+    # value-faithful roundtrip
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r)[:-1] for r in back.collect()}  # drop _corrupt_record
+    assert a == b
+
+    # a broken line is captured, not fatal
+    with open(f"{path}/broken.json", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    audit2 = corrupt_line_audit(read_jsonl_documents(spark, path)).collect()[0]
+    assert audit2.n_corrupt == 1
+    assert audit2.n_ok == docs.count() + 1
