@@ -329,6 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_rich_inactive": lambda sp, sf: R.rich_inactive_customers(
             t(sp, sf, "customer"), t(sp, sf, "orders")
         ),
+        # --- ntile decile profile + INTERSECT/EXCEPT corpus diff ---
+        "q107_revenue_deciles": lambda sp, sf: R.revenue_deciles(t(sp, sf, "lineitem")),
+        "q108_churned_customers": lambda sp, sf: R.churned_customers(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
     }
 
 
@@ -2362,6 +2367,32 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= '2001-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "q107_revenue_deciles": """
+            WITH d AS (
+              SELECT l_returnflag, l_extendedprice,
+                     ntile(10) OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice, l_orderkey,
+                                              l_linenumber) AS decile
+              FROM lineitem)
+            SELECT l_returnflag, decile, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM d GROUP BY 1, 2
+        """,
+        "q108_churned_customers": """
+            WITH y99 AS (SELECT DISTINCT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1999),
+            y00 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 2000),
+            y01 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 2001),
+            bth AS (SELECT o_custkey FROM y99 INTERSECT
+                    SELECT o_custkey FROM y00),
+            ch AS (SELECT o_custkey FROM bth EXCEPT
+                   SELECT o_custkey FROM y01)
+            SELECT c_mktsegment, count(*) AS n_churned
+            FROM customer JOIN ch ON c_custkey = o_custkey
             GROUP BY c_mktsegment
         """,
     }

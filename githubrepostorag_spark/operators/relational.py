@@ -323,3 +323,47 @@ def rich_inactive_customers(customer: DataFrame, orders: DataFrame) -> DataFrame
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+def revenue_deciles(lineitem: DataFrame) -> DataFrame:
+    """ntile decile profile: per return flag, bucket line items into 10
+    revenue deciles (deterministic order: price, then the line's
+    natural key) and report each decile's row count and revenue sum —
+    the distribution-profile window shape (ntile) the suite otherwise
+    lacks. One shuffle for the window, reused by the groupBy on the
+    same flag key.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        lineitem.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def churned_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """INTERSECT/EXCEPT set algebra: customers active in BOTH 1999 and
+    2000 but gone in 2001, counted per segment. Distinct-key set ops
+    compile to aggregate/join plans on the key column only — the
+    corpus-diff primitive (which ids persist across two drops, which
+    vanished) expressed relationally.
+    """
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    churned = active(1999).intersect(active(2000)).exceptAll(active(2001))
+    return (
+        customer.join(churned, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
