@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_churned_customers": lambda sp, sf: R.churned_customers(
             t(sp, sf, "customer"), t(sp, sf, "orders")
         ),
+        # --- FULL OUTER referential-integrity audit ---
+        "q109_order_coverage": lambda sp, sf: R.order_coverage_audit(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
     }
 
 
@@ -2394,5 +2398,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_churned
             FROM customer JOIN ch ON c_custkey = o_custkey
             GROUP BY c_mktsegment
+        """,
+        "q109_order_coverage": """
+            WITH recent AS (
+              SELECT o_custkey AS c_custkey, count(*) AS n_orders
+              FROM orders WHERE year(o_orderdate) = 2001
+              GROUP BY o_custkey),
+            j AS (
+              SELECT c.c_mktsegment, r.n_orders
+              FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+              FULL OUTER JOIN recent r USING (c_custkey))
+            SELECT CASE WHEN c_mktsegment IS NULL THEN 'fact_only'
+                        WHEN n_orders IS NULL THEN 'dimension_only'
+                        ELSE 'matched' END AS match_class,
+                   count(*) AS n_keys,
+                   CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders
+            FROM j GROUP BY 1
         """,
     }

@@ -367,3 +367,34 @@ def churned_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_churned"))
     )
+
+
+def order_coverage_audit(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join audit: reconcile the customer dimension against
+    2001 order activity and classify every key as matched / dimension-
+    only / fact-only — the referential-integrity check run when two
+    datasets are supposed to describe the same key space (fact-only >0
+    means orphan facts; dimension-only is the inactive tail). The one
+    join type the suite's inner/left/semi/anti plans don't cover.
+    """
+    recent = (
+        orders.filter(F.year("o_orderdate") == 2001)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = customer.select("c_custkey", "c_mktsegment").join(
+        recent, "c_custkey", "full_outer"
+    )
+    cls = (
+        F.when(F.col("c_mktsegment").isNull(), F.lit("fact_only"))
+        .when(F.col("n_orders").isNull(), F.lit("dimension_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return (
+        joined.withColumn("match_class", cls)
+        .groupBy("match_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
