@@ -120,16 +120,17 @@ def main() -> None:
     gc.collect()
     spark._jvm.System.gc()
 
-    for name, fn in qs.items():
-        # min of 2 runs: the first execution of a plan pays one-off
-        # codegen + broadcast-build costs that are not the operator's
-        # steady-state rate (observed up to 3x inflation on whichever
-        # query runs first); the min is the reproducible number.
-        best = float("inf")
-        for _ in range(2):
+    # min over TWO FULL PASSES, not back-to-back repeats: C2 JIT
+    # compiles on background threads, so a query's second back-to-back
+    # run can still be cold (observed 9.5s vs 3.6s steady on the LSH
+    # chain); by the time pass 2 reaches a query, its pass-1 execution
+    # compiled everything. Same total work, much closer to steady state.
+    for _pass in range(2):
+        for name, fn in qs.items():
             t0 = time.time()
             run_query(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            elapsed = time.time() - t0
+            times[name] = round(min(times.get(name, float("inf")), elapsed), 3)
             # Some query plans persist/localCheckpoint internally
             # (retrieval score table, dedup label propagation). Those
             # blocks are never shared across queries — drop them so they
@@ -138,7 +139,6 @@ def main() -> None:
             # JVM-side.
             spark.catalog.clearCache()
             gc.collect()
-        times[name] = round(best, 3)
 
     # Two totals, named so consumers know which definition they read
     # (r01 reported wall-clock under this metric name; r02 silently
