@@ -224,3 +224,76 @@ def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
     audit2 = corrupt_line_audit(read_jsonl_documents(spark, path)).collect()[0]
     assert audit2.n_corrupt == 1
     assert audit2.n_ok == docs.count() + 1
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Pin the watermark claim: an event older than (max ts seen -
+    watermark horizon) arriving in a later micro-batch run is DROPPED
+    from the windowed aggregate. The watermark survives restarts via
+    the checkpoint, so run 2 starts with run 1's horizon."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.streaming.events import stream_tumbling_counts
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    out = str(tmp_path / "ev_out")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            stream_tumbling_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: events at 00:30 and 10:30 -> watermark advances to 08:30,
+    # closing (and emitting) the 00:00 window
+    write_batch(
+        [(1, "2026-01-01 00:30:00", 1, "click", 1.0),
+         (2, "2026-01-01 10:30:00", 1, "click", 1.0)],
+        "overwrite",
+    )
+    run()
+    emitted_1 = {
+        (str(r.window_start), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("2026-01-01 00:00:00", 1) in emitted_1
+
+    # run 2: one LATE event for the already-closed 00:00 window plus one
+    # fresh event far ahead (advances the watermark so 10:00 emits too)
+    write_batch(
+        [(3, "2026-01-01 00:45:00", 1, "click", 1.0),   # late: dropped
+         (4, "2026-01-01 20:30:00", 1, "click", 1.0)],
+        "append",
+    )
+    run()
+    emitted_2 = {
+        (str(r.window_start), r.n_events) for r in spark.read.parquet(out).collect()
+    }
+    # the 00:00 window was emitted ONCE with count 1 — the late event
+    # neither re-emitted nor incremented it
+    assert ("2026-01-01 00:00:00", 1) in emitted_2
+    assert ("2026-01-01 00:00:00", 2) not in emitted_2
+    # the 10:00 window closed in run 2 and contains only its own event
+    assert ("2026-01-01 10:00:00", 1) in emitted_2
