@@ -153,3 +153,39 @@ def test_ingest_pipeline_at_10x(spark):
     n = res.rows.count()
     assert n > 0
     res.rows.unpersist()
+
+
+def test_round3_text_ops_scale_linearly(spark):
+    """Round-3 substring/fingerprint operators on the hostile corpus:
+    the dup flood makes every frequent-line bucket, span hash, and
+    shared fingerprint hot; growth must stay ≈ linear."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    for name, mk in (
+        ("line_dedup", lambda d: TO.line_dedup_stats(
+            d.withColumn("text", F.regexp_replace("text", r"((?:\S+\s+){2}\S+)\s+", "$1\n"))
+        )),
+        ("dup_spans", TO.duplicated_spans),
+        ("containment", lambda d: TO.containment_search(d, bench_source="hot")),
+    ):
+        t1 = _run(mk(_docs(spark, 1)))
+        t10 = _run(mk(_docs(spark, REPLICAS)))
+        spark.catalog.clearCache()
+        assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+            f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+        )
+
+
+def test_round3_communities_on_dup_flood(spark):
+    """LPA over the flooded near-dup graph: 10-copy cliques are dense
+    hot buckets; the propagation must complete in bounded rounds and
+    assign each clique one community."""
+    from githubrepostorag_spark.operators import graph as G
+
+    docs = _docs(spark, REPLICAS)
+    t10 = _run(G.doc_communities(docs))
+    labels = G.doc_communities(docs)
+    # the 5 exact copies of any base doc share a community
+    sample = labels.filter(F.col("doc_id") % 1_000_000 == 7).select("community").distinct()
+    assert sample.count() <= 2  # exact-copy replicas collapse together
+    assert t10 < 600, f"LPA at 10x took {t10:.0f}s"
