@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_order_coverage": lambda sp, sf: R.order_coverage_audit(
             t(sp, sf, "customer"), t(sp, sf, "orders")
         ),
+        # --- recency-decay features + group-wise weighted sampling ---
+        "q110_decayed_activity": lambda sp, sf: E.decayed_activity(t(sp, sf, "events")),
+        "q111_weighted_per_source": lambda sp, sf: CU.weighted_sample_per_group(
+            t(sp, sf, "documents"), weight_col="n_chars", group_col="source", n_per_group=5
+        ),
     }
 
 
@@ -2414,5 +2419,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_keys,
                    CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders
             FROM j GROUP BY 1
+        """,
+        "q110_decayed_activity": """
+            WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events)
+            SELECT user_id, event_type, count(*) AS n_events,
+                   round(sum(pow(0.5, (epoch(anchor_ts) - epoch(ts)) / 3600.0 / 24.0)), 6)
+                     AS decayed_count,
+                   round(sum(pow(0.5, (epoch(anchor_ts) - epoch(ts)) / 3600.0 / 24.0)
+                             * value), 4) AS decayed_value
+            FROM events CROSS JOIN anchor
+            GROUP BY user_id, event_type
+        """,
+        "q111_weighted_per_source": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                          AS BIGINT) + 1) / 1152921504606846976.0) / n_chars,
+                                doc_id) AS rn
+              FROM documents WHERE n_chars > 0)
+            WHERE rn <= 5
         """,
     }

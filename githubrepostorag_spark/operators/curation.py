@@ -335,3 +335,30 @@ def weighted_sample(
         .limit(n)
         .drop("__key")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-wise A-ES weighted sampling: `weighted_sample`'s key/order
+    construction, ranked WITHIN each group by a window — at most n
+    rows per group, drawn with probability ∝ weight. The training-mix
+    form: per-source quotas filled quality-biased instead of uniformly
+    (`stratified_sample`'s hash order = the unweighted special case).
+
+    One shuffle on the group key; skewed groups rank more rows but
+    stream through the window's running counter.
+    """
+    u = (TXT.md5_bigint(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

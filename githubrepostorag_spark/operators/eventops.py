@@ -586,3 +586,37 @@ def event_trigram_paths(events: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(top_n)
     )
+
+
+DECAY_HALF_LIFE_HOURS = 24.0
+
+
+def decayed_activity(
+    events: DataFrame, half_life_hours: float = DECAY_HALF_LIFE_HOURS
+) -> DataFrame:
+    """Recency-weighted activity features: per (user, event_type), the
+    exponentially-decayed event count and value sum anchored at the
+    corpus max event time — sum over events of 0.5^(age/half_life).
+    The standard freshness feature for ranking/user models, computed
+    deterministically (anchor = max ts, not wall clock, so reruns and
+    the oracle agree bit-for-bit).
+
+    One broadcast singleton (the anchor) + one partial-aggregating
+    shuffle on (user, type); the decay weight is a map-side expression.
+    At 100 TB the same aggregate runs incrementally: decayed sums are
+    mergeable by re-anchoring (multiply by 0.5^(Δ/half_life)).
+    """
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    age_h = (
+        F.col("anchor_ts").cast("double") - F.col("ts").cast("double")
+    ) / 3600.0
+    w = F.pow(F.lit(0.5), age_h / F.lit(half_life_hours))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.round(F.sum(w * F.col("value")), 4).alias("decayed_value"),
+        )
+    )

@@ -137,3 +137,20 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     # deterministic: same selection on re-run
     again = {r.doc_id for r in weighted_sample(df, "w", 50).collect()}
     assert again == {r.doc_id for r in got}
+
+
+def test_weighted_per_group_respects_quota_and_bias(spark):
+    from githubrepostorag_spark.operators.curation import weighted_sample_per_group
+
+    # heavy rows exist in BOTH parity classes (i%10 in {0,1}) so each
+    # group's quota has 100 heavy candidates among its 1000 rows
+    rows = [(i, "g" + str(i % 2), 1000.0 if i % 10 in (0, 1) else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = weighted_sample_per_group(df, "w", "src", 20).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.src, []).append(r)
+    assert set(by_g) == {"g0", "g1"} and all(len(v) == 20 for v in by_g.values())
+    # heavy rows (10% of population, 1000x weight) dominate each quota
+    for v in by_g.values():
+        assert sum(1 for r in v if r.w == 1000.0) >= 14

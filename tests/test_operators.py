@@ -1001,3 +1001,19 @@ def test_weighted_sample_n_exceeding_rows_returns_all_positive(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, "w", 100).collect()}
     assert got == {1, 3}  # zero-weight row excluded, everything else kept
+
+
+def test_decayed_activity_monotone_in_recency(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        (1, "2024-01-02 00:00:00", 1, "click", 10.0, "{}"),  # anchor event
+        (2, "2024-01-01 00:00:00", 2, "click", 10.0, "{}"),  # 24h older
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r for r in E.decayed_activity(df).collect()}
+    assert abs(got[1].decayed_count - 1.0) < 1e-9      # at the anchor: weight 1
+    assert abs(got[2].decayed_count - 0.5) < 1e-9      # one half-life back
+    assert abs(got[2].decayed_value - 5.0) < 1e-6
