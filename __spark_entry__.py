@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_weighted_per_source": lambda sp, sf: CU.weighted_sample_per_group(
             t(sp, sf, "documents"), weight_col="n_chars", group_col="source", n_per_group=5
         ),
+        # --- time-bounded conversion funnel ---
+        "q112_funnel_bounded": lambda sp, sf: E.time_bound_funnel(t(sp, sf, "events")),
     }
 
 
@@ -843,12 +845,21 @@ def _simhash_cte() -> str:
     )
 
 
-def _funnel_sql(steps: tuple[str, ...]) -> str:
+def _funnel_sql(steps: tuple[str, ...], max_gap_minutes: int | None = None) -> str:
     """Cascading-first-occurrence funnel, generated from the same step
     tuple the Spark operator uses. Each stage keeps the earliest
     qualifying (ts, event_id) strictly after the previous stage's —
     row-value comparison so simultaneous-timestamp ties break the same
-    way as the Spark fold's (ts, event_id) sort."""
+    way as the Spark fold's (ts, event_id) sort. With `max_gap_minutes`
+    each stage must also land within the gap of the previous match
+    (mirror of time_bound_funnel; time is monotone inside a user's
+    sorted stream, so the cascade and the greedy fold get stuck at the
+    same step)."""
+    gap_cond = (
+        f"\n              AND e.ts <= p.ts + INTERVAL {int(max_gap_minutes)} MINUTE"
+        if max_gap_minutes is not None
+        else ""
+    )
     ctes = [
         f"""s1 AS (
           SELECT user_id, ts, event_id FROM (
@@ -864,7 +875,7 @@ def _funnel_sql(steps: tuple[str, ...]) -> str:
                    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
             FROM events e JOIN s{i} p USING (user_id)
             WHERE e.event_type = '{steps[i]}'
-              AND (e.ts, e.event_id) > (p.ts, p.event_id)) WHERE rn = 1)"""
+              AND (e.ts, e.event_id) > (p.ts, p.event_id){gap_cond}) WHERE rn = 1)"""
         )
     unions = " UNION ALL ".join(
         f"SELECT {i + 1} AS step, '{s}' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s{i + 1}"
@@ -877,6 +888,7 @@ def _funnel_sql(steps: tuple[str, ...]) -> str:
                round(CAST(n_users AS DOUBLE) /
                      max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS pct_of_first
         FROM counts
+        WHERE n_users > 0
     """
 
 
@@ -2441,4 +2453,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars > 0)
             WHERE rn <= 5
         """,
+        "q112_funnel_bounded": _funnel_sql(
+            E.FUNNEL_STEPS, E.FUNNEL_MAX_GAP_MINUTES
+        ),
     }

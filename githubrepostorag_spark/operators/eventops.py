@@ -620,3 +620,78 @@ def decayed_activity(
             F.round(F.sum(w * F.col("value")), 4).alias("decayed_value"),
         )
     )
+
+
+FUNNEL_MAX_GAP_MINUTES = 120
+
+
+def time_bound_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    max_gap_minutes: int = FUNNEL_MAX_GAP_MINUTES,
+) -> DataFrame:
+    """Conversion funnel with a time bound: each step must occur within
+    `max_gap_minutes` of the PREVIOUS matched step (step 1 is
+    unconstrained) — the form conversion analysis actually ships
+    ("clicked within 2h of the view"). Semantics are cascading first
+    occurrence (greedy-earliest), same as `funnel_steps`; with a gap
+    bound greedy is a defined policy rather than provably maximal
+    (a later step-1 might have rescued a timed-out step-2), and the
+    oracle implements the identical policy.
+
+    Same single-shuffle fold plan as `funnel_steps`, with the fold
+    state widened to (depth, ts of last match) so the gap check is one
+    comparison per event.
+    """
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    gap_s = float(max_gap_minutes) * 60.0
+    init = F.struct(
+        F.lit(0).alias("depth"), F.lit(None).cast("timestamp").alias("mts")
+    )
+    depth = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.aggregate(
+                F.col("evs"),
+                init,
+                lambda acc, e: F.when(
+                    (acc["depth"] < F.lit(len(steps)))
+                    & (e["event_type"] == F.element_at(steps_arr, acc["depth"] + 1))
+                    & (
+                        (acc["depth"] == 0)
+                        | (
+                            e["ts"].cast("double") - acc["mts"].cast("double")
+                            <= F.lit(gap_s)
+                        )
+                    ),
+                    F.struct(
+                        (acc["depth"] + 1).alias("depth"), e["ts"].alias("mts")
+                    ),
+                ).otherwise(acc),
+            )["depth"].alias("depth")
+        )
+    )
+    counts = (
+        depth.filter(F.col("depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "step",
+        F.element_at(steps_arr, F.col("step")).alias("event_type"),
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w_all),
+            6,
+        ).alias("pct_of_first"),
+    )

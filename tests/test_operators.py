@@ -1017,3 +1017,25 @@ def test_decayed_activity_monotone_in_recency(spark):
     assert abs(got[1].decayed_count - 1.0) < 1e-9      # at the anchor: weight 1
     assert abs(got[2].decayed_count - 0.5) < 1e-9      # one half-life back
     assert abs(got[2].decayed_value - 5.0) < 1e-6
+
+
+def test_time_bound_funnel_gap_bites(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        # user 1: view -> click in 10m -> purchase in 10m  (all within gap)
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:20:00", 1, "purchase", 1.0, "{}"),
+        # user 2: view -> click 3h later (beyond the 2h gap) -> purchase
+        (4, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 03:00:00", 2, "click", 1.0, "{}"),
+        (6, "2024-01-01 03:10:00", 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    bounded = {r.step: r.n_users for r in E.time_bound_funnel(df).collect()}
+    unbounded = {r.step: r.n_users for r in E.funnel_steps(df).collect()}
+    assert unbounded == {1: 2, 2: 2, 3: 2}          # no gap: both users convert
+    assert bounded == {1: 2, 2: 1, 3: 1}            # user 2's late click is out
