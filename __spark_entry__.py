@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- time-bounded conversion funnel ---
         "q112_funnel_bounded": lambda sp, sf: E.time_bound_funnel(t(sp, sf, "events")),
+        # --- covariance-family aggregates: corr + least-squares trend ---
+        "q113_quality_correlation": lambda sp, sf: TO.quality_correlation(
+            t(sp, sf, "documents")
+        ),
+        "q114_volume_trend": lambda sp, sf: E.volume_trend(t(sp, sf, "events")),
     }
 
 
@@ -2456,4 +2461,31 @@ def oracle_sql() -> dict[str, str]:
         "q112_funnel_bounded": _funnel_sql(
             E.FUNNEL_STEPS, E.FUNNEL_MAX_GAP_MINUTES
         ),
+        "q113_quality_correlation": r"""
+            WITH base AS (
+              SELECT source, CAST(n_chars AS DOUBLE) AS len,
+                     CAST(length(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+                          AS DOUBLE)
+                     / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE length(string_split_regex(trim(lower(text)), '\s+'))
+                                END, 1) AS diversity
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   round(corr(len, diversity), 4) AS len_diversity_corr
+            FROM base GROUP BY source
+        """,
+        "q114_volume_trend": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            xy AS (
+              SELECT event_type, CAST(n AS DOUBLE) AS y,
+                     CAST(datediff('day', DATE '2024-01-01', CAST(day AS DATE)) AS DOUBLE)
+                       AS x
+              FROM daily)
+            SELECT event_type, count(*) AS n_days,
+                   round(regr_slope(y, x), 4) AS slope,
+                   round(regr_intercept(y, x), 4) AS intercept
+            FROM xy GROUP BY event_type
+        """,
     }

@@ -695,3 +695,24 @@ def time_bound_funnel(
             6,
         ).alias("pct_of_first"),
     )
+
+
+def volume_trend(events: DataFrame) -> DataFrame:
+    """Per-event-type linear trend of daily volume: least-squares slope
+    and intercept of count-per-day over day index (regr_slope /
+    regr_intercept) — the drift detector behind 'is this event type
+    growing or dying?'. Two tiny-key aggregations; the regression
+    aggregates are algebraic (sums of x, y, xy, x²) so they partially
+    aggregate map-side like sum/avg.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "double"
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope(F.col("n").cast("double"), x), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("n").cast("double"), x), 4).alias("intercept"),
+    )

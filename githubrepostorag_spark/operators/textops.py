@@ -851,3 +851,24 @@ def pmi_pairs(documents: DataFrame, min_pair_docs: int = PMI_MIN_PAIR_DOCS) -> D
             ).alias("pmi"),
         )
     )
+
+
+def quality_correlation(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length and
+    lexical diversity (distinct-token ratio) — the curation diagnostic
+    for 'does this source's quality degrade with length?'. Exercises
+    the engine's covariance-family aggregates (corr), which partially
+    aggregate like any algebraic agg: one shuffle on source.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    base = documents.select(
+        "source",
+        F.col("n_chars").cast("double").alias("len"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)))
+        .cast("double")
+        .alias("diversity"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.corr("len", "diversity"), 4).alias("len_diversity_corr"),
+    )

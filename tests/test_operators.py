@@ -1039,3 +1039,28 @@ def test_time_bound_funnel_gap_bites(spark):
     unbounded = {r.step: r.n_users for r in E.funnel_steps(df).collect()}
     assert unbounded == {1: 2, 2: 2, 3: 2}          # no gap: both users convert
     assert bounded == {1: 2, 2: 1, 3: 1}            # user 2's late click is out
+
+
+def test_volume_trend_recovers_planted_slope(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    # day d has exactly 10 + 3d events -> slope 3, intercept 10
+    rows = []
+    eid = 0
+    for d in range(5):
+        for _ in range(10 + 3 * d):
+            rows.append((eid, f"2024-01-{d+1:02d} 12:00:00", 1, "t", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = E.volume_trend(df).collect()[0]
+    assert r.n_days == 5 and abs(r.slope - 3.0) < 1e-9 and abs(r.intercept - 10.0) < 1e-9
+
+
+def test_quality_correlation_sign(spark):
+    # longer docs repeat one word (low diversity); short docs all-distinct
+    rows = [(i, "unique" + str(i) + " word" + str(i), "en", "s0", 20) for i in range(10)]
+    rows += [(i + 10, " ".join(["same"] * (50 + i)), "en", "s0", 250 + i * 5) for i in range(10)]
+    got = TO.quality_correlation(_docs(spark, rows)).collect()[0]
+    assert got.n_docs == 20 and got.len_diversity_corr < -0.5  # strongly negative
