@@ -165,3 +165,14 @@ def stream_interval_join(
                 view_ts >= click_ts - INTERVAL {int(max_lag_minutes)} MINUTES"""
         ),
     ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
+def stream_enrich_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment: join the event stream against a batch
+    dimension (user profile, allow-list, model-version table). Spark
+    re-plans the static side per micro-batch, so a dimension refreshed
+    in place is picked up without restarting the query; the join needs
+    no watermark because the static side never buffers. At scale the
+    dimension broadcasts (same rule as the batch suite's dim joins).
+    """
+    return events.join(F.broadcast(dim), on, "left")

@@ -297,3 +297,32 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert ("2026-01-01 00:00:00", 2) not in emitted_2
     # the 10:00 window closed in run 2 and contains only its own event
     assert ("2026-01-01 10:00:00", 1) in emitted_2
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from githubrepostorag_spark.streaming.events import stream_enrich_static
+
+    dim = spark.createDataFrame(
+        [(1, "pro"), (2, "free")], "user_id long, tier string"
+    )
+    events = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "click"),
+         (2, "2026-01-01 00:01:00", 2, "view"),
+         (3, "2026-01-01 00:02:00", 9, "view")],  # no dim row
+        "event_id long, ts_s string, user_id long, event_type string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_enrich_static(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.event_id: r.tier for r in spark.table("enrich_mem").collect()}
+    assert got == {1: "pro", 2: "free", 3: None}
