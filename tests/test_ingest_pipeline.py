@@ -177,3 +177,47 @@ def test_incremental_merge_replaces_only_reingested_repo(spark):
     assert s.updated > 0 or s.added > 0
     existing.unpersist(); fresh.unpersist()
     full.unpersist(); delta.unpersist()
+
+
+def test_ingest_rows_serve_through_ivf_store(spark, tmp_path):
+    """End-to-end serving composition: the ingest pipeline's vector rows
+    feed the IVF-partitioned ANN store and come back out of a
+    partition-pruned probe read, join-resolvable to row_id. The adapter
+    is two expressions — vec_id = md5-bigint of the row id, label = a
+    hash bucket seeding the coarse codebook (at scale the codebook
+    comes from sampled k-means via refine_codebook; the store layout
+    and pruned-read path are identical)."""
+    from githubrepostorag_spark.functions import text as TXT
+    from githubrepostorag_spark.llm.stub import DeterministicLLM
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.plans.ingest import ingest_pipeline
+    from tests.fixtures_corpus import corpus_df
+
+    res = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="ivf-serve", llm_factory=DeterministicLLM
+    )
+    rows = res.rows.filter(F.col("scope") == "chunk").select(
+        "row_id", "vector"
+    ).persist()
+    emb_shaped = rows.select(
+        TXT.md5_bigint(F.col("row_id")).alias("vec_id"),
+        F.col("vector").alias("embedding"),
+        F.pmod(TXT.md5_bigint(F.col("row_id")), F.lit(8)).cast("int").alias("label"),
+    )
+    path = str(tmp_path / "serving_ivf")
+    S.write_ivf_store(emb_shaped, path)
+
+    qrow = emb_shaped.first()
+    got = S.ivf_knn_from_store(
+        spark, path, [float(x) for x in qrow.embedding], k=5, n_probes=2
+    ).collect()
+    # tiny fixture: the 2 probed cells may hold fewer than k vectors
+    assert 1 <= len(got) <= 5
+    assert got[0].vec_id == qrow.vec_id  # the query vector is its own top hit
+    # ids resolve back to ingest row_ids
+    id_map = {r.vec_id: r.row_id for r in rows.select(
+        TXT.md5_bigint(F.col("row_id")).alias("vec_id"), "row_id"
+    ).collect()}
+    assert all(r.vec_id in id_map for r in got)
+    rows.unpersist()
+    res.unpersist()
