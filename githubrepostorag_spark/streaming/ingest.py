@@ -83,3 +83,32 @@ def read_latest_store(spark: SparkSession, store_path: str) -> DataFrame:
         "_max_b", F.max("batch_id").over(Window.partitionBy("repo"))
     )
     return latest.filter(F.col("batch_id") == F.col("_max_b")).drop("_max_b")
+
+
+def compact_store(spark: SparkSession, store_path: str) -> None:
+    """Drop superseded repo versions from the append-only store: keep
+    exactly the latest batch per repo, rewritten atomically per repo
+    partition via dynamic partition overwrite — only repos that have a
+    stale version are rewritten; untouched repo partitions' files are
+    left in place. Run periodically (the table-format analogue is
+    snapshot expiry); readers keep using `read_latest_store`, which is
+    correct before, during (parquet readers see either file set), and
+    after compaction.
+    """
+    latest = read_latest_store(spark, store_path)
+    stale_repos = (
+        spark.read.parquet(store_path)
+        .groupBy("repo")
+        .agg(F.countDistinct("batch_id").alias("n_versions"))
+        .filter(F.col("n_versions") > 1)
+        .select("repo")
+    )
+    to_rewrite = latest.join(F.broadcast(stale_repos), "repo", "left_semi")
+    if not to_rewrite.isEmpty():
+        (
+            to_rewrite.repartition("repo")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo")
+            .parquet(store_path)
+        )

@@ -326,3 +326,46 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(300)
     got = {r.event_id: r.tier for r in spark.table("enrich_mem").collect()}
     assert got == {1: "pro", 2: "free", 3: None}
+
+
+def test_compact_store_drops_superseded_versions(spark, tmp_path):
+    from githubrepostorag_spark.streaming.ingest import (
+        compact_store,
+        read_latest_store,
+        stream_ingest_docs,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "vec_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, file_path string, text string"
+
+    spark.createDataFrame(
+        [("repoA", "m0/a.py", "def a():\n    return 1\n" * 100),
+         ("repoB", "m0/b.py", "def b():\n    return 2\n" * 100)],
+        schema,
+    ).write.mode("overwrite").json(src)
+    q = stream_ingest_docs(spark.readStream.schema(schema).json(src), store, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(
+        [("repoA", "m0/a.py", "def a():\n    return 9\n" * 50)], schema
+    ).write.mode("append").json(src)
+    q = stream_ingest_docs(spark.readStream.schema(schema).json(src), store, ckpt)
+    q.awaitTermination(300)
+
+    before = {
+        (r.row_id, r.batch_id) for r in read_latest_store(spark, store).collect()
+    }
+    raw_before = spark.read.parquet(store).count()
+    compact_store(spark, store)
+    after = {
+        (r.row_id, r.batch_id) for r in read_latest_store(spark, store).collect()
+    }
+    raw_after = spark.read.parquet(store).count()
+
+    assert after == before               # the logical view is unchanged
+    assert raw_after < raw_before        # repoA's superseded version is gone
+    assert raw_after == len(after)       # nothing but latest versions remain
+    # idempotent: a second compaction is a no-op
+    compact_store(spark, store)
+    assert spark.read.parquet(store).count() == raw_after
