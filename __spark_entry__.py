@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q114_volume_trend": lambda sp, sf: E.volume_trend(t(sp, sf, "events")),
+        # --- IVF serving-quality gate: measured recall@k vs brute force ---
+        "q115_ivf_recall": lambda sp, sf: S.ivf_recall(t(sp, sf, "embeddings")),
     }
 
 
@@ -2487,5 +2489,55 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_slope(y, x), 4) AS slope,
                    round(regr_intercept(y, x), 4) AS intercept
             FROM xy GROUP BY event_type
+        """,
+        "q115_ivf_recall": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), probes AS (
+              SELECT centroid_label FROM (
+                SELECT c.centroid_label,
+                       list_cosine_similarity(CAST(c.centroid AS DOUBLE[]), q.qv) AS sim
+                FROM cent c CROSS JOIN q
+                ORDER BY sim DESC, centroid_label LIMIT 3)
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                         CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+            ), approx AS (
+              SELECT a.vec_id FROM (
+                SELECT a.vec_id,
+                       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 6)
+                         AS score
+                FROM assigned a
+                JOIN probes p ON a.cell = p.centroid_label
+                CROSS JOIN q
+                WHERE a.vec_id <> 0
+                ORDER BY score DESC, a.vec_id LIMIT 10) a
+            ), exactk AS (
+              SELECT e.vec_id FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                         AS score
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0
+                ORDER BY score DESC, e.vec_id LIMIT 10) e
+            )
+            SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probes,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   round(count(*) / 10.0, 6) AS recall
+            FROM approx JOIN exactk USING (vec_id)
         """,
     }

@@ -1062,3 +1062,30 @@ def jl_knn(
         .orderBy(F.desc("jl_score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_recall(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_probes: int = 3
+) -> DataFrame:
+    """Recall@k audit of the IVF probe path against brute-force cosine
+    — the measured form of the recall trade every IVF docstring here
+    documents ("near-dups straddling a cell boundary are missed").
+    Returns one row (k, n_probes, n_hits, recall). Run per codebook
+    rebuild as the serving-quality gate: probe count is tuned until
+    this number clears the SLA, which is exactly how n_probes should
+    be chosen at 100 TB (empirically, per corpus).
+    """
+    exact = knn_to_query(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    approx = ivf_knn(
+        embeddings, query_vec_id=query_vec_id, k=k, n_probes=n_probes
+    ).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(n_probes).cast("long").alias("n_probes"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
