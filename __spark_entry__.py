@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_volume_trend": lambda sp, sf: E.volume_trend(t(sp, sf, "events")),
         # --- IVF serving-quality gate: measured recall@k vs brute force ---
         "q115_ivf_recall": lambda sp, sf: S.ivf_recall(t(sp, sf, "embeddings")),
+        # --- PQ compression-quality gate: ADC recall@k vs brute force ---
+        "q116_pq_recall": lambda sp, sf: S.pq_recall(t(sp, sf, "embeddings")),
     }
 
 
@@ -2536,6 +2538,37 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, e.vec_id LIMIT 10) e
             )
             SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probes,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   round(count(*) / 10.0, 6) AS recall
+            FROM approx JOIN exactk USING (vec_id)
+        """,
+        "q116_pq_recall": f"""
+            {_pq_cte()},
+            lut AS (
+              SELECT c.subspace, c.code,
+                     list_inner_product(q.subvec, c.centroid) AS qdot
+              FROM (SELECT subspace, subvec FROM subs WHERE vec_id = 0) q
+              JOIN cb c ON c.subspace = q.subspace
+            ), approx AS (
+              SELECT vec_id FROM (
+                SELECT p.vec_id, round(sum(l.qdot), 6) AS q_score
+                FROM (SELECT * FROM pqcodes WHERE vec_id <> 0) p
+                JOIN lut l ON l.subspace = p.subspace AND l.code = p.code
+                GROUP BY p.vec_id
+                ORDER BY q_score DESC, p.vec_id
+                LIMIT 10)
+            ), qv AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), exactk AS (
+              SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 6)
+                         AS score
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id <> 0
+                ORDER BY score DESC, e.vec_id LIMIT 10)
+            )
+            SELECT CAST(10 AS BIGINT) AS k, CAST({S.PQ_M} AS BIGINT) AS m_subspaces,
                    CAST(count(*) AS BIGINT) AS n_hits,
                    round(count(*) / 10.0, 6) AS recall
             FROM approx JOIN exactk USING (vec_id)

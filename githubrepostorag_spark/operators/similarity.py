@@ -1089,3 +1089,25 @@ def ivf_recall(
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def pq_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k of the 64x-compressed PQ ADC shortlist against exact
+    cosine — the compression-quality gate paired with `ivf_recall`'s
+    probe gate: together they quantify both approximations a serving
+    stack composes (coarse pruning, compressed scoring). One row
+    (k, m_subspaces, n_hits, recall); cosine is normalization-
+    invariant so the exact side scores raw vectors.
+    """
+    exact = knn_to_query(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    approx = pq_adc_knn(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(PQ_M).cast("long").alias("m_subspaces"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
