@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_ivf_recall": lambda sp, sf: S.ivf_recall(t(sp, sf, "embeddings")),
         # --- PQ compression-quality gate: ADC recall@k vs brute force ---
         "q116_pq_recall": lambda sp, sf: S.pq_recall(t(sp, sf, "embeddings")),
+        # --- JL + int8 recall gates (complete the ladder audit) ---
+        "q117_jl_recall": lambda sp, sf: S.jl_recall(t(sp, sf, "embeddings")),
+        "q118_int8_recall": lambda sp, sf: S.int8_recall(t(sp, sf, "embeddings")),
     }
 
 
@@ -2569,6 +2572,78 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, e.vec_id LIMIT 10)
             )
             SELECT CAST(10 AS BIGINT) AS k, CAST({S.PQ_M} AS BIGINT) AS m_subspaces,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   round(count(*) / 10.0, 6) AS recall
+            FROM approx JOIN exactk USING (vec_id)
+        """,
+        "q117_jl_recall": """
+            WITH sig AS (
+              SELECT d, j,
+                     CASE WHEN CAST(('0x' || substr(md5(d || ':' || j), 1, 15))
+                               AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(range(0, 64)) AS d)
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+            dims AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, j, round(sum(v * s), 6) AS y
+              FROM dims JOIN sig USING (d) GROUP BY 1, 2),
+            vecs AS (SELECT vec_id, list(y ORDER BY j) AS jl FROM proj GROUP BY 1),
+            q AS (SELECT jl AS qjl FROM vecs WHERE vec_id = 0),
+            approx AS (
+              SELECT vec_id FROM (
+                SELECT vec_id, round(list_cosine_similarity(jl, qjl), 6) AS jl_score
+                FROM vecs CROSS JOIN q
+                WHERE vec_id <> 0
+                ORDER BY jl_score DESC, vec_id LIMIT 10)),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                   WHERE vec_id = 0),
+            exactk AS (
+              SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 6)
+                         AS score
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id <> 0
+                ORDER BY score DESC, e.vec_id LIMIT 10))
+            SELECT CAST(10 AS BIGINT) AS k, CAST(16 AS BIGINT) AS out_dim,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   round(count(*) / 10.0, 6) AS recall
+            FROM approx JOIN exactk USING (vec_id)
+        """,
+        "q118_int8_recall": f"""
+            WITH mx AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS m
+              FROM embeddings
+            ), qz AS (
+              SELECT vec_id,
+                     list_transform(ve, x -> CAST(COALESCE(
+                       floor(x * {S.INT8_LEVELS} / NULLIF(m, 0) + 0.5), 0) AS INT)) AS qvec
+              FROM mx
+            ), approx AS (
+              SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.qvec AS DOUBLE[]),
+                                                    CAST(q.qvec AS DOUBLE[])), 6) AS q_score
+                FROM qz e CROSS JOIN (SELECT qvec FROM qz WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+                ORDER BY q_score DESC, e.vec_id LIMIT 10)
+            ), qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                      WHERE vec_id = 0),
+            exactk AS (
+              SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 6)
+                         AS score
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id <> 0
+                ORDER BY score DESC, e.vec_id LIMIT 10))
+            SELECT CAST(10 AS BIGINT) AS k, CAST({S.INT8_LEVELS} AS BIGINT) AS levels,
                    CAST(count(*) AS BIGINT) AS n_hits,
                    round(count(*) / 10.0, 6) AS recall
             FROM approx JOIN exactk USING (vec_id)

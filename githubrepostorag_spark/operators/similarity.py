@@ -1033,6 +1033,7 @@ def jl_knn(
     k: int = 10,
     in_dim: int = 64,
     out_dim: int = JL_OUT_DIM,
+    exclude_query: bool = False,
 ) -> DataFrame:
     """Brute-force cosine top-k in the JL-reduced space — the shortlist
     stage of a compress-then-rerank pipeline (rerank with the exact
@@ -1053,15 +1054,14 @@ def jl_knn(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return (
-        scored.select(
-            "vec_id",
-            "label",
-            F.round(dot / (norm("jl_vec") * norm("qvec")), 6).alias("jl_score"),
-        )
-        .orderBy(F.desc("jl_score"), F.asc("vec_id"))
-        .limit(k)
+    out = scored.select(
+        "vec_id",
+        "label",
+        F.round(dot / (norm("jl_vec") * norm("qvec")), 6).alias("jl_score"),
     )
+    if exclude_query:
+        out = out.filter(F.col("vec_id") != query_vec_id)
+    return out.orderBy(F.desc("jl_score"), F.asc("vec_id")).limit(k)
 
 
 def ivf_recall(
@@ -1107,6 +1107,50 @@ def pq_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Data
         .select(
             F.lit(k).cast("long").alias("k"),
             F.lit(PQ_M).cast("long").alias("m_subspaces"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
+def jl_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k of the 4x JL-projected shortlist vs exact cosine —
+    third member of the compression-ladder audit family (with
+    `ivf_recall` and `pq_recall`). On near-uniform random corpora this
+    is JL's worst case (top-k among near-equidistant points is noise);
+    on clustered real embeddings it recovers — which is why it must be
+    measured per corpus, not assumed.
+    """
+    exact = knn_to_query(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    approx = jl_knn(
+        embeddings, query_vec_id=query_vec_id, k=k, exclude_query=True
+    ).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(JL_OUT_DIM).cast("long").alias("out_dim"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
+def int8_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k of int8 scalar-quantized scoring vs exact cosine —
+    completes the ladder audit. Expected ≈ 1.0: 8-bit quantization
+    perturbs cosine by ~1/255 per component, far below typical top-k
+    gaps — measured here so the claim is a number, not an adjective.
+    """
+    exact = knn_to_query(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    approx = int8_knn(embeddings, query_vec_id=query_vec_id, k=k).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(INT8_LEVELS).cast("long").alias("levels"),
             F.col("n_hits").cast("long").alias("n_hits"),
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
