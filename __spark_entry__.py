@@ -357,7 +357,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- JL + int8 recall gates (complete the ladder audit) ---
         "q117_jl_recall": lambda sp, sf: S.jl_recall(t(sp, sf, "embeddings")),
         "q118_int8_recall": lambda sp, sf: S.int8_recall(t(sp, sf, "embeddings")),
+        # --- skew-safe two-phase (salted) aggregation on a 3-value key ---
+        "q119_salted_agg": lambda sp, sf: R.salted_agg(t(sp, sf, "lineitem")),
+        # --- Bloom-prefiltered decontamination (doc_id % 67 is the eval
+        # suite; output identical to the exact pass by construction) ---
+        "q120_bloom_decontaminate": lambda sp, sf: CU.bloom_decontaminate(
+            t(sp, sf, "documents").filter(F.col("doc_id") % 67 != 0),
+            t(sp, sf, "documents").filter(F.col("doc_id") % 67 == 0),
+        ),
+        # --- native session_window sessionizer (vs q13's lag+cumsum) ---
+        "q121_session_windows": lambda sp, sf: E.session_windows(t(sp, sf, "events")),
+        # --- incremental aggregate maintenance: partial-state merge ---
+        "q122_delta_rollup": lambda sp, sf: E.delta_rollup(t(sp, sf, "events")),
+        # --- SCD-2 dimension build (gaps-and-islands validity ranges) ---
+        "q123_scd2_status": lambda sp, sf: R.scd2_order_status(t(sp, sf, "orders")),
+        # --- TPC-H Q17/Q21/Q15 correlated shapes, decorrelated ---
+        "q124_small_order_revenue": lambda sp, sf: R.small_order_revenue(
+            t(sp, sf, "lineitem"), t(sp, sf, "part")
+        ),
+        "q125_lone_return_suppliers": lambda sp, sf: R.lone_return_suppliers(
+            t(sp, sf, "supplier"), t(sp, sf, "lineitem")
+        ),
+        "q126_top_suppliers": lambda sp, sf: R.top_revenue_suppliers(
+            t(sp, sf, "supplier"), t(sp, sf, "lineitem")
+        ),
+        # --- exact heavy hitters: Misra-Gries propose, exact verify ---
+        "q127_heavy_hitters": lambda sp, sf: TO.heavy_hitter_tokens(
+            t(sp, sf, "documents")
+        ),
+        # --- running audience size without a running-distinct scan ---
+        "q128_cumulative_users": lambda sp, sf: E.cumulative_users(
+            t(sp, sf, "events")
+        ),
+        # --- FastSS deletion-neighborhood similarity self-join ---
+        "q129_fuzzy_names": lambda sp, sf: R.fuzzy_name_pairs(t(sp, sf, "part")),
+        # --- MERGE INTO (upsert) semantics as one full-outer join ---
+        "q130_merge_upsert": lambda sp, sf: R.merge_upsert(
+            t(sp, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+            _customer_updates(t(sp, sf, "customer")),
+        ),
+        # --- CDC snapshot diff (added/changed/unchanged churn rows) ---
+        "q131_snapshot_diff": lambda sp, sf: R.snapshot_diff(
+            _user_rollup(t(sp, sf, "events").filter(F.col("ts") < F.lit("2024-01-16"))),
+            _user_rollup(t(sp, sf, "events")),
+            key_cols=["user_id"],
+            cmp_cols=["n_events", "sum_value"],
+        ),
+        # --- triangle counts over the near-dup graph (clustering signal) ---
+        "q132_doc_triangles": lambda sp, sf: G.doc_triangles(t(sp, sf, "documents")),
+        # --- market-basket pair mining (co-occurrence support) ---
+        "q133_basket_pairs": lambda sp, sf: R.basket_pairs(t(sp, sf, "lineitem")),
+        # --- GROUPING SETS (completes the rollup/cube/sets family) ---
+        "q134_grouping_sets": lambda sp, sf: R.priority_grouping_sets(
+            t(sp, sf, "orders")
+        ),
+        # --- 2-D skyline: one sort+window vs the quadratic NOT EXISTS ---
+        "q135_pareto_orders": lambda sp, sf: R.pareto_orders(t(sp, sf, "orders")),
+        # --- LOCF gap fill of a sparse daily series ---
+        "q136_gap_fill": lambda sp, sf: E.gap_fill_daily(t(sp, sf, "events")),
     }
+
+
+def _customer_updates(customer: DataFrame) -> DataFrame:
+    """Deterministic MERGE source: every 10th key updates its segment
+    and balance; every 97th key re-enters shifted by 1e6 as an insert
+    (same derivation in the DuckDB oracle)."""
+    upd = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    ins = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return upd.unionByName(ins)
+
+
+def _user_rollup(events: DataFrame) -> DataFrame:
+    """Per-user activity snapshot used by the CDC diff entry."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
 
 
 def _wrapped_lines(documents: DataFrame) -> DataFrame:
@@ -487,6 +570,30 @@ def _bm25_sql() -> str:
                    CAST(count(*) AS BIGINT) AS n_terms_hit
             FROM scored GROUP BY doc_id
         """
+
+
+def _triangles_sql() -> str:
+    """Triangle counts over the symmetrized LSH candidate graph (mirror
+    of graph.doc_triangles): candidate CTE + ordered edge-iterator
+    wedge closure — each triangle {a<b<c} counted once."""
+    return (
+        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
+        + f"""bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            tri AS (
+              SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+              FROM cand e1
+              JOIN cand e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+              JOIN cand e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+            x AS (SELECT a AS doc_id FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            SELECT doc_id, count(*) AS n_triangles FROM x GROUP BY doc_id"""
+    )
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -2647,5 +2754,257 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_hits,
                    round(count(*) / 10.0, 6) AS recall
             FROM approx JOIN exactk USING (vec_id)
+        """,
+        # Plain one-phase GROUP BY: the salted two-phase plan must agree
+        # by algebra (partials are count/sum/min/max, all mergeable).
+        "q119_salted_agg": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # Exact (no-Bloom) decontamination: equal output proves the 8 KB
+        # bitmap pre-pass is semantically invisible (no false negatives,
+        # false positives killed by the exact verify join).
+        "q120_bloom_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(t) - 3 + 2),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+                     END AS grams
+              FROM toks
+            ),
+            b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 67 = 0),
+            c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+                  FROM g WHERE doc_id % 67 <> 0),
+            o AS (SELECT doc_id, n_grams, count(*) AS overlap
+                  FROM c JOIN b USING (gram) GROUP BY 1, 2)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(overlap AS BIGINT) AS overlap,
+                   round(overlap / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
+            FROM o WHERE overlap >= 2
+        """,
+        # Gaps-and-islands rebuild of Spark's session_window contract:
+        # merge while the gap is < 30 min; session_end = last event + gap.
+        "q121_session_windows": """
+            WITH m AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        # Full recompute: the base⊎delta partial-state merge must agree.
+        "q122_delta_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "q123_scd2_status": """
+            WITH m AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                     lag(o_orderstatus) OVER w AS prev_status
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ),
+            c AS (SELECT *, CASE WHEN prev_status IS NULL
+                                      OR prev_status <> o_orderstatus
+                                 THEN 1 ELSE 0 END AS chg FROM m),
+            v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS UNBOUNDED PRECEDING) AS version
+                  FROM c),
+            g AS (SELECT o_custkey, version, o_orderstatus AS status,
+                         min(o_orderdate) AS valid_from, count(*) AS n_orders
+                  FROM v GROUP BY 1, 2, 3)
+            SELECT o_custkey, CAST(version AS BIGINT) AS version, status,
+                   valid_from,
+                   lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+                     AS valid_to,
+                   CAST(n_orders AS BIGINT) AS n_orders
+            FROM g
+        """,
+        # Genuinely correlated Q17 form — the engine runs the decorrelated
+        # per-part-average join; equal results verify the rewrite.
+        "q124_small_order_revenue": """
+            SELECT p_brand, count(*) AS n_small_lines,
+                   round(sum(l_extendedprice), 2) AS small_revenue
+            FROM lineitem l JOIN part ON p_partkey = l_partkey
+            WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem
+                                      WHERE l_partkey = l.l_partkey)
+            GROUP BY p_brand
+        """,
+        # Genuinely correlated Q21 form (EXISTS + NOT EXISTS) vs the
+        # engine's per-order-aggregate decorrelation.
+        "q125_lone_return_suppliers": """
+            SELECT s_suppkey, s_name, count(*) AS n_lone_returns
+            FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_lone_returns DESC, s_suppkey LIMIT 20
+        """,
+        # Scalar `= (SELECT max ...)` Q15 form vs the engine's rank-1
+        # window decorrelation (ties surface identically).
+        "q126_top_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '2001-01-01' AND l_shipdate < '2001-07-01'
+              GROUP BY 1)
+            SELECT r.s_suppkey, s_name, total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY r.s_suppkey
+        """,
+        # Naive full-vocabulary GROUP BY HAVING: the sketch-propose /
+        # exact-verify plan must agree (Misra-Gries is lossless above φN).
+        "q127_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT token, count(*) AS n_occurrences,
+                   round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6)
+                     AS frequency
+            FROM toks GROUP BY token
+            HAVING count(*) >= {TO.HH_PHI} * (SELECT n FROM tot)
+        """,
+        "q128_cumulative_users": """
+            WITH fs AS (SELECT event_type, user_id,
+                               date_trunc('day', min(ts)) AS day
+                        FROM events GROUP BY 1, 2),
+            dn AS (SELECT event_type, day, count(*) AS n_new_users
+                   FROM fs GROUP BY 1, 2)
+            SELECT event_type, day, n_new_users,
+                   CAST(sum(n_new_users) OVER (PARTITION BY event_type
+                        ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS n_users_cumulative
+            FROM dn
+        """,
+        # Quadratic DISTINCT self-join ground truth: the FastSS
+        # deletion-neighborhood blocking must lose no pair at d<=2.
+        "q129_fuzzy_names": f"""
+            WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM n a JOIN n b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= {R.FUZZY_MAX_DIST}
+        """,
+        "q130_merge_upsert": """
+            WITH t AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+            u AS (
+              SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+                     c_acctbal + 100 AS c_acctbal
+              FROM customer WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW', 0.0
+              FROM customer WHERE c_custkey % 97 = 0)
+            SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+                   COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+                   COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+                   CASE WHEN u.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+                             THEN 'update'
+                        WHEN u.c_custkey IS NOT NULL THEN 'insert'
+                        ELSE 'keep' END AS action
+            FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+        """,
+        "q131_snapshot_diff": """
+            WITH o AS (SELECT user_id, count(*) AS n_events,
+                              round(sum(value), 2) AS sum_value
+                       FROM events WHERE ts < '2024-01-16' GROUP BY 1),
+            n AS (SELECT user_id, count(*) AS n_events,
+                         round(sum(value), 2) AS sum_value
+                  FROM events GROUP BY 1)
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.n_events = n.n_events
+                             AND o.sum_value = n.sum_value THEN 'unchanged'
+                        ELSE 'changed' END AS change,
+                   o.n_events AS old_n_events, o.sum_value AS old_sum_value,
+                   n.n_events AS new_n_events, n.sum_value AS new_sum_value
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        """,
+        "q132_doc_triangles": _triangles_sql(),
+        "q133_basket_pairs": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS support
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                              AND b.l_partkey > a.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {R.BASKET_MIN_SUPPORT}
+            ORDER BY support DESC, part_a, part_b LIMIT 50
+        """,
+        # SQL-standard GROUPING() pair mirrors Spark's grouping_id bit
+        # layout (first grouping column = most significant bit).
+        "q134_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) * 2
+                        + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        # Quadratic NOT EXISTS domination ground truth for the skyline.
+        "q135_pareto_orders": """
+            WITH p AS (SELECT o_totalprice, o_orderdate, count(*) AS n_orders
+                       FROM orders GROUP BY 1, 2)
+            SELECT o_totalprice, o_orderdate, n_orders FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.o_totalprice <= a.o_totalprice
+                AND b.o_orderdate >= a.o_orderdate
+                AND (b.o_totalprice < a.o_totalprice
+                     OR b.o_orderdate > a.o_orderdate))
+        """,
+        # Portable LOCF twin (IGNORE NULLS window) of the Spark fill.
+        "q136_gap_fill": f"""
+            WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                                  round(sum(value), 2) AS day_value
+                           FROM events WHERE value > {E.GAP_FILL_MIN_VALUE}
+                           GROUP BY 1, 2),
+            span AS (SELECT date_trunc('day', min(ts)) AS d0,
+                            date_trunc('day', max(ts)) AS d1 FROM events),
+            cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                    FROM span),
+            ty AS (SELECT DISTINCT event_type FROM events),
+            dense AS (SELECT event_type, day FROM ty CROSS JOIN cal),
+            j AS (SELECT d.event_type, d.day, dd.day_value
+                  FROM dense d LEFT JOIN daily dd USING (event_type, day))
+            SELECT event_type, day,
+                   last_value(day_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS filled_value,
+                   day_value IS NULL AS is_gap
+            FROM j
         """,
     }

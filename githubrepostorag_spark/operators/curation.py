@@ -362,3 +362,105 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+BLOOM_BITS = 1 << 16  # 65,536 bits = 1,024 packed longs = 8 KB
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_SEEDS = (11, 23, 47, 83)  # k = 4 hash functions
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination with a Bloom-filter pre-pass: identical output to
+    `decontaminate` (the exact verify guarantees it — Bloom false
+    positives are discarded, and Bloom has no false negatives), but the
+    corpus-side n-gram stream is first thinned by an 8 KB bitmap
+    instead of being joined raw against the benchmark gram set.
+
+    Why this exists at 100 TB: `decontaminate` broadcasts the
+    benchmark's distinct grams — fine while the eval suite is MBs, dead
+    once the "benchmark" is itself a large corpus (e.g. strip an entire
+    competitor eval dump, or cross-corpus leakage checks). The Bloom
+    bitmap stays 8 KB NO MATTER how many grams feed it; only grams that
+    pass the bitmap reach the exact join, which at realistic overlap
+    rates shrinks the join's probe side by orders of magnitude and can
+    run as a shuffle join on the (tiny) survivor set.
+
+    Mechanics, all JVM-side expressions (no Python UDF):
+    - k=4 hash functions: pmod(xxhash64(gram, seed_i), m) for fixed
+      seeds, m = 2^16 bits packed into 1024 longs.
+    - Build: benchmark grams → (word, bit) pairs → bit_or-aggregated
+      longs → collected to the driver (≤1024 rows — bounded by the
+      bitmap size, not the data) → embedded as an array literal, the
+      same way the IVF codebook broadcasts.
+    - Probe: a gram survives iff ALL k probed bits are set
+      (element_at(bitmap, word+1) & (1<<bit) != 0).
+
+    The DuckDB oracle runs the exact (no-Bloom) decontamination SQL:
+    equal results prove the pre-pass is semantically invisible.
+    """
+    grams = word_ngram_set(F.col(text_col), n)
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+
+    bit_cols = []
+    for seed in BLOOM_SEEDS:
+        idx = F.pmod(F.xxhash64(F.col("gram"), F.lit(seed)), F.lit(BLOOM_BITS))
+        bit_cols.append(
+            F.struct(
+                (idx / 64).cast("int").alias("word"),
+                F.pmod(idx, F.lit(64)).cast("int").alias("bit"),
+            )
+        )
+    words = (
+        bench_grams.select(F.explode(F.array(*bit_cols)).alias("wb"))
+        .select(F.col("wb.word").alias("word"), F.col("wb.bit").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+        .collect()  # bounded at BLOOM_WORDS rows by construction
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    bitmap_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
+
+    corpus_grams = (
+        corpus.select(F.col(id_col), grams.alias("grams"))
+        .select(
+            F.col(id_col),
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+        .withColumn("bloom", bitmap_lit)
+    )
+    might_contain = None
+    for seed in BLOOM_SEEDS:
+        idx = F.pmod(F.xxhash64(F.col("gram"), F.lit(seed)), F.lit(BLOOM_BITS))
+        probe = (
+            F.element_at(F.col("bloom"), (idx / 64).cast("int") + 1).bitwiseAND(
+                F.expr(
+                    f"shiftleft(1L, cast(pmod(xxhash64(gram, {seed}), {BLOOM_BITS}) % 64 as int))"
+                )
+            )
+            != 0
+        )
+        might_contain = probe if might_contain is None else (might_contain & probe)
+
+    candidates = corpus_grams.filter(might_contain).drop("bloom")
+    return (
+        candidates.join(F.broadcast(bench_grams), "gram")  # exact verify
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("overlap").cast("long").alias("overlap"),
+            F.round(F.col("overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )

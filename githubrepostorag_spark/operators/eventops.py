@@ -716,3 +716,164 @@ def volume_trend(events: DataFrame) -> DataFrame:
         F.round(F.regr_slope(F.col("n").cast("double"), x), 4).alias("slope"),
         F.round(F.regr_intercept(F.col("n").cast("double"), x), 4).alias("intercept"),
     )
+
+
+DELTA_CUTOFF = "2024-01-16"
+
+
+def delta_rollup(events: DataFrame, cutoff: str = DELTA_CUTOFF) -> DataFrame:
+    """Incremental aggregate maintenance: merge a pre-aggregated base
+    (events before `cutoff`) with a freshly-aggregated delta (events
+    since) WITHOUT rescanning base rows — the daily-ETL pattern where
+    yesterday's rollup is stored and only the new partition is
+    aggregated, then the two partial states merge.
+
+    Every aggregate is carried in algebraic partial form (count, sum,
+    min, max; avg derived as sum/count at the end) so the merge is a
+    second tiny groupBy over 2×|keys| partial rows. At 100 TB this is
+    the difference between scanning one day and scanning three years;
+    the oracle recomputes the full GROUP BY from scratch and the
+    algebra guarantees identical results.
+
+    In production the base side is `spark.read.parquet(rollup_store)`;
+    here both sides derive from one table split at the cutoff so the
+    oracle can verify the merge bit-for-bit.
+    """
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("value").alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+
+    base = partial(events.filter(F.col("ts") < F.lit(cutoff)))
+    delta = partial(events.filter(F.col("ts") >= F.lit(cutoff)))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("p_n").cast("long").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+            F.round(F.min("p_min"), 2).alias("min_value"),
+            F.round(F.max("p_max"), 2).alias("max_value"),
+            F.round(F.sum("p_sum") / F.sum("p_n"), 4).alias("avg_value"),
+        )
+    )
+
+
+SESSION_GAP = "30 minutes"
+
+
+def session_windows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-session rows via Spark's native session_window aggregate —
+    the engine's second sessionizer. q13 (`sessionize`) builds sessions
+    with the lag+running-sum window pair; this one uses the built-in
+    merging-session operator, which in batch plans an UpdatingSessions
+    pass inside the aggregate (no analytic window functions at all) and
+    under Structured Streaming upgrades to stateful session merging
+    with watermark eviction for free — the scale path for streaming
+    sessionization.
+
+    Output: one row per (user, session) with start, end (last event +
+    gap, the session_window contract), event count and value sum.
+    The DuckDB oracle rebuilds identical sessions with the
+    gaps-and-islands SQL, pinning the two formulations against each
+    other.
+    """
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Running distinct-user count per day and event type — "how big is
+    the audience for each event so far?" — computed WITHOUT a running
+    distinct: each user contributes once per event type, at their
+    first-seen day (one groupBy on (type, user)), days aggregate
+    new-user counts (one small groupBy), and a running sum over the
+    bounded (type, day) axis finishes the job. The naive formulation
+    (count distinct users over an expanding window) re-scans the prefix
+    per day; this one is two linear aggregations plus a window over
+    types × days rows. The window partitions by event_type, so no
+    single-partition collapse.
+    """
+    first_seen = events.groupBy("event_type", "user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("n_users_cumulative"),
+    )
+
+
+GAP_FILL_MIN_VALUE = 200.0  # large-transaction slice: sparse by design
+
+
+def gap_fill_daily(
+    events: DataFrame, min_value: float = GAP_FILL_MIN_VALUE
+) -> DataFrame:
+    """Time-series gap fill (LOCF — last observation carried forward):
+    per event type, a dense daily series of large-transaction volume
+    (value > min_value — a genuinely sparse slice) over the corpus'
+    global date span, missing days filled with the most recent
+    observed daily sum. The densification every downstream
+    window/forecast model needs — gaps otherwise silently shorten
+    moving windows.
+
+    Plan: the daily rollup is one shuffle; the dense calendar is
+    sequence() over the global min/max day (two scalar aggregates,
+    broadcast), cross-joined against the bounded event-type dimension —
+    types × days rows, independent of event count. The fill is
+    last(value, ignorenulls=True) over the per-type date order — one
+    window on the already-small dense frame; the DuckDB oracle runs
+    its own IGNORE NULLS window over the same dense frame.
+    """
+    daily = (
+        events.filter(F.col("value") > min_value)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    span = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    dense = types.crossJoin(F.broadcast(calendar))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dense.join(daily, ["event_type", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("day_value").isNull())
+        .select("event_type", "day", "filled_value", "is_gap")
+    )

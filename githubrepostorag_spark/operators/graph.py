@@ -222,3 +222,36 @@ def doc_communities(documents: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     return label_propagation(cand, iters=iters, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
+
+
+def doc_triangles(documents: DataFrame) -> DataFrame:
+    """Per-document triangle counts over the LSH near-dup candidate
+    graph — the local clustering signal that separates a true template
+    family (dense, triangle-rich) from a chain of pairwise borderline
+    matches (triangle-free). Composes the dedup candidate generator
+    with the standard ordered edge-iterator triangle count.
+
+    The count enumerates each triangle {a<b<c} exactly once as the
+    wedge (a,b)+(a,c) closed by (b,c): two self-joins of the oriented
+    (doc_a < doc_b) edge list. At 100 TB the id-ordering would be
+    replaced by degree-ordering (orient every edge from the lower-
+    degree endpoint) which bounds wedge fan-out at sqrt(|E|) per node
+    — same output, skew-proof plan; candidates are checkpointed so
+    the minhash chain runs once, not three times.
+    """
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
+    e1 = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = cand.select(F.col("doc_a").alias("a2"), F.col("doc_b").alias("c"))
+    e3 = cand.select(F.col("doc_a").alias("b3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -398,3 +398,413 @@ def order_coverage_audit(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
         )
     )
+
+SALT_BUCKETS = 16
+
+
+def salted_agg(lineitem: DataFrame, buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Skew-safe two-phase aggregation: per l_returnflag (a 3-value,
+    maximally-hot key at 100 TB) compute count / sum / min / max / avg
+    by first aggregating on (key, salt) and then merging the partials
+    on the key alone.
+
+    Why: a plain groupBy on a 3-value key funnels every row through 3
+    reducer tasks — map-side partial aggregation usually saves you, but
+    NOT when the per-group state is large (collect_list, distinct
+    sketches) or when AQE coalesces the map side away. Salting bounds
+    every first-phase group at ~1/buckets of the hot key's rows, and
+    the second phase merges `buckets` partial rows per key — O(keys ×
+    buckets), trivially small. avg is carried as (sum, count) partials
+    so the merge stays algebraic.
+
+    The salt is xxhash64 of the line's natural key (deterministic, no
+    rand()), so re-runs and the DuckDB oracle agree bit-for-bit. The
+    oracle is the plain one-phase GROUP BY — same answer by algebra.
+    """
+    salted = lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(buckets))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("l_extendedprice").alias("p_sum"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_n").cast("long").alias("n_items"),
+            F.round(F.sum("p_sum"), 2).alias("sum_price"),
+            F.round(F.min("p_min"), 2).alias("min_price"),
+            F.round(F.max("p_max"), 2).alias("max_price"),
+            F.round(F.sum("p_sum") / F.sum("p_n"), 4).alias("avg_price"),
+        )
+    )
+
+
+def small_order_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in orders smaller than half the
+    part's average order size, per brand. The textbook correlated
+    scalar subquery (`l_quantity < 0.5 * (SELECT avg(l_quantity) ...
+    WHERE l_partkey = outer.l_partkey)`) hand-decorrelated into a
+    per-part aggregate joined back to the fact — one extra shuffle on
+    l_partkey instead of one subquery execution per row. The oracle
+    runs the genuinely correlated form.
+
+    Scale: both the per-part average and the probe side shuffle on
+    l_partkey; Catalyst reuses the exchange when the fact is already
+    partitioned on it (bucketed store). `part` broadcasts.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
+def lone_return_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who returned a line on a multi-supplier
+    order where NO other supplier on that order returned anything —
+    EXISTS(another supplier) AND NOT EXISTS(another supplier with a
+    return), decorrelated into per-order aggregates.
+
+    Decorrelation: one pass over lineitem computes, per order, the
+    distinct-supplier count, the distinct returning-supplier count and
+    (when exactly one supplier returned) that supplier's key. Orders
+    with ≥2 suppliers and exactly 1 returning supplier are the
+    qualifying events; a groupBy on the surviving supplier key counts
+    them. The correlated form re-scans lineitem twice per candidate
+    row; this form is two shuffles total (order, then supplier) no
+    matter the corpus size. The oracle runs the correlated EXISTS /
+    NOT EXISTS SQL.
+    """
+    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(ret).alias("n_ret_suppliers"),
+        F.min(ret).alias("ret_suppkey"),
+        F.count(ret).alias("n_ret_lines"),
+    )
+    waiting = per_order.filter(
+        (F.col("n_suppliers") >= 2) & (F.col("n_ret_suppliers") == 1)
+    )
+    return (
+        # count return LINES (the Q21 `count(*)` over qualifying l1 rows),
+        # not qualifying orders: a supplier with 2 'R' lines on one
+        # order contributes 2, exactly like the correlated SQL.
+        waiting.groupBy(F.col("ret_suppkey").alias("s_suppkey"))
+        .agg(F.sum("n_ret_lines").cast("long").alias("n_lone_returns"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "n_lone_returns")
+        .orderBy(F.desc("n_lone_returns"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def top_revenue_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose 2001-H1 revenue equals the
+    global maximum — the scalar `= (SELECT max(...) FROM view)`
+    subquery. Decorrelated with a rank-1 window over an empty
+    partition: one revenue aggregate, one single-partition window over
+    the (|suppliers|-sized, already aggregated) result instead of
+    recomputing the view inside the subquery. Ties all surface, same
+    as the SQL form. The aggregated input to the global window is
+    bounded by the supplier dimension, so the single-partition window
+    is safe at any fact scale.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("2001-01-01"))
+            & (F.col("l_shipdate") < F.lit("2001-07-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_revenue")
+        )
+    )
+    best = rev.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def scd2_order_status(orders: DataFrame) -> DataFrame:
+    """SCD-2 dimension build: collapse each customer's order-status
+    history into versioned validity ranges (gaps-and-islands). A run of
+    consecutive orders with the same status becomes one version row
+    with valid_from / valid_to (null = current) and a version number —
+    the standard slowly-changing-dimension type-2 shape a warehouse
+    maintains for point-in-time joins.
+
+    Plan: one shuffle on o_custkey shared by all three windows (change
+    marker via lag, version id via running sum, valid_to via lead on
+    the collapsed rows). The per-customer history is bounded (orders
+    per customer, not corpus size), so the windows never skew.
+    """
+    by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(by_cust))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(by_cust.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    versions = marked.groupBy("o_custkey", "version", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    by_ver = Window.partitionBy("o_custkey").orderBy("version")
+    return versions.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(by_ver).alias("valid_to"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_pairs(part: DataFrame, max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """Similarity self-join on part names with edit distance ≤ max_dist
+    (FastSS deletion-neighborhood blocking): candidate pairs are names
+    sharing at least one ≤max_dist-deletion variant, verified with the
+    built-in levenshtein. The entity-resolution primitive (product
+    matching, author dedup) at the scale where the quadratic
+    all-pairs comparison is impossible.
+
+    Why it scales: FastSS's guarantee is that ed(a,b) ≤ d implies the
+    deletion neighborhoods U_d(a) and U_d(b) intersect, so the
+    variant equi-join finds every true pair; false candidates die at
+    the exact levenshtein check. Neighborhood size is O(len^d) per
+    string — generated JVM-side with nested transform/flatten (no
+    Python), and the join is a plain shuffle on the variant string.
+    The oracle runs the quadratic DISTINCT self-join; equality proves
+    the blocking is lossless at this distance.
+    """
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    # 0-, 1- and 2-deletion variants, all as column expressions.
+    del1 = F.expr(
+        "transform(sequence(1, length(name)), "
+        "i -> concat(substring(name, 1, i-1), substring(name, i+1)))"
+    )
+    variants = F.array_distinct(
+        F.concat(F.array(F.col("name")), del1)
+        if max_dist == 1
+        else F.concat(
+            F.array(F.col("name")),
+            del1,
+            F.flatten(
+                F.expr(
+                    "transform(sequence(1, length(name)), i -> "
+                    "transform(sequence(1, length(name) - 1), j -> "
+                    "case when j >= i then "
+                    "concat(substring(name, 1, i-1), substring(name, i+1, j-i), "
+                    "substring(name, j+2)) else null end))"
+                )
+            ),
+        )
+    )
+    exploded = names.select(
+        "name", F.explode(variants).alias("v")
+    ).filter(F.col("v").isNotNull())
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.name") < F.col("b.name")))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str = "c_custkey"
+) -> DataFrame:
+    """Warehouse MERGE INTO semantics as a pure transformation: matched
+    keys take the update's values, unmatched update keys insert,
+    untouched target rows carry over — each output row tagged with the
+    action taken. The engine-side equivalent of Delta/Iceberg MERGE,
+    expressed as ONE full-outer join on the key (both sides shuffle
+    once; with the target bucketed on the key, only the delta moves).
+
+    Inputs must share the schema. The oracle reproduces the same
+    semantics with FULL OUTER + COALESCE, so parity pins the
+    matched / inserted / kept classification bit-for-bit.
+    """
+    value_cols = [c for c in target.columns if c != key]
+    tgt = target.alias("t")
+    upd = updates.alias("u")
+    action = (
+        F.when(
+            F.col(f"u.{key}").isNotNull() & F.col(f"t.{key}").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col(f"u.{key}").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    merged = tgt.join(upd, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer").select(
+        F.coalesce(F.col(f"t.{key}"), F.col(f"u.{key}")).alias(key),
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in value_cols
+        ],
+        action.alias("action"),
+    )
+    return merged
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], cmp_cols: list[str]
+) -> DataFrame:
+    """Row-level change-data-capture between two snapshots of the same
+    logical table: classify every key as added / removed / changed /
+    unchanged by a single full-outer join on the key, comparing the
+    tracked columns null-safely. The diff a replication pipeline ships
+    instead of re-copying the snapshot — output size is the churn, not
+    the table.
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in key_cols]
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    cls = (
+        F.when(F.col(f"o.{key_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key_cols[0]}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in key_cols
+        ],
+        cls.alias("change"),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in cmp_cols],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in cmp_cols],
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def basket_pairs(
+    lineitem: DataFrame, min_support: int = BASKET_MIN_SUPPORT, k: int = 50
+) -> DataFrame:
+    """Market-basket pair mining: part pairs that co-occur in at least
+    `min_support` orders, top-k by support — the co-occurrence
+    primitive behind "frequently bought together" and feature
+    co-occurrence stats.
+
+    Plan: distinct (order, part) — one shuffle on the order key — then
+    the pair generation happens INSIDE each order via a self-join on
+    l_orderkey. Baskets are small (lines per order is bounded by
+    business reality, not corpus size), so the within-order pair
+    explosion is O(basket²) per order with tiny baskets — the classic
+    reason a-priori pair counting scales. A pathological mega-basket
+    would be capped upstream (same runaway-bucket cap as the LSH
+    pair generator, dedup.lsh_candidate_pairs).
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok_b") == F.col("l_orderkey")) & (F.col("part_b") > F.col("part_a")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def priority_grouping_sets(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS aggregate — the third member of the multi-grouping
+    family next to ROLLUP (q08) and CUBE (q47): per-status totals,
+    per-priority totals, and the grand total in ONE scan (no
+    cross-product groups like CUBE would emit). grouping_id
+    disambiguates which set each output row belongs to, exactly as the
+    SQL-standard GROUPING() pair does in the oracle. Spark expands the
+    sets with a single Expand node — one pass over the fact, partial
+    aggregation intact.
+    """
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+def pareto_orders(orders: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): the (o_totalprice, o_orderdate)
+    pairs not dominated by any other pair — cheaper AND at-least-as-
+    recent (or equal-price AND strictly more recent). The "best
+    tradeoff set" query (price vs freshness) that the quadratic
+    NOT EXISTS formulation answers in O(n²); this plan answers it with
+    one sort: over DISTINCT pairs ordered by (price ASC, date DESC),
+    a preceding row always has price ≤ current (strictly, or tied with
+    a later date), so the current pair is dominated iff the running
+    max of date over strictly-preceding rows reaches its own date.
+
+    Scale: distinct-pair reduction first (one shuffle), then a global
+    sort of the DISTINCT pair set — at 100 TB the pair cardinality is
+    price×date buckets, orders of magnitude below row count; if even
+    that overflows one partition, the standard fix is a range-
+    partitioned pre-pass that keeps each partition's local frontier
+    before the global pass (same operator, applied twice). Output is
+    the frontier with the number of orders sitting on each point.
+    """
+    pairs = orders.groupBy("o_totalprice", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.asc("o_totalprice"), F.desc("o_orderdate")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pairs.withColumn("best_prior_date", F.max("o_orderdate").over(w))
+        .filter(
+            F.col("best_prior_date").isNull()
+            | (F.col("best_prior_date") < F.col("o_orderdate"))
+        )
+        .select("o_totalprice", "o_orderdate", "n_orders")
+    )

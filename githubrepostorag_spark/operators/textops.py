@@ -872,3 +872,78 @@ def quality_correlation(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.corr("len", "diversity"), 4).alias("len_diversity_corr"),
     )
+
+
+HH_PHI = 0.005  # report tokens with corpus frequency >= phi * total
+HH_CAPACITY_MULT = 2  # Misra-Gries capacity = MULT / phi counters
+
+
+def heavy_hitter_tokens(documents: DataFrame, phi: float = HH_PHI) -> DataFrame:
+    """Exact corpus heavy hitters in two passes: a per-partition
+    Misra-Gries sketch proposes candidates, an exact recount restricted
+    to the candidate set confirms them — the standard way to find
+    "every token with frequency ≥ φ·N" at 100 TB without a full-vocab
+    shuffle.
+
+    Completeness argument (why no true heavy hitter is lost): a
+    Misra-Gries sketch with C counters undercounts any item by at most
+    n_p/C within its partition of n_p tokens. An item missing from
+    EVERY partition's sketch therefore has global count ≤ N/C; with
+    C = 2/φ that is φ·N/2 < φ·N, so every true heavy hitter survives
+    in at least one partition. The merged sketch sum undercounts by at
+    most N/C globally, so pruning candidates at (φ·N − N/C) keeps the
+    guarantee while discarding sketch noise.
+
+    Plan: one Arrow-batched mapInPandas pass over exploded tokens (the
+    sketch is a plain dict bounded at C entries — per-partition state,
+    never shuffled), a groupBy merge of ≤C·partitions sketch rows, and
+    an exact recount of only candidate tokens via broadcast semi join.
+    The full-vocabulary groupBy the naive plan needs never happens.
+    The oracle is the naive plan (GROUP BY HAVING), which at sf scale
+    DuckDB handles fine — equality proves the sketch pass is lossless
+    above the threshold.
+    """
+    import pandas as pd
+
+    capacity = int(HH_CAPACITY_MULT / phi)
+    toks = documents.select(F.explode(TXT.tokens(F.col("text"))).alias("token"))
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k, v in counters.items() if v == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {"token": list(counters), "approx": list(counters.values())}
+        )
+
+    sketches = toks.mapInPandas(mg_sketch, "token string, approx long")
+    total = toks.count()
+    threshold = phi * total
+    slack = total / capacity
+    candidates = (
+        sketches.groupBy("token")
+        .agg(F.sum("approx").alias("approx"))
+        .filter(F.col("approx") >= F.lit(threshold - slack))
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(threshold))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.lit(float(total)), 6).alias("frequency"),
+        )
+    )

@@ -1064,3 +1064,380 @@ def test_quality_correlation_sign(spark):
     rows += [(i + 10, " ".join(["same"] * (50 + i)), "en", "s0", 250 + i * 5) for i in range(10)]
     got = TO.quality_correlation(_docs(spark, rows)).collect()[0]
     assert got.n_docs == 20 and got.len_diversity_corr < -0.5  # strongly negative
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(i, i % 3, float(i * 10), "R" if i % 2 else "A") for i in range(1, 101)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, l_returnflag string",
+    )
+    got = {r.l_returnflag: r for r in R.salted_agg(li, buckets=4).collect()}
+    want = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n_items == want[k].n_items
+        assert abs(got[k].sum_price - want[k].sum_price) < 1e-9
+
+
+def test_salted_agg_plan_has_two_aggregate_phases(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, 1, 10.0, "A")],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, l_returnflag string",
+    )
+    plan = R.salted_agg(li)._jdf.queryExecution().executedPlan().toString()
+    # two separate keyed aggregations: (flag, salt) then (flag) — i.e. at
+    # least 4 HashAggregate nodes (partial+final per phase), and the salt
+    # key visible in the first phase's grouping.
+    assert plan.count("HashAggregate") >= 4
+    assert "salt" in plan
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s0", 30),
+            (2, "the quick brown fox jumps over", "en", "s0", 30),
+            (3, "totally unrelated words here now", "en", "s1", 32),
+        ],
+    )
+    bench = _docs(
+        spark,
+        [(100, "quick brown fox jumps high", "en", "b", 26)],
+    )
+    got = CU.bloom_decontaminate(corpus, bench, n=2, min_overlap=2).collect()
+    want = CU.decontaminate(corpus, bench, n=2, min_overlap=2).collect()
+    assert sorted((r.doc_id, r.overlap) for r in got) == sorted(
+        (r.doc_id, r.overlap) for r in want
+    )
+    assert {r.doc_id for r in got} == {2}
+
+
+def test_session_windows_agrees_with_lag_sessionizer(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 45 min between event 3 and 4)
+    for i, mins in enumerate([0, 5, 10, 55, 60]):
+        rows.append((i, t0 + dt.timedelta(minutes=mins), 1, "view", 1.0, "{}"))
+    # user 2: one session
+    rows.append((10, t0, 2, "view", 1.0, "{}"))
+    ev = _events(spark, rows)
+    sess = E.session_windows(ev).collect()
+    per_user = {}
+    for r in sess:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 2, 2: 1}
+    # cross-check against the lag+cumsum sessionizer's session counts
+    lag_counts = {r.user_id: r.n_sessions for r in E.sessionize(ev).collect()}
+    assert lag_counts == per_user
+    # session_window contract: end = last event + gap
+    first = min((r for r in sess if r.user_id == 1), key=lambda r: r.session_start)
+    assert first.n_events == 3
+    assert first.session_end == t0 + dt.timedelta(minutes=10 + 30)
+
+
+def test_delta_rollup_merge_equals_full_recompute(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10 + (i % 20)), i % 5, "t%d" % (i % 2), float(i), "{}")
+        for i in range(40)
+    ]
+    ev = _events(spark, rows)
+    got = {r.event_type: r for r in E.delta_rollup(ev, cutoff="2024-01-16").collect()}
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("n_events", "sum_value", "min_value", "max_value"):
+            assert getattr(got[k], f) == getattr(want[k], f), (k, f)
+
+
+def test_scd2_versions_are_contiguous_and_collapse_runs(spark):
+    from githubrepostorag_spark.operators import relational as R
+    import datetime as dt
+
+    d = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 7, d(2020, 1, 1), "O"),
+            (2, 7, d(2020, 2, 1), "O"),
+            (3, 7, d(2020, 3, 1), "F"),
+            (4, 7, d(2020, 4, 1), "O"),
+            (5, 8, d(2020, 1, 1), "F"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderstatus string",
+    )
+    rows = sorted(
+        R.scd2_order_status(orders).collect(), key=lambda r: (r.o_custkey, r.version)
+    )
+    c7 = [r for r in rows if r.o_custkey == 7]
+    assert [r.status for r in c7] == ["O", "F", "O"]
+    assert [r.n_orders for r in c7] == [2, 1, 1]
+    # versions contiguous from 1; valid_to chains to the next valid_from
+    assert [r.version for r in c7] == [1, 2, 3]
+    assert c7[0].valid_to == c7[1].valid_from
+    assert c7[1].valid_to == c7[2].valid_from
+    assert c7[2].valid_to is None  # current version stays open
+    assert rows[-1].o_custkey == 8 and rows[-1].valid_to is None
+
+
+def test_lone_return_supplier_counts_lines_not_orders(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    li = spark.createDataFrame(
+        [
+            # order 10: supplier 1 returns TWO lines, supplier 2 clean → counts 2
+            (10, 1, 1, "R"),
+            (10, 1, 2, "R"),
+            (10, 2, 3, "N"),
+            # order 11: both suppliers return → nobody counts
+            (11, 1, 1, "R"),
+            (11, 2, 2, "R"),
+            # order 12: single-supplier order → no EXISTS witness
+            (12, 1, 1, "R"),
+        ],
+        "l_orderkey long, l_suppkey long, l_linenumber int, l_returnflag string",
+    )
+    rows = R.lone_return_suppliers(sup, li).collect()
+    assert [(r.s_suppkey, r.n_lone_returns) for r in rows] == [(1, 2)]
+
+
+def test_heavy_hitters_exact_above_threshold(spark):
+    # 'hot' appears 30/60 tokens (freq 0.5); others are rare.
+    docs = _docs(
+        spark,
+        [(i, " ".join(["hot"] * 3 + [f"rare{i}_{j}" for j in range(3)]), "en", "s0", 0)
+         for i in range(10)],
+    )
+    rows = TO.heavy_hitter_tokens(docs, phi=0.2).collect()
+    assert [(r.token, r.n_occurrences) for r in rows] == [("hot", 30)]
+    assert abs(rows[0].frequency - 0.5) < 1e-9
+
+
+def test_heavy_hitters_no_false_negatives_under_tiny_capacity(spark):
+    # Force heavy counter churn: many distinct fillers, capacity well
+    # below the vocabulary size — the MG guarantee (survives in >=1
+    # partition when freq > N/C) must still surface the true hitter.
+    docs = _docs(
+        spark,
+        [(i, " ".join(["hh"] * 5 + [f"f{i}_{j}" for j in range(20)]), "en", "s0", 0)
+         for i in range(20)],
+    )
+    # total N=500, hh=100 (freq .2); phi=0.1 -> capacity=20 < 400 fillers
+    rows = TO.heavy_hitter_tokens(docs, phi=0.1).collect()
+    assert ("hh", 100) in [(r.token, r.n_occurrences) for r in rows]
+    # and nothing below the threshold sneaks through the exact verify
+    assert all(r.n_occurrences >= 50 for r in rows)
+
+
+def test_cumulative_users_counts_each_user_once(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    import datetime as dt
+
+    d = dt.datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 9), 1, "view", 0.0, "{}"),
+            (2, d(2024, 1, 1, 10), 2, "view", 0.0, "{}"),
+            (3, d(2024, 1, 2, 9), 1, "view", 0.0, "{}"),   # returning, not new
+            (4, d(2024, 1, 3, 9), 3, "view", 0.0, "{}"),
+        ],
+    )
+    rows = sorted(E.cumulative_users(ev).collect(), key=lambda r: r.day)
+    assert [r.event_type for r in rows] == ["view", "view"]
+    assert [r.n_new_users for r in rows] == [2, 1]
+    assert [r.n_users_cumulative for r in rows] == [2, 3]
+    assert [r.day.day for r in rows] == [1, 3]  # day 2 has no new users
+
+
+def test_fuzzy_pairs_blocking_is_lossless_vs_bruteforce(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    part = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bolts"), (3, "red colt"), (4, "blue gear"),
+         (5, "red bol"), (6, "completely different")],
+        "p_partkey long, p_name string",
+    )
+    got = {(r.name_a, r.name_b, r.dist)
+           for r in R.fuzzy_name_pairs(part, max_dist=2).collect()}
+    names = [r.p_name for r in part.select("p_name").distinct().collect()]
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {(a, b, lev(a, b)) for a, b in itertools.combinations(sorted(names), 2)
+            if lev(a, b) <= 2}
+    assert got == want
+    assert ("red bolt", "red bolts", 1) in got
+
+
+def test_merge_upsert_classifies_all_three_actions(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    target = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 25.0), (3, "C", 30.0)], "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    rows = {r.c_custkey: r for r in R.merge_upsert(target, updates).collect()}
+    assert rows[1].action == "keep" and rows[1].c_mktsegment == "A"
+    assert rows[2].action == "update" and rows[2].c_mktsegment == "B2"
+    assert rows[3].action == "insert" and rows[3].c_acctbal == 30.0
+
+
+def test_snapshot_diff_classes(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    old = spark.createDataFrame(
+        [(1, 5, 1.0), (2, 3, 2.0), (4, 9, 9.0)], "user_id long, n_events long, sum_value double"
+    )
+    new = spark.createDataFrame(
+        [(1, 5, 1.0), (2, 4, 2.5), (3, 1, 0.5)], "user_id long, n_events long, sum_value double"
+    )
+    rows = {r.user_id: r.change for r in R.snapshot_diff(
+        old, new, key_cols=["user_id"], cmp_cols=["n_events", "sum_value"]
+    ).collect()}
+    assert rows == {1: "unchanged", 2: "changed", 3: "added", 4: "removed"}
+
+
+def test_doc_triangles_counts_each_triangle_once(spark):
+    # direct kernel check on a hand-built edge list via the same wedge
+    # closure doc_triangles uses (triangle 1-2-3 plus pendant 3-4)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("a2"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("b3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    assert [(r.a, r.b, r.c) for r in tri.collect()] == [(1, 2, 3)]
+
+
+def test_basket_pairs_support_counts_orders_not_lines(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        # order 1 has part 10 twice (two lines) — the distinct() must
+        # collapse it so (10, 20) gets support 1 from this order
+        [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 99)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = R.basket_pairs(li, min_support=3, k=10).collect()
+    assert [(r.part_a, r.part_b, r.support) for r in rows] == [(10, 20, 3)]
+
+
+def test_grouping_sets_covers_exactly_three_sets(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(1, "O", "HIGH", 10.0), (2, "F", "LOW", 20.0), (3, "O", "LOW", 30.0)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    rows = R.priority_grouping_sets(orders).collect()
+    # sets: per-status (gid=1: priority grouped away), per-priority
+    # (gid=2), grand total (gid=3) — never the (status, priority) cross
+    gids = {r.gid for r in rows}
+    assert gids == {1, 2, 3}
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n_orders == 3
+    assert abs(grand[0].total_price - 60.0) < 1e-9
+    by_status = {r.o_orderstatus: r.n_orders for r in rows if r.gid == 1}
+    assert by_status == {"O": 2, "F": 1}
+
+
+def test_pareto_frontier_matches_bruteforce_domination(spark):
+    from githubrepostorag_spark.operators import relational as R
+    import datetime as dt
+    import itertools
+
+    d = dt.datetime
+    pts = [(100.0, d(2020, 1, 5)), (100.0, d(2020, 1, 5)),   # dup order on a point
+           (90.0, d(2020, 1, 3)), (80.0, d(2020, 1, 1)),
+           (95.0, d(2020, 1, 4)), (120.0, d(2020, 1, 6)),
+           (90.0, d(2020, 1, 4))]                            # dominates (95, 1-4)? no: cheaper + same date → yes
+    orders = spark.createDataFrame(
+        [(i, 1, p, dtm, "O") for i, (p, dtm) in enumerate(pts)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp, o_orderstatus string",
+    )
+    got = {(r.o_totalprice, r.o_orderdate, r.n_orders)
+           for r in R.pareto_orders(orders.select(
+               "o_totalprice", "o_orderdate", "o_orderkey")).collect()}
+    uniq = {}
+    for p, t_ in pts:
+        uniq[(p, t_)] = uniq.get((p, t_), 0) + 1
+    def dominated(a):
+        return any(b[0] <= a[0] and b[1] >= a[1] and b != a for b in uniq)
+    want = {(p, t_, n) for (p, t_), n in uniq.items() if not dominated((p, t_))}
+    assert got == want
+    assert (90.0, d(2020, 1, 4), 1) in got      # frontier point
+    assert not any(r[0] == 95.0 for r in got)   # dominated by (90, 1-4)
+
+
+def test_gap_fill_carries_last_observation_forward(spark):
+    from githubrepostorag_spark.operators import eventops as E
+    import datetime as dt
+
+    d = dt.datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1), 1, "buy", 300.0, "{}"),   # day 1 observed
+            (2, d(2024, 1, 2), 1, "buy", 50.0, "{}"),    # below threshold → gap
+            (3, d(2024, 1, 3), 1, "buy", 400.0, "{}"),   # day 3 observed
+        ],
+    )
+    rows = sorted(E.gap_fill_daily(ev, min_value=200.0).collect(), key=lambda r: r.day)
+    assert [r.is_gap for r in rows] == [False, True, False]
+    assert [r.filled_value for r in rows] == [300.0, 300.0, 400.0]
