@@ -415,6 +415,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_pareto_orders": lambda sp, sf: R.pareto_orders(t(sp, sf, "orders")),
         # --- LOCF gap fill of a sparse daily series ---
         "q136_gap_fill": lambda sp, sf: E.gap_fill_daily(t(sp, sf, "events")),
+        # --- TPC-H completions on the available columns (Q6-Q19) ---
+        "q137_forecast_revenue": lambda sp, sf: R.forecast_revenue(
+            t(sp, sf, "lineitem")
+        ),
+        "q138_volume_shipping": lambda sp, sf: R.volume_shipping(
+            t(sp, sf, "lineitem"), t(sp, sf, "orders"), t(sp, sf, "supplier"),
+            t(sp, sf, "customer"), t(sp, sf, "nation"),
+        ),
+        "q139_market_share": lambda sp, sf: R.national_market_share(
+            t(sp, sf, "part"), t(sp, sf, "supplier"), t(sp, sf, "lineitem"),
+            t(sp, sf, "orders"), t(sp, sf, "customer"), t(sp, sf, "nation"),
+            t(sp, sf, "region"),
+        ),
+        "q140_product_profit": lambda sp, sf: R.product_type_profit(
+            t(sp, sf, "part"), t(sp, sf, "supplier"), t(sp, sf, "lineitem"),
+            t(sp, sf, "nation"),
+        ),
+        "q141_returned_items": lambda sp, sf: R.returned_item_reporting(
+            t(sp, sf, "customer"), t(sp, sf, "orders"), t(sp, sf, "lineitem"),
+            t(sp, sf, "nation"),
+        ),
+        "q142_order_count_dist": lambda sp, sf: R.order_count_distribution(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
+        "q143_promo_revenue": lambda sp, sf: R.promo_revenue(
+            t(sp, sf, "lineitem"), t(sp, sf, "part")
+        ),
+        "q144_large_volume_customers": lambda sp, sf: R.large_volume_customers(
+            t(sp, sf, "customer"), t(sp, sf, "orders"), t(sp, sf, "lineitem")
+        ),
+        "q145_disjunctive_revenue": lambda sp, sf: R.disjunctive_revenue(
+            t(sp, sf, "lineitem"), t(sp, sf, "part")
+        ),
+        # --- wide→long unpivot via stack() ---
+        "q146_unpivot_metrics": lambda sp, sf: R.unpivot_metrics(
+            t(sp, sf, "lineitem")
+        ),
+        # --- statistical keyword extraction (TF-IDF twin of L3) ---
+        "q147_tfidf_terms": lambda sp, sf: TO.tfidf_terms(t(sp, sf, "documents")),
+        # --- semantic (embedding) train/eval decontamination ---
+        "q148_embedding_decontaminate": lambda sp, sf: CU.embedding_decontaminate(
+            t(sp, sf, "embeddings")
+        ),
+        # --- calendar-RANGE moving average over a sparse daily series ---
+        "q149_interval_moving_avg": lambda sp, sf: E.interval_moving_avg(
+            t(sp, sf, "events")
+        ),
+        # --- round-robin curriculum interleave (no global window) ---
+        "q150_curriculum_interleave": lambda sp, sf: CU.curriculum_interleave(
+            t(sp, sf, "documents")
+        ),
+        # --- 7-day rolling distinct users via bounded explode ---
+        "q151_rolling_active_users": lambda sp, sf: E.rolling_active_users(
+            t(sp, sf, "events")
+        ),
+        # --- z-order clustering profile (Morton tiles over 2-D keys) ---
+        "q152_zorder_tiles": lambda sp, sf: R.zorder_tiles(t(sp, sf, "orders")),
+        # --- MinHash estimate-vs-exact error audit on LSH candidates ---
+        "q153_minhash_error": lambda sp, sf: DD.minhash_error_audit(
+            t(sp, sf, "documents")
+        ),
+        # --- value-weighted median per event type ---
+        "q154_weighted_percentile": lambda sp, sf: E.weighted_percentile(
+            t(sp, sf, "events")
+        ),
+        # --- first-touch attribution (earliest click in lookback) ---
+        "q155_first_touch": lambda sp, sf: E.first_touch_attribution(
+            t(sp, sf, "events")
+        ),
+        # --- A/B lift with Welch's t (deterministic arm assignment) ---
+        "q156_ab_test": lambda sp, sf: E.ab_test_report(t(sp, sf, "events")),
+        # --- corpus-bigram conditional surprisal (quality ladder) ---
+        "q157_bigram_surprisal": lambda sp, sf: TO.bigram_surprisal(
+            t(sp, sf, "documents")
+        ),
+        # --- chi-square segment × priority independence test ---
+        "q158_chi_square": lambda sp, sf: R.segment_priority_chisq(
+            t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
     }
 
 
@@ -922,6 +1001,16 @@ _STABLE_WORDS_CTE = r"""
                     row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
              FROM firsts)
 """
+
+
+def _zsum_sql(bits: int) -> str:
+    """Morton interleave as explicit bit arithmetic — the exact mirror
+    of sinks.zorder_key so both engines compute identical z-keys."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((bck >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bed >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def _band_select(b: int, n_bands: int = LSH_BANDS) -> str:
@@ -3006,5 +3095,339 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS filled_value,
                    day_value IS NULL AS is_gap
             FROM j
+        """,
+        "q137_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """,
+        "q138_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q139_market_share": """
+            WITH v AS (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS vol,
+                     n1.n_name AS supp_nation
+              FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA')
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                                  ELSE 0 END) / sum(vol), 6) AS mkt_share,
+                   count(*) AS n_lines
+            FROM v GROUP BY 1
+        """,
+        # Q9 shape; supply cost proxied (no partsupp in the corpus) with
+        # the SAME factor as relational.PROFIT_COST_FACTOR.
+        "q140_product_profit": f"""
+            SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - {R.PROFIT_COST_FACTOR} * p_retailprice * l_quantity),
+                         2) AS sum_profit
+            FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+            WHERE contains(p_name, 'red')
+            GROUP BY 1, 2
+        """,
+        "q141_returned_items": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= '2000-01-01' AND o_orderdate < '2000-04-01'
+              GROUP BY 1)
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   n_name AS nation, revenue
+            FROM pc JOIN customer ON c_custkey = o_custkey
+                    JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q142_order_count_dist": """
+            WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                        GROUP BY 1)
+            SELECT c_count, count(*) AS custdist
+            FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "q143_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_revenue_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
+        """,
+        "q144_large_volume_customers": f"""
+            WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                         FROM lineitem GROUP BY 1
+                         HAVING sum(l_quantity) > {R.LARGE_ORDER_QTY})
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, total_qty
+            FROM big JOIN orders ON o_orderkey = l_orderkey
+                     JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q145_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q146_unpivot_metrics": """
+            WITH wide AS (SELECT l_returnflag,
+                                 round(sum(l_quantity), 2) AS sum_qty,
+                                 round(sum(l_extendedprice), 2) AS sum_price,
+                                 CAST(count(*) AS DOUBLE) AS n_rows
+                          FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'n_rows', n_rows FROM wide
+        """,
+        "q147_tfidf_terms": f"""
+            WITH posting AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM posting GROUP BY 1, 2),
+            idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, token, tf, df,
+                     round(tf * ln((SELECT CAST(n AS DOUBLE) FROM nd) / df), 6)
+                       AS score
+              FROM tf JOIN idf USING (token))
+            SELECT doc_id, token, tf, df, score,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+                  FROM scored)
+            WHERE rn <= {TO.TFIDF_TOP_N}
+        """,
+        "q148_embedding_decontaminate": f"""
+            WITH ev AS (SELECT embedding FROM embeddings
+                        WHERE vec_id % {CU.DECON_EVAL_MOD} = 0),
+            tr AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % {CU.DECON_EVAL_MOD} <> 0)
+            SELECT tr.vec_id,
+                   round(max(list_cosine_similarity(
+                       CAST(tr.embedding AS DOUBLE[]),
+                       CAST(ev.embedding AS DOUBLE[]))), 6) AS max_eval_cosine,
+                   round(max(list_cosine_similarity(
+                       CAST(tr.embedding AS DOUBLE[]),
+                       CAST(ev.embedding AS DOUBLE[]))), 6)
+                     >= {CU.DECON_COSINE_THRESHOLD} AS contaminated
+            FROM tr CROSS JOIN ev GROUP BY 1
+        """,
+        "q149_interval_moving_avg": f"""
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     round(sum(value), 2) AS day_value,
+                     CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT)
+                       AS epoch_day
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, day_value,
+                   round(avg(day_value) OVER w, 4) AS moving_avg,
+                   CAST(count(*) OVER w AS BIGINT) AS n_days_in_frame
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+                         RANGE BETWEEN {E.RANGE_AVG_DAYS} PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "q151_rolling_active_users": f"""
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                        FROM events),
+            span AS (SELECT date_trunc('day', max(ts)) AS d1 FROM events),
+            contrib AS (SELECT user_id,
+                               unnest(generate_series(day,
+                                 day + INTERVAL {E.ROLLING_ACTIVE_DAYS - 1} DAY,
+                                 INTERVAL 1 DAY)) AS report_day
+                        FROM ud)
+            SELECT report_day AS day, count(DISTINCT user_id) AS active_users
+            FROM contrib WHERE report_day <= (SELECT d1 FROM span)
+            GROUP BY 1
+        """,
+        "q152_zorder_tiles": f"""
+            WITH dims AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+                                 CAST(epoch(date_trunc('day', o_orderdate)) / 86400
+                                      AS BIGINT) AS ed
+                          FROM orders),
+            span AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
+                            min(ed) AS ed0, max(ed) AS ed1 FROM dims),
+            keyed AS (SELECT
+                least({(1 << R.ZQ_BITS) - 1}, CAST(floor((ck - ck0) * {1 << R.ZQ_BITS}
+                      / (ck1 - ck0 + 1)) AS BIGINT)) AS bck,
+                least({(1 << R.ZQ_BITS) - 1}, CAST(floor((ed - ed0) * {1 << R.ZQ_BITS}
+                      / (ed1 - ed0 + 1)) AS BIGINT)) AS bed
+              FROM dims CROSS JOIN span),
+            z AS (SELECT bck, bed,
+                    {_zsum_sql(R.ZQ_BITS)} AS zkey
+                  FROM keyed)
+            SELECT CAST(zkey >> {R.ZQ_BITS} AS BIGINT) AS tile,
+                   count(*) AS n_orders,
+                   min(bck) AS ck_lo, max(bck) AS ck_hi,
+                   min(bed) AS ed_lo, max(bed) AS ed_hi
+            FROM z GROUP BY 1
+        """,
+        "q153_minhash_error": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            exact AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b),
+            est AS (
+              SELECT e.doc_a, e.doc_b, e.jaccard,
+                     CAST({" + ".join(
+                        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+                        for i in range(MINHASH_FUNCS))} AS BIGINT) AS n_sig_match
+              FROM exact e
+              JOIN sigs a ON a.doc_id = e.doc_a
+              JOIN sigs b ON b.doc_id = e.doc_b)
+            SELECT doc_a, doc_b, jaccard, n_sig_match,
+                   round(n_sig_match / {float(MINHASH_FUNCS)}, 6) AS est_jaccard,
+                   round(abs(round(n_sig_match / {float(MINHASH_FUNCS)}, 6)
+                             - jaccard), 6) AS abs_err
+            FROM est
+        """,
+        "q154_weighted_percentile": f"""
+            WITH r AS (SELECT event_id, event_type, value,
+                              sum(value) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_w,
+                              sum(value) OVER (PARTITION BY event_type) AS tot_w
+                       FROM events)
+            SELECT event_type, round(min(value), 4) AS weighted_median
+            FROM r WHERE cum_w >= {E.WPCT_Q} * tot_w GROUP BY 1
+        """,
+        "q155_first_touch": f"""
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+                  FROM events WHERE event_type = 'click'),
+            pr AS (SELECT p.purchase_id, c.click_id, c.c_ts,
+                          row_number() OVER (PARTITION BY p.purchase_id
+                                             ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM p JOIN c USING (user_id)
+                   WHERE c.c_ts <= p.p_ts
+                     AND c.c_ts >= p.p_ts - INTERVAL {E.ATTR_LOOKBACK_S} SECOND)
+            SELECT p.purchase_id, p.user_id, p.p_ts,
+                   f.click_id AS first_click_id,
+                   CAST(floor(epoch(p.p_ts)) - floor(epoch(f.c_ts)) AS BIGINT)
+                     AS gap_seconds
+            FROM p LEFT JOIN (SELECT * FROM pr WHERE rn = 1) f
+              USING (purchase_id)
+        """,
+        "q156_ab_test": """
+            WITH arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                                   AS arm, value
+                          FROM events WHERE event_type = 'purchase'),
+            agg AS (SELECT arm, count(*) AS n, avg(value) AS m,
+                           var_samp(value) AS v
+                    FROM arms GROUP BY 1)
+            SELECT a.n AS n_a, round(a.m, 4) AS mean_a,
+                   b.n AS n_b, round(b.m, 4) AS mean_b,
+                   round(b.m - a.m, 4) AS lift,
+                   CASE WHEN a.v / a.n + b.v / b.n > 0
+                        THEN round((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n), 4)
+                        END AS welch_t
+            FROM (SELECT * FROM agg WHERE arm = 'A') a
+            CROSS JOIN (SELECT * FROM agg WHERE arm = 'B') b
+        """,
+        "q157_bigram_surprisal": f"""
+            WITH toks AS (SELECT doc_id, {_LOW_TOKS} AS t FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+                   FROM toks),
+            pc AS (SELECT bigram, count(*) AS c_pair FROM bg GROUP BY 1),
+            cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_pair) AS c_ctx
+                   FROM pc GROUP BY 1),
+            probs AS (SELECT bigram, c_pair / CAST(c_ctx AS DOUBLE) AS p
+                      FROM pc JOIN cc ON split_part(pc.bigram, ' ', 1) = cc.w1)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-log2(p)), 6) AS avg_bigram_surprisal_bits
+            FROM bg JOIN probs USING (bigram) GROUP BY 1
+        """,
+        "q158_chi_square": """
+            WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n
+                         FROM orders JOIN customer ON c_custkey = o_custkey
+                         GROUP BY 1, 2),
+            rt AS (SELECT c_mktsegment, sum(n) AS row_n FROM obs GROUP BY 1),
+            ct AS (SELECT o_orderpriority, sum(n) AS col_n FROM obs GROUP BY 1),
+            g AS (SELECT sum(n) AS grand_n FROM obs),
+            cells AS (SELECT n, grand_n,
+                             row_n * col_n / CAST(grand_n AS DOUBLE) AS expected
+                      FROM obs JOIN rt USING (c_mktsegment)
+                               JOIN ct USING (o_orderpriority)
+                      CROSS JOIN g)
+            SELECT round(sum((n - expected) * (n - expected) / expected), 4)
+                     AS chi_square,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(max(grand_n) AS BIGINT) AS n_orders
+            FROM cells
+        """,
+        "q150_curriculum_interleave": """
+            WITH src AS (SELECT source,
+                                CAST(row_number() OVER (ORDER BY source) - 1
+                                     AS BIGINT) AS source_idx
+                         FROM (SELECT DISTINCT source FROM documents)),
+            n AS (SELECT count(*) AS n_sources FROM src),
+            ranked AS (SELECT doc_id, source, n_chars,
+                              CAST(row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS BIGINT)
+                                AS source_rank
+                       FROM documents)
+            SELECT doc_id, r.source, n_chars, source_rank,
+                   (source_rank - 1) * (SELECT n_sources FROM n) + source_idx
+                     AS position
+            FROM ranked r JOIN src USING (source)
         """,
     }

@@ -464,3 +464,84 @@ def bloom_decontaminate(
             F.round(F.col("overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
         )
     )
+
+
+DECON_COSINE_THRESHOLD = 0.3
+DECON_EVAL_MOD = 29  # deterministic eval slice: vec_id % MOD == 0
+
+
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    threshold: float = DECON_COSINE_THRESHOLD,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Semantic train/eval decontamination: for every training vector,
+    its maximum cosine similarity against the (bounded) eval set, and
+    a contamination flag at ``threshold``. Completes the
+    decontamination family — q70 (exact n-gram) and q120 (Bloom
+    pre-filter) catch verbatim leakage; this catches paraphrased /
+    near-duplicate leakage the lexical checks miss.
+
+    Plan: the eval side is bounded by construction (an eval benchmark,
+    not a corpus), so it BROADCASTS and the train×eval product is a
+    broadcast nested-loop the size of |train| × |eval| — evaluated
+    JVM-side with zip_with/aggregate (no Python). The groupBy max
+    collapses back to |train| before anything shuffles. At 100 TB the
+    eval set stays ~10⁴ rows, so per-task work is a constant-width
+    matmul strip; for eval sets beyond broadcast range, block the
+    train side through near_dup_pairs' blocked-matmul kernel instead.
+    """
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ev = (
+        embeddings.filter((F.col("vec_id") % eval_mod) == 0)
+        .select(F.col("vec_id").alias("eval_id"), as_dbl.alias("eval_emb"))
+    )
+    train = embeddings.filter((F.col("vec_id") % eval_mod) != 0).select(
+        "vec_id", as_dbl.alias("emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "eval_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        train.join(F.broadcast(ev))
+        .withColumn("cos", dot / (norm("emb") * norm("eval_emb")))
+        .groupBy("vec_id")
+        .agg(F.round(F.max("cos"), 6).alias("max_eval_cosine"))
+        .withColumn("contaminated", F.col("max_eval_cosine") >= threshold)
+    )
+
+
+def curriculum_interleave(documents: DataFrame) -> DataFrame:
+    """Deterministic curriculum ordering with round-robin source
+    interleaving: rank documents within each source by a difficulty
+    proxy (length, ascending — short before long), then assign a
+    GLOBAL position that cycles through sources so no training window
+    sees one source back-to-back. position = (rank-1) * n_sources +
+    source_index — computed from per-source windows plus a broadcast
+    source index, with NO single-partition global window, so the
+    ordering scales to any corpus size.
+    """
+    src_idx = (
+        documents.select("source").distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number().over(Window.orderBy("source")).cast("long") - 1,
+        )
+    )
+    n_sources = src_idx.count()
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(src_idx), "source")
+        .withColumn(
+            "position",
+            (F.col("source_rank") - 1) * F.lit(n_sources) + F.col("source_idx"),
+        )
+        .select("doc_id", "source", "n_chars", "source_rank", "position")
+    )

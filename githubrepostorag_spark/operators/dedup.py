@@ -412,3 +412,45 @@ def dedup_survivors(
         .drop("component")
     )
     return documents.join(keep, id_col)
+
+
+def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
+    """MinHash estimate-vs-exact audit on the LSH candidate pairs:
+    per pair, the signature-agreement estimate (matching slots /
+    MINHASH_FUNCS — the unbiased Jaccard estimator, MMDS §3.3.3)
+    against the exact shingle Jaccard, with the absolute error.
+    Completes the sketch-audit family (IVF/PQ/JL/int8 recall audits,
+    q115-q118) for the dedup side: the measured number that justifies
+    — or refutes — a chosen band geometry before a 100 TB run trusts
+    it.
+
+    Plan: the exact side is `jaccard_on_candidates` (threshold 0 — the
+    audit wants the misses too); the estimate joins the (bounded)
+    candidate pairs back to the signature table twice. Signatures are
+    8 narrow strings per doc, so both joins broadcast at any realistic
+    candidate count.
+    """
+    exact = jaccard_on_candidates(documents, threshold=0.0, n_bands=n_bands)
+    sigs = minhash_signatures(documents)
+    sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols]
+    )
+    n_match = None
+    for c in sig_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    return (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_sig_match", n_match.cast("long"))
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_sig_match") / F.lit(float(MINHASH_FUNCS)), 6),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6))
+        .select("doc_a", "doc_b", "jaccard", "n_sig_match", "est_jaccard", "abs_err")
+    )

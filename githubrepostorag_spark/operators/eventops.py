@@ -877,3 +877,221 @@ def gap_fill_daily(
         .withColumn("is_gap", F.col("day_value").isNull())
         .select("event_type", "day", "filled_value", "is_gap")
     )
+
+
+RANGE_AVG_DAYS = 3  # frame: this day and the 3 calendar days before it
+
+
+def interval_moving_avg(events: DataFrame, days: int = RANGE_AVG_DAYS) -> DataFrame:
+    """Calendar-aware moving average of daily volume per event type: a
+    RANGE frame over the last (days+1) CALENDAR days, not the last N
+    rows — on a sparse daily series the two disagree exactly where it
+    matters (gaps). Ordering is on epoch-day so the frame is a plain
+    numeric RANGE (portable to the oracle verbatim).
+
+    Plan: one groupBy collapses events to ≤ types × days rows, then
+    one window shuffle on event_type whose per-partition state is
+    bounded by the frame width. At 100 TB the daily pre-aggregate is
+    what scales; the window input never exceeds the calendar.
+    """
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+        .withColumn("epoch_day", (F.unix_timestamp("day") / F.lit(86400)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-days, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 4).alias("moving_avg"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_frame"),
+    )
+
+
+ROLLING_ACTIVE_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame, days: int = ROLLING_ACTIVE_DAYS) -> DataFrame:
+    """N-day rolling distinct active users per calendar day (the
+    WAU-style engagement metric). A sliding countDistinct can't use a
+    window frame (DISTINCT isn't algebraic over frames), so the
+    engine uses the bounded-explode plan: each (user, active-day) pair
+    — already collapsed by a first aggregate — is replicated to the N
+    report days it contributes to, then a plain countDistinct per
+    report day. Report days are clipped to the observed calendar.
+
+    Scale: the explode multiplier is exactly N on the DEDUPLICATED
+    (user, day) set, not on raw events; the alternative (per-day
+    rescan of an N-day slice) reads the fact N times. One shuffle to
+    dedup, one to count.
+    """
+    user_days = (
+        events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+    )
+    span = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    contributed = (
+        user_days.withColumn(
+            "report_day",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr(f"INTERVAL {days - 1} DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+        .join(F.broadcast(span), on=F.expr("report_day <= d1"))
+        .select("report_day", "user_id")
+    )
+    return (
+        contributed.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .withColumnRenamed("report_day", "day")
+    )
+
+
+WPCT_Q = 0.5
+
+
+def weighted_percentile(events: DataFrame, q: float = WPCT_Q) -> DataFrame:
+    """Weighted percentile of event value per type, weighting each
+    observation by its own magnitude (the revenue-weighted median:
+    "the value below which half the VOLUME sits", not half the rows).
+    Plan: one shuffle to sort within each type (window cumsum over
+    value-ordered rows), then the per-type pick is the first row whose
+    cumulative weight reaches q × total — an aggregate over the same
+    partitioning, no second shuffle.
+    """
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    ranked = (
+        events.select("event_id", "event_type", "value")
+        .withColumn("cum_w", F.sum("value").over(w_cum))
+        .withColumn("tot_w", F.sum("value").over(w_tot))
+    )
+    return (
+        ranked.filter(F.col("cum_w") >= F.lit(q) * F.col("tot_w"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("weighted_median"),
+        )
+    )
+
+
+ATTR_LOOKBACK_S = 7200  # first-touch window: 2 hours before the purchase
+
+
+def first_touch_attribution(
+    events: DataFrame, lookback_s: int = ATTR_LOOKBACK_S
+) -> DataFrame:
+    """First-touch attribution: each purchase credited to the SAME
+    user's EARLIEST click within the lookback window before it (q62's
+    as-of join is last-touch; marketing attribution needs both ends of
+    the window). Output: per purchase, the crediting click and the
+    gap in seconds; unattributed purchases survive with nulls.
+
+    Plan: user-keyed join restricted by the time predicate — the join
+    shuffles on user_id (bounded per-user history), then a min-by
+    aggregate picks the earliest qualifying click. No window over the
+    raw stream, no range explode: per-user equi-join + filter is the
+    right shape when a join key exists (contrast range_join_bucketed,
+    the keyless case).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    pairs = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+    )
+    first = pairs.groupBy("purchase_id").agg(
+        F.min_by("click_id", F.struct(F.col("c_ts"), F.col("click_id"))).alias(
+            "first_click_id"
+        ),
+        F.min("c_ts").alias("first_click_ts"),
+    )
+    return (
+        purchases.join(first, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "p_ts",
+            "first_click_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("first_click_ts"))
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """A/B lift report with Welch's t-statistic: users deterministically
+    split by user_id parity (the hash-bucket assignment a real
+    experiment framework uses), compare mean purchase value per arm.
+    One aggregation computes n/mean/variance per arm (algebraic —
+    map-side partials apply); the scalar t-statistic is a 1×1-row
+    post-processing join, so the fact table is scanned once.
+    """
+    arms = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            "value",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean_value"),
+            F.var_samp("value").alias("var_value"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean_value").alias("m_a"), F.col("var_value").alias("v_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean_value").alias("m_b"), F.col("var_value").alias("v_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.round("m_a", 4).alias("mean_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round("m_b", 4).alias("mean_b"),
+            F.round(F.col("m_b") - F.col("m_a"), 4).alias("lift"),
+            # degenerate arms (zero variance on both sides) → NULL, not
+            # a divide-by-zero; mirrored in the oracle's CASE guard
+            F.when(
+                (F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")) > 0,
+                F.round(
+                    (F.col("m_b") - F.col("m_a"))
+                    / F.sqrt(
+                        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+                    ),
+                    4,
+                ),
+            ).alias("welch_t"),
+        )
+    )

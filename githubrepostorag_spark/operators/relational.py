@@ -808,3 +808,451 @@ def pareto_orders(orders: DataFrame) -> DataFrame:
         )
         .select("o_totalprice", "o_orderdate", "n_orders")
     )
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: revenue increase from hypothetically eliminating a
+    band of discounts — a pure scan-side filter + single scalar
+    aggregate. The whole query folds into the parquet scan: all three
+    predicates push down to row-group pruning, only four columns are
+    read, and the aggregate is a one-row partial/final pair. At 100 TB
+    this is I/O-bound by design — exactly what you want.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by direction and
+    year. Supplier/customer/nation broadcast; the only shuffle is
+    orders⋈lineitem on the order key. The nation filter is applied on
+    the broadcast side BEFORE the fact join, so non-qualifying
+    lineitems die at the (cheap) hash probe, not after.
+    """
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def national_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_1",
+    target_region: str = "ASIA",
+    target_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8: the target nation's share of PROMO-part revenue sold
+    into one region, per order year. The share is a conditional-sum /
+    sum ratio inside ONE aggregation — no second pass over the data,
+    no self-join, which is the decorrelated form of the
+    "(SELECT ... ) / (SELECT ...)" textbook phrasing.
+
+    Plan: part (filtered to one type) broadcasts into lineitem first —
+    the most selective reducer; then one orders⋈lineitem shuffle;
+    customer/nation/region all broadcast.
+    """
+    p = part.filter(F.col("p_type") == target_type).select("p_partkey")
+    supp_nat = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == target_region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == supp_nat.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == cust_region.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+PROFIT_COST_FACTOR = 0.6  # cost proxy: no partsupp table in this corpus
+
+
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and ship year for
+    parts whose name contains a fragment. The corpus has no partsupp
+    table, so supply cost is proxied as PROFIT_COST_FACTOR *
+    p_retailprice (documented adaptation — the join/agg shape is
+    Q9's; reference corpus lacks the column, not the operator).
+
+    Plan: the name filter prunes part BEFORE broadcasting; profit is
+    computed per line then aggregated once on (nation, year).
+    """
+    p = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        PROFIT_COST_FACTOR
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.select(
+            "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == supp_nat.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def returned_item_reporting(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "2000-01-01",
+    date_to: str = "2000-04-01",
+) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Orders are date-pruned before the fact shuffle; customer
+    and nation broadcast into the (already aggregated-size) result.
+    The final top-20 is TakeOrdered — no global sort materializes.
+    """
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(ord_f, F.col("l_orderkey") == ord_f.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+                F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of customers by how many orders they
+    placed (including zero). LEFT join keeps orderless customers; two
+    cascaded aggregations, each with map-side partials. The second
+    groupBy's key domain is tiny (max orders per customer), so the
+    final shuffle is a few dozen rows regardless of corpus size.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1998-06-01",
+    date_to: str = "1998-07-01",
+) -> DataFrame:
+    """TPC-H Q14: percentage of one month's revenue from PROMO parts —
+    conditional-sum / sum ratio in a single aggregate after a
+    broadcast part join; the date filter pushes to the scan.
+    """
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+LARGE_ORDER_QTY = 200
+
+
+def large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    qty_threshold: int = LARGE_ORDER_QTY,
+) -> DataFrame:
+    """TPC-H Q18: customers with orders totaling more than
+    qty_threshold units — the GROUP BY ... HAVING-driven semi-join.
+    The qualifying-order set is computed with ONE aggregation on
+    l_orderkey (map-side partials shrink it before the shuffle), then
+    joined back to orders/customer; the qualifying set is orders of
+    magnitude smaller than lineitem, so the join-back broadcasts
+    under AQE.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big, F.col("o_orderkey") == big.l_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching a disjunction of
+    (brand, size-range, quantity-range) bundles. The corpus lacks
+    p_container/l_shipmode, so the bundles predicate on brand, size
+    and quantity only — the OR-of-ANDs join-predicate shape is what
+    matters: Catalyst keeps the common equi-key (partkey) as the hash
+    join key and evaluates the disjunction as a post-join residual, so
+    the join stays a broadcast hash join rather than degenerating to a
+    nested loop.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(bundle).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide→long unpivot of a per-flag metric row via stack(): the
+    schema-evolution primitive that turns N metric columns into
+    (metric, value) rows without N scans. The aggregate happens FIRST
+    (tiny wide table), so the stack expansion is over a handful of
+    rows — never over the fact table.
+    """
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+            "'n_rows', n_rows) AS (metric, value)"
+        ),
+    )
+
+
+ZQ_BITS = 8  # per-dimension bits for the z-order demo query
+
+
+def zorder_tiles(orders: DataFrame, bits: int = ZQ_BITS) -> DataFrame:
+    """Z-order (Morton) clustering profile over a 2-D key space
+    (customer × order day): min-max scale both dimensions into 2^bits
+    buckets, interleave the bits into a z-key, and report per-tile
+    occupancy with the tile's bounding box in BOTH dimensions. The
+    analysis behind `sinks.write_zordered`: tight per-tile boxes are
+    exactly what make parquet min/max stats prune 2-D predicates after
+    an OPTIMIZE ZORDER-style rewrite (see tests/test_plans.py for the
+    file-level pruning pin).
+
+    Plan: one broadcast of the 1-row min/max frame, pure column
+    arithmetic for the interleave (JVM, codegen — no UDF), one final
+    groupBy on the tile id (≤ 2^(2*bits-tile_shift) groups).
+    """
+    from githubrepostorag_spark.sinks import zorder_key
+
+    dims = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("ck"),
+        (F.unix_timestamp(F.date_trunc("day", F.col("o_orderdate"))) / F.lit(86400))
+        .cast("long")
+        .alias("ed"),
+    )
+    span = dims.agg(
+        F.min("ck").alias("ck0"), F.max("ck").alias("ck1"),
+        F.min("ed").alias("ed0"), F.max("ed").alias("ed1"),
+    )
+    n_buckets = 1 << bits
+    scale = lambda c, lo, hi: F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(c) - F.col(lo)) * F.lit(n_buckets) / (F.col(hi) - F.col(lo) + 1)
+        ),
+    ).cast("long")
+    keyed = (
+        dims.join(F.broadcast(span))
+        .withColumn("bck", scale("ck", "ck0", "ck1"))
+        .withColumn("bed", scale("ed", "ed0", "ed1"))
+        .withColumn("z", zorder_key(F.col("bck"), F.col("bed"), bits))
+        .withColumn("tile", F.shiftright(F.col("z"), bits).cast("long"))
+    )
+    return keyed.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("bck").alias("ck_lo"), F.max("bck").alias("ck_hi"),
+        F.min("bed").alias("ed_lo"), F.max("bed").alias("ed_hi"),
+    )
+
+
+def segment_priority_chisq(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Chi-square independence statistic between customer market
+    segment and order priority — the categorical-association test an
+    analyst runs before trusting a segmentation. One contingency
+    aggregation (segment × priority — tiny domain), expected counts
+    from its broadcast marginals, one scalar statistic. The fact
+    tables are each scanned once; everything after the first groupBy
+    is dimension-sized.
+    """
+    obs = (
+        orders.select("o_custkey", "o_orderpriority")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = obs.groupBy("c_mktsegment").agg(F.sum("n").alias("row_n"))
+    col_tot = obs.groupBy("o_orderpriority").agg(F.sum("n").alias("col_n"))
+    grand = obs.agg(F.sum("n").alias("grand_n"))
+    cells = (
+        obs.join(F.broadcast(row_tot), "c_mktsegment")
+        .join(F.broadcast(col_tot), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "expected", F.col("row_n") * F.col("col_n") / F.col("grand_n")
+        )
+        .withColumn(
+            "contrib",
+            (F.col("n") - F.col("expected")) * (F.col("n") - F.col("expected"))
+            / F.col("expected"),
+        )
+    )
+    return cells.agg(
+        F.round(F.sum("contrib"), 4).alias("chi_square"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("grand_n").cast("long").alias("n_orders"),
+    )

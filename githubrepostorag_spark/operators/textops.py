@@ -947,3 +947,95 @@ def heavy_hitter_tokens(documents: DataFrame, phi: float = HH_PHI) -> DataFrame:
             F.round(F.col("n_occurrences") / F.lit(float(total)), 6).alias("frequency"),
         )
     )
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_terms(documents: DataFrame, top_n: int = TFIDF_TOP_N) -> DataFrame:
+    """Top-N TF-IDF terms per document — the classic keyword-extraction
+    operator (the statistical twin of the reference's LLM
+    KeywordExtractor, SURVEY L3). score = tf * ln(N / df).
+
+    Plan: ONE token explode feeds both the per-(doc, token) tf
+    aggregate and, re-aggregated on token alone, the document
+    frequencies. df lives on the token key and is orders of magnitude
+    smaller than the postings, so the df join shuffles on token with
+    map-side-combined inputs; the final per-doc top-N is a bounded
+    ranking window on doc_id (state = N rows/doc). Ranking happens on
+    the ROUNDED score so the two engines' last-ulp differences cannot
+    flip the order.
+    """
+    postings = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = postings.persist()
+    total_docs = documents.select("doc_id").distinct().count()
+    df = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(df, "token")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(total_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            "doc_id", "token", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"), "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def bigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Corpus-bigram conditional cross-entropy per document: fit
+    p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}·) on the corpus,
+    score each document by mean -log2 p over its bigrams. The
+    context-aware upgrade of q92's unigram surprisal — shuffled or
+    template text scores high here while passing the unigram check,
+    which is exactly the gap a quality-filter ladder needs covered.
+    Documents with <2 tokens drop (no bigrams to score).
+
+    Scale shape: one bigram explode (zip_with of the token array with
+    its own tail — no self-join) feeds BOTH the corpus counts and the
+    per-doc scores; the bigram table is vocabulary²-bounded in theory
+    but Heaps-sublinear in practice, and joins back on the bigram key
+    with map-side-combined counts.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    )
+    pair_counts = bg.groupBy("bigram").agg(F.count("*").alias("c_pair"))
+    ctx_counts = (
+        pair_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"))
+    )
+    probs = (
+        pair_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(ctx_counts, "w1")
+        .select("bigram", (F.col("c_pair") / F.col("c_ctx")).alias("p"))
+    )
+    return (
+        bg.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 6).alias("avg_bigram_surprisal_bits"),
+        )
+    )

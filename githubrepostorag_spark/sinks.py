@@ -40,3 +40,44 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+Z_BITS = 16  # bits interleaved per dimension (covers key domains here)
+Z_FILES = 16  # range-partition target: files per z-ordered write
+
+
+def zorder_key(col_a, col_b, bits: int = Z_BITS):
+    """Morton (Z-order) interleave of two non-negative integer columns
+    into one sortable key: bit i of `a` lands at position 2i, bit i of
+    `b` at 2i+1. Range-partitioning by this key clusters rows that are
+    close in BOTH dimensions into the same files, so min/max file
+    statistics prune 2-D predicates (the Delta/Iceberg OPTIMIZE ZORDER
+    layout, expressed as plain column arithmetic — JVM-side, no UDF).
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(col_a, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(F.shiftleft(F.shiftright(col_b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    key = parts[0]
+    for p in parts[1:]:
+        key = key + p
+    return key.cast("long")
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = Z_FILES
+) -> None:
+    """Z-order-clustered parquet: sort-by-key range repartition, so
+    each output file covers a compact 2-D tile and parquet footer
+    min/max on BOTH columns stays tight. Point/box queries then skip
+    most files on either predicate (see tests/test_plans.py pin)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "_z", zorder_key(F.col(col_a).cast("long"), F.col(col_b).cast("long"))
+    )
+    keyed.repartitionByRange(n_files, "_z").sortWithinPartitions("_z").drop(
+        "_z"
+    ).write.mode("overwrite").parquet(path)

@@ -1441,3 +1441,270 @@ def test_gap_fill_carries_last_observation_forward(spark):
     rows = sorted(E.gap_fill_daily(ev, min_value=200.0).collect(), key=lambda r: r.day)
     assert [r.is_gap for r in rows] == [False, True, False]
     assert [r.filled_value for r in rows] == [300.0, 300.0, 400.0]
+
+
+def test_tpch_q13_counts_orderless_customers(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(1, 6)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    # customers 1,2 have 2 orders each; 3 has 1; 4,5 have none
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 2), (14, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    got = {r.c_count: r.custdist for r in R.order_count_distribution(cust, orders).collect()}
+    assert got == {2: 2, 1: 1, 0: 2}
+
+
+def test_interval_moving_avg_uses_calendar_not_rows(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    # days 1, 2, then a gap to day 10: the day-10 frame must contain
+    # ONLY day 10 (calendar RANGE), not the previous rows.
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "t", 10.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "t", 20.0, "{}"),
+        (3, "2024-01-10 10:00:00", 1, "t", 40.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.day.day: (r.moving_avg, r.n_days_in_frame)
+           for r in E.interval_moving_avg(df).collect()}
+    assert got[1] == (10.0, 1)
+    assert got[2] == (15.0, 2)   # days 1+2 in frame
+    assert got[10] == (40.0, 1)  # gap: rows-frame would have averaged 3 rows
+
+
+def test_tfidf_corpus_wide_token_scores_zero(spark):
+    # a token present in EVERY document has idf=ln(1)=0 and must lose
+    # to any document-specific token
+    df = _docs(
+        spark,
+        [
+            (1, "common alpha", "en", "s0", 12),
+            (2, "common beta", "en", "s0", 11),
+            (3, "common gamma", "en", "s0", 12),
+        ],
+    )
+    got = TO.tfidf_terms(df, top_n=1).collect()
+    by_doc = {r.doc_id: r.token for r in got}
+    assert by_doc == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_curriculum_interleave_positions_are_unique_and_round_robin(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    rows = [(i, "x", "en", f"s{i % 3}", 100 + i) for i in range(12)]
+    got = CU.curriculum_interleave(_docs(spark, rows)).collect()
+    positions = sorted(r.position for r in got)
+    assert positions == list(range(12))  # dense, collision-free
+    # consecutive positions cycle through sources
+    by_pos = {r.position: r.source for r in got}
+    assert [by_pos[p] for p in range(3)] == ["s0", "s1", "s2"]
+
+
+def test_embedding_decontaminate_flags_planted_duplicate(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    # vec 29 is an eval row (29 % 29 == 0); vec 1 duplicates it exactly,
+    # vec 2 is orthogonal
+    emb = spark.createDataFrame(
+        [
+            (29, [1.0, 0.0, 0.0, 0.0], "a"),
+            (1, [1.0, 0.0, 0.0, 0.0], "a"),
+            (2, [0.0, 1.0, 0.0, 0.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {r.vec_id: (r.max_eval_cosine, r.contaminated)
+           for r in CU.embedding_decontaminate(emb).collect()}
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.0, False)
+    assert 29 not in got  # eval rows are not scored against themselves
+
+
+def test_rolling_active_users_counts_users_once_per_window(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    # user 1 active on days 1 and 2; user 2 active on day 9 only.
+    rows = [
+        (1, "2024-01-01 08:00:00", 1, "t", 1.0, "{}"),
+        (2, "2024-01-01 09:00:00", 1, "t", 1.0, "{}"),  # same user+day dup
+        (3, "2024-01-02 08:00:00", 1, "t", 1.0, "{}"),
+        (4, "2024-01-09 08:00:00", 2, "t", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.day.day: r.active_users for r in E.rolling_active_users(df).collect()}
+    assert got[1] == 1          # user 1 counted once despite 2 events
+    assert got[7] == 1          # day-1 activity still visible on day 7
+    assert got[8] == 1          # day 8: only day-2 activity remains
+    assert got[9] == 1          # day-2 activity expired (2+6=8); user 2 only
+    assert max(got) == 9        # report days clipped to the observed span
+    # report days never precede the first active day
+    assert min(got) == 1
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from githubrepostorag_spark import sinks
+
+    df = spark.createDataFrame([(5, 3)], "a long, b long").select(
+        sinks.zorder_key(F.col("a"), F.col("b"), bits=4).alias("z")
+    )
+    # a=0b0101 -> bits at even positions 0,4 ; b=0b0011 -> odd positions 1,3
+    assert df.collect()[0].z == (1 << 0) + (1 << 4) + (1 << 1) + (1 << 3)
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """After a z-ordered write, each parquet file must cover a compact
+    box: the sum over files of per-file range in EACH dimension is far
+    below n_files * full_range (which is what a single-dim sort gives
+    for the other dim)."""
+    import glob
+
+    from githubrepostorag_spark import sinks
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 2654435761) % 64).alias("y"),
+    )
+    path = str(tmp_path / "z")
+    sinks.write_zordered(df, path, "x", "y", n_files=16)
+    import pyarrow.parquet as pq
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(path + "/part-*.parquet"):
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    # both dimensions stay tile-bounded: average file span well under
+    # the full 0..63 range (a 1-D sort leaves the other dim ~full-range)
+    assert sum(spans_x) / len(spans_x) <= 32
+    assert sum(spans_y) / len(spans_y) <= 32
+
+
+def test_minhash_error_audit_identical_docs_have_zero_error(spark):
+    got = {}
+    from githubrepostorag_spark.operators import dedup as DD2
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+            (3, "completely different content here entirely xyzzy", "en", "s0", 48),
+        ],
+    )
+    rows = DD2.minhash_error_audit(df).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    pair = got[(1, 2)]
+    assert pair.jaccard == 1.0 and pair.est_jaccard == 1.0 and pair.abs_err == 0.0
+
+
+def test_weighted_percentile_weights_by_volume(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    # values 1..4 : total weight 10, half-point 5 falls inside value 3's
+    # cumulative span (1+2+3=6 >= 5) -> weighted median 3 (plain median 2.5)
+    rows = [(i, "2024-01-01 00:00:00", 1, "t", float(i), "{}") for i in range(1, 5)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = E.weighted_percentile(df).collect()[0]
+    assert got.weighted_median == 3.0
+
+
+def test_first_touch_picks_earliest_click_in_window(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        # user 1: clicks at 09:00 (outside 2h) and 11:30, 11:45; purchase 12:00
+        (1, "2024-01-01 09:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 11:30:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 11:45:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 12:00:00", 1, "purchase", 5.0, "{}"),
+        # user 2: purchase with no click at all
+        (5, "2024-01-01 12:00:00", 2, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.purchase_id: r for r in E.first_touch_attribution(df).collect()}
+    assert got[4].first_click_id == 2        # 11:30, not 09:00 (expired) nor 11:45
+    assert got[4].gap_seconds == 1800
+    assert got[5].first_click_id is None and got[5].gap_seconds is None
+
+
+def test_ab_test_detects_planted_lift(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    for i in range(200):
+        uid = i  # even -> A (value 10), odd -> B (value 20)
+        rows.append((i, "2024-01-01 00:00:00", uid, "purchase",
+                     10.0 if uid % 2 == 0 else 20.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = E.ab_test_report(df).collect()[0]
+    assert r.n_a == 100 and r.n_b == 100
+    assert r.lift == 10.0
+    assert r.welch_t is None  # zero within-arm variance → guarded NULL
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    # doc 1/2: a highly predictable sequence repeated; doc 3: the same
+    # vocabulary in scrambled order -> higher conditional surprisal
+    seq = "a b c d " * 10
+    scrambled = "a d b a c b d c a b d a c d b c a c b d " * 2
+    df = _docs(
+        spark,
+        [(1, seq, "en", "s0", len(seq)), (2, seq, "en", "s0", len(seq)),
+         (3, scrambled, "en", "s0", len(scrambled))],
+    )
+    got = {r.doc_id: r.avg_bigram_surprisal_bits
+           for r in TO.bigram_surprisal(df).collect()}
+    assert got[3] > got[1]
+
+
+def test_chi_square_zero_when_independent(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    # perfectly proportional table: chi-square must be 0
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "S1" if i <= 2 else "S2") for i in range(1, 5)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders_rows = []
+    ok = 0
+    for ck in range(1, 5):
+        for pr, n in (("P1", 2), ("P2", 4)):
+            for _ in range(n):
+                ok += 1
+                orders_rows.append((ok, ck, "O", 1.0, "2024-01-01", pr))
+    orders = spark.createDataFrame(
+        orders_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    r = R.segment_priority_chisq(cust, orders).collect()[0]
+    assert r.chi_square == 0.0 and r.n_cells == 4 and r.n_orders == 24

@@ -306,3 +306,54 @@ def test_line_dedup_joins_on_hash_not_text(spark):
     joins = [seg for seg in plan.splitlines() if "Join" in seg]
     assert any("h#" in seg for seg in joins)
     assert not any("line#" in seg for seg in joins)
+
+
+def test_tpch_completions_broadcast_dims_and_push_filters(spark):
+    """The TPC-H completion queries must keep every dimension join
+    broadcast (no fact-side shuffle for dims) and push the date
+    filters into the lineitem scan."""
+    from githubrepostorag_spark.operators import relational as R
+
+    li = load_table(spark, SF, "lineitem")
+    plan6 = plan_of(R.forecast_revenue(li))
+    assert "PushedFilters" in plan6 and "l_shipdate" in plan6
+    assert "Exchange" not in plan6.split("HashAggregate")[-1]  # scan side clean
+
+    plan7 = plan_of(
+        R.volume_shipping(
+            li,
+            load_table(spark, SF, "orders"),
+            load_table(spark, SF, "supplier"),
+            load_table(spark, SF, "customer"),
+            load_table(spark, SF, "nation"),
+        )
+    )
+    assert plan7.count("BroadcastHashJoin") >= 2  # supplier+nation, customer+nation
+    assert "CartesianProduct" not in plan7
+
+    plan8 = plan_of(
+        R.national_market_share(
+            load_table(spark, SF, "part"),
+            load_table(spark, SF, "supplier"),
+            li,
+            load_table(spark, SF, "orders"),
+            load_table(spark, SF, "customer"),
+            load_table(spark, SF, "nation"),
+            load_table(spark, SF, "region"),
+        )
+    )
+    assert plan8.count("BroadcastHashJoin") >= 3
+    # the share ratio is ONE aggregation: the fact table is scanned once
+    # (nation legitimately scans twice — supplier-side and customer-side roles)
+    fact_scans = [ln for ln in plan8.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(fact_scans) == 1
+
+
+def test_embedding_decontaminate_broadcasts_eval_side(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    plan = plan_of(CU.embedding_decontaminate(load_table(spark, SF, "embeddings")))
+    # eval side broadcast; the train side is never shuffled pre-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
