@@ -29,6 +29,7 @@ from githubrepostorag_spark.operators.dedup import (
     SHINGLE_K,
     SIMHASH_BITS,
 )
+from githubrepostorag_spark.operators.relational import BIN_QUANTILES as BIN_QS
 from githubrepostorag_spark.operators.textops import CHUNK_STRIDE, CHUNK_WINDOW
 from githubrepostorag_spark.plans import parity as P
 from githubrepostorag_spark.sources.testdata import load_table
@@ -493,6 +494,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- chi-square segment × priority independence test ---
         "q158_chi_square": lambda sp, sf: R.segment_priority_chisq(
             t(sp, sf, "customer"), t(sp, sf, "orders")
+        ),
+        # --- hashing-trick doc featurizer (vocabulary-free vectors) ---
+        "q159_hash_features": lambda sp, sf: TO.hash_trick_features(
+            t(sp, sf, "documents")
+        ),
+        # --- quantile feature binning (equal-mass discretizer) ---
+        "q160_price_bins": lambda sp, sf: R.price_quantile_bins(
+            t(sp, sf, "orders")
         ),
     }
 
@@ -3394,6 +3403,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(-log2(p)), 6) AS avg_bigram_surprisal_bits
             FROM bg JOIN probs USING (bigram) GROUP BY 1
+        """,
+        "q159_hash_features": f"""
+            WITH toks AS (SELECT doc_id, unnest({_LOW_TOKS}) AS tok
+                          FROM documents),
+            hashed AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS v
+                       FROM toks),
+            dims AS (SELECT doc_id, v % {TO.FEAT_DIMS} AS dim,
+                            CASE WHEN (v >> 4) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+                     FROM hashed),
+            feats AS (SELECT doc_id,
+                   {", ".join(
+                     f"CAST(sum(CASE WHEN dim = {d} THEN sgn ELSE 0 END) AS BIGINT) AS f{d}"
+                     for d in range(TO.FEAT_DIMS))}
+            FROM dims GROUP BY doc_id)
+            SELECT *, round(sqrt(CAST({" + ".join(
+                f"f{d} * f{d}" for d in range(TO.FEAT_DIMS))} AS DOUBLE)), 6)
+                   AS l2_norm
+            FROM feats
+        """,
+        "q160_price_bins": f"""
+            WITH qs AS (SELECT
+                   quantile_cont(o_totalprice, {BIN_QS[0]}) AS q1,
+                   quantile_cont(o_totalprice, {BIN_QS[1]}) AS q2,
+                   quantile_cont(o_totalprice, {BIN_QS[2]}) AS q3
+                 FROM orders),
+            b AS (SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                               WHEN o_totalprice <= q2 THEN 1
+                               WHEN o_totalprice <= q3 THEN 2
+                               ELSE 3 END AS BIGINT) AS bin, o_totalprice
+                  FROM orders CROSS JOIN qs)
+            SELECT bin, count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM b GROUP BY 1
         """,
         "q158_chi_square": """
             WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n

@@ -1256,3 +1256,45 @@ def segment_priority_chisq(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.max("grand_n").cast("long").alias("n_orders"),
     )
+
+
+BIN_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def price_quantile_bins(orders: DataFrame) -> DataFrame:
+    """Quantile feature binning (the Bucketizer/QuantileDiscretizer
+    shape): exact interpolated quartile boundaries of o_totalprice,
+    each order assigned its bin, per-bin occupancy and value profile.
+    The feature-engineering primitive a training pipeline runs to
+    discretize continuous columns with EQUAL-MASS (not equal-width)
+    bins.
+
+    Plan: one exact-percentile aggregate (single-row result,
+    broadcast), one scan to bin + aggregate. At 100 TB the exact
+    percentile is the cost driver — swap in approx_percentile for a
+    one-pass sketch (q102's histogram sketch is the mergeable
+    variant); the binning pass is unchanged either way.
+    """
+    qs = orders.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(str(q) for q in BIN_QUANTILES)}))"
+        ).alias("bounds")
+    ).select(
+        F.col("bounds")[0].alias("q1"),
+        F.col("bounds")[1].alias("q2"),
+        F.col("bounds")[2].alias("q3"),
+    )
+    binned = orders.crossJoin(F.broadcast(qs)).withColumn(
+        "bin",
+        F.when(F.col("o_totalprice") <= F.col("q1"), F.lit(0))
+        .when(F.col("o_totalprice") <= F.col("q2"), F.lit(1))
+        .when(F.col("o_totalprice") <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )

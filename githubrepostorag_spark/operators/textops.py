@@ -1039,3 +1039,45 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
             F.round(F.avg(-F.log2("p")), 6).alias("avg_bigram_surprisal_bits"),
         )
     )
+
+
+FEAT_DIMS = 16
+
+
+def hash_trick_features(documents: DataFrame, dims: int = FEAT_DIMS) -> DataFrame:
+    """Hashing-trick document featurizer (Weinberger et al.): each
+    token lands in bucket md5(token) % dims with a hash-derived ±1
+    sign, summed with multiplicity — the deterministic, vocabulary-free
+    featurizer that turns the documents table into fixed-width vectors
+    for the similarity/KNN suite without an embedding model. Output is
+    one column per dimension (f0..f{dims-1}) plus the L2 norm.
+
+    Plan: one token explode, md5 arithmetic JVM-side, one groupBy with
+    `dims` conditional sums (all algebraic — map-side partials). No
+    vocabulary table, no second pass: the hashing trick's entire point
+    at 100 TB.
+    """
+    v = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    toks = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("token"))
+        .withColumn("dim", v % dims)
+        .withColumn(
+            "sgn",
+            F.when((F.shiftright(v, 4).bitwiseAND(F.lit(1))) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+    )
+    sums = [
+        F.sum(F.when(F.col("dim") == d, F.col("sgn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"f{d}")
+        for d in range(dims)
+    ]
+    feats = toks.groupBy("doc_id").agg(*sums)
+    norm = None
+    for d in range(dims):
+        term = F.col(f"f{d}") * F.col(f"f{d}")
+        norm = term if norm is None else norm + term
+    return feats.withColumn("l2_norm", F.round(F.sqrt(norm.cast("double")), 6))

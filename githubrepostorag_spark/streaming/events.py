@@ -176,3 +176,73 @@ def stream_enrich_static(events: DataFrame, dim: DataFrame, on: str = "user_id")
     dimension broadcasts (same rule as the batch suite's dim joins).
     """
     return events.join(F.broadcast(dim), on, "left")
+
+
+HH_STATE_CAPACITY = 16
+
+HH_OUTPUT_SCHEMA = (
+    "event_type string, user_id long, mg_count long, n_seen long"
+)
+HH_STATE_SCHEMA = "ids array<long>, counts array<long>, n_seen long"
+
+
+def stream_heavy_hitters(
+    events: DataFrame, capacity: int = HH_STATE_CAPACITY
+) -> DataFrame:
+    """Stateful streaming heavy hitters: per event type, a Misra-Gries
+    sketch of the most frequent users carried across micro-batches in
+    `applyInPandasWithState` state — the streaming twin of q127's
+    batch sketch-propose/exact-verify plan. State is EXACTLY
+    ``capacity`` (id, count) pairs per key no matter how many distinct
+    users flow past, which is the whole point: a running exact
+    groupBy-count would grow state with the key space, this never
+    does. The MG guarantee carries over the stream: any user whose
+    true count exceeds n_seen/capacity is guaranteed present in the
+    emitted candidates (counts are lower bounds, not exact).
+
+    Each batch emits the key's full candidate set (update mode);
+    downstream either re-counts candidates exactly (q127's verify
+    step) or treats the bound as enough.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, counts, n_seen = state.get
+            sketch = dict(zip(ids, counts))
+        else:
+            sketch, n_seen = {}, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for uid in rows["user_id"].astype("int64"):
+            uid = int(uid)
+            n_seen += 1
+            if uid in sketch:
+                sketch[uid] += 1
+            elif len(sketch) < capacity:
+                sketch[uid] = 1
+            else:
+                # decrement-all step; drop zeros
+                sketch = {u: c - 1 for u, c in sketch.items() if c > 1}
+        ids = sorted(sketch)
+        state.update((ids, [sketch[u] for u in ids], n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ids),
+                "user_id": ids,
+                "mg_count": [sketch[u] for u in ids],
+                "n_seen": [n_seen] * len(ids),
+            }
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

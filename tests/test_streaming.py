@@ -369,3 +369,67 @@ def test_compact_store_drops_superseded_versions(spark, tmp_path):
     # idempotent: a second compaction is a no-op
     compact_store(spark, store)
     assert spark.read.parquet(store).count() == raw_after
+
+
+def test_stream_heavy_hitters_mg_guarantee_across_batches(spark, tmp_path):
+    """Misra-Gries state carries across micro-batches: after the whole
+    (bounded) stream, every user whose TRUE count exceeds
+    n_seen/capacity must appear in the final candidate set, and
+    mg_count never exceeds the true count (lower-bound property)."""
+    from githubrepostorag_spark.sources.testdata import load_table
+    from githubrepostorag_spark.streaming.events import (
+        HH_STATE_CAPACITY,
+        stream_heavy_hitters,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "hh_src")
+    # two files → two micro-batches
+    import time as _time
+
+    half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    events.filter(F.col("event_id") <= half).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    events.filter(F.col("event_id") > half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("hh_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.table("hh_mem").toPandas()
+    # final emission per type = the rows with the max n_seen
+    final = got.merge(
+        got.groupby("event_type")["n_seen"].max().rename("max_seen"),
+        on="event_type",
+    )
+    final = final[final["n_seen"] == final["max_seen"]]
+
+    truth = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    true_counts = {(r.event_type, r.user_id): r.n for r in truth}
+    totals = {}
+    for (et, _), n in true_counts.items():
+        totals[et] = totals.get(et, 0) + n
+
+    cands = {
+        (r.event_type, r.user_id): r.mg_count for _, r in final.iterrows()
+    }
+    for (et, uid), n in true_counts.items():
+        if n > totals[et] / HH_STATE_CAPACITY:
+            assert (et, uid) in cands, f"missed guaranteed heavy hitter {et}/{uid}"
+    for (et, uid), c in cands.items():
+        assert c <= true_counts[(et, uid)]  # lower bound, never inflated
