@@ -1,0 +1,147 @@
+"""Composed corpus-curation pipeline: the end-to-end training-data
+pass a pretraining team runs over a raw crawl before tokenization.
+
+The reference has no analog (its ETL is the RAG ingest,
+`ingest_controller.py:192-487`); this is the "beyond the reference"
+deliverable the engine exists for at 100 TB — every stage reuses an
+oracle-verified operator, composed into one lineage:
+
+    raw documents
+      → quality gate          (funnel predicates, curation_funnel's c1-c3)
+      → exact dedup           (md5 fingerprint, one shuffle)
+      → LSH near-dup dedup    (minhash → bands → verified Jaccard →
+                               connected components → canonical survivors)
+      → decontamination       (word n-gram overlap vs a broadcast benchmark)
+      → quality-weighted mix  (per-source A-ES quotas)
+      → batch packing         (token-budget offset packing)
+
+plus an audit frame (one row per stage, counts in/out) the pipeline
+owner ships with the corpus.
+
+Scale notes: every stage keeps the corpus keyed on doc_id (no stage
+re-keys the full corpus on anything wider than its id); the pairwise
+work is LSH-bounded; the benchmark side broadcasts; the mixture and
+packer shuffle once each on source. The audit counts ride on cached
+stage frames so the pipeline body executes each stage once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.operators import curation as CU
+from githubrepostorag_spark.operators import dedup as DD
+
+
+class CurationResult(NamedTuple):
+    corpus: DataFrame  # surviving documents with quality + batch columns
+    audit: DataFrame   # one row per stage: (stage_idx, stage, n_docs)
+
+    def unpersist(self) -> None:
+        self.corpus.unpersist()
+
+
+JACCARD_KEEP = 0.8
+MIX_PER_SOURCE = 200
+PACK_BUDGET = 2048
+# Drop a doc only when a substantial FRACTION of its n-grams appears in
+# the benchmark — the raw ≥3-gram count (q70's flagging default) is a
+# review signal, but as a hard drop it guts a corpus whose domain
+# vocabulary overlaps the benchmark's. Fraction-based is how the
+# published pipelines (GPT-3 §C, PaLM) phrase the hard filter.
+DECON_DROP_FRAC = 0.15
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    run_id: str,
+    n_per_source: int = MIX_PER_SOURCE,
+    pack_budget: int = PACK_BUDGET,
+) -> CurationResult:
+    """Run the full curation chain; see module docstring for stages.
+
+    `benchmark` is the held-out eval set to decontaminate against
+    (bounded — broadcast). Returns the packed corpus and the audit.
+    """
+    t = F.col("text")
+    # --- stage 1: quality gate (same predicates as curation_funnel) ---
+    alpha_ratio = F.when(
+        F.length(t) > 0,
+        F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / F.length(t).cast("double"),
+    ).otherwise(F.lit(0.0))
+    gated = documents.filter(
+        (F.length(t) >= CU.FUNNEL_MIN_CHARS)
+        & (TXT.token_count(t) >= CU.FUNNEL_MIN_TOKENS)
+        & (alpha_ratio >= CU.FUNNEL_MIN_ALPHA)
+    )
+
+    # --- stage 2: exact dedup (canonical min-id per fingerprint) ---
+    exact_keep = DD.exact_dedup(gated).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    exact = gated.join(exact_keep, "doc_id")
+    # the near-dup chain consumes `exact` several times (shingling,
+    # candidate restriction, survivor join) — cut the lineage once
+    exact = exact.localCheckpoint(eager=False)
+
+    # --- stage 3: LSH near-dup dedup ---
+    verified = DD.jaccard_on_candidates(exact, threshold=JACCARD_KEEP).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = DD.dedup_components(verified, exact.select(F.col("doc_id").alias("node")))
+    # the survivor frame ends the expensive pairwise chain and feeds
+    # three consumers (decontaminate, the anti-join, the audit) — cut
+    # the lineage so the LSH chain executes exactly once
+    survivors = DD.dedup_survivors(exact, labels).localCheckpoint(eager=False)
+
+    # --- stage 4: decontamination vs the benchmark ---
+    flagged = (
+        CU.decontaminate(survivors, benchmark)
+        .filter(F.col("overlap_frac") >= DECON_DROP_FRAC)
+        .select("doc_id")
+    )
+    clean = survivors.join(flagged, "doc_id", "left_anti")
+
+    # --- stage 5: quality-weighted per-source mixture ---
+    scored = clean.withColumn("quality", TXT.quality_score(t))
+    mixed = CU.weighted_sample_per_group(
+        scored, weight_col="quality", group_col="source", n_per_group=n_per_source
+    ).localCheckpoint(eager=False)  # consumed by packer, corpus join, audit
+
+    # --- stage 6: token-budget batch packing ---
+    packed = CU.pack_token_batches(mixed, budget=pack_budget)
+    corpus = (
+        mixed.join(
+            packed.select("doc_id", "n_tokens", "start_offset", "batch_id"),
+            "doc_id",
+        )
+        .withColumn("curation_run_id", F.lit(run_id))
+        .persist()
+    )
+
+    # --- audit: one aggregate per stage frame (each frame computed
+    # once; the terminal `corpus` is persisted so the audit's count
+    # and the caller's reads share the same materialization) ---
+    def n(df: DataFrame) -> int:
+        return df.count()
+
+    counts = [
+        ("raw", n(documents)),
+        ("quality_gate", n(gated)),
+        ("exact_dedup", n(exact)),
+        ("near_dup", n(survivors)),
+        ("decontaminated", n(clean)),
+        ("mixed", n(mixed)),
+        ("packed", n(corpus)),
+    ]
+    spark = documents.sparkSession
+    audit = spark.createDataFrame(
+        [(i, s, c, run_id) for i, (s, c) in enumerate(counts)],
+        "stage_idx long, stage string, n_docs long, curation_run_id string",
+    )
+    return CurationResult(corpus=corpus, audit=audit)

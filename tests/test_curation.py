@@ -154,3 +154,47 @@ def test_weighted_per_group_respects_quota_and_bias(spark):
     # heavy rows (10% of population, 1000x weight) dominate each quota
     for v in by_g.values():
         assert sum(1 for r in v if r.w == 1000.0) >= 14
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """Composed plan: every stage shrinks (or keeps) the corpus, the
+    audit is monotone non-increasing after 'raw', planted dups and
+    contaminated docs are gone, and every surviving doc carries a
+    batch assignment."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        * 4
+    )
+    rows = []
+    for i in range(30):
+        rows.append((i, base + f" unique tail number {i} with extra words", "en",
+                     f"s{i % 3}", 300))
+    # planted exact duplicate of doc 0 and a near-duplicate of doc 1
+    rows.append((100, rows[0][1], "en", "s0", 300))
+    rows.append((101, rows[1][1] + " tiny", "en", "s0", 300))
+    # junk that fails the quality gate
+    rows.append((102, "short", "en", "s0", 5))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(0, rows[2][1])], "bench_id long, text string"
+    )
+
+    res = curation_pipeline(docs, bench, run_id="test-run", n_per_source=100)
+    audit = {r.stage: r.n_docs for r in res.audit.collect()}
+    corpus = res.corpus.collect()
+    res.unpersist()
+
+    assert audit["raw"] == 33
+    assert audit["quality_gate"] == 32          # junk dropped
+    assert audit["exact_dedup"] == 31           # planted exact dup gone
+    assert audit["near_dup"] <= 30              # planted near dup collapsed
+    assert audit["decontaminated"] < audit["near_dup"]  # benchmark doc removed
+    assert audit["packed"] == audit["mixed"] == len(corpus)
+    ids = {r.doc_id for r in corpus}
+    assert 100 not in ids and 102 not in ids and 2 not in ids
+    assert all(r.batch_id is not None and r.curation_run_id == "test-run"
+               for r in corpus)
