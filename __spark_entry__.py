@@ -94,6 +94,31 @@ def _q63(sp: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q163(sp: SparkSession, sf: str) -> DataFrame:
+    """The engine's Spark SQL surface: the same parquet tables exposed
+    as temp views and queried with raw SQL (CTEs + window) — a user of
+    the engine can bypass the DataFrame API entirely; Catalyst plans
+    both identically."""
+    for name in ("lineitem", "supplier", "nation"):
+        load_table(sp, sf, name).createOrReplaceTempView(name)
+    return sp.sql(
+        """
+        WITH rev AS (
+          SELECT n_name AS nation, year(l_shipdate) AS l_year,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                        JOIN nation ON n_nationkey = s_nationkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY l_year
+                      ORDER BY revenue DESC, nation) AS rk
+          FROM rev)
+        SELECT nation, l_year, revenue, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_table(spark, sf_dir, name)
@@ -502,6 +527,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- quantile feature binning (equal-mass discretizer) ---
         "q160_price_bins": lambda sp, sf: R.price_quantile_bins(
             t(sp, sf, "orders")
+        ),
+        # --- per-doc n-gram novelty (self-decontamination signal) ---
+        "q161_ngram_novelty": lambda sp, sf: TO.ngram_novelty(
+            t(sp, sf, "documents")
+        ),
+        # --- robust median/MAD outliers (modified z-score) ---
+        "q162_robust_outliers": lambda sp, sf: E.robust_value_outliers(
+            t(sp, sf, "events")
+        ),
+        # --- the same engine through the SQL surface (spark.sql CTEs) ---
+        "q163_sql_surface": _q163,
+        # --- percent_rank / cume_dist / nth_value in one window pass ---
+        "q164_window_family": lambda sp, sf: R.window_family_profile(
+            t(sp, sf, "customer")
         ),
     }
 
@@ -3403,6 +3442,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(-log2(p)), 6) AS avg_bigram_surprisal_bits
             FROM bg JOIN probs USING (bigram) GROUP BY 1
+        """,
+        "q161_ngram_novelty": f"""
+            WITH toks AS (SELECT doc_id, {_LOW_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(t) < {TO.NOVELTY_N} THEN []::VARCHAR[]
+                              ELSE list_distinct(list_transform(
+                                     range(1, len(t) - {TO.NOVELTY_N} + 2),
+                                     i -> array_to_string(
+                                       t[i:i+{TO.NOVELTY_N - 1}], ' ')))
+                         END AS grams
+                  FROM toks),
+            dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            dfc AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_novel,
+                   round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM dg JOIN dfc USING (gram) GROUP BY 1
+        """,
+        "q162_robust_outliers": f"""
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+            mad AS (SELECT e.event_type,
+                           quantile_cont(abs(value - med), 0.5) AS mad,
+                           max(med) AS med
+                    FROM events e JOIN med USING (event_type)
+                    GROUP BY 1)
+            SELECT event_id, e.event_type,
+                   round(value, 4) AS value,
+                   round(med, 4) AS med, round(mad, 4) AS mad,
+                   round({E.MAD_SCALE} * (value - med) / mad, 4)
+                     AS modified_z
+            FROM events e JOIN mad USING (event_type)
+            WHERE abs({E.MAD_SCALE} * (value - med) / mad) > {E.MAD_Z}
+        """,
+        "q163_sql_surface": """
+            WITH rev AS (
+              SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                            JOIN nation ON n_nationkey = s_nationkey
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY l_year
+                          ORDER BY revenue DESC, nation) AS rk
+              FROM rev)
+            SELECT nation, l_year, revenue, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3
+        """,
+        "q164_window_family": """
+            SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist,
+                   round(nth_value(c_acctbal, 2) OVER (
+                     PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey
+                     ROWS UNBOUNDED PRECEDING), 2)
+                     AS second_highest_in_segment
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey)
         """,
         "q159_hash_features": f"""
             WITH toks AS (SELECT doc_id, unnest({_LOW_TOKS}) AS tok

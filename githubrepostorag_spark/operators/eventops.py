@@ -1095,3 +1095,50 @@ def ab_test_report(events: DataFrame) -> DataFrame:
             ).alias("welch_t"),
         )
     )
+
+
+MAD_Z = 3.5  # Iglewicz-Hoaglin modified-z cutoff
+MAD_SCALE = 0.6745
+
+
+def robust_value_outliers(events: DataFrame) -> DataFrame:
+    """Robust per-type outlier detection with median/MAD (the modified
+    z-score, Iglewicz & Hoaglin): q75's daily anomalies use mean/std
+    z-scores, which the outliers themselves inflate; median absolute
+    deviation doesn't move. Flags events with
+    |0.6745·(value − median)| / MAD > 3.5.
+
+    Plan: two exact-percentile aggregates per type — each one shuffle
+    on the tiny type key — then a broadcast join back to the stream
+    for the flag pass. At 100 TB swap `percentile` for the mergeable
+    histogram sketch (q102) and keep the same three-stage shape.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "modified_z",
+            F.round(
+                F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+            ),
+        )
+        .filter(F.abs(F.col("modified_z")) > MAD_Z)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "modified_z",
+        )
+    )

@@ -1298,3 +1298,29 @@ def price_quantile_bins(orders: DataFrame) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
+
+
+def window_family_profile(customer: DataFrame) -> DataFrame:
+    """Ranking-window family in one pass: percent_rank, cume_dist and
+    the segment's 2nd-highest balance (nth_value) per customer within
+    their market segment — the window functions the rest of the suite
+    doesn't otherwise exercise, computed over ONE window shuffle (all
+    four functions share the same partition+order spec, so Catalyst
+    plans a single Window operator).
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(
+            F.nth_value("c_acctbal", 2).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("second_highest_in_segment"),
+    )

@@ -1081,3 +1081,43 @@ def hash_trick_features(documents: DataFrame, dims: int = FEAT_DIMS) -> DataFram
         term = F.col(f"f{d}") * F.col(f"f{d}")
         norm = term if norm is None else norm + term
     return feats.withColumn("l2_norm", F.round(F.sqrt(norm.cast("double")), 6))
+
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(documents: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear in NO other document — the
+    self-decontamination / memorization-risk signal (a doc whose grams
+    all recur elsewhere is boilerplate; one that is all-novel is
+    unique content worth keeping).
+
+    Plan: ONE gram explode feeds both the per-gram document frequency
+    and the per-doc rollup; novelty joins the (vocabulary-sized,
+    Heaps-sublinear) df table back on the gram key. Same two-shuffle
+    shape as TF-IDF — the df table is shared infrastructure at scale.
+    """
+    grams_col = F.array_distinct(TXT.word_ngrams(F.lower(F.col("text")), n))
+    # materialize the gram array once before exploding (higher-order
+    # fns are interpreted; see operators/curation.py decontaminate for
+    # the measured gotcha)
+    doc_grams = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", grams_col.alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    df_counts = doc_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        doc_grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6)
+        )
+    )

@@ -1708,3 +1708,53 @@ def test_chi_square_zero_when_independent(spark):
     )
     r = R.segment_priority_chisq(cust, orders).collect()[0]
     assert r.chi_square == 0.0 and r.n_cells == 4 and r.n_orders == 24
+
+
+def test_ngram_novelty_shared_grams_not_novel(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "en", "s0", 22),
+            (2, "alpha beta gamma epsilon", "en", "s0", 24),
+            (3, "zeta eta theta iota", "en", "s0", 19),
+        ],
+    )
+    got = {r.doc_id: r for r in TO.ngram_novelty(df).collect()}
+    # doc 3 shares nothing -> fully novel; docs 1/2 share 'alpha beta gamma'
+    assert got[3].novelty == 1.0
+    assert got[1].n_novel == 1 and got[1].n_grams == 2  # 'beta gamma delta' only
+    assert got[2].n_novel == 1
+
+
+def test_robust_outliers_finds_planted_spike(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "t", 10.0 + (i % 5) * 0.1, "{}")
+            for i in range(50)]
+    rows.append((99, "2024-01-01 00:00:00", 1, "t", 1000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = E.robust_value_outliers(df).collect()
+    assert [r.event_id for r in got] == [99]
+
+
+def test_window_family_single_window_operator(spark):
+    from githubrepostorag_spark.operators import relational as R
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    df = R.window_family_profile(
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all four functions share one partition+order spec -> ONE Window op
+    assert plan.count("Window") == 1
+    rows = df.collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg_rows in by_seg.values():
+        top = max(seg_rows, key=lambda r: (r.c_acctbal, -r.c_custkey))
+        assert top.pct_rank == 0.0  # highest balance ranks first
