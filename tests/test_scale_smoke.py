@@ -189,3 +189,56 @@ def test_round3_communities_on_dup_flood(spark):
     sample = labels.filter(F.col("doc_id") % 1_000_000 == 7).select("community").distinct()
     assert sample.count() <= 2  # exact-copy replicas collapse together
     assert t10 < 600, f"LPA at 10x took {t10:.0f}s"
+
+
+def test_round3b_new_ops_scale_linearly(spark):
+    """This round's heavyweight text/curation additions on the hostile
+    corpus: TF-IDF's df table and the novelty df are hammered by the
+    dup flood (every gram recurs ≥10×), and the featurizer's
+    conditional sums see the hot source. Growth must stay ≈ linear."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    for name, mk in (
+        ("tfidf", TO.tfidf_terms),
+        ("novelty", TO.ngram_novelty),
+        ("hash_features", TO.hash_trick_features),
+        ("bigram_surprisal", TO.bigram_surprisal),
+    ):
+        t1 = _run(mk(_docs(spark, 1)))
+        t10 = _run(mk(_docs(spark, REPLICAS)))
+        spark.catalog.clearCache()
+        assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+            f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+        )
+
+
+def test_curation_pipeline_at_10x(spark):
+    """The composed curation pipeline on the hostile corpus: the
+    dup flood turns the near-dup stage into 10-doc cliques and the hot
+    source concentrates half the mixture quota on one key. Must
+    complete without task failure, stay ≈ linear, and actually collapse
+    the planted duplicate flood."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    def run_at(replicas: int):
+        docs = _docs(spark, replicas)
+        bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        t0 = time.time()
+        res = curation_pipeline(docs, bench, run_id=f"scale-{replicas}")
+        res.corpus.write.format("noop").mode("overwrite").save()
+        audit = {r.stage: r.n_docs for r in res.audit.collect()}
+        res.unpersist()
+        return time.time() - t0, audit
+
+    t1, _ = run_at(1)
+    t10, audit = run_at(REPLICAS)
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"curation pipeline superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+    # the 5 exact copies collapse at exact dedup; the 5 near-copies at
+    # the LSH stage — survivors must be far below the 10x raw count
+    assert audit["exact_dedup"] <= audit["raw"] * 0.7
+    assert audit["near_dup"] <= audit["raw"] * 0.35
