@@ -542,6 +542,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_window_family": lambda sp, sf: R.window_family_profile(
             t(sp, sf, "customer")
         ),
+        # --- bounded BFS distances vs a RECURSIVE SQL oracle ---
+        "q165_bfs_distances": lambda sp, sf: G.supply_bfs_distances(
+            t(sp, sf, "lineitem")
+        ),
+        # --- approx_percentile contract audit (sketch-within-bound) ---
+        "q166_approx_pct_audit": lambda sp, sf: E.approx_percentile_audit(
+            t(sp, sf, "events")
+        ),
     }
 
 
@@ -3492,6 +3500,36 @@ def oracle_sql() -> dict[str, str]:
               FROM rev)
             SELECT nation, l_year, revenue, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3
+        """,
+        # The oracle hard-codes sketch_within_bound = TRUE: the Spark
+        # side computes whether approx_percentile honored its rank-error
+        # contract, so a sketch violation turns the gate red.
+        "q166_approx_pct_audit": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS exact_p50,
+                   count(*) AS n,
+                   TRUE AS sketch_within_bound
+            FROM events GROUP BY 1
+        """,
+        # Genuinely recursive oracle (WITH RECURSIVE) for the engine's
+        # iterative frontier-expansion BFS — UNION dedups (node, dist)
+        # rows so the recursion is bounded by nodes × depths.
+        "q165_bfs_distances": f"""
+            WITH RECURSIVE e AS (
+              SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p:' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+              UNION ALL
+              SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+                     's:' || CAST(l_suppkey AS VARCHAR)
+              FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)),
+            r(node, dist) AS (
+              SELECT 's:{G.BFS_SEED_SUPPKEY}', 0
+              UNION
+              SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+              WHERE r.dist < {G.BFS_MAX_DEPTH})
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM r GROUP BY 1
         """,
         "q164_window_family": """
             SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,

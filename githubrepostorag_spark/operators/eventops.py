@@ -1142,3 +1142,53 @@ def robust_value_outliers(events: DataFrame) -> DataFrame:
             "modified_z",
         )
     )
+
+
+APPROX_PCT_ACC = 1000  # approx_percentile accuracy parameter
+
+
+def approx_percentile_audit(events: DataFrame) -> DataFrame:
+    """Contract audit for the sketch percentiles: per event type, the
+    EXACT interpolated median plus a boolean asserting Spark's
+    approx_percentile (accuracy=1000) landed within the documented
+    rank-error bound (±n/accuracy positions of the true rank,
+    evaluated by value-rank lookup, not by value distance). The oracle
+    emits the exact values with the flag hard-coded TRUE — if the
+    sketch ever violates its contract the hash comparison goes red.
+    Completes the audit family (recall: q115-q118; MinHash error:
+    q153) for the percentile sketches the 100 TB path depends on.
+    """
+    exact = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr(f"approx_percentile(value, 0.5, {APPROX_PCT_ACC})").alias("apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank tolerance: values at positions within n/accuracy of the
+    # median rank; bound via the value at rank ± tolerance
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rk"),
+    )
+    bounds = (
+        ranked.join(F.broadcast(exact.select("event_type", "n")), "event_type")
+        .filter(
+            (F.col("rk") >= (F.col("n") / 2 - F.col("n") / APPROX_PCT_ACC - 1))
+            & (F.col("rk") <= (F.col("n") / 2 + F.col("n") / APPROX_PCT_ACC + 1))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    return (
+        exact.join(bounds, "event_type")
+        .select(
+            "event_type",
+            F.round("exact_p50", 4).alias("exact_p50"),
+            F.col("n").cast("long").alias("n"),
+            ((F.col("apx") >= F.col("lo")) & (F.col("apx") <= F.col("hi"))).alias(
+                "sketch_within_bound"
+            ),
+        )
+    )

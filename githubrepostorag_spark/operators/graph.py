@@ -255,3 +255,56 @@ def doc_triangles(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+BFS_MAX_DEPTH = 3
+BFS_SEED_SUPPKEY = 1
+
+
+def supply_bfs_distances(
+    lineitem: DataFrame,
+    seed_suppkey: int = BFS_SEED_SUPPKEY,
+    max_depth: int = BFS_MAX_DEPTH,
+) -> DataFrame:
+    """Minimum-hop BFS distances over the supplier↔part bipartite graph
+    (suppliers connect to the parts they shipped): from one seed
+    supplier, every node reachable within `max_depth` hops with its
+    distance. The iterative-graph-algorithm shape (frontier expand →
+    min-label → converged set) verified against a genuinely RECURSIVE
+    SQL oracle (DuckDB WITH RECURSIVE) — the one query class the rest
+    of the suite's single-pass oracles don't touch.
+
+    Plan: the edge list is the DISTINCT (suppkey, partkey) projection
+    — one dedup shuffle, orders of magnitude below lineitem — then
+    each hop is one equi-join of the (shrinking) frontier against the
+    edge list plus an anti-join against the reached set. Hop count is
+    bounded (parameter), frontier is labels-only, and the edge list is
+    reusable across hops (cached by Spark's shuffle reuse). Node ids
+    are namespaced ('s:' / 'p:') so the bipartite sides can't collide.
+    """
+    pairs = lineitem.select("l_suppkey", "l_partkey").distinct()
+    s_node = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    edges = (
+        pairs.select(s_node.alias("src"), p_node.alias("dst"))
+        .unionByName(pairs.select(p_node.alias("src"), s_node.alias("dst")))
+        .localCheckpoint(eager=False)  # consumed once per hop
+    )
+    reached = (
+        lineitem.sparkSession.createDataFrame(
+            [(f"s:{seed_suppkey}", 0)], "node string, dist long"
+        )
+    )
+    frontier = reached.select("node")
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+        )
+        neighbors = neighbors.localCheckpoint(eager=False)
+        reached = reached.unionByName(neighbors)
+        frontier = neighbors.select("node")
+    return reached

@@ -1,0 +1,56 @@
+"""Multi-format corpus source/sink: parquet, ORC, JSON, CSV.
+
+The reference reads GitHub trees and writes Cassandra; a
+general-purpose engine must also move corpora between the formats a
+data platform actually encounters. All four writers/readers preserve
+the documents schema; JSON/CSV are schema-first on read (never
+inferSchema — a schema inference pass over 100 TB is a full extra
+scan, and type drift between files silently corrupts columns).
+
+CSV carries text payloads with embedded newlines/quotes — the writer
+enables quoting+escaping and the reader multiLine mode, which is why
+CSV is the INTERCHANGE format here, never the analytics format: a
+multiLine CSV file is NOT splittable, so each file is one task. Keep
+files small on write (the writer repartitions) or convert to
+parquet/ORC at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_CSV_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "multiLine": "true",
+}
+
+
+def write_corpus(df: DataFrame, path: str, fmt: str, n_files: int = 8) -> None:
+    """Write the documents frame in `fmt` ∈ {parquet, orc, json, csv}."""
+    w = df.repartition(n_files).write.mode("overwrite")
+    if fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            w = w.option(k, v)
+    getattr(w, fmt)(path)
+
+
+def read_corpus(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Schema-first read of a corpus written by `write_corpus`."""
+    r = spark.read.schema(DOCUMENTS_SCHEMA)
+    if fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            r = r.option(k, v)
+    return getattr(r, fmt)(path)

@@ -301,3 +301,33 @@ def test_stream_interval_join_attributes_within_lag(spark, tmp_path):
 
     got = {(r["click_id"], r["view_id"]) for r in spark.table("attr_mem").collect()}
     assert got == {(1, 10), (2, 12)}
+
+
+def test_corpus_formats_roundtrip(spark, tmp_path):
+    """parquet/ORC/JSON/CSV corpus round-trips preserve rows and schema
+    — including CSV text payloads with embedded newlines and quotes
+    (the interchange case that breaks naive readers)."""
+    from githubrepostorag_spark.sources.formats import read_corpus, write_corpus
+
+    rows = [
+        (1, 'line one\nline "two" with, commas', "en", "s0", 33),
+        (2, "plain", "en", "s1", 5),
+        (3, "", "zh", "s0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    want = sorted(rows)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"corpus_{fmt}")
+        write_corpus(df, path, fmt)
+        back = read_corpus(spark, path, fmt)
+        got = sorted(
+            (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect()
+        )
+        if fmt in ("json", "csv"):
+            # both serialize empty string indistinguishably from null —
+            # a documented interchange caveat, not silent corruption
+            got = [(a, b if b is not None else "", c, d, e) for a, b, c, d, e in got]
+        assert got == want, fmt
+        assert back.schema == df.schema, fmt

@@ -1758,3 +1758,13 @@ def test_window_family_single_window_operator(spark):
     for seg_rows in by_seg.values():
         top = max(seg_rows, key=lambda r: (r.c_acctbal, -r.c_custkey))
         assert top.pct_rank == 0.0  # highest balance ranks first
+
+
+def test_bfs_distances_min_hop_labels(spark):
+    # suppliers 1,2; parts 10,20,30: 1-{10,20}, 2-{20,30}
+    # from s:1 -> p:10,p:20 at 1; s:2 at 2 (via p:20); p:30 at 3
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 20), (2, 30)], "l_suppkey long, l_partkey long"
+    )
+    got = {r.node: r.dist for r in G.supply_bfs_distances(li).collect()}
+    assert got == {"s:1": 0, "p:10": 1, "p:20": 1, "s:2": 2, "p:30": 3}
