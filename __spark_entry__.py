@@ -550,6 +550,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_approx_pct_audit": lambda sp, sf: E.approx_percentile_audit(
             t(sp, sf, "events")
         ),
+        # --- shipping-latency SLA percentiles per priority ---
+        "q167_shipping_sla": lambda sp, sf: R.shipping_sla_report(
+            t(sp, sf, "orders"), t(sp, sf, "lineitem")
+        ),
+        # --- inter-purchase gap histogram (repeat behavior) ---
+        "q168_purchase_gaps": lambda sp, sf: E.purchase_gap_profile(
+            t(sp, sf, "events")
+        ),
+        # --- cross-source near-dup leakage matrix ---
+        "q169_source_leakage": lambda sp, sf: DD.cross_source_leakage(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -3500,6 +3512,71 @@ def oracle_sql() -> dict[str, str]:
               FROM rev)
             SELECT nation, l_year, revenue, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3
+        """,
+        "q167_shipping_sla": f"""
+            WITH lat AS (SELECT o_orderpriority,
+                                date_diff('day', CAST(o_orderdate AS DATE),
+                                          CAST(l_shipdate AS DATE)) AS lat_days
+                         FROM lineitem
+                         JOIN orders ON o_orderkey = l_orderkey)
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   quantile_cont(lat_days, 0.5) AS p50,
+                   quantile_cont(lat_days, 0.9) AS p90,
+                   quantile_cont(lat_days, 0.99) AS p99,
+                   round(sum(CASE WHEN lat_days > {R.SLA_DAYS} THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS pct_beyond_sla
+            FROM lat GROUP BY 1
+        """,
+        "q168_purchase_gaps": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+            g AS (SELECT CAST(floor((floor(epoch(ts))
+                         - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)))) / 86400.0) AS BIGINT)
+                           AS gap_days
+                  FROM p),
+            gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+            SELECT gap_days, count(*) AS n_gaps,
+                   round(count(*) / CAST((SELECT count(*) FROM gg) AS DOUBLE), 6)
+                     AS pct
+            FROM gg GROUP BY 1
+        """,
+        "q169_source_leakage": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.5),
+            m AS (SELECT least(da.source, db.source) AS source_a,
+                         greatest(da.source, db.source) AS source_b,
+                         v.jaccard
+                  FROM verified v
+                  JOIN documents da ON da.doc_id = v.doc_a
+                  JOIN documents db ON db.doc_id = v.doc_b)
+            SELECT source_a, source_b, count(*) AS n_pairs,
+                   round(avg(jaccard), 6) AS avg_jaccard,
+                   source_a <> source_b AS cross_source
+            FROM m GROUP BY 1, 2
         """,
         # The oracle hard-codes sketch_within_bound = TRUE: the Spark
         # side computes whether approx_percentile honored its rank-error

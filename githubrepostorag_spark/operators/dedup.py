@@ -454,3 +454,34 @@ def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
         .withColumn("abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6))
         .select("doc_a", "doc_b", "jaccard", "n_sig_match", "est_jaccard", "abs_err")
     )
+
+
+def cross_source_leakage(documents: DataFrame, n_bands: int = 2) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: for every ordered
+    source pair (a ≤ b), how many verified near-dup pairs straddle
+    them — the contamination report that tells a corpus owner WHICH
+    ingestion feeds are copying from each other (within-source dups
+    are ordinary; cross-source dups mean shared upstream or scraping
+    overlap). Composes the LSH→verify chain with a dimension rollup:
+    the pair table is LSH-bounded, so the matrix aggregation is
+    trivially small.
+    """
+    pairs = jaccard_on_candidates(documents, threshold=0.5, n_bands=n_bands)
+    src = documents.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
+    )

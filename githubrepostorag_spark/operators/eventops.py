@@ -1192,3 +1192,35 @@ def approx_percentile_audit(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def purchase_gap_profile(events: DataFrame) -> DataFrame:
+    """Inter-purchase gap analysis: per user, the gaps between
+    consecutive purchases (lag window over one user-keyed shuffle),
+    rolled up to a per-gap-day histogram — the repeat-behavior
+    distribution a retention model trains on. Users with a single
+    purchase contribute nothing (no gap exists).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                / F.lit(86400.0)
+            )
+            .cast("long")
+            .alias("gap_days")
+        )
+    )
+    total = gaps.count()
+    return (
+        gaps.groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .withColumn(
+            "pct", F.round(F.col("n_gaps") / F.lit(float(max(total, 1))), 6)
+        )
+    )

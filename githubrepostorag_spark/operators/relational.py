@@ -1324,3 +1324,41 @@ def window_family_profile(customer: DataFrame) -> DataFrame:
             2,
         ).alias("second_highest_in_segment"),
     )
+
+
+SLA_DAYS = 30
+
+
+def shipping_sla_report(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Shipping-latency SLA report per order priority: p50/p90/p99 of
+    days between order date and line ship date, plus the fraction of
+    lines beyond SLA_DAYS — the operational latency-distribution query
+    every warehouse dashboard runs. One orders⋈lineitem shuffle (both
+    sides pruned to two columns), one aggregate with an exact
+    percentile array (swap for approx_percentile / the q102 histogram
+    sketch at 100 TB; q166 audits that substitution's contract).
+    """
+    lat = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lat_days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile(lat_days, array(0.5, 0.9, 0.99))")[0].alias("p50"),
+        F.expr("percentile(lat_days, array(0.5, 0.9, 0.99))")[1].alias("p90"),
+        F.expr("percentile(lat_days, array(0.5, 0.9, 0.99))")[2].alias("p99"),
+        F.round(
+            F.sum(F.when(F.col("lat_days") > SLA_DAYS, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_beyond_sla"),
+    )
