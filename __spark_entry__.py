@@ -562,6 +562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_source_leakage": lambda sp, sf: DD.cross_source_leakage(
             t(sp, sf, "documents")
         ),
+        # --- DAU/WAU stickiness (daily ÷ rolling distinct users) ---
+        "q170_stickiness": lambda sp, sf: E.stickiness_profile(
+            t(sp, sf, "events")
+        ),
+        # --- Gini + Pareto value concentration per event type ---
+        "q171_value_concentration": lambda sp, sf: E.value_concentration(
+            t(sp, sf, "events")
+        ),
+        # --- exact k-NN graph (blocked matmul + partial top-k merge) ---
+        "q172_knn_graph": lambda sp, sf: S.knn_graph(t(sp, sf, "embeddings")),
     }
 
 
@@ -3512,6 +3522,60 @@ def oracle_sql() -> dict[str, str]:
               FROM rev)
             SELECT nation, l_year, revenue, CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3
+        """,
+        "q170_stickiness": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                        FROM events),
+            daily AS (SELECT day, count(DISTINCT user_id) AS dau
+                      FROM ud GROUP BY 1),
+            span AS (SELECT date_trunc('day', max(ts)) AS d1 FROM events),
+            contrib AS (SELECT user_id,
+                               unnest(generate_series(day,
+                                 day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+                                 AS report_day
+                        FROM ud),
+            rolling AS (SELECT report_day AS day,
+                               count(DISTINCT user_id) AS wau
+                        FROM contrib
+                        WHERE report_day <= (SELECT d1 FROM span)
+                        GROUP BY 1)
+            SELECT day, dau, wau,
+                   round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+            FROM daily JOIN rolling USING (day)
+        """,
+        "q171_value_concentration": """
+            WITH pu AS (SELECT event_type, user_id, sum(value) AS v
+                        FROM events GROUP BY 1, 2 HAVING sum(value) > 0),
+            r AS (SELECT event_type, v, user_id,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY v, user_id) AS i,
+                         sum(v) OVER (PARTITION BY event_type
+                                      ORDER BY v DESC, user_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum_desc,
+                         sum(v) OVER (PARTITION BY event_type) AS tot,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM pu)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+                   round(max(tot), 2) AS total_value,
+                   round(2 * sum(i * v) / (max(n) * max(tot))
+                         - (max(n) + 1) / CAST(max(n) AS DOUBLE), 6) AS gini,
+                   round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
+                         / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
+            FROM r GROUP BY 1
+        """,
+        # Quadratic ground truth for the blocked-matmul k-NN graph;
+        # ranking on the ROUNDED score keeps the total order portable.
+        "q172_knn_graph": f"""
+            WITH p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            SELECT vec_id, nbr_id, score, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, nbr_id) AS rk FROM p)
+            WHERE rk <= {S.KNN_GRAPH_K}
         """,
         "q167_shipping_sla": f"""
             WITH lat AS (SELECT o_orderpriority,

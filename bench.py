@@ -145,13 +145,20 @@ def main() -> None:
     gc.collect()
     spark._jvm.System.gc()
 
-    # min over TWO FULL PASSES, not back-to-back repeats: C2 JIT
-    # compiles on background threads, so a query's second back-to-back
-    # run can still be cold (observed 9.5s vs 3.6s steady on the LSH
-    # chain); by the time pass 2 reaches a query, its pass-1 execution
-    # compiled everything. Same total work, much closer to steady state.
+    # min over TWO passes, not back-to-back repeats: C2 JIT compiles on
+    # background threads, so a query's second back-to-back run can
+    # still be cold (observed 9.5s vs 3.6s steady on the LSH chain); by
+    # the time pass 2 reaches a query, its pass-1 execution compiled
+    # everything. Pass 2 skips queries already at the scheduling floor
+    # (< RERUN_MIN_S in pass 1) — their pass-1 time is representative
+    # (the suite-level warmup preceded them) and re-running ~half the
+    # suite for no signal would double the harness wall-clock the
+    # driver has to sit through.
+    RERUN_MIN_S = 0.6
     for _pass in range(2):
         for name, fn in qs.items():
+            if _pass == 1 and times.get(name, float("inf")) < RERUN_MIN_S:
+                continue
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             elapsed = time.time() - t0

@@ -1224,3 +1224,93 @@ def purchase_gap_profile(events: DataFrame) -> DataFrame:
             "pct", F.round(F.col("n_gaps") / F.lit(float(max(total, 1))), 6)
         )
     )
+
+
+def stickiness_profile(events: DataFrame, span_days: int = 7) -> DataFrame:
+    """Engagement stickiness per day: DAU / WAU (daily distinct users
+    over 7-day rolling distinct users) — the product-health ratio.
+    Composes the bounded-explode rolling distinct (q151) with the
+    plain daily distinct in one output; both sides are aggregates of
+    the SAME deduplicated (user, day) set, so the corpus is scanned
+    once and the ratio join is day-keyed (calendar-sized).
+    """
+    user_days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    daily = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    span = events.agg(F.date_trunc("day", F.max("ts")).alias("d1"))
+    rolling = (
+        user_days.withColumn(
+            "report_day",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr(f"INTERVAL {span_days - 1} DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+        .join(F.broadcast(span), on=F.expr("report_day <= d1"))
+        .groupBy(F.col("report_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        daily.join(rolling, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def value_concentration(events: DataFrame) -> DataFrame:
+    """Value-concentration report per event type: the Gini coefficient
+    of per-user value and the fraction of users supplying 80% of total
+    value (the Pareto ratio) — the whale-detection metric. Per-user
+    totals first (one shuffle), then a per-type ranking window over
+    the USER aggregate (bounded by the user dimension, not events),
+    then one aggregate computing both scalars: Gini via the
+    rank-weighted identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted values.
+    """
+    per_user = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("v"))
+        .filter(F.col("v") > 0)
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("v"), F.asc("user_id"))
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.desc("v"), F.asc("user_id")
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = (
+        per_user.withColumn("i", F.row_number().over(w))
+        .withColumn("cum_desc", F.sum("v").over(w_desc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", F.sum("v").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.round(F.max("tot"), 2).alias("total_value"),
+            F.round(
+                2 * F.sum(F.col("i") * F.col("v")) / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1) / F.max("n"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cum_desc") <= 0.8 * F.col("tot"), 1).otherwise(0)
+                )
+                / F.max("n").cast("double"),
+                6,
+            ).alias("pct_users_for_80pct"),
+        )
+    )

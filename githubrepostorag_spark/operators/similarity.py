@@ -1155,3 +1155,107 @@ def int8_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+KNN_GRAPH_K = 5
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = KNN_GRAPH_K,
+    block_size: int = 1024,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """k-NN graph construction: for EVERY vector, its k nearest
+    neighbors by cosine — the all-rows generalization of
+    `knn_to_query` and the input to graph-based clustering / SemDeDup
+    variants. Same blocked-matmul kernel as `near_dup_pairs`, but each
+    block pair emits a per-row partial top-k (both directions) and one
+    ranking window merges the ≤ n_blocks·k partials per row into the
+    global top-k. Exact by construction: every candidate neighbor is
+    scored in exactly one block pair, so the union of per-block top-k
+    supersets the global top-k.
+
+    Ranking is on the ROUNDED score (ties broken by neighbor id) so
+    the DuckDB oracle's total order matches bit-for-bit. At 100 TB the
+    front-end is an IVF/LSH bucketing so only same-bucket block pairs
+    are scored — the kernel and merge are unchanged.
+    """
+    import pandas as pd
+
+    if n_blocks is None:
+        cores = embeddings.sparkSession.sparkContext.defaultParallelism
+        m = 1
+        while m * (m + 1) // 2 < cores:
+            m += 1
+        n_blocks = max(embeddings.rdd.getNumPartitions(), m)
+    spark = embeddings.sparkSession
+    pair_rows = [
+        (bi * n_blocks + bj, bi, bj)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "pair_id long, bi long, bj long")
+    blocks = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("long").alias("blk"),
+    )
+    left = blocks.join(F.broadcast(pairs), blocks.blk == pairs.bi).select(
+        "pair_id", F.lit("a").alias("side"), "vec_id", "embedding", "bi", "bj"
+    )
+    right = blocks.join(
+        F.broadcast(pairs), (blocks.blk == pairs.bj) & (pairs.bi != pairs.bj)
+    ).select("pair_id", F.lit("b").alias("side"), "vec_id", "embedding", "bi", "bj")
+    tagged = left.unionByName(right)
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == "a"]
+        same_block = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        b = a if same_block else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_id": [], "nbr_id": [], "score": []}).astype(
+                {"vec_id": "int64", "nbr_id": "int64", "score": "float64"}
+            )
+        ma = np.stack(a["embedding"].to_numpy()).astype("float64")
+        mb = np.stack(b["embedding"].to_numpy()).astype("float64")
+        sims = np.round(
+            (ma @ mb.T)
+            / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)),
+            6,
+        )
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+
+        out_v, out_n, out_s = [], [], []
+
+        def emit(rows_ids, cols_ids, m):
+            # per row: top-k among this block's columns, (-score, id) order
+            kk = min(k, m.shape[1])
+            for r in range(m.shape[0]):
+                order = np.lexsort((cols_ids, -m[r]))[:kk]
+                out_v.extend([rows_ids[r]] * len(order))
+                out_n.extend(cols_ids[order])
+                out_s.extend(m[r][order])
+
+        if same_block:
+            np.fill_diagonal(sims, -np.inf)  # a row is not its own neighbor
+            emit(ia, ib, sims)
+        else:
+            emit(ia, ib, sims)
+            emit(ib, ia, sims.T)
+        return pd.DataFrame(
+            {"vec_id": out_v, "nbr_id": out_n, "score": out_s}
+        ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64"})
+
+    partials = tagged.groupBy("pair_id").applyInPandas(
+        block_topk, schema="vec_id long, nbr_id long, score double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        partials.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "nbr_id", "score", "rk")
+    )

@@ -1768,3 +1768,60 @@ def test_bfs_distances_min_hop_labels(spark):
     )
     got = {r.node: r.dist for r in G.supply_bfs_distances(li).collect()}
     assert got == {"s:1": 0, "p:10": 1, "p:20": 1, "s:2": 2, "p:30": 3}
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    # 12 deterministic vectors; verify against an in-test brute force
+    vecs = [
+        (i, [math.sin(i * 7 + d) for d in range(8)], "l")
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        (r.vec_id, r.rk): r.nbr_id
+        for r in S.knn_graph(emb, k=3, n_blocks=3).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    # float32 storage: brute force must use the same float32 values
+    import numpy as np
+
+    stored = {i: np.array(v, dtype="float32").astype("float64") for i, v, _ in vecs}
+    for i in range(12):
+        scored = sorted(
+            ((-cos(stored[i], stored[j]), j) for j in range(12) if j != i)
+        )[:3]
+        for rk, (_, j) in enumerate(scored, start=1):
+            assert got[(i, rk)] == j, (i, rk)
+
+
+def test_value_concentration_gini_extremes(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    # type 'eq': 10 users, equal value -> gini ~ 0
+    for u in range(10):
+        rows.append((u, "2024-01-01 00:00:00", u, "eq", 10.0, "{}"))
+    # type 'whale': one user has ~everything -> gini near 1, 80% from 1 user
+    rows.append((100, "2024-01-01 00:00:00", 1, "whale", 1000.0, "{}"))
+    for u in range(2, 12):
+        rows.append((100 + u, "2024-01-01 00:00:00", u, "whale", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_type: r for r in E.value_concentration(df).collect()}
+    assert abs(got["eq"].gini) < 1e-6
+    assert got["whale"].gini > 0.8
+    assert got["whale"].pct_users_for_80pct == 0.0  # the whale alone crosses 80%
