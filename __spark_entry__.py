@@ -572,6 +572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- exact k-NN graph (blocked matmul + partial top-k merge) ---
         "q172_knn_graph": lambda sp, sf: S.knn_graph(t(sp, sf, "embeddings")),
+        # --- IVF-restricted k-NN graph (the q172 scale path) ---
+        "q173_knn_graph_ivf": lambda sp, sf: S.knn_graph_ivf(
+            t(sp, sf, "embeddings")
+        ),
     }
 
 
@@ -3562,6 +3566,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
                          / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
             FROM r GROUP BY 1
+        """,
+        # Cell-restricted quadratic ground truth: same centroid build +
+        # argmax assignment as q115, neighbors ranked within the cell.
+        "q173_knn_graph_ivf": f"""
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim)
+                       AS centroid
+              FROM cent_dims GROUP BY label
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+            ), p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            SELECT vec_id, nbr_id, score, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, nbr_id) AS rk FROM p)
+            WHERE rk <= {S.KNN_GRAPH_K}
         """,
         # Quadratic ground truth for the blocked-matmul k-NN graph;
         # ranking on the ROUNDED score keeps the total order portable.

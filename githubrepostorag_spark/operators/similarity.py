@@ -1259,3 +1259,51 @@ def knn_graph(
         .filter(F.col("rk") <= k)
         .select("vec_id", "nbr_id", "score", "rk")
     )
+
+
+def knn_graph_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """IVF-restricted k-NN graph — the 100 TB path for `knn_graph`:
+    neighbors are searched only within each vector's assigned IVF
+    cell, so the pairwise work drops from O(n²) to Σ|cell|² (bounded
+    by codebook granularity), at a recall cost that q115's measured
+    audit quantifies for the same cell geometry. One broadcast
+    centroid assignment, one shuffle on the cell key, per-cell
+    matmul top-k — no cross-cell pairs ever materialize.
+
+    Vectors alone in their cell emit nothing (no candidate neighbors)
+    — exactly the recall loss the exact/IVF audit pair exposes.
+    """
+    import pandas as pd
+
+    cells = _assign_cells(embeddings, _centroid_arrays(embeddings))
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nbr_id": [], "score": []}).astype(
+                {"vec_id": "int64", "nbr_id": "int64", "score": "float64"}
+            )
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        kk = min(k, len(pdf) - 1)
+        out_v, out_n, out_s = [], [], []
+        for r in range(len(pdf)):
+            order = np.lexsort((ids, -sims[r]))[:kk]
+            out_v.extend([ids[r]] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(sims[r][order])
+        return pd.DataFrame(
+            {"vec_id": out_v, "nbr_id": out_n, "score": out_s}
+        ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64"})
+
+    ranked = cells.select("cell", "vec_id", "embedding").groupBy("cell").applyInPandas(
+        cell_topk, schema="vec_id long, nbr_id long, score double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return ranked.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "vec_id", "nbr_id", "score", "rk"
+    )

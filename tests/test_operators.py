@@ -1825,3 +1825,28 @@ def test_value_concentration_gini_extremes(spark):
     assert abs(got["eq"].gini) < 1e-6
     assert got["whale"].gini > 0.8
     assert got["whale"].pct_users_for_80pct == 0.0  # the whale alone crosses 80%
+
+
+def test_knn_graph_ivf_recall_measured(spark):
+    """Graph-level recall of the IVF-restricted k-NN graph vs the
+    exact graph: on the near-uniform synthetic corpus (IVF's worst
+    case) recall is LOW — the audit's job is to measure it honestly,
+    and the containment property (every IVF edge scores what the
+    exact graph says) must hold exactly."""
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.vec_id, r.nbr_id): r.score for r in S.knn_graph(emb, k=3).collect()
+    }
+    ivf = {
+        (r.vec_id, r.nbr_id): r.score
+        for r in S.knn_graph_ivf(emb, k=3).collect()
+    }
+    # scores agree wherever both graphs contain the edge
+    both = set(exact) & set(ivf)
+    assert both, "graphs share no edges — assignment is broken"
+    for e in both:
+        assert exact[e] == ivf[e]
+    recall = len(both) / len(exact)
+    assert 0.0 < recall <= 1.0
