@@ -576,6 +576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_knn_graph_ivf": lambda sp, sf: S.knn_graph_ivf(
             t(sp, sf, "embeddings")
         ),
+        # --- mutual-kNN component size distribution (recursive oracle) ---
+        "q174_mutual_knn_clusters": lambda sp, sf: S.mutual_knn_clusters(
+            t(sp, sf, "embeddings")
+        ),
+        # --- day-of-week-adjusted volume anomalies ---
+        "q175_seasonal_anomalies": lambda sp, sf: E.seasonal_anomalies(
+            t(sp, sf, "events")
+        ),
+        # --- per-cohort retention decay rate (log-linear fit) ---
+        "q176_cohort_decay": lambda sp, sf: E.cohort_decay_rates(
+            t(sp, sf, "events")
+        ),
     }
 
 
@@ -3566,6 +3578,78 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
                          / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
             FROM r GROUP BY 1
+        """,
+        # Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday.
+        "q175_seasonal_anomalies": f"""
+            WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                                  count(*) AS n_events
+                           FROM events GROUP BY 1),
+            d2 AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+                   FROM daily),
+            m AS (SELECT dow, avg(n_events) AS mu,
+                         stddev_samp(n_events) AS sigma,
+                         count(*) AS n_days
+                  FROM d2 GROUP BY 1)
+            SELECT day, d2.dow, n_events, round(mu, 4) AS dow_mean,
+                   round((n_events - mu) / sigma, 4) AS z
+            FROM d2 JOIN m USING (dow)
+            WHERE n_days >= 2
+              AND abs((n_events - mu) / sigma) > {E.SEASONAL_Z}
+        """,
+        "q176_cohort_decay": """
+            WITH f AS (
+              SELECT event_type, user_id,
+                     date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY 1, 2
+            ), a AS (
+              SELECT DISTINCT e.event_type, e.user_id, f.cohort_week,
+                     date_trunc('week', e.ts) AS active_week
+              FROM events e
+              JOIN f ON f.user_id = e.user_id AND f.event_type = e.event_type
+            ), ret AS (
+              SELECT event_type, cohort_week,
+                     CAST(date_diff('day', cohort_week, active_week) // 7
+                          AS BIGINT) AS week_offset,
+                     count(*) AS n_users
+              FROM a GROUP BY 1, 2, 3
+            ), w0 AS (SELECT event_type, cohort_week, n_users AS n_week0
+                      FROM ret WHERE week_offset = 0),
+            frac AS (SELECT r.event_type, r.cohort_week, week_offset,
+                            n_users / CAST(n_week0 AS DOUBLE) AS retention
+                     FROM ret r JOIN w0 USING (event_type, cohort_week)
+                     WHERE n_users > 0)
+            SELECT event_type, cohort_week, count(*) AS n_weeks,
+                   round(-regr_slope(ln(retention), week_offset), 6)
+                     AS weekly_decay_rate
+            FROM frac GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        # Components verified by RECURSIVE reachability (min reachable
+        # node = component id) over the mutual-kNN edge set — the
+        # second genuinely recursive oracle (after q165).
+        "q174_mutual_knn_clusters": f"""
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            knn AS (SELECT vec_id, nbr_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, nbr_id) AS rk FROM p)
+                    WHERE rk <= {S.KNN_GRAPH_K}),
+            mutual AS (SELECT a.vec_id AS id_a, a.nbr_id AS id_b
+                       FROM knn a JOIN knn b
+                         ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+                       WHERE a.vec_id < a.nbr_id),
+            e AS (SELECT id_a AS s, id_b AS d FROM mutual
+                  UNION ALL SELECT id_b, id_a FROM mutual),
+            r(node, reach) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.node, e.d FROM r JOIN e ON e.s = r.reach),
+            comp AS (SELECT node, min(reach) AS component FROM r GROUP BY 1),
+            sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+            SELECT size, count(*) AS n_components FROM sizes GROUP BY 1
         """,
         # Cell-restricted quadratic ground truth: same centroid build +
         # argmax assignment as q115, neighbors ranked within the cell.

@@ -1314,3 +1314,91 @@ def value_concentration(events: DataFrame) -> DataFrame:
             ).alias("pct_users_for_80pct"),
         )
     )
+
+
+SEASONAL_Z = 1.2
+
+
+def seasonal_anomalies(events: DataFrame, z_threshold: float = SEASONAL_Z) -> DataFrame:
+    """Day-of-week-adjusted volume anomalies: q75's daily z-scores
+    flag every weekend if traffic has weekly seasonality; here each
+    day's volume is compared against the mean/std OF ITS OWN WEEKDAY,
+    so only deviations from the weekly pattern surface. Two cascaded
+    aggregates (daily rollup → per-weekday moments) and one broadcast
+    join back — the residual-based anomaly shape one step short of a
+    full STL decomposition.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("dow", F.dayofweek("day").cast("long"))
+    moments = daily.groupBy("dow").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        daily.join(F.broadcast(moments), "dow")
+        .filter(F.col("n_days") >= 2)
+        .withColumn(
+            "z",
+            F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(
+            "day", "dow", "n_events", F.round("mu", 4).alias("dow_mean"), "z"
+        )
+    )
+
+
+def cohort_decay_rates(events: DataFrame) -> DataFrame:
+    """Per-(event type, cohort) retention decay rate: users cohorted by
+    the week they FIRST used each event type, retention per week
+    offset, then a least-squares fit of ln(retention) ~ week_offset
+    (regr_slope) — decay = -slope, the churn number per feature an
+    exec dashboard tracks. Cohorts with <3 observed weeks drop (a
+    2-point fit is noise). Typed cohorts (vs q68's global ones) give
+    the adoption curve per feature, and multiple cohorts per type.
+    """
+    first = events.groupBy("event_type", "user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        events.join(first, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    ret = active.groupBy("event_type", "cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w0 = ret.filter(F.col("week_offset") == 0).select(
+        "event_type", "cohort_week", F.col("n_users").alias("n_week0")
+    )
+    frac = (
+        ret.join(w0, ["event_type", "cohort_week"])
+        .withColumn("retention", F.col("n_users") / F.col("n_week0"))
+        .filter(F.col("retention") > 0)
+    )
+    return (
+        frac.groupBy("event_type", "cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_weeks"),
+            F.round(
+                -F.expr("regr_slope(ln(retention), week_offset)"), 6
+            ).alias("weekly_decay_rate"),
+        )
+        .filter(F.col("n_weeks") >= 3)
+    )

@@ -1307,3 +1307,40 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     return ranked.withColumn("rk", F.row_number().over(w).cast("long")).select(
         "vec_id", "nbr_id", "score", "rk"
     )
+
+
+def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """Semantic clustering by mutual-kNN components: connect two
+    vectors iff EACH is in the other's top-k (the mutuality filter
+    that kills hub-induced chains), then connected components over the
+    resulting graph, reported as (component, size). The standard
+    robust clustering on top of a k-NN graph (SemDeDup's grouping
+    step, Sorscher et al. 2022 use exactly this family).
+
+    Plan: the k-NN graph (blocked matmul, q172) → a self-join of the
+    edge list on the reversed pair (mutual check — edges only, never
+    vectors) → hash-min label propagation on the (tiny) mutual edge
+    set. The DuckDB oracle computes components by RECURSIVE
+    reachability, so the iterative Spark propagation is verified
+    against a genuinely recursive ground truth.
+    """
+    from githubrepostorag_spark.operators.dedup import dedup_components
+
+    g = knn_graph(embeddings, k=k).select("vec_id", "nbr_id")
+    rev = g.select(
+        F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    mutual = (
+        g.intersect(rev)
+        .filter(F.col("vec_id") < F.col("nbr_id"))
+        .select(F.col("vec_id").alias("id_a"), F.col("nbr_id").alias("id_b"))
+    )
+    labels = dedup_components(
+        mutual, embeddings.select(F.col("vec_id").alias("node"))
+    )
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
