@@ -588,6 +588,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_cohort_decay": lambda sp, sf: E.cohort_decay_rates(
             t(sp, sf, "events")
         ),
+        # --- TPC-H Q2/Q11/Q16 shapes on the derived supplier-part view ---
+        "q177_min_cost_supplier": lambda sp, sf: R.min_cost_supplier(
+            t(sp, sf, "lineitem"), t(sp, sf, "supplier"), t(sp, sf, "nation"),
+            t(sp, sf, "region"), t(sp, sf, "part"),
+        ),
+        "q178_important_stock": lambda sp, sf: R.important_stock(
+            t(sp, sf, "lineitem"), t(sp, sf, "supplier"), t(sp, sf, "nation")
+        ),
+        "q179_parts_supplier_count": lambda sp, sf: R.parts_supplier_count(
+            t(sp, sf, "part"), t(sp, sf, "lineitem"), t(sp, sf, "supplier")
+        ),
     }
 
 
@@ -3578,6 +3589,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
                          / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
             FROM r GROUP BY 1
+        """,
+        # Genuinely correlated Q2 form: the engine runs the per-part-min
+        # decorrelation; ties keep every tied supplier in both engines.
+        "q177_min_cost_supplier": """
+            WITH rs AS (SELECT s_suppkey, s_name, n_name
+                        FROM supplier
+                        JOIN nation ON n_nationkey = s_nationkey
+                        JOIN region ON r_regionkey = n_regionkey
+                                   AND r_name = 'ASIA'),
+            costs AS (SELECT l_suppkey, l_partkey,
+                             floor(min(l_extendedprice / l_quantity) * 1e6)
+                               / 1e6 AS unit_cost
+                      FROM lineitem JOIN rs ON s_suppkey = l_suppkey
+                      GROUP BY 1, 2)
+            SELECT c.l_partkey AS p_partkey, p_name,
+                   c.l_suppkey AS s_suppkey, s_name, n_name AS nation,
+                   unit_cost
+            FROM costs c JOIN rs ON rs.s_suppkey = c.l_suppkey
+                         JOIN part ON p_partkey = c.l_partkey
+            WHERE unit_cost = (SELECT min(unit_cost) FROM costs c2
+                               WHERE c2.l_partkey = c.l_partkey)
+        """,
+        # Q11's global-scalar HAVING subquery, run genuinely scalar here.
+        "q178_important_stock": f"""
+            WITH ns AS (SELECT s_suppkey FROM supplier
+                        JOIN nation ON n_nationkey = s_nationkey
+                        WHERE n_name = 'NATION_1'),
+            pp AS (SELECT l_partkey,
+                          sum(l_extendedprice * (1 - l_discount)) AS value
+                   FROM lineitem JOIN ns ON s_suppkey = l_suppkey
+                   GROUP BY 1)
+            SELECT l_partkey AS p_partkey, round(value, 2) AS value,
+                   round(value / (SELECT sum(value) FROM pp), 6)
+                     AS value_share
+            FROM pp
+            WHERE value > (SELECT sum(value) FROM pp) * {R.STOCK_FRACTION}
+        """,
+        # Q16's NOT IN subquery, run genuinely as NOT IN.
+        "q179_parts_supplier_count": f"""
+            WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                        WHERE l_suppkey NOT IN (
+                          SELECT l_suppkey FROM lineitem GROUP BY 1
+                          HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1
+                                          ELSE 0 END)
+                                 / CAST(count(*) AS DOUBLE)
+                                 > {R.RETURN_RATE_MAX}))
+            SELECT p_brand, p_type,
+                   CAST(floor(p_size / 10.0) AS BIGINT) AS size_band,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM sp JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2, 3
         """,
         # Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday.
         "q175_seasonal_anomalies": f"""

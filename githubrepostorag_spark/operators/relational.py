@@ -1362,3 +1362,159 @@ def shipping_sla_report(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("pct_beyond_sla"),
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_region: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the region's supplier offering it
+    at minimum cost — the correlated scalar subquery
+    `cost = (SELECT min(cost) ... WHERE partkey = outer.partkey)`
+    decorrelated into a per-part min joined back. The corpus has no
+    partsupp table; unit cost is DERIVED as each supplier-part pair's
+    minimum observed l_extendedprice / l_quantity (the operator shape
+    — derive, aggregate, decorrelate, tie-break — is Q2's; only the
+    cost column's provenance differs, and the oracle derives it the
+    same way).
+
+    Plan: one (supp, part) aggregate over the region-filtered fact,
+    one per-part min, one join back; region/nation/supplier broadcast.
+    Ties on min cost keep every tied supplier, like the SQL form.
+    """
+    region_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == target_region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    costs = (
+        lineitem.join(F.broadcast(region_supp.select("s_suppkey")), 
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_suppkey"), F.col("l_partkey"))
+        # floor-scaling, not round(): price/quantity ratios land EXACTLY
+        # on half-boundaries of the 6th decimal (2-decimal prices over
+        # integer quantities), where the engines' half-rounding modes
+        # diverge; floor of the identical IEEE ratio is deterministic
+        .agg(
+            (
+                F.floor(
+                    F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6
+                )
+                / 1e6
+            ).alias("unit_cost")
+        )
+    )
+    min_cost = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        costs.join(min_cost, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == region_supp.s_suppkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("unit_cost"),
+        )
+    )
+
+
+STOCK_FRACTION = 0.001
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_1",
+    fraction: float = STOCK_FRACTION,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a FRACTION of that nation's total — the
+    `HAVING sum(...) > (SELECT sum(...) * f)` global-scalar subquery,
+    decorrelated into one aggregation whose total is a broadcast
+    1-row frame (no second scan of the fact: the per-part aggregate
+    re-aggregates into the total).
+    """
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == target_nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * fraction)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("value"),
+            F.round(F.col("value") / F.col("total_value"), 6).alias("value_share"),
+        )
+    )
+
+
+RETURN_RATE_MAX = 0.35
+
+
+def parts_supplier_count(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size
+    band), EXCLUDING suppliers with any returned line — the
+    `NOT IN (SELECT ...)` subquery as a broadcast anti-join on the
+    (bounded) excluded-supplier set before the distinct count. The
+    supplier-part relation derives from shipped lines (no partsupp in
+    the corpus).
+    """
+    # exclusion set: suppliers whose return RATE tops the threshold —
+    # "any return at all" excludes every supplier in this corpus (all
+    # of them have some R lines), which would make the anti-join
+    # vacuous; the rate predicate keeps the NOT IN semantics honest
+    complained = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate")
+        )
+        .filter(F.col("return_rate") > RETURN_RATE_MAX)
+        .select(F.col("l_suppkey").alias("bad_suppkey"))
+    )
+    sp = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(complained),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        sp.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("size_band", (F.col("p_size") / 10).cast("long"))
+        .groupBy("p_brand", "p_type", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
