@@ -599,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_parts_supplier_count": lambda sp, sf: R.parts_supplier_count(
             t(sp, sf, "part"), t(sp, sf, "lineitem"), t(sp, sf, "supplier")
         ),
+        # --- cluster (whole-group) sampling by deterministic hash ---
+        "q180_cluster_sample": lambda sp, sf: CU.cluster_sample(
+            t(sp, sf, "documents")
+        ).select("doc_id", "source", "n_chars"),
     }
 
 
@@ -3589,6 +3593,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
                          / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
             FROM r GROUP BY 1
+        """,
+        "q180_cluster_sample": f"""
+            WITH kept AS (
+              SELECT source FROM (SELECT DISTINCT source FROM documents)
+              WHERE CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                    % {CU.CLUSTER_SAMPLE_DENOM} < {CU.CLUSTER_SAMPLE_KEEP})
+            SELECT doc_id, source, n_chars
+            FROM documents SEMI JOIN kept USING (source)
         """,
         # Genuinely correlated Q2 form: the engine runs the per-part-min
         # decorrelation; ties keep every tied supplier in both engines.

@@ -545,3 +545,31 @@ def curriculum_interleave(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "source", "n_chars", "source_rank", "position")
     )
+
+
+CLUSTER_SAMPLE_DENOM = 10
+CLUSTER_SAMPLE_KEEP = 3  # keep sources whose hash bucket < KEEP (≈30%)
+
+
+def cluster_sample(
+    documents: DataFrame,
+    group_col: str = "source",
+    denom: int = CLUSTER_SAMPLE_DENOM,
+    keep: int = CLUSTER_SAMPLE_KEEP,
+) -> DataFrame:
+    """Cluster (block) sampling: keep WHOLE groups chosen by a
+    deterministic hash of the group key, not individual rows — the
+    sampling design you need when within-group correlation matters
+    (estimating per-source statistics requires complete sources; a
+    row-level sample destroys within-source structure). Deterministic
+    md5 bucketing (portable to the oracle), one broadcast semi-join —
+    the corpus is never shuffled.
+    """
+    kept = (
+        documents.select(group_col)
+        .distinct()
+        .withColumn("bucket", F.pmod(TXT.md5_bigint(F.col(group_col)), F.lit(denom)))
+        .filter(F.col("bucket") < keep)
+        .select(group_col)
+    )
+    return documents.join(F.broadcast(kept), group_col, "left_semi")

@@ -1,0 +1,72 @@
+"""Persisted inverted text index with partition-pruned keyword reads —
+the text-retrieval twin of the IVF vector store
+(`similarity.write_ivf_store`): build once, then serve keyword lookups
+that read only the index partitions the query's terms live in.
+
+Layout: posting rows (term, doc_id, tf) partitioned by the term's
+first letter (``pfx``). A keyword query prunes to its terms' prefix
+partitions at the FILE INDEX (PartitionFilters — see
+tests/test_plans.py pin), so a 100 TB corpus's index serves a 3-term
+query by reading ~3/27ths of the files, then a row-level term filter
+inside them. Prefix (not full-term) partitioning keeps the partition
+count bounded (≤27) regardless of vocabulary size — per-term
+partitions would create millions of tiny files.
+
+The scoring read is join-free: postings already carry tf, so a query
+is filter → groupBy(doc) → top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.session import scale_out
+
+
+def build_postings(documents: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) posting rows over lowercased tokens."""
+    return (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _prefix(col):
+    p = F.substring(col, 1, 1)
+    # non-alphanumeric leading chars collapse into one bucket so the
+    # partition count stays bounded whatever the tokens look like
+    return F.when(p.rlike("^[a-z0-9]"), p).otherwise(F.lit("_"))
+
+
+def write_text_index(documents: DataFrame, path: str) -> None:
+    """Materialize the inverted index, partitioned by term prefix."""
+    build_postings(documents).withColumn("pfx", _prefix(F.col("term"))).write.mode(
+        "overwrite"
+    ).partitionBy("pfx").parquet(path)
+
+
+def keyword_search_from_store(
+    spark: SparkSession, path: str, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k documents by summed tf over the query terms, reading ONLY
+    the terms' prefix partitions (partition pruning) and pushing the
+    term filter into the parquet scan."""
+    lower = [t.lower() for t in terms]
+    prefixes = sorted({t[0] if t[0].isalnum() else "_" for t in lower})
+    idx = spark.read.parquet(path)
+    return (
+        idx.filter(F.col("pfx").isin(prefixes) & F.col("term").isin(lower))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score"),
+            F.countDistinct("term").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
+        .limit(k)
+    )

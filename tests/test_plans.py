@@ -357,3 +357,36 @@ def test_embedding_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_index_store_partition_pruning(spark, tmp_path):
+    """The keyword read must prune to the query terms' prefix
+    partitions at the FILE INDEX and push the term filter into the
+    scan; results must equal direct computation from the corpus."""
+    from githubrepostorag_spark.operators import textindex as TI
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "tindex")
+    TI.write_text_index(docs, path)
+
+    out = TI.keyword_search_from_store(spark, path, ["spark", "vector"], k=5)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan and "pfx" in plan
+    assert "PushedFilters" in plan and "term" in plan
+
+    got = [(r.doc_id, r.score) for r in out.collect()]
+    direct = (
+        TI.build_postings(docs)
+        .filter(F.col("term").isin(["spark", "vector"]))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"), F.countDistinct("term").alias("h"))
+        .orderBy(F.desc("score"), F.desc("h"), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    )
+    assert got == [(r.doc_id, r.score) for r in direct]
+    # pruning is real: only the queried prefixes' directories are read
+    import glob
+
+    all_parts = glob.glob(path + "/pfx=*")
+    assert len(all_parts) > 5  # the corpus produces many prefixes
