@@ -603,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_cluster_sample": lambda sp, sf: CU.cluster_sample(
             t(sp, sf, "documents")
         ).select("doc_id", "source", "n_chars"),
+        # --- bag-semantics EXCEPT ALL / INTERSECT ALL reconciliation ---
+        "q181_bag_set_ops": lambda sp, sf: R.bag_set_ops(t(sp, sf, "lineitem")),
     }
 
 
@@ -3593,6 +3595,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cum_desc <= 0.8 * tot THEN 1 ELSE 0 END)
                          / CAST(max(n) AS DOUBLE), 6) AS pct_users_for_80pct
             FROM r GROUP BY 1
+        """,
+        "q181_bag_set_ops": """
+            WITH h1 AS (SELECT l_returnflag, l_linestatus, l_quantity
+                        FROM lineitem WHERE l_shipdate >= '1997-01-01'
+                                        AND l_shipdate < '1997-07-01'),
+            h2 AS (SELECT l_returnflag, l_linestatus, l_quantity
+                   FROM lineitem WHERE l_shipdate >= '1997-07-01'
+                                   AND l_shipdate < '1998-01-01'),
+            exc AS (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2),
+            inter AS (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   count(*) AS multiplicity, 'except_all' AS op
+            FROM exc GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   count(*), 'intersect_all'
+            FROM inter GROUP BY 1, 2, 3
         """,
         "q180_cluster_sample": f"""
             WITH kept AS (

@@ -103,8 +103,11 @@ def main() -> None:
         {"job_id": "b3", "query": "stacktrace timeout exception in stream"},
         {"job_id": "b4", "query": "repo: src1 what does module m3 contain"},
     ]
+    # min-of-3: the agent loop's latency is driver-heavy (plan
+    # compilation + scripted-LLM round trips) and swings ~50% run to
+    # run; three samples bound the noise the suite min-of-2 can't
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         states = agent.run_batch(batch)
         best = min(best, time.time() - t0)

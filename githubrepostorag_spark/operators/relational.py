@@ -1518,3 +1518,36 @@ def parts_supplier_count(
         .groupBy("p_brand", "p_type", "size_band")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def bag_set_ops(lineitem: DataFrame) -> DataFrame:
+    """Bag-semantics set operators: EXCEPT ALL and INTERSECT ALL over
+    the (returnflag, linestatus, quantity) projection of two date
+    slices — multiplicity-preserving set algebra (q108's churn query
+    is the DISTINCT-set form; these keep duplicate counts, which is
+    what reconciliation over fact slices actually needs: "how many
+    MORE rows of this shape does H1 have than H2"). One output row per
+    (op, tuple) with its surviving multiplicity.
+    """
+    proj = ["l_returnflag", "l_linestatus", "l_quantity"]
+    h1 = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    ).select(*proj)
+    h2 = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select(*proj)
+    exc = (
+        h1.exceptAll(h2)
+        .groupBy(*proj)
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        h1.intersectAll(h2)
+        .groupBy(*proj)
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return exc.unionByName(inter)

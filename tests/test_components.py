@@ -331,3 +331,24 @@ def test_corpus_formats_roundtrip(spark, tmp_path):
             got = [(a, b if b is not None else "", c, d, e) for a, b, c, d, e in got]
         assert got == want, fmt
         assert back.schema == df.schema, fmt
+
+
+def test_store_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on a parquet store: a new writer generation
+    adds a column; mergeSchema reads span both generations with nulls
+    backfilled for the old files — the store can evolve without a
+    rewrite (the production concern every long-lived dataset hits)."""
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, quality double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "quality"}
+    rows = {r.id: r.quality for r in merged.collect()}
+    assert rows[3] == 0.9 and rows[1] is None and rows[2] is None
+    # without mergeSchema the footer-picked schema may omit the new
+    # column — the test pins that the OPTION is what makes it safe
