@@ -105,7 +105,11 @@ def curation_pipeline(
         .filter(F.col("overlap_frac") >= DECON_DROP_FRAC)
         .select("doc_id")
     )
-    clean = survivors.join(flagged, "doc_id", "left_anti")
+    # cut after the gram-explode join too: `clean` feeds the mixture
+    # AND the audit count — uncut, each consumer re-runs decontaminate
+    clean = survivors.join(flagged, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     # --- stage 5: quality-weighted per-source mixture ---
     scored = clean.withColumn("quality", TXT.quality_score(t))
