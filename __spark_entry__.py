@@ -605,6 +605,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "n_chars"),
         # --- bag-semantics EXCEPT ALL / INTERSECT ALL reconciliation ---
         "q181_bag_set_ops": lambda sp, sf: R.bag_set_ops(t(sp, sf, "lineitem")),
+        # --- near-dup-aware split: whole dedup components per split ---
+        "q182_leakage_safe_split": lambda sp, sf: CU.leakage_safe_split(
+            t(sp, sf, "documents"),
+            DD.dedup_components(
+                S.near_dup_pairs(t(sp, sf, "embeddings")),
+                t(sp, sf, "embeddings").select(F.col("vec_id").alias("node")),
+            ),
+        ).select("doc_id", "component", "split"),
+        # --- contamination report: near-dup pairs straddling splits ---
+        "q183_split_leakage_audit": lambda sp, sf: CU.split_leakage_audit(
+            S.near_dup_pairs(t(sp, sf, "embeddings")),
+            CU.train_split(t(sp, sf, "documents")).select("doc_id", "split"),
+        ),
     }
 
 
@@ -3620,6 +3633,60 @@ def oracle_sql() -> dict[str, str]:
                     % {CU.CLUSTER_SAMPLE_DENOM} < {CU.CLUSTER_SAMPLE_KEEP})
             SELECT doc_id, source, n_chars
             FROM documents SEMI JOIN kept USING (source)
+        """,
+        "q182_leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), comp AS (
+              SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+            ), hashed AS (
+              SELECT d.doc_id, c.component,
+                     CAST(('0x' || substr(md5('split:' || CAST(c.component AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % {CU.SPLIT_DENOM} AS h
+              FROM documents d JOIN comp c ON d.doc_id = c.node
+            )
+            SELECT doc_id, component,
+                   CASE WHEN h < 10 THEN 'test'
+                        WHEN h < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM hashed
+        """,
+        "q183_split_leakage_audit": f"""
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ), splits AS (
+              SELECT doc_id,
+                     CASE WHEN h < 10 THEN 'test'
+                          WHEN h < 20 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM (SELECT doc_id,
+                           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                                1, 15)) AS BIGINT) % {CU.SPLIT_DENOM} AS h
+                    FROM documents)
+            )
+            SELECT least(sa.split, sb.split) AS split_lo,
+                   greatest(sa.split, sb.split) AS split_hi,
+                   count(*) AS n_pairs,
+                   least(sa.split, sb.split) != greatest(sa.split, sb.split) AS is_leak
+            FROM pairs p
+            JOIN splits sa ON p.id_a = sa.doc_id
+            JOIN splits sb ON p.id_b = sb.doc_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # Genuinely correlated Q2 form: the engine runs the per-part-min
         # decorrelation; ties keep every tied supplier in both engines.

@@ -148,6 +148,93 @@ def train_split(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test split: the split bucket is
+    hashed from the document's dedup *component* label, not its own id,
+    so an entire near-dup cluster always lands in one split. This is
+    the group-aware split a training corpus actually needs — under the
+    naive per-doc split (train_split), any surviving near-dup pair has
+    a ~2·p_holdout chance of straddling train/eval, silently inflating
+    eval scores (the contamination mechanism measured by
+    split_leakage_audit).
+
+    `components` is the (node, component) frame from
+    dedup.dedup_components over whatever near-dup graph the corpus
+    owner trusts (LSH+Jaccard, embedding cosine, phash...). Singleton
+    docs have component == their own id there, so their assignment
+    matches train_split's marginal distribution.
+
+    Plan: one broadcast-or-shuffle equi-join on id (component frames
+    are labels-only — narrow), then the same narrow salted-hash bucket
+    as train_split. No extra shuffle beyond the label join.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    h = F.pmod(
+        TXT.md5_bigint(
+            F.concat(F.lit("split:"), F.col("component").cast("string"))
+        ),
+        F.lit(SPLIT_DENOM),
+    )
+    split = (
+        F.when(h < test_permille, F.lit("test"))
+        .when(h < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("split", split)
+    )
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    split_df: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-split contamination report: for every unordered split pair
+    (train/train, train/test, ...), how many verified near-dup pairs
+    land there. Rows with split_lo != split_hi are leaks — eval
+    examples whose near-duplicate sits in training data. Run it against
+    train_split to quantify the problem and against leakage_safe_split
+    to prove zero leaks (the pytest property).
+
+    Plan: the pair table is already bounded by the near-dup front-end
+    (LSH bands / cosine blocks), so two label joins plus a group-by on
+    ≤6 split-pair keys; the split frame projects to (id, split) —
+    2 narrow columns — before joining.
+    """
+    sa = split_df.select(
+        F.col(id_col).alias(id_a), F.col("split").alias("split_a")
+    )
+    sb = split_df.select(
+        F.col(id_col).alias(id_b), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, id_a)
+        .join(sb, id_b)
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_lo") != F.col("split_hi")).cast("boolean")
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     group_col: str = "source",

@@ -198,3 +198,46 @@ def test_curation_pipeline_end_to_end(spark):
     assert 100 not in ids and 102 not in ids and 2 not in ids
     assert all(r.batch_id is not None and r.curation_run_id == "test-run"
                for r in corpus)
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    # A synthetic dup graph: docs 0-3 are one near-dup cluster, 10-11
+    # another; everything else is a singleton.
+    docs = _docs(spark, n=30)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    from githubrepostorag_spark.operators import dedup as DD
+
+    comp = DD.dedup_components(pairs, nodes)
+    safe = CU.leakage_safe_split(docs, comp)
+    # every component lands in exactly one split
+    per_comp = (
+        safe.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_comp)
+    # and the audit therefore reports zero leaking pairs
+    audit = CU.split_leakage_audit(
+        pairs, safe.select("doc_id", "split")
+    ).collect()
+    assert all(not r.is_leak for r in audit)
+    # singletons keep their own id as the component label
+    single = {r.component for r in safe.filter(F.col("doc_id") == 20).collect()}
+    assert single == {20}
+
+
+def test_split_leakage_audit_counts_straddling_pairs(spark):
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    rows = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.is_leak)
+        for r in CU.split_leakage_audit(pairs, splits).collect()
+    }
+    assert rows[("test", "train")] == (1, True)
+    assert rows[("train", "train")] == (1, False)
