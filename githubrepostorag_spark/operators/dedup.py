@@ -18,7 +18,7 @@ bit-for-bit (see functions.text.md5_bigint).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
@@ -86,7 +86,14 @@ def lsh_buckets(documents: DataFrame, n_bands: int = LSH_BANDS) -> DataFrame:
     wider bands admit only higher-similarity candidates (MMDS §3.4.2).
     """
     assert MINHASH_FUNCS % n_bands == 0, "bands must divide MINHASH_FUNCS"
-    sigs = minhash_signatures(documents)
+    return _bands_from_sigs(minhash_signatures(documents), n_bands)
+
+
+def _bands_from_sigs(sigs: DataFrame, n_bands: int) -> DataFrame:
+    """Band rows (doc_id, band_idx, band_val) from a signature table —
+    shared by the inline LSH chain and the persisted dedup store (which
+    recomputes bands from STORED signatures rather than re-shingling)."""
+    assert MINHASH_FUNCS % n_bands == 0, "bands must divide MINHASH_FUNCS"
     rows_per_band = MINHASH_FUNCS // n_bands
     bands = F.array(
         *[
@@ -485,3 +492,113 @@ def cross_source_leakage(documents: DataFrame, n_bands: int = 2) -> DataFrame:
         )
         .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup store: incremental near-dup against an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def write_dedup_store(documents: DataFrame, path: str, n_bands: int = LSH_BANDS) -> None:
+    """Persist the LSH dedup index for a corpus: the MinHash signature
+    table plus the band-bucket table (partitioned by band_idx, sorted
+    by band_val inside each partition for parquet row-group skipping).
+
+    The 100 TB motivation: a growing corpus must dedup each NEW
+    ingestion batch against everything already accepted, and
+    re-shingling the existing corpus per batch is a full-corpus scan
+    of wide text. The store is built once (signatures are ~8 narrow
+    strings per doc, bands 3 narrow columns), and every subsequent
+    batch touches only these slim tables — the corpus text is never
+    read again. Same build-once/serve-many layout as the IVF vector
+    store (similarity.write_ivf_store) and the inverted text index
+    (textindex.write_text_index).
+    """
+    sigs = minhash_signatures(documents)
+    sigs.write.mode("overwrite").parquet(path + "/signatures")
+    spark = documents.sparkSession
+    stored = spark.read.parquet(path + "/signatures")
+    # bands derive from the just-written signatures, not a second
+    # shingle pass over the text
+    _bands_from_sigs(stored, n_bands).sortWithinPartitions("band_val").write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path + "/bands")
+
+
+def incremental_near_dups(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    n_bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Flag documents in a new ingestion batch that near-duplicate a
+    document already in the persisted dedup store: LSH band collision
+    for candidates, then the MinHash signature-agreement estimate
+    (matching slots / MINHASH_FUNCS — the q153-audited estimator) as
+    the verifier. Returns (new_id, old_id, n_sig_match, est_jaccard)
+    for every candidate at or above `min_est_jaccard`.
+
+    Scale shape — the store side never shuffles:
+    - only the NEW batch is shingled (one scan of the batch's text);
+    - its band rows broadcast into a single scan of the stored band
+      table (collision join, no store shuffle);
+    - the (bounded) candidate set broadcasts into a single scan of the
+      stored signature table;
+    - verification is pure signature arithmetic — no text is re-read
+      for either side. Set `min_est_jaccard` with q153's measured
+      estimator error in hand (±1/MINHASH_FUNCS per slot).
+    """
+    new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=False)
+    sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
+
+    new_bands = _bands_from_sigs(new_sigs, n_bands).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_val"
+    )
+    store_bands = spark.read.parquet(path + "/bands")
+    cand = (
+        store_bands.join(F.broadcast(new_bands), ["band_idx", "band_val"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(F.col("doc_id").alias("old_id"), "new_id")
+        .distinct()
+    )
+
+    store_sigs = spark.read.parquet(path + "/signatures")
+    old = store_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+    )
+    new = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(c).alias(f"n_{c}") for c in sig_cols],
+    )
+    n_match = None
+    for c in sig_cols:
+        term = F.when(F.col(f"o_{c}") == F.col(f"n_{c}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    return (
+        old.join(F.broadcast(cand), "old_id")
+        .join(F.broadcast(new), "new_id")
+        .withColumn("n_sig_match", n_match.cast("long"))
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_sig_match") / F.lit(float(MINHASH_FUNCS)), 6),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("new_id", "old_id", "n_sig_match", "est_jaccard")
+    )
+
+
+def append_to_dedup_store(
+    new_docs: DataFrame, path: str, n_bands: int = LSH_BANDS
+) -> None:
+    """Append an accepted ingestion batch to the persisted dedup store,
+    so the NEXT batch's incremental_near_dups sees it. Completes the
+    build → probe → accept → append loop: the corpus text still never
+    gets re-read; only the new batch is shingled (once — the signature
+    frame is checkpointed and both writes derive from it)."""
+    sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    sigs.write.mode("append").parquet(path + "/signatures")
+    _bands_from_sigs(sigs, n_bands).sortWithinPartitions("band_val").write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(path + "/bands")

@@ -1850,3 +1850,61 @@ def test_knn_graph_ivf_recall_measured(spark):
         assert exact[e] == ivf[e]
     recall = len(both) / len(exact)
     assert 0.0 < recall <= 1.0
+
+
+def test_incremental_near_dups_against_persisted_store(spark, tmp_path):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (2, "completely unrelated content about spark plans", "en", "s0", 46),
+            (3, "yet another distinct document body here", "en", "s1", 39),
+        ],
+    )
+    store = str(tmp_path / "dedup_store")
+    DD.write_dedup_store(corpus, store)
+
+    new_batch = _docs(
+        spark,
+        [
+            # near-exact dup of corpus doc 1 (one word changed)
+            (101, "the quick brown fox jumps over the lazy cat", "en", "s2", 44),
+            # genuinely fresh
+            (102, "totally novel text that matches nothing stored", "en", "s2", 46),
+        ],
+    )
+    hits = DD.incremental_near_dups(spark, store, new_batch, min_est_jaccard=0.5).collect()
+    assert {(r.new_id, r.old_id) for r in hits} == {(101, 1)}
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in hits)
+
+    # an identical re-ingest estimates jaccard 1.0 against its stored self
+    dup_again = _docs(
+        spark, [(201, "the quick brown fox jumps over the lazy dog", "en", "s2", 44)]
+    )
+    exact = DD.incremental_near_dups(spark, store, dup_again, min_est_jaccard=0.9).collect()
+    assert {(r.new_id, r.old_id, r.est_jaccard) for r in exact} == {(201, 1, 1.0)}
+
+    # the store layout is band_idx-partitioned (build-once/serve-many)
+    import os
+
+    assert any(d.startswith("band_idx=") for d in os.listdir(store + "/bands"))
+
+
+def test_append_to_dedup_store_makes_batch_visible(spark, tmp_path):
+    store = str(tmp_path / "dedup_store")
+    corpus = _docs(
+        spark, [(1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44)]
+    )
+    DD.write_dedup_store(corpus, store)
+    batch1 = _docs(
+        spark, [(50, "an entirely separate first batch document", "en", "s1", 41)]
+    )
+    # fresh vs the initial store...
+    assert DD.incremental_near_dups(spark, store, batch1).count() == 0
+    DD.append_to_dedup_store(batch1, store)
+    # ...but once appended, a re-send of the same text is caught
+    batch2 = _docs(
+        spark, [(60, "an entirely separate first batch document", "en", "s2", 41)]
+    )
+    hits = DD.incremental_near_dups(spark, store, batch2, min_est_jaccard=0.9).collect()
+    assert {(r.new_id, r.old_id) for r in hits} == {(60, 50)}
