@@ -390,3 +390,24 @@ def test_text_index_store_partition_pruning(spark, tmp_path):
 
     all_parts = glob.glob(path + "/pfx=*")
     assert len(all_parts) > 5  # the corpus produces many prefixes
+
+
+def test_incremental_near_dups_store_side_never_shuffles(spark, tmp_path):
+    """The dedup-store probe must broadcast the NEW batch into scans of
+    the stored band/signature tables — an Exchange on the store side
+    would re-shuffle the whole corpus index per ingestion batch."""
+    from githubrepostorag_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "dstore")
+    DD.write_dedup_store(docs, path)
+
+    batch = docs.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    out = DD.incremental_near_dups(spark, path, batch)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: every join in the probe broadcasts
+    # the bounded (batch / candidate) side
+    assert "SortMergeJoin" not in plan
