@@ -523,6 +523,11 @@ def write_dedup_store(documents: DataFrame, path: str, n_bands: int = LSH_BANDS)
     _bands_from_sigs(stored, n_bands).sortWithinPartitions("band_val").write.mode(
         "overwrite"
     ).partitionBy("band_idx").parquet(path + "/bands")
+    # exact-dup side: the normalized content fingerprint, sorted so
+    # parquet row-group min/max stats serve point probes
+    documents.select(
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+    ).sortWithinPartitions("fp").write.mode("overwrite").parquet(path + "/fingerprints")
 
 
 def incremental_near_dups(
@@ -602,3 +607,27 @@ def append_to_dedup_store(
     _bands_from_sigs(sigs, n_bands).sortWithinPartitions("band_val").write.mode(
         "append"
     ).partitionBy("band_idx").parquet(path + "/bands")
+    new_docs.select(
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+    ).sortWithinPartitions("fp").write.mode("append").parquet(path + "/fingerprints")
+
+
+def incremental_exact_dups(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Exact-duplicate probe against the persisted dedup store: the new
+    batch's normalized-content fingerprints broadcast into one scan of
+    the stored fingerprint table. Returns (new_id, old_id, fp) for every
+    stored doc whose content matches a new doc byte-for-byte after
+    normalization — the cheap first gate an ingestion batch passes
+    before the (band-collision) near-dup probe.
+    """
+    new_fp = new_docs.select(
+        F.col("doc_id").alias("new_id"), TXT.fingerprint(F.col("text")).alias("fp")
+    )
+    store = spark.read.parquet(path + "/fingerprints")
+    return (
+        store.join(F.broadcast(new_fp), "fp")
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select("new_id", F.col("doc_id").alias("old_id"), "fp")
+    )

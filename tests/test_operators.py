@@ -1908,3 +1908,26 @@ def test_append_to_dedup_store_makes_batch_visible(spark, tmp_path):
     )
     hits = DD.incremental_near_dups(spark, store, batch2, min_est_jaccard=0.9).collect()
     assert {(r.new_id, r.old_id) for r in hits} == {(60, 50)}
+
+
+def test_incremental_exact_dups_probe(spark, tmp_path):
+    store = str(tmp_path / "dedup_store")
+    corpus = _docs(
+        spark,
+        [
+            (1, "Shared   Content here", "en", "s0", 21),
+            (2, "something else entirely", "en", "s0", 23),
+        ],
+    )
+    DD.write_dedup_store(corpus, store)
+    batch = _docs(
+        spark,
+        [
+            # same content modulo case/whitespace -> exact dup under the
+            # normalized fingerprint
+            (101, "shared content HERE", "en", "s1", 19),
+            (102, "fresh body", "en", "s1", 10),
+        ],
+    )
+    hits = DD.incremental_exact_dups(spark, store, batch).collect()
+    assert {(r.new_id, r.old_id) for r in hits} == {(101, 1)}
