@@ -1931,3 +1931,27 @@ def test_incremental_exact_dups_probe(spark, tmp_path):
     )
     hits = DD.incremental_exact_dups(spark, store, batch).collect()
     assert {(r.new_id, r.old_id) for r in hits} == {(101, 1)}
+
+
+def test_jaccard_sig_gate_semantics(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (3, "the quick brown fox jumps over a sleepy dog", "en", "s0", 44),
+        ],
+    )
+    base = {(r.doc_a, r.doc_b) for r in DD.jaccard_on_candidates(docs, threshold=0.5).collect()}
+    # gate at the guaranteed-collision floor (4 of 8 slots) changes nothing
+    floor = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_on_candidates(docs, threshold=0.5, sig_gate=4).collect()
+    }
+    assert floor == base
+    # gate at 8 keeps only signature-identical pairs (the exact dup)
+    strict = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_on_candidates(docs, threshold=0.5, sig_gate=8).collect()
+    }
+    assert strict <= base and (1, 2) in strict
