@@ -355,12 +355,66 @@ def simhash_bucket_dedup(documents: DataFrame, prefix_bits: int = 16) -> DataFra
     )
 
 
+def _components_unionfind(one: DataFrame) -> DataFrame:
+    """Exact union-find over a BOUNDED collected edge list; labels every
+    edge-touched node with the minimum id in its component — identical
+    to the distributed hash-min fixpoint. Only called when the caller
+    has already counted the edges under SMALL_GRAPH_EDGES."""
+    from pyspark.sql import types as T
+
+    rows = one.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r.src, r.dst
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        m = comp_min.get(root)
+        if m is None or n < m:
+            comp_min[root] = n
+    data = [(n, comp_min[find(n)]) for n in parent]
+    node_type = one.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("component", node_type),
+        ]
+    )
+    return one.sparkSession.createDataFrame(data, schema)
+
+
+# Edge-count bound under which connected components run as exact
+# union-find on the driver instead of the iterative distributed loop.
+# 200k two-column rows is a few MB — far below any broadcast threshold
+# — while the distributed loop costs 2 shuffles + a checkpoint + a
+# count PER ROUND in driver-side job scheduling alone (measured ~4 s
+# for a 4k-edge graph at local[32], vs ~0.3 s via the fallback).
+SMALL_GRAPH_EDGES = 200_000
+
+
 def dedup_components(
     edges: DataFrame,
     nodes: DataFrame,
     max_iter: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph by
     hash-min label propagation — the clustering step that turns
@@ -404,6 +458,22 @@ def dedup_components(
     # frame is ~free; coalesce doesn't shuffle. ~100k slim edge rows
     # per task keeps a genuinely large graph wide.
     n_edges = one.count()
+    # Bounded-size fast path: the edge count is already materialized,
+    # so when the dup subgraph provably fits on the driver (a few MB of
+    # two-column rows), run exact union-find there instead of paying
+    # 2 shuffles + checkpoint + count of job-scheduling latency per
+    # propagation round. Same result by construction — both paths label
+    # every edge-touched node with the MINIMUM id reachable from it —
+    # so the oracle and every composition are unaffected. This is the
+    # GraphFrames-style bounded collect (cap checked BEFORE collecting,
+    # like the retrieval frontier); a 100 TB pair graph that exceeds
+    # the cap takes the distributed loop below.
+    if n_edges <= small_graph_edges:
+        labels = _components_unionfind(one)
+        singletons = nodes.select("node").join(
+            labels.select("node"), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+        return labels.unionByName(singletons)
     parts = max(1, min(one.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     one = one.coalesce(parts)
     sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -1955,3 +1955,20 @@ def test_jaccard_sig_gate_semantics(spark):
         for r in DD.jaccard_on_candidates(docs, threshold=0.5, sig_gate=8).collect()
     }
     assert strict <= base and (1, 2) in strict
+
+
+def test_dedup_components_distributed_path_matches_unionfind(spark):
+    # force the iterative loop (cap=0) and compare against the
+    # driver-side union-find fast path on a multi-cluster chain graph
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in list(range(1, 5)) + [10, 11, 12, 20, 21, 99]], "node long")
+    fast = {(r.node, r.component) for r in DD.dedup_components(edges, nodes).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in DD.dedup_components(edges, nodes, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    assert (4, 1) in fast and (12, 10) in fast and (21, 20) in fast and (99, 99) in fast
