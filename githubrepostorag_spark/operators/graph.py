@@ -259,12 +259,51 @@ def doc_triangles(documents: DataFrame) -> DataFrame:
 
 BFS_MAX_DEPTH = 3
 BFS_SEED_SUPPKEY = 1
+# Distinct-pair bound for the driver-side BFS fast path: 500k two-int
+# rows is ~10 MB collected; checked by count() BEFORE collecting.
+BFS_SMALL_PAIRS = 500_000
+
+
+def _bfs_driver(pairs, seed_suppkey: int, max_depth: int):
+    """Driver BFS over a BOUNDED collected bipartite pair list;
+    identical output contract to the distributed hop loop (namespaced
+    node, min hop distance, seed at 0)."""
+    from collections import defaultdict, deque
+
+    # Arrow transfer (toPandas), not row collect(): the bounded pair
+    # list is still hundreds of thousands of rows, and per-row pickle
+    # deserialization would cost more than the distributed loop saves.
+    # Nodes stay integers during the traversal (supplier k, part
+    # -k-1); only the (small) reached set is stringified for output.
+    pdf = pairs.toPandas()
+    adj = defaultdict(list)
+    for sk, pk in zip(
+        pdf["l_suppkey"].to_numpy().tolist(), pdf["l_partkey"].to_numpy().tolist()
+    ):
+        p = -pk - 1
+        adj[sk].append(p)
+        adj[p].append(sk)
+    dist = {seed_suppkey: 0}
+    q = deque([seed_suppkey])
+    while q:
+        n = q.popleft()
+        if dist[n] >= max_depth:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    out = [
+        (f"s:{n}" if n >= 0 else f"p:{-n - 1}", d) for n, d in dist.items()
+    ]
+    return pairs.sparkSession.createDataFrame(out, "node string, dist long")
 
 
 def supply_bfs_distances(
     lineitem: DataFrame,
     seed_suppkey: int = BFS_SEED_SUPPKEY,
     max_depth: int = BFS_MAX_DEPTH,
+    small_graph_pairs: int = BFS_SMALL_PAIRS,
 ) -> DataFrame:
     """Minimum-hop BFS distances over the supplier↔part bipartite graph
     (suppliers connect to the parts they shipped): from one seed
@@ -281,8 +320,19 @@ def supply_bfs_distances(
     bounded (parameter), frontier is labels-only, and the edge list is
     reusable across hops (cached by Spark's shuffle reuse). Node ids
     are namespaced ('s:' / 'p:') so the bipartite sides can't collide.
+
+    Bounded-size fast path (same adaptive discipline as
+    dedup.dedup_components): the distinct pair list is counted first,
+    and when it provably fits on the driver the BFS runs there — the
+    per-hop join/anti-join otherwise costs several scheduled jobs of
+    latency on a graph whose adjacency is a few MB. Over the cap, the
+    distributed hop loop below runs unchanged.
     """
-    pairs = lineitem.select("l_suppkey", "l_partkey").distinct()
+    pairs = lineitem.select("l_suppkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    if pairs.count() <= small_graph_pairs:
+        return _bfs_driver(pairs, seed_suppkey, max_depth)
     s_node = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
     p_node = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
     edges = (

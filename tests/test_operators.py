@@ -1972,3 +1972,23 @@ def test_dedup_components_distributed_path_matches_unionfind(spark):
     }
     assert fast == dist
     assert (4, 1) in fast and (12, 10) in fast and (21, 20) in fast and (99, 99) in fast
+
+
+def test_supply_bfs_fast_path_matches_distributed(spark):
+    li = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 200), (3, 200), (4, 300)],
+        "l_suppkey long, l_partkey long",
+    )
+    from githubrepostorag_spark.operators import graph as G
+
+    fast = {(r.node, r.dist) for r in G.supply_bfs_distances(li).collect()}
+    dist = {
+        (r.node, r.dist)
+        for r in G.supply_bfs_distances(li, small_graph_pairs=0).collect()
+    }
+    assert fast == dist
+    # seed at 0; part 100 at 1 hop; supplier 2 at 2; part 200 at 3;
+    # supplier 3 beyond max_depth=3; supplier 4 disconnected
+    assert ("s:1", 0) in fast and ("p:100", 1) in fast and ("s:2", 2) in fast
+    assert ("p:200", 3) in fast
+    assert not any(n in ("s:3", "s:4", "p:300") for n, _ in fast)
