@@ -618,6 +618,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.near_dup_pairs(t(sp, sf, "embeddings")),
             CU.train_split(t(sp, sf, "documents")).select("doc_id", "split"),
         ),
+        # --- line-level boilerplate REMOVAL (q89's transform half) ---
+        "q184_boilerplate_scrub": lambda sp, sf: TO.boilerplate_scrub(
+            _wrapped_lines(t(sp, sf, "documents"))
+        ),
+        # --- semi-hard negatives for contrastive embedding training ---
+        "q185_hard_negatives": lambda sp, sf: S.hard_negative_mining(
+            t(sp, sf, "embeddings")
+        ),
+        # --- MMR diversified top-k rerank (unrolled-greedy oracle) ---
+        "q186_mmr_rerank": lambda sp, sf: S.mmr_rerank(t(sp, sf, "embeddings")),
+        # --- distributed BPE merge-rule training (word-frequency table) ---
+        "q187_bpe_merges": lambda sp, sf: TO.bpe_merge_training(
+            t(sp, sf, "documents")
+        ),
+        # --- serpentine LPT shard balancing (distributed global rank) ---
+        "q188_balanced_shards": lambda sp, sf: CU.balanced_shards(
+            t(sp, sf, "documents")
+        ),
+        # --- distributed logistic-regression quality-filter training ---
+        "q189_logreg_train": lambda sp, sf: TO.logreg_quality_trainer(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -1221,6 +1243,159 @@ def _funnel_sql(steps: tuple[str, ...], max_gap_minutes: int | None = None) -> s
                      max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS pct_of_first
         FROM counts
         WHERE n_users > 0
+    """
+
+
+def _mmr_sql(pool: int, k: int, lam: float) -> str:
+    """Unrolled greedy MMR (mirror of similarity.mmr_rerank): pick 1 is
+    the max lam*rel; each later pick maximizes lam*rel - (1-lam) *
+    max-sim-to-selected over the not-yet-selected pool. The lambda
+    arithmetic is written textually ("0.7", "(1.0 - 0.7)") so both
+    engines evaluate the identical double expression."""
+    l_txt = repr(lam)
+    ctes = [
+        f"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.label,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  q.qv), 6) AS rel,
+                     CAST(e.embedding AS DOUBLE[]) AS v
+              FROM embeddings e, q WHERE e.vec_id <> 0
+              ORDER BY rel DESC, e.vec_id LIMIT {pool}),
+            sims AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS s
+              FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+            p1 AS (SELECT vec_id, label, rel,
+                          round({l_txt} * rel, 6) AS mmr, 1 AS pick
+                   FROM cand ORDER BY round({l_txt} * rel, 6) DESC, vec_id
+                   LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM p{j}" for j in range(1, i))
+        ctes.append(
+            f"""sel{i} AS ({sel}),
+            sc{i} AS (
+              SELECT c.vec_id, c.label, c.rel,
+                     round({l_txt} * c.rel - (1.0 - {l_txt}) * max(s.s), 6) AS mmr
+              FROM cand c JOIN sims s ON s.va = c.vec_id
+                                     AND s.vb IN (SELECT vec_id FROM sel{i})
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i})
+              GROUP BY c.vec_id, c.label, c.rel),
+            p{i} AS (SELECT vec_id, label, rel, mmr, {i} AS pick
+                     FROM sc{i} ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+    picks = " UNION ALL ".join(f"SELECT * FROM p{j}" for j in range(1, k + 1))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT vec_id, label, rel, mmr, CAST(pick AS BIGINT) AS pick
+        FROM ({picks})
+    """
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled BPE merge training (mirror of textops.bpe_merge_training):
+    word-frequency table, separator-joined symbol strings, one
+    argmax + one non-overlapping replace per round."""
+    ctes = [
+        f"""words AS (
+              SELECT w AS word, count(*) AS wc
+              FROM (SELECT unnest({_LOW_TOKS}) AS w FROM documents)
+              GROUP BY w),
+            s0 AS (
+              SELECT chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
+                       AS seq, wc
+              FROM words)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""t{r} AS (
+              SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS toks, wc
+              FROM s{r - 1}),
+            p{r} AS (
+              SELECT toks[i] AS sym1, toks[i + 1] AS sym2,
+                     CAST(sum(wc) AS BIGINT) AS pair_count
+              FROM (SELECT toks, wc, unnest(range(1, len(toks))) AS i FROM t{r})
+              GROUP BY 1, 2),
+            b{r} AS (SELECT sym1, sym2, pair_count FROM p{r}
+                     ORDER BY pair_count DESC, sym1, sym2 LIMIT 1),
+            s{r} AS (
+              SELECT replace(seq,
+                             chr(31) || (SELECT sym1 FROM b{r}) || chr(31)
+                                     || (SELECT sym2 FROM b{r}) || chr(31),
+                             chr(31) || (SELECT sym1 FROM b{r})
+                                     || (SELECT sym2 FROM b{r}) || chr(31)) AS seq,
+                     wc
+              FROM s{r - 1})"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, sym1, sym2, "
+        f"sym1 || sym2 AS merged, pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        {rows}
+    """
+
+
+def _logreg_sql(rounds: int, lr: float, stop_list: str) -> str:
+    """Unrolled full-batch gradient descent (mirror of
+    textops.logreg_quality_trainer): per round one aggregate over the
+    feature CTE using the previous round's 1-row weight CTE, then a
+    rounded weight update. The z expression is written in the same
+    left-associated term order as the engine's."""
+    lr_txt = repr(lr)
+    dims = 4
+    feat = f"""f AS (
+          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 1.0 AS x0,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                           / CAST(len({_TOKS}) AS DOUBLE)
+                      ELSE 0.0 END AS x1,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_filter({_TOKS},
+                             tk -> list_contains({stop_list}, tk))) AS DOUBLE)
+                           / CAST(len({_TOKS}) AS DOUBLE)
+                      ELSE 0.0 END AS x2,
+                 least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0 AS x3
+          FROM documents),
+        w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ctes = [feat]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}_"
+        z = " + ".join(f"w.w{j} * s.x{j}" for j in range(dims))
+        gs = ", ".join(
+            f"round(avg((p - y) * x{j}), 6) AS g{j}" for j in range(dims)
+        )
+        ctes.append(
+            f"""r{r} AS (
+              SELECT s.y, s.x0, s.x1, s.x2, s.x3,
+                     least(greatest(round(1.0 / (1.0 + exp(-({z}))), 6),
+                                    0.000001), 0.999999) AS p
+              FROM f s, {prev} w),
+            a{r} AS (
+              SELECT {gs},
+                     round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 4) AS loss
+              FROM r{r}),
+            w{r}_ AS (
+              SELECT {", ".join(
+                  f"round(w.w{j} - {lr_txt} * a.g{j}, 6) AS w{j}"
+                  for j in range(dims))}
+              FROM {prev} w, a{r} a)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST({j} AS BIGINT) AS dim, "
+        f"a.g{j} AS grad, w.w{j} AS weight, a.loss AS loss "
+        f"FROM a{r} a, w{r}_ w"
+        for r in range(1, rounds + 1)
+        for j in range(4)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        {rows}
     """
 
 
@@ -4040,4 +4215,84 @@ def oracle_sql() -> dict[str, str]:
                      AS position
             FROM ranked r JOIN src USING (source)
         """,
+        "q184_boilerplate_scrub": r"""
+            WITH wrapped AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){2}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS wt
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(lst, 1) - 1 AS pos,
+                     unnest(lst) AS raw_line
+              FROM (SELECT doc_id, string_split(wt, chr(10)) AS lst FROM wrapped)),
+            h AS (
+              SELECT doc_id, pos, raw_line,
+                     CASE WHEN length(trim(raw_line)) > 0 THEN
+                       CAST(('0x' || substr(md5(trim(raw_line)), 1, 15)) AS BIGINT)
+                     END AS h
+              FROM lines),
+            common AS (
+              SELECT h FROM h WHERE h IS NOT NULL
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+            kept AS (
+              SELECT * FROM h
+              WHERE h.h IS NULL OR h.h NOT IN (SELECT h FROM common)),
+            rebuilt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(raw_line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM h GROUP BY doc_id)
+            SELECT t.doc_id, t.n_lines,
+                   t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q185_hard_negatives": f"""
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+            band AS (SELECT * FROM pairs
+                     WHERE cos_sim >= {S.HARD_NEG_LO} AND cos_sim <= {S.HARD_NEG_HI}),
+            sym AS (
+              SELECT id_a AS anchor_id, id_b AS negative_id, cos_sim FROM band
+              UNION ALL
+              SELECT id_b AS anchor_id, id_a AS negative_id, cos_sim FROM band)
+            SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim, rk
+            FROM (
+              SELECT s.anchor_id, la.label AS anchor_label,
+                     s.negative_id, lb.label AS negative_label, s.cos_sim,
+                     row_number() OVER (PARTITION BY s.anchor_id
+                                        ORDER BY s.cos_sim DESC, s.negative_id) AS rk
+              FROM sym s
+              JOIN embeddings la ON la.vec_id = s.anchor_id
+              JOIN embeddings lb ON lb.vec_id = s.negative_id
+              WHERE la.label <> lb.label)
+            WHERE rk <= {S.HARD_NEG_K}
+        """,
+        "q186_mmr_rerank": _mmr_sql(S.MMR_POOL, S.MMR_K, S.MMR_LAMBDA),
+        "q187_bpe_merges": _bpe_sql(TO.BPE_MERGE_ROUNDS),
+        "q188_balanced_shards": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                             AS BIGINT) AS rank
+              FROM toks)
+            SELECT doc_id, source, n_tokens, rank,
+                   CAST(CASE WHEN CAST(floor((rank - 1) / {CU.N_SHARDS}) AS BIGINT) % 2 = 0
+                             THEN (rank - 1) % {CU.N_SHARDS}
+                             ELSE {CU.N_SHARDS} - 1 - ((rank - 1) % {CU.N_SHARDS})
+                        END AS BIGINT) AS shard
+            FROM ranked
+        """,
+        "q189_logreg_train": _logreg_sql(
+            TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list
+        ),
     }

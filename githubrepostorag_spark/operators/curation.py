@@ -660,3 +660,55 @@ def cluster_sample(
         .select(group_col)
     )
     return documents.join(F.broadcast(kept), group_col, "left_semi")
+
+
+N_SHARDS = 8
+
+
+def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Balanced output-shard assignment by token count: rank documents
+    by (n_tokens DESC, doc_id) and deal them onto `n_shards` shards in
+    serpentine order (shard 0..n-1 on even passes, n-1..0 on odd) —
+    the classic sorted-greedy/LPT approximation that bounds shard skew
+    by one document. This is the writer-side packer that keeps every
+    tokenizer/training worker busy when the corpus ships as N files.
+
+    Scale note — the global rank is NOT a bare `row_number() OVER
+    (ORDER BY ...)`: an unpartitioned window pulls the whole corpus
+    into ONE task. Instead: `repartitionByRange` on the rank key gives
+    range-sorted partitions, per-partition counts (one tiny collect,
+    bounded by the partition count) become broadcast offsets, and the
+    global rank is the per-partition row_number plus the partition's
+    offset — the standard distributed zip-with-index, every step
+    corpus-parallel.
+    """
+    toks = df.select(
+        "doc_id", "source", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = toks.repartitionByRange(
+        n_parts, F.desc("n_tokens"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    # bounded collect: one (pid, count) row per partition
+    counts = {r["pid"]: r["cnt"] for r in ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+    ))
+    wp = Window.partitionBy("pid").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = (
+        ranged.join(off_df, "pid")
+        .withColumn("rank", (F.row_number().over(wp) + F.col("off")).cast("long"))
+        .drop("pid", "off")
+    )
+    pass_idx = F.floor((F.col("rank") - 1) / n_shards)
+    pos = (F.col("rank") - 1) % n_shards
+    return ranked.withColumn(
+        "shard",
+        F.when(pass_idx % 2 == 0, pos).otherwise(n_shards - 1 - pos).cast("long"),
+    ).select("doc_id", "source", "n_tokens", "rank", "shard")

@@ -210,6 +210,7 @@ def jaccard_on_candidates(
     threshold: float = 0.8,
     n_bands: int = 2,
     sig_gate: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY on LSH candidate pairs — the scale
     composition (shingle→minhash→band→bucket-join→verify).
@@ -249,8 +250,15 @@ def jaccard_on_candidates(
     only ~1k) or skew-heavy band collisions. Both engines compute
     identical md5 signatures, so an oracle can reproduce a gated pair
     set bit-for-bit when the knob is on.
+
+    ``sigs`` (optional): a precomputed, already-materialized
+    `minhash_signatures(documents)` frame. Callers that ALSO consume
+    the signatures (minhash_error_audit's estimator join, the persisted
+    dedup store) pass it so the corpus is shingled once total instead
+    of once per consumer.
     """
-    sigs = minhash_signatures(documents).localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(documents).localCheckpoint(eager=True)
     cand = _pairs_from_buckets(_bands_from_sigs(sigs, n_bands))
     if sig_gate is not None and sig_gate > 0:
         sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
@@ -556,10 +564,13 @@ def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     audit wants the misses too); the estimate joins the (bounded)
     candidate pairs back to the signature table twice. Signatures are
     8 narrow strings per doc, so both joins broadcast at any realistic
-    candidate count.
+    candidate count. The signature table is computed ONCE and passed
+    into the verify chain (`sigs=`), so the corpus is shingled exactly
+    once — without the reuse the estimator side replayed the full
+    shingle+md5 pass a second time.
     """
-    exact = jaccard_on_candidates(documents, threshold=0.0, n_bands=n_bands)
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents).localCheckpoint(eager=True)
+    exact = jaccard_on_candidates(documents, threshold=0.0, n_bands=n_bands, sigs=sigs)
     sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]

@@ -1344,3 +1344,125 @@ def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFram
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_components"))
     )
+
+
+HARD_NEG_LO = 0.3   # below: trivially-easy negative, no training signal
+HARD_NEG_HI = 0.9   # above: likely an unlabeled positive / near-dup — excluded
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    k: int = HARD_NEG_K,
+    lo: float = HARD_NEG_LO,
+    hi: float = HARD_NEG_HI,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive embedding training
+    (FaceNet-style): for every anchor vector, the top-`k`
+    DIFFERENT-label vectors whose cosine lies in [lo, hi] — similar
+    enough to be informative, not so similar they are probably
+    mislabeled positives.
+
+    Composition, no new kernel: the banded pair stream comes from
+    `near_dup_pairs`' blocked-matmul kernel (threshold = lo, so only
+    the informative band ever leaves a block task), is symmetrized to
+    anchor→candidate direction, label-filtered through two broadcast
+    joins against the narrow (vec_id, label) projection, and ranked
+    per anchor by one window. At 100 TB the front-end swaps to the
+    IVF/SRP-bucketed pair streams (near_dup_in_cells /
+    srp_near_dup_pairs) exactly as the dedup family does; everything
+    after the pair stream is unchanged.
+    """
+    pairs = near_dup_pairs(embeddings, threshold=lo).filter(F.col("cos_sim") <= hi)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("negative_id"), "cos_sim"
+        )
+    )
+    labels = embeddings.select("vec_id", "label")
+    la = labels.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("negative_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        sym.join(F.broadcast(la), "anchor_id")
+        .join(F.broadcast(lb), "negative_id")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label", "cos_sim", "rk")
+    )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * rel − (1 − lam) * max_sim_to_already_selected`` from a
+    relevance top-`pool` shortlist — the serving-side reranker that
+    stops a near-dup-heavy corpus from filling all k result slots
+    with copies of one document.
+
+    Plan: the expensive part is the corpus-wide relevance shortlist
+    (`knn_to_query` — scan + TakeOrderedAndProject, the scale path);
+    the greedy loop then runs on the driver over the POOL rows — the
+    same bounded-fast-path discipline as the retrieval frontier and
+    the small-graph BFS: the collect is capped at `pool` rows by
+    construction, and a distributed k-step loop would cost k scheduled
+    joins to sequence what is arithmetic over a ≤pool×pool matrix.
+    Scores are rounded to 6dp at each stage so the (unrolled-CTE)
+    SQL oracle reproduces the greedy bit-for-bit.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    shortlist = knn_to_query(embeddings, query_vec_id=query_vec_id, k=pool)
+    cand = (
+        shortlist.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "label", "score", "embedding")
+        .collect()  # bounded: exactly `pool` rows by construction
+    )
+    ids = np.array([r["vec_id"] for r in cand], dtype="int64")
+    rel = np.array([r["score"] for r in cand], dtype="float64")
+    mat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in cand])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    labels = {int(r["vec_id"]): r["label"] for r in cand}
+
+    selected: list[int] = []
+    out_rows = []
+    for step in range(1, min(k, len(ids)) + 1):
+        if not selected:
+            mmr = np.round(lam * rel, 6)
+        else:
+            sel_idx = [int(np.nonzero(ids == s)[0][0]) for s in selected]
+            max_sim = sims[:, sel_idx].max(axis=1)
+            mmr = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+        mask = np.isin(ids, selected)
+        mmr_masked = np.where(mask, -np.inf, mmr)
+        # argmax with vec_id tie-break: lexsort on (-score, id)
+        best = int(np.lexsort((ids, -mmr_masked))[0])
+        out_rows.append(
+            (int(ids[best]), labels[int(ids[best])], float(rel[best]),
+             float(mmr_masked[best]), step)
+        )
+        selected.append(int(ids[best]))
+    label_type = dict(embeddings.dtypes)["label"]
+    return spark.createDataFrame(
+        out_rows, f"vec_id long, label {label_type}, rel double, mmr double, pick long"
+    )

@@ -1121,3 +1121,227 @@ def ngram_novelty(documents: DataFrame, n: int = NOVELTY_N) -> DataFrame:
             "novelty", F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6)
         )
     )
+
+
+def boilerplate_scrub(
+    documents: DataFrame, min_docs: int = LINE_DEDUP_MIN_DOCS
+) -> DataFrame:
+    """Line-level boilerplate REMOVAL: rewrite each document's text with
+    every corpus-common line (trimmed form appearing in >= `min_docs`
+    distinct documents — license headers, nav chrome, generated-code
+    banners) deleted. Completes `line_dedup_stats` (q89) from a report
+    into the transform a curation pipeline actually ships: CCNet /
+    RefinedWeb-style line dedup produces CLEANED text, not just a
+    fraction.
+
+    Scale shape: same two passes as the stats op — explode lines keyed
+    by position, one groupBy on the 60-bit line HASH (never line text),
+    then the bounded common-line set joins back (AQE broadcast in the
+    common case) and the per-doc reassembly is one groupBy(doc_id) with
+    an order-preserving sort_array over (pos, line) structs. Documents
+    whose every line is boilerplate survive with empty clean_text —
+    the caller's quality gate (min length) is the right place to drop
+    them, not a silent filter here.
+    """
+    lines = (
+        scale_out(documents, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos", "raw_line"),
+        )
+        .withColumn("line", F.trim("raw_line"))
+        .withColumn(
+            "h",
+            F.when(F.length("line") > 0, TXT.md5_bigint(F.col("line"))),
+        )
+        .localCheckpoint(eager=False)  # consumed by the common-set scan
+        # AND the reassembly join below — uncut, the explode runs twice
+    )
+    common = (
+        lines.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+    kept = lines.join(common, "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("raw_line")))
+                ),
+                lambda s: s["raw_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # left join from the full doc set: a document whose EVERY line was
+    # boilerplate still comes back (empty clean_text), per the contract
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+BPE_MERGE_ROUNDS = 3
+BPE_SEP = "\x1f"  # unit separator — absent from the tokenized words
+
+
+def bpe_merge_training(
+    documents: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Byte-pair-encoding merge-rule learning, distributed: `rounds`
+    iterations of (count adjacent symbol pairs weighted by word
+    frequency -> take the global argmax pair -> fuse it everywhere).
+    Returns one row per learned rule: (round, sym1, sym2, merged,
+    pair_count) — the training half of the q82 pretokenizer.
+
+    The scale design is the one real BPE trainers (HF tokenizers,
+    SentencePiece) use: train on the WORD-FREQUENCY TABLE, not the
+    token stream. The corpus is touched exactly once (tokenize ->
+    groupBy word -> count: vocabulary-sized output); every round then
+    aggregates over the vocab table — bounded by distinct words, not
+    corpus bytes — and the argmax is a 1-row bounded collect (same
+    discipline as the k-means codebook rounds). Symbol sequences are
+    separator-joined strings; a merge is one `replace` of
+    "<sep>s1<sep>s2<sep>" -> "<sep>s1s2<sep>", whose left-to-right
+    non-overlapping semantics IS BPE's merge order ("aaa" + (a,a) ->
+    ["aa","a"]) and is identical in every engine, so the unrolled-CTE
+    SQL oracle reproduces the whole training run bit-for-bit.
+    """
+    sep = BPE_SEP
+    words = (
+        scale_out(documents, "doc_id")
+        .select(F.explode(TXT.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        # seq = "<sep>c1<sep>c2<sep>...<sep>cn<sep>": separator-bracketed
+        # so a merge match can never straddle a symbol boundary
+        .withColumn(
+            "seq",
+            F.concat(F.lit(sep), F.regexp_replace("word", "(.)", "$1" + sep)),
+        )
+        .select("seq", "wc")
+        .localCheckpoint(eager=False)  # re-read once per round
+    )
+    spark = documents.sparkSession
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        toks = F.filter(F.split("seq", sep), lambda x: F.length(x) > 0)
+        pairs = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("sym1"), b.alias("sym2")),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.sym1", "p.sym2")
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("sym1"), F.asc("sym2")
+        ).limit(1).collect()  # bounded: exactly one row
+        if not best:
+            break
+        s1, s2, cnt = best[0]["sym1"], best[0]["sym2"], int(best[0]["pair_count"])
+        out_rows.append((rnd, s1, s2, s1 + s2, cnt))
+        words = words.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(sep + s1 + sep + s2 + sep),
+                F.lit(sep + s1 + s2 + sep),
+            ),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out_rows, "round long, sym1 string, sym2 string, merged string, pair_count long"
+    )
+
+
+LOGREG_ROUNDS = 3
+LOGREG_LR = 1.0
+LOGREG_LEN_CAP = 200.0
+
+
+def logreg_quality_trainer(
+    documents: DataFrame,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Distributed logistic-regression trainer for a fastText-style
+    document quality/language classifier: full-batch gradient descent
+    on interpretable per-doc features (bias, lexical diversity,
+    stopword ratio, capped length), label = (lang == 'en'). Returns
+    one row per (round, dim): the round's gradient, the updated
+    weight, and the pre-update training loss — the in-engine
+    train-a-filter loop (CCNet trains exactly such a classifier to
+    score crawl quality).
+
+    Scale shape: the feature projection is one scan (cut once, reused
+    every round); each round is ONE aggregate producing d+1 doubles —
+    gradients and loss ride the same map-side-combined pass — and a
+    1-row bounded collect updates the weight vector on the driver
+    (same discipline as the k-means / BPE rounds). Per-row sigmoids
+    are rounded to 6dp and per-round gradients/weights to 6dp so the
+    unrolled-CTE SQL oracle reproduces the whole descent bit-for-bit
+    (sum order across engines differs at ~1e-14; rounding absorbs it).
+    """
+    t = F.col("text")
+    n = TXT.token_count(t).cast("double")
+    d = TXT.distinct_token_count(t).cast("double")
+    sw = TXT.stopword_count(t).cast("double")
+    feats = documents.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.when(n > 0, d / n).otherwise(0.0).alias("x1"),
+        F.when(n > 0, sw / n).otherwise(0.0).alias("x2"),
+        (F.least(n, F.lit(LOGREG_LEN_CAP)) / F.lit(LOGREG_LEN_CAP)).alias("x3"),
+    ).localCheckpoint(eager=False)  # re-read once per round
+
+    dims = 4
+    w = [0.0] * dims
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        z = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(1, dims)),
+                F.lit(w[0]) * F.col("x0"))
+        # clamp after rounding so log(p)/log(1-p) stay finite even if a
+        # saturated sigmoid rounds to exactly 0 or 1 (same clamp in SQL)
+        p = F.least(
+            F.greatest(
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6), F.lit(0.000001)
+            ),
+            F.lit(0.999999),
+        )
+        resid = (p - F.col("y")).alias("resid")
+        scored = feats.select("y", "x0", "x1", "x2", "x3", resid, p.alias("p"))
+        agg = scored.agg(
+            *[F.avg(F.col("resid") * F.col(f"x{j}")).alias(f"g{j}") for j in range(dims)],
+            F.avg(
+                -(
+                    F.col("y") * F.log("p")
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+                )
+            ).alias("loss"),
+        ).collect()[0]  # bounded: one row of d+1 doubles
+        g = [round(float(agg[f"g{j}"]), 6) for j in range(dims)]
+        loss = round(float(agg["loss"]), 4)
+        w = [round(w[j] - lr * g[j], 6) for j in range(dims)]
+        for j in range(dims):
+            out_rows.append((rnd, j, g[j], w[j], loss))
+    return documents.sparkSession.createDataFrame(
+        out_rows, "round long, dim long, grad double, weight double, loss double"
+    )

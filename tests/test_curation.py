@@ -241,3 +241,25 @@ def test_split_leakage_audit_counts_straddling_pairs(spark):
     }
     assert rows[("test", "train")] == (1, True)
     assert rows[("train", "train")] == (1, False)
+
+
+def test_balanced_shards_serpentine_and_balance(spark):
+    rows = [(i, "s", "w " * (100 - i)) for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = CU.balanced_shards(docs, n_shards=4).orderBy("rank").collect()
+    # rank follows (tokens desc, doc_id): doc 0 is longest
+    assert [r.doc_id for r in out[:4]] == [0, 1, 2, 3]
+    # serpentine: first pass 0,1,2,3 then 3,2,1,0
+    assert [r.shard for r in out[:8]] == [0, 1, 2, 3, 3, 2, 1, 0]
+    # per-shard token totals within one doc's spread of each other
+    tot = {}
+    for r in out:
+        tot[r.shard] = tot.get(r.shard, 0) + r.n_tokens
+    assert max(tot.values()) - min(tot.values()) <= 100
+
+
+def test_balanced_shards_rank_is_global_and_dense(spark):
+    rows = [(i, "s", "tok " * (1 + i % 7)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ranks = sorted(r.rank for r in CU.balanced_shards(docs, n_shards=3).collect())
+    assert ranks == list(range(1, 51))

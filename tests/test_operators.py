@@ -1992,3 +1992,47 @@ def test_supply_bfs_fast_path_matches_distributed(spark):
     assert ("s:1", 0) in fast and ("p:100", 1) in fast and ("s:2", 2) in fast
     assert ("p:200", 3) in fast
     assert not any(n in ("s:3", "s:4", "p:300") for n, _ in fast)
+
+
+def test_hard_negatives_band_and_label_exclusion(spark):
+    import githubrepostorag_spark.operators.similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),   # same label as 0 — never a negative of 0
+            (2, [0.8, 0.6, 0.0], 1),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [-1.0, 0.0, 0.0], 2),  # cosine -1 to anchor 0 — below band
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = S.hard_negative_mining(emb, k=3, lo=0.3, hi=0.95).collect()
+    for r in out:
+        assert r.anchor_label != r.negative_label
+        assert 0.3 <= r.cos_sim <= 0.95
+    anchors0 = [r.negative_id for r in out if r.anchor_id == 0]
+    assert 1 not in anchors0 and 4 not in anchors0 and 2 in anchors0
+
+
+def test_mmr_rerank_diversifies_and_orders(spark):
+    import githubrepostorag_spark.operators.similarity as S
+
+    # two tight clusters near the query; plain top-k would take all of
+    # cluster A first — MMR must jump to cluster B for the second pick
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),      # query
+            (1, [0.99, 0.14, 0.0], 1),    # cluster A
+            (2, [0.985, 0.17, 0.0], 1),   # cluster A (near-dup of 1)
+            (3, [0.9, 0.0, 0.44], 2),     # cluster B
+            (4, [0.89, 0.0, 0.45], 2),    # cluster B (near-dup of 3)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = S.mmr_rerank(emb, query_vec_id=0, k=3, pool=4, lam=0.5).collect()
+    picks = [r.vec_id for r in out]
+    # 1 (top relevance) → 3 (other cluster beats 1's near-dup) → 2
+    # (returning to A beats B's near-dup 4)
+    assert picks == [1, 3, 2]
+    assert [r.pick for r in out] == [1, 2, 3]
