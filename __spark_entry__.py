@@ -640,6 +640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_logreg_train": lambda sp, sf: TO.logreg_quality_trainer(
             t(sp, sf, "documents")
         ),
+        # --- BPE inference: apply the learned merges corpus-wide ---
+        "q190_bpe_encode": lambda sp, sf: TO.bpe_encode(t(sp, sf, "documents")),
+        # --- logreg inference: score every doc with trained weights ---
+        "q191_logreg_scores": lambda sp, sf: TO.logreg_quality_scores(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -1294,10 +1300,10 @@ def _mmr_sql(pool: int, k: int, lam: float) -> str:
     """
 
 
-def _bpe_sql(rounds: int) -> str:
-    """Unrolled BPE merge training (mirror of textops.bpe_merge_training):
-    word-frequency table, separator-joined symbol strings, one
-    argmax + one non-overlapping replace per round."""
+def _bpe_ctes(rounds: int) -> list:
+    """Shared CTE body for the BPE train (q187) and encode (q190)
+    oracles: word-frequency table, separator-joined symbol strings,
+    one argmax + one non-overlapping replace per round."""
     ctes = [
         f"""words AS (
               SELECT w AS word, count(*) AS wc
@@ -1329,23 +1335,57 @@ def _bpe_sql(rounds: int) -> str:
                      wc
               FROM s{r - 1})"""
         )
+    return ctes
+
+
+def _bpe_sql(rounds: int) -> str:
     rows = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, sym1, sym2, "
         f"sym1 || sym2 AS merged, pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
     return f"""
-        WITH {", ".join(ctes)}
+        WITH {", ".join(_bpe_ctes(rounds))}
         {rows}
     """
 
 
-def _logreg_sql(rounds: int, lr: float, stop_list: str) -> str:
-    """Unrolled full-batch gradient descent (mirror of
-    textops.logreg_quality_trainer): per round one aggregate over the
-    feature CTE using the previous round's 1-row weight CTE, then a
-    rounded weight update. The z expression is written in the same
-    left-associated term order as the engine's."""
+def _bpe_encode_sql(rounds: int) -> str:
+    """BPE inference (mirror of textops.bpe_encode): re-derive the
+    merge rules with the training CTEs, then apply them in learned
+    order to every per-document word and roll up symbol counts."""
+    seq = "chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')"
+    for r in range(1, rounds + 1):
+        seq = (
+            f"replace({seq}, chr(31) || (SELECT sym1 FROM b{r}) || chr(31)"
+            f" || (SELECT sym2 FROM b{r}) || chr(31),"
+            f" chr(31) || (SELECT sym1 FROM b{r})"
+            f" || (SELECT sym2 FROM b{r}) || chr(31))"
+        )
+    return f"""
+        WITH {", ".join(_bpe_ctes(rounds))},
+        dwords AS (
+          SELECT doc_id, unnest({_LOW_TOKS}) AS word FROM documents),
+        enc AS (
+          SELECT doc_id, length(word) AS n_chars,
+                 len(list_filter(string_split({seq}, chr(31)),
+                                 x -> x <> '')) AS n_syms
+          FROM dwords)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+               CAST(sum(n_chars) AS BIGINT) AS n_word_chars,
+               round(sum(n_syms) * 1.0 / count(*), 6) AS syms_per_word
+        FROM enc GROUP BY doc_id
+    """
+
+
+def _logreg_ctes(rounds: int, lr: float, stop_list: str) -> list:
+    """Shared CTE body for the logreg train (q189) and score (q191)
+    oracles: per round one aggregate over the feature CTE using the
+    previous round's 1-row weight CTE, then a rounded weight update.
+    The z expression is written in the same left-associated term
+    order as the engine's."""
     lr_txt = repr(lr)
     dims = 4
     feat = f"""f AS (
@@ -1386,6 +1426,10 @@ def _logreg_sql(rounds: int, lr: float, stop_list: str) -> str:
                   for j in range(dims))}
               FROM {prev} w, a{r} a)"""
         )
+    return ctes
+
+
+def _logreg_sql(rounds: int, lr: float, stop_list: str) -> str:
     rows = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, CAST({j} AS BIGINT) AS dim, "
         f"a.g{j} AS grad, w.w{j} AS weight, a.loss AS loss "
@@ -1394,8 +1438,38 @@ def _logreg_sql(rounds: int, lr: float, stop_list: str) -> str:
         for j in range(4)
     )
     return f"""
-        WITH {", ".join(ctes)}
+        WITH {", ".join(_logreg_ctes(rounds, lr, stop_list))}
         {rows}
+    """
+
+
+def _logreg_scores_sql(rounds: int, lr: float, stop_list: str) -> str:
+    """Logreg inference (mirror of textops.logreg_quality_scores):
+    final-round weights applied to every document's features, same
+    clamp and rounding as training."""
+    z = " + ".join(f"w.w{j} * s.x{j}" for j in range(4))
+    return f"""
+        WITH {", ".join(_logreg_ctes(rounds, lr, stop_list))},
+        fid AS (
+          SELECT doc_id, lang,
+                 1.0 AS x0,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                           / CAST(len({_TOKS}) AS DOUBLE)
+                      ELSE 0.0 END AS x1,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_filter({_TOKS},
+                             tk -> list_contains({stop_list}, tk))) AS DOUBLE)
+                           / CAST(len({_TOKS}) AS DOUBLE)
+                      ELSE 0.0 END AS x2,
+                 least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0 AS x3
+          FROM documents)
+        SELECT s.doc_id, s.lang,
+               least(greatest(round(1.0 / (1.0 + exp(-({z}))), 6),
+                              0.000001), 0.999999) AS score,
+               least(greatest(round(1.0 / (1.0 + exp(-({z}))), 6),
+                              0.000001), 0.999999) >= 0.5 AS pred_en
+        FROM fid s, w{rounds}_ w
     """
 
 
@@ -4293,6 +4367,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """,
         "q189_logreg_train": _logreg_sql(
+            TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list
+        ),
+        "q190_bpe_encode": _bpe_encode_sql(TO.BPE_MERGE_ROUNDS),
+        "q191_logreg_scores": _logreg_scores_sql(
             TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list
         ),
     }

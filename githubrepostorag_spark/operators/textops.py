@@ -1345,3 +1345,92 @@ def logreg_quality_trainer(
     return documents.sparkSession.createDataFrame(
         out_rows, "round long, dim long, grad double, weight double, loss double"
     )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: DataFrame | None = None,
+    rounds: int = BPE_MERGE_ROUNDS,
+) -> DataFrame:
+    """Apply learned BPE merge rules to the corpus — the inference half
+    of `bpe_merge_training`: per document, the word count, the
+    post-merge symbol count, and the symbols-per-word compression the
+    learned vocabulary buys. (A real shard writer would emit symbol id
+    arrays; the per-doc stats keep the oracle comparison narrow while
+    exercising the identical merge application.)
+
+    The merge-rule table is `rounds` rows — collected (bounded) and
+    applied as a chain of non-overlapping `replace` expressions in
+    learned order, exactly how the rules were learned. One scan over
+    the corpus; the rule chain is a per-row expression, so at 100 TB
+    this rides any other per-doc pass for free.
+    """
+    sep = BPE_SEP
+    if merges is None:
+        merges = bpe_merge_training(documents, rounds=rounds)
+    rules = [
+        (r["sym1"], r["sym2"]) for r in merges.orderBy("round").collect()
+    ]  # bounded: one row per learned round
+    seq = F.concat(F.lit(sep), F.regexp_replace("word", "(.)", "$1" + sep))
+    for s1, s2 in rules:
+        seq = F.replace(
+            seq, F.lit(sep + s1 + sep + s2 + sep), F.lit(sep + s1 + s2 + sep)
+        )
+    n_syms = F.size(F.filter(F.split(seq, sep), lambda x: F.length(x) > 0))
+    per_word = (
+        scale_out(documents, "doc_id")
+        .select(
+            "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .select("doc_id", F.length("word").alias("n_chars"), n_syms.alias("n_syms"))
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum("n_chars").alias("n_word_chars"),
+        )
+        .withColumn(
+            "syms_per_word",
+            F.round(F.col("n_symbols") / F.col("n_words").cast("double"), 6),
+        )
+    )
+
+
+def logreg_quality_scores(
+    documents: DataFrame,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Score every document with the trained quality classifier — the
+    inference half of `logreg_quality_trainer`: train (bounded driver
+    loop), then one scan applying the final weights as a column
+    expression. p is rounded to 6dp with the same clamp as training so
+    the oracle's unrolled-CTE weights reproduce every score."""
+    trained = logreg_quality_trainer(documents, rounds=rounds, lr=lr)
+    w = {
+        r["dim"]: r["weight"]
+        for r in trained.filter(F.col("round") == rounds).collect()
+    }  # bounded: one row per dim
+    t = F.col("text")
+    n = TXT.token_count(t).cast("double")
+    d = TXT.distinct_token_count(t).cast("double")
+    sw = TXT.stopword_count(t).cast("double")
+    x = [
+        F.lit(1.0),
+        F.when(n > 0, d / n).otherwise(0.0),
+        F.when(n > 0, sw / n).otherwise(0.0),
+        F.least(n, F.lit(LOGREG_LEN_CAP)) / F.lit(LOGREG_LEN_CAP),
+    ]
+    z = sum((F.lit(w[j]) * x[j] for j in range(1, 4)), F.lit(w[0]) * x[0])
+    p = F.least(
+        F.greatest(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6), F.lit(0.000001)),
+        F.lit(0.999999),
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        p.alias("score"),
+        (p >= 0.5).alias("pred_en"),
+    )

@@ -242,3 +242,39 @@ def test_curation_pipeline_at_10x(spark):
     # the LSH stage — survivors must be far below the 10x raw count
     assert audit["exact_dedup"] <= audit["raw"] * 0.7
     assert audit["near_dup"] <= audit["raw"] * 0.35
+
+
+def test_round3c_train_ops_scale_linearly(spark):
+    """The trainer-style additions on the hostile corpus: the scrub's
+    common-line set explodes under the dup flood (every line recurs
+    10x), BPE's word table is hammered by identical replicas, and the
+    shard ranker sees one hot source. Growth must stay ≈ linear; the
+    driver loops stay bounded (1-row collects) regardless of corpus
+    size."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import textops as TO
+
+    def timed(mk, docs) -> float:
+        # the trainer-style ops do their round work at CALL time
+        # (bounded driver collects) — time construction + materialize
+        t0 = time.time()
+        mk(docs).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    for name, mk in (
+        ("boilerplate_scrub", lambda d: TO.boilerplate_scrub(
+            d.withColumn(
+                "text",
+                F.regexp_replace("text", r"((?:\S+\s+){2}\S+)\s+", "$1\n"),
+            )
+        )),
+        ("balanced_shards", CU.balanced_shards),
+        ("bpe_merges", TO.bpe_merge_training),
+        ("logreg_train", TO.logreg_quality_trainer),
+    ):
+        t1 = timed(mk, _docs(spark, 1))
+        t10 = timed(mk, _docs(spark, REPLICAS))
+        spark.catalog.clearCache()
+        assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+            f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+        )
