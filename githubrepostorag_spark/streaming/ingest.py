@@ -112,3 +112,70 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
             .partitionBy("repo")
             .parquet(store_path)
         )
+
+
+def stream_dedup_gate(
+    docs_stream: DataFrame,
+    dedup_store_path: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint_path: str,
+    min_est_jaccard: float = 0.5,
+):
+    """Continuous near-dup admission gate: every micro-batch of
+    documents is probed against the persisted LSH dedup store
+    (`dedup.incremental_near_dups`); fresh documents append to
+    `accepted_path` AND to the dedup store (so the NEXT batch sees
+    them), near-dup hits land in `rejected_path` with their matched
+    store document and the signature-agreement estimate. This closes
+    the loop the batch store API leaves to the caller — the always-on
+    form of build → probe → accept → append.
+
+    Per-batch order of operations is crash-safe for ACCEPTANCE:
+    accepted rows are written BEFORE the store append, so a failure
+    between the two replays the batch with the store still unaware of
+    it — documents re-accept (duplicate append, deduped by doc_id at
+    read, same at-least-once discipline as the versioned vector store
+    above) rather than being falsely rejected by their own half-landed
+    signatures. Batches are exact-deduped within themselves first
+    (min doc_id wins) — LSH probing is batch-vs-store; two near-dup
+    documents arriving in ONE batch both pass the gate, exactly like
+    two concurrent writers in any admission design, and the next
+    compaction/batch-level dedup pass sweeps them.
+
+    Scale: the batch text is shingled once (signature frame
+    checkpointed inside the probe/append helpers); the store side
+    touches only the slim signature/band tables, never corpus text.
+    """
+    from githubrepostorag_spark.operators.dedup import (
+        append_to_dedup_store,
+        exact_dedup,
+        incremental_near_dups,
+    )
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # probe + two writes
+        keep = exact_dedup(batch).select(F.col("canonical_doc_id").alias("doc_id"))
+        batch = batch.join(keep, "doc_id", "left_semi")
+        hits = incremental_near_dups(
+            spark, dedup_store_path, batch, min_est_jaccard=min_est_jaccard
+        ).localCheckpoint(eager=True)  # reject log + accept anti-join
+        dup_ids = hits.select(F.col("new_id").alias("doc_id")).distinct()
+        accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )  # consumed by the sink write AND the store append
+        accepted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(accepted_path)
+        append_to_dedup_store(accepted.select("doc_id", "text"), dedup_store_path)
+        hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode("append").parquet(
+            rejected_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -433,3 +433,49 @@ def test_stream_heavy_hitters_mg_guarantee_across_batches(spark, tmp_path):
             assert (et, uid) in cands, f"missed guaranteed heavy hitter {et}/{uid}"
     for (et, uid), c in cands.items():
         assert c <= true_counts[(et, uid)]  # lower bound, never inflated
+
+
+def test_stream_dedup_gate_admits_fresh_rejects_near_dups(spark, tmp_path):
+    from githubrepostorag_spark.operators.dedup import write_dedup_store
+    from githubrepostorag_spark.streaming.ingest import stream_dedup_gate
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 30
+    fresh_text = "completely different content about spark shuffles " * 30
+    later_text = "yet another unrelated corpus document body here " * 30
+    store = str(tmp_path / "dedup_store")
+    src = str(tmp_path / "src")
+    acc = str(tmp_path / "accepted")
+    rej = str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    write_dedup_store(
+        spark.createDataFrame([(1, base_text)], schema), store
+    )
+
+    # batch 1: a near-copy of stored doc 1 + a fresh doc
+    spark.createDataFrame(
+        [(100, base_text + " tail"), (101, fresh_text)], schema
+    ).write.mode("overwrite").json(src)
+    q = stream_dedup_gate(
+        spark.readStream.schema(schema).json(src), store, acc, rej, ckpt
+    )
+    q.awaitTermination(300)
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+    rejected = {(r.new_id, r.old_id) for r in spark.read.parquet(rej).collect()}
+    assert accepted == {101}
+    assert rejected == {(100, 1)}
+
+    # batch 2: a near-copy of batch 1's ACCEPTED doc must now be
+    # rejected (the store append made 101 visible), plus a fresh doc
+    spark.createDataFrame(
+        [(200, fresh_text + " v2"), (201, later_text)], schema
+    ).write.mode("append").json(src)
+    q = stream_dedup_gate(
+        spark.readStream.schema(schema).json(src), store, acc, rej, ckpt
+    )
+    q.awaitTermination(300)
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+    rejected = {(r.new_id, r.old_id) for r in spark.read.parquet(rej).collect()}
+    assert accepted == {101, 201}
+    assert (200, 101) in rejected
