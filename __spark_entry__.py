@@ -646,6 +646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_logreg_scores": lambda sp, sf: TO.logreg_quality_scores(
             t(sp, sf, "documents")
         ),
+        # --- training-sequence assembly with boundary metadata ---
+        "q192_training_sequences": lambda sp, sf: CU.build_training_sequences(
+            t(sp, sf, "documents"), budget=2000
+        ),
+        # --- pre-join skew diagnosis over lineitem's join keys ---
+        "q193_skew_report": lambda sp, sf: R.join_key_skew_report(
+            t(sp, sf, "lineitem")
+        ),
     }
 
 
@@ -4373,4 +4381,51 @@ def oracle_sql() -> dict[str, str]:
         "q191_logreg_scores": _logreg_scores_sql(
             TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list
         ),
+        "q192_training_sequences": f"""
+            WITH toks AS (
+              SELECT source, doc_id, text,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT source, doc_id, text, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                          AS BIGINT) AS start_offset
+              FROM toks
+            ), b AS (
+              SELECT *, CAST(floor(start_offset / 2000.0) AS BIGINT) AS batch_id
+              FROM packed
+            ), seqs AS (
+              SELECT source, batch_id,
+                     md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5,
+                     CAST(count(*) AS BIGINT) AS seq_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+              FROM b GROUP BY 1, 2)
+            SELECT b.source, b.batch_id, b.doc_id, b.n_tokens,
+                   CAST(b.start_offset - b.batch_id * 2000 AS BIGINT) AS tok_start,
+                   s.seq_docs, s.seq_tokens, s.seq_md5
+            FROM b JOIN seqs s USING (source, batch_id)
+        """,
+        "q193_skew_report": f"""
+            WITH t AS (SELECT count(*) AS total FROM lineitem),
+            {", ".join(
+                f'''k{i} AS (
+                  SELECT CAST({key} AS BIGINT) AS key_value, count(*) AS cnt
+                  FROM lineitem GROUP BY 1
+                  ORDER BY cnt DESC, key_value LIMIT {R.SKEW_TOP_N}
+                ), r{i} AS (
+                  SELECT '{key}' AS key_name, key_value, cnt,
+                         round(cnt / CAST((SELECT total FROM t) AS DOUBLE), 6)
+                           AS frac,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, key_value)
+                              AS BIGINT) AS rank
+                  FROM k{i})'''
+                for i, key in enumerate(
+                    ("l_orderkey", "l_partkey", "l_suppkey"), start=1
+                )
+            )}
+            SELECT key_name, key_value, cnt, frac, rank
+            FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3)
+        """,
     }

@@ -712,3 +712,58 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
         "shard",
         F.when(pass_idx % 2 == 0, pos).otherwise(n_shards - 1 - pos).cast("long"),
     ).select("doc_id", "source", "n_tokens", "rank", "shard")
+
+
+SEQ_BUDGET = 2000  # tokens per training sequence (shared with q59/q192)
+
+
+def build_training_sequences(
+    df: DataFrame, budget: int = SEQ_BUDGET
+) -> DataFrame:
+    """Training-sequence assembly — the writer step after
+    `pack_token_batches`: each (source, batch) becomes one training
+    sequence; every document gets its batch-relative token offset (the
+    attention-boundary metadata a loss-masking dataloader needs), and
+    the assembled sequence text is witnessed by an md5 so the oracle
+    proves byte-identical concatenation without hauling giant strings
+    through the comparison.
+
+    One shuffle on source (inherited from the packer's window), one
+    groupBy(source, batch) for the sequence digest with an
+    order-preserving sort_array — the same deterministic-reassembly
+    shape as the boilerplate scrub and source rollups.
+    """
+    packed = pack_token_batches(df, budget=budget)
+    texts = df.select("doc_id", "text")
+    rows = packed.join(texts, "doc_id").withColumn(
+        "tok_start",
+        (F.col("start_offset") - F.col("batch_id") * budget).cast("long"),
+    )
+    seqs = (
+        rows.groupBy("source", "batch_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                )
+            ).alias("seq_md5"),
+            F.count(F.lit(1)).alias("seq_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+    return rows.join(seqs, ["source", "batch_id"]).select(
+        "source",
+        "batch_id",
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        "seq_docs",
+        "seq_tokens",
+        "seq_md5",
+    )

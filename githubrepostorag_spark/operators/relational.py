@@ -1551,3 +1551,41 @@ def bag_set_ops(lineitem: DataFrame) -> DataFrame:
         .withColumn("op", F.lit("intersect_all"))
     )
     return exc.unionByName(inter)
+
+
+SKEW_TOP_N = 5
+
+
+def join_key_skew_report(
+    lineitem: DataFrame, top_n: int = SKEW_TOP_N
+) -> DataFrame:
+    """Pre-join skew diagnosis over lineitem's three join keys
+    (orderkey, partkey, suppkey): the top-`top_n` heaviest key values
+    with their row counts and corpus fraction, plus each key's max
+    group size. This is the report a 100 TB operator reads BEFORE
+    choosing a join strategy — a key whose heaviest value holds >1% of
+    the table wants salting or an AQE skew split; uniform keys don't.
+
+    One aggregate per key column (same scan, map-side combined); the
+    top-N is `orderBy().limit()` — TakeOrderedAndProject keeps k rows
+    per partition before the merge, NEVER a global row_number window
+    (an unpartitioned window would pull every distinct orderkey into
+    one task — at 100 TB that's billions of rows through one reducer).
+    The rank is assigned afterwards over the ≤top_n survivors.
+    """
+    total = lineitem.count()
+    out = None
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        counts = lineitem.groupBy(F.col(key).cast("long").alias("key_value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        top = counts.orderBy(F.desc("cnt"), F.asc("key_value")).limit(top_n)
+        # window over the bounded top-N only (≤ top_n rows per key)
+        w = Window.orderBy(F.desc("cnt"), F.asc("key_value"))
+        top = (
+            top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("key_name", F.lit(key))
+            .withColumn("frac", F.round(F.col("cnt") / F.lit(float(total)), 6))
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.select("key_name", "key_value", "cnt", "frac", "rank")

@@ -263,3 +263,19 @@ def test_balanced_shards_rank_is_global_and_dense(spark):
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     ranks = sorted(r.rank for r in CU.balanced_shards(docs, n_shards=3).collect())
     assert ranks == list(range(1, 51))
+
+
+def test_training_sequences_boundaries_and_digest(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e"), (3, "s", "f g h i")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in CU.build_training_sequences(docs, budget=5).collect()}
+    # doc1 offset 0, doc2 offset 3 (batch 0), doc3 starts at 5 -> batch 1
+    assert (out[1].batch_id, out[1].tok_start) == (0, 0)
+    assert (out[2].batch_id, out[2].tok_start) == (0, 3)
+    assert (out[3].batch_id, out[3].tok_start) == (1, 0)
+    # batch 0's digest witnesses doc_id-ordered concatenation
+    import hashlib
+    assert out[1].seq_md5 == hashlib.md5(b"a b c d e").hexdigest()
+    assert out[1].seq_docs == 2 and out[1].seq_tokens == 5

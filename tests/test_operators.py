@@ -2036,3 +2036,21 @@ def test_mmr_rerank_diversifies_and_orders(spark):
     # (returning to A beats B's near-dup 4)
     assert picks == [1, 3, 2]
     assert [r.pick for r in out] == [1, 2, 3]
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    rows = [(1, 1, 1)] * 60 + [(2, 2, 2)] * 30 + [(i, i, i) for i in range(3, 13)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    out = R.join_key_skew_report(li, top_n=2).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key_name, []).append(r)
+    for key, recs in by_key.items():
+        recs.sort(key=lambda r: r.rank)
+        assert [r.key_value for r in recs] == [1, 2]
+        assert recs[0].cnt == 60 and recs[1].cnt == 30
+        assert abs(recs[0].frac - 0.6) < 1e-9
