@@ -654,6 +654,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_skew_report": lambda sp, sf: R.join_key_skew_report(
             t(sp, sf, "lineitem")
         ),
+        # --- quality-weighted epoch upsampling (Llama-style mixing) ---
+        "q194_epoch_upsample": lambda sp, sf: CU.epoch_upsample(
+            t(sp, sf, "documents")
+        ),
+        # --- vocabulary coverage curve (vocab-sizing audit) ---
+        "q195_vocab_coverage": lambda sp, sf: TO.vocab_coverage(
+            t(sp, sf, "documents")
+        ),
     }
 
 
@@ -4427,5 +4435,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT key_name, key_value, cnt, frac, rank
             FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
                   UNION ALL SELECT * FROM r3)
+        """,
+        "q194_epoch_upsample": f"""
+            WITH x AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                       AS quality
+              FROM x
+            ), ps AS (
+              SELECT source, round(avg(quality), 4) AS mean_q FROM q GROUP BY 1
+            ), ps2 AS (
+              SELECT source, mean_q,
+                     CAST(floor(1.0 + 3 * mean_q) AS BIGINT) AS full_epochs,
+                     round((1.0 + 3 * mean_q) - floor(1.0 + 3 * mean_q), 4) AS frac
+              FROM ps
+            ), docs AS (
+              SELECT d.doc_id, d.source, p.mean_q,
+                     p.full_epochs
+                     + (CASE WHEN
+                          CAST(('0x' || substr(md5('ep:' || CAST(d.doc_id AS VARCHAR)),
+                                               1, 15)) AS BIGINT) % {CU.EPOCH_DENOM}
+                            < CAST(floor(p.frac * {CU.EPOCH_DENOM}) AS BIGINT)
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM documents d JOIN ps2 p USING (source))
+            SELECT doc_id, source, mean_q, CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+            FROM docs
+        """,
+        "q195_vocab_coverage": f"""
+            WITH toks AS (SELECT unnest({_LOW_TOKS}) AS tok FROM documents),
+            counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            total AS (SELECT count(*) AS total FROM toks),
+            top AS (SELECT tok, cnt FROM counts
+                    ORDER BY cnt DESC, tok LIMIT {TO.VOCAB_COVERAGE_K})
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+                     AS rank,
+                   tok, cnt,
+                   round(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                        ROWS UNBOUNDED PRECEDING)
+                         / CAST((SELECT total FROM total) AS DOUBLE), 6)
+                     AS cum_frac
+            FROM top
         """,
     }

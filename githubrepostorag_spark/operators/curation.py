@@ -767,3 +767,63 @@ def build_training_sequences(
         "seq_tokens",
         "seq_md5",
     )
+
+
+EPOCH_MAX_EXTRA = 3  # epochs = 1 + 3 * mean-quality in [1, 4]
+EPOCH_DENOM = 1000
+
+
+def epoch_upsample(documents: DataFrame) -> DataFrame:
+    """Quality-weighted epoch upsampling — the mixing step that runs
+    high-quality sources for MORE than one epoch (Llama-style corpus
+    weighting): each source's epoch count is 1 + 3 * its mean quality
+    score; whole epochs replicate every document, and the fractional
+    remainder replicates a deterministic hash slice of the source
+    (md5 bucket < frac — the same doc subset in any engine, no RNG).
+
+    Scale shape: one aggregate for the per-source epoch table (tiny —
+    broadcast back), then a single explode of `sequence(1, n_copies)`
+    — the output stream is written once, never shuffled; copies carry
+    an `epoch` index so a dataloader can phase them.
+    """
+    q = TXT.quality_score(F.col("text"))
+    per_source = (
+        documents.groupBy("source")
+        .agg(F.round(F.avg(q), 4).alias("mean_q"))
+        .select(
+            "source",
+            "mean_q",
+            F.floor(1.0 + EPOCH_MAX_EXTRA * F.col("mean_q")).cast("long").alias(
+                "full_epochs"
+            ),
+            F.round(
+                (1.0 + EPOCH_MAX_EXTRA * F.col("mean_q"))
+                - F.floor(1.0 + EPOCH_MAX_EXTRA * F.col("mean_q")),
+                4,
+            ).alias("frac"),
+        )
+    )
+    h = TXT.md5_bigint(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))) % EPOCH_DENOM
+    # floor, not cast: double->bigint casts ROUND in some engines
+    # (DuckDB) and truncate in others — floor is unambiguous in both
+    n_copies = F.col("full_epochs") + F.when(
+        h < F.floor(F.col("frac") * EPOCH_DENOM), 1
+    ).otherwise(0)
+    return (
+        documents.join(F.broadcast(per_source), "source")
+        .select(
+            "doc_id",
+            "source",
+            "mean_q",
+            n_copies.cast("long").alias("n_copies"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "mean_q",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "epoch"
+            ),
+        )
+    )

@@ -1434,3 +1434,47 @@ def logreg_quality_scores(
         p.alias("score"),
         (p >= 0.5).alias("pred_en"),
     )
+
+
+VOCAB_COVERAGE_K = 50
+
+
+def vocab_coverage(documents: DataFrame, k: int = VOCAB_COVERAGE_K) -> DataFrame:
+    """Vocabulary coverage curve: the top-`k` corpus tokens by
+    frequency with each rank's CUMULATIVE share of all token
+    occurrences — the measurement that sizes a vocabulary (where the
+    curve flattens, growing the vocab buys nothing). Completes the
+    tokenizer family: q65 lists the head, q187/q190 learn/apply
+    merges; this is the sizing audit between them.
+
+    Scale shape: one token explode + map-side-combined count, then
+    `orderBy().limit(k)` (TakeOrderedAndProject — never a global
+    window over the full vocabulary); the cumulative window runs over
+    the ≤k survivors only. The total is one scalar aggregate
+    broadcast via crossJoin.
+    """
+    toks = scale_out(documents, "doc_id").select(
+        F.explode(TXT.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("tok"))
+        ).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            F.round(F.col("cum_cnt") / F.col("total").cast("double"), 6).alias(
+                "cum_frac"
+            ),
+        )
+    )

@@ -279,3 +279,22 @@ def test_training_sequences_boundaries_and_digest(spark):
     import hashlib
     assert out[1].seq_md5 == hashlib.md5(b"a b c d e").hexdigest()
     assert out[1].seq_docs == 2 and out[1].seq_tokens == 5
+
+
+def test_epoch_upsample_whole_and_fractional_copies(spark):
+    # one high-quality source (diverse, low-stopword) and one junk
+    # source (all-repeat) — epochs must differ and every doc keeps
+    # >= 1 copy with a dense 1..n epoch index
+    good = [(i, "good", f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10)]
+    junk = [(100 + i, "junk", "the the the the the the") for i in range(10)]
+    docs = spark.createDataFrame(good + junk, "doc_id long, source string, text string")
+    out = CU.epoch_upsample(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(by_doc) == {r[0] for r in good + junk}  # nobody dropped
+    for doc_id, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+    n_good = sum(len(v) for d, v in by_doc.items() if d < 100)
+    n_junk = sum(len(v) for d, v in by_doc.items() if d >= 100)
+    assert n_good > n_junk  # quality earns more epochs
