@@ -411,3 +411,62 @@ def test_incremental_near_dups_store_side_never_shuffles(spark, tmp_path):
     # no sort-merge join anywhere: every join in the probe broadcasts
     # the bounded (batch / candidate) side
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_rank_limit_pushes_down(spark):
+    """The per-anchor top-k must compile to WindowGroupLimit (partial
+    rank-limit BEFORE the anchor shuffle) with both label joins
+    broadcast — the shape that keeps the banded pair stream from ever
+    sorting corpus-wide."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    plan = plan_of(S.hard_negative_mining(emb))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_balanced_shards_no_unpartitioned_window(spark):
+    """The global rank must ride the range-partition + offset scheme:
+    every Window in the plan is partitioned (by pid) — an ORDER
+    BY-only window would pull the corpus into one task."""
+    from githubrepostorag_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * (i % 7 + 1)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    plan = plan_of(CU.balanced_shards(docs))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # partition spec present: windowspecdefinition(pid, ...)
+            assert "windowspecdefinition(pid" in line, line
+    assert "rangepartitioning" in plan
+
+
+def test_skew_report_uses_take_ordered(spark):
+    """Each key's top-N must be TakeOrderedAndProject (per-partition
+    k-row heaps), never a row_number window over all distinct keys."""
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(i % 5, i % 7, i % 3) for i in range(100)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    plan = plan_of(R.join_key_skew_report(li))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_uses_take_ordered(spark):
+    """The vocab head must come from TakeOrderedAndProject; the
+    cumulative window runs over the bounded top-k only."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d e")], "doc_id long, text string"
+    )
+    plan = plan_of(TO.vocab_coverage(docs))
+    assert "TakeOrderedAndProject" in plan
