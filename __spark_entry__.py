@@ -1873,12 +1873,12 @@ def oracle_sql() -> dict[str, str]:
         "q37_file_rollup": f"""
             WITH {_CHUNKS_CTE},
             ch2 AS (
-              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
+              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR) || ':' || text) AS node_id
               FROM chunks)
             SELECT 'default' AS namespace, repo, module, file_path, language,
-                   substr(string_agg(text, e'\\n\\n' ORDER BY chunk_idx, node_id),
+                   substr(string_agg(text, e'\\n\\n' ORDER BY chunk_idx, node_id, text),
                           1, {ROLLUP_TRUNCATE}) AS rollup_input,
-                   string_agg(node_id, ',' ORDER BY chunk_idx, node_id) AS rollup_ids,
+                   string_agg(node_id, ',' ORDER BY chunk_idx, node_id, text) AS rollup_ids,
                    count(*) AS rollup_count
             FROM ch2 GROUP BY repo, module, file_path, language
         """,
@@ -2085,7 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_drill_down": f"""
             WITH {_CHUNKS_CTE},
             ch2 AS (
-              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR)) AS node_id
+              SELECT *, md5(repo || ':' || file_path || ':' || CAST(chunk_idx AS VARCHAR) || ':' || text) AS node_id
               FROM chunks)
             SELECT 'default' AS namespace, repo, module, file_path, language,
                    node_id, chunk_idx, start_line
@@ -3805,20 +3805,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q162_robust_outliers": f"""
             WITH med AS (SELECT event_type,
-                                quantile_cont(value, 0.5) AS med
+                                round(quantile_cont(value, 0.5), 6) AS med
                          FROM events GROUP BY 1),
             mad AS (SELECT e.event_type,
-                           quantile_cont(abs(value - med), 0.5) AS mad,
+                           round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
                            max(med) AS med
                     FROM events e JOIN med USING (event_type)
                     GROUP BY 1)
             SELECT event_id, e.event_type,
                    round(value, 4) AS value,
                    round(med, 4) AS med, round(mad, 4) AS mad,
-                   round({E.MAD_SCALE} * (value - med) / mad, 4)
-                     AS modified_z
+                   floor({E.MAD_SCALE} * (value - med) / mad * 10000.0 + 0.5)
+                     / 10000.0 AS modified_z
             FROM events e JOIN mad USING (event_type)
-            WHERE abs({E.MAD_SCALE} * (value - med) / mad) > {E.MAD_Z}
+            WHERE abs(floor({E.MAD_SCALE} * (value - med) / mad * 10000.0 + 0.5)
+                      / 10000.0) > {E.MAD_Z}
         """,
         "q163_sql_surface": """
             WITH rev AS (
@@ -3916,10 +3917,15 @@ def oracle_sql() -> dict[str, str]:
             ), comp AS (
               SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
             ), hashed AS (
-              SELECT d.doc_id, c.component,
-                     CAST(('0x' || substr(md5('split:' || CAST(c.component AS VARCHAR)),
+              -- LEFT join: docs with no embedding row (possible when the
+              -- tables' cardinalities differ, e.g. sf0.1) keep their own
+              -- id as the component — the engine's coalesce contract
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component,
+                     CAST(('0x' || substr(md5('split:' ||
+                              CAST(coalesce(c.component, d.doc_id) AS VARCHAR)),
                                           1, 15)) AS BIGINT) % {CU.SPLIT_DENOM} AS h
-              FROM documents d JOIN comp c ON d.doc_id = c.node
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
             )
             SELECT doc_id, component,
                    CASE WHEN h < 10 THEN 'test'

@@ -687,9 +687,17 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    ranged = toks.repartitionByRange(
-        n_parts, F.desc("n_tokens"), F.asc("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # MUST materialize: repartitionByRange SAMPLES its boundaries per
+    # execution, and this frame executes twice (offset counts + final
+    # window). Unpinned, the two executions can pick different
+    # boundaries and the per-partition offsets no longer describe the
+    # partitioning the window runs on (observed at sf0.1, where the
+    # corpus exceeds the range sampler's budget).
+    ranged = (
+        toks.repartitionByRange(n_parts, F.desc("n_tokens"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # bounded collect: one (pid, count) row per partition
     counts = {r["pid"]: r["cnt"] for r in ranged.groupBy("pid").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}

@@ -1113,24 +1113,32 @@ def robust_value_outliers(events: DataFrame) -> DataFrame:
     for the flag pass. At 100 TB swap `percentile` for the mergeable
     histogram sketch (q102) and keep the same three-stage shape.
     """
+    # med/mad rounded to 6dp BEFORE the z arithmetic: exact-percentile
+    # interpolation differs in the last ulp across engines ((a+b)/2 vs
+    # a+(b-a)*0.5), and an unrounded med feeds every row's z — one ulp
+    # flipped a 4dp rounding at sf0.1. Rounded inputs make the division
+    # bit-identical everywhere.
     med = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     mad = (
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
             F.max("med").alias("med"),
         )
     )
+    # floor(x*1e4 + 0.5)/1e4, not round(x, 4): the 2-decimal synthetic
+    # values make z*1e4 land on EXACT dyadic halves (38522.5), where
+    # round conventions genuinely differ across engines (DuckDB scales
+    # then rounds half-away; Spark rounds the exact decimal). The
+    # floor form computes identical doubles everywhere.
+    raw_z = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         events.join(F.broadcast(mad), "event_type")
         .withColumn(
-            "modified_z",
-            F.round(
-                F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad"), 4
-            ),
+            "modified_z", F.floor(raw_z * 10000.0 + 0.5) / 10000.0
         )
         .filter(F.abs(F.col("modified_z")) > MAD_Z)
         .select(

@@ -88,7 +88,10 @@ def file_rollup_inputs(chunks: DataFrame) -> DataFrame:
     full lineage.
     """
     keys = ["namespace", "repo", "module", "file_path", "language"]
-    w = Window.partitionBy(*keys).orderBy("chunk_idx", "node_id")
+    # text as the last sort key: synthetic corpora can collide on
+    # (chunk_idx, node_id) — without it the truncation-guard offsets
+    # and the member sort disagree on tie order (seen at sf0.1)
+    w = Window.partitionBy(*keys).orderBy("chunk_idx", "node_id", "text")
     cum_before = F.coalesce(
         F.sum(F.length("text") + 2).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

@@ -99,10 +99,19 @@ def _chunks_with_ids(documents: DataFrame) -> DataFrame:
         split_code_documents(chunk_fixture(documents))
         .withColumn("namespace", F.lit("default"))
         .withColumn(
+            # text in the id: synthetic paths (package.json/.gitignore)
+            # collide across docs at sf0.1, and a path+idx id would
+            # alias DIFFERENT chunks (drill-down then fans out m×n).
+            # Real ingest ids hash content-bearing fields the same way
+            # (metadata.stable_node_id includes line spans).
             "node_id",
             F.md5(
                 F.concat_ws(
-                    ":", F.col("repo"), F.col("file_path"), F.col("chunk_idx").cast("string")
+                    ":",
+                    F.col("repo"),
+                    F.col("file_path"),
+                    F.col("chunk_idx").cast("string"),
+                    F.col("text"),
                 )
             ),
         )

@@ -81,6 +81,8 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    n_run = len(only) if only else len(qs)
+    print(f"# parity sweep: {n_run} queries vs DuckDB at {sf_dir}")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
