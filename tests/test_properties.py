@@ -87,3 +87,76 @@ def test_stable_words_distinct_ordered_capped(text, n):
     lowered = text.lower()
     pos = [lowered.find(w) for w in words]
     assert all(p >= 0 for p in pos)
+
+
+def _spark():
+    from githubrepostorag_spark.session import get_spark
+
+    return get_spark("tests", cpus=8)
+
+
+def test_boilerplate_scrub_is_identity_below_threshold():
+    """Reconstruction property: when no line clears the min_docs
+    threshold, the rebuilt clean_text must equal the input text
+    byte-for-byte — empty lines, trailing newlines, weird whitespace
+    and unicode included. This pins the position-keyed reassembly."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    corpus = [
+        "plain\nlines\nhere",
+        "trailing newline\n",
+        "\nleading empty",
+        "inner\n\n\nempties",
+        "  indented \n\ttabbed\n",
+        "ünïcode\n日本語\n",
+        "single",
+        "",
+        "\n",
+    ]
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.clean_text for r in
+           TO.boilerplate_scrub(docs, min_docs=99).collect()}
+    for i, s in enumerate(corpus):
+        assert out[i] == s, f"reassembly diverged on {s!r}: {out[i]!r}"
+
+
+def test_balanced_shards_invariant_to_input_partitioning():
+    """The global rank and shard assignment must be a pure function of
+    the data — identical under any input partitioning (the range-
+    partition + offset scheme must not leak physical layout)."""
+    from githubrepostorag_spark.operators import curation as CU
+
+    spark = _spark()
+    rows = [(i, f"s{i % 3}", "w " * (1 + (i * 7) % 23)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = {(r.doc_id): (r.rank, r.shard) for r in CU.balanced_shards(docs).collect()}
+    reparted = {(r.doc_id): (r.rank, r.shard)
+                for r in CU.balanced_shards(docs.repartition(7)).collect()}
+    assert base == reparted
+    assert sorted(r for r, _ in base.values()) == list(range(1, 201))
+
+
+def test_bpe_encode_monotone_in_rounds():
+    """More learned merges can only shrink (or hold) the symbol count;
+    zero rounds means one symbol per character."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(1, "banana bandana band banana"), (2, "ban ban banana")],
+        "doc_id long, text string",
+    )
+    prev = None
+    for rounds in (0, 1, 2, 3):
+        out = {r.doc_id: r.n_symbols for r in
+               TO.bpe_encode(docs, rounds=rounds).collect()}
+        if rounds == 0:
+            chars = {r.doc_id: r.n_word_chars for r in
+                     TO.bpe_encode(docs, rounds=0).collect()}
+            assert out == chars  # no merges -> chars == symbols
+        if prev is not None:
+            assert all(out[k] <= prev[k] for k in out)
+        prev = out
