@@ -2054,3 +2054,40 @@ def test_skew_report_ranks_hot_keys(spark):
         assert [r.key_value for r in recs] == [1, 2]
         assert recs[0].cnt == 60 and recs[1].cnt == 30
         assert abs(recs[0].frac - 0.6) < 1e-9
+
+
+def test_operators_tolerate_null_and_degenerate_text(spark):
+    """A 100 TB corpus WILL contain null/empty/whitespace-only texts
+    and null metadata — every core operator must process them without
+    raising (null text contributes no tokens/lines/shingles; null
+    group keys form their own group)."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import dedup as DD
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "s1", 0),
+            (2, "", "en", "s1", 0),
+            (3, "real text here ok", None, None, 17),
+            (4, "   ", "de", "s2", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for fn in (
+        lambda: TO.token_stats(docs),
+        lambda: DD.exact_dedup(docs),
+        lambda: DD.minhash_signatures(docs),
+        lambda: DD.jaccard_on_candidates(docs),
+        lambda: TO.boilerplate_scrub(docs),
+        lambda: CU.pack_token_batches(docs, budget=10),
+        lambda: CU.balanced_shards(docs),
+        lambda: TO.bpe_merge_training(docs, rounds=1),
+        lambda: TO.logreg_quality_trainer(docs, rounds=1),
+        lambda: CU.epoch_upsample(docs),
+        lambda: TO.vocab_coverage(docs),
+        lambda: TO.language_id(docs),
+    ):
+        fn().count()  # must not raise
+    # the one doc with real text still flows end to end
+    assert TO.token_stats(docs).filter("doc_id = 3").head().n_tokens == 4
