@@ -662,6 +662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_vocab_coverage": lambda sp, sf: TO.vocab_coverage(
             t(sp, sf, "documents")
         ),
+        # --- single-scan declarative data-contract admission gate ---
+        "q196_data_contract": lambda sp, sf: R.data_contract_report(
+            t(sp, sf, "lineitem"), t(sp, sf, "orders")
+        ),
     }
 
 
@@ -4489,5 +4493,36 @@ def oracle_sql() -> dict[str, str]:
                          / CAST((SELECT total FROM total) AS DOUBLE), 6)
                      AS cum_frac
             FROM top
+        """,
+        "q196_data_contract": """
+            WITH viol AS (
+              SELECT
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS null_orderkey,
+                sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                  AS quantity_range,
+                sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                  AS nonpositive_price,
+                sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+                  AS returnflag_domain,
+                sum(CASE WHEN l_shipdate < DATE '1992-01-01'
+                           OR l_shipdate > DATE '1998-12-31'
+                         THEN 1 ELSE 0 END) AS shipdate_bounds,
+                sum(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_cap
+              FROM lineitem),
+            orph AS (
+              SELECT count(*) AS orphan_orderkeys
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL)
+            SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS pass
+            FROM (
+              SELECT 'null_orderkey' AS rule, null_orderkey AS n_violations FROM viol
+              UNION ALL SELECT 'quantity_range', quantity_range FROM viol
+              UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM viol
+              UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM viol
+              UNION ALL SELECT 'shipdate_bounds', shipdate_bounds FROM viol
+              UNION ALL SELECT 'discount_cap', discount_cap FROM viol
+              UNION ALL SELECT 'orphan_orderkeys', orphan_orderkeys FROM orph)
         """,
     }

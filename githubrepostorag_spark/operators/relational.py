@@ -1589,3 +1589,61 @@ def join_key_skew_report(
         )
         out = top if out is None else out.unionByName(top)
     return out.select("key_name", "key_value", "cnt", "frac", "rank")
+
+
+def data_contract_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Declarative data-contract check (the Great-Expectations-style
+    admission gate a pipeline runs before trusting a new drop): every
+    column rule — null, range, domain, duplicate-key — is evaluated in
+    ONE aggregate scan as conditional sums; the single cross-table rule
+    (orphaned orderkeys) is one anti-join count. Output is one row per
+    rule with the violation count and a pass flag, so the gate is
+    `filter(NOT pass).isEmpty()`.
+
+    Scale shape: rules share a single map-side-combined pass over the
+    fact table — adding a rule adds a column, not a scan; the
+    referential rule broadcasts nothing (left_anti on the join key,
+    AQE picks the side). A 100 TB gate costs one table read.
+    """
+    viol = lineitem.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_orderkey"
+        ),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("quantity_range"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("returnflag_domain"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("shipdate_bounds"),
+        F.sum(F.when(F.col("l_discount") > 0.1, 1).otherwise(0)).alias(
+            "discount_cap"
+        ),
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orderkeys"))
+    )
+    wide = viol.crossJoin(F.broadcast(orphans))
+    rules = [
+        "null_orderkey", "quantity_range", "nonpositive_price",
+        "returnflag_domain", "shipdate_bounds", "discount_cap",
+        "orphan_orderkeys",
+    ]
+    stacked = wide.selectExpr(
+        "stack({n}, {args}) as (rule, n_violations)".format(
+            n=len(rules),
+            args=", ".join(f"'{r}', cast({r} as bigint)" for r in rules),
+        )
+    )
+    return stacked.withColumn("pass", F.col("n_violations") == 0)

@@ -2091,3 +2091,29 @@ def test_operators_tolerate_null_and_degenerate_text(spark):
         fn().count()  # must not raise
     # the one doc with real text still flows end to end
     assert TO.token_stats(docs).filter("doc_id = 3").head().n_tokens == 4
+
+
+def test_data_contract_gates_on_planted_violations(spark):
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 100.0, "A", "1995-05-01", 0.05),
+            (2, 99.0, -5.0, "X", "2005-01-01", 0.5),   # 4 rules broken
+            (None, 5.0, 50.0, "N", "1993-01-01", 0.0), # null key
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string, l_shipdate string, l_discount double",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    orders = spark.createDataFrame([(1,)], "o_orderkey long")
+    rep = {r.rule: (r.n_violations, r["pass"]) for r in
+           R.data_contract_report(li, orders).collect()}
+    assert rep["null_orderkey"] == (1, False)
+    assert rep["quantity_range"] == (1, False)
+    assert rep["nonpositive_price"] == (1, False)
+    assert rep["returnflag_domain"] == (1, False)
+    assert rep["shipdate_bounds"] == (1, False)
+    assert rep["discount_cap"] == (1, False)
+    # key 2 has no order; the NULL key never matches either — both are
+    # orphans under anti-join semantics (same in the SQL oracle)
+    assert rep["orphan_orderkeys"][0] == 2
