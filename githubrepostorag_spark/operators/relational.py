@@ -1433,7 +1433,7 @@ def min_cost_supplier(
     )
 
 
-STOCK_FRACTION = 0.001
+STOCK_FRACTION = 0.0003  # non-vacuous at BOTH gate scales (sf0.01: ~1k rows, sf0.1: ~43)
 
 
 def important_stock(
