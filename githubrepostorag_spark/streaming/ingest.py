@@ -179,3 +179,61 @@ def stream_dedup_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_contract_gate(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    report_path: str,
+    checkpoint_path: str,
+    min_chars: int = 1,
+):
+    """Streaming data-contract gate with a dead-letter sink: every
+    micro-batch is split row-wise by declarative rules (null id, null/
+    short text, duplicate id within the batch), good rows append to
+    `accepted_path`, violating rows to `quarantine_path` tagged with
+    WHICH rule fired, and a per-(batch, rule) violation-count report
+    appends to `report_path` — the always-on form of the q196 batch
+    admission gate, with the quarantine pattern (bad rows are never
+    dropped silently; they land where an operator can inspect and
+    replay them).
+
+    All rules are column expressions evaluated in the batch's single
+    pass; the dup-id rule is one window over the batch (bounded by the
+    micro-batch size by construction). The batch is lineage-cut once
+    and feeds three writers.
+    """
+    from pyspark.sql import Window as W
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("doc_id").orderBy("doc_id")
+        flagged = (
+            batch.withColumn("_n_dup", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "violation",
+                F.when(F.col("doc_id").isNull(), "null_id")
+                .when(F.col("text").isNull(), "null_text")
+                .when(F.length("text") < min_chars, "short_text")
+                .when(F.col("_n_dup") > 1, "dup_id_in_batch")
+                .otherwise(None),
+            )
+            .drop("_n_dup")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)  # three consumers below
+        )
+        flagged.filter(F.col("violation").isNull()).drop("violation").write.mode(
+            "append"
+        ).parquet(accepted_path)
+        bad = flagged.filter(F.col("violation").isNotNull())
+        bad.write.mode("append").parquet(quarantine_path)
+        bad.groupBy("batch_id", "violation").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        ).write.mode("append").parquet(report_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

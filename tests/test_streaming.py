@@ -479,3 +479,39 @@ def test_stream_dedup_gate_admits_fresh_rejects_near_dups(spark, tmp_path):
     rejected = {(r.new_id, r.old_id) for r in spark.read.parquet(rej).collect()}
     assert accepted == {101, 201}
     assert (200, 101) in rejected
+
+
+def test_stream_contract_gate_quarantines_and_reports(spark, tmp_path):
+    from githubrepostorag_spark.streaming.ingest import stream_contract_gate
+
+    src = str(tmp_path / "src")
+    acc = str(tmp_path / "acc")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "good row one"),
+            (2, None),              # null_text
+            (None, "no id"),        # null_id
+            (4, ""),                # short_text
+            (5, "dup"), (5, "dup"), # dup_id_in_batch (both copies)
+            (6, "good row two"),
+        ],
+        schema,
+    ).write.mode("overwrite").json(src)
+    q = stream_contract_gate(
+        spark.readStream.schema(schema).json(src), acc, quar, rep, ckpt
+    )
+    q.awaitTermination(300)
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+    assert accepted == {1, 6}
+    quarantined = {(r.doc_id, r.violation) for r in spark.read.parquet(quar).collect()}
+    assert (None, "null_id") in quarantined
+    assert (2, "null_text") in quarantined and (4, "short_text") in quarantined
+    assert (5, "dup_id_in_batch") in quarantined
+    report = {r.violation: r.n_violations for r in spark.read.parquet(rep).collect()}
+    assert report == {
+        "null_id": 1, "null_text": 1, "short_text": 1, "dup_id_in_batch": 2,
+    }
