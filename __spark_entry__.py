@@ -666,6 +666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_data_contract": lambda sp, sf: R.data_contract_report(
             t(sp, sf, "lineitem"), t(sp, sf, "orders")
         ),
+        # --- span-level decontamination rewrite (q70's transform half) ---
+        "q197_decontaminate_scrub": lambda sp, sf: CU.decontaminate_scrub(
+            _wrapped_lines(t(sp, sf, "documents")),
+            t(sp, sf, "documents").filter(F.col("doc_id") % 101 == 0),
+        ),
     }
 
 
@@ -4524,5 +4529,55 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'shipdate_bounds', shipdate_bounds FROM viol
               UNION ALL SELECT 'discount_cap', discount_cap FROM viol
               UNION ALL SELECT 'orphan_orderkeys', orphan_orderkeys FROM orph)
+        """,
+        "q197_decontaminate_scrub": rf"""
+            WITH bench_toks AS (
+              SELECT {_TOKS} AS t FROM documents WHERE doc_id % 101 = 0),
+            bench AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(t) < {CU.DECON_N} THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(t) - {CU.DECON_N} + 2),
+                            i -> array_to_string(t[i:i+{CU.DECON_N - 1}], ' ')))
+                END) AS gram
+              FROM bench_toks),
+            wrapped AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){{2}}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS wt
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(lst, 1) - 1 AS pos,
+                     unnest(lst) AS raw_line
+              FROM (SELECT doc_id, string_split(wt, chr(10)) AS lst FROM wrapped)),
+            lg AS (
+              SELECT doc_id, pos,
+                     CASE WHEN length(trim(raw_line)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(raw_line), '\s+') END AS t
+              FROM lines),
+            lgrams AS (
+              SELECT doc_id, pos, unnest(
+                CASE WHEN len(t) < {CU.DECON_N} THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(t) - {CU.DECON_N} + 2),
+                            i -> array_to_string(t[i:i+{CU.DECON_N - 1}], ' ')))
+                END) AS gram
+              FROM lg),
+            flagged AS (
+              SELECT DISTINCT doc_id, pos FROM lgrams JOIN bench USING (gram)),
+            kept AS (
+              SELECT l.* FROM lines l LEFT JOIN flagged f USING (doc_id, pos)
+              WHERE f.doc_id IS NULL),
+            rebuilt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(raw_line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, t.n_lines,
+                   t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         """,
     }

@@ -835,3 +835,67 @@ def epoch_upsample(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def decontaminate_scrub(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination REWRITE — the transform half of
+    `decontaminate` (which only reports): delete every LINE that
+    shares a word n-gram with the benchmark and rebuild the document,
+    instead of dropping whole documents. This is what pipelines do
+    when a doc is mostly clean but quotes a benchmark item (GPT-3
+    appendix C removes the contaminated spans, not the page).
+
+    Plan mirrors `boilerplate_scrub`: position-keyed line explode, the
+    benchmark gram set broadcast against the per-line gram explode
+    (only flagged (doc, pos) pairs come back — a left_anti),
+    order-preserving reassembly. The corpus text is scanned once; the
+    benchmark side is bounded (same asymmetry as q70 — for a huge
+    benchmark, front it with the q120 Bloom pre-pass unchanged).
+    """
+    bench_grams = benchmark.select(
+        F.explode(word_ngram_set(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    lines = (
+        corpus.select(
+            "doc_id",
+            F.posexplode(F.split(text_col, "\n")).alias("pos", "raw_line"),
+        )
+        .localCheckpoint(eager=False)  # flagged-set scan + reassembly
+    )
+    flagged = (
+        lines.select(
+            "doc_id", "pos", F.explode(word_ngram_set(F.col("raw_line"), n)).alias("gram")
+        )
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = lines.join(flagged, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("raw_line")))),
+                lambda s: s["raw_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -298,3 +298,21 @@ def test_epoch_upsample_whole_and_fractional_copies(spark):
     n_good = sum(len(v) for d, v in by_doc.items() if d < 100)
     n_junk = sum(len(v) for d, v in by_doc.items() if d >= 100)
     assert n_good > n_junk  # quality earns more epochs
+
+
+def test_decontaminate_scrub_removes_contaminated_lines_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean line of words\nthe secret benchmark answer here\nmore clean text"),
+            (2, "totally unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer revealed")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in CU.decontaminate_scrub(corpus, bench).collect()}
+    assert out[1].n_removed == 1
+    assert out[1].clean_text == "clean line of words\nmore clean text"
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == "totally unrelated content"
