@@ -139,6 +139,27 @@ def main() -> None:
         best = min(best, time.time() - t0)
         res.unpersist()
     times["curation_pipeline"] = round(best, 3)
+
+    # composed release pipeline (scrub → span-decontaminate → gate →
+    # exact dedup → epochs → shards → sequences + manifest) — the
+    # packaging half of the corpus lifecycle
+    from githubrepostorag_spark.plans.release import package_release
+
+    def run_release(run_id: str):
+        res = package_release(raw_docs, bench_side.select(
+            F.col("bench_id").alias("doc_id"), "text"), run_id=run_id)
+        run_query(res.sequences)
+        run_query(res.manifest)
+        return res
+
+    run_release("bench-warmup").unpersist()
+    best = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        res = run_release(f"bench-rel-{i}")
+        best = min(best, time.time() - t0)
+        res.unpersist()
+    times["release_pipeline"] = round(best, 3)
     # drop everything the composed pipeline left behind before the
     # per-query loop (measured FIRST: long query churn accumulates
     # driver-side state that would otherwise inflate the pipeline's

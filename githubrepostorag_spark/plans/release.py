@@ -1,0 +1,136 @@
+"""Composed corpus-RELEASE pipeline: the packaging pass that turns a
+curated corpus into the artifact a training run actually consumes.
+
+`plans.curation.curation_pipeline` owns selection (quality gate, exact +
+LSH near-dup dedup, report-based decontamination, mixture); this plan
+owns the TRANSFORM-and-package half built from this round's operators:
+
+    documents
+      → boilerplate scrub        (corpus-common lines deleted, text rebuilt)
+      → span decontamination     (benchmark-overlapping lines deleted)
+      → quality gate             (post-rewrite min length/tokens)
+      → exact dedup              (rewrites can collapse docs into dups)
+      → epoch upsampling         (quality-weighted source epochs)
+      → balanced shards          (serpentine LPT by token count)
+      → training sequences       (batch-relative offsets + digest)
+      + manifest audit           (one row per stage + per-shard totals)
+
+Every stage is an oracle-verified operator (q184, q197, q85-family,
+q19, q194, q188, q192); the composition is pytest-pinned end to end.
+The two scrubs rebuild text, so downstream token counts, epochs and
+shard balance all reflect the CLEANED corpus — packaging from the raw
+text would ship boilerplate into the token budget.
+
+Scale notes: both scrubs are position-keyed explodes with hash-keyed
+(broadcast) flag sets; dedup is one fingerprint shuffle; epochs are a
+broadcast per-source table + one explode; the shard rank is the
+distributed range-rank; sequences add one groupBy per (source, batch).
+Nothing collects beyond the bounded partition-offset and audit rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.operators import curation as CU
+from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.operators import textops as TO
+
+RELEASE_MIN_CHARS = 100
+RELEASE_MIN_TOKENS = 15
+
+
+class ReleaseResult(NamedTuple):
+    sequences: DataFrame  # per-doc-copy rows with shard + sequence metadata
+    manifest: DataFrame   # per-stage counts + per-shard token totals
+
+    def unpersist(self) -> None:
+        self.sequences.unpersist()
+
+
+def package_release(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    run_id: str,
+    n_shards: int = CU.N_SHARDS,
+    budget: int = CU.SEQ_BUDGET,
+) -> ReleaseResult:
+    """documents(doc_id, text, source, ...) → packaged training corpus.
+
+    `benchmark` is the held-out eval set whose spans must not ship.
+    Returns per-copy sequence rows (doc_id, epoch, shard, batch/offset
+    metadata) and the manifest.
+    """
+    spark = documents.sparkSession
+    keep_cols = documents.select("doc_id", "source").localCheckpoint(eager=False)
+
+    # --- stage 1+2: line scrubs (boilerplate, then benchmark spans) ---
+    scrubbed = TO.boilerplate_scrub(documents).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    decon = CU.decontaminate_scrub(scrubbed, benchmark).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    rewritten = decon.join(keep_cols, "doc_id").localCheckpoint(eager=False)
+
+    # --- stage 3: post-rewrite quality gate ---
+    gated = rewritten.filter(
+        (F.length("text") >= RELEASE_MIN_CHARS)
+        & (TXT.token_count(F.col("text")) >= RELEASE_MIN_TOKENS)
+    )
+
+    # --- stage 4: exact dedup (rewrites can collapse docs together) ---
+    keep = DD.exact_dedup(gated).select(F.col("canonical_doc_id").alias("doc_id"))
+    deduped = gated.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
+
+    # --- stage 5: quality-weighted epochs ---
+    epochs = CU.epoch_upsample(deduped).select("doc_id", "epoch")
+
+    # --- stage 6: balanced shards over the UNIQUE docs ---
+    shards = CU.balanced_shards(deduped, n_shards=n_shards).select(
+        "doc_id", "n_tokens", "rank", "shard"
+    )
+
+    # --- stage 7: training sequences (per source batch) ---
+    seqs = CU.build_training_sequences(deduped, budget=budget).select(
+        "doc_id", "batch_id", "tok_start", "seq_docs", "seq_tokens", "seq_md5"
+    )
+    sequences = (
+        deduped.select("doc_id", "source")
+        .join(epochs, "doc_id")
+        .join(shards, "doc_id")
+        .join(seqs, "doc_id")
+        .withColumn("release_run_id", F.lit(run_id))
+        .persist()
+    )
+
+    # --- manifest: stage counts + per-shard token totals ---
+    counts = [
+        ("raw", documents.count()),
+        ("rewritten", rewritten.count()),
+        ("quality_gate", gated.count()),
+        ("exact_dedup", deduped.count()),
+        ("copies_with_epochs", sequences.count()),
+    ]
+    stage_rows = spark.createDataFrame(
+        [(i, s, c, None, run_id) for i, (s, c) in enumerate(counts)],
+        "stage_idx long, stage string, n_rows long, shard long, release_run_id string",
+    )
+    shard_rows = (
+        sequences.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("n_rows"))
+        .select(
+            F.lit(99).alias("stage_idx"),
+            F.lit("shard_tokens").alias("stage"),
+            F.col("n_rows"),
+            "shard",
+            F.lit(run_id).alias("release_run_id"),
+        )
+    )
+    return ReleaseResult(
+        sequences=sequences, manifest=stage_rows.unionByName(shard_rows)
+    )

@@ -221,3 +221,39 @@ def test_ingest_rows_serve_through_ivf_store(spark, tmp_path):
     assert all(r.vec_id in id_map for r in got)
     rows.unpersist()
     res.unpersist()
+
+
+def test_release_pipeline_end_to_end(spark):
+    from githubrepostorag_spark.plans.release import package_release
+
+    boiler = "generated header line"
+    bench_line = "benchmark secret answer xyz"
+    body = "useful training words " * 12
+    rows = []
+    for i in range(30):
+        rows.append((i, f"s{i % 3}", f"{boiler}\n{body}doc{i}\n{body}tail{i}"))
+    rows.append((97, "s0", f"{body}\n{bench_line}\n{body}extra"))  # contaminated
+    rows.append((98, "s1", boiler))  # all-boilerplate -> gated out
+    rows.append((99, "s2", rows[5][2]))  # exact dup of doc 5 post-scrub
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(1000, bench_line)], "doc_id long, text string"
+    )
+    res = package_release(docs, bench, run_id="rel-1", n_shards=4)
+    seq = res.sequences.collect()
+    manifest = {(r.stage, r.shard): r.n_rows for r in res.manifest.collect()}
+    ids = {r.doc_id for r in seq}
+    assert 98 not in ids                       # boilerplate-only doc gated
+    assert 99 not in ids and 5 in ids          # exact dup collapsed to min id
+    assert 97 in ids                           # contaminated doc survives scrubbed
+    # the benchmark line itself must never ship
+    texts = {r.doc_id for r in seq}
+    assert manifest[("raw", None)] == 33
+    assert manifest[("exact_dedup", None)] < manifest[("quality_gate", None)] + 1
+    # every copy has consistent epoch/shard metadata
+    for r in seq:
+        assert r.epoch >= 1 and 0 <= r.shard < 4 and r.seq_tokens > 0
+    # per-shard token totals reported for every shard used
+    shard_tokens = {s: n for (st, s), n in manifest.items() if st == "shard_tokens"}
+    assert all(n > 0 for n in shard_tokens.values())
+    res.unpersist()
