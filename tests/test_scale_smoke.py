@@ -278,3 +278,35 @@ def test_round3c_train_ops_scale_linearly(spark):
         assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
             f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
         )
+
+
+def test_release_pipeline_at_10x(spark):
+    """The composed release pipeline on the hostile corpus: the dup
+    flood makes every boilerplate line 10x hot, the scrubs rebuild 10x
+    the text, and the hot source concentrates the epoch table. Must
+    stay ≈ linear and actually collapse the exact-duplicate replicas
+    in its dedup stage."""
+    from githubrepostorag_spark.plans.release import package_release
+
+    def run_at(replicas: int):
+        docs = _docs(spark, replicas)
+        bench = docs.filter(F.col("doc_id") % 101 == 0).select("doc_id", "text")
+        t0 = time.time()
+        res = package_release(docs, bench, run_id=f"rel-{replicas}")
+        res.sequences.write.format("noop").mode("overwrite").save()
+        manifest = {r.stage: r.n_rows for r in
+                    res.manifest.filter(F.col("shard").isNull()).collect()}
+        res.unpersist()
+        return time.time() - t0, manifest
+
+    t1, _ = run_at(1)
+    t10, manifest = run_at(REPLICAS)
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"release pipeline superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+    # the flood collapses: exact copies share every line, so the
+    # boilerplate scrub empties them and the gate removes them — the
+    # packaged corpus must be a small fraction of the 10x raw count
+    assert manifest["quality_gate"] < manifest["raw"] * 0.2
+    assert 0 < manifest["exact_dedup"] <= manifest["quality_gate"]
