@@ -259,9 +259,14 @@ def doc_triangles(documents: DataFrame) -> DataFrame:
 
 BFS_MAX_DEPTH = 3
 BFS_SEED_SUPPKEY = 1
-# Distinct-pair bound for the driver-side BFS fast path: 500k two-int
-# rows is ~10 MB collected; checked by count() BEFORE collecting.
-BFS_SMALL_PAIRS = 500_000
+# Distinct-pair bound for the driver-side BFS fast path: 4M two-int
+# rows is ~64 MB through Arrow and ~300 MB as the python adjacency —
+# well inside any driver heap, and the integer-keyed build runs ~1 µs
+# per edge. Checked by count() BEFORE collecting; above the bound the
+# distributed hop loop runs unchanged (each hop one equi-join). The
+# sf0.1 graph (591k pairs) measured 1.5 s faster on the driver path
+# than through the scheduled per-hop joins.
+BFS_SMALL_PAIRS = 4_000_000
 
 
 def _bfs_driver(pairs, seed_suppkey: int, max_depth: int):
