@@ -310,3 +310,47 @@ def test_release_pipeline_at_10x(spark):
     # packaged corpus must be a small fraction of the 10x raw count
     assert manifest["quality_gate"] < manifest["raw"] * 0.2
     assert 0 < manifest["exact_dedup"] <= manifest["quality_gate"]
+
+
+def test_two_scale_oracle_spot_check(spark):
+    """Two-scale drift guard: a deterministic 12-query slice of the
+    declared surface re-verified against DuckDB at sf0.1 (the round-3
+    full sweep caught five sf0.1-only divergences — tie order, sampler
+    nondeterminism, rounding knife-edges — that sf0.01 masked; this
+    keeps a cheap tripwire in the suite between full sweeps)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from githubrepostorag_spark.sources.testdata import TABLES
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = sorted(qs)
+    picked = [n for i, n in enumerate(names) if i % 17 == 3][:12]
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    for name in picked:
+        sdf = qs[name](spark, sf_dir).toPandas()
+        ddf = con.execute(oracles[name]).fetchdf()
+        assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+        a, b = canon(sdf), canon(ddf)
+        for col in a.columns:
+            av, bv = a[col], b[col]
+            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+                import numpy as np
+
+                assert np.allclose(
+                    av.astype(float).fillna(-1e308),
+                    bv.astype(float).fillna(-1e308),
+                    rtol=0, atol=1e-9,
+                ), f"{name}.{col} diverges"
+            else:
+                assert av.astype(str).equals(bv.astype(str)), f"{name}.{col} diverges"
