@@ -74,11 +74,12 @@ def curation_pipeline(
         F.length(t) > 0,
         F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / F.length(t).cast("double"),
     ).otherwise(F.lit(0.0))
-    gated = documents.filter(
+    gate = (
         (F.length(t) >= CU.FUNNEL_MIN_CHARS)
         & (TXT.token_count(t) >= CU.FUNNEL_MIN_TOKENS)
         & (alpha_ratio >= CU.FUNNEL_MIN_ALPHA)
     )
+    gated = documents.filter(gate)
 
     # --- stage 2: exact dedup (canonical min-id per fingerprint) ---
     exact_keep = DD.exact_dedup(gated).select(
@@ -134,9 +135,16 @@ def curation_pipeline(
     def n(df: DataFrame) -> int:
         return df.count()
 
+    # raw + gated in ONE scan (the two stage counts share the gate
+    # predicate pass instead of re-reading the source twice); the
+    # remaining counts ride already-cut frames
+    head = documents.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(gate, 1).otherwise(0)).cast("long").alias("n_gated"),
+    ).collect()[0]
     counts = [
-        ("raw", n(documents)),
-        ("quality_gate", n(gated)),
+        ("raw", int(head["n_raw"])),
+        ("quality_gate", int(head["n_gated"])),
         ("exact_dedup", n(exact)),
         ("near_dup", n(survivors)),
         ("decontaminated", n(clean)),
