@@ -671,6 +671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _wrapped_lines(t(sp, sf, "documents")),
             t(sp, sf, "documents").filter(F.col("doc_id") % 101 == 0),
         ),
+        # --- canonical text normalization (pipeline first transform) ---
+        "q198_normalize_text": lambda sp, sf: TO.normalize_text(
+            _wrapped_lines(t(sp, sf, "documents"))
+        ),
     }
 
 
@@ -4579,5 +4583,25 @@ def oracle_sql() -> dict[str, str]:
                    t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
                    coalesce(r.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q198_normalize_text": r"""
+            WITH wrapped AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '((?:\S+\s+){2}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS wt
+              FROM documents),
+            c AS (
+              SELECT doc_id, wt,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(wt, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                       '[ \t]+', ' ', 'g'),
+                       ' ?\n ?', chr(10), 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g')) AS norm_text
+              FROM wrapped)
+            SELECT doc_id,
+                   CAST(length(wt) AS BIGINT) AS n_chars_before,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_after,
+                   norm_text
+            FROM c
         """,
     }

@@ -1478,3 +1478,29 @@ def vocab_coverage(documents: DataFrame, k: int = VOCAB_COVERAGE_K) -> DataFrame
             ),
         )
     )
+
+
+def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first transform of every
+    curation pipeline: strip C0 control characters (except \\n\\t),
+    collapse horizontal whitespace runs, trim line edges, collapse 3+
+    blank lines to one, and trim the document. Returns the normalized
+    text with before/after lengths so the audit can track shrinkage.
+
+    Pure column expressions (three regexp passes fused into one
+    projection) — a free map alongside any scan at 100 TB. Lowercasing
+    is deliberately NOT here: dedup fingerprints lowercase internally,
+    but the shipped text keeps its case (models want it).
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    cleaned = F.regexp_replace(cleaned, "[ \\t]+", " ")
+    cleaned = F.regexp_replace(cleaned, " ?\\n ?", "\n")
+    cleaned = F.regexp_replace(cleaned, "\\n{3,}", "\n\n")
+    cleaned = F.trim(cleaned)
+    return documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
+        cleaned.alias("norm_text"),
+    )
