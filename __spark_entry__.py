@@ -2113,10 +2113,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "q48_rolling_avg": """
-            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
                    round(avg(l_extendedprice) OVER (
                      PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
             FROM lineitem
         """,

@@ -257,17 +257,22 @@ def cube_aggregate(lineitem: DataFrame) -> DataFrame:
 
 def rolling_avg_price(lineitem: DataFrame) -> DataFrame:
     """Rolling 4-row average price per supplier — bounded-frame window
-    (state is 4 rows per partition regardless of scale)."""
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(-3, 0)
-    )
+    (state is 4 rows per partition regardless of scale).
+
+    l_partkey closes the sort: the synthetic lineitem does NOT keep
+    (orderkey, linenumber) unique, and a ROWS frame over a non-total
+    order is nondeterministic — two runs (or two engines) may order
+    tie rows differently and average different neighbors (observed
+    once at sf0.1: one duplicate (suppkey, shipdate, orderkey,
+    linenumber) pair flipped the averages around it)."""
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"]
+    w = Window.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(-3, 0)
     return lineitem.select(
         "l_suppkey",
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
+        "l_partkey",
         F.round(F.avg("l_extendedprice").over(w), 4).alias("rolling_avg_price"),
     )
 
