@@ -1232,13 +1232,19 @@ def knn_graph(
         out_v, out_n, out_s = [], [], []
 
         def emit(rows_ids, cols_ids, m):
-            # per row: top-k among this block's columns, (-score, id) order
+            # per row: top-k among this block's columns, (-score, id)
+            # order — one vectorized stable argsort over the whole block
+            # (columns pre-sorted by id, so stability = id tie-break;
+            # argpartition would be cheaper but mis-picks ids among
+            # score ties at the k-boundary, breaking oracle exactness)
             kk = min(k, m.shape[1])
-            for r in range(m.shape[0]):
-                order = np.lexsort((cols_ids, -m[r]))[:kk]
-                out_v.extend([rows_ids[r]] * len(order))
-                out_n.extend(cols_ids[order])
-                out_s.extend(m[r][order])
+            perm = np.argsort(cols_ids, kind="stable")
+            ids_sorted = cols_ids[perm]
+            m_sorted = m[:, perm]
+            idx = np.argsort(-m_sorted, axis=1, kind="stable")[:, :kk]
+            out_v.extend(np.repeat(rows_ids, kk))
+            out_n.extend(ids_sorted[idx].ravel())
+            out_s.extend(np.take_along_axis(m_sorted, idx, axis=1).ravel())
 
         if same_block:
             np.fill_diagonal(sims, -np.inf)  # a row is not its own neighbor
