@@ -701,7 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- serpentine LPT shard balancing (distributed global rank) ---
         "q188_balanced_shards": lambda sp, sf: CU.balanced_shards(
             t(sp, sf, "documents")
-        ),
+        ).drop("weight"),
         # --- distributed logistic-regression quality-filter training ---
         "q189_logreg_train": lambda sp, sf: TO.logreg_quality_trainer(
             t(sp, sf, "documents")

@@ -665,13 +665,25 @@ def cluster_sample(
 N_SHARDS = 8
 
 
-def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int = N_SHARDS,
+    copy_counts: DataFrame | None = None,
+) -> DataFrame:
     """Balanced output-shard assignment by token count: rank documents
     by (n_tokens DESC, doc_id) and deal them onto `n_shards` shards in
     serpentine order (shard 0..n-1 on even passes, n-1..0 on odd) —
     the classic sorted-greedy/LPT approximation that bounds shard skew
     by one document. This is the writer-side packer that keeps every
     tokenizer/training worker busy when the corpus ships as N files.
+
+    ``copy_counts`` (doc_id, n_copies), when given, weights the LPT
+    rank by n_tokens * n_copies: a release that epoch-upsamples AFTER
+    sharding ships every copy of a doc into one shard, so balancing
+    must target the post-upsample per-shard token totals (what the
+    manifest's shard_tokens rows report), not the unique-doc totals.
+    The emitted n_tokens stays per-copy; `weight` carries the ranked
+    quantity.
 
     Scale note — the global rank is NOT a bare `row_number() OVER
     (ORDER BY ...)`: an unpartitioned window pulls the whole corpus
@@ -685,6 +697,15 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     toks = df.select(
         "doc_id", "source", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    if copy_counts is not None:
+        toks = toks.join(copy_counts.select("doc_id", "n_copies"), "doc_id").select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("n_tokens") * F.col("n_copies")).cast("long").alias("weight"),
+        )
+    else:
+        toks = toks.withColumn("weight", F.col("n_tokens"))
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     # MUST materialize: repartitionByRange SAMPLES its boundaries per
@@ -694,7 +715,7 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     # partitioning the window runs on (observed at sf0.1, where the
     # corpus exceeds the range sampler's budget).
     ranged = (
-        toks.repartitionByRange(n_parts, F.desc("n_tokens"), F.asc("doc_id"))
+        toks.repartitionByRange(n_parts, F.desc("weight"), F.asc("doc_id"))
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -708,7 +729,7 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     off_df = F.broadcast(spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "pid int, off long"
     ))
-    wp = Window.partitionBy("pid").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    wp = Window.partitionBy("pid").orderBy(F.desc("weight"), F.asc("doc_id"))
     ranked = (
         ranged.join(off_df, "pid")
         .withColumn("rank", (F.row_number().over(wp) + F.col("off")).cast("long"))
@@ -719,7 +740,7 @@ def balanced_shards(df: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     return ranked.withColumn(
         "shard",
         F.when(pass_idx % 2 == 0, pos).otherwise(n_shards - 1 - pos).cast("long"),
-    ).select("doc_id", "source", "n_tokens", "rank", "shard")
+    ).select("doc_id", "source", "n_tokens", "weight", "rank", "shard")
 
 
 SEQ_BUDGET = 2000  # tokens per training sequence (shared with q59/q192)

@@ -90,10 +90,16 @@ def package_release(
     # --- stage 5: quality-weighted epochs ---
     epochs = CU.epoch_upsample(deduped).select("doc_id", "epoch")
 
-    # --- stage 6: balanced shards over the UNIQUE docs ---
-    shards = CU.balanced_shards(deduped, n_shards=n_shards).select(
-        "doc_id", "n_tokens", "rank", "shard"
+    # --- stage 6: balanced shards, weighted by the SHIPPED tokens ---
+    # A doc's 1-4 epoch copies all land in its one shard, so the LPT
+    # rank must weight by n_tokens * n_copies or the per-shard totals
+    # the manifest reports (post-upsample) skew by source quality.
+    n_copies = epochs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_copies")
     )
+    shards = CU.balanced_shards(
+        deduped, n_shards=n_shards, copy_counts=n_copies
+    ).select("doc_id", "n_tokens", "rank", "shard")
 
     # --- stage 7: training sequences (per source batch) ---
     seqs = CU.build_training_sequences(deduped, budget=budget).select(

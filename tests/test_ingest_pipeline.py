@@ -256,4 +256,9 @@ def test_release_pipeline_end_to_end(spark):
     # per-shard token totals reported for every shard used
     shard_tokens = {s: n for (st, s), n in manifest.items() if st == "shard_tokens"}
     assert all(n > 0 for n in shard_tokens.values())
+    # shards balance on the SHIPPED (post-upsample) token totals: the
+    # LPT rank weights by n_tokens * n_copies, so max/min per-shard
+    # totals stay within the one-largest-item LPT bound
+    biggest_item = max(r.n_tokens * 1 for r in seq)  # one copy's tokens
+    assert max(shard_tokens.values()) - min(shard_tokens.values()) <= 2 * biggest_item
     res.unpersist()
