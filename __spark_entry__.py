@@ -2182,7 +2182,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
                    round(avg(l_extendedprice) OVER (
                      PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                              l_extendedprice
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
             FROM lineitem
         """,
@@ -4574,16 +4575,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT
                 sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
                   AS null_orderkey,
-                sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                sum(CASE WHEN l_quantity IS NULL
+                           OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
                   AS quantity_range,
-                sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                sum(CASE WHEN l_extendedprice IS NULL
+                           OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
                   AS nonpositive_price,
-                sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+                sum(CASE WHEN l_returnflag IS NULL
+                           OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
                   AS returnflag_domain,
-                sum(CASE WHEN l_shipdate < DATE '1992-01-01'
+                sum(CASE WHEN l_shipdate IS NULL
+                           OR l_shipdate < DATE '1992-01-01'
                            OR l_shipdate > DATE '1998-12-31'
                          THEN 1 ELSE 0 END) AS shipdate_bounds,
-                sum(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_cap
+                sum(CASE WHEN l_discount IS NULL
+                           OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_cap
               FROM lineitem),
             orph AS (
               SELECT count(*) AS orphan_orderkeys

@@ -1,0 +1,32 @@
+"""Rounding helpers for driver-side / NumPy kernels.
+
+Spark's ``F.round`` and DuckDB's ``round`` both round half AWAY from
+zero; Python's ``round`` and ``np.round`` round half to EVEN. Any
+driver-loop or UDF-kernel value that an unrolled SQL oracle re-derives
+must therefore round with these helpers, or an exact .5 tie at the
+rounding digit silently diverges between engine and oracle (the q48 /
+q162 knife-edge class).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def round_half_away(x: float, ndigits: int) -> float:
+    """Scalar round-half-away-from-zero — matches F.round / DuckDB."""
+    m = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+def np_round_half_away(a: "np.ndarray", ndigits: int) -> "np.ndarray":
+    """Vectorized round-half-away-from-zero — matches F.round / DuckDB.
+
+    NaN/±inf pass through unchanged (floor/copysign preserve them).
+    """
+    m = 10.0 ** ndigits
+    with np.errstate(invalid="ignore"):
+        out = np.copysign(np.floor(np.abs(a) * m + 0.5), a) / m
+    return np.where(np.isfinite(a), out, a)

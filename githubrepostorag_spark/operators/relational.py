@@ -259,13 +259,19 @@ def rolling_avg_price(lineitem: DataFrame) -> DataFrame:
     """Rolling 4-row average price per supplier — bounded-frame window
     (state is 4 rows per partition regardless of scale).
 
-    l_partkey closes the sort: the synthetic lineitem does NOT keep
-    (orderkey, linenumber) unique, and a ROWS frame over a non-total
-    order is nondeterministic — two runs (or two engines) may order
-    tie rows differently and average different neighbors (observed
-    once at sf0.1: one duplicate (suppkey, shipdate, orderkey,
-    linenumber) pair flipped the averages around it)."""
-    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"]
+    The sort must be a TOTAL order: the synthetic lineitem does NOT
+    keep (orderkey, linenumber) unique, and a ROWS frame over a
+    non-total order is nondeterministic — two runs (or two engines)
+    may order tie rows differently and average different neighbors
+    (observed once at sf0.1: one duplicate (suppkey, shipdate,
+    orderkey, linenumber) pair flipped the averages around it).
+    l_partkey narrows the ties and l_extendedprice closes them with a
+    VALUE-bearing key: rows still tied on all five keys share the
+    averaged value, so their frame contents are interchangeable and
+    the result is order-insensitive by construction."""
+    order_cols = [
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    ]
     w = Window.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(-3, 0)
     return lineitem.select(
         "l_suppkey",
@@ -1610,29 +1616,45 @@ def data_contract_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     referential rule broadcasts nothing (left_anti on the join key,
     AQE picks the side). A 100 TB gate costs one table read.
     """
+    # every rule carries an explicit isNull disjunct: a NULL in a
+    # checked column makes the range/domain predicate NULL, WHEN falls
+    # through to 0, and the bad row would silently PASS an admission
+    # gate — unexpected NULL is a violation, not a free pass
     viol = lineitem.agg(
         F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
             "null_orderkey"
         ),
         F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
         ).alias("quantity_range"),
-        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
-            "nonpositive_price"
-        ),
         F.sum(
-            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+            F.when(
+                F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("nonpositive_price"),
+        F.sum(
+            F.when(
+                F.col("l_returnflag").isNull()
+                | ~F.col("l_returnflag").isin("A", "N", "R"),
+                1,
+            ).otherwise(0)
         ).alias("returnflag_domain"),
         F.sum(
             F.when(
-                (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+                F.col("l_shipdate").isNull()
+                | (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
                 | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),
                 1,
             ).otherwise(0)
         ).alias("shipdate_bounds"),
-        F.sum(F.when(F.col("l_discount") > 0.1, 1).otherwise(0)).alias(
-            "discount_cap"
-        ),
+        F.sum(
+            F.when(F.col("l_discount").isNull() | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("discount_cap"),
     )
     orphans = (
         lineitem.select("l_orderkey")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import vectors as V
+from githubrepostorag_spark.functions.numerics import np_round_half_away
 
 
 def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -271,7 +272,7 @@ def near_dup_pairs(
         sims = (ma @ mb.T) / np.outer(na, nb)
         ia = a["vec_id"].to_numpy()
         ib = b["vec_id"].to_numpy()
-        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        ii, jj = np.nonzero(np_round_half_away(sims, 6) >= threshold)
         id_a, id_b = ia[ii], ib[jj]
         if same_block:
             # full self-matrix: each unordered pair appears twice — keep
@@ -285,7 +286,7 @@ def near_dup_pairs(
             lo = np.minimum(id_a, id_b)
             hi = np.maximum(id_a, id_b)
             vals = sims[ii, jj]
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": np.round(vals, 6)})
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": np_round_half_away(vals, 6)})
 
     return tagged.groupBy("pair_id").applyInPandas(
         score_block, schema="id_a long, id_b long, cos_sim double"
@@ -354,7 +355,7 @@ def near_dup_in_cells(embeddings: DataFrame, threshold: float = 0.35) -> DataFra
         sims = (m / norms[:, None]) @ (m / norms[:, None]).T
         ids = pdf["vec_id"].to_numpy()
         iu, ju = np.triu_indices(len(ids), k=1)
-        vals = np.round(sims[iu, ju], 6)
+        vals = np_round_half_away(sims[iu, ju], 6)
         keep = vals >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         return pd.DataFrame(
@@ -1221,7 +1222,7 @@ def knn_graph(
             )
         ma = np.stack(a["embedding"].to_numpy()).astype("float64")
         mb = np.stack(b["embedding"].to_numpy()).astype("float64")
-        sims = np.round(
+        sims = np_round_half_away(
             (ma @ mb.T)
             / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)),
             6,
@@ -1292,7 +1293,7 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
             )
         m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         norms = np.linalg.norm(m, axis=1)
-        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        sims = np_round_half_away((m @ m.T) / np.outer(norms, norms), 6)
         np.fill_diagonal(sims, -np.inf)
         ids = pdf["vec_id"].to_numpy()
         kk = min(k, len(pdf) - 1)
@@ -1447,18 +1448,18 @@ def mmr_rerank(
     rel = np.array([r["score"] for r in cand], dtype="float64")
     mat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in cand])
     norms = np.linalg.norm(mat, axis=1)
-    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    sims = np_round_half_away((mat @ mat.T) / np.outer(norms, norms), 6)
     labels = {int(r["vec_id"]): r["label"] for r in cand}
 
     selected: list[int] = []
     out_rows = []
     for step in range(1, min(k, len(ids)) + 1):
         if not selected:
-            mmr = np.round(lam * rel, 6)
+            mmr = np_round_half_away(lam * rel, 6)
         else:
             sel_idx = [int(np.nonzero(ids == s)[0][0]) for s in selected]
             max_sim = sims[:, sel_idx].max(axis=1)
-            mmr = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            mmr = np_round_half_away(lam * rel - (1.0 - lam) * max_sim, 6)
         mask = np.isin(ids, selected)
         mmr_masked = np.where(mask, -np.inf, mmr)
         # argmax with vec_id tie-break: lexsort on (-score, id)

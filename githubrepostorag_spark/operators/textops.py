@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.functions.numerics import round_half_away
 from githubrepostorag_spark.session import scale_out
 
 # Fixed-window chunker parameters (shared with the DuckDB oracle).
@@ -1337,9 +1338,11 @@ def logreg_quality_trainer(
                 )
             ).alias("loss"),
         ).collect()[0]  # bounded: one row of d+1 doubles
-        g = [round(float(agg[f"g{j}"]), 6) for j in range(dims)]
-        loss = round(float(agg["loss"]), 4)
-        w = [round(w[j] - lr * g[j], 6) for j in range(dims)]
+        # half-away rounding (not Python's half-even) so the DuckDB
+        # oracle's round() reproduces an exact 6dp tie identically
+        g = [round_half_away(float(agg[f"g{j}"]), 6) for j in range(dims)]
+        loss = round_half_away(float(agg["loss"]), 4)
+        w = [round_half_away(w[j] - lr * g[j], 6) for j in range(dims)]
         for j in range(dims):
             out_rows.append((rnd, j, g[j], w[j], loss))
     return documents.sparkSession.createDataFrame(

@@ -131,12 +131,13 @@ def stream_dedup_gate(
     the loop the batch store API leaves to the caller — the always-on
     form of build → probe → accept → append.
 
-    Per-batch order of operations is crash-safe for ACCEPTANCE:
-    accepted rows are written BEFORE the store append, so a failure
-    between the two replays the batch with the store still unaware of
-    it — documents re-accept (duplicate append, deduped by doc_id at
-    read, same at-least-once discipline as the versioned vector store
-    above) rather than being falsely rejected by their own half-landed
+    Per-batch order of operations is crash-safe: BOTH logs (accepted
+    and rejected) are written before the store append, so a failure
+    anywhere before the append replays the batch with the store still
+    unaware of it — the replay re-derives the same decisions
+    (duplicate log rows only, deduped by doc_id at read, same
+    at-least-once discipline as the versioned vector store above)
+    rather than being falsely rejected by its own half-landed
     signatures. Batches are exact-deduped within themselves first
     (min doc_id wins) — LSH probing is batch-vs-store; two near-dup
     documents arriving in ONE batch both pass the gate, exactly like
@@ -165,13 +166,20 @@ def stream_dedup_gate(
         accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )  # consumed by the sink write AND the store append
+        # BOTH logs land before the store mutates: a crash after either
+        # write but before the append replays the batch against the
+        # pre-batch store state, so the replay makes the same
+        # accept/reject decisions (duplicate log rows only — deduped by
+        # doc_id at read). Appending the store first instead would make
+        # a replayed batch probe its own half-landed signatures and
+        # falsely reject within-batch near-dup pairs.
         accepted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(accepted_path)
-        append_to_dedup_store(accepted.select("doc_id", "text"), dedup_store_path)
         hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode("append").parquet(
             rejected_path
         )
+        append_to_dedup_store(accepted.select("doc_id", "text"), dedup_store_path)
 
     return (
         docs_stream.writeStream.foreachBatch(gate_batch)

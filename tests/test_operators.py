@@ -2117,3 +2117,23 @@ def test_data_contract_gates_on_planted_violations(spark):
     # key 2 has no order; the NULL key never matches either — both are
     # orphans under anti-join semantics (same in the SQL oracle)
     assert rep["orphan_orderkeys"][0] == 2
+
+
+def test_data_contract_nulls_are_violations(spark):
+    """A NULL in a checked column must count against its rule — a
+    NULL-valued predicate otherwise falls through WHEN to 0 and the row
+    silently passes the admission gate."""
+    from githubrepostorag_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, None, None, None, None, None)],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string, l_shipdate string, l_discount double",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    orders = spark.createDataFrame([(1,)], "o_orderkey long")
+    rep = {r.rule: r.n_violations for r in
+           R.data_contract_report(li, orders).collect()}
+    for rule in ("quantity_range", "nonpositive_price", "returnflag_domain",
+                 "shipdate_bounds", "discount_cap"):
+        assert rep[rule] == 1, rule
+    assert rep["null_orderkey"] == 0
