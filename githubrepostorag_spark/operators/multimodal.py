@@ -36,25 +36,38 @@ def with_binary_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _image_meta_udf():
-    """Deterministic fake decode over raw bytes, Arrow-batched.
+def default_decoder(data: bytes) -> tuple[int, int]:
+    """Deterministic fake pixel decode: (width, height) as an arithmetic
+    function of the content hash — the stand-in a real decoder (PIL /
+    ffmpeg probe) replaces through the ``decoder=`` seam."""
+    ph = int(hashlib.md5(data).hexdigest()[:PHASH_HEX_DIGITS], 16)
+    return (ph % 1920 + 1, (ph // 7) % 1080 + 1)
 
-    byte_len is real; phash is md5-derived (the portable 60-bit hash
-    rule, identical to functions.text.md5_bigint); width/height are a
-    deterministic arithmetic function of the phash standing in for real
-    pixel dimensions. A real decoder (PIL/ffmpeg) slots into this exact
-    UDF signature — see `decode_image_stub`. (Built lazily: struct
-    return types need an active SparkSession to parse.)
+
+def _image_meta_udf(decoder=None):
+    """Metadata extraction over raw bytes, Arrow-batched.
+
+    byte_len and phash (md5-derived, the portable 60-bit hash rule,
+    identical to functions.text.md5_bigint) are real; pixel geometry
+    comes from ``decoder(bytes) -> (width, height)`` — the single seam
+    where a real image library plugs in (`decode_image_stub`), defaulting
+    to the deterministic fake. A decoder returning non-positive
+    dimensions fails the job rather than writing junk geometry. (Built
+    lazily: struct return types need an active SparkSession to parse.)
     """
+    decode = decoder or default_decoder
 
     @pandas_udf("struct<byte_len: long, phash: long, width: int, height: int>")
     def image_meta_udf(contents: pd.Series) -> pd.DataFrame:
         def one(b) -> tuple[int, int, int, int]:
             data = bytes(b) if b is not None else b""
             ph = int(hashlib.md5(data).hexdigest()[:PHASH_HEX_DIGITS], 16)
-            width = ph % 1920 + 1
-            height = (ph // 7) % 1080 + 1
-            return (len(data), ph, width, height)
+            width, height = decode(data)
+            if width <= 0 or height <= 0:
+                raise ValueError(
+                    f"decoder dim guard: non-positive geometry ({width}x{height})"
+                )
+            return (len(data), ph, int(width), int(height))
 
         rows = [one(b) for b in contents]
         return pd.DataFrame(rows, columns=["byte_len", "phash", "width", "height"])
@@ -72,9 +85,15 @@ def decode_image_stub(content: bytes) -> "object":
     )
 
 
-def image_metadata(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach byte_len/phash/width/height from the binary payload."""
-    meta = _image_meta_udf()(F.col(content_col))
+def image_metadata(
+    docs: DataFrame, content_col: str = "content", decoder=None
+) -> DataFrame:
+    """Attach byte_len/phash/width/height from the binary payload.
+
+    ``decoder``: optional ``bytes -> (width, height)`` callable — the
+    real-image-library seam (mirrors the ``embedder=`` seam on
+    with_embedding)."""
+    meta = _image_meta_udf(decoder)(F.col(content_col))
     return (
         docs.withColumn("_m", meta)
         .withColumn("byte_len", F.col("_m.byte_len"))

@@ -1,0 +1,68 @@
+"""Image-decoder seam hardening (mirror of test_embed_seam.py).
+
+The real pixel decode is the one stubbed piece of the multimodal path
+(`multimodal.decode_image_stub` — no image library in this container).
+These tests plug an arbitrary "real decoder stand-in" through the
+``decoder=`` seam on image_metadata and pin that (a) the binary schema
+and metadata flow carry the plugged geometry end to end, including the
+downstream phash-dedup shuffle, and (b) a decoder emitting junk
+geometry fails the job rather than silently writing it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators.multimodal import (
+    image_metadata,
+    phash_dedup,
+    with_binary_content,
+)
+
+
+def _docs(spark):
+    return with_binary_content(
+        spark.createDataFrame(
+            [(1, "alpha payload"), (2, "beta payload"), (3, "alpha payload")],
+            "doc_id long, text string",
+        )
+    )
+
+
+# NOTE: probe decoders are lambdas/closures (pickled by VALUE into the
+# Arrow workers); a module-level function in a test file pickles by
+# reference and the worker can't import the test module.
+_probe_decoder = lambda data: (len(data) * 3 + 1, len(data) * 2 + 1)  # noqa: E731
+
+
+def test_custom_decoder_plugs_through_image_metadata(spark):
+    out = image_metadata(_docs(spark), decoder=_probe_decoder).collect()
+    assert len(out) == 3
+    for r in out:
+        # plugged geometry (not the default fake's), real byte_len
+        assert r.width == r.byte_len * 3 + 1
+        assert r.height == r.byte_len * 2 + 1
+        assert r.byte_len == len("alpha payload") or r.byte_len == len("beta payload")
+
+
+def test_custom_decoder_flows_into_phash_dedup(spark):
+    meta = image_metadata(_docs(spark), decoder=_probe_decoder)
+    groups = {r.canonical_id: r.group_size for r in phash_dedup(meta).collect()}
+    # docs 1 and 3 share bytes → one phash group with the min id
+    assert groups[1] == 2 and groups[2] == 1
+
+
+def test_decoder_dim_guard_fails_fast(spark):
+    bad = image_metadata(_docs(spark), decoder=lambda b: (0, -4))
+    with pytest.raises(Exception, match="dim guard"):
+        bad.collect()
+
+
+def test_default_decoder_unchanged_without_seam(spark):
+    """The no-argument path must keep the deterministic fake's geometry
+    (q44/q49-family oracles depend on it)."""
+    rows = image_metadata(_docs(spark)).select("phash", "width", "height").collect()
+    for r in rows:
+        assert r.width == r.phash % 1920 + 1
+        assert r.height == (r.phash // 7) % 1080 + 1
