@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
-from githubrepostorag_spark.session import scale_out
+from githubrepostorag_spark.session import driver_bound_rows, scale_out
 
 # Shared with the DuckDB oracle builders.
 SHINGLE_K = 4
@@ -367,7 +367,7 @@ def _components_unionfind(one: DataFrame) -> DataFrame:
     """Exact union-find over a BOUNDED collected edge list; labels every
     edge-touched node with the minimum id in its component — identical
     to the distributed hash-min fixpoint. Only called when the caller
-    has already counted the edges under SMALL_GRAPH_EDGES."""
+    has already counted the edges under the driver-memory bound."""
     from pyspark.sql import types as T
 
     rows = one.collect()
@@ -407,13 +407,15 @@ def _components_unionfind(one: DataFrame) -> DataFrame:
     return one.sparkSession.createDataFrame(data, schema)
 
 
-# Edge-count bound under which connected components run as exact
-# union-find on the driver instead of the iterative distributed loop.
-# 200k two-column rows is a few MB — far below any broadcast threshold
-# — while the distributed loop costs 2 shuffles + a checkpoint + a
-# count PER ROUND in driver-side job scheduling alone (measured ~4 s
-# for a 4k-edge graph at local[32], vs ~0.3 s via the fallback).
-SMALL_GRAPH_EDGES = 200_000
+# Per-edge driver cost for the union-find fast path: the python dicts
+# hold ~200 B per edge, so the bound is DERIVED from the session's
+# driver heap (2% of spark.driver.memory at 200 B/edge —
+# session.driver_bound_rows; ~1.7M edges for the 16g bench driver,
+# ~100k for a default 1g driver; previously a hand-picked 200k). The
+# distributed loop costs 2 shuffles + a checkpoint + a count PER ROUND
+# in job-scheduling latency alone (measured ~4 s for a 4k-edge graph
+# at local[32], vs ~0.3 s via the fallback).
+UNIONFIND_EDGE_BYTES = 200
 
 
 def dedup_components(
@@ -422,7 +424,7 @@ def dedup_components(
     max_iter: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph by
     hash-min label propagation — the clustering step that turns
@@ -466,6 +468,10 @@ def dedup_components(
     # frame is ~free; coalesce doesn't shuffle. ~100k slim edge rows
     # per task keeps a genuinely large graph wide.
     n_edges = one.count()
+    if small_graph_edges is None:
+        small_graph_edges = driver_bound_rows(
+            edges.sparkSession, bytes_per_row=UNIONFIND_EDGE_BYTES
+        )
     # Bounded-size fast path: the edge count is already materialized,
     # so when the dup subgraph provably fits on the driver (a few MB of
     # two-column rows), run exact union-find there instead of paying

@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from githubrepostorag_spark.session import driver_bound_rows
+
 
 def bounded_bfs(
     nodes: DataFrame,
@@ -280,14 +282,17 @@ def doc_triangles(documents: DataFrame) -> DataFrame:
 
 BFS_MAX_DEPTH = 3
 BFS_SEED_SUPPKEY = 1
-# Distinct-pair bound for the driver-side BFS fast path: 4M two-int
-# rows is ~64 MB through Arrow and ~300 MB as the python adjacency —
-# well inside any driver heap, and the integer-keyed build runs ~1 µs
-# per edge. Checked by count() BEFORE collecting; above the bound the
-# distributed hop loop runs unchanged (each hop one equi-join). The
-# sf0.1 graph (591k pairs) measured 1.5 s faster on the driver path
-# than through the scheduled per-hop joins.
-BFS_SMALL_PAIRS = 4_000_000
+# Driver-side BFS fast path: each collected (suppkey, partkey) pair
+# costs ~64 MB/4M through Arrow and ~80 B in the python adjacency, so
+# the bound is DERIVED from the session's driver heap (2% of
+# spark.driver.memory at 80 B/pair — session.driver_bound_rows; ~4.3M
+# pairs for the 16g bench driver, matching the previously hand-picked
+# 4M constant, and ~270k for a default 1g driver). Checked by count()
+# BEFORE collecting; above the bound the distributed hop loop runs
+# unchanged (each hop one equi-join). The sf0.1 graph (591k pairs)
+# measured 1.5 s faster on the driver path than the scheduled per-hop
+# joins.
+BFS_PAIR_BYTES = 80
 
 
 def _bfs_driver(pairs, seed_suppkey: int, max_depth: int):
@@ -329,7 +334,7 @@ def supply_bfs_distances(
     lineitem: DataFrame,
     seed_suppkey: int = BFS_SEED_SUPPKEY,
     max_depth: int = BFS_MAX_DEPTH,
-    small_graph_pairs: int = BFS_SMALL_PAIRS,
+    small_graph_pairs: int | None = None,
 ) -> DataFrame:
     """Minimum-hop BFS distances over the supplier↔part bipartite graph
     (suppliers connect to the parts they shipped): from one seed
@@ -354,6 +359,10 @@ def supply_bfs_distances(
     latency on a graph whose adjacency is a few MB. Over the cap, the
     distributed hop loop below runs unchanged.
     """
+    if small_graph_pairs is None:
+        small_graph_pairs = driver_bound_rows(
+            lineitem.sparkSession, bytes_per_row=BFS_PAIR_BYTES
+        )
     pairs = lineitem.select("l_suppkey", "l_partkey").distinct().localCheckpoint(
         eager=True
     )

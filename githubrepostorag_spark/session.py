@@ -42,6 +42,36 @@ def scale_out(df, *cols: str):
     return df.repartition(n)
 
 
+def _parse_mem_bytes(size: str) -> int:
+    """JVM memory-string ('16g', '2048m', '1t', bare bytes) → bytes."""
+    s = size.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def driver_bound_rows(
+    spark: SparkSession,
+    bytes_per_row: int,
+    fraction: float = 0.02,
+    floor: int = 65_536,
+) -> int:
+    """Row bound for a driver-side fast path, derived from the session's
+    actual `spark.driver.memory` rather than a constant: the number of
+    rows whose driver-side representation fits in `fraction` of the
+    heap at `bytes_per_row` each. A 16g driver with the BFS adjacency's
+    ~80 B/pair yields ~4.3M pairs (the previously hand-picked 4M); a 1g
+    default-config driver scales the same path down to ~270k instead of
+    optimistically collecting 4M rows into a heap that can't hold them.
+    """
+    try:
+        mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", "1g"))
+    except Exception:
+        mem = 1 << 30
+    return max(int(mem * fraction / bytes_per_row), floor)
+
+
 def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     cpus = cpus or DEFAULT_CPUS
