@@ -39,12 +39,12 @@ LINEARITY_FACTOR = 30.0
 pytestmark = pytest.mark.slow
 
 
-def _docs(spark, replicas: int):
-    """sf0.01 documents replicated `replicas`× with a hot source and a
+def _docs(spark, replicas: int, sf_dir: str = SF_DIR):
+    """documents replicated `replicas`× with a hot source and a
     true-duplicate flood (see module docstring)."""
     from githubrepostorag_spark.sources.testdata import load_table
 
-    base = load_table(spark, SF_DIR, "documents").select(
+    base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
     reps = spark.range(replicas).select(F.col("id").alias("rep"))
@@ -354,3 +354,39 @@ def test_two_scale_oracle_spot_check(spark):
                 ), f"{name}.{col} diverges"
             else:
                 assert av.astype(str).equals(bv.astype(str)), f"{name}.{col} diverges"
+
+
+def test_next_tier_heavy_chains_linear(spark):
+    """One decade above the standard smoke (r3 verdict ask #7): the two
+    heaviest bench chains — the q56 dedup chain and the composed
+    curation pipeline — on the sf0.1 corpus (5k docs) replicated 10×
+    (50k docs, dup flood + hot source). Confirms the linearity bound
+    holds a second decade up with the same LINEARITY_FACTOR."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    sf01 = "/root/testdata/sf0.1"
+    t1 = _run(_doc_chain(_docs(spark, 1, sf_dir=sf01)))
+    t10 = _run(_doc_chain(_docs(spark, REPLICAS, sf_dir=sf01)))
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"sf0.1 dedup chain superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
+
+    def run_curation(replicas: int) -> float:
+        docs = _docs(spark, replicas, sf_dir=sf01)
+        bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        t0 = time.time()
+        res = curation_pipeline(docs, bench, run_id=f"tier-{replicas}")
+        res.corpus.write.format("noop").mode("overwrite").save()
+        res.audit.collect()
+        res.unpersist()
+        return time.time() - t0
+
+    t1 = run_curation(1)
+    t10 = run_curation(REPLICAS)
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"sf0.1 curation superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
