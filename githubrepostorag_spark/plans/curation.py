@@ -35,11 +35,13 @@ from pyspark.sql import functions as F
 from githubrepostorag_spark.functions import text as TXT
 from githubrepostorag_spark.operators import curation as CU
 from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.plans.timing import StageTimer
 
 
 class CurationResult(NamedTuple):
     corpus: DataFrame  # surviving documents with quality + batch columns
     audit: DataFrame   # one row per stage: (stage_idx, stage, n_docs)
+    timed_stages: DataFrame  # (stage_idx, stage, seconds) — see plans.timing
 
     def unpersist(self) -> None:
         self.corpus.unpersist()
@@ -132,28 +134,38 @@ def curation_pipeline(
     # --- audit: one aggregate per stage frame (each frame computed
     # once; the terminal `corpus` is persisted so the audit's count
     # and the caller's reads share the same materialization) ---
-    def n(df: DataFrame) -> int:
-        return df.count()
+    # Each count below is the FIRST action on its (lineage-cut) stage
+    # frame, so wrapping it in the stage timer records that stage's
+    # wall seconds — the reference's per-stage stage_timer analog
+    # (plans/timing.py).
+    timer = StageTimer()
 
     # raw + gated in ONE scan (the two stage counts share the gate
     # predicate pass instead of re-reading the source twice); the
     # remaining counts ride already-cut frames
-    head = documents.agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(gate, 1).otherwise(0)).cast("long").alias("n_gated"),
-    ).collect()[0]
+    head = timer.time(
+        "quality_gate",
+        lambda: documents.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(gate, 1).otherwise(0)).cast("long").alias("n_gated"),
+        ).collect()[0],
+    )
     counts = [
         ("raw", int(head["n_raw"])),
         ("quality_gate", int(head["n_gated"])),
-        ("exact_dedup", n(exact)),
-        ("near_dup", n(survivors)),
-        ("decontaminated", n(clean)),
-        ("mixed", n(mixed)),
-        ("packed", n(corpus)),
+        ("exact_dedup", timer.time("exact_dedup", exact.count)),
+        ("near_dup", timer.time("near_dup", survivors.count)),
+        ("decontaminated", timer.time("decontaminated", clean.count)),
+        ("mixed", timer.time("mixed", mixed.count)),
+        ("packed", timer.time("packed", corpus.count)),
     ]
     spark = documents.sparkSession
     audit = spark.createDataFrame(
         [(i, s, c, run_id) for i, (s, c) in enumerate(counts)],
         "stage_idx long, stage string, n_docs long, curation_run_id string",
     )
-    return CurationResult(corpus=corpus, audit=audit)
+    return CurationResult(
+        corpus=corpus,
+        audit=audit,
+        timed_stages=timer.frame(spark, run_id, "curation_run_id"),
+    )

@@ -37,6 +37,7 @@ from githubrepostorag_spark.operators.hierarchy import (
     module_summaries,
     repo_overviews,
 )
+from githubrepostorag_spark.plans.timing import StageTimer
 from githubrepostorag_spark.operators.vector_write import (
     finalize_vectors,
     storage_projection,
@@ -53,6 +54,7 @@ class IngestResult:
     catalog: DataFrame
     rows: DataFrame  # union of all 5 scopes' vector rows
     audit: DataFrame  # ingest_runs (S6/A8)
+    timed_stages: DataFrame | None = None  # (stage_idx, stage, seconds)
     _cached: tuple = ()  # frames persisted by the pipeline
 
     def unpersist(self) -> None:
@@ -210,6 +212,17 @@ def ingest_pipeline(
     if output_path is not None:
         write_vector_tables(rows, output_path)
 
+    # Stage timer (the reference's stage_timer analog, plans/timing.py):
+    # force each PERSISTED stage cache in dependency order and record
+    # its wall seconds. No duplicated work — every downstream consumer
+    # reads these same caches; the terminal embed/union stage stays
+    # lazy (its cost lands on the caller's write, as before).
+    timer = StageTimer()
+    timer.time("chunk_enrich", chunks.count)
+    timer.time("file_rollup", file_sums.count)
+    timer.time("module_rollup", module_sums.count)
+    timed = timer.frame(docs.sparkSession, ingest_run_id, "run_id")
+
     return IngestResult(
         chunks=chunks,
         file_sums=file_sums,
@@ -218,5 +231,6 @@ def ingest_pipeline(
         catalog=catalog,
         rows=rows,
         audit=audit,
+        timed_stages=timed,
         _cached=(chunks, file_sums, module_sums, readmes),
     )

@@ -39,6 +39,7 @@ from githubrepostorag_spark.functions import text as TXT
 from githubrepostorag_spark.operators import curation as CU
 from githubrepostorag_spark.operators import dedup as DD
 from githubrepostorag_spark.operators import textops as TO
+from githubrepostorag_spark.plans.timing import StageTimer
 
 RELEASE_MIN_CHARS = 100
 RELEASE_MIN_TOKENS = 15
@@ -47,6 +48,7 @@ RELEASE_MIN_TOKENS = 15
 class ReleaseResult(NamedTuple):
     sequences: DataFrame  # per-doc-copy rows with shard + sequence metadata
     manifest: DataFrame   # per-stage counts + per-shard token totals
+    timed_stages: DataFrame  # (stage_idx, stage, seconds) — see plans.timing
 
     def unpersist(self) -> None:
         self.sequences.unpersist()
@@ -114,13 +116,16 @@ def package_release(
         .persist()
     )
 
-    # --- manifest: stage counts + per-shard token totals ---
+    # --- manifest: stage counts + per-shard token totals; each count
+    # is the first action on its lineage-cut frame, so the stage timer
+    # records that stage's wall seconds (plans/timing.py) ---
+    timer = StageTimer()
     counts = [
-        ("raw", documents.count()),
-        ("rewritten", rewritten.count()),
-        ("quality_gate", gated.count()),
-        ("exact_dedup", deduped.count()),
-        ("copies_with_epochs", sequences.count()),
+        ("raw", timer.time("raw", documents.count)),
+        ("rewritten", timer.time("rewritten", rewritten.count)),
+        ("quality_gate", timer.time("quality_gate", gated.count)),
+        ("exact_dedup", timer.time("exact_dedup", deduped.count)),
+        ("copies_with_epochs", timer.time("epochs_shards_sequences", sequences.count)),
     ]
     stage_rows = spark.createDataFrame(
         [(i, s, c, None, run_id) for i, (s, c) in enumerate(counts)],
@@ -138,5 +143,7 @@ def package_release(
         )
     )
     return ReleaseResult(
-        sequences=sequences, manifest=stage_rows.unionByName(shard_rows)
+        sequences=sequences,
+        manifest=stage_rows.unionByName(shard_rows),
+        timed_stages=timer.frame(spark, run_id, "release_run_id"),
     )

@@ -1,0 +1,47 @@
+"""Per-stage wall-clock timing for the composed pipelines.
+
+Engine analog of the reference's per-stage `stage_timer` metric
+emission (`ingest/src/app/controllers/ingest_controller.py:114-152`,
+which wraps each controller stage in a Prometheus histogram timer):
+each pipeline stage's MATERIALIZING action (the checkpoint/count/
+collect that forces it) is wrapped in a driver wall clock, and the
+result ships as a DataFrame next to the audit counts.
+
+Why wall-at-materialization rather than a SparkListener: the pipelines
+cut lineage at exactly the stage boundaries (localCheckpoint), so the
+first action on stage k's frame executes precisely stage k's work —
+the driver block time IS the stage's wall cost, the same quantity the
+reference's timer records. Spark's listener/status APIs meter physical
+stages and jobs, which only map back to logical pipeline stages with
+job-group bookkeeping, and PySpark's listener interface needs the py4j
+callback server (off by default, per-session global state) — all cost
+and no added signal for this metric.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StageTimer:
+    """Accumulates (stage, seconds) rows as the pipeline driver forces
+    each stage; `frame()` emits them as the timed-stages DataFrame."""
+
+    def __init__(self) -> None:
+        self._rows: list[tuple[int, str, float]] = []
+
+    def time(self, stage: str, action):
+        """Run `action` (a 0-arg callable performing the stage's
+        materialization) and record its wall seconds."""
+        t0 = time.time()
+        out = action()
+        self._rows.append((len(self._rows), stage, time.time() - t0))
+        return out
+
+    def frame(self, spark: SparkSession, run_id: str, run_id_col: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, s, round(sec, 3), run_id) for i, s, sec in self._rows],
+            f"stage_idx long, stage string, seconds double, {run_id_col} string",
+        )

@@ -262,3 +262,49 @@ def test_release_pipeline_end_to_end(spark):
     biggest_item = max(r.n_tokens * 1 for r in seq)  # one copy's tokens
     assert max(shard_tokens.values()) - min(shard_tokens.values()) <= 2 * biggest_item
     res.unpersist()
+
+
+def test_timed_stages_on_composed_pipelines(spark):
+    """Every composed pipeline ships a timed-stages frame (the
+    reference's per-stage stage_timer analog): one row per stage, in
+    stage order, with non-negative wall seconds and the run id."""
+    from githubrepostorag_spark.llm.stub import DeterministicLLM
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+    from githubrepostorag_spark.plans.ingest import ingest_pipeline
+    from githubrepostorag_spark.plans.release import package_release
+    from tests.fixtures_corpus import corpus_df
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "useful training words " * 30 + f"doc{i}")
+         for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame([(999, "benchmark line")], "doc_id long, text string")
+
+    cur = curation_pipeline(
+        docs, bench.select(F.col("doc_id").alias("bench_id"), "text"), run_id="t1"
+    )
+    rows = cur.timed_stages.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == [
+        "quality_gate", "exact_dedup", "near_dup",
+        "decontaminated", "mixed", "packed",
+    ]
+    assert all(r.seconds >= 0 and r.curation_run_id == "t1" for r in rows)
+    cur.unpersist()
+
+    rel = package_release(docs, bench, run_id="t2")
+    rows = rel.timed_stages.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == [
+        "raw", "rewritten", "quality_gate", "exact_dedup",
+        "epochs_shards_sequences",
+    ]
+    assert all(r.seconds >= 0 and r.release_run_id == "t2" for r in rows)
+    rel.unpersist()
+
+    ing = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="t3", llm_factory=DeterministicLLM
+    )
+    rows = ing.timed_stages.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == ["chunk_enrich", "file_rollup", "module_rollup"]
+    assert all(r.seconds >= 0 and r.run_id == "t3" for r in rows)
+    ing.unpersist()
