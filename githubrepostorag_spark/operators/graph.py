@@ -74,6 +74,39 @@ def two_hop_reach(documents: DataFrame, n_seeds: int = 3) -> DataFrame:
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
+# Driver cost per collected edge for the pagerank fast path: two int64
+# columns through Arrow plus the numpy index arrays.
+PAGERANK_EDGE_BYTES = 100
+
+
+def _pagerank_driver(e: DataFrame, iters: int, damping: float) -> DataFrame:
+    """Power iterations over a BOUNDED collected edge list — identical
+    output contract to the distributed loop (node set = src ∪ dst,
+    dangling mass redistributed uniformly, per-round 10dp rounding).
+    Arrow transfer (toPandas), vectorized bincount rounds."""
+    import numpy as np
+
+    from githubrepostorag_spark.functions.numerics import np_round_half_away
+
+    pdf = e.toPandas()
+    src_v = pdf["src"].to_numpy()
+    dst_v = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
+    si, di = inv[: len(src_v)], inv[len(src_v):]
+    n = len(nodes)
+    if n == 0:
+        return e.sparkSession.createDataFrame([], "node long, pr double")
+    deg = np.bincount(si, minlength=n).astype("float64")
+    pr = np.full(n, 1.0 / n)
+    out = deg > 0
+    for _ in range(iters):
+        contrib = np.bincount(di, weights=pr[si] / deg[si], minlength=n)
+        dangling = float(pr[~out].sum())
+        pr = np_round_half_away(
+            (1.0 - damping) / n + damping * (contrib + dangling / n), 10
+        )
+    rows = list(zip((int(x) for x in nodes), (float(x) for x in pr)))
+    return e.sparkSession.createDataFrame(rows, "node long, pr double")
 
 
 def pagerank(
@@ -83,6 +116,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     symmetrized: bool = False,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list (directed; feed both
     directions for an undirected graph). Returns (node, pr) after
@@ -108,6 +142,25 @@ def pagerank(
     iteration, the difference between q77's r2 and r3 bench times.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if small_graph_edges is None:
+        small_graph_edges = driver_bound_rows(
+            edges.sparkSession, bytes_per_row=PAGERANK_EDGE_BYTES
+        )
+    # Bounded-size fast path (same adaptive discipline as the BFS /
+    # union-find collectors): checkpoint the edge list (needed anyway —
+    # each round re-reads it), count (~free on the checkpointed frame),
+    # and when the graph provably fits on the driver run the identical
+    # power iterations as numpy kernels — the distributed loop costs
+    # ~6 scheduled shuffle stages of latency PER ROUND to sequence what
+    # is arithmetic over a few-MB arrays (q77's near-dup graph at sf0.1
+    # is ~300 nodes). Each round rounds to 10dp half-away (what F.round
+    # and the DuckDB oracle both compute on doubles), so the fixpoint
+    # matches the distributed path bit-for-bit; a test pins the two
+    # paths against each other on both graph classes.
+    e = e.localCheckpoint(eager=True)
+    integral_ids = str(e.schema["src"].dataType) in ("LongType()", "IntegerType()")
+    if integral_ids and e.count() <= small_graph_edges:
+        return _pagerank_driver(e, iters, damping)
     if symmetrized:
         nodes = e.select(F.col("src").alias("node")).distinct()
     else:

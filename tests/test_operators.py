@@ -701,6 +701,26 @@ def test_pagerank_directed_dangling_mass_conserved(spark):
     assert got[2] > got[1] > got[0]  # rank flows down the chain
 
 
+def test_pagerank_driver_path_matches_distributed(spark):
+    """The count-guarded driver fast path must reproduce the
+    distributed loop bit-for-bit on both graph classes (symmetrized
+    and dangling-directed)."""
+    from githubrepostorag_spark.operators import graph as G
+
+    star = [(0, s) for s in range(1, 6)]
+    for rows, sym in (
+        ([(a, b) for a, b in star] + [(b, a) for a, b in star], True),
+        ([(0, 1), (1, 2), (3, 1)], False),
+    ):
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        fast = {r.node: r.pr for r in G.pagerank(edges, symmetrized=sym).collect()}
+        dist = {
+            r.node: r.pr
+            for r in G.pagerank(edges, symmetrized=sym, small_graph_edges=0).collect()
+        }
+        assert fast == dist
+
+
 def test_phash_near_dups_banding_and_hamming(spark):
     from githubrepostorag_spark.operators import multimodal as MM
 
