@@ -43,6 +43,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q199_dsir_weights",
+    "q200_doc_kcore",
+    "q201_code_metrics",
+    "q202_token_budget",
     "q184_boilerplate_scrub",
     "q185_hard_negatives",
     "q186_mmr_rerank",
@@ -741,6 +745,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_normalize_text": lambda sp, sf: TO.normalize_text(
             _wrapped_lines(t(sp, sf, "documents"))
         ),
+        # --- round-4 additions: selection, structure, planning ---
+        "q199_dsir_weights": lambda sp, sf: TO.dsir_importance(
+            t(sp, sf, "documents")
+        ),
+        "q200_doc_kcore": lambda sp, sf: G.doc_kcore(t(sp, sf, "documents")),
+        "q201_code_metrics": lambda sp, sf: TO.code_metrics(
+            t(sp, sf, "documents")
+        ),
+        "q202_token_budget": lambda sp, sf: CU.token_budget_plan(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -919,6 +934,78 @@ def _triangles_sql() -> str:
                   UNION ALL SELECT b FROM tri
                   UNION ALL SELECT c FROM tri)
             SELECT doc_id, count(*) AS n_triangles FROM x GROUP BY doc_id"""
+    )
+
+
+def _epoch_docs_ctes(stop_list: str) -> str:
+    """CTE chain ending in docs(doc_id, source, mean_q, n_copies) —
+    mirror of operators.curation.epoch_upsample, shared by the q194
+    and q202 oracles."""
+    return f"""x AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                       AS quality
+              FROM x
+            ), ps AS (
+              SELECT source, round(avg(quality), 4) AS mean_q FROM q GROUP BY 1
+            ), ps2 AS (
+              SELECT source, mean_q,
+                     CAST(floor(1.0 + 3 * mean_q) AS BIGINT) AS full_epochs,
+                     round((1.0 + 3 * mean_q) - floor(1.0 + 3 * mean_q), 4) AS frac
+              FROM ps
+            ), docs AS (
+              SELECT d.doc_id, d.source, p.mean_q,
+                     p.full_epochs
+                     + (CASE WHEN
+                          CAST(('0x' || substr(md5('ep:' || CAST(d.doc_id AS VARCHAR)),
+                                               1, 15)) AS BIGINT) % {CU.EPOCH_DENOM}
+                            < CAST(floor(p.frac * {CU.EPOCH_DENOM}) AS BIGINT)
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM documents d JOIN ps2 p USING (source))"""
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Bounded-round k-core peel over the symmetrized LSH candidate
+    graph (mirror of graph.doc_kcore): candidate CTE + unrolled peels."""
+    ctes = [
+        f"""bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            e0 AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM cand),
+            allnodes AS (SELECT DISTINCT src AS node FROM e0)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT src, count(*) AS deg FROM e{i - 1} GROUP BY src),
+            k{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k}),
+            e{i} AS (
+              SELECT e.src, e.dst FROM e{i - 1} e
+              JOIN k{i} a ON a.node = e.src
+              JOIN k{i} b ON b.node = e.dst)"""
+        )
+    return (
+        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
+        + ",\n".join(ctes)
+        + f""",
+            fd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+                   FROM e{rounds} GROUP BY src)
+            SELECT n.node AS doc_id,
+                   CAST(coalesce(fd.degree, 0) AS BIGINT) AS degree,
+                   coalesce(fd.degree, 0) >= {k} AS in_core
+            FROM allnodes n LEFT JOIN fd USING (node)"""
     )
 
 
@@ -4523,34 +4610,7 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM r3)
         """,
         "q194_epoch_upsample": f"""
-            WITH x AS (
-              SELECT doc_id, source,
-                     CAST(len({_TOKS}) AS DOUBLE) AS n,
-                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
-                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
-              FROM documents
-            ), q AS (
-              SELECT doc_id, source,
-                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
-                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
-                       AS quality
-              FROM x
-            ), ps AS (
-              SELECT source, round(avg(quality), 4) AS mean_q FROM q GROUP BY 1
-            ), ps2 AS (
-              SELECT source, mean_q,
-                     CAST(floor(1.0 + 3 * mean_q) AS BIGINT) AS full_epochs,
-                     round((1.0 + 3 * mean_q) - floor(1.0 + 3 * mean_q), 4) AS frac
-              FROM ps
-            ), docs AS (
-              SELECT d.doc_id, d.source, p.mean_q,
-                     p.full_epochs
-                     + (CASE WHEN
-                          CAST(('0x' || substr(md5('ep:' || CAST(d.doc_id AS VARCHAR)),
-                                               1, 15)) AS BIGINT) % {CU.EPOCH_DENOM}
-                            < CAST(floor(p.frac * {CU.EPOCH_DENOM}) AS BIGINT)
-                        THEN 1 ELSE 0 END) AS n_copies
-              FROM documents d JOIN ps2 p USING (source))
+            WITH {_epoch_docs_ctes(stop_list)}
             SELECT doc_id, source, mean_q, CAST(n_copies AS BIGINT) AS n_copies,
                    CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
             FROM docs
@@ -4675,5 +4735,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(norm_text) AS BIGINT) AS n_chars_after,
                    norm_text
             FROM c
+        """,
+    
+        "q199_dsir_weights": f"""
+            WITH tb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+                       % {TO.DSIR_BUCKETS} AS bucket
+              FROM (SELECT doc_id, lang, unnest({_LOW_TOKS}) AS tk FROM documents)
+            ), raw AS (
+              SELECT bucket, CAST(count(*) AS DOUBLE) AS c_r FROM tb GROUP BY bucket
+            ), tgt AS (
+              SELECT bucket, CAST(count(*) AS DOUBLE) AS c_t
+              FROM tb WHERE lang = 'en' GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT sum(c_r) FROM raw) AS n_r,
+                     (SELECT coalesce(sum(c_t), 0) FROM tgt) AS n_t
+            ), ratio AS (
+              SELECT r.bucket,
+                     ln(((coalesce(t.c_t, 0) + 1.0) / (n_t + {TO.DSIR_BUCKETS}.0))
+                        / ((r.c_r + 1.0) / (n_r + {TO.DSIR_BUCKETS}.0))) AS lr
+              FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot)
+            SELECT tb.doc_id, tb.lang,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   round(sum(lr), 6) AS dsir_logweight
+            FROM tb JOIN ratio USING (bucket)
+            GROUP BY tb.doc_id, tb.lang
+        """,
+        "q200_doc_kcore": _kcore_sql(G.KCORE_K, G.KCORE_ROUNDS),
+        "q201_code_metrics": r"""
+            WITH m AS (
+              SELECT doc_id, source,
+                     string_split(text, chr(10)) AS lines,
+                     CAST(len(regexp_extract_all(text, '\bdef [A-Za-z_]')) AS BIGINT)
+                       AS def_count,
+                     CAST(len(regexp_extract_all(text, '\bclass [A-Za-z_]')) AS BIGINT)
+                       AS class_count
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                          x -> regexp_matches(x, '^\s*(#|//)'))) AS BIGINT)
+                     AS comment_lines,
+                   def_count, class_count,
+                   round(CAST(len(list_filter(lines,
+                           x -> regexp_matches(x, '^\s*(#|//)'))) AS DOUBLE)
+                         / len(lines), 6) AS comment_ratio
+            FROM m
+        """,
+        "q202_token_budget": f"""
+            WITH {_epoch_docs_ctes(stop_list)}
+            , toks AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), per_source AS (
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+                     CAST(sum(t.n_tokens * d.n_copies) AS BIGINT) AS shipped_tokens
+              FROM docs d JOIN toks t USING (doc_id)
+              GROUP BY d.source
+            ), tot AS (
+              SELECT CAST(sum(shipped_tokens) AS DOUBLE) AS grand FROM per_source)
+            SELECT source, n_docs, raw_tokens, shipped_tokens,
+                   round(shipped_tokens / grand, 6) AS share,
+                   round(sum(shipped_tokens)
+                           OVER (ORDER BY shipped_tokens DESC, source
+                                 ROWS UNBOUNDED PRECEDING) / grand, 6) AS cum_share
+            FROM per_source CROSS JOIN tot
         """,
     })

@@ -920,3 +920,53 @@ def decontaminate_scrub(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def token_budget_plan(documents: DataFrame) -> DataFrame:
+    """Per-source token-budget planner: raw vs shipped (epoch-weighted)
+    token totals, each source's share of the shipped budget, and the
+    cumulative share in (shipped DESC, source) order — the one-page
+    answer to "where do my training tokens actually come from, and
+    which sources dominate the budget?" (the planning read on
+    epoch_upsample's mixing decisions).
+
+    Plan: epoch counts reuse epoch_upsample's broadcast per-source
+    table; raw/shipped totals are one map-side-combined aggregate on
+    `source` (bounded key space); the share window runs over the tiny
+    per-source frame only. One corpus scan end to end.
+    """
+    per_copy = epoch_upsample(documents)  # doc_id, source, mean_q, n_copies, epoch
+    per_doc = per_copy.groupBy("doc_id", "source").agg(
+        F.max("n_copies").alias("n_copies")
+    )
+    toks = documents.select(
+        "doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    per_source = (
+        per_doc.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(F.col("n_tokens") * F.col("n_copies")).cast("long").alias(
+                "shipped_tokens"
+            ),
+        )
+    )
+    total = F.broadcast(per_source.agg(F.sum("shipped_tokens").alias("grand")))
+    w = Window.orderBy(F.desc("shipped_tokens"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_source.crossJoin(total)
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "shipped_tokens",
+            F.round(F.col("shipped_tokens") / F.col("grand"), 6).alias("share"),
+            F.round(
+                F.sum(F.col("shipped_tokens")).over(w) / F.col("grand"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -446,3 +446,71 @@ def supply_bfs_distances(
         reached = reached.unionByName(neighbors)
         frontier = neighbors.select("node")
     return reached
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected edge list (pass one
+    direction; symmetrized here): each round removes every node whose
+    current degree is < k, together with its edges; after `rounds`
+    peels the survivors approximate the k-core (dup-clique graphs
+    converge in 1-2 rounds — cliques of size ≥ k+1 are stable, chains
+    and pendants peel immediately). Returns every node that appeared in
+    the input with its final degree and whether it survived — the
+    structure filter that separates genuine duplication clusters from
+    incidental pairwise collisions.
+
+    Fixed `rounds` (not run-to-fixpoint) keeps the operator a
+    deterministic, oracle-unrollable plan — the same discipline as the
+    pagerank/BPE/logreg rounds; each round is one degree aggregate +
+    one semi-join on the edge list (two shuffles). At 100 TB the edge
+    list shrinks monotonically, so round cost decays geometrically on
+    real graphs.
+    """
+    one = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = one.union(
+        one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    all_nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    live = sym
+    for _ in range(rounds):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        live = (
+            live.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)  # peeled rounds compound otherwise
+        )
+    final_deg = live.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        all_nodes.join(final_deg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+            (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
+        )
+    )
+
+
+def doc_kcore(documents: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """k-core peel over the LSH near-dup candidate graph: survivors are
+    documents embedded in dense duplication structure (template
+    families), peeled nodes collided only incidentally. Same candidate
+    geometry as doc_pagerank/doc_communities."""
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents, n_bands=2)
+    return kcore_peel(cand, k=k, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "degree", "in_core"
+    )

@@ -1507,3 +1507,99 @@ def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(cleaned).cast("long").alias("n_chars_after"),
         cleaned.alias("norm_text"),
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 1.0
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): per-document importance log-weight
+    Σ_tokens ln(p_target(bucket)/p_raw(bucket)) over hashed-unigram
+    bucket distributions, target = the `target_lang` slice — the
+    domain-targeted selection score a pretraining mix uses to upsample
+    raw data that looks like the target domain. Add-α smoothing keeps
+    every ratio finite.
+
+    Plan: ONE explode scan builds (doc, bucket) rows; both bucket
+    distributions aggregate on the bounded `n_buckets` key space, so
+    the ratio table is ≤ n_buckets rows — broadcast back onto the
+    token stream, then one per-doc aggregate. At 100 TB nothing
+    beyond the corpus scan exceeds n_buckets rows but the (doc,
+    bucket) stream itself, which pipelines map-side into the final
+    per-doc combine.
+    """
+    toks = scale_out(documents.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.explode(TXT.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    tb = toks.select(
+        "doc_id", "lang", (TXT.md5_bigint(F.col("token")) % n_buckets).alias("bucket")
+    )
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
+    tgt = tb.filter(F.col("lang") == target_lang).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c_t")
+    )
+    totals = F.broadcast(
+        raw.agg(F.sum("c_r").alias("n_r")).crossJoin(
+            tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0.0)).alias("n_t"))
+        )
+    )
+    ab = float(alpha) * n_buckets
+    ratio = F.broadcast(
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(totals)
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce(F.col("c_t"), F.lit(0.0)) + alpha) / (F.col("n_t") + ab))
+                / ((F.col("c_r") + alpha) / (F.col("n_r") + ab))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tb.join(ratio, "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def code_metrics(documents: DataFrame) -> DataFrame:
+    """Code-corpus shape metrics per document: line counts, comment
+    lines (#/// prefixes), def/class declaration counts, and the
+    comment ratio — the code-quality slice a code-LLM curation pass
+    filters on (comment-free minified blobs and comment-only stubs
+    both score badly).
+
+    Pure column expressions over one scan (two regexp_extract_all
+    passes + one line split), whole-stage codegen, no shuffle.
+    """
+    t = F.col("text")
+    lines = F.split(t, "\n")
+    comment = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*(#|//)"))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    return documents.select(
+        "doc_id",
+        "source",
+        n_lines.alias("n_lines"),
+        comment.alias("comment_lines"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\bdef [A-Za-z_]"), F.lit(0)))
+        .cast("long")
+        .alias("def_count"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\bclass [A-Za-z_]"), F.lit(0)))
+        .cast("long")
+        .alias("class_count"),
+        F.round(comment / n_lines.cast("double"), 6).alias("comment_ratio"),
+    )

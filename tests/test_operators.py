@@ -2157,3 +2157,47 @@ def test_data_contract_nulls_are_violations(spark):
                  "shipdate_bounds", "discount_cap"):
         assert rep[rule] == 1, rule
     assert rep["null_orderkey"] == 0
+
+
+def test_kcore_peels_pendants_keeps_cliques(spark):
+    from githubrepostorag_spark.operators import graph as G
+
+    # triangle 0-1-2 (a 2-core) with pendant 3 hanging off node 0 and
+    # an isolated chain 4-5 (peels entirely at k=2)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: (r.degree, r.in_core) for r in G.kcore_peel(edges, k=2).collect()}
+    assert got[0] == (2, True) and got[1] == (2, True) and got[2] == (2, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False) and got[5] == (0, False)
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    # en docs share a distinct vocabulary; the de doc uses other words
+    rows = [
+        (1, "en", "spark shuffle partition spark shuffle"),
+        (2, "en", "spark partition broadcast join spark"),
+        (3, "de", "vollkommen andere woerter hier drin"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.dsir_logweight for r in TO.dsir_importance(docs).collect()}
+    # target-looking docs must outscore the off-domain doc
+    assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_token_budget_shares_sum_to_one(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma " * (i + 1)) for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    rows = CU.token_budget_plan(docs).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    by_cum = sorted(rows, key=lambda r: r.cum_share)
+    assert abs(by_cum[-1].cum_share - 1.0) < 1e-6
+    # shipped >= raw (epochs only add copies)
+    assert all(r.shipped_tokens >= r.raw_tokens for r in rows)
