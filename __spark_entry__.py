@@ -43,6 +43,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q203_band_sweep",
+    "q204_surprisal_buckets",
+    "q205_quality_ensemble",
     "q199_dsir_weights",
     "q200_doc_kcore",
     "q201_code_metrics",
@@ -756,6 +759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_token_budget": lambda sp, sf: CU.token_budget_plan(
             t(sp, sf, "documents")
         ),
+        "q203_band_sweep": lambda sp, sf: DD.band_geometry_sweep(
+            t(sp, sf, "documents")
+        ),
+        "q204_surprisal_buckets": lambda sp, sf: TO.surprisal_buckets(
+            t(sp, sf, "documents")
+        ),
+        "q205_quality_ensemble": lambda sp, sf: TO.quality_ensemble(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -1366,6 +1378,32 @@ def _minhash_cte(k: int, n_funcs: int) -> str:
         "hashed AS (SELECT doc_id, md5(shingle) || md5('1:' || shingle) AS hx FROM sh), "
         f"sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)"
     )
+
+
+def _band_sweep_sql(configs: tuple[int, ...] = (1, 2, 4, 8)) -> str:
+    """Mirror of dedup.band_geometry_sweep: ONE sigs CTE, per-config
+    re-banding + bucket-size aggregate, one row per geometry."""
+    parts = [_minhash_cte(SHINGLE_K, MINHASH_FUNCS)]
+    selects = []
+    for b in configs:
+        r = MINHASH_FUNCS // b
+        s50 = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+        bands = " UNION ALL ".join(_band_select(i, b) for i in range(b))
+        parts.append(f"bands_{b} AS ({bands})")
+        parts.append(
+            f"bk_{b} AS (SELECT band_idx, band_val, count(*) AS m "
+            f"FROM bands_{b} GROUP BY 1, 2)"
+        )
+        selects.append(
+            f"SELECT CAST({b} AS BIGINT) AS n_bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, "
+            f"CAST({s50!r} AS DOUBLE) AS s50_threshold, "
+            "CAST(count(*) AS BIGINT) AS n_buckets, "
+            "CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets, "
+            "CAST(sum(CAST(m * (m - 1) / 2 AS BIGINT)) AS BIGINT) AS candidate_pairs, "
+            f"CAST(max(m) AS BIGINT) AS max_bucket FROM bk_{b}"
+        )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
 def _simhash_cte() -> str:
@@ -4803,5 +4841,91 @@ def oracle_sql() -> dict[str, str]:
                            OVER (ORDER BY shipped_tokens DESC, source
                                  ROWS UNBOUNDED PRECEDING) / grand, 6) AS cum_share
             FROM per_source CROSS JOIN tot
+        """,
+        "q203_band_sweep": _band_sweep_sql(),
+        "q204_surprisal_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT sum(c) AS total FROM tc),
+            p AS (SELECT term, c * 1.0 / total AS p FROM tc CROSS JOIN tot),
+            s AS (SELECT doc_id, count(*) AS n_tokens,
+                         round(avg(-log2(p)), 6) AS avg_surprisal_bits
+                  FROM toks JOIN p USING (term) GROUP BY doc_id),
+            j AS (SELECT s.doc_id, d.lang, s.n_tokens, s.avg_surprisal_bits
+                  FROM s JOIN documents d ON d.doc_id = s.doc_id)
+            SELECT doc_id, lang, n_tokens, avg_surprisal_bits, tercile,
+                   CASE WHEN tercile = 1 THEN 'head'
+                        WHEN tercile = 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM (SELECT *,
+                         CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_surprisal_bits, doc_id) AS INT) AS tercile
+                  FROM j)
+        """,
+        "q205_quality_ensemble": f"""
+            WITH x AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS},
+                          tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents
+            ), qual AS (
+              SELECT doc_id,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                       AS quality
+              FROM x
+            ), stoks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ), tc AS (SELECT term, count(*) AS c FROM stoks GROUP BY term),
+            tot AS (SELECT sum(c) AS total FROM tc),
+            p AS (SELECT term, c * 1.0 / total AS p FROM tc CROSS JOIN tot),
+            surp AS (
+              SELECT doc_id, round(avg(-log2(p)), 6) AS avg_surprisal_bits
+              FROM stoks JOIN p USING (term) GROUP BY doc_id
+            ), btoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                           i -> tk[i] || ' ' || tk[i + 1])) AS gram
+              FROM btoks),
+            counted AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+            ragg AS (
+              SELECT doc_id, max(c) AS top_gram_count, sum(c) AS n_grams
+              FROM counted GROUP BY doc_id
+            ), rep AS (
+              SELECT t.doc_id,
+                     coalesce(round(CAST(a.top_gram_count AS DOUBLE) / a.n_grams, 6),
+                              0.0) AS top_gram_frac
+              FROM btoks t LEFT JOIN ragg a ON a.doc_id = t.doc_id
+            ), qp AS (
+              SELECT doc_id, quality,
+                     round(percent_rank() OVER (ORDER BY quality, doc_id), 6)
+                       AS quality_pct
+              FROM qual
+            ), sp2 AS (
+              SELECT doc_id, avg_surprisal_bits,
+                     round(percent_rank()
+                           OVER (ORDER BY avg_surprisal_bits DESC, doc_id), 6)
+                       AS surprisal_pct
+              FROM surp
+            ), rp AS (
+              SELECT doc_id, top_gram_frac,
+                     round(percent_rank()
+                           OVER (ORDER BY top_gram_frac DESC, doc_id), 6)
+                       AS repetition_pct
+              FROM rep
+            )
+            SELECT qp.doc_id, quality, avg_surprisal_bits, top_gram_frac,
+                   quality_pct, surprisal_pct, repetition_pct,
+                   round((quality_pct + surprisal_pct + repetition_pct) / 3, 6)
+                     AS ensemble_score
+            FROM qp JOIN sp2 USING (doc_id) JOIN rp USING (doc_id)
         """,
     })

@@ -1,0 +1,119 @@
+"""Distributed global ranking — the zip-with-index shape shared by
+every operator that needs a corpus-wide total order without pulling
+the corpus into one task.
+
+A bare ``row_number() OVER (ORDER BY ...)`` (no PARTITION BY) plans as
+a single-partition window: the whole input funnels through ONE task,
+which is the canonical 100 TB scale-killer. The distributed form used
+here instead:
+
+1. ``repartitionByRange`` on the order keys → range-sorted partitions
+   (corpus-parallel sort, AQE-sized);
+2. one bounded collect of per-partition row counts (one row per
+   partition — a few hundred longs, never data rows);
+3. prefix-sum the counts driver-side into per-partition offsets,
+   broadcast them back;
+4. global rank = per-partition ``row_number`` + partition offset.
+
+Every data-sized step is parallel; the only collect is bounded by the
+partition count. First built inside ``curation.balanced_shards``
+(q188); extracted here so the surprisal-bucket and quality-ensemble
+operators reuse it instead of growing their own hot windows.
+
+CRITICAL materialization pin (found at sf0.1, kept from the q188
+work): ``repartitionByRange`` SAMPLES its range boundaries per
+execution, and the ranged frame executes twice (offset counts + the
+final window). Without an eager ``localCheckpoint`` the two
+executions can pick different boundaries, and the offsets no longer
+describe the partitioning the window runs over — silently wrong
+ranks. The checkpoint makes both consumers read ONE materialized
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame, order_exprs: list[Column], rank_col: str = "rank"
+) -> DataFrame:
+    """Dense 1-based global row_number over ``order_exprs`` (which must
+    define a TOTAL order — include a unique tie-break column, or ranks
+    are nondeterministic across engines). Returns ``df`` plus
+    ``rank_col``; every step corpus-parallel (see module docstring).
+    """
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # bounded collect: one (pid, count) row per partition
+    counts = {
+        r["_gr_pid"]: r["cnt"]
+        for r in ranged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_gr_pid int, _gr_off long",
+        )
+    )
+    wp = Window.partitionBy("_gr_pid").orderBy(*order_exprs)
+    return (
+        ranged.join(off_df, "_gr_pid")
+        .withColumn(rank_col, (F.row_number().over(wp) + F.col("_gr_off")).cast("long"))
+        .drop("_gr_pid", "_gr_off")
+    )
+
+
+def global_percent_rank(
+    df: DataFrame, order_exprs: list[Column], pct_col: str
+) -> DataFrame:
+    """ANSI ``percent_rank() OVER (ORDER BY ...)`` = (rank-1)/(n-1),
+    distributed. Because ``order_exprs`` must already be a total order
+    (unique tie-break), rank == row_number and this matches the SQL
+    window exactly; n comes free from the driver-side prefix sum, so
+    no extra pass over the data. Rounded to 6 dp to keep the value
+    engine-portable.
+    """
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_gr_pid"]: r["cnt"]
+        for r in ranged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    denom = float(max(acc - 1, 1))
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_gr_pid int, _gr_off long",
+        )
+    )
+    wp = Window.partitionBy("_gr_pid").orderBy(*order_exprs)
+    return (
+        ranged.join(off_df, "_gr_pid")
+        .withColumn(
+            pct_col,
+            F.round(
+                (F.row_number().over(wp) + F.col("_gr_off") - 1) / F.lit(denom), 6
+            ),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.functions.ranks import global_rank
 
 
 def stratified_sample(
@@ -687,12 +688,11 @@ def balanced_shards(
 
     Scale note — the global rank is NOT a bare `row_number() OVER
     (ORDER BY ...)`: an unpartitioned window pulls the whole corpus
-    into ONE task. Instead: `repartitionByRange` on the rank key gives
-    range-sorted partitions, per-partition counts (one tiny collect,
-    bounded by the partition count) become broadcast offsets, and the
-    global rank is the per-partition row_number plus the partition's
-    offset — the standard distributed zip-with-index, every step
-    corpus-parallel.
+    into ONE task. `ranks.global_rank` (extracted from this operator)
+    runs the distributed zip-with-index instead: range-sorted
+    partitions, a bounded per-partition-count collect, broadcast
+    offsets — every step corpus-parallel, with the boundary-sampling
+    materialization pin documented in `functions/ranks.py`.
     """
     toks = df.select(
         "doc_id", "source", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
@@ -706,35 +706,7 @@ def balanced_shards(
         )
     else:
         toks = toks.withColumn("weight", F.col("n_tokens"))
-    spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    # MUST materialize: repartitionByRange SAMPLES its boundaries per
-    # execution, and this frame executes twice (offset counts + final
-    # window). Unpinned, the two executions can pick different
-    # boundaries and the per-partition offsets no longer describe the
-    # partitioning the window runs on (observed at sf0.1, where the
-    # corpus exceeds the range sampler's budget).
-    ranged = (
-        toks.repartitionByRange(n_parts, F.desc("weight"), F.asc("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # bounded collect: one (pid, count) row per partition
-    counts = {r["pid"]: r["cnt"] for r in ranged.groupBy("pid").agg(
-        F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = F.broadcast(spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, off long"
-    ))
-    wp = Window.partitionBy("pid").orderBy(F.desc("weight"), F.asc("doc_id"))
-    ranked = (
-        ranged.join(off_df, "pid")
-        .withColumn("rank", (F.row_number().over(wp) + F.col("off")).cast("long"))
-        .drop("pid", "off")
-    )
+    ranked = global_rank(toks, [F.desc("weight"), F.asc("doc_id")])
     pass_idx = F.floor((F.col("rank") - 1) / n_shards)
     pos = (F.col("rank") - 1) % n_shards
     return ranked.withColumn(

@@ -601,6 +601,71 @@ def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     )
 
 
+def band_geometry_sweep(
+    documents: DataFrame, configs: tuple[int, ...] = (1, 2, 4, 8)
+) -> DataFrame:
+    """LSH band-geometry sweep: for every admissible band count b
+    (divisors of MINHASH_FUNCS), the empirical candidate workload the
+    geometry would admit — bucket count, hot (≥2-member) buckets,
+    candidate pairs Σ m(m-1)/2, max bucket size — alongside the
+    geometry's theoretical 50%-collision similarity threshold
+    s50 = (1-2^(-1/b))^(1/r) (MMDS §3.4.2 S-curve midpoint).
+
+    This is the audit you run BEFORE committing a band geometry to a
+    100 TB dedup pass: candidate pairs is exactly the downstream
+    verify-join row count, so the sweep prices each (b, r) choice in
+    shuffle rows while s50 prices it in recall — from the signature
+    table alone, without running a single verify join.
+
+    Plan: the corpus is shingled ONCE (one signature table, eagerly
+    pinned); each config re-bands the 8 narrow signature strings —
+    band rows are config-local arithmetic on the sigs, so the sweep
+    costs |configs| small groupBys over (band_idx, band_val), never a
+    rescan of the documents. Per-config output is ONE row (a global
+    aggregate); the union is |configs| rows total.
+
+    Reference anchor: the reference hard-codes its near-dup geometry;
+    this operator is the measured justification step its pipeline
+    lacks (SURVEY §2 dedup family, beyond-reference).
+    """
+    sigs = minhash_signatures(documents).localCheckpoint(eager=True)
+    frames = []
+    for b in configs:
+        assert MINHASH_FUNCS % b == 0, "bands must divide MINHASH_FUNCS"
+        r = MINHASH_FUNCS // b
+        s50 = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+        bucket_sizes = (
+            _bands_from_sigs(sigs, b)
+            .groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        frames.append(
+            bucket_sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("hot_buckets"),
+                # m(m-1) is always even, so the per-bucket cast is exact
+                F.sum((F.col("m") * (F.col("m") - 1) / 2).cast("long"))
+                .cast("long")
+                .alias("candidate_pairs"),
+                F.max("m").cast("long").alias("max_bucket"),
+            ).select(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(s50).alias("s50_threshold"),
+                "n_buckets",
+                "hot_buckets",
+                "candidate_pairs",
+                "max_bucket",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def cross_source_leakage(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     """Cross-source near-duplicate leakage matrix: for every ordered
     source pair (a ≤ b), how many verified near-dup pairs straddle

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
 from githubrepostorag_spark.functions.numerics import round_half_away
+from githubrepostorag_spark.functions.ranks import global_percent_rank, global_rank
 from githubrepostorag_spark.session import scale_out
 
 # Fixed-window chunker parameters (shared with the DuckDB oracle).
@@ -789,6 +790,111 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg(-F.log2("p")), 6).alias("avg_surprisal_bits"),
+        )
+    )
+
+
+def surprisal_buckets(documents: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    within each language, split documents into head/middle/tail
+    terciles of unigram cross-entropy — head (lowest surprisal ≈
+    lowest perplexity) is the slice CCNet ships to pretraining first.
+
+    Scale shape — deliberately NOT ``ntile(3) OVER (PARTITION BY
+    lang ...)``: real corpora are language-skewed (English is often
+    >40% of the web), so a per-lang window funnels the dominant
+    language through one task. Instead: ONE distributed global rank
+    over (lang, surprisal, doc_id) via `ranks.global_rank`, a
+    lang-cardinality-bounded aggregate for each language's offset and
+    size (broadcast back), and the tercile computed arithmetically as
+    floor((lang_rank-1)·k / lang_n) + 1 — the exact closed form of
+    ANSI ntile(k) when the order is total (first n mod k buckets get
+    the extra row), which the doc_id tie-break guarantees. Every
+    data-sized step is corpus-parallel regardless of language skew.
+    """
+    s = unigram_surprisal(documents)  # doc_id, n_tokens, avg_surprisal_bits
+    scored = s.join(documents.select("doc_id", "lang"), "doc_id")
+    ranked = global_rank(
+        scored,
+        [F.asc("lang"), F.asc("avg_surprisal_bits"), F.asc("doc_id")],
+        rank_col="grank",
+    )
+    # bounded: one row per language
+    lang_stats = ranked.groupBy("lang").agg(
+        F.min("grank").alias("lang_off"), F.count(F.lit(1)).alias("lang_n")
+    )
+    lang_rank = F.col("grank") - F.col("lang_off")  # 0-based within lang
+    tercile = (F.floor(lang_rank * n_buckets / F.col("lang_n")) + 1).cast("int")
+    return (
+        ranked.join(F.broadcast(lang_stats), "lang")
+        .withColumn("tercile", tercile)
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "avg_surprisal_bits", "tercile", "ppl_bucket"
+        )
+    )
+
+
+def quality_ensemble(documents: DataFrame) -> DataFrame:
+    """Rank-fusion quality score: three independent signals — lexical
+    quality (distinct-token + non-stopword ratios), corpus-unigram
+    surprisal (lower = more fluent), and Gopher top-bigram repetition
+    (lower = less boilerplate) — each converted to a corpus-wide
+    percentile with "better" = higher, then averaged. Rank fusion
+    (à la RRF) instead of z-scoring because the three signals live on
+    incomparable scales and have heavy one-sided tails; percentiles
+    are the only calibration that needs no distributional assumption.
+
+    Each percentile is an exact ANSI ``percent_rank() OVER (ORDER BY
+    signal ..., doc_id)`` computed by `ranks.global_percent_rank` —
+    distributed range-rank, never a single-partition window. Three
+    narrow (doc_id, value) range-shuffles + two co-partitioned doc_id
+    joins; the signal chains themselves are the already-verified
+    linear operators (q79/q92/q60). Surprisal is only defined for
+    docs with ≥1 token, so token-less docs drop (inner join) — same
+    contract as q92.
+    """
+    q = documents.select(
+        "doc_id", TXT.quality_score(F.col("text")).alias("quality")
+    )
+    s = unigram_surprisal(documents).select("doc_id", "avg_surprisal_bits")
+    r = repetition_metrics(documents).select(
+        "doc_id", F.coalesce(F.col("top_gram_frac"), F.lit(0.0)).alias("top_gram_frac")
+    )
+    qp = global_percent_rank(
+        q, [F.asc("quality"), F.asc("doc_id")], "quality_pct"
+    )
+    sp = global_percent_rank(
+        s, [F.desc("avg_surprisal_bits"), F.asc("doc_id")], "surprisal_pct"
+    )
+    rp = global_percent_rank(
+        r, [F.desc("top_gram_frac"), F.asc("doc_id")], "repetition_pct"
+    )
+    return (
+        qp.join(sp, "doc_id")
+        .join(rp, "doc_id")
+        .withColumn(
+            "ensemble_score",
+            F.round(
+                (F.col("quality_pct") + F.col("surprisal_pct") + F.col("repetition_pct"))
+                / 3,
+                6,
+            ),
+        )
+        .select(
+            "doc_id",
+            "quality",
+            "avg_surprisal_bits",
+            "top_gram_frac",
+            "quality_pct",
+            "surprisal_pct",
+            "repetition_pct",
+            "ensemble_score",
         )
     )
 

@@ -316,3 +316,29 @@ def test_decontaminate_scrub_removes_contaminated_lines_only(spark):
     assert out[1].clean_text == "clean line of words\nmore clean text"
     assert out[2].n_removed == 0
     assert out[2].clean_text == "totally unrelated content"
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from pyspark.sql import Window
+
+    from githubrepostorag_spark.functions.ranks import global_percent_rank, global_rank
+
+    df = _docs(spark, n=97)  # prime count → uneven range partitions
+    got = {
+        r.doc_id: r.rank
+        for r in global_rank(df, [F.desc("source"), F.asc("doc_id")]).collect()
+    }
+    w = Window.orderBy(F.desc("source"), F.asc("doc_id"))
+    want = {
+        r.doc_id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # percent_rank twin: (rank-1)/(n-1), rounded 6
+    pct = {
+        r.doc_id: r.pct
+        for r in global_percent_rank(
+            df, [F.desc("source"), F.asc("doc_id")], "pct"
+        ).collect()
+    }
+    assert pct == {d: round((rk - 1) / 96, 6) for d, rk in want.items()}

@@ -2201,3 +2201,77 @@ def test_token_budget_shares_sum_to_one(spark):
     assert abs(by_cum[-1].cum_share - 1.0) < 1e-6
     # shipped >= raw (epochs only add copies)
     assert all(r.shipped_tokens >= r.raw_tokens for r in rows)
+
+
+def test_band_geometry_sweep_nested_candidates(spark):
+    # three exact twins + one distinct doc: any geometry catches the
+    # twins; finer bands (larger b) can only ADD candidates because
+    # finer bands subdivide coarser ones (full-sig agreement implies
+    # band agreement at every admissible b).
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+            (3, "alpha beta gamma delta epsilon zeta", "en", "s1", 36),
+            (4, "totally different words here now ok", "en", "s1", 36),
+        ],
+    )
+    rows = {r.n_bands: r for r in DD.band_geometry_sweep(df).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    # candidate pairs monotone nondecreasing in the band count
+    pairs = [rows[b].candidate_pairs for b in (1, 2, 4, 8)]
+    assert pairs == sorted(pairs)
+    # the 3-clique of exact twins is caught by EVERY geometry
+    assert all(p >= 3 for p in pairs)
+    # S-curve midpoint threshold falls as bands get finer
+    s50s = [rows[b].s50_threshold for b in (1, 2, 4, 8)]
+    assert s50s == sorted(s50s, reverse=True)
+    for b, r in rows.items():
+        assert b * r.rows_per_band == 8
+        assert r.max_bucket >= 3
+
+
+def test_surprisal_buckets_matches_ntile_and_orders_by_surprisal(spark):
+    # 7 docs in one lang: ntile(3) sizes must be 3/2/2 with head =
+    # lowest surprisal; a second lang buckets independently.
+    rows = [
+        (i, " ".join(["common"] * 5 + [f"rare{i}"] * i), "en", "s0", 30)
+        for i in range(1, 8)
+    ] + [(10, "uno dos tres", "es", "s1", 12), (11, "uno uno uno", "es", "s1", 11)]
+    out = TO.surprisal_buckets(_docs(spark, rows)).collect()
+    en = sorted([r for r in out if r.lang == "en"], key=lambda r: r.avg_surprisal_bits)
+    sizes = {}
+    for r in en:
+        sizes[r.tercile] = sizes.get(r.tercile, 0) + 1
+    assert sizes == {1: 3, 2: 2, 3: 2}
+    # bucket labels follow the tercile and surprisal order
+    assert [r.ppl_bucket for r in en] == ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+    es = [r for r in out if r.lang == "es"]
+    assert {r.tercile for r in es} <= {1, 2, 3} and len(es) == 2
+
+
+def test_quality_ensemble_percentiles_and_fusion(spark):
+    # doc 3 is pure repetition: worst repetition percentile by
+    # construction; ensemble is exactly the mean of the three pcts.
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over lazy dogs", "en", "s0", 40),
+            (2, "some distinct informative tokens appear here", "en", "s0", 44),
+            (3, "spam spam spam spam spam spam spam spam", "en", "s0", 39),
+        ],
+    )
+    out = {r.doc_id: r for r in TO.quality_ensemble(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        for c in ("quality_pct", "surprisal_pct", "repetition_pct", "ensemble_score"):
+            assert 0.0 <= getattr(r, c) <= 1.0
+        want = round(
+            (r.quality_pct + r.surprisal_pct + r.repetition_pct) / 3, 6
+        )
+        assert abs(r.ensemble_score - want) < 1e-9
+    # repetition percentile: doc 3 has the highest top-gram fraction →
+    # "better = higher" puts it at the bottom
+    assert out[3].repetition_pct == min(r.repetition_pct for r in out.values())
+    assert out[3].ensemble_score == min(r.ensemble_score for r in out.values())
