@@ -43,6 +43,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q206_cluster_quality",
     "q203_band_sweep",
     "q204_surprisal_buckets",
     "q205_quality_ensemble",
@@ -766,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q205_quality_ensemble": lambda sp, sf: TO.quality_ensemble(
+            t(sp, sf, "documents")
+        ),
+        "q206_cluster_quality": lambda sp, sf: DD.cluster_quality_audit(
             t(sp, sf, "documents")
         ),
     })
@@ -4927,5 +4931,55 @@ def oracle_sql() -> dict[str, str]:
                    round((quality_pct + surprisal_pct + repetition_pct) / 3, 6)
                      AS ensemble_score
             FROM qp JOIN sp2 USING (doc_id) JOIN rp USING (doc_id)
+        """,
+        "q206_cluster_quality": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes0 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes0 sa ON sa.doc_id = s.doc_a
+              JOIN sizes0 sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+            csizes AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+              FROM labels GROUP BY component HAVING count(*) >= 2),
+            pstats AS (
+              SELECT l.component,
+                     CAST(count(*) AS BIGINT) AS n_verified_pairs,
+                     round(min(p.jaccard), 6) AS min_jaccard,
+                     round(avg(p.jaccard), 6) AS avg_jaccard
+              FROM pairs p JOIN labels l ON l.node = p.doc_a
+              GROUP BY l.component)
+            SELECT s.component, s.n_docs, n_verified_pairs, min_jaccard, avg_jaccard,
+                   round(n_verified_pairs / (s.n_docs * (s.n_docs - 1) / 2.0), 6)
+                     AS pair_density
+            FROM csizes s JOIN pstats USING (component)
         """,
     })

@@ -601,6 +601,71 @@ def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     )
 
 
+def cluster_quality_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
+    """Per-component audit of the dedup clustering: connected
+    components merge near-dup PAIRS transitively, so a component can
+    chain A~B~C where A and C are NOT similar — over-deduplication
+    that silently drops non-duplicate documents. For every multi-doc
+    component this reports the evidence density: verified-pair count
+    vs the n(n-1)/2 a true duplicate clique would show, plus min/avg
+    pairwise Jaccard. pair_density ≈ 1 and a high min = genuine clique
+    (safe to keep one survivor); low density or a threshold-hugging
+    min = chained cluster that deserves a second verify pass before
+    deletion. This is the audit a 100 TB dedup run consults before
+    destroying data.
+
+    Plan: one LSH→verify chain (the same bounded pair table q56
+    consumes, checkpointed so components and stats share it), hash-min
+    label propagation for components (labels shuffle, documents never
+    do), then two small aggregations over the pair/label tables — the
+    audit costs one extra groupBy beyond the dedup pipeline itself.
+    """
+    pairs = jaccard_on_candidates(documents, n_bands=n_bands).localCheckpoint(
+        eager=True
+    )
+    labels = dedup_components(
+        pairs,
+        documents.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    sizes = (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    pstats = (
+        pairs.join(
+            labels.select(F.col("node").alias("doc_a"), "component"), "doc_a"
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_verified_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+    return (
+        sizes.join(pstats, "component")
+        .withColumn(
+            "pair_density",
+            F.round(
+                F.col("n_verified_pairs")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                6,
+            ),
+        )
+        .select(
+            "component",
+            "n_docs",
+            "n_verified_pairs",
+            "min_jaccard",
+            "avg_jaccard",
+            "pair_density",
+        )
+    )
+
+
 def band_geometry_sweep(
     documents: DataFrame, configs: tuple[int, ...] = (1, 2, 4, 8)
 ) -> DataFrame:

@@ -2275,3 +2275,26 @@ def test_quality_ensemble_percentiles_and_fusion(spark):
     # "better = higher" puts it at the bottom
     assert out[3].repetition_pct == min(r.repetition_pct for r in out.values())
     assert out[3].ensemble_score == min(r.ensemble_score for r in out.values())
+
+
+def test_cluster_quality_audit_flags_chained_components(spark):
+    # docs 1-3: exact twins → one clique component, density 1.0,
+    # min jaccard 1.0. Doc 4 is unrelated → singleton, excluded.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (1, base, "en", "s0", 40),
+            (2, base, "en", "s0", 40),
+            (3, base, "en", "s1", 40),
+            (4, "completely unrelated words in this document", "en", "s1", 44),
+        ],
+    )
+    rows = DD.cluster_quality_audit(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 3 and r.n_verified_pairs == 3
+    assert r.pair_density == 1.0
+    assert r.min_jaccard == 1.0 and r.avg_jaccard == 1.0
+    # singleton components never appear
+    assert all(row.n_docs >= 2 for row in rows)
