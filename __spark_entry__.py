@@ -43,6 +43,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q207_incremental_knn",
     "q206_cluster_quality",
     "q203_band_sweep",
     "q204_surprisal_buckets",
@@ -771,6 +772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q206_cluster_quality": lambda sp, sf: DD.cluster_quality_audit(
             t(sp, sf, "documents")
+        ),
+        "q207_incremental_knn": lambda sp, sf: S.incremental_knn(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -4981,5 +4985,50 @@ def oracle_sql() -> dict[str, str]:
                    round(n_verified_pairs / (s.n_docs * (s.n_docs - 1) / 2.0), 6)
                      AS pair_density
             FROM csizes s JOIN pstats USING (component)
+        """,
+        "q207_incremental_knn": f"""
+            WITH store AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+            batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 7),
+            dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM store
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim)
+                       AS centroid
+              FROM cent_dims GROUP BY label
+            ), s_assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM store e CROSS JOIN cent c) WHERE rn = 1
+            ), b_assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM batch e CROSS JOIN cent c) WHERE rn = 1
+            ), p AS (
+              SELECT b.vec_id, s.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(b.embedding AS DOUBLE[]),
+                       CAST(s.embedding AS DOUBLE[])), 6) AS score
+              FROM b_assigned b JOIN s_assigned s ON b.cell = s.cell)
+            SELECT vec_id, nbr_id, score, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, nbr_id) AS rk FROM p)
+            WHERE rk <= {S.KNN_GRAPH_K}
         """,
     })

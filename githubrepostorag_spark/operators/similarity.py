@@ -1316,6 +1316,94 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     )
 
 
+def incremental_knn(
+    embeddings: DataFrame,
+    k: int = KNN_GRAPH_K,
+    batch_mod: int = 10,
+    batch_rem: int = 7,
+) -> DataFrame:
+    """Incremental k-NN maintenance: a NEW batch of vectors (the
+    daily embedding delta — here the deterministic slice
+    vec_id % batch_mod == batch_rem) is probed against the EXISTING
+    corpus through the store's frozen IVF centroids, emitting each new
+    vector's top-k store neighbors. This is the index-update path a
+    production vector store runs per ingest batch: centroids are NOT
+    refit on arrival (drift is monitored separately — q99's centroid
+    drift audit is the retrain trigger), so the batch only touches the
+    cells it lands in.
+
+    Plan: centroids fit on the store side only; both sides assign via
+    one broadcast-centroid scan each; one shuffle on the cell key
+    co-locates each new vector with its cell's store members; the
+    per-cell kernel is a batch×store matmul + vectorized stable
+    argsort top-k (same id-tie-break discipline as `knn_graph`).
+    Batch work is proportional to |batch| · |cell|, never |corpus|²,
+    and the store is scanned once regardless of batch size. A new
+    vector landing in a cell with no store members emits nothing —
+    the same recall edge the IVF audits (q115) price.
+    """
+    import pandas as pd
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(batch_mod)) == batch_rem
+    store = embeddings.filter(~is_new)
+    batch = embeddings.filter(is_new)
+    cents = _centroid_arrays(store)
+    sc = (
+        _assign_cells(store, cents)
+        .select("cell", "vec_id", "embedding")
+        .withColumn("is_new", F.lit(False))
+    )
+    bc = (
+        _assign_cells(batch, cents)
+        .select("cell", "vec_id", "embedding")
+        .withColumn("is_new", F.lit(True))
+    )
+    cells = sc.unionByName(bc)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        new = pdf[pdf["is_new"]]
+        old = pdf[~pdf["is_new"]]
+        if new.empty or old.empty:
+            return pd.DataFrame({"vec_id": [], "nbr_id": [], "score": []}).astype(
+                {"vec_id": "int64", "nbr_id": "int64", "score": "float64"}
+            )
+        mn = np.stack(new["embedding"].to_numpy()).astype("float64")
+        mo = np.stack(old["embedding"].to_numpy()).astype("float64")
+        sims = np_round_half_away(
+            (mn @ mo.T)
+            / np.outer(np.linalg.norm(mn, axis=1), np.linalg.norm(mo, axis=1)),
+            6,
+        )
+        ids_new = new["vec_id"].to_numpy()
+        ids_old = old["vec_id"].to_numpy()
+        kk = min(k, sims.shape[1])
+        # columns pre-sorted by id so the stable argsort's tie order
+        # IS the id tie-break the oracle's (score DESC, nbr_id) uses
+        perm = np.argsort(ids_old, kind="stable")
+        ids_sorted = ids_old[perm]
+        m_sorted = sims[:, perm]
+        idx = np.argsort(-m_sorted, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids_new, kk),
+                "nbr_id": ids_sorted[idx].ravel(),
+                "score": np.take_along_axis(m_sorted, idx, axis=1).ravel(),
+            }
+        ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64"})
+
+    ranked = cells.groupBy("cell").applyInPandas(
+        cell_topk, schema="vec_id long, nbr_id long, score double"
+    )
+    # one cell per new vector → per-cell top-k is already the global
+    # top-k; the window only assigns the rank label
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return ranked.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "vec_id", "nbr_id", "score", "rk"
+    )
+
+
 def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     """Semantic clustering by mutual-kNN components: connect two
     vectors iff EACH is in the other's top-k (the mutuality filter

@@ -2298,3 +2298,33 @@ def test_cluster_quality_audit_flags_chained_components(spark):
     assert r.min_jaccard == 1.0 and r.avg_jaccard == 1.0
     # singleton components never appear
     assert all(row.n_docs >= 2 for row in rows)
+
+
+def test_incremental_knn_probes_batch_against_store_only(spark):
+    import math
+
+    # 20 vectors, two labels → two store cells. vec 7 and 17 are the
+    # "new batch" (vec_id % 10 == 7); vec 17 is an exact copy of store
+    # vec 16, so its top neighbor must be 16 at score 1.0.
+    vecs = []
+    for i in range(20):
+        base = 16 if i == 17 else i
+        vecs.append(
+            (i, [math.sin(base * 3 + d) for d in range(8)], "a" if i < 10 else "b")
+        )
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    )
+    got = S.incremental_knn(emb, k=3).collect()
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    # only batch vectors appear on the query side, only store vectors
+    # as neighbors
+    assert set(by_vec) <= {7, 17}
+    assert all(r.nbr_id % 10 != 7 for r in got)
+    top17 = min(by_vec[17], key=lambda r: r.rk)
+    assert top17.nbr_id == 16 and top17.score == 1.0
+    # ranks are dense 1..k per batch vector
+    for rows in by_vec.values():
+        assert sorted(r.rk for r in rows) == list(range(1, len(rows) + 1))
