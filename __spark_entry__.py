@@ -43,6 +43,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q208_tokenizer_fertility",
     "q207_incremental_knn",
     "q206_cluster_quality",
     "q203_band_sweep",
@@ -775,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q207_incremental_knn": lambda sp, sf: S.incremental_knn(
             t(sp, sf, "embeddings")
+        ),
+        "q208_tokenizer_fertility": lambda sp, sf: TO.tokenizer_fertility(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -1578,10 +1582,10 @@ def _bpe_sql(rounds: int) -> str:
     """
 
 
-def _bpe_encode_sql(rounds: int) -> str:
-    """BPE inference (mirror of textops.bpe_encode): re-derive the
-    merge rules with the training CTEs, then apply them in learned
-    order to every per-document word and roll up symbol counts."""
+def _bpe_seq_sql(rounds: int) -> str:
+    """The learned-merge-chain expression shared by the BPE encode and
+    fertility oracles: char-explode a word, then apply each round's
+    rule in learned order."""
     seq = "chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')"
     for r in range(1, rounds + 1):
         seq = (
@@ -1590,6 +1594,40 @@ def _bpe_encode_sql(rounds: int) -> str:
             f" chr(31) || (SELECT sym1 FROM b{r})"
             f" || (SELECT sym2 FROM b{r}) || chr(31))"
         )
+    return seq
+
+
+def _fertility_sql(rounds: int) -> str:
+    """Mirror of textops.tokenizer_fertility: the q190 encode CTEs with
+    lang carried through, rolled up per doc then per language."""
+    seq = _bpe_seq_sql(rounds)
+    return f"""
+        WITH {", ".join(_bpe_ctes(rounds))},
+        dwords AS (
+          SELECT doc_id, lang, unnest({_LOW_TOKS}) AS word FROM documents),
+        enc AS (
+          SELECT doc_id, lang, length(word) AS n_chars,
+                 len(list_filter(string_split({seq}, chr(31)),
+                                 x -> x <> '')) AS n_syms
+          FROM dwords),
+        per_doc AS (
+          SELECT doc_id, lang, count(*) AS n_words, sum(n_syms) AS n_symbols,
+                 sum(n_chars) AS n_word_chars
+          FROM enc GROUP BY 1, 2)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+               round(sum(n_symbols) * 1.0 / sum(n_words), 6) AS fertility,
+               round(sum(n_word_chars) * 1.0 / sum(n_symbols), 6) AS chars_per_symbol
+        FROM per_doc GROUP BY lang
+    """
+
+
+def _bpe_encode_sql(rounds: int) -> str:
+    """BPE inference (mirror of textops.bpe_encode): re-derive the
+    merge rules with the training CTEs, then apply them in learned
+    order to every per-document word and roll up symbol counts."""
+    seq = _bpe_seq_sql(rounds)
     return f"""
         WITH {", ".join(_bpe_ctes(rounds))},
         dwords AS (
@@ -5031,4 +5069,5 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, nbr_id) AS rk FROM p)
             WHERE rk <= {S.KNN_GRAPH_K}
         """,
+        "q208_tokenizer_fertility": _fertility_sql(TO.BPE_MERGE_ROUNDS),
     })

@@ -1507,6 +1507,42 @@ def bpe_encode(
     )
 
 
+def tokenizer_fertility(
+    documents: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Per-language tokenizer fertility audit: symbols emitted per
+    whitespace word (the HF-tokenizers "fertility" metric) and
+    characters absorbed per symbol, for the BPE vocabulary trained on
+    THIS corpus. High-fertility languages are under-served by the
+    vocabulary — each word fragments into many symbols, inflating
+    their effective sequence length and training cost — so this table
+    is the evidence for rebalancing merge training before a
+    multilingual 100 TB tokenization run.
+
+    Plan: the per-doc encode pass (`bpe_encode` — one corpus scan, the
+    bounded merge-rule chain as a row expression) joined to the
+    doc→lang map on doc_id, then one lang-bounded aggregate. The
+    expensive step is shared verbatim with q190; the audit adds one
+    co-partitioned join and a tiny groupBy.
+    """
+    enc = bpe_encode(documents, rounds=rounds)
+    return (
+        enc.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+            F.round(
+                F.sum("n_symbols") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_word_chars") / F.sum("n_symbols").cast("double"), 6
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
 def logreg_quality_scores(
     documents: DataFrame,
     rounds: int = LOGREG_ROUNDS,

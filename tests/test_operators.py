@@ -2328,3 +2328,23 @@ def test_incremental_knn_probes_batch_against_store_only(spark):
     # ranks are dense 1..k per batch vector
     for rows in by_vec.values():
         assert sorted(r.rk for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_tokenizer_fertility_bounds_and_totals(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "aaa aaa bbb", "en", "s0", 11),
+            (2, "abc def", "en", "s0", 7),
+            (3, "zzzz zzzz zzzz", "es", "s1", 14),
+        ],
+    )
+    rows = {r.lang: r for r in TO.tokenizer_fertility(df, rounds=3).collect()}
+    assert set(rows) == {"en", "es"}
+    for r in rows.values():
+        # merges only shrink: 1 <= fertility <= chars per word
+        assert 1.0 <= r.fertility
+        assert r.n_symbols <= r.n_words * 10
+        assert r.chars_per_symbol >= 1.0
+    assert rows["en"].n_docs == 2 and rows["es"].n_docs == 1
+    assert rows["en"].n_words == 5 and rows["es"].n_words == 3
