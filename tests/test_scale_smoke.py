@@ -390,3 +390,50 @@ def test_next_tier_heavy_chains_linear(spark):
     assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
         f"sf0.1 curation superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
     )
+
+
+def test_round4_ops_scale_linearly(spark):
+    """Round-4 additions on the hostile corpus: the band sweep re-bands
+    a signature table whose buckets the dup flood makes maximally hot
+    (pair counts explode arithmetically, never as materialized rows);
+    cluster quality aggregates the flooded pair table; the ensemble
+    runs three corpus-wide range-ranks over skewed signals; fertility
+    re-encodes every flooded word. Growth must stay ≈ linear."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    for name, mk in (
+        ("band_sweep", DD.band_geometry_sweep),
+        ("cluster_quality", DD.cluster_quality_audit),
+        ("quality_ensemble", TO.quality_ensemble),
+        ("surprisal_buckets", TO.surprisal_buckets),
+        ("tokenizer_fertility", TO.tokenizer_fertility),
+    ):
+        t1 = _run(mk(_docs(spark, 1)))
+        t10 = _run(mk(_docs(spark, REPLICAS)))
+        spark.catalog.clearCache()
+        assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+            f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+        )
+
+
+def test_round4_incremental_knn_on_twin_flood(spark):
+    """Exact-twin flood through the incremental-kNN maintenance path:
+    ids are re-spread (vec_id*4 + rep) so every batch vector has three
+    exact store twins in ITS OWN cell — rank-1 must come back at
+    cosine 1.0 for every probed vector. (Excluded from the linearity
+    smoke: per-cell batch×store work is quadratic in cell occupancy by
+    design, same as the exact k-NN graph.)"""
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    emb = base.crossJoin(reps).select(
+        (F.col("vec_id") * 4 + F.col("rep")).alias("vec_id"), "embedding", "label"
+    )
+    top = (
+        S.incremental_knn(emb, k=3)
+        .filter(F.col("rk") == 1)
+        .limit(100)
+        .collect()
+    )
+    assert top and all(r.score == 1.0 for r in top)
