@@ -43,6 +43,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q209_dedup_bias",
     "q208_tokenizer_fertility",
     "q207_incremental_knn",
     "q206_cluster_quality",
@@ -778,6 +779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "embeddings")
         ),
         "q208_tokenizer_fertility": lambda sp, sf: TO.tokenizer_fertility(
+            t(sp, sf, "documents")
+        ),
+        "q209_dedup_bias": lambda sp, sf: DD.dedup_bias_audit(
             t(sp, sf, "documents")
         ),
     })
@@ -5070,4 +5074,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= {S.KNN_GRAPH_K}
         """,
         "q208_tokenizer_fertility": _fertility_sql(TO.BPE_MERGE_ROUNDS),
+        "q209_dedup_bias": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes0 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes0 sa ON sa.doc_id = s.doc_a
+              JOIN sizes0 sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+            survivors AS (SELECT min(node) AS doc_id FROM labels GROUP BY component),
+            xq AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS},
+                          tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents),
+            scored AS (
+              SELECT doc_id, source,
+                     CAST(floor(round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                           * 10000.0 + 0.5) AS BIGINT) AS q4
+              FROM xq),
+            raw AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+                     floor(CAST(sum(q4) AS DOUBLE) * 100.0 / count(*) + 0.5)
+                       / 1000000.0 AS mean_quality_raw
+              FROM scored GROUP BY source),
+            surv AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_surviving,
+                     floor(CAST(sum(q4) AS DOUBLE) * 100.0 / count(*) + 0.5)
+                       / 1000000.0 AS mean_quality_surviving
+              FROM scored SEMI JOIN survivors USING (doc_id)
+              GROUP BY source)
+            SELECT source, n_raw, n_surviving,
+                   floor(n_surviving / n_raw * 1000000.0 + 0.5) / 1000000.0
+                     AS keep_rate,
+                   mean_quality_raw, mean_quality_surviving,
+                   floor((mean_quality_surviving - mean_quality_raw)
+                         * 1000000.0 + 0.5) / 1000000.0 AS quality_delta
+            FROM raw JOIN surv USING (source)
+        """,
     })

@@ -666,6 +666,88 @@ def cluster_quality_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     )
 
 
+def dedup_bias_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
+    """Survivorship-bias audit for the dedup pipeline: per source, how
+    much of the corpus survives canonical-survivor selection and how
+    the mean lexical quality shifts from raw to surviving. Dedup is
+    not quality-neutral — boilerplate-heavy sources collapse hardest,
+    but popular high-quality documents are ALSO over-duplicated, so a
+    run that deletes without measuring this can silently tilt the
+    training mixture. quality_delta is the number the mixture-weight
+    step (q84) should see before reusing pre-dedup source weights.
+
+    Plan: the same LSH→verify→components→survivors chain as q56
+    (bounded pair table, label propagation), a left-semi join to flag
+    survivors (never duplicates document rows), and two source-bounded
+    aggregates over a single quality-scored projection — the audit's
+    marginal cost over the dedup run itself is one scan of the
+    already-narrow scored frame.
+    """
+    comp = dedup_components(
+        jaccard_on_candidates(documents, n_bands=n_bands),
+        documents.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    survivors = dedup_survivors(documents, comp).select("doc_id")
+    # quality is 4dp-rounded per doc; summing it as an exact integer
+    # (q·1e4) makes the mean ORDER-INDEPENDENT — avg() over doubles
+    # near a 6dp boundary flips with partial-aggregation order, i.e.
+    # it is nondeterministic even within Spark (observed at sf0.01).
+    # mean·1e6 = Σq4·100/n, rounded convention-free.
+    scored = documents.select(
+        "doc_id",
+        "source",
+        F.floor(TXT.quality_score(F.col("text")) * 1e4 + 0.5)
+        .cast("long")
+        .alias("q4"),
+    )
+    mean6 = lambda: (
+        F.floor(F.sum("q4") * 100.0 / F.count(F.lit(1)) + 0.5) / 1e6
+    )
+    raw = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        mean6().alias("mean_quality_raw"),
+    )
+    surv = (
+        scored.join(survivors, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_surviving"),
+            mean6().alias("mean_quality_surviving"),
+        )
+    )
+    return (
+        raw.join(surv, "source")
+        .withColumn(
+            "keep_rate",
+            # convention-free 6dp rounding (floor(x·1e6+0.5)/1e6): the
+            # difference/ratio of already-rounded values lands exactly
+            # on a .5 boundary often enough that engine round-half-up
+            # vs oracle round-half-away diverge (observed at sf0.01)
+            F.floor(F.col("n_surviving") / F.col("n_raw") * 1e6 + 0.5) / 1e6,
+        )
+        .withColumn(
+            "quality_delta",
+            F.floor(
+                (F.col("mean_quality_surviving") - F.col("mean_quality_raw"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+        .select(
+            "source",
+            "n_raw",
+            "n_surviving",
+            "keep_rate",
+            "mean_quality_raw",
+            "mean_quality_surviving",
+            "quality_delta",
+        )
+    )
+
+
 def band_geometry_sweep(
     documents: DataFrame, configs: tuple[int, ...] = (1, 2, 4, 8)
 ) -> DataFrame:

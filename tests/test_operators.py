@@ -2348,3 +2348,28 @@ def test_tokenizer_fertility_bounds_and_totals(spark):
         assert r.chars_per_symbol >= 1.0
     assert rows["en"].n_docs == 2 and rows["es"].n_docs == 1
     assert rows["en"].n_words == 5 and rows["es"].n_words == 3
+
+
+def test_dedup_bias_audit_keep_rates_and_deltas(spark):
+    # s0: three exact twins (collapse to one) + one distinct; s1: two
+    # distinct docs, untouched by dedup.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (1, base, "en", "s0", 40),
+            (2, base, "en", "s0", 40),
+            (3, base, "en", "s0", 40),
+            (4, "another quite different document body here", "en", "s0", 42),
+            (5, "first unique text for source one", "en", "s1", 32),
+            (6, "second unique text for source one", "en", "s1", 33),
+        ],
+    )
+    out = {r.source: r for r in DD.dedup_bias_audit(df).collect()}
+    assert out["s0"].n_raw == 4 and out["s0"].n_surviving == 2
+    assert out["s0"].keep_rate == 0.5
+    assert out["s1"].n_raw == 2 and out["s1"].n_surviving == 2
+    assert out["s1"].keep_rate == 1.0
+    # untouched source: surviving mean == raw mean, delta exactly 0
+    assert out["s1"].quality_delta == 0.0
+    assert out["s1"].mean_quality_raw == out["s1"].mean_quality_surviving
