@@ -443,8 +443,9 @@ def test_balanced_shards_no_unpartitioned_window(spark):
     saw_window = False
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            # partition spec present: windowspecdefinition(pid, ...)
-            assert "windowspecdefinition(pid" in line, line
+            # partition spec present: windowspecdefinition(_gr_pid, ...)
+            # (the shared ranks.global_rank partition column)
+            assert "windowspecdefinition(_gr_pid" in line, line
             saw_window = True
     assert saw_window
     # the rank rides the MATERIALIZED range-partitioned frame (the
