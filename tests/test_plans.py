@@ -477,3 +477,40 @@ def test_vocab_coverage_uses_take_ordered(spark):
     )
     plan = plan_of(TO.vocab_coverage(docs))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_ensemble_windows_all_partitioned(spark):
+    """The three signal percentiles must ride the distributed
+    range-rank (_gr_pid-partitioned windows) — an ORDER BY-only
+    window would funnel the corpus into one task per signal."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [(i, "s", "en", "w " * (i % 7 + 1), 10) for i in range(40)],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    plan = plan_of(TO.quality_ensemble(docs))
+    saw = 0
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(_gr_pid" in line, line
+            saw += 1
+    assert saw >= 3  # one partitioned window per signal
+
+
+def test_incremental_knn_broadcasts_centroids(spark):
+    """Both cell assignments must broadcast the centroid table — the
+    embedding fact side never shuffles for assignment; the only
+    data-sized exchange is the cell-key shuffle into the kernel."""
+    import math
+
+    from githubrepostorag_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 3 + d) for d in range(8)], "a" if i < 10 else "b")
+         for i in range(20)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    plan = plan_of(S.incremental_knn(emb, k=3))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
