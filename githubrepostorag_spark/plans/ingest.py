@@ -111,12 +111,21 @@ def ingest_pipeline(
     raw_dump_path: str | None = None,
     embedder=None,
     embed_dim: int | None = None,
+    collect_stage_times: bool = False,
 ) -> IngestResult:
     """docs(repo, file_path, text) → 5-scope vector rows + audit.
 
     `embedder`/`embed_dim` thread the pluggable embedding seam through
     every scope's vector build (functions.embed.with_embedding): plug a
     real-model pandas UDF and the store is built with it, dim-guarded.
+
+    `collect_stage_times` is a DIAGNOSTIC mode (EXPLAIN ANALYZE-style):
+    it forces each persisted stage in dependency order to attribute
+    per-stage wall seconds (`timed_stages`). Unlike curation/release —
+    whose timers wrap audit counts that run anyway, so timing is free —
+    ingest's stages fuse into the caller's single write action, and
+    forcing boundaries costs ~2 s of lost pipelining at sf0.1
+    (measured), so it is off on the production path.
     """
     prepped, kinds = preprocess(docs)
     if raw_dump_path is not None:
@@ -214,14 +223,17 @@ def ingest_pipeline(
 
     # Stage timer (the reference's stage_timer analog, plans/timing.py):
     # force each PERSISTED stage cache in dependency order and record
-    # its wall seconds. No duplicated work — every downstream consumer
-    # reads these same caches; the terminal embed/union stage stays
-    # lazy (its cost lands on the caller's write, as before).
-    timer = StageTimer()
-    timer.time("chunk_enrich", chunks.count)
-    timer.time("file_rollup", file_sums.count)
-    timer.time("module_rollup", module_sums.count)
-    timed = timer.frame(docs.sparkSession, ingest_run_id, "run_id")
+    # its wall seconds. Downstream consumers read these same caches —
+    # no duplicated computation — but the forcing itself serializes
+    # stage boundaries the fused write would otherwise pipeline, so
+    # this runs only in diagnostic mode (see docstring).
+    timed = None
+    if collect_stage_times:
+        timer = StageTimer()
+        timer.time("chunk_enrich", chunks.count)
+        timer.time("file_rollup", file_sums.count)
+        timer.time("module_rollup", module_sums.count)
+        timed = timer.frame(docs.sparkSession, ingest_run_id, "run_id")
 
     return IngestResult(
         chunks=chunks,

@@ -301,10 +301,21 @@ def test_timed_stages_on_composed_pipelines(spark):
     assert all(r.seconds >= 0 and r.release_run_id == "t2" for r in rows)
     rel.unpersist()
 
+    # ingest: timing is a diagnostic OPT-IN (its stages fuse into the
+    # caller's write, so forcing boundaries costs pipelining — see the
+    # operator docstring); default path carries no timing frame
     ing = ingest_pipeline(
-        corpus_df(spark), ingest_run_id="t3", llm_factory=DeterministicLLM
+        corpus_df(spark),
+        ingest_run_id="t3",
+        llm_factory=DeterministicLLM,
+        collect_stage_times=True,
     )
     rows = ing.timed_stages.orderBy("stage_idx").collect()
     assert [r.stage for r in rows] == ["chunk_enrich", "file_rollup", "module_rollup"]
     assert all(r.seconds >= 0 and r.run_id == "t3" for r in rows)
     ing.unpersist()
+    fast = ingest_pipeline(
+        corpus_df(spark), ingest_run_id="t4", llm_factory=DeterministicLLM
+    )
+    assert fast.timed_stages is None
+    fast.unpersist()
