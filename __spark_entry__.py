@@ -19,6 +19,7 @@ from githubrepostorag_spark.operators import curation as CU
 from githubrepostorag_spark.operators import dedup as DD
 from githubrepostorag_spark.operators import eventops as E
 from githubrepostorag_spark.operators import graph as G
+from githubrepostorag_spark.operators import multimodal as MM
 from githubrepostorag_spark.operators import relational as R
 from githubrepostorag_spark.operators import similarity as S
 from githubrepostorag_spark.operators import textops as TO
@@ -43,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q210_modal_shard_pack",
     "q209_dedup_bias",
     "q208_tokenizer_fertility",
     "q207_incremental_knn",
@@ -782,6 +784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q209_dedup_bias": lambda sp, sf: DD.dedup_bias_audit(
+            t(sp, sf, "documents")
+        ),
+        "q210_modal_shard_pack": lambda sp, sf: MM.shard_pack(
             t(sp, sf, "documents")
         ),
     })
@@ -5139,5 +5144,22 @@ def oracle_sql() -> dict[str, str]:
                    floor((mean_quality_surviving - mean_quality_raw)
                          * 1000000.0 + 0.5) / 1000000.0 AS quality_delta
             FROM raw JOIN surv USING (source)
+        """,
+        "q210_modal_shard_pack": f"""
+            WITH b AS (
+              SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len
+              FROM documents),
+            o AS (
+              SELECT doc_id, byte_len,
+                     CAST(coalesce(sum(byte_len) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+              FROM b),
+            s AS (SELECT *, start_offset // {MM.SHARD_PACK_BYTES} AS shard_id FROM o)
+            SELECT doc_id, byte_len, start_offset, shard_id,
+                   CAST(sum(byte_len) OVER (PARTITION BY shard_id) AS BIGINT)
+                     AS shard_bytes
+            FROM s
         """,
     })

@@ -74,6 +74,62 @@ def global_rank(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "start_offset",
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` in ``order_exprs``
+    order (each row gets the sum of all STRICTLY EARLIER rows) — the
+    stream-offset primitive behind sequential packing (shard/tar
+    writers, token-stream offsets). Same distributed shape as
+    `global_rank`: range-sorted partitions, one bounded collect of
+    per-partition VALUE SUMS, driver prefix-sum → broadcast offsets,
+    per-partition running window + offset. ``order_exprs`` must be a
+    total order for a deterministic result.
+    """
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # bounded collect: one (pid, sum) row per partition
+    sums = {
+        r["_gr_pid"]: r["s"]
+        for r in ranged.groupBy("_gr_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_gr_pid int, _gr_off long",
+        )
+    )
+    w = (
+        Window.partitionBy("_gr_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(off_df, "_gr_pid")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w) - F.col(value_col) + F.col("_gr_off")).cast(
+                "long"
+            ),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )
+
+
 def global_percent_rank(
     df: DataFrame, order_exprs: list[Column], pct_col: str
 ) -> DataFrame:

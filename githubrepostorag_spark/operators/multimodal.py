@@ -283,3 +283,41 @@ def phash_near_dups(
             "hamming",
         )
     )
+
+
+SHARD_PACK_BYTES = 1 << 16  # 64 KiB target shard (test scale; TB runs use ~1 GiB)
+
+
+def shard_pack(docs: DataFrame, shard_bytes: int = SHARD_PACK_BYTES) -> DataFrame:
+    """WebDataset-style sequential shard packing of binary payloads:
+    samples stream in doc_id order into fixed-byte-budget shards (the
+    tar-per-N-MB layout multimodal training loaders consume); each row
+    gets its global byte start_offset, its shard, and the shard's
+    total bytes — the write plan a shard writer executes verbatim.
+
+    The global byte offset is `ranks.global_running_sum` — a
+    DISTRIBUTED exclusive prefix sum (range partitions, one bounded
+    per-partition-sum collect, broadcast offsets), never an
+    unpartitioned running window; the bytes themselves are never
+    shuffled, only (doc_id, byte_len). Per-shard totals are one
+    aggregate over the shard-count-bounded key joined back broadcast-
+    style by AQE. Contrast with `curation.pack_token_batches`, which
+    packs PER SOURCE (a per-key window); this is the global-stream
+    variant a sequential tar writer needs.
+    """
+    from githubrepostorag_spark.functions.ranks import global_running_sum
+
+    b = with_binary_content(docs).select(
+        "doc_id", F.length("content").cast("long").alias("byte_len")
+    )
+    packed = global_running_sum(
+        b, [F.asc("doc_id")], "byte_len", "start_offset"
+    ).withColumn(
+        "shard_id", F.floor(F.col("start_offset") / shard_bytes).cast("long")
+    )
+    totals = packed.groupBy("shard_id").agg(
+        F.sum("byte_len").cast("long").alias("shard_bytes")
+    )
+    return packed.join(totals, "shard_id").select(
+        "doc_id", "byte_len", "start_offset", "shard_id", "shard_bytes"
+    )

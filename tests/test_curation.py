@@ -342,3 +342,31 @@ def test_global_rank_matches_window_row_number(spark):
         ).collect()
     }
     assert pct == {d: round((rk - 1) / 96, 6) for d, rk in want.items()}
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql import Window
+
+    from githubrepostorag_spark.functions.ranks import global_running_sum
+
+    df = _docs(spark, n=83)
+    got = {
+        r.doc_id: r.off
+        for r in global_running_sum(
+            df.withColumn("v", (F.col("doc_id") % 5 + 1).cast("long")),
+            [F.asc("doc_id")],
+            "v",
+            "off",
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.off
+        for r in df.withColumn("v", (F.col("doc_id") % 5 + 1).cast("long"))
+        .withColumn("off", (F.sum("v").over(w) - F.col("v")).cast("long"))
+        .collect()
+    }
+    assert got == want

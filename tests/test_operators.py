@@ -2373,3 +2373,26 @@ def test_dedup_bias_audit_keep_rates_and_deltas(spark):
     # untouched source: surviving mean == raw mean, delta exactly 0
     assert out["s1"].quality_delta == 0.0
     assert out["s1"].mean_quality_raw == out["s1"].mean_quality_surviving
+
+
+def test_shard_pack_tiles_byte_stream(spark):
+    from githubrepostorag_spark.operators import multimodal as MM
+
+    df = _docs(
+        spark,
+        [(i, "x" * (100 * (i % 4 + 1)), "en", "s0", 100) for i in range(30)],
+    )
+    rows = sorted(MM.shard_pack(df, shard_bytes=500).collect(), key=lambda r: r.doc_id)
+    run = 0
+    for r in rows:
+        # exclusive prefix sum in doc_id order, shard by offset
+        assert r.start_offset == run
+        assert r.shard_id == run // 500
+        run += r.byte_len
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, srows in by_shard.items():
+        assert all(r.shard_bytes == sum(x.byte_len for x in srows) for r in srows)
+    # shards are contiguous ids starting at 0
+    assert sorted(by_shard) == list(range(len(by_shard)))
