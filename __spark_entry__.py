@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q211_sft_turns",
     "q210_modal_shard_pack",
     "q209_dedup_bias",
     "q208_tokenizer_fertility",
@@ -788,6 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q210_modal_shard_pack": lambda sp, sf: MM.shard_pack(
             t(sp, sf, "documents")
+        ),
+        "q211_sft_turns": lambda sp, sf: TO.sft_turn_stats(
+            _wrapped_lines(t(sp, sf, "documents"))
         ),
     })
 
@@ -5161,5 +5165,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(byte_len) OVER (PARTITION BY shard_id) AS BIGINT)
                      AS shard_bytes
             FROM s
+        """,
+        "q211_sft_turns": r"""
+            WITH wrapped AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){2}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS wt
+              FROM documents),
+            lines AS (
+              SELECT doc_id, pos, trim(l) AS line
+              FROM (SELECT doc_id,
+                           generate_subscripts(string_split(wt, chr(10)), 1) AS pos,
+                           unnest(string_split(wt, chr(10))) AS l
+                    FROM wrapped)
+              WHERE length(trim(l)) > 0),
+            turns AS (
+              SELECT doc_id, line,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                       AS turn_idx
+              FROM lines),
+            tok AS (
+              SELECT doc_id, turn_idx,
+                     CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     len(string_split_regex(line, '\s+')) AS n_toks
+              FROM turns)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_assistant_turns,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END)
+                     AS BIGINT) AS assistant_tokens,
+                   CAST(max(n_toks) AS BIGINT) AS max_turn_tokens,
+                   CASE WHEN sum(n_toks) > 0
+                        THEN floor(CAST(sum(CASE WHEN role = 'assistant'
+                                              THEN n_toks ELSE 0 END) AS DOUBLE)
+                                   / sum(n_toks) * 1000000.0 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS assistant_token_frac
+            FROM tok GROUP BY doc_id
         """,
     })

@@ -899,6 +899,61 @@ def quality_ensemble(documents: DataFrame) -> DataFrame:
     )
 
 
+def sft_turn_stats(documents: DataFrame) -> DataFrame:
+    """Turn-structure profile for SFT/dialogue corpora: treat each
+    non-empty line as one conversation turn with strictly alternating
+    roles (even index = user, odd = assistant) and report per document
+    the turn count, assistant-turn count, total vs assistant token
+    counts, the assistant token fraction (the loss-maskable share a
+    trainer actually learns from), and the longest turn (the packing
+    constraint). Documents that are all prompt (assistant_token_frac
+    near 0) or all response are the ones an SFT curator drops first.
+
+    Plan: one line explode; the per-doc turn re-index is a window
+    PARTITIONED BY doc_id — bounded by a single document's line count,
+    never corpus-wide — then one groupBy(doc_id). The fraction uses
+    convention-free floor(x·1e6+0.5) rounding (integer token ratios
+    sit exactly on .5 boundaries often).
+    """
+    lines = (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    turns = (
+        lines.withColumn("turn_idx", F.row_number().over(w) - 1)
+        .withColumn(
+            "role",
+            F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant"),
+        )
+        .withColumn("n_toks", TXT.token_count(F.col("line")).cast("long"))
+    )
+    agg = turns.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("assistant_tokens"),
+        F.max("n_toks").cast("long").alias("max_turn_tokens"),
+    )
+    return agg.withColumn(
+        "assistant_token_frac",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.floor(
+                F.col("assistant_tokens") / F.col("total_tokens") * 1e6 + 0.5
+            )
+            / 1e6,
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 PMI_MIN_PAIR_DOCS = 5
 
 

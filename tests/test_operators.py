@@ -2396,3 +2396,27 @@ def test_shard_pack_tiles_byte_stream(spark):
         assert all(r.shard_bytes == sum(x.byte_len for x in srows) for r in srows)
     # shards are contiguous ids starting at 0
     assert sorted(by_shard) == list(range(len(by_shard)))
+
+
+def test_sft_turn_stats_roles_and_fraction(spark):
+    df = _docs(
+        spark,
+        [
+            # 4 turns: user(2 toks) / assistant(3) / user(1) / assistant(4)
+            (1, "hi there\nhello how are\nok\nfine thanks for asking", "en", "s0", 50),
+            # all-prompt: single user turn → assistant fraction 0
+            (2, "just one line", "en", "s0", 13),
+            # empty lines are not turns and do not shift parity
+            (3, "u1 u1\n\n\na1 a1 a1", "en", "s0", 20),
+        ],
+    )
+    out = {r.doc_id: r for r in TO.sft_turn_stats(df).collect()}
+    d1 = out[1]
+    assert d1.n_turns == 4 and d1.n_assistant_turns == 2
+    assert d1.total_tokens == 10 and d1.assistant_tokens == 7
+    assert d1.max_turn_tokens == 4
+    assert d1.assistant_token_frac == 0.7
+    assert out[2].n_assistant_turns == 0 and out[2].assistant_token_frac == 0.0
+    d3 = out[3]
+    assert d3.n_turns == 2 and d3.n_assistant_turns == 1
+    assert d3.assistant_tokens == 3 and d3.assistant_token_frac == 0.6
