@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q212_preference_pairs",
     "q211_sft_turns",
     "q210_modal_shard_pack",
     "q209_dedup_bias",
@@ -792,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q211_sft_turns": lambda sp, sf: TO.sft_turn_stats(
             _wrapped_lines(t(sp, sf, "documents"))
+        ),
+        "q212_preference_pairs": lambda sp, sf: CU.preference_pair_stats(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -5203,5 +5207,39 @@ def oracle_sql() -> dict[str, str]:
                                    / sum(n_toks) * 1000000.0 + 0.5) / 1000000.0
                         ELSE 0.0 END AS assistant_token_frac
             FROM tok GROUP BY doc_id
+        """,
+        "q212_preference_pairs": f"""
+            WITH xq AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS},
+                          tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents),
+            scored AS (
+              SELECT doc_id, source,
+                     CAST(floor(round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                           * 10000.0 + 0.5) AS BIGINT) AS q4
+              FROM xq),
+            r AS (
+              SELECT doc_id, source, q4,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                       AS idx
+              FROM scored),
+            p AS (
+              SELECT source, idx // 2 AS pair_id, count(*) AS c,
+                     max(q4) AS qmax, min(q4) AS qmin
+              FROM r GROUP BY 1, 2 HAVING count(*) = 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                   floor(CAST(sum(qmax - qmin) AS DOUBLE) * 100.0 / count(*)
+                         + 0.5) / 1000000.0 AS mean_margin,
+                   floor(CAST(sum(CASE WHEN qmax = qmin THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+                     AS tie_frac,
+                   floor(CAST(sum(CASE WHEN qmax - qmin >= {CU.PREF_STRONG_MARGIN_Q4}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0
+                         + 0.5) / 1000000.0 AS strong_frac
+            FROM p GROUP BY source
         """,
     })

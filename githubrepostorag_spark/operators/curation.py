@@ -715,6 +715,76 @@ def balanced_shards(
     ).select("doc_id", "source", "n_tokens", "weight", "rank", "shard")
 
 
+PREF_STRONG_MARGIN_Q4 = 500  # quality margin ≥ 0.05 (in 1e-4 units) = strong pair
+
+
+def preference_pair_stats(documents: DataFrame) -> DataFrame:
+    """Reward-model preference-pair construction + margin audit: within
+    each source, documents pair up deterministically in doc_id order
+    (1st with 2nd, 3rd with 4th, …; an odd leftover is dropped), the
+    higher-lexical-quality side is "chosen", and the per-source report
+    gives pair count, mean quality margin, tie fraction, and the
+    strong-margin fraction (margin ≥ 0.05). Near-zero margins and ties
+    are pairs a reward model learns nothing from — this is the audit
+    that sizes the usable preference set before annotation or training
+    spend.
+
+    Scale shape: the within-source pairing index comes from ONE
+    distributed global rank over (source, doc_id) minus a
+    source-bounded broadcast offset (same skew-proof arithmetic as the
+    perplexity terciles — no per-source hot window); pairs form via
+    groupBy(source, pair_id) (exactly-2 groups), and margins aggregate
+    as exact 1e-4-unit integers (the order-independent-mean discipline
+    from the survivorship audit) with convention-free 6 dp rounding.
+    """
+    scored = documents.select(
+        "doc_id",
+        "source",
+        F.floor(TXT.quality_score(F.col("text")) * 1e4 + 0.5)
+        .cast("long")
+        .alias("q4"),
+    )
+    ranked = global_rank(scored, [F.asc("source"), F.asc("doc_id")], "grank")
+    # bounded: one offset row per source
+    src_off = ranked.groupBy("source").agg(F.min("grank").alias("src_off"))
+    idx = F.col("grank") - F.col("src_off")  # 0-based within source
+    pairs = (
+        ranked.join(F.broadcast(src_off), "source")
+        .withColumn("pair_id", F.floor(idx / 2).cast("long"))
+        .groupBy("source", "pair_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("q4").alias("qmax"),
+            F.min("q4").alias("qmin"),
+        )
+        .filter(F.col("c") == 2)
+    )
+    frac6 = lambda num: F.floor(num / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        # mean margin: Σ(q4 diffs)·100/n is margin·1e6 exactly (q4 is
+        # the 1e-4-unit integer quality)
+        (
+            F.floor(
+                F.sum(F.col("qmax") - F.col("qmin")) * 100.0
+                / F.count(F.lit(1))
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_margin"),
+        frac6(F.sum(F.when(F.col("qmax") == F.col("qmin"), 1).otherwise(0))).alias(
+            "tie_frac"
+        ),
+        frac6(
+            F.sum(
+                F.when(
+                    F.col("qmax") - F.col("qmin") >= PREF_STRONG_MARGIN_Q4, 1
+                ).otherwise(0)
+            )
+        ).alias("strong_frac"),
+    )
+
+
 SEQ_BUDGET = 2000  # tokens per training sequence (shared with q59/q192)
 
 

@@ -370,3 +370,26 @@ def test_global_running_sum_matches_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_preference_pair_stats_margins(spark):
+    # s0: 4 docs in doc_id order pair (1,2) and (3,4).
+    # doc 1 all-distinct (high quality), doc 2 all-repeat (low) → strong
+    # margin; docs 3,4 identical text → tie. s1 has an odd leftover.
+    rows = [
+        (1, "one two three four five", "en", "s0", 23),
+        (2, "spam spam spam spam spam", "en", "s0", 24),
+        (3, "same words here", "en", "s0", 15),
+        (4, "same words here", "en", "s0", 15),
+        (5, "solo document in source one", "en", "s1", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in CU.preference_pair_stats(df).collect()}
+    assert set(out) == {"s0"}  # s1's odd leftover forms no pair
+    r0 = out["s0"]
+    assert r0.n_pairs == 2
+    assert r0.tie_frac == 0.5
+    assert r0.strong_frac == 0.5
+    assert r0.mean_margin > 0.0
