@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q213_packing_fill",
     "q212_preference_pairs",
     "q211_sft_turns",
     "q210_modal_shard_pack",
@@ -795,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _wrapped_lines(t(sp, sf, "documents"))
         ),
         "q212_preference_pairs": lambda sp, sf: CU.preference_pair_stats(
+            t(sp, sf, "documents")
+        ),
+        "q213_packing_fill": lambda sp, sf: CU.packing_fill_audit(
             t(sp, sf, "documents")
         ),
     })
@@ -5241,5 +5245,33 @@ def oracle_sql() -> dict[str, str]:
                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0
                          + 0.5) / 1000000.0 AS strong_frac
             FROM p GROUP BY source
+        """,
+        "q213_packing_fill": f"""
+            WITH toks AS (
+              SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                          AS BIGINT) AS start_offset
+              FROM toks
+            ), with_batch AS (
+              SELECT *, CAST(floor(start_offset / 2000.0) AS BIGINT) AS batch_id
+              FROM packed
+            ), batches AS (
+              SELECT source, batch_id, CAST(sum(n_tokens) AS BIGINT) AS bt
+              FROM with_batch GROUP BY 1, 2
+            ), b6 AS (
+              SELECT *, CAST(floor(CAST(bt AS DOUBLE) * 1000000.0 / 2000 + 0.5)
+                        AS BIGINT) AS fill6
+              FROM batches)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_batches,
+                   CAST(sum(bt) AS BIGINT) AS total_tokens,
+                   floor(CAST(sum(bt) AS DOUBLE) * 1000000.0 / (count(*) * 2000)
+                         + 0.5) / 1000000.0 AS mean_fill,
+                   CAST(min(fill6) AS DOUBLE) / 1000000.0 AS min_fill,
+                   CAST(max_by(fill6, batch_id) AS DOUBLE) / 1000000.0 AS last_fill
+            FROM b6 GROUP BY source
         """,
     })

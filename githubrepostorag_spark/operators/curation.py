@@ -715,6 +715,45 @@ def balanced_shards(
     ).select("doc_id", "source", "n_tokens", "weight", "rank", "shard")
 
 
+def packing_fill_audit(df: DataFrame, budget: int = 2000) -> DataFrame:
+    """Fill-rate audit of the token-batch packer: per source, how full
+    the emitted batches actually are — batch count, total tokens, mean
+    fill, worst (min) fill, and the tail batch's fill. Fill below ~1.0
+    on non-tail batches means the packer is shipping padding the
+    trainer pays for; a habitually tiny tail means the source's batch
+    boundary wastes a sequence every epoch. This is the packer's waste
+    meter, the companion the q59 writer needs before a 100 TB
+    tokenization commits to a budget.
+
+    One reuse of the oracle-verified packer, a (source, batch) rollup,
+    and a source-bounded aggregate. Per-batch fill ratios are exact
+    integer arithmetic in 1e-6 units (batch_tokens and budget are
+    ints), so min/mean/tail fills are engine-portable with no float
+    summation anywhere.
+    """
+    packed = pack_token_batches(df, budget=budget)
+    batches = packed.groupBy("source", "batch_id").agg(
+        F.max("batch_tokens").cast("long").alias("bt")
+    )
+    b6 = batches.withColumn(
+        "fill6",
+        F.floor(F.col("bt") * 1000000.0 / budget + 0.5).cast("long"),
+    )
+    return b6.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("bt").cast("long").alias("total_tokens"),
+        (
+            F.floor(
+                F.sum("bt") * 1000000.0 / (F.count(F.lit(1)) * budget) + 0.5
+            )
+            / 1e6
+        ).alias("mean_fill"),
+        (F.min("fill6") / 1e6).alias("min_fill"),
+        # tail batch = the max batch_id; struct-max picks its fill
+        (F.max(F.struct("batch_id", "fill6"))["fill6"] / 1e6).alias("last_fill"),
+    )
+
+
 PREF_STRONG_MARGIN_Q4 = 500  # quality margin ≥ 0.05 (in 1e-4 units) = strong pair
 
 

@@ -393,3 +393,26 @@ def test_preference_pair_stats_margins(spark):
     assert r0.tie_frac == 0.5
     assert r0.strong_frac == 0.5
     assert r0.mean_margin > 0.0
+
+
+def test_packing_fill_audit_waste_meter(spark):
+    # one source, 30 docs of 1..7 tokens each with budget 10 → several
+    # batches; fills must sit in (0, 1.35] (a batch can overshoot by
+    # at most one doc) and the mean ties out against the batch table.
+    df = _docs(spark, n=30, sources=("s",))
+    got = CU.packing_fill_audit(df, budget=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    batches = (
+        CU.pack_token_batches(df, budget=10)
+        .groupBy("batch_id")
+        .agg(F.max("batch_tokens").alias("bt"))
+        .collect()
+    )
+    assert r.n_batches == len(batches)
+    assert r.total_tokens == sum(b.bt for b in batches)
+    assert 0 < r.min_fill <= r.mean_fill
+    want_mean = round(sum(b.bt for b in batches) / (len(batches) * 10), 6)
+    assert abs(r.mean_fill - want_mean) < 2e-6
+    last = max(batches, key=lambda b: b.batch_id)
+    assert abs(r.last_fill - last.bt / 10) < 1e-9
