@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q214_label_dispersion",
     "q213_packing_fill",
     "q212_preference_pairs",
     "q211_sft_turns",
@@ -800,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q213_packing_fill": lambda sp, sf: CU.packing_fill_audit(
             t(sp, sf, "documents")
+        ),
+        "q214_label_dispersion": lambda sp, sf: S.label_dispersion(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -5273,5 +5277,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(fill6) AS DOUBLE) / 1000000.0 AS min_fill,
                    CAST(max_by(fill6, batch_id) AS DOUBLE) / 1000000.0 AS last_fill
             FROM b6 GROUP BY source
+        """,
+        "q214_label_dispersion": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim)
+                       AS centroid
+              FROM cent_dims GROUP BY label
+            ), a AS (
+              SELECT e.label,
+                     CAST(floor(round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(c.centroid AS DOUBLE[])), 6)
+                            * 1000000.0 + 0.5) AS BIGINT) AS cos6
+              FROM embeddings e JOIN cent c ON c.centroid_label = e.label)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   floor(CAST(sum(cos6) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+                     AS mean_cos_to_centroid,
+                   CAST(min(cos6) AS DOUBLE) / 1000000.0 AS min_cos_to_centroid
+            FROM a GROUP BY label
         """,
     })

@@ -1316,6 +1316,45 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     )
 
 
+def label_dispersion(embeddings: DataFrame) -> DataFrame:
+    """Per-label semantic dispersion: each vector's cosine to its own
+    label centroid, aggregated to the label's mean and worst (min)
+    cohesion. Tight labels (mean near 1) are semantically redundant —
+    prime SemDeDup territory — while a low min flags outliers/mislabels
+    inside an otherwise-tight group. This is the corpus-diversity audit
+    that tells a curator WHERE semantic dedup will bite before running
+    it (q97's targeting step).
+
+    Plan: centroids are label-bounded and broadcast; the fact table
+    joins them without shuffling, each row pays one hoisted-norm dot
+    product, and the rollup is one label-bounded aggregate. Cosines
+    aggregate as exact 1e-6-unit integers (order-independent mean
+    discipline).
+    """
+    cents = _centroid_arrays(embeddings)
+    vecs = V.prepare(embeddings, "embedding", "ve", "vn")
+    pc = F.broadcast(
+        V.prepare(cents, "centroid", "cv", "cn").select("centroid_label", "cv", "cn")
+    )
+    cos6 = F.floor(
+        F.round(
+            V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")), 6
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    scored = vecs.join(pc, vecs.label == pc.centroid_label).select(
+        "label", cos6.alias("cos6")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.floor(F.sum("cos6") / F.count(F.lit(1)) + 0.5) / 1e6).alias(
+            "mean_cos_to_centroid"
+        ),
+        (F.min("cos6") / 1e6).alias("min_cos_to_centroid"),
+    )
+
+
 def incremental_knn(
     embeddings: DataFrame,
     k: int = KNN_GRAPH_K,

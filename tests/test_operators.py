@@ -2420,3 +2420,24 @@ def test_sft_turn_stats_roles_and_fraction(spark):
     d3 = out[3]
     assert d3.n_turns == 2 and d3.n_assistant_turns == 1
     assert d3.assistant_tokens == 3 and d3.assistant_token_frac == 0.6
+
+
+def test_label_dispersion_tight_vs_spread(spark):
+    import math
+
+    # label "tight": 6 identical vectors (cos to centroid = 1.0);
+    # label "spread": orthogonal one-hot vectors → low mean cohesion.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], "tight") for i in range(6)]
+    rows += [
+        (10 + d, [1.0 if j == d else 0.0 for j in range(4)], "spread")
+        for d in range(4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.label: r for r in S.label_dispersion(emb).collect()}
+    assert out["tight"].n_vecs == 6
+    assert out["tight"].mean_cos_to_centroid == 1.0
+    assert out["tight"].min_cos_to_centroid == 1.0
+    assert out["spread"].mean_cos_to_centroid < 0.75
+    assert out["spread"].min_cos_to_centroid == out["spread"].mean_cos_to_centroid
