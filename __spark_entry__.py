@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q215_source_data_card",
     "q214_label_dispersion",
     "q213_packing_fill",
     "q212_preference_pairs",
@@ -804,6 +805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q214_label_dispersion": lambda sp, sf: S.label_dispersion(
             t(sp, sf, "embeddings")
+        ),
+        "q215_source_data_card": lambda sp, sf: CU.source_data_card(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -5302,5 +5306,43 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_cos_to_centroid,
                    CAST(min(cos6) AS DOUBLE) / 1000000.0 AS min_cos_to_centroid
             FROM a GROUP BY label
+        """,
+        "q215_source_data_card": f"""
+            WITH xq AS (
+              SELECT doc_id, source, lang,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS},
+                          tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents),
+            base AS (
+              SELECT source, lang, n_toks,
+                     CAST(floor(round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                           * 10000.0 + 0.5) AS BIGINT) AS q4
+              FROM xq),
+            lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+            nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+                   FROM lc GROUP BY source),
+            rk AS (SELECT source, lang,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY c DESC, lang) AS rn
+                   FROM lc),
+            tl AS (SELECT nl.source, nl.n_langs, rk.lang AS top_lang
+                   FROM nl JOIN rk ON rk.source = nl.source AND rk.rn = 1),
+            st AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                     floor(quantile_cont(q4, 0.25) * 100.0 + 0.5) / 1000000.0
+                       AS quality_p25,
+                     floor(quantile_cont(q4, 0.5) * 100.0 + 0.5) / 1000000.0
+                       AS quality_p50,
+                     floor(quantile_cont(q4, 0.75) * 100.0 + 0.5) / 1000000.0
+                       AS quality_p75
+              FROM base GROUP BY source)
+            SELECT st.source, n_docs, total_tokens, n_langs, top_lang,
+                   quality_p25, quality_p50, quality_p75
+            FROM st JOIN tl ON tl.source = st.source
         """,
     })

@@ -715,6 +715,63 @@ def balanced_shards(
     ).select("doc_id", "source", "n_tokens", "weight", "rank", "shard")
 
 
+def source_data_card(documents: DataFrame) -> DataFrame:
+    """Per-source datasheet row — the one-line summary a corpus
+    release publishes per ingestion feed (Datasheets for Datasets,
+    Gebru et al.): document and token volume, language spread with the
+    dominant language, and the lexical-quality quartiles. The quartile
+    spread is what distinguishes a uniformly-mediocre source from a
+    high-variance one that quality filtering can actually rescue.
+
+    Plan: one scored projection, one (source, lang) count for the
+    language mode (ties break to the lexicographically first language
+    via a struct-min — no window), one source-bounded aggregate with
+    Spark's exact interpolated `percentile` (the same rank-p·(n-1)
+    definition as the oracle's quantile_cont; at 100 TB the
+    approx_percentile sketch replaces it, same API shape — q166
+    audits that substitution). Quality rides as exact 1e-4 integers;
+    quartiles convert with convention-free rounding.
+    """
+    base = documents.select(
+        "source",
+        "lang",
+        TXT.token_count(F.col("text")).cast("long").alias("n_toks"),
+        F.floor(TXT.quality_score(F.col("text")) * 1e4 + 0.5)
+        .cast("long")
+        .alias("q4"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_lang = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang")))["lang"].alias(
+            "top_lang"
+        ),
+    )
+    pct = F.percentile(
+        F.col("q4"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    q6 = lambda x: F.floor(x * 100.0 + 0.5) / 1e6  # q4 units → quality, 6 dp
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        q6(pct[0]).alias("quality_p25"),
+        q6(pct[1]).alias("quality_p50"),
+        q6(pct[2]).alias("quality_p75"),
+    )
+    return stats.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        "quality_p25",
+        "quality_p50",
+        "quality_p75",
+    )
+
+
 def packing_fill_audit(df: DataFrame, budget: int = 2000) -> DataFrame:
     """Fill-rate audit of the token-batch packer: per source, how full
     the emitted batches actually are — batch count, total tokens, mean

@@ -416,3 +416,23 @@ def test_packing_fill_audit_waste_meter(spark):
     assert abs(r.mean_fill - want_mean) < 2e-6
     last = max(batches, key=lambda b: b.batch_id)
     assert abs(r.last_fill - last.bt / 10) < 1e-9
+
+
+def test_source_data_card_mode_and_quartiles(spark):
+    rows = [
+        (1, "alpha beta gamma", "en", "s0", 16),
+        (2, "delta epsilon", "en", "s0", 13),
+        (3, "zeta eta", "de", "s0", 8),
+        (4, "uno", "es", "s1", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in CU.source_data_card(df).collect()}
+    s0 = out["s0"]
+    assert s0.n_docs == 3 and s0.total_tokens == 7
+    assert s0.n_langs == 2 and s0.top_lang == "en"
+    assert s0.quality_p25 <= s0.quality_p50 <= s0.quality_p75
+    s1 = out["s1"]
+    # single doc: all quartiles equal that doc's quality
+    assert s1.quality_p25 == s1.quality_p50 == s1.quality_p75
