@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q216_cdc_chunks",
     "q215_source_data_card",
     "q214_label_dispersion",
     "q213_packing_fill",
@@ -807,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "embeddings")
         ),
         "q215_source_data_card": lambda sp, sf: CU.source_data_card(
+            t(sp, sf, "documents")
+        ),
+        "q216_cdc_chunks": lambda sp, sf: TO.cdc_chunks(
             t(sp, sf, "documents")
         ),
     })
@@ -5344,5 +5348,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT st.source, n_docs, total_tokens, n_langs, top_lang,
                    quality_p25, quality_p50, quality_p75
             FROM st JOIN tl ON tl.source = st.source
+        """,
+        "q216_cdc_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                     length(text) - {TO.CDC_GRAM - 1} AS n_grams
+              FROM documents WHERE length(text) > 0),
+            st AS (
+              SELECT doc_id, text, n,
+                     list_concat([1], CASE WHEN n_grams >= 2 THEN
+                       list_filter(range(2, n_grams + 1),
+                         p -> CAST(('0x' || substr(md5(lower(substr(text,
+                                CAST(p AS INT), {TO.CDC_GRAM}))), 1, 15))
+                              AS BIGINT) % {TO.CDC_DIVISOR} = 0)
+                       ELSE [] END) AS starts
+              FROM d),
+            c AS (
+              SELECT doc_id, text, n, starts,
+                     generate_subscripts(starts, 1) AS i,
+                     unnest(starts) AS s
+              FROM st)
+            SELECT doc_id,
+                   CAST(i - 1 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS start_pos,
+                   CAST(coalesce(starts[i + 1], n + 1) - s AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(s AS INT),
+                              CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
+                     AS chunk_hash
+            FROM c
         """,
     })

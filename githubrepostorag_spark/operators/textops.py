@@ -899,6 +899,83 @@ def quality_ensemble(documents: DataFrame) -> DataFrame:
     )
 
 
+CDC_GRAM = 8     # rolling-window width for the boundary hash
+CDC_DIVISOR = 64  # boundary when hash % divisor == 0 → E[chunk] ≈ 64 chars
+
+
+def cdc_chunks(
+    documents: DataFrame, k: int = CDC_GRAM, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/restic family): cut a
+    document wherever the rolling hash of the k-gram ending there is
+    ≡ 0 (mod divisor), so chunk boundaries follow CONTENT, not byte
+    offsets — an insertion early in a document shifts every fixed-size
+    chunk but leaves all content-defined chunks after the edit
+    identical, which is what makes chunk-hash dedup survive edits.
+    Emits (doc_id, chunk_idx, start_pos, chunk_len, chunk_hash); equal
+    chunk_hash across documents = shared content at chunk grain (the
+    storage-dedup / repeated-passage payload below q90's span grain).
+
+    Plan: the ENTIRE operator is per-row column expressions — a
+    higher-order filter over the position sequence finds boundaries, a
+    transform pairs each start with the next, one posexplode emits
+    chunk rows. No shuffle, no UDF, no gram explosion: whole-stage
+    codegen end to end, so at 100 TB this rides the ingest scan for
+    free. Production CDC adds min/max chunk clamps (FastCDC); the
+    expected-size-only form keeps the oracle exact.
+    """
+    gram_hash = lambda p: TXT.md5_bigint(
+        F.lower(F.substr(F.col("text"), p, F.lit(k)))
+    )
+    n_grams = (F.length("text") - F.lit(k - 1)).alias("n_grams")
+    base = documents.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").cast("long").alias("n"), n_grams
+    )
+    starts_tail = F.when(
+        F.col("n_grams") >= 2,
+        F.filter(
+            F.sequence(F.lit(2), F.greatest(F.col("n_grams"), F.lit(2))),
+            lambda p: F.pmod(gram_hash(p), F.lit(divisor)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    with_starts = base.withColumn(
+        "starts", F.concat(F.array(F.lit(1)), starts_tail)
+    )
+    chunks = F.transform(
+        F.col("starts"),
+        lambda s, i: F.struct(
+            s.cast("long").alias("start_pos"),
+            (
+                # F.get is 0-based and null-safe past the end (ANSI mode
+                # makes element_at throw out of bounds)
+                F.coalesce(
+                    F.get(F.col("starts"), i + 1).cast("long"),
+                    F.col("n") + 1,
+                )
+                - s
+            ).alias("chunk_len"),
+        ),
+    )
+    return (
+        with_starts.select(
+            "doc_id", "text", F.posexplode(chunks).alias("chunk_idx", "c")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long"),
+            F.col("c.start_pos").alias("start_pos"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.md5(
+                F.substr(
+                    F.col("text"),
+                    F.col("c.start_pos"),
+                    F.col("c.chunk_len"),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def sft_turn_stats(documents: DataFrame) -> DataFrame:
     """Turn-structure profile for SFT/dialogue corpora: treat each
     non-empty line as one conversation turn with strictly alternating

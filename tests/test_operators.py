@@ -2441,3 +2441,36 @@ def test_label_dispersion_tight_vs_spread(spark):
     assert out["tight"].min_cos_to_centroid == 1.0
     assert out["spread"].mean_cos_to_centroid < 0.75
     assert out["spread"].min_cos_to_centroid == out["spread"].mean_cos_to_centroid
+
+
+def test_cdc_chunks_tile_and_survive_insertion(spark):
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far " * 6
+    edited = "INSERTED PREFIX " + base  # early insertion shifts offsets
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = TO.cdc_chunks(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    for d, rs in by.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # chunks tile the document exactly: contiguous, full coverage
+        pos = 1
+        for r in rs:
+            assert r.start_pos == pos
+            pos += r.chunk_len
+        text = base if d == 1 else edited
+        assert pos == len(text) + 1
+        # chunk hashes witness the actual substrings
+        for r in rs[:3]:
+            sub = text[r.start_pos - 1 : r.start_pos - 1 + r.chunk_len]
+            assert r.chunk_hash == hashlib.md5(sub.encode()).hexdigest()
+    # content-defined boundaries: chunks after the insertion point are
+    # shared between the original and edited docs (the CDC property)
+    h1 = {r.chunk_hash for r in by[1]}
+    h2 = {r.chunk_hash for r in by[2]}
+    if len(by[1]) > 1:  # boundaries exist in this text
+        assert h1 & h2, "no shared chunks despite shared content"
