@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
 # guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
 _ROTATION_HEAD = [
+    "q217_cdc_dedup",
     "q216_cdc_chunks",
     "q215_source_data_card",
     "q214_label_dispersion",
@@ -811,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q216_cdc_chunks": lambda sp, sf: TO.cdc_chunks(
+            t(sp, sf, "documents")
+        ),
+        "q217_cdc_dedup": lambda sp, sf: TO.cdc_dedup_stats(
             t(sp, sf, "documents")
         ),
     })
@@ -5376,5 +5380,49 @@ def oracle_sql() -> dict[str, str]:
                               CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
                      AS chunk_hash
             FROM c
+        """,
+        "q217_cdc_dedup": f"""
+            WITH d AS (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                     length(text) - {TO.CDC_GRAM - 1} AS n_grams
+              FROM documents WHERE length(text) > 0),
+            st AS (
+              SELECT doc_id, text, n,
+                     list_concat([1], CASE WHEN n_grams >= 2 THEN
+                       list_filter(range(2, n_grams + 1),
+                         p -> CAST(('0x' || substr(md5(lower(substr(text,
+                                CAST(p AS INT), {TO.CDC_GRAM}))), 1, 15))
+                              AS BIGINT) % {TO.CDC_DIVISOR} = 0)
+                       ELSE [] END) AS starts
+              FROM d),
+            c AS (
+              SELECT doc_id, text, n, starts,
+                     generate_subscripts(starts, 1) AS i,
+                     unnest(starts) AS s
+              FROM st),
+            ch AS (
+              SELECT doc_id,
+                     CAST(coalesce(starts[i + 1], n + 1) - s AS BIGINT)
+                       AS chunk_len,
+                     md5(substr(text, CAST(s AS INT),
+                                CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
+                       AS chunk_hash
+              FROM c),
+            j AS (SELECT ch.chunk_len, ch.chunk_hash, doc.source
+                  FROM ch JOIN documents doc ON doc.doc_id = ch.doc_id),
+            raw AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(chunk_len) AS BIGINT) AS total_bytes
+              FROM j GROUP BY source),
+            u AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS distinct_chunks,
+                     CAST(sum(chunk_len) AS BIGINT) AS distinct_bytes
+              FROM (SELECT DISTINCT source, chunk_hash, chunk_len FROM j)
+              GROUP BY source)
+            SELECT raw.source, n_chunks, total_bytes, distinct_chunks,
+                   distinct_bytes,
+                   floor(CAST(distinct_bytes AS DOUBLE) / total_bytes
+                         * 1000000.0 + 0.5) / 1000000.0 AS byte_dedup_ratio
+            FROM raw JOIN u ON u.source = raw.source
         """,
     })

@@ -976,6 +976,56 @@ def cdc_chunks(
     )
 
 
+def cdc_dedup_stats(documents: DataFrame) -> DataFrame:
+    """The CDC payoff meter: per source, how much storage chunk-hash
+    dedup would reclaim — total chunks and bytes vs distinct chunks
+    and bytes, with the byte dedup ratio. This is the number that
+    justifies (or kills) content-addressed storage for a corpus
+    before anyone builds the chunk store; boilerplate-heavy sources
+    show ratios well below 1.
+
+    Plan: the shuffle-free q216 chunk stream, one distinct over
+    (source, chunk_hash, chunk_len) — chunk_len is functionally
+    determined by the hash, carried so distinct bytes need no rejoin —
+    then two source-bounded aggregates. The only shuffle in the whole
+    chain is the dedup groupBy on the hash.
+    """
+    chunks = cdc_chunks(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    raw = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_bytes"),
+    )
+    uniq = (
+        chunks.select("source", "chunk_hash", "chunk_len")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+            F.sum("chunk_len").cast("long").alias("distinct_bytes"),
+        )
+    )
+    return (
+        raw.join(uniq, "source")
+        .withColumn(
+            "byte_dedup_ratio",
+            F.floor(
+                F.col("distinct_bytes") / F.col("total_bytes") * 1e6 + 0.5
+            )
+            / 1e6,
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "total_bytes",
+            "distinct_chunks",
+            "distinct_bytes",
+            "byte_dedup_ratio",
+        )
+    )
+
+
 def sft_turn_stats(documents: DataFrame) -> DataFrame:
     """Turn-structure profile for SFT/dialogue corpora: treat each
     non-empty line as one conversation turn with strictly alternating

@@ -2474,3 +2474,23 @@ def test_cdc_chunks_tile_and_survive_insertion(spark):
     h2 = {r.chunk_hash for r in by[2]}
     if len(by[1]) > 1:  # boundaries exist in this text
         assert h1 & h2, "no shared chunks despite shared content"
+
+
+def test_cdc_dedup_stats_detect_replication(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps on running " * 6
+    rows = [(i, base, "en", "dup", 400) for i in range(1, 6)]  # 5 exact copies
+    rows += [(10, "totally unique content lives here alone once", "en", "uniq", 44)]
+    df = _docs(spark, rows)
+    out = {r.source: r for r in TO.cdc_dedup_stats(df).collect()}
+    d = out["dup"]
+    # 5 identical docs, each internally repetitive: the distinct set
+    # equals ONE doc's distinct set (inter-doc dedup), and the byte
+    # ratio is at most 1/5 (intra-doc repetition dedups further)
+    single = {
+        (r.chunk_hash, r.chunk_len)
+        for r in TO.cdc_chunks(df.filter(F.col("doc_id") == 1)).collect()
+    }
+    assert d.distinct_chunks == len(single)
+    assert d.byte_dedup_ratio <= 0.2
+    u = out["uniq"]
+    assert u.byte_dedup_ratio == 1.0
