@@ -42,7 +42,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # registry now leads with a rotating head of queries that have never had a
 # driver-recorded green row (round-3 training ops, sketch audits, the PQ/ANN
 # serving chain, the dedup chain, graph ops).  Full-surface coverage is still
-# guaranteed by tools/check_parity.py (198/198 committed at sf0.01 + sf0.1).
+# guaranteed by tools/check_parity.py (217/217 committed at sf0.01 + sf0.1,
+# PARITY_LOCAL_r04.txt / PARITY_SF0.1_r04.txt).
 _ROTATION_HEAD = [
     "q217_cdc_dedup",
     "q216_cdc_chunks",
