@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (217/217 committed at sf0.01 + sf0.1,
 # PARITY_LOCAL_r04.txt / PARITY_SF0.1_r04.txt).
 _ROTATION_HEAD = [
+    "q218_hash_ring",
     "q217_cdc_dedup",
     "q216_cdc_chunks",
     "q215_source_data_card",
@@ -816,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q217_cdc_dedup": lambda sp, sf: TO.cdc_dedup_stats(
+            t(sp, sf, "documents")
+        ),
+        "q218_hash_ring": lambda sp, sf: CU.consistent_hash_assign(
             t(sp, sf, "documents")
         ),
     })
@@ -5425,5 +5429,27 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(distinct_bytes AS DOUBLE) / total_bytes
                          * 1000000.0 + 0.5) / 1000000.0 AS byte_dedup_ratio
             FROM raw JOIN u ON u.source = raw.source
+        """,
+        "q218_hash_ring": f"""
+            WITH ring AS (
+              SELECT w.range AS worker, v.range AS vnode,
+                     CAST(('0x' || substr(md5('w' || w.range || ':' || v.range),
+                                          1, 15)) AS BIGINT) AS rh
+              FROM range({CU.RING_WORKERS}) w, range({CU.RING_VNODES}) v),
+            wrap AS (SELECT worker AS wrap_worker FROM ring
+                     ORDER BY rh, worker LIMIT 1),
+            d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS doc_hash
+              FROM documents),
+            cand AS (
+              SELECT d.doc_id, min_by(r.worker, r.rh) AS worker
+              FROM d JOIN ring r ON r.rh >= d.doc_hash
+              GROUP BY d.doc_id)
+            SELECT d.doc_id, d.doc_hash,
+                   CAST(coalesce(c.worker, (SELECT wrap_worker FROM wrap))
+                     AS BIGINT) AS worker
+            FROM d LEFT JOIN cand c ON c.doc_id = d.doc_id
         """,
     })

@@ -715,6 +715,63 @@ def balanced_shards(
     ).select("doc_id", "source", "n_tokens", "weight", "rank", "shard")
 
 
+RING_WORKERS = 8
+RING_VNODES = 16
+
+
+def consistent_hash_assign(
+    documents: DataFrame,
+    n_workers: int = RING_WORKERS,
+    vnodes: int = RING_VNODES,
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al.; the
+    Dynamo/Cassandra placement rule): each worker owns `vnodes` points
+    on a hash ring, and a document routes to the owner of the first
+    ring point at or after its own hash (wrapping past the top).
+    Adding or removing ONE worker remaps only ~1/n of documents —
+    the property a resharding-averse 100 TB store routes by, vs
+    `pmod(hash, n)` which remaps almost everything.
+
+    Plan: the ring is n_workers·vnodes driver-computed literals
+    (hashlib md5, identical to the oracle's SQL md5 — the engine's
+    portable-hash convention) baked into ONE sorted array-of-struct
+    column literal; assignment is a higher-order `filter` + first
+    element per row — pure column expressions, NO join and no ring
+    broadcast, so routing rides any scan for free.
+    """
+    import hashlib
+
+    ring = sorted(
+        (
+            int(hashlib.md5(f"w{w}:{v}".encode()).hexdigest()[:15], 16),
+            w,
+        )
+        for w in range(n_workers)
+        for v in range(vnodes)
+    )
+    ring_lit = F.array(
+        *[
+            F.struct(F.lit(rh).alias("rh"), F.lit(w).cast("long").alias("worker"))
+            for rh, w in ring
+        ]
+    )
+    doc_hash = TXT.md5_bigint(F.col("doc_id").cast("string"))
+    first_at_or_after = F.get(
+        F.filter(ring_lit, lambda x: x["rh"] >= F.col("doc_hash")), 0
+    )
+    return (
+        documents.select("doc_id", doc_hash.alias("doc_hash"))
+        .withColumn(
+            "worker",
+            F.coalesce(
+                first_at_or_after["worker"],
+                F.lit(ring[0][1]).cast("long"),  # wrap to the ring's first point
+            ),
+        )
+        .select("doc_id", "doc_hash", "worker")
+    )
+
+
 def source_data_card(documents: DataFrame) -> DataFrame:
     """Per-source datasheet row — the one-line summary a corpus
     release publishes per ingestion feed (Datasheets for Datasets,

@@ -436,3 +436,19 @@ def test_source_data_card_mode_and_quartiles(spark):
     s1 = out["s1"]
     # single doc: all quartiles equal that doc's quality
     assert s1.quality_p25 == s1.quality_p50 == s1.quality_p75
+
+
+def test_consistent_hash_ring_stability_under_resharding(spark):
+    # the consistent-hashing property: removing one worker (8 → 7)
+    # remaps ONLY documents owned by the removed worker; everyone
+    # else's assignment is untouched.
+    df = _docs(spark, n=200)
+    a8 = {r.doc_id: r.worker for r in CU.consistent_hash_assign(df, n_workers=8).collect()}
+    a7 = {r.doc_id: r.worker for r in CU.consistent_hash_assign(df, n_workers=7).collect()}
+    moved = [d for d in a8 if a8[d] != a7[d]]
+    # every moved doc was on the removed worker (id 7)
+    assert all(a8[d] == 7 for d in moved)
+    # and a plausible fraction moved (~1/8), not everything
+    assert 0 < len(moved) < len(a8) // 2
+    # assignments hit multiple workers (the ring spreads load)
+    assert len(set(a8.values())) >= 6
