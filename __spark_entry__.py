@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (217/217 committed at sf0.01 + sf0.1,
 # PARITY_LOCAL_r04.txt / PARITY_SF0.1_r04.txt).
 _ROTATION_HEAD = [
+    "q219_interp_lm",
     "q218_hash_ring",
     "q217_cdc_dedup",
     "q216_cdc_chunks",
@@ -820,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q218_hash_ring": lambda sp, sf: CU.consistent_hash_assign(
+            t(sp, sf, "documents")
+        ),
+        "q219_interp_lm": lambda sp, sf: TO.interpolated_lm_surprisal(
             t(sp, sf, "documents")
         ),
     })
@@ -5451,5 +5455,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(c.worker, (SELECT wrap_worker FROM wrap))
                      AS BIGINT) AS worker
             FROM d LEFT JOIN cand c ON c.doc_id = d.doc_id
+        """,
+        "q219_interp_lm": r"""
+            WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+                   FROM toks),
+            bg2 AS (SELECT doc_id, bigram, split_part(bigram, ' ', 2) AS w2 FROM bg),
+            pc AS (SELECT bigram, count(*) AS c_pair FROM bg GROUP BY 1),
+            cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_pair) AS c_ctx
+                   FROM pc GROUP BY 1),
+            probs AS (SELECT bigram, c_pair / CAST(c_ctx AS DOUBLE) AS p_bi
+                      FROM pc JOIN cc ON split_part(pc.bigram, ' ', 1) = cc.w1),
+            u AS (SELECT unnest(t) AS w2 FROM toks),
+            uc AS (SELECT w2, count(*) AS c_uni FROM u GROUP BY 1),
+            tot AS (SELECT sum(c_uni) AS total FROM uc),
+            pu AS (SELECT w2, c_uni / CAST(total AS DOUBLE) AS p_uni
+                   FROM uc CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-log2(0.7 * p_bi + 0.30000000000000004 * p_uni)), 6)
+                     AS avg_interp_surprisal_bits
+            FROM bg2 JOIN probs USING (bigram) JOIN pu USING (w2)
+            GROUP BY doc_id
         """,
     })

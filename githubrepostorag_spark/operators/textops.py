@@ -1081,6 +1081,73 @@ def sft_turn_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+LM_INTERP_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram
+
+
+def interpolated_lm_surprisal(
+    documents: DataFrame, lam: float = LM_INTERP_LAMBDA
+) -> DataFrame:
+    """Jelinek-Mercer interpolated LM scoring — the rung that completes
+    the perplexity ladder (q92 unigram → q157 bigram → here):
+    p(w_i | w_{i-1}) = λ·p_bigram + (1−λ)·p_unigram, per-document mean
+    -log2 p over bigram positions. Pure bigram surprisal explodes on
+    unseen contexts; pure unigram ignores order; the interpolation is
+    the smallest model whose scores behave like a real LM filter
+    (CCNet's KenLM is this family with more orders and tuned λ).
+    Documents with <2 tokens drop.
+
+    Scale shape: ONE bigram explode feeds the pair counts, the context
+    counts, and the per-doc scores; the unigram table rides the same
+    rows (w2 column), so the corpus is tokenized once. Both
+    probability tables are vocabulary-bounded joins (broadcast-sized
+    in practice by Heaps' law).
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+    )
+    pair_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx_counts = (
+        pair_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"))
+    )
+    p_bi = (
+        pair_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(ctx_counts, "w1")
+        .select("bigram", (F.col("c_pair") / F.col("c_ctx")).alias("p_bi"))
+    )
+    # unigram table over ALL tokens (q92's definition) so the backoff
+    # mass matches the unigram scorer exactly
+    uni = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(toks).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    total = uni.agg(F.sum("c_uni").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "w2", (F.col("c_uni") / F.col("total")).alias("p_uni")
+    )
+    p = F.lit(lam) * F.col("p_bi") + F.lit(1.0 - lam) * F.col("p_uni")
+    return (
+        bg.join(p_bi, "bigram")
+        .join(F.broadcast(p_uni), "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("avg_interp_surprisal_bits"),
+        )
+    )
+
+
 PMI_MIN_PAIR_DOCS = 5
 
 

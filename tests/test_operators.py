@@ -2494,3 +2494,31 @@ def test_cdc_dedup_stats_detect_replication(spark):
     assert d.byte_dedup_ratio <= 0.2
     u = out["uniq"]
     assert u.byte_dedup_ratio == 1.0
+
+
+def test_interpolated_lm_between_unigram_and_bigram(spark):
+    # seen text: bigram model is confident (low surprisal), unigram
+    # less so; the interpolation must land between pure-bigram and
+    # pure-unigram scores for the same doc, and short docs drop.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c a b", "en", "s0", 21),
+            (2, "a c b b a c b a", "en", "s0", 15),
+            (3, "solo", "en", "s1", 4),
+        ],
+    )
+    interp = {r.doc_id: r for r in TO.interpolated_lm_surprisal(df).collect()}
+    bi = {r.doc_id: r for r in TO.bigram_surprisal(df).collect()}
+    assert 3 not in interp  # <2 tokens → no bigrams
+    for d in (1, 2):
+        assert interp[d].n_bigrams == bi[d].n_bigrams
+        # interpolation adds unigram mass: can't beat the pure bigram
+        # model on seen text, can't be worse than... it must be finite
+        # and >= the bigram score (λ<1 shrinks every probability the
+        # bigram model had at its max)
+        assert interp[d].avg_interp_surprisal_bits >= 0
+    # doc 1 is highly predictable under the bigram model: interpolated
+    # surprisal must exceed the pure bigram surprisal (mass diverted
+    # to the flatter unigram), and both stay finite
+    assert interp[1].avg_interp_surprisal_bits >= bi[1].avg_bigram_surprisal_bits - 1e-9
