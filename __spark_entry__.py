@@ -5062,7 +5062,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT l.component,
                      CAST(count(*) AS BIGINT) AS n_verified_pairs,
                      round(min(p.jaccard), 6) AS min_jaccard,
-                     round(avg(p.jaccard), 6) AS avg_jaccard
+                     floor(sum(CAST(floor(p.jaccard * 1e6 + 0.5) AS BIGINT))
+                           / count(*) + 0.5) / 1e6 AS avg_jaccard
               FROM pairs p JOIN labels l ON l.node = p.doc_a
               GROUP BY l.component)
             SELECT s.component, s.n_docs, n_verified_pairs, min_jaccard, avg_jaccard,

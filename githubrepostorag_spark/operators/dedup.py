@@ -634,15 +634,25 @@ def cluster_quality_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+    # jaccard is 6dp-quantized per pair; summing it as an exact integer
+    # (j·1e6 as long) makes the component mean ORDER-INDEPENDENT —
+    # avg() over doubles flips at 6dp .5 boundaries with Spark's
+    # partial-aggregation order (same class as dedup_bias_audit's q4
+    # sum). mean·1e6 = Σj6/n, rounded convention-free.
     pstats = (
         pairs.join(
             labels.select(F.col("node").alias("doc_a"), "component"), "doc_a"
+        )
+        .withColumn(
+            "j6", F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long")
         )
         .groupBy("component")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_verified_pairs"),
             F.round(F.min("jaccard"), 6).alias("min_jaccard"),
-            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            (
+                F.floor(F.sum("j6") / F.count(F.lit(1)) + 0.5) / 1e6
+            ).alias("avg_jaccard"),
         )
     )
     return (

@@ -79,6 +79,17 @@ PAGERANK_ITERS = 3
 PAGERANK_EDGE_BYTES = 100
 
 
+def _round10_pos(c):
+    """10dp rounding of a POSITIVE column on the binary product —
+    floor(x·1e10+0.5)/1e10 — the exact formula the driver-path numpy
+    kernel (np_round_half_away) and DuckDB's round() compute. F.round's
+    BigDecimal-on-exact-decimal semantics can diverge from both at
+    ulp-knife-edge values, which would make the fixpoint depend on
+    which path (driver vs distributed) the memory-derived bound picked.
+    """
+    return F.floor(c * 1e10 + 0.5) / 1e10
+
+
 def _pagerank_driver(e: DataFrame, iters: int, damping: float) -> DataFrame:
     """Power iterations over a BOUNDED collected edge list — identical
     output contract to the distributed loop (node set = src ∪ dst,
@@ -158,7 +169,15 @@ def pagerank(
     # matches the distributed path bit-for-bit; a test pins the two
     # paths against each other on both graph classes.
     e = e.localCheckpoint(eager=True)
-    integral_ids = str(e.schema["src"].dataType) in ("LongType()", "IntegerType()")
+    # isinstance, not str(dataType): the repr is PySpark-version-
+    # dependent ('LongType' vs 'LongType()'), and BOTH endpoints must
+    # be integral before np.unique/bincount see them.
+    from pyspark.sql.types import IntegerType, LongType
+
+    integral_ids = all(
+        isinstance(e.schema[c].dataType, (LongType, IntegerType))
+        for c in ("src", "dst")
+    )
     if integral_ids and e.count() <= small_graph_edges:
         return _pagerank_driver(e, iters, damping)
     if symmetrized:
@@ -185,8 +204,8 @@ def pagerank(
             # in-degree >= 1 everywhere: contrib IS the full node set
             pr = contrib.crossJoin(nn).select(
                 F.col("dst").alias("node"),
-                F.round(
-                    (1.0 - damping) / F.col("n") + damping * F.col("contrib"), 10
+                _round10_pos(
+                    (1.0 - damping) / F.col("n") + damping * F.col("contrib")
                 ).alias("pr"),
             )
             continue
@@ -202,14 +221,13 @@ def pagerank(
             .crossJoin(dangling)
             .select(
                 "node",
-                F.round(
+                _round10_pos(
                     (1.0 - damping) / F.col("n")
                     + damping
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
                         + F.col("dm") / F.col("n")
-                    ),
-                    10,
+                    )
                 ).alias("pr"),
             )
         )

@@ -43,12 +43,18 @@ def scale_out(df, *cols: str):
 
 
 def _parse_mem_bytes(size: str) -> int:
-    """JVM memory-string ('16g', '2048m', '1t', bare bytes) → bytes."""
+    """JVM memory-string ('16g', '2048m', '1t', '512b') → bytes.
+
+    A UNIT-LESS value ('2048') is MiB, matching Spark's own
+    byteStringAsMb semantics for spark.driver.memory — treating it as
+    bytes would collapse the derived driver bound to its floor and
+    silently disable every driver fast path on such configs.
+    """
     s = size.strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])
-    return int(s)
+    return int(float(s) * (1 << 20))
 
 
 def driver_bound_rows(

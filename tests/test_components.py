@@ -352,3 +352,34 @@ def test_store_schema_evolution_merge(spark, tmp_path):
     assert rows[3] == 0.9 and rows[1] is None and rows[2] is None
     # without mergeSchema the footer-picked schema may omit the new
     # column — the test pins that the OPTION is what makes it safe
+
+
+def test_parse_mem_bytes_unitless_is_mib():
+    """Unit-less spark.driver.memory is MiB in Spark (byteStringAsMb);
+    parsing '2048' as bytes would collapse driver_bound_rows to its
+    floor and silently disable every driver fast path (advisor r4)."""
+    from githubrepostorag_spark.session import _parse_mem_bytes
+
+    assert _parse_mem_bytes("2048") == 2048 * (1 << 20)
+    assert _parse_mem_bytes("16g") == 16 * (1 << 30)
+    assert _parse_mem_bytes("2048m") == 2048 * (1 << 20)
+    assert _parse_mem_bytes("512b") == 512
+
+
+def test_pagerank_guard_accepts_integral_rejects_string(spark):
+    """The driver fast-path guard must be isinstance-based (str(dtype)
+    repr varies across PySpark versions) and must check BOTH endpoints:
+    a string dst reaching np.unique would poison the concatenation."""
+    from githubrepostorag_spark.operators.graph import pagerank
+
+    e_int = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = pagerank(e_int, iters=2)
+    assert {r.node for r in out.collect()} == {1, 2}
+    # mixed: integral src, string dst -> distributed path, same contract
+    e_str = spark.createDataFrame(
+        [(1, "b"), (2, "a")], "src long, dst string"
+    )
+    out2 = pagerank(
+        e_str.selectExpr("cast(src as string) src", "dst"), iters=2
+    )
+    assert out2.count() == 4  # {1,2,a,b}
