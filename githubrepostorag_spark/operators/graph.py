@@ -473,26 +473,32 @@ KCORE_ROUNDS = 4
 def kcore_peel(
     edges: DataFrame,
     k: int = KCORE_K,
-    rounds: int = KCORE_ROUNDS,
+    rounds: int | None = KCORE_ROUNDS,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """Bounded-round k-core peel over an undirected edge list (pass one
-    direction; symmetrized here): each round removes every node whose
-    current degree is < k, together with its edges; after `rounds`
-    peels the survivors approximate the k-core (dup-clique graphs
-    converge in 1-2 rounds — cliques of size ≥ k+1 are stable, chains
-    and pendants peel immediately). Returns every node that appeared in
-    the input with its final degree and whether it survived — the
-    structure filter that separates genuine duplication clusters from
-    incidental pairwise collisions.
+    """k-core peel over an undirected edge list (pass one direction;
+    symmetrized here): each round removes every node whose current
+    degree is < k, together with its edges. Returns every node that
+    appeared in the input with its final degree and whether it survived
+    — the structure filter that separates genuine duplication clusters
+    from incidental pairwise collisions.
 
-    Fixed `rounds` (not run-to-fixpoint) keeps the operator a
-    deterministic, oracle-unrollable plan — the same discipline as the
-    pagerank/BPE/logreg rounds; each round is one degree aggregate +
-    one semi-join on the edge list (two shuffles). At 100 TB the edge
-    list shrinks monotonically, so round cost decays geometrically on
-    real graphs.
+    `rounds` caps the peel for oracle-unrollable call sites (the
+    pagerank/BPE/logreg fixed-round discipline; dup-clique graphs
+    converge in 1-2 rounds — cliques of size ≥ k+1 are stable, chains
+    and pendants peel immediately). `rounds=None` runs to FIXPOINT —
+    the general-purpose mode, where a pathological long chain fully
+    peels instead of under-peeling at the cap.
+
+    Either way the loop EARLY-EXITS the first round that peels no
+    edges: the fixpoint test is one `count()` over the already-
+    materialized checkpoint per round (the checkpoint exists anyway —
+    peeled rounds would compound lineage otherwise), so converged
+    graphs pay for exactly the rounds that do work, not the cap. Each
+    working round is one degree aggregate + one semi-join pair (two
+    shuffles); at 100 TB the edge list shrinks monotonically, so round
+    cost decays geometrically on real graphs.
     """
     one = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = one.union(
@@ -502,7 +508,10 @@ def kcore_peel(
         eager=True
     )
     live = sym
-    for _ in range(rounds):
+    n_live = live.count()
+    r = 0
+    while n_live > 0 and (rounds is None or r < rounds):
+        r += 1
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
         live = (
@@ -510,6 +519,10 @@ def kcore_peel(
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)  # peeled rounds compound otherwise
         )
+        n_now = live.count()
+        if n_now == n_live:  # fixpoint: this round peeled nothing
+            break
+        n_live = n_now
     final_deg = live.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     return (
         all_nodes.join(final_deg.withColumnRenamed("src", "node"), "node", "left")

@@ -2522,3 +2522,21 @@ def test_interpolated_lm_between_unigram_and_bigram(spark):
     # surprisal must exceed the pure bigram surprisal (mass diverted
     # to the flatter unigram), and both stay finite
     assert interp[1].avg_interp_surprisal_bits >= bi[1].avg_bigram_surprisal_bits - 1e-9
+
+
+def test_kcore_fixpoint_fully_peels_long_chain(spark):
+    """rounds=None runs to convergence: a 12-node path graph needs ~6
+    peel rounds at k=2 (two endpoints per round) — beyond the default
+    4-round cap — and must peel ENTIRELY; the early-exit then stops the
+    loop the first round that removes nothing."""
+    from githubrepostorag_spark.operators import graph as G
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    got = G.kcore_peel(chain, k=2, rounds=None).collect()
+    assert len(got) == 12
+    assert all(not r.in_core and r.degree == 0 for r in got)
+    # capped mode still under-peels the same chain (documented contract)
+    capped = G.kcore_peel(chain, k=2, rounds=2).collect()
+    assert any(r.in_core for r in capped)
