@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q220_gopher_rules",
     "q52_language_id",
     "q53_winnow_fingerprints",
     "q54_near_dup_in_cells",
@@ -802,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q219_interp_lm": lambda sp, sf: TO.interpolated_lm_surprisal(
+            t(sp, sf, "documents")
+        ),
+        "q220_gopher_rules": lambda sp, sf: TO.gopher_quality_battery(
             t(sp, sf, "documents")
         ),
     })
@@ -5460,5 +5464,62 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_interp_surprisal_bits
             FROM bg2 JOIN probs USING (bigram) JOIN pu USING (w2)
             GROUP BY doc_id
+        """,
+        # Gopher battery (textops.gopher_quality_battery): every rule an
+        # INTEGER comparison, so no rounding convention can diverge; the
+        # rate uses the floor(x*1e6+0.5) form on a single division.
+        "q220_gopher_rules": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS}) AS BIGINT) AS nw,
+                     CAST(coalesce(list_sum(list_transform({_TOKS},
+                            tk -> length(tk))), 0) AS BIGINT) AS sl,
+                     CAST(len(list_filter({_TOKS},
+                            tk -> regexp_matches(tk, '[A-Za-z]'))) AS BIGINT) AS na,
+                     CAST(len(list_intersect(
+                            list_distinct(list_transform({_TOKS}, tk -> lower(tk))),
+                            {_sql_list(TO.GOPHER_STOPWORDS)})) AS BIGINT) AS ns,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                          AS BIGINT) AS nb,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> ends_with(rtrim(l), '...')
+                                 OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ne
+              FROM documents
+            ), fl AS (
+              SELECT doc_id,
+                     nw < {TO.GOPHER_MIN_WORDS} AS word_count_low,
+                     nw > {TO.GOPHER_MAX_WORDS} AS word_count_high,
+                     nw > 0 AND sl < 3 * nw AS mean_word_len_low,
+                     sl > 10 * nw AS mean_word_len_high,
+                     10 * nsym > nw AS symbol_ratio,
+                     10 * nb > 9 * nl AS bullet_lines,
+                     10 * ne > 3 * nl AS ellipsis_lines,
+                     nw > 0 AND 5 * na < 4 * nw AS alpha_words,
+                     ns < {TO.GOPHER_MIN_STOPWORDS} AS stopword_floor
+              FROM m
+            ), agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     {", ".join(
+                        f"CAST(count(*) FILTER ({r}) AS BIGINT) AS {r}"
+                        for r in TO.GOPHER_RULES
+                     )},
+                     CAST(count(*) FILTER (NOT ({" OR ".join(TO.GOPHER_RULES)}))
+                          AS BIGINT) AS passes_all
+              FROM fl
+            )
+            SELECT rule, n_docs, n_flagged,
+                   floor(n_flagged * 1e6 / n_docs + 0.5) / 1e6 AS flag_rate
+            FROM (
+              {" UNION ALL ".join(
+                 f"SELECT '{r}' AS rule, n_docs, {r} AS n_flagged FROM agg"
+                 for r in (*TO.GOPHER_RULES, "passes_all")
+              )}
+            )
         """,
     })

@@ -1994,3 +1994,172 @@ def code_metrics(documents: DataFrame) -> DataFrame:
         .alias("class_count"),
         F.round(comment / n_lines.cast("double"), 6).alias("comment_ratio"),
     )
+
+
+# --- Gopher-rule quality battery (Rae et al. 2021, Table A1) ---------
+# Thresholds follow the paper; every comparison below is INTEGER
+# arithmetic (10*sym > n_words etc.), so there is no float knife-edge
+# anywhere for the oracle to diverge on.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_RULES = (
+    "word_count_low",      # n_words < 50
+    "word_count_high",     # n_words > 100000
+    "mean_word_len_low",   # mean word length < 3
+    "mean_word_len_high",  # mean word length > 10
+    "symbol_ratio",        # (#, '...', '…') per word > 0.1
+    "bullet_lines",        # > 90% of lines start with a bullet
+    "ellipsis_lines",      # > 30% of lines end with an ellipsis
+    "alpha_words",         # < 80% of words contain a letter
+    "stopword_floor",      # < 2 distinct Gopher stopwords present
+)
+
+
+def _gopher_base(documents: DataFrame, text_col: str) -> DataFrame:
+    """Shared count projection for the Gopher rules: token / line
+    arrays split once each and reduced to the nine integer counts the
+    rules compare — one scan, whole-stage codegen, zero shuffles."""
+    t = F.col(text_col)
+    toks = TXT.tokens(t)
+    lines = F.split(t, "\n", -1)
+    return documents.withColumn("_n_words", F.size(toks).cast("long")).withColumn(
+        "_sum_len",
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+    ).withColumn(
+        "_n_alpha",
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long"),
+    ).withColumn(
+        "_n_stop",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, lambda x: F.lower(x))),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        ).cast("long"),
+    ).withColumn(
+        "_n_sym",
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+            + (
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                / F.lit(3)
+            ).cast("long")
+        ).cast("long"),
+    ).withColumn("_n_lines", F.size(lines).cast("long")).withColumn(
+        "_n_bullet",
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("long"),
+    ).withColumn(
+        "_n_ell_lines",
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+            )
+        ).cast("long"),
+    )
+
+
+def _gopher_flag_cols() -> dict[str, "F.Column"]:
+    """Rule name → boolean Column over the _gopher_base counts. Every
+    threshold compares as INTEGERS (mean word length < 3 ⇔ Σlen < 3·n),
+    so there is no float knife-edge for the oracle to diverge on."""
+    nw, sl = F.col("_n_words"), F.col("_sum_len")
+    nl = F.col("_n_lines")
+    return {
+        "word_count_low": nw < GOPHER_MIN_WORDS,
+        "word_count_high": nw > GOPHER_MAX_WORDS,
+        "mean_word_len_low": (nw > 0) & (sl < 3 * nw),
+        "mean_word_len_high": sl > 10 * nw,
+        "symbol_ratio": 10 * F.col("_n_sym") > nw,
+        "bullet_lines": 10 * F.col("_n_bullet") > 9 * nl,
+        "ellipsis_lines": 10 * F.col("_n_ell_lines") > 3 * nl,
+        "alpha_words": (nw > 0) & (5 * F.col("_n_alpha") < 4 * nw),
+        "stopword_floor": F.col("_n_stop") < GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_flags(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags: one boolean per rule plus the
+    failed-rule count — the industry-standard heuristic quality battery
+    (Rae et al. 2021 Table A1) the quality ladder's model-based rungs
+    (q92/q157/q189/q219) sit on top of. One projection over one scan
+    (see _gopher_base), integer-only thresholds (_gopher_flag_cols).
+    """
+    flags = _gopher_flag_cols()
+    n_failed = None
+    for r in GOPHER_RULES:
+        term = flags[r].cast("long")
+        n_failed = term if n_failed is None else n_failed + term
+    return _gopher_base(documents, text_col).select(
+        "doc_id",
+        *[flags[r].alias(r) for r in GOPHER_RULES],
+        n_failed.alias("n_rules_failed"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
+def gopher_pass_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The GATE form of the battery: input rows (all columns) that fail
+    no Gopher rule. A pure filter predicate over the same single-scan
+    count projection — no join, no shuffle — so a curation pipeline can
+    splice it in front of dedup at zero extra passes over the corpus.
+    """
+    flags = _gopher_flag_cols()
+    fail_any = None
+    for r in GOPHER_RULES:
+        fail_any = flags[r] if fail_any is None else fail_any | flags[r]
+    return (
+        _gopher_base(documents, text_col)
+        .filter(~fail_any)
+        .drop(
+            "_n_words", "_sum_len", "_n_alpha", "_n_stop", "_n_sym",
+            "_n_lines", "_n_bullet", "_n_ell_lines",
+        )
+    )
+
+
+def gopher_quality_battery(documents: DataFrame) -> DataFrame:
+    """Corpus-level Gopher battery report: one row per rule with the
+    flagged-document count and rate, plus a 'passes_all' row — the
+    single-scan summary a 100 TB curation run reads BEFORE choosing
+    gates (same shape as data_contract_report, relational.py
+    data-contract family: every rule one conditional aggregate, one
+    pass over the corpus, 10-row output).
+    """
+    f = gopher_flags(documents)
+    aggs = [
+        F.sum(F.col(r).cast("long")).cast("long").alias(r) for r in GOPHER_RULES
+    ] + [
+        F.sum(F.col("passes").cast("long")).cast("long").alias("passes_all"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ]
+    one = f.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, n_flagged)".format(
+                n=len(GOPHER_RULES) + 1,
+                args=", ".join(
+                    f"'{r}', {r}" for r in (*GOPHER_RULES, "passes_all")
+                ),
+            )
+        ),
+        F.col("_n").alias("n_docs"),
+    )
+    return stacked.select(
+        "rule",
+        "n_docs",
+        "n_flagged",
+        # single-value division of two longs — deterministic; 6dp
+        # convention-free rounding matches the oracle's floor form
+        (F.floor(F.col("n_flagged") * 1e6 / F.col("n_docs") + 0.5) / 1e6).alias(
+            "flag_rate"
+        ),
+    )

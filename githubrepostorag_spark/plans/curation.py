@@ -64,11 +64,17 @@ def curation_pipeline(
     run_id: str,
     n_per_source: int = MIX_PER_SOURCE,
     pack_budget: int = PACK_BUDGET,
+    gopher_gate: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; see module docstring for stages.
 
     `benchmark` is the held-out eval set to decontaminate against
     (bounded — broadcast). Returns the packed corpus and the audit.
+
+    `gopher_gate` (opt-in) splices the Gopher heuristic rule battery
+    (textops.gopher_pass_filter, Rae et al. 2021 Table A1) behind the
+    funnel gate — a pure filter predicate on the same scan, no join —
+    and adds a 'gopher_gate' audit/timing row.
     """
     t = F.col("text")
     # --- stage 1: quality gate (same predicates as curation_funnel) ---
@@ -82,6 +88,10 @@ def curation_pipeline(
         & (alpha_ratio >= CU.FUNNEL_MIN_ALPHA)
     )
     gated = documents.filter(gate)
+    if gopher_gate:
+        from githubrepostorag_spark.operators import textops as TO
+
+        gated = TO.gopher_pass_filter(gated)
 
     # --- stage 2: exact dedup (canonical min-id per fingerprint) ---
     exact_keep = DD.exact_dedup(gated).select(
@@ -153,6 +163,13 @@ def curation_pipeline(
     counts = [
         ("raw", int(head["n_raw"])),
         ("quality_gate", int(head["n_gated"])),
+    ]
+    if gopher_gate:
+        # opt-in extra scan: the battery-gated count is its own stage
+        counts.append(
+            ("gopher_gate", timer.time("gopher_gate", gated.count))
+        )
+    counts += [
         ("exact_dedup", timer.time("exact_dedup", exact.count)),
         ("near_dup", timer.time("near_dup", survivors.count)),
         ("decontaminated", timer.time("decontaminated", clean.count)),

@@ -452,3 +452,51 @@ def test_consistent_hash_ring_stability_under_resharding(spark):
     assert 0 < len(moved) < len(a8) // 2
     # assignments hit multiple workers (the ring spreads load)
     assert len(set(a8.values())) >= 6
+
+
+def test_curation_pipeline_gopher_gate_option(spark):
+    """gopher_gate=True splices the rule battery behind the funnel
+    gate: the corpus is a subset of the default run's and the audit
+    carries a gopher_gate stage with a count <= quality_gate's."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    base_text = (
+        "the quick brown fox jumps over that lazy dog and we have been "
+        "with them of late running far away " * 3
+    )
+    rows = [
+        (i, base_text + f" unique tail number {i} extra", "en",
+         f"s{i % 3}", 300)
+        for i in range(20)
+    ]
+    # fails the battery (bullet wall) but long enough for the funnel gate
+    rows.append((200, "\n".join(f"- bullet item {i} listed" for i in range(40)),
+                 "en", "s0", 800))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(0, "completely unrelated benchmark text")], "bench_id long, text string"
+    )
+    base = curation_pipeline(docs, bench, run_id="nog")
+    gated = curation_pipeline(docs, bench, run_id="gog", gopher_gate=True)
+    try:
+        audit = {r.stage: r.n_docs for r in gated.audit.collect()}
+        assert "gopher_gate" in audit
+        assert audit["gopher_gate"] <= audit["quality_gate"]
+        from githubrepostorag_spark.operators import textops as TO
+
+        gate_ids = {r.doc_id for r in gated.corpus.select("doc_id").collect()}
+        # whatever survives must come from the battery-passing pool —
+        # the planted bullet wall (doc 200) is gone
+        pool = {r.doc_id
+                for r in TO.gopher_pass_filter(docs).select("doc_id").collect()}
+        assert gate_ids <= pool
+        assert 200 not in gate_ids
+        base_ids = {r.doc_id for r in base.corpus.select("doc_id").collect()}
+        assert 200 in base_ids  # funnel alone admits it
+        stages = {r.stage for r in gated.timed_stages.collect()}
+        assert "gopher_gate" in stages
+    finally:
+        base.unpersist()
+        gated.unpersist()

@@ -2540,3 +2540,63 @@ def test_kcore_fixpoint_fully_peels_long_chain(spark):
     # capped mode still under-peels the same chain (documented contract)
     capped = G.kcore_peel(chain, k=2, rounds=2).collect()
     assert any(r.in_core for r in capped)
+
+
+def test_gopher_flags_rules(spark):
+    """Each Gopher rule trips on its crafted document and the clean
+    doc passes all nine; thresholds are integer-exact."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "been with them of late " * 3
+    )
+    rows = [
+        (1, clean),                               # passes
+        (2, "tiny"),                              # word_count_low (+others)
+        (3, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n"
+            "- eight\n- nine\n- ten"),            # bullet_lines
+        (4, "#### # # # the of and be to with that have " + clean),  # 7 hashes / ~63 words > 0.1
+        (5, "# " + clean),                        # 1 hash / ~52 words: under 0.1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TO.gopher_flags(docs).collect()}
+    assert got[1].passes and got[1].n_rules_failed == 0
+    assert got[2].word_count_low and not got[2].passes
+    assert got[3].bullet_lines
+    # symbol ratio is per-word and integer-exact: 10*7 > 63 flags,
+    # 10*1 < 53 does not
+    assert got[4].symbol_ratio
+    assert not got[5].symbol_ratio
+
+
+def test_gopher_battery_counts_match_flags(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [(i, ("the be to of and that have with word word " * 8)
+          if i % 2 else "x") for i in range(10)],
+        "doc_id long, text string",
+    )
+    flags = TO.gopher_flags(docs).collect()
+    batt = {r.rule: r for r in TO.gopher_quality_battery(docs).collect()}
+    assert batt["passes_all"].n_flagged == sum(1 for r in flags if r.passes)
+    for rule in TO.GOPHER_RULES:
+        assert batt[rule].n_flagged == sum(1 for r in flags if r[rule]), rule
+    assert all(r.n_docs == 10 for r in batt.values())
+
+
+def test_gopher_pass_filter_is_pure_filter(spark):
+    """Gate form keeps all input columns, returns exactly the passing
+    rows, and plans as scan+filter (no exchange)."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "the be to of and that have with fine words here " * 6),
+         (2, "s2", "x")],
+        "doc_id long, source string, text string",
+    )
+    out = TO.gopher_pass_filter(docs)
+    assert out.columns == ["doc_id", "source", "text"]
+    assert [r.doc_id for r in out.collect()] == [1]
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
