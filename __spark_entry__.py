@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q221_kneser_ney",
     "q220_gopher_rules",
     "q52_language_id",
     "q53_winnow_fingerprints",
@@ -806,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q220_gopher_rules": lambda sp, sf: TO.gopher_quality_battery(
+            t(sp, sf, "documents")
+        ),
+        "q221_kneser_ney": lambda sp, sf: TO.kneser_ney_surprisal(
             t(sp, sf, "documents")
         ),
     })
@@ -5521,5 +5525,38 @@ def oracle_sql() -> dict[str, str]:
                  for r in (*TO.GOPHER_RULES, "passes_all")
               )}
             )
+        """,
+        # Kneser-Ney (textops.kneser_ney_surprisal): identical operand
+        # order/parenthesization to the engine expression so the double
+        # arithmetic agrees bit-for-bit before the 6dp round.
+        "q221_kneser_ney": f"""
+            WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+                   FROM toks),
+            pc AS (SELECT bigram, count(*) AS c_pair FROM bg GROUP BY 1),
+            pc2 AS (SELECT bigram, c_pair,
+                           split_part(bigram, ' ', 1) AS w1,
+                           split_part(bigram, ' ', 2) AS w2
+                    FROM pc),
+            ctx AS (SELECT w1, sum(c_pair) AS c_ctx, count(*) AS n_follow
+                    FROM pc2 GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS n_prec FROM pc2 GROUP BY 1),
+            ty AS (SELECT count(*) AS n_types FROM pc),
+            probs AS (
+              SELECT p.bigram,
+                     greatest(p.c_pair - {TO.KN_DISCOUNT}, 0.0) / c.c_ctx
+                     + ({TO.KN_DISCOUNT} * c.n_follow / c.c_ctx)
+                       * (ct.n_prec / CAST(ty.n_types AS DOUBLE)) AS p_kn
+              FROM pc2 p JOIN ctx c USING (w1) JOIN cont ct USING (w2)
+              CROSS JOIN ty)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-log2(p_kn)), 6) AS avg_kn_surprisal_bits
+            FROM bg JOIN probs USING (bigram)
+            GROUP BY doc_id
         """,
     })

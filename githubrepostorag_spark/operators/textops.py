@@ -1148,6 +1148,86 @@ def interpolated_lm_surprisal(
     )
 
 
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_surprisal(
+    documents: DataFrame, discount: float = KN_DISCOUNT
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the LM ladder's final
+    rung (q92 unigram → q157 bigram → q219 Jelinek-Mercer → here):
+
+        p_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    with D = 0.75 (Chen & Goodman 1999's fixed absolute discount).
+    Unlike JM's frequency backoff, the continuation distribution
+    N1+(·,w2)/N1+(·,·) scores how many distinct CONTEXTS a word
+    follows — the standard n-gram quality-filter family (KenLM's
+    default). Per-document mean −log2 p over bigram positions;
+    documents with <2 tokens drop.
+
+    Scale shape (same plan family as q157/q219): ONE bigram explode
+    feeds everything; both KN-specific statistics are bounded
+    aggregates over the bigram-TYPE table (distinct-follower counts
+    per context, distinct-context counts per word — one groupBy each),
+    and the type table is checkpointed so its three consumers don't
+    replay the explode. All probability tables are vocabulary-bounded
+    joins; N1+(·,·) is one broadcast singleton.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    # bigram TYPE table — consumed by ctx stats, continuation stats,
+    # the type-total singleton, and the probability join
+    pc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .localCheckpoint(eager=False)
+    )
+    ctx = pc.groupBy("w1").agg(
+        F.sum("c_pair").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n_follow"),  # N1+(w1, ·)
+    )
+    cont = pc.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_prec")  # N1+(·, w2)
+    )
+    n_types = F.broadcast(pc.agg(F.count(F.lit(1)).alias("n_types")))
+    d = F.lit(discount)
+    prob = (
+        pc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(n_types)
+        .select(
+            "bigram",
+            (
+                F.greatest(F.col("c_pair") - d, F.lit(0.0)) / F.col("c_ctx")
+                + (d * F.col("n_follow") / F.col("c_ctx"))
+                * (F.col("n_prec") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+    return (
+        bg.join(prob, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("p_kn"))), 6).alias(
+                "avg_kn_surprisal_bits"
+            ),
+        )
+    )
+
+
 PMI_MIN_PAIR_DOCS = 5
 
 

@@ -2600,3 +2600,22 @@ def test_gopher_pass_filter_is_pure_filter(spark):
     assert out.columns == ["doc_id", "source", "text"]
     assert [r.doc_id for r in out.collect()] == [1]
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kneser_ney_surprisal_properties(spark):
+    """KN scoring: boilerplate repeated across docs scores lower
+    surprisal than a unique-vocabulary doc; sub-2-token docs drop; and
+    the per-context probability mass over SEEN bigrams stays < 1 (the
+    discount reserves mass for unseen continuations)."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    boiler = "the same boilerplate sentence repeated here "
+    rows = [(i, boiler) for i in range(5)]
+    rows.append((10, "entirely novel vocabulary appears once only today"))
+    rows.append((11, "solo"))  # 1 token -> no bigrams -> drops
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TO.kneser_ney_surprisal(docs).collect()}
+    assert 11 not in out
+    assert out[0].avg_kn_surprisal_bits < out[10].avg_kn_surprisal_bits
+    # every score is a valid -log2 of a probability in (0, 1]
+    assert all(r.avg_kn_surprisal_bits >= 0 for r in out.values())
