@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q222_chunk_near_dups",
     "q221_kneser_ney",
     "q220_gopher_rules",
     "q52_language_id",
@@ -810,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q221_kneser_ney": lambda sp, sf: TO.kneser_ney_surprisal(
+            t(sp, sf, "documents")
+        ),
+        "q222_chunk_near_dups": lambda sp, sf: DD.cdc_chunk_near_dups(
             t(sp, sf, "documents")
         ),
     })
@@ -5558,5 +5562,77 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-log2(p_kn)), 6) AS avg_kn_surprisal_bits
             FROM bg JOIN probs USING (bigram)
             GROUP BY doc_id
+        """,
+        # CDC-chunk near-dup (dedup.cdc_chunk_near_dups): q216's chunk
+        # CTE -> one rep per distinct content -> q23/q24's minhash/band
+        # machinery keyed on chunk_hash -> verified Jaccard pairs.
+        "q222_chunk_near_dups": f"""
+            WITH d AS (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                     length(text) - {TO.CDC_GRAM - 1} AS n_grams
+              FROM documents WHERE length(text) > 0),
+            st AS (
+              SELECT doc_id, text, n,
+                     list_concat([1], CASE WHEN n_grams >= 2 THEN
+                       list_filter(range(2, n_grams + 1),
+                         p -> CAST(('0x' || substr(md5(lower(substr(text,
+                                CAST(p AS INT), {TO.CDC_GRAM}))), 1, 15))
+                              AS BIGINT) % {TO.CDC_DIVISOR} = 0)
+                       ELSE [] END) AS starts
+              FROM d),
+            c AS (
+              SELECT doc_id, text, n, starts,
+                     generate_subscripts(starts, 1) AS i,
+                     unnest(starts) AS s
+              FROM st),
+            ch AS (
+              SELECT md5(substr(text, CAST(s AS INT),
+                         CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
+                       AS chunk_hash,
+                     substr(text, CAST(s AS INT),
+                            CAST(coalesce(starts[i + 1], n + 1) - s AS INT))
+                       AS chunk_text
+              FROM c),
+            reps AS (
+              SELECT chunk_hash AS doc_id, min(chunk_text) AS text,
+                     CAST(count(*) AS BIGINT) AS n_occ
+              FROM ch GROUP BY chunk_hash),
+            sh AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                   FROM reps),
+            hashed AS (SELECT doc_id, md5(shingle) || md5('1:' || shingle) AS hx
+                       FROM sh),
+            sigs AS (SELECT doc_id,
+                            {", ".join(
+                               f"min(substr(hx, {i * 8 + 1}, 8)) AS sig_{i}"
+                               for i in range(MINHASH_FUNCS)
+                            )}
+                     FROM hashed GROUP BY doc_id),
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sizes0 AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+            shared AS (
+              SELECT cd.doc_a, cd.doc_b, count(*) AS n_shared
+              FROM cand cd
+              JOIN sh a ON a.doc_id = cd.doc_a
+              JOIN sh b ON b.doc_id = cd.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.ns + sb.ns - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes0 sa ON sa.doc_id = s.doc_a
+              JOIN sizes0 sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.ns + sb.ns - s.n_shared), 6) >= 0.8)
+            SELECT p.doc_a AS hash_a, p.doc_b AS hash_b, p.jaccard,
+                   ra.n_occ AS n_occ_a, rb.n_occ AS n_occ_b
+            FROM pairs p
+            JOIN reps ra ON ra.doc_id = p.doc_a
+            JOIN reps rb ON rb.doc_id = p.doc_b
         """,
     })

@@ -991,3 +991,70 @@ def incremental_exact_dups(
         .filter(F.col("doc_id") != F.col("new_id"))
         .select("new_id", F.col("doc_id").alias("old_id"), "fp")
     )
+
+
+def cdc_chunk_near_dups(
+    documents: DataFrame, threshold: float = 0.8, n_bands: int = 2
+) -> DataFrame:
+    """Near-duplicate detection at CDC-chunk grain — the paragraph-
+    level dedup Lee et al. (2022) approximate and q90's fixed strides
+    scan for, made both EDIT-STABLE (content-defined boundaries, q216)
+    and TYPO-TOLERANT (MinHash/LSH + verified Jaccard, q23/q24's
+    machinery) in one composition.
+
+    Exact-duplicate chunks collapse FIRST: identical chunk_hash means
+    identical text, so each distinct content becomes one node carrying
+    its occurrence count — a 10x boilerplate flood grows n_occ, not
+    the LSH candidate space, which keeps every pairwise step bounded
+    by band collisions over DISTINCT contents (the same discipline as
+    jaccard_on_candidates; chunks shorter than the shingle width have
+    no shingles and drop out naturally).
+
+    Returns (hash_a, hash_b, jaccard, n_occ_a, n_occ_b): verified
+    near-dup pairs of distinct chunk contents with how often each
+    occurs corpus-wide — n_occ_a·n_occ_b is the cross-document reach
+    of each near-duplication, the number a chunk-store dedup pass
+    ranks its merge candidates by.
+    """
+    from githubrepostorag_spark.operators.textops import cdc_chunks
+
+    ch = cdc_chunks(documents).join(
+        documents.select("doc_id", "text"), "doc_id"
+    ).select(
+        "chunk_hash",
+        F.substr(
+            F.col("text"), F.col("start_pos"), F.col("chunk_len")
+        ).alias("chunk_text"),
+    )
+    # one node per distinct content (md5 determines the text, so
+    # min() is a deterministic pick of the single value)
+    reps = (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_text").alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .withColumnRenamed("chunk_hash", "doc_id")
+        .localCheckpoint(eager=False)  # feeds LSH chain AND both occ joins
+    )
+    pairs = jaccard_on_candidates(
+        reps.select("doc_id", "text"), threshold=threshold, n_bands=n_bands
+    )
+    occ = reps.select("doc_id", "n_occ")
+    return (
+        pairs.join(occ.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_occ", "n_occ_a")
+        .join(
+            occ.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_occ").alias("n_occ_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").alias("hash_a"),
+            F.col("doc_b").alias("hash_b"),
+            "jaccard",
+            "n_occ_a",
+            "n_occ_b",
+        )
+    )

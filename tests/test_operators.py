@@ -2619,3 +2619,31 @@ def test_kneser_ney_surprisal_properties(spark):
     assert out[0].avg_kn_surprisal_bits < out[10].avg_kn_surprisal_bits
     # every score is a valid -log2 of a probability in (0, 1]
     assert all(r.avg_kn_surprisal_bits >= 0 for r in out.values())
+
+
+def test_cdc_chunk_near_dups_finds_typo_variant(spark):
+    """Two documents share a long chunk differing by one character —
+    CDC boundaries keep the region aligned and the LSH+Jaccard verify
+    reports the chunk-content pair; exact-duplicate chunks collapse
+    into occurrence counts instead of pair rows."""
+    from githubrepostorag_spark.operators import dedup as DD
+
+    body = (
+        "shared paragraph about spark shuffle partitioning strategies "
+        "and broadcast joins that repeats across both documents nicely "
+        * 3
+    )
+    typo = body.replace("broadcast", "broadcst", 1)
+    rows = [
+        (1, "intro one\n" + body),
+        (2, "different intro\n" + body),   # exact chunk dup of doc 1's body
+        (3, "third intro\n" + typo),       # near-dup at chunk grain
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.cdc_chunk_near_dups(docs, threshold=0.5).collect()
+    # at least one verified near-dup content pair with sane fields
+    assert out, "expected at least one chunk-grain near-dup pair"
+    for r in out:
+        assert r.hash_a < r.hash_b
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.n_occ_a >= 1 and r.n_occ_b >= 1

@@ -437,3 +437,16 @@ def test_round4_incremental_knn_on_twin_flood(spark):
         .collect()
     )
     assert top and all(r.score == 1.0 for r in top)
+
+
+def test_round5_chunk_near_dups_scale_linearly(spark):
+    """q222 on the dup flood: exact-duplicate chunks collapse into one
+    rep per distinct content BEFORE the LSH chain, so a 10x flood of
+    exact copies grows occurrence counts — not the candidate pair
+    space — and wall-clock must stay ≈ linear."""
+    t1 = _run(DD.cdc_chunk_near_dups(_docs(spark, 1)))
+    t10 = _run(DD.cdc_chunk_near_dups(_docs(spark, REPLICAS)))
+    spark.catalog.clearCache()
+    assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+        f"chunk_near_dups superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+    )
