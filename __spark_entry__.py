@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q223_cdc_rolling",
     "q222_chunk_near_dups",
     "q221_kneser_ney",
     "q220_gopher_rules",
@@ -814,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q222_chunk_near_dups": lambda sp, sf: DD.cdc_chunk_near_dups(
+            t(sp, sf, "documents")
+        ),
+        "q223_cdc_rolling": lambda sp, sf: TO.cdc_chunks_rolling(
             t(sp, sf, "documents")
         ),
     })
@@ -5634,5 +5638,42 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN reps ra ON ra.doc_id = p.doc_a
             JOIN reps rb ON rb.doc_id = p.doc_b
+        """,
+        # Rolling-hash CDC (textops.cdc_chunks_rolling): the oracle
+        # computes the same integers via the DIRECT k-term polynomial
+        # per position — the engine's O(1) rolling update is exact
+        # modular arithmetic, so the derivations agree bit-for-bit.
+        "q223_cdc_rolling": f"""
+            WITH d AS (
+              SELECT doc_id, text, lower(text) AS lt,
+                     CAST(length(text) AS BIGINT) AS n,
+                     length(text) - {TO.CDC_GRAM - 1} AS n_grams
+              FROM documents WHERE length(text) > 0),
+            dc AS (
+              SELECT doc_id, text, n, n_grams,
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(ascii(substr(lt, CAST(i AS INT), 1)) AS BIGINT))
+                       AS codes
+              FROM d),
+            st AS (
+              SELECT doc_id, text, n,
+                     list_concat([1], CASE WHEN n_grams >= 2 THEN
+                       list_filter(range(2, n_grams + 1),
+                         p -> (((((((((((((((codes[p]) * 257 + codes[p + 1]) % 1000000007) * 257 + codes[p + 2]) % 1000000007) * 257 + codes[p + 3]) % 1000000007) * 257 + codes[p + 4]) % 1000000007) * 257 + codes[p + 5]) % 1000000007) * 257 + codes[p + 6]) % 1000000007) * 257 + codes[p + 7]) % 1000000007) % {TO.CDC_DIVISOR} = 0)
+                       ELSE [] END) AS starts
+              FROM dc),
+            c AS (
+              SELECT doc_id, text, n, starts,
+                     generate_subscripts(starts, 1) AS i,
+                     unnest(starts) AS s
+              FROM st)
+            SELECT doc_id,
+                   CAST(i - 1 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS start_pos,
+                   CAST(coalesce(starts[i + 1], n + 1) - s AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(s AS INT),
+                              CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
+                     AS chunk_hash
+            FROM c
         """,
     })

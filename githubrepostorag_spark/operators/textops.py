@@ -927,6 +927,14 @@ def cdc_chunks(
     gram_hash = lambda p: TXT.md5_bigint(
         F.lower(F.substr(F.col("text"), p, F.lit(k)))
     )
+    return _cdc_from_gram_hash(documents, k, divisor, gram_hash)
+
+
+def _cdc_from_gram_hash(
+    documents: DataFrame, k: int, divisor: int, gram_hash
+) -> DataFrame:
+    """Shared CDC chunk builder: `gram_hash(p)` scores the k-gram at
+    1-based position p; boundaries where hash ≡ 0 (mod divisor)."""
     n_grams = (F.length("text") - F.lit(k - 1)).alias("n_grams")
     base = documents.filter(F.length("text") > 0).select(
         "doc_id", "text", F.length("text").cast("long").alias("n"), n_grams
@@ -938,9 +946,15 @@ def cdc_chunks(
             lambda p: F.pmod(gram_hash(p), F.lit(divisor)) == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
-    with_starts = base.withColumn(
-        "starts", F.concat(F.array(F.lit(1)), starts_tail)
+    return _chunks_from_starts(
+        base.withColumn("starts", F.concat(F.array(F.lit(1)), starts_tail))
     )
+
+
+def _chunks_from_starts(with_starts: DataFrame) -> DataFrame:
+    """Chunk rows from (doc_id, text, n, starts): pair each boundary
+    with the next, posexplode, md5 the content — shared by every CDC
+    boundary scorer."""
     chunks = F.transform(
         F.col("starts"),
         lambda s, i: F.struct(
@@ -973,6 +987,104 @@ def cdc_chunks(
                 )
             ).alias("chunk_hash"),
         )
+    )
+
+
+CDC_POLY_BASE = 257
+CDC_POLY_MOD = 1_000_000_007
+
+
+def cdc_chunks_rolling(
+    documents: DataFrame, k: int = CDC_GRAM, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """CDC chunking with a TRUE ROLLING polynomial boundary hash
+    (Rabin-Karp family) instead of q216's md5-per-position: the k-gram
+    at position p scores
+
+        h(p) = ((…(c_p·B + c_{p+1})·B + …)·B + c_{p+k-1})  mod M
+
+    over lowercased code points (B=257, M=1e9+7), and h(p+1) derives
+    from h(p) in O(1):  h(p+1) = ((h(p) − c_p·B^{k−1}) · B + c_{p+k})
+    mod M — ONE multiply-add-mod per character for the whole scan,
+    vs a full md5 block round + hex slice per position. Boundary
+    geometry matches q216 (cut where h ≡ 0 mod divisor, expected chunk
+    ≈ divisor chars), so the variants differ only in WHERE they cut,
+    not in contract; chunk_hash stays md5-of-content (content
+    addressing needs the collision-resistant hash — only the boundary
+    scorer is cheap).
+
+    Construction notes (measured at sf0.1/local[32], starts-only):
+    - ONE interpreted `aggregate()` fold over (c_out, c_in) pairs
+      zipped once from the code-point array: 2.0 s — the shipped form.
+    - k−1 chained zip_with passes (O(n·k) with an array alloc per
+      pass): 7.2 s — interpreted-HOF boxing dominates.
+    - capturing substr(text, p+j) in a position-filter lambda:
+      re-evaluates per element AND pays UTF8String's O(p) char seek.
+    - q216's md5 filter for reference: 2.75 s.
+    Every intermediate stays < M·B < 2^39 in a long; boundary appends
+    are rare (≈ n/divisor), so the accumulator's starts array copies
+    stay negligible. The DuckDB oracle computes the same integers via
+    the direct k-term polynomial per position — the rolling update is
+    exact modular arithmetic, so the two derivations agree bit-for-bit
+    (pinned by a test against the direct form).
+    """
+    powk = pow(CDC_POLY_BASE, k - 1, CDC_POLY_MOD)
+    lt = F.lower(F.col("text"))
+    codes = F.transform(
+        F.when(F.length(lt) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(lt, "")
+        ),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    n_grams = F.length("text") - F.lit(k - 1)
+    # io[j] = (c_out, c_in) for the step to position j+2; zipped ONCE
+    # (both array args evaluate once per row), sliced to the real steps
+    io = F.slice(
+        F.zip_with(
+            codes,
+            F.slice(codes, k + 1, F.greatest(F.size(codes) - k, F.lit(0))),
+            lambda o, i: F.struct(o.alias("o"), i.alias("i")),
+        ),
+        1,
+        F.greatest(n_grams - 1, F.lit(0)),
+    )
+    h1 = F.aggregate(
+        F.slice(codes, 1, F.least(F.lit(k), F.size(codes))),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * CDC_POLY_BASE + c) % CDC_POLY_MOD,
+    )
+    acc0 = F.struct(
+        h1.alias("h"),
+        F.lit(1).cast("int").alias("p"),
+        F.array().cast("array<int>").alias("st"),
+    )
+
+    def step(a, e):
+        nh = F.pmod(
+            F.pmod(a["h"] - e["o"] * powk, CDC_POLY_MOD) * CDC_POLY_BASE
+            + e["i"],
+            CDC_POLY_MOD,
+        )
+        np_ = a["p"] + 1
+        return F.struct(
+            nh.alias("h"),
+            np_.alias("p"),
+            F.when(
+                F.pmod(nh, F.lit(divisor)) == 0,
+                F.concat(a["st"], F.array(np_)),
+            )
+            .otherwise(a["st"])
+            .alias("st"),
+        )
+
+    starts_tail = F.when(
+        n_grams >= 2, F.aggregate(io, acc0, step, lambda a: a["st"])
+    ).otherwise(F.array().cast("array<int>"))
+    base = documents.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").cast("long").alias("n")
+    )
+    return _chunks_from_starts(
+        base.withColumn("starts", F.concat(F.array(F.lit(1)), starts_tail))
     )
 
 

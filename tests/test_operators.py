@@ -2647,3 +2647,62 @@ def test_cdc_chunk_near_dups_finds_typo_variant(spark):
         assert r.hash_a < r.hash_b
         assert 0.5 <= r.jaccard <= 1.0
         assert r.n_occ_a >= 1 and r.n_occ_b >= 1
+
+
+def test_cdc_rolling_matches_python_reference(spark):
+    """The engine's O(1) rolling update must equal the direct k-term
+    polynomial — pinned against a pure-Python reference, including
+    non-ASCII text (both engines hash Unicode CODE POINTS)."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    B, M, k, div = (TO.CDC_POLY_BASE, TO.CDC_POLY_MOD,
+                    TO.CDC_GRAM, TO.CDC_DIVISOR)
+
+    def ref_starts(text):
+        lt = text.lower()
+        codes = [ord(c) for c in lt]
+        starts = [1]
+        n_grams = len(text) - (k - 1)
+        for p in range(2, n_grams + 1):
+            h = 0
+            for j in range(k):
+                h = (h * B + codes[p - 1 + j]) % M
+            if h % div == 0:
+                starts.append(p)
+        return starts
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 30,
+        "héllo wörld €uro sign ünïcode padding text " * 25,
+        "short",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in TO.cdc_chunks_rolling(docs).collect():
+        got.setdefault(r.doc_id, []).append(r.start_pos)
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == ref_starts(t), f"doc {i}"
+
+
+def test_cdc_rolling_edit_stable(spark):
+    """The CDC property under the rolling hash: an insertion near the
+    head changes only the chunks it touches — chunk hashes after the
+    edit point are preserved (fixed-size chunking would shift all)."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    # varied words so boundary grams occur (a short repeated phrase can
+    # legitimately contain no hash ≡ 0 gram and yield one giant chunk)
+    body = " ".join(f"word{i * 7919 % 10007}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX EDIT >>> " + body)],
+        "doc_id long, text string",
+    )
+    ch = TO.cdc_chunks_rolling(docs).collect()
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in ch if r.doc_id == 2}
+    shared = h1 & h2
+    assert len(h1) > 10  # boundaries actually formed
+    # most of doc 1's chunks survive the edit verbatim in doc 2
+    assert len(shared) >= len(h1) - 2, (len(h1), len(shared))
