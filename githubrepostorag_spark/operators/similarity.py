@@ -1387,17 +1387,25 @@ def incremental_knn(
     store = embeddings.filter(~is_new)
     batch = embeddings.filter(is_new)
     cents = _centroid_arrays(store)
-    sc = (
-        _assign_cells(store, cents)
-        .select("cell", "vec_id", "embedding")
-        .withColumn("is_new", F.lit(False))
+    sc = _assign_cells(store, cents).select("cell", "vec_id", "embedding")
+    bc = _assign_cells(batch, cents).select("cell", "vec_id", "embedding")
+    return incremental_knn_probe(sc, bc, k=k)
+
+
+def incremental_knn_probe(
+    store_cells: DataFrame, batch_cells: DataFrame, k: int = KNN_GRAPH_K
+) -> DataFrame:
+    """The probe kernel of `incremental_knn` on EXPLICIT cell-assigned
+    frames (cell, vec_id, embedding) — shared with the index-
+    maintenance plan, whose store already carries persisted cell
+    assignments (no re-assignment scan). Same per-cell batch×store
+    matmul + stable-argsort top-k and the same (score DESC, nbr_id)
+    tie discipline."""
+    import pandas as pd
+
+    cells = store_cells.withColumn("is_new", F.lit(False)).unionByName(
+        batch_cells.withColumn("is_new", F.lit(True))
     )
-    bc = (
-        _assign_cells(batch, cents)
-        .select("cell", "vec_id", "embedding")
-        .withColumn("is_new", F.lit(True))
-    )
-    cells = sc.unionByName(bc)
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -1,0 +1,178 @@
+"""IVF vector-store maintenance loop: append → probe → drift-check →
+(conditional) retrain+remap, composed end to end with an audit frame.
+
+This wires the two halves that existed separately — q207's incremental
+probe (batch scored through FROZEN store centroids, touching only the
+cells it lands in) and q99's centroid-drift monitor (the retrain
+trigger) — into the lifecycle a production vector store actually runs
+per ingest batch:
+
+    1. read the partitioned store (write_ivf_store layout: one parquet
+       directory per cell; rows carry prepared ve/vn)
+    2. derive the FROZEN per-cell centroids from the store
+    3. assign the batch to cells (broadcast centroids — the store
+       never shuffles) and probe each new vector's top-k store
+       neighbors (per-cell matmul, batch×cell-bounded)
+    4. append the batch rows to the store — cheap path: existing cell
+       directories are untouched, appended files land only in the
+       batch's cells
+    5. drift check: refit per-cell centroids over store+batch and
+       compare to frozen by cosine; if any cell drifts below the
+       threshold, RETRAIN + REMAP — refit label-seeded centroids over
+       the full corpus, reassign every row, rewrite the store
+       (the expensive path, taken only when the trigger fires)
+
+At 100 TB the cheap path is the every-batch cost: one broadcast-
+centroid scan of the batch + one shuffle on cell for the probe + an
+append of |batch| rows. The remap is a full rewrite by construction —
+which is exactly why the drift trigger, not the ingest cadence, must
+decide when it runs.
+
+Reference anchor: the reference's vector store re-embeds and rewrites
+wholesale per ingest (`cassandra_service.py:119-127`); the incremental
+append/remap split is the beyond-reference scale path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import vectors as V
+from githubrepostorag_spark.operators.similarity import (
+    _assign_cells,
+    incremental_knn_probe,
+    write_ivf_store,
+)
+
+DRIFT_COS_THRESHOLD = 0.995  # any cell below this triggers retrain+remap
+
+
+class MaintenanceResult(NamedTuple):
+    neighbors: DataFrame  # (vec_id, nbr_id, score, rk) — the batch probe
+    drift: DataFrame      # (cell, n_store, n_total, cos_frozen_refit)
+    audit: DataFrame      # (step, value, run_id)
+    remapped: bool
+
+
+def _cell_centroids(rows: DataFrame) -> DataFrame:
+    """(centroid_label, centroid) per cell from stored prepared rows —
+    the same 6dp-rounded mean discipline as _centroid_arrays, keyed on
+    the PERSISTED cell instead of the label seed."""
+    return (
+        rows.select("cell", F.posexplode("ve").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+        .select(F.col("cell").alias("centroid_label"), "centroid")
+    )
+
+
+def maintain_ivf_store(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = 10,
+    drift_cos_threshold: float = DRIFT_COS_THRESHOLD,
+    run_id: str = "maintenance",
+) -> MaintenanceResult:
+    """Run one maintenance cycle against the store at `path` with a
+    `batch` of (vec_id, label, embedding) rows. See module docstring.
+    """
+    store = spark.read.parquet(path)
+    n_store = store.count()
+
+    # --- frozen centroids + batch assignment (broadcast, no store shuffle)
+    frozen = _cell_centroids(store).localCheckpoint(eager=False)
+    assigned = _assign_cells(batch, frozen).localCheckpoint(eager=False)
+    n_batch = assigned.count()
+
+    # --- probe: top-k store neighbors per new vector (cell-bounded)
+    neighbors = incremental_knn_probe(
+        store.select("cell", "vec_id", F.col("ve").alias("embedding")),
+        assigned.select("cell", "vec_id", "embedding"),
+        k=k,
+    )
+
+    # --- append (cheap path): only the batch's cells gain files
+    appended = V.prepare(assigned, "embedding", "ve", "vn").select(
+        "vec_id", "label", "ve", "vn", "cell"
+    )
+    appended.write.mode("append").partitionBy("cell").parquet(path)
+    cells_touched = assigned.select("cell").distinct().count()
+
+    # --- drift: refit per-cell centroids over store+batch, cosine vs frozen
+    # The post-append state is the SNAPSHOT UNION store ∪ appended — never
+    # a re-read of `path`: two same-path scans in one plan canonicalize
+    # identically, so exchange reuse can silently serve the PRE-append
+    # listing to one of them (observed: n_total == n_store while the
+    # refit side saw the new files). The union also keeps the later
+    # remap from lazily re-scanning a path it is overwriting.
+    post = store.select("vec_id", "label", "ve", "vn", "cell").unionByName(
+        appended
+    )
+    refit = _cell_centroids(post)
+    fd = frozen.select(
+        F.col("centroid_label").alias("cell"), F.posexplode("centroid").alias("dim", "fv")
+    )
+    rd = refit.select(
+        F.col("centroid_label").alias("cell"), F.posexplode("centroid").alias("dim", "rv")
+    )
+    sizes = post.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    before = store.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_store")
+    )
+    drift = (
+        fd.join(rd, ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("fv") * F.col("rv")).alias("dot"),
+            F.sqrt(F.sum(F.col("fv") * F.col("fv"))).alias("nf"),
+            F.sqrt(F.sum(F.col("rv") * F.col("rv"))).alias("nr"),
+        )
+        .select(
+            "cell",
+            F.round(
+                F.col("dot") / F.nullif(F.col("nf") * F.col("nr"), F.lit(0.0)), 6
+            ).alias("cos_frozen_refit"),
+        )
+        .join(before, "cell", "left")
+        .join(sizes, "cell", "left")
+        .select("cell", "n_store", "n_total", "cos_frozen_refit")
+        .localCheckpoint(eager=False)
+    )
+    min_cos = drift.agg(F.min("cos_frozen_refit").alias("m")).collect()[0]["m"]
+    remapped = min_cos is not None and min_cos < drift_cos_threshold
+
+    # --- retrain + remap (expensive path, trigger-gated)
+    if remapped:
+        # pin every result that still reads the store's ORIGINAL files
+        # BEFORE the overwrite deletes them: the probe result is lazy
+        # and a caller consuming it post-remap would hit FILE_NOT_EXIST
+        neighbors = neighbors.localCheckpoint(eager=True)
+        full = post.select(
+            "vec_id", "label", F.col("ve").alias("embedding")
+        ).localCheckpoint(eager=True)
+        write_ivf_store(full, path)
+
+    audit = spark.createDataFrame(
+        [
+            ("n_store", float(n_store), run_id),
+            ("n_batch", float(n_batch), run_id),
+            ("cells_touched", float(cells_touched), run_id),
+            ("min_cell_cos", float(min_cos) if min_cos is not None else -1.0, run_id),
+            ("remapped", 1.0 if remapped else 0.0, run_id),
+        ],
+        "step string, value double, run_id string",
+    )
+    return MaintenanceResult(
+        neighbors=neighbors, drift=drift, audit=audit, remapped=remapped
+    )

@@ -514,3 +514,66 @@ def test_incremental_knn_broadcasts_centroids(spark):
     plan = plan_of(S.incremental_knn(emb, k=3))
     assert plan.count("BroadcastExchange") >= 2
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_ivf_maintenance_append_then_remap(spark, tmp_path):
+    """End-to-end IVF maintenance lifecycle: an in-distribution batch
+    takes the cheap path (append only — pre-existing cell files
+    untouched, remapped=False, probe finds the exact twins at cos 1),
+    then an out-of-distribution batch drifts a cell past the trigger
+    and the store is retrained + remapped (remapped=True)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.plans.index_maintenance import maintain_ivf_store
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "ivf")
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store_side = base.filter(F.col("vec_id") % 10 != 7)
+    write_ivf_store(store_side, path)
+    files_before = set(glob.glob(os.path.join(path, "cell=*", "*.parquet")))
+
+    # --- cheap path: exact twins of store vectors (ids shifted) ---
+    twins = store_side.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding"
+    )
+    res = maintain_ivf_store(
+        spark, path, twins, k=3, drift_cos_threshold=0.9, run_id="cheap"
+    )  # threshold calibrated for the tiny corpus: 20 twins over ~10
+    # 40-vector cells legitimately shift centroids to cos ~0.99
+    assert not res.remapped
+    audit = {r.step: r.value for r in res.audit.collect()}
+    assert audit["remapped"] == 0.0 and audit["n_batch"] == 20
+    # append-only: every pre-existing file still present
+    files_after = set(glob.glob(os.path.join(path, "cell=*", "*.parquet")))
+    assert files_before <= files_after and len(files_after) > len(files_before)
+    top = {r.vec_id: r for r in res.neighbors.filter(F.col("rk") == 1).collect()}
+    # a twin assigned to a different cell than its original misses it —
+    # the standard IVF recall edge (q115 prices it); the majority whose
+    # cell matches must see their exact twin at cosine 1.0
+    exact = sum(1 for r in top.values() if r.score == 1.0)
+    assert top and exact >= 0.7 * len(top), (exact, len(top))
+
+    # --- drift path: a flood of far-off vectors into one cell ---
+    dim = len(base.first()["embedding"])
+    skew = spark.range(300).select(
+        (F.col("id") + 2_000_000).alias("vec_id"),
+        F.lit(0).cast(base.schema["label"].dataType).alias("label"),
+        F.array(
+            *[F.lit(50.0 if j == 0 else -50.0) for j in range(dim)]
+        ).alias("embedding"),
+    )
+    res2 = maintain_ivf_store(
+        spark, path, skew, k=3, drift_cos_threshold=0.9, run_id="drift"
+    )
+    assert res2.remapped
+    audit2 = {r.step: r.value for r in res2.audit.collect()}
+    assert audit2["remapped"] == 1.0
+    assert audit2["min_cell_cos"] < 0.9
+    # the remapped store still serves: every original vector present
+    post = spark.read.parquet(path)
+    assert post.count() == store_side.count() + 20 + 300
