@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q224_cdc_rewrite",
     "q223_cdc_rolling",
     "q222_chunk_near_dups",
     "q221_kneser_ney",
@@ -818,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q223_cdc_rolling": lambda sp, sf: TO.cdc_chunks_rolling(
+            t(sp, sf, "documents")
+        ),
+        "q224_cdc_rewrite": lambda sp, sf: TO.cdc_dedup_rewrite(
             t(sp, sf, "documents")
         ),
     })
@@ -5675,5 +5679,54 @@ def oracle_sql() -> dict[str, str]:
                               CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
                      AS chunk_hash
             FROM c
+        """,
+        # Chunk-dedup rewrite (textops.cdc_dedup_rewrite): canonical
+        # occurrence = min(doc_id*1e5 + chunk_idx) per hash (integer,
+        # order-independent); reassembly = string_agg ordered by
+        # chunk_idx, compared via md5.
+        "q224_cdc_rewrite": f"""
+            WITH d AS (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                     length(text) - {TO.CDC_GRAM - 1} AS n_grams
+              FROM documents WHERE length(text) > 0),
+            st AS (
+              SELECT doc_id, text, n,
+                     list_concat([1], CASE WHEN n_grams >= 2 THEN
+                       list_filter(range(2, n_grams + 1),
+                         p -> CAST(('0x' || substr(md5(lower(substr(text,
+                                CAST(p AS INT), {TO.CDC_GRAM}))), 1, 15))
+                              AS BIGINT) % {TO.CDC_DIVISOR} = 0)
+                       ELSE [] END) AS starts
+              FROM d),
+            c AS (
+              SELECT doc_id, text, n, starts,
+                     generate_subscripts(starts, 1) AS i,
+                     unnest(starts) AS s
+              FROM st),
+            ch AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                     substr(text, CAST(s AS INT),
+                            CAST(coalesce(starts[i + 1], n + 1) - s AS INT))
+                       AS chunk_text,
+                     md5(substr(text, CAST(s AS INT),
+                                CAST(coalesce(starts[i + 1], n + 1) - s AS INT)))
+                       AS chunk_hash,
+                     doc_id * 100000 + CAST(i - 1 AS BIGINT) AS occ_key
+              FROM c),
+            canon AS (SELECT chunk_hash, min(occ_key) AS canon_key
+                      FROM ch GROUP BY chunk_hash),
+            kept AS (
+              SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+                     ch.occ_key = cn.canon_key AS keep
+              FROM ch JOIN canon cn USING (chunk_hash))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(length(string_agg(CASE WHEN keep THEN chunk_text
+                                               ELSE '' END, ''
+                                          ORDER BY chunk_idx)) AS BIGINT) AS new_len,
+                   md5(string_agg(CASE WHEN keep THEN chunk_text ELSE '' END,
+                                  '' ORDER BY chunk_idx)) AS new_md5
+            FROM kept GROUP BY doc_id
         """,
     })

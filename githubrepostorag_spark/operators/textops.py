@@ -2355,3 +2355,68 @@ def gopher_quality_battery(documents: DataFrame) -> DataFrame:
             "flag_rate"
         ),
     )
+
+
+def cdc_dedup_rewrite(documents: DataFrame) -> DataFrame:
+    """The TRANSFORM half of chunk-grain dedup (q216 detects, this
+    rewrites — the q89→q184 / q70→q197 detect→transform pattern at
+    paragraph grain): every duplicated CDC chunk keeps its FIRST
+    corpus occurrence (min (doc_id, chunk_idx)) and is deleted from
+    every other document, then each document is rebuilt from its
+    surviving chunks in order — Lee et al. 2022's "deduplicate the
+    repeated passage, not the whole document", made edit-stable by
+    the content-defined boundaries.
+
+    Scale shape: the shuffle-free chunk stream, ONE map-side-combined
+    groupBy(chunk_hash) computing the canonical occurrence as
+    min(doc_id·10⁵ + chunk_idx) (an order-independent integer min —
+    never a window over a hot hash), a join back on chunk_hash, and
+    one groupBy(doc_id) reassembly (array_sort by chunk_idx +
+    array_join — order-preserving, the q184 discipline). Emits
+    narrow audit columns plus md5(new_text) so the oracle compares
+    rebuilt content without shipping it.
+    """
+    ch = (
+        cdc_chunks(documents)
+        .join(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_hash",
+            F.substr(
+                F.col("text"), F.col("start_pos"), F.col("chunk_len")
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "occ_key", F.col("doc_id") * 100_000 + F.col("chunk_idx")
+        )
+    )
+    canon = ch.groupBy("chunk_hash").agg(F.min("occ_key").alias("canon_key"))
+    kept = ch.join(canon, "chunk_hash").withColumn(
+        "keep", F.col("occ_key") == F.col("canon_key")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "",
+        ).alias("new_text"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length("new_text").cast("long").alias("new_len"),
+        F.md5("new_text").alias("new_md5"),
+    )

@@ -2706,3 +2706,31 @@ def test_cdc_rolling_edit_stable(spark):
     assert len(h1) > 10  # boundaries actually formed
     # most of doc 1's chunks survive the edit verbatim in doc 2
     assert len(shared) >= len(h1) - 2, (len(h1), len(shared))
+
+
+def test_cdc_dedup_rewrite_keeps_first_occurrence(spark):
+    """Paragraph-dedup rewrite: the canonical (first) occurrence of a
+    duplicated chunk survives, later occurrences are deleted, and a
+    document with no duplicated chunks rebuilds to its original text
+    byte-for-byte (reassembly is order-preserving)."""
+    import hashlib
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    body = " ".join(f"tok{i * 31 % 977}" for i in range(300))
+    unique = " ".join(f"only{i * 17 % 991}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body + " trailing extra tail"), (3, unique)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TO.cdc_dedup_rewrite(docs).collect()}
+    # doc 1 is canonical for every shared chunk: nothing deleted
+    assert out[1].n_kept == out[1].n_chunks
+    assert out[1].new_md5 == hashlib.md5(body.encode()).hexdigest()
+    # doc 2 shares doc 1's chunks: most are deleted, only the edited
+    # tail region survives
+    assert out[2].n_kept < out[2].n_chunks
+    assert out[2].new_len < len(body)
+    # doc 3 shares nothing: identity rebuild
+    assert out[3].n_kept == out[3].n_chunks
+    assert out[3].new_md5 == hashlib.md5(unique.encode()).hexdigest()
