@@ -44,6 +44,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Full-surface coverage is still guaranteed by tools/check_parity.py
 # (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
 _ROTATION_HEAD = [
+    "q225_c4_filter",
     "q224_cdc_rewrite",
     "q223_cdc_rolling",
     "q222_chunk_near_dups",
@@ -822,6 +823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q224_cdc_rewrite": lambda sp, sf: TO.cdc_dedup_rewrite(
+            t(sp, sf, "documents")
+        ),
+        "q225_c4_filter": lambda sp, sf: TO.c4_line_filter(
             t(sp, sf, "documents")
         ),
     })
@@ -5728,5 +5732,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CASE WHEN keep THEN chunk_text ELSE '' END,
                                   '' ORDER BY chunk_idx)) AS new_md5
             FROM kept GROUP BY doc_id
+        """,
+        # C4 line/page filter (textops.c4_line_filter): integer-exact
+        # rules; rebuilt text compared via md5 + length.
+        "q225_c4_filter": f"""
+            WITH x AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                       l -> right(rtrim(l), 1) IN ('.', '!', '?', '"', '''')
+                            AND len(CASE WHEN length(trim(l)) = 0
+                                    THEN []::VARCHAR[]
+                                    ELSE string_split_regex(trim(l), '\\s+') END)
+                                >= {TO.C4_MIN_LINE_WORDS}) AS kept,
+                     CAST((length(text) - length(replace(text, '.', '')))
+                        + (length(text) - length(replace(text, '!', '')))
+                        + (length(text) - length(replace(text, '?', '')))
+                          AS BIGINT) AS n_sent
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   n_sent AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{{') AS has_brace,
+                   n_sent < {TO.C4_MIN_SENTENCES} AS few_sentences,
+                   NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(text, '{{')
+                     AND n_sent >= {TO.C4_MIN_SENTENCES} AS page_keep,
+                   CAST(length(coalesce(list_aggregate(kept, 'string_agg',
+                                chr(10)), '')) AS BIGINT) AS new_len,
+                   md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)),
+                       '')) AS new_md5
+            FROM x
         """,
     })

@@ -2420,3 +2420,62 @@ def cdc_dedup_rewrite(documents: DataFrame) -> DataFrame:
         F.length("new_text").cast("long").alias("new_len"),
         F.md5("new_text").alias("new_md5"),
     )
+
+
+C4_TERMINALS = (".", "!", "?", '"', "'")
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_line_filter(documents: DataFrame) -> DataFrame:
+    """C4's cleaning pass (Raffel et al. 2020 §2.2) as a single-scan
+    line-level TRANSFORM plus page-level flags — the companion to
+    q220's doc-level Gopher battery on the heuristic-quality shelf:
+
+    - line rule: keep only lines ending in terminal punctuation with
+      ≥ 3 words; the document rebuilds from surviving lines
+    - page rules: flag pages containing 'lorem ipsum', a curly brace
+      (code/markup leak), or fewer than 5 sentences (terminal-mark
+      count) — page_keep is the AND of the three
+
+    Everything is column expressions over one scan (one line split,
+    shared by the filter and the counts); thresholds are integer
+    comparisons and the rebuilt text ships as md5 + length, so the
+    oracle compares content without hauling it.
+    """
+    t = F.col("text")
+    lines = F.split(t, "\n", -1)
+    keep_line = lambda l: (
+        F.right(F.rtrim(l), F.lit(1)).isin(*C4_TERMINALS)
+        & (
+            F.size(
+                F.when(
+                    F.length(F.trim(l)) == 0, F.array().cast("array<string>")
+                ).otherwise(F.split(F.trim(l), r"\s+"))
+            )
+            >= C4_MIN_LINE_WORDS
+        )
+    )
+    kept = F.filter(lines, keep_line)
+    n_sent = (
+        (F.length(t) - F.length(F.replace(t, F.lit("."), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("!"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("?"), F.lit(""))))
+    ).cast("long")
+    new_text = F.array_join(kept, "\n")
+    return documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+        (n_sent < C4_MIN_SENTENCES).alias("few_sentences"),
+        (
+            ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+            & ~F.contains(t, F.lit("{"))
+            & (n_sent >= C4_MIN_SENTENCES)
+        ).alias("page_keep"),
+        F.length(new_text).cast("long").alias("new_len"),
+        F.md5(new_text).alias("new_md5"),
+    )

@@ -2734,3 +2734,40 @@ def test_cdc_dedup_rewrite_keeps_first_occurrence(spark):
     # doc 3 shares nothing: identity rebuild
     assert out[3].n_kept == out[3].n_chunks
     assert out[3].new_md5 == hashlib.md5(unique.encode()).hexdigest()
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 pass: terminal-punctuation + min-words line rule rebuilds
+    the text from surviving lines; page flags trip on lorem ipsum,
+    braces, and too few sentences."""
+    import hashlib
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    good = ("This is a proper sentence ending well.\n"
+            "Another line that also ends with punctuation!\n"
+            "A fifth sentence keeps the page rule satisfied.\n"
+            "Too short.\n"                      # < 3 words -> dropped
+            "no terminal punctuation here\n"    # dropped
+            "A question mark line counts too?")
+    rows = [
+        (1, good),
+        (2, "Some text with lorem ipsum inside. And more. Even more. "
+            "Again more. And a fifth one."),
+        (3, "function() { return 1; }. Sentence two. Three. Four. Five."),
+        (4, "One sentence only."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TO.c4_line_filter(docs).collect()}
+    expected = "\n".join([
+        "This is a proper sentence ending well.",
+        "Another line that also ends with punctuation!",
+        "A fifth sentence keeps the page rule satisfied.",
+        "A question mark line counts too?",
+    ])
+    assert out[1].n_kept_lines == 4 and out[1].n_lines == 6
+    assert out[1].new_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert out[1].page_keep
+    assert out[2].has_lorem and not out[2].page_keep
+    assert out[3].has_brace and not out[3].page_keep
+    assert out[4].few_sentences and not out[4].page_keep
