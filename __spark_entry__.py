@@ -4492,7 +4492,8 @@ def oracle_sql() -> dict[str, str]:
                   JOIN documents da ON da.doc_id = v.doc_a
                   JOIN documents db ON db.doc_id = v.doc_b)
             SELECT source_a, source_b, count(*) AS n_pairs,
-                   round(avg(jaccard), 6) AS avg_jaccard,
+                   floor(sum(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT))
+                         / count(*) + 0.5) / 1e6 AS avg_jaccard,
                    source_a <> source_b AS cross_source
             FROM m GROUP BY 1, 2
         """,

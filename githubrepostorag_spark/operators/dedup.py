@@ -845,10 +845,19 @@ def cross_source_leakage(documents: DataFrame, n_bands: int = 2) -> DataFrame:
             F.greatest("src_a", "src_b").alias("source_b"),
             "jaccard",
         )
+        .withColumn(
+            # 6dp-quantized jaccard summed as exact 1e-6-unit integers:
+            # avg() over the doubles flips at 6dp .5 boundaries with
+            # partial-aggregation order (the q206/q209 class)
+            "j6",
+            F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long"),
+        )
         .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            (
+                F.floor(F.sum("j6") / F.count(F.lit(1)) + 0.5) / 1e6
+            ).alias("avg_jaccard"),
         )
         .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
     )
