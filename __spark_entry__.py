@@ -1026,7 +1026,10 @@ def _epoch_docs_ctes(stop_list: str) -> str:
                        AS quality
               FROM x
             ), ps AS (
-              SELECT source, round(avg(quality), 4) AS mean_q FROM q GROUP BY 1
+              SELECT source,
+                     floor(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT))
+                           / count(*) + 0.5) / 1e4 AS mean_q
+              FROM q GROUP BY 1
             ), ps2 AS (
               SELECT source, mean_q,
                      CAST(floor(1.0 + 3 * mean_q) AS BIGINT) AS full_epochs,

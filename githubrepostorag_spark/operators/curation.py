@@ -1010,10 +1010,16 @@ def epoch_upsample(documents: DataFrame) -> DataFrame:
     — the output stream is written once, never shuffled; copies carry
     an `epoch` index so a dataloader can phase them.
     """
-    q = TXT.quality_score(F.col("text"))
+    # quality is 4dp-quantized: sum as exact 1e-4-unit integers so the
+    # mean is ORDER-INDEPENDENT (avg() over the doubles flips at 4dp
+    # .5 boundaries with partial-aggregation order — and floor(1+3·q)
+    # below would amplify a 1e-4 flip into a whole extra epoch)
+    q4 = F.floor(TXT.quality_score(F.col("text")) * 1e4 + 0.5).cast("long")
     per_source = (
         documents.groupBy("source")
-        .agg(F.round(F.avg(q), 4).alias("mean_q"))
+        .agg(
+            (F.floor(F.sum(q4) / F.count(F.lit(1)) + 0.5) / 1e4).alias("mean_q")
+        )
         .select(
             "source",
             "mean_q",
