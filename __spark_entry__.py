@@ -39,10 +39,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 recorded q01-q51 plus the round-3/4 additions
-# (q153+, q184-q219), so round 5 rotates in the oldest never-recorded block
-# (q52_language_id .. q101_doc_communities) plus this round's new operators.
-# Full-surface coverage is still guaranteed by tools/check_parity.py
-# (219/219 committed at sf0.01 + sf0.1, PARITY_LOCAL_r04 / PARITY_SF0.1_r04).
+# (q153+, q184-q219), so round 5 leads with its 6 new operators (q220-q225)
+# followed by the oldest never-recorded block (q52_language_id ..), giving 50
+# first-time driver recordings.  Full-surface coverage is still guaranteed by
+# tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
+# PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
     "q225_c4_filter",
     "q224_cdc_rewrite",
