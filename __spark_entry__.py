@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q226_doc_hits",
     "q225_c4_filter",
     "q224_cdc_rewrite",
     "q223_cdc_rolling",
@@ -829,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_c4_filter": lambda sp, sf: TO.c4_line_filter(
             t(sp, sf, "documents")
         ),
+        "q226_doc_hits": lambda sp, sf: G.doc_hits(t(sp, sf, "documents")),
     })
 
 
@@ -1082,6 +1084,71 @@ def _kcore_sql(k: int, rounds: int) -> str:
                    CAST(coalesce(fd.degree, 0) AS BIGINT) AS degree,
                    coalesce(fd.degree, 0) >= {k} AS in_core
             FROM allnodes n LEFT JOIN fd USING (node)"""
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS over the ORIENTED LSH candidate graph (mirror of
+    graph.doc_hits): candidate CTE + unrolled hub/authority rounds in
+    exact integer 1e-10 units — every aggregate is a BIGINT sum, so
+    the oracle is order-independent by construction.
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB otherwise
+    INLINES CTEs, and the per-round double references (state feeding
+    both the next accumulation and the norm) would re-expand the
+    whole minhash chain 2^rounds times (observed as an fd-exhaustion
+    blowup before materialization was pinned)."""
+    ctes = [
+        f"""bands AS MATERIALIZED ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM cand
+              UNION ALL SELECT dst FROM cand)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            s0 AS MATERIALIZED (SELECT node,
+                          CAST(floor(1e10 / nn.n + 0.5) AS BIGINT) AS auth_u,
+                          CAST(floor(1e10 / nn.n + 0.5) AS BIGINT) AS hub_u
+                   FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""asum{i} AS (
+              SELECT e.dst AS node, sum(s.hub_u) AS s
+              FROM cand e JOIN s{i - 1} s ON s.node = e.src GROUP BY e.dst),
+            af{i} AS MATERIALIZED (SELECT n.node, coalesce(a.s, 0) AS s
+                      FROM nodes n LEFT JOIN asum{i} a USING (node)),
+            an{i} AS (SELECT sum(s) AS norm FROM af{i}),
+            au{i} AS MATERIALIZED (SELECT node,
+                             CASE WHEN norm > 0 THEN CAST(floor(
+                               CAST(s AS DOUBLE) * 1e10 / norm + 0.5) AS BIGINT)
+                             ELSE 0 END AS auth_u
+                      FROM af{i} CROSS JOIN an{i}),
+            hsum{i} AS (
+              SELECT e.src AS node, sum(a.auth_u) AS s
+              FROM cand e JOIN au{i} a ON a.node = e.dst GROUP BY e.src),
+            hf{i} AS MATERIALIZED (SELECT n.node, coalesce(h.s, 0) AS s
+                      FROM nodes n LEFT JOIN hsum{i} h USING (node)),
+            hn{i} AS (SELECT sum(s) AS norm FROM hf{i}),
+            hu{i} AS (SELECT node,
+                             CASE WHEN norm > 0 THEN CAST(floor(
+                               CAST(s AS DOUBLE) * 1e10 / norm + 0.5) AS BIGINT)
+                             ELSE 0 END AS hub_u
+                      FROM hf{i} CROSS JOIN hn{i}),
+            s{i} AS MATERIALIZED (SELECT au.node, au.auth_u, hu.hub_u
+                     FROM au{i} au JOIN hu{i} hu USING (node))"""
+        )
+    return (
+        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
+        + ",\n".join(ctes)
+        + f"""
+            SELECT node AS doc_id,
+                   floor(auth_u / 1e4 + 0.5) / 1e6 AS authority,
+                   floor(hub_u / 1e4 + 0.5) / 1e6 AS hub
+            FROM s{iters}"""
     )
 
 
@@ -5771,4 +5838,7 @@ def oracle_sql() -> dict[str, str]:
                        '')) AS new_md5
             FROM x
         """,
+        # HITS hubs/authorities over the oriented LSH candidate graph
+        # (graph.doc_hits): exact integer-unit rounds, unrolled.
+        "q226_doc_hits": _hits_sql(G.HITS_ITERS),
     })

@@ -466,6 +466,185 @@ def supply_bfs_distances(
     return reached
 
 
+HITS_ITERS = 4
+# 1e10 fixed-point units for hub/authority state (see hits()).
+HITS_UNIT = 1e10
+# Driver cost per collected edge for the HITS fast path: two int64
+# columns through Arrow plus the numpy index arrays (same shape as
+# the pagerank collector).
+HITS_EDGE_BYTES = 100
+
+
+def _hits_driver(e: DataFrame, iters: int) -> DataFrame:
+    """HITS power iterations over a BOUNDED collected edge list —
+    identical output contract to the distributed loop (node set =
+    src ∪ dst, L1 normalization, exact integer-unit state). Integer
+    accumulation via np.add.at keeps every sum exact, so this path is
+    bit-identical to the distributed BIGINT aggregates."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    src_v = pdf["src"].to_numpy()
+    dst_v = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
+    si, di = inv[: len(src_v)], inv[len(src_v):]
+    n = len(nodes)
+    if n == 0:
+        return e.sparkSession.createDataFrame(
+            [], "node long, authority double, hub double"
+        )
+    unit0 = int(np.floor(HITS_UNIT / n + 0.5))
+    auth = np.full(n, unit0, dtype="int64")
+    hub = np.full(n, unit0, dtype="int64")
+    for _ in range(iters):
+        a_sum = np.zeros(n, dtype="int64")
+        np.add.at(a_sum, di, hub[si])
+        norm_a = int(a_sum.sum())
+        auth = (
+            np.floor(a_sum.astype("float64") * HITS_UNIT / norm_a + 0.5)
+            .astype("int64")
+            if norm_a > 0
+            else np.zeros(n, dtype="int64")
+        )
+        h_sum = np.zeros(n, dtype="int64")
+        np.add.at(h_sum, si, auth[di])
+        norm_h = int(h_sum.sum())
+        hub = (
+            np.floor(h_sum.astype("float64") * HITS_UNIT / norm_h + 0.5)
+            .astype("int64")
+            if norm_h > 0
+            else np.zeros(n, dtype="int64")
+        )
+    rows = [
+        (
+            int(nd),
+            float(np.floor(a / 1e4 + 0.5) / 1e6),
+            float(np.floor(h / 1e4 + 0.5) / 1e6),
+        )
+        for nd, a, h in zip(nodes, auth, hub)
+    ]
+    return e.sparkSession.createDataFrame(
+        rows, "node long, authority double, hub double"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+    small_graph_edges: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED edge list:
+    authority(v) accumulates hub mass over in-edges, hub(u) accumulates
+    the fresh authority mass over out-edges, each vector L1-normalized
+    per round. Returns (node, authority, hub) rounded to 6dp.
+
+    Determinism is STRONGER than the pagerank convention: hub/authority
+    state lives as exact integer 1e-10 units (BIGINT), so every
+    per-round aggregate — the in/out-edge accumulations AND the L1
+    norms — is an order-independent integer sum; the only floating
+    arithmetic is `floor(sum·1e10/norm + 0.5)` over exact integer
+    operands, which both engines evaluate identically. No
+    summation-order knife edges by construction. L1 (sum) rather than
+    L2 normalization keeps the oracle sqrt-free; the ranking is
+    identical either way.
+
+    Plan shape per round: two edge-to-state joins + two groupBys (the
+    Pregel pair), with the two L1 norms as broadcast singleton
+    aggregates over already-reduced per-node sums. Degrees never
+    materialize. Same bounded-size driver fast path discipline as
+    `pagerank`: the edge list is checkpointed (each round re-reads
+    it), counted, and below the memory-derived bound the identical
+    integer-unit iterations run as numpy kernels.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if small_graph_edges is None:
+        small_graph_edges = driver_bound_rows(
+            edges.sparkSession, bytes_per_row=HITS_EDGE_BYTES
+        )
+    e = e.localCheckpoint(eager=True)
+    from pyspark.sql.types import IntegerType, LongType
+
+    integral_ids = all(
+        isinstance(e.schema[c].dataType, (LongType, IntegerType))
+        for c in ("src", "dst")
+    )
+    if integral_ids and e.count() <= small_graph_edges:
+        return _hits_driver(e, iters)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    unit0 = F.floor(F.lit(HITS_UNIT) / F.col("n") + 0.5).cast("long")
+    state = nodes.crossJoin(nn).select(
+        "node", unit0.alias("auth_u"), unit0.alias("hub_u")
+    )
+
+    def _renorm(sums: DataFrame, col: str) -> DataFrame:
+        """floor(sum·1e10/norm + 0.5) over exact BIGINT operands; the
+        norm rides in as ONE broadcast singleton."""
+        norm = F.broadcast(sums.agg(F.sum(col).alias("norm")))
+        return sums.crossJoin(norm).select(
+            "node",
+            F.when(F.col("norm") > 0,
+                   F.floor(F.col(col).cast("double") * HITS_UNIT
+                           / F.col("norm") + 0.5).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias(col),
+        )
+
+    for _ in range(iters):
+        a_sum = (
+            e.join(state.select(F.col("node").alias("src"), "hub_u"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_u").alias("s"))
+        )
+        a_full = (
+            nodes.join(a_sum, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+        )
+        auth = _renorm(a_full, "s").withColumnRenamed("s", "auth_u")
+        h_sum = (
+            e.join(auth.select(F.col("node").alias("dst"),
+                               F.col("auth_u")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_u").alias("s"))
+        )
+        h_full = (
+            nodes.join(h_sum, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+        )
+        hub = _renorm(h_full, "s").withColumnRenamed("s", "hub_u")
+        state = (
+            auth.join(hub, "node").localCheckpoint(eager=True)
+        )  # lineage doubles per round otherwise
+    return state.select(
+        "node",
+        (F.floor(F.col("auth_u") / 1e4 + 0.5) / 1e6).alias("authority"),
+        (F.floor(F.col("hub_u") / 1e4 + 0.5) / 1e6).alias("hub"),
+    )
+
+
+def doc_hits(documents: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS over the ORIENTED LSH near-dup candidate graph (doc_a <
+    doc_b, i.e. earlier document → later near-duplicate): authorities
+    are late documents that many earlier ones anticipate (accreting
+    boilerplate sinks), hubs are early documents whose content fans out
+    into many later near-dups (template sources) — the directional
+    complement of doc_pagerank's undirected centrality. Candidates are
+    checkpointed inside hits() so the minhash chain runs once."""
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents, n_bands=2)
+    return hits(cand, iters=iters, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "authority", "hub"
+    )
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 4
 

@@ -2771,3 +2771,41 @@ def test_c4_line_filter_rules(spark):
     assert out[2].has_lorem and not out[2].page_keep
     assert out[3].has_brace and not out[3].page_keep
     assert out[4].few_sentences and not out[4].page_keep
+
+
+def test_hits_star_graph_hub_authority_split(spark):
+    from githubrepostorag_spark.operators import graph as G
+
+    # directed star: 0 -> each spoke 1..5.  Node 0 is the only hub
+    # (all authority mass flows from it), spokes are equal authorities
+    # with zero hub score; node 0 has zero authority (no in-edges).
+    edges = spark.createDataFrame(
+        [(0, s) for s in range(1, 6)], "src long, dst long"
+    )
+    got = {r.node: (r.authority, r.hub) for r in G.hits(edges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0][0] == 0.0 and got[0][1] == 1.0  # pure hub
+    spoke_auths = {got[s][0] for s in range(1, 6)}
+    spoke_hubs = {got[s][1] for s in range(1, 6)}
+    assert spoke_hubs == {0.0}
+    assert len(spoke_auths) == 1  # symmetry: all spokes equal
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-5  # L1 norm
+
+
+def test_hits_driver_path_matches_distributed(spark):
+    """The count-guarded driver fast path must reproduce the
+    distributed integer-unit loop bit-for-bit (both paths are exact
+    integer sums, so equality is literal, not approximate)."""
+    from githubrepostorag_spark.operators import graph as G
+
+    # asymmetric: 0 and 3 both point at 1; 1 points at 2; 2 back at 0.
+    rows = [(0, 1), (3, 1), (1, 2), (2, 0)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    fast = {r.node: (r.authority, r.hub) for r in G.hits(edges).collect()}
+    dist = {
+        r.node: (r.authority, r.hub)
+        for r in G.hits(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    # 1 is the dominant authority (two in-edges), its pointers share hub
+    assert max(fast, key=lambda n: fast[n][0]) == 1
