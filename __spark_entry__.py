@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q227_stupid_backoff",
     "q226_doc_hits",
     "q225_c4_filter",
     "q224_cdc_rewrite",
@@ -831,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q226_doc_hits": lambda sp, sf: G.doc_hits(t(sp, sf, "documents")),
+        "q227_stupid_backoff": lambda sp, sf: TO.stupid_backoff_surprisal(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -5841,4 +5845,35 @@ def oracle_sql() -> dict[str, str]:
         # HITS hubs/authorities over the oriented LSH candidate graph
         # (graph.doc_hits): exact integer-unit rounds, unrolled.
         "q226_doc_hits": _hits_sql(G.HITS_ITERS),
+        # Count-pruned Stupid Backoff LM (textops.stupid_backoff_surprisal):
+        # pruned bigram table + α·p_uni backoff, unpruned context totals.
+        "q227_stupid_backoff": rf"""
+            WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+                   FROM toks),
+            bg2 AS (SELECT doc_id, bigram, split_part(bigram, ' ', 2) AS w2 FROM bg),
+            pc AS (SELECT bigram, count(*) AS c_pair FROM bg GROUP BY 1),
+            cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_pair) AS c_ctx
+                   FROM pc GROUP BY 1),
+            probs AS (SELECT bigram, c_pair / CAST(c_ctx AS DOUBLE) AS p_bi
+                      FROM pc JOIN cc ON split_part(pc.bigram, ' ', 1) = cc.w1
+                      WHERE c_pair >= {TO.SB_MIN_COUNT}),
+            u AS (SELECT unnest(t) AS w2 FROM toks),
+            uc AS (SELECT w2, count(*) AS c_uni FROM u GROUP BY 1),
+            tot AS (SELECT sum(c_uni) AS total FROM uc),
+            pu AS (SELECT w2, c_uni / CAST(total AS DOUBLE) AS p_uni
+                   FROM uc CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN p_bi IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_backoff,
+                   round(avg(-log2(coalesce(p_bi, {TO.SB_ALPHA} * p_uni))), 6)
+                     AS avg_sb_surprisal_bits
+            FROM bg2 LEFT JOIN probs USING (bigram) JOIN pu USING (w2)
+            GROUP BY doc_id
+        """,
     })

@@ -1260,6 +1260,79 @@ def interpolated_lm_surprisal(
     )
 
 
+SB_MIN_COUNT = 2  # bigram count cutoff (SRILM/KenLM-style pruning)
+SB_ALPHA = 0.4  # Brants et al. 2007's fixed backoff penalty
+
+
+def stupid_backoff_surprisal(
+    documents: DataFrame,
+    min_count: int = SB_MIN_COUNT,
+    alpha: float = SB_ALPHA,
+) -> DataFrame:
+    """Count-pruned Stupid Backoff scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the LM-pruning rung of
+    the perplexity ladder: bigrams below `min_count` are PRUNED from
+    the model, and a pruned position backs off to α·p_unigram with NO
+    renormalization. Stupid Backoff is exactly the model family built
+    for this engine's regime — trained on web-scale corpora where a
+    normalized Katz/KN table is too expensive to renormalize after
+    pruning — and the score it yields is what a 100 TB pipeline uses
+    for cheap fluency filtering. Returns per-document (n_bigrams,
+    n_backoff, avg_sb_surprisal_bits); documents with <2 tokens drop
+    (no bigram positions), matching the other LM rungs.
+
+    Scale shape: ONE bigram explode feeds the pair counts, the context
+    counts and the per-doc scores (same plan as q219/q221); pruning is
+    a filter on the already-reduced pair-count table, so the model
+    join SHRINKS with the cutoff — the whole point of pruning at 100
+    TB. Context totals use the UNPRUNED counts (Brants' denominator).
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+    )
+    pair_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx_counts = (
+        pair_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"))
+    )
+    kept = pair_counts.filter(F.col("c_pair") >= min_count)
+    p_bi = (
+        kept.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(ctx_counts, "w1")
+        .select("bigram", (F.col("c_pair") / F.col("c_ctx")).alias("p_bi"))
+    )
+    uni = (
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select(F.explode(toks).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    total = uni.agg(F.sum("c_uni").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "w2", (F.col("c_uni") / F.col("total")).alias("p_uni")
+    )
+    score = F.coalesce(F.col("p_bi"), F.lit(alpha) * F.col("p_uni"))
+    return (
+        bg.join(p_bi, "bigram", "left")
+        .join(F.broadcast(p_uni), "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("p_bi").isNull().cast("long")).alias("n_backoff"),
+            F.round(F.avg(-F.log2(score)), 6).alias("avg_sb_surprisal_bits"),
+        )
+    )
+
+
 KN_DISCOUNT = 0.75
 
 

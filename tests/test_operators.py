@@ -2809,3 +2809,25 @@ def test_hits_driver_path_matches_distributed(spark):
     assert fast == dist
     # 1 is the dominant authority (two in-edges), its pointers share hub
     assert max(fast, key=lambda n: fast[n][0]) == 1
+
+
+def test_stupid_backoff_prunes_rare_bigrams(spark):
+    # "a b" repeats 4x (kept: count >= 2); every bigram of doc 2 is
+    # unique (pruned: backoff positions).  Doc 1 hits the model table,
+    # doc 2 backs off everywhere, and backoff costs -log2(alpha) extra
+    # bits over the unigram score, so doc 2 scores strictly worse.
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b", "en", "s0", 15),
+            (2, "c d e f g h", "en", "s0", 11),
+            (3, "solo", "en", "s1", 4),
+        ],
+    )
+    out = {r.doc_id: r for r in TO.stupid_backoff_surprisal(df).collect()}
+    assert 3 not in out  # <2 tokens -> no bigram positions
+    assert out[1].n_backoff < out[1].n_bigrams  # "a b" survives pruning
+    assert out[2].n_backoff == out[2].n_bigrams  # all unique -> all pruned
+    assert (
+        out[2].avg_sb_surprisal_bits > out[1].avg_sb_surprisal_bits
+    )  # backoff penalty + flat unigrams score worse than the kept model
