@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q228_best_of_n",
     "q227_stupid_backoff",
     "q226_doc_hits",
     "q225_c4_filter",
@@ -835,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_stupid_backoff": lambda sp, sf: TO.stupid_backoff_surprisal(
             t(sp, sf, "documents")
         ),
+        "q228_best_of_n": lambda sp, sf: E.best_of_n(t(sp, sf, "events")),
     })
 
 
@@ -5875,5 +5877,26 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_sb_surprisal_bits
             FROM bg2 LEFT JOIN probs USING (bigram) JOIN pu USING (w2)
             GROUP BY doc_id
+        """,
+        # Best-of-n rejection sampling (eventops.best_of_n): per-user
+        # reward argmax + top-2 margin; accept compares unrounded.
+        "q228_best_of_n": f"""
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events),
+            n AS (SELECT user_id, count(*) AS n_candidates
+                  FROM events GROUP BY user_id),
+            b AS (SELECT user_id, event_id AS best_event_id,
+                         value AS best_reward FROM r WHERE rn = 1),
+            s AS (SELECT user_id, value AS second_reward FROM r WHERE rn = 2)
+            SELECT n.user_id, n.n_candidates, b.best_event_id, b.best_reward,
+                   s.second_reward,
+                   floor((b.best_reward - s.second_reward) * 1e6 + 0.5) / 1e6
+                     AS margin,
+                   coalesce(b.best_reward - s.second_reward
+                              >= {E.BON_MIN_MARGIN}, FALSE) AS accepted
+            FROM n JOIN b USING (user_id) LEFT JOIN s USING (user_id)
         """,
     })

@@ -1410,3 +1410,61 @@ def cohort_decay_rates(events: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_weeks") >= 3)
     )
+
+
+BON_MIN_MARGIN = 0.5  # reward gap below which the best-of-n pick is noise
+
+
+def best_of_n(events: DataFrame, min_margin: float = BON_MIN_MARGIN) -> DataFrame:
+    """Best-of-n rejection sampling (the RLHF/RFT data-prep step:
+    sample n candidates per prompt, keep the reward argmax) with a
+    top-2 margin audit: each user's events are its candidate pool,
+    `value` is the reward, and the pick is accepted only when a
+    runner-up exists and the reward gap clears `min_margin` — a pick
+    that barely beats its runner-up is reward-model noise, not signal.
+    Returns one row per user: pool size, the deterministic argmax
+    (ties break to the smallest event_id), runner-up reward, 6dp
+    margin, and the accept flag.
+
+    Scale shape: ONE shuffle on user_id; the top-2 come from a
+    row_number window PARTITIONED on the group key (never corpus-wide),
+    so the plan is skew-bounded by the largest single prompt pool.
+    The margin is a pointwise subtraction of two raw doubles — no
+    aggregation-order sensitivity — rounded convention-free via
+    floor(x*1e6+0.5); the accept threshold compares UNROUNDED values
+    so the flag can't disagree with the margin column's source.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = events.select("user_id", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    top2 = ranked.filter(F.col("rn") <= 2)
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    best = top2.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_id").alias("best_event_id"),
+        F.col("value").alias("best_reward"),
+    )
+    second = top2.filter(F.col("rn") == 2).select(
+        "user_id", F.col("value").alias("second_reward")
+    )
+    raw_margin = F.col("best_reward") - F.col("second_reward")
+    return (
+        per_user.join(best, "user_id")
+        .join(second, "user_id", "left")
+        .select(
+            "user_id",
+            "n_candidates",
+            "best_event_id",
+            "best_reward",
+            "second_reward",
+            (F.floor(raw_margin * 1e6 + 0.5) / 1e6).alias("margin"),
+            F.coalesce(raw_margin >= min_margin, F.lit(False)).alias(
+                "accepted"
+            ),
+        )
+    )

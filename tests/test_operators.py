@@ -2831,3 +2831,26 @@ def test_stupid_backoff_prunes_rare_bigrams(spark):
     assert (
         out[2].avg_sb_surprisal_bits > out[1].avg_sb_surprisal_bits
     )  # backoff penalty + flat unigrams score worse than the kept model
+
+
+def test_best_of_n_margin_and_tie_break(spark):
+    from githubrepostorag_spark.operators import eventops as E
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: clear winner (9.0 vs 2.0), margin 7 -> accepted
+            (10, 1, 9.0), (11, 1, 2.0), (12, 1, 1.0),
+            # user 2: exact tie at 5.0 -> smallest event_id wins,
+            # margin 0 -> rejected
+            (21, 2, 5.0), (20, 2, 5.0),
+            # user 3: single candidate -> no runner-up, rejected
+            (30, 3, 4.0),
+        ],
+        "event_id long, user_id long, value double",
+    )
+    out = {r.user_id: r for r in E.best_of_n(ev).collect()}
+    assert out[1].best_event_id == 10 and out[1].accepted
+    assert out[1].margin == 7.0 and out[1].n_candidates == 3
+    assert out[2].best_event_id == 20  # tie -> smaller event_id
+    assert out[2].margin == 0.0 and not out[2].accepted
+    assert out[3].second_reward is None and not out[3].accepted
