@@ -45,6 +45,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q229_shard_manifest",
     "q228_best_of_n",
     "q227_stupid_backoff",
     "q226_doc_hits",
@@ -837,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q228_best_of_n": lambda sp, sf: E.best_of_n(t(sp, sf, "events")),
+        "q229_shard_manifest": lambda sp, sf: CU.shard_manifest(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -5898,5 +5902,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.best_reward - s.second_reward
                               >= {E.BON_MIN_MARGIN}, FALSE) AS accepted
             FROM n JOIN b USING (user_id) LEFT JOIN s USING (user_id)
+        """,
+        # Shard manifest (curation.shard_manifest): portable-hash shard
+        # routing + bit_xor content checksum (order-independent).
+        "q229_shard_manifest": f"""
+            WITH r AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {CU.MANIFEST_SHARDS} AS shard,
+                     doc_id, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                              || md5(text)), 1, 15))
+                       AS BIGINT) AS row_hash
+              FROM documents)
+            SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                   bit_xor(row_hash) AS checksum_xor
+            FROM r GROUP BY shard
         """,
     })

@@ -1171,3 +1171,48 @@ def token_budget_plan(documents: DataFrame) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+MANIFEST_SHARDS = 8
+
+
+def shard_manifest(
+    documents: DataFrame, n_shards: int = MANIFEST_SHARDS
+) -> DataFrame:
+    """Release-shard manifest with ORDER-INDEPENDENT content checksums —
+    the artifact a training run pins so a re-materialized shard can be
+    byte-verified without re-reading its neighbors: every document
+    routes to a shard by portable hash, and each shard reports row
+    count, byte total, doc-id range, and a content checksum that is
+    the bit_xor of per-row 60-bit hashes over (doc_id, md5(text)).
+    XOR is commutative/associative, so the checksum is identical no
+    matter how partitions arrive — the only aggregate family that
+    stays exactly reproducible across engines, partitionings and
+    scales without a sort.
+
+    Scale shape: one narrow projection (hashing rides the scan) + one
+    groupBy(shard) with n_shards groups — every aggregate here has a
+    map-side partial, so the shuffle carries n_shards rows per task
+    regardless of corpus size.
+    """
+    rows = documents.select(
+        F.pmod(
+            TXT.md5_bigint(F.col("doc_id").cast("string")), F.lit(n_shards)
+        )
+        .cast("long")
+        .alias("shard"),
+        "doc_id",
+        "n_chars",
+        TXT.md5_bigint(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+            )
+        ).alias("row_hash"),
+    )
+    return rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.bit_xor("row_hash").alias("checksum_xor"),
+    )
