@@ -45,6 +45,18 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q241_spearman_quality",
+    "q240_matryoshka_recall",
+    "q239_hard_negatives",
+    "q238_uncertainty_sample",
+    "q237_weak_labels",
+    "q236_repeat_decay",
+    "q235_dup_span_merge",
+    "q234_doremi_weights",
+    "q233_repo_forks",
+    "q232_code_quality",
+    "q231_license_detect",
+    "q230_secret_entropy",
     "q229_shard_manifest",
     "q228_best_of_n",
     "q227_stupid_backoff",
@@ -841,6 +853,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_shard_manifest": lambda sp, sf: CU.shard_manifest(
             t(sp, sf, "documents")
         ),
+        # --- round 6: secrets / licenses / code gates / forks / mixtures ---
+        "q230_secret_entropy": lambda sp, sf: TO.secret_entropy_scan(
+            _secret_salted(t(sp, sf, "documents"))
+        ),
+        "q231_license_detect": lambda sp, sf: TO.license_detect(
+            _license_salted(t(sp, sf, "documents"))
+        ),
+        "q232_code_quality": lambda sp, sf: TO.code_quality_flags(
+            _codeq_salted(t(sp, sf, "documents"))
+        ),
+        "q233_repo_forks": lambda sp, sf: DD.repo_fork_pairs(
+            t(sp, sf, "documents")
+        ),
+        "q234_doremi_weights": lambda sp, sf: CU.doremi_weights(
+            t(sp, sf, "documents")
+        ),
+        "q235_dup_span_merge": lambda sp, sf: TO.dup_span_merge(
+            t(sp, sf, "documents")
+        ),
+        "q236_repeat_decay": lambda sp, sf: CU.repeat_decay_tokens(
+            t(sp, sf, "documents")
+        ),
+        "q237_weak_labels": lambda sp, sf: CU.weak_label_vote(
+            t(sp, sf, "documents")
+        ),
+        "q238_uncertainty_sample": lambda sp, sf: TO.uncertainty_sample(
+            t(sp, sf, "documents")
+        ),
+        "q239_hard_negatives": lambda sp, sf: S.hard_negatives(
+            t(sp, sf, "embeddings")
+        ),
+        "q240_matryoshka_recall": lambda sp, sf: S.matryoshka_recall(
+            t(sp, sf, "embeddings")
+        ),
+        "q241_spearman_quality": lambda sp, sf: TO.spearman_quality(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -904,6 +953,62 @@ def _pii_salted(docs: DataFrame) -> DataFrame:
             F.when(d % 13 == 0, F.concat(F.lit(" token="), F.md5(F.col("text")))).otherwise(
                 F.lit("")
             ),
+        ).alias("text"),
+    )
+
+
+def _secret_salted(docs: DataFrame) -> DataFrame:
+    """Append deterministic secret-shaped tokens so q230 exercises both
+    detector outcomes: a 28-hex-char high-entropy candidate on %5 and a
+    24-char zero-entropy run on %9; mirrored exactly by the oracle."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" key: "), F.substring(F.md5(F.col("text")), 1, 28)),
+            ).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.concat(F.lit(" pad: "), F.repeat(F.lit("a"), 24))).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _license_salted(docs: DataFrame) -> DataFrame:
+    """Inject a canonical license phrase on %6 docs, cycling through the
+    7-entry LICENSE_LADDER by (doc_id div 6) % 7; oracle-mirrored."""
+    d = F.col("doc_id")
+    idx = F.expr("(doc_id div 6) % 7")
+    phrase = F.lit("")
+    for i, (p, _) in enumerate(TO.LICENSE_LADDER):
+        phrase = F.when(idx == i, F.lit(p)).otherwise(phrase)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.concat(F.lit(" notice: "), phrase)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _codeq_salted(docs: DataFrame) -> DataFrame:
+    """Inject an auto-generation marker line on %13 and a 1200-char
+    single line on %17 so q232's long_line/autogen flags both fire;
+    oracle-mirrored."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 13 == 0, F.lit("\n// auto-generated do not edit")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("x"), 1200))
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
 
@@ -5918,5 +6023,347 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
                    bit_xor(row_hash) AS checksum_xor
             FROM r GROUP BY shard
+        """,
+        # Secret-entropy scan (textops.secret_entropy_scan): candidate
+        # tokens from one regex; Shannon entropy folded over the SORTED
+        # distinct characters so the float terms add in the identical
+        # order as the engine's F.aggregate; per-candidate 6dp rounding
+        # BEFORE the order-independent max()/count reductions.
+        "q230_secret_entropy": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' key: ' || substr(md5(text), 1, 28) ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                             THEN ' pad: ' || repeat('a', 24) ELSE '' END AS text
+              FROM documents),
+            cand AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{TO.SECRET_CANDIDATE_RE}') AS cs
+              FROM salted),
+            ent AS (
+              SELECT doc_id, cs,
+                     list_transform(cs, s -> round(-list_reduce(
+                       list_transform(
+                         list_sort(list_distinct(
+                           list_transform(range(1, length(s) + 1), i -> s[i]))),
+                         c -> (CAST(len(list_filter(
+                                 list_transform(range(1, length(s) + 1), i -> s[i]),
+                                 x -> x = c)) AS DOUBLE) / CAST(length(s) AS DOUBLE))
+                              * log2(CAST(len(list_filter(
+                                 list_transform(range(1, length(s) + 1), i -> s[i]),
+                                 x -> x = c)) AS DOUBLE) / CAST(length(s) AS DOUBLE))),
+                       (a, b) -> a + b), 6)) AS es
+              FROM cand WHERE len(cs) >= 1)
+            SELECT doc_id,
+                   CAST(len(es) AS BIGINT) AS n_candidates,
+                   CAST(len(list_filter(es, e -> e >= {TO.SECRET_MIN_ENTROPY}))
+                        AS BIGINT) AS n_high_entropy,
+                   list_max(es) AS max_entropy_bits
+            FROM ent
+        """,
+        # License ladder (textops.license_detect): first containment
+        # match in precedence order wins; salt cycles the 7 phrases.
+        "q231_license_detect": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 6 = 0
+                       THEN ' notice: ' || CASE (doc_id // 6) % 7
+                         {" ".join(f"WHEN {i} THEN '{p}'" for i, (p, _) in enumerate(TO.LICENSE_LADDER))}
+                       END ELSE '' END AS text
+              FROM documents),
+            lab AS (
+              SELECT doc_id,
+                     CASE
+                       {" ".join(f"WHEN contains(lower(text), '{p}') THEN '{lbl}'" for p, lbl in TO.LICENSE_LADDER)}
+                       ELSE 'none' END AS license
+              FROM salted)
+            SELECT doc_id, license, license <> 'none' AS has_license FROM lab
+        """,
+        # StarCoder/The-Stack code gates (textops.code_quality_flags):
+        # one line split shared by all counts, integer-only thresholds.
+        "q232_code_quality": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN chr(10) || '// auto-generated do not edit'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(10) || repeat('x', 1200) ELSE '' END AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+                     CAST(list_max(list_transform(string_split(text, chr(10)),
+                            l -> length(l))) AS BIGINT) AS mll,
+                     CAST(list_sum(list_transform(string_split(text, chr(10)),
+                            l -> length(l))) AS BIGINT) AS sll,
+                     CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                          AS BIGINT) AS na,
+                     CAST(length(text) AS BIGINT) AS n,
+                     ({" OR ".join(f"contains(lower(text), '{m}')" for m in TO.AUTOGEN_MARKERS)}) AS ag
+              FROM salted),
+            fl AS (
+              SELECT doc_id,
+                     mll > {TO.CODEQ_MAX_LINE_LEN} AS long_line,
+                     sll > {TO.CODEQ_MEAN_LINE_LEN} * nl AS mean_line_long,
+                     4 * na < n AS low_alnum,
+                     ag AS autogen,
+                     nl < 3 AND n > 300 AS minified
+              FROM m)
+            SELECT doc_id, long_line, mean_line_long, low_alnum, autogen, minified,
+                   CAST(CAST(long_line AS INT) + CAST(mean_line_long AS INT)
+                      + CAST(low_alnum AS INT) + CAST(autogen AS INT)
+                      + CAST(minified AS INT) AS BIGINT) AS n_flags,
+                   NOT (long_line OR mean_line_long OR low_alnum OR autogen
+                        OR minified) AS passes
+            FROM fl
+        """,
+        # Repo fork pairs (dedup.repo_fork_pairs): distinct word-5-shingle
+        # profile per source; shingles in > cap sources dropped (skew AND
+        # semantics bound); Jaccard over the capped inverted index.
+        "q233_repo_forks": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS t
+              FROM documents),
+            g AS (
+              SELECT source,
+                     unnest(CASE WHEN len(t) >= {DD.FORK_SHINGLE_K}
+                       THEN list_transform(range(1, len(t) - {DD.FORK_SHINGLE_K} + 2),
+                         i -> CAST(('0x' || substr(md5(array_to_string(
+                                t[i : i + {DD.FORK_SHINGLE_K} - 1], ' ')), 1, 15))
+                              AS BIGINT))
+                       ELSE []::BIGINT[] END) AS h
+              FROM toks),
+            d AS (SELECT DISTINCT source, h FROM g),
+            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+            rare AS (SELECT h FROM d GROUP BY h
+                     HAVING count(*) <= {DD.FORK_SHINGLE_CAP}),
+            dr AS (SELECT d.source, d.h FROM d JOIN rare USING (h)),
+            p AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM dr a JOIN dr b USING (h)
+              WHERE a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, shared, sa.n AS n_a, sb.n AS n_b,
+                   round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+            FROM p
+            JOIN sizes sa ON sa.source = p.src_a
+            JOIN sizes sb ON sb.source = p.src_b
+        """,
+        # DoReMi mixture (curation.doremi_weights): per-source type/token
+        # loss as exact integer division, then 5 unrolled multiplicative-
+        # weights iterations in INTEGER micro-units — no exp, no float
+        # sum, bit-identical to the engine's driver loop.
+        "q234_doremi_weights": f"""
+            WITH ps AS (
+              SELECT source,
+                     CAST(floor(CAST(sum(CAST(len(list_distinct({_TOKS})) AS BIGINT))
+                                     AS BIGINT) * 1000000
+                                / CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT))
+                          AS BIGINT) AS loss_micro
+              FROM documents GROUP BY 1),
+            kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ps),
+            mm AS (SELECT min(loss_micro) AS ml FROM ps),
+            w0 AS (SELECT source, loss_micro, loss_micro - ml AS ex,
+                          CAST(1000000 AS BIGINT) AS w
+                   FROM ps CROSS JOIN mm),
+            {", ".join(
+              f'''r{i} AS (SELECT source, loss_micro, ex,
+                          CAST(w * (1000000 + ex // {CU.DOREMI_ETA_DIV}) // 1000000
+                               AS BIGINT) AS raw FROM w{i - 1}),
+              z{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS z FROM r{i}),
+              w{i} AS (SELECT source, loss_micro, ex,
+                          CAST({CU.DOREMI_EPS_DIV - 1} * raw * 1000000
+                               // ({CU.DOREMI_EPS_DIV} * z)
+                               + 1000000 // ({CU.DOREMI_EPS_DIV} * k)
+                               AS BIGINT) AS w
+                       FROM r{i} CROSS JOIN z{i} CROSS JOIN kk)'''
+              for i in range(1, CU.DOREMI_ITERS + 1)
+            )}
+            SELECT source, loss_micro, ex AS excess_micro, w AS weight_micro,
+                   w / 1000000.0 AS weight
+            FROM w{CU.DOREMI_ITERS}
+        """,
+        # Maximal duplicated spans (textops.dup_span_merge): stride-1
+        # window hashes, dup set, running-max-end island merge.
+        "q235_dup_span_merge": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     length(text) - {TO.SPAN_K} + 1 AS n_pos
+              FROM documents WHERE length(text) >= {TO.SPAN_K}),
+            s AS (SELECT doc_id, unnest(range(1, n_pos + 1)) AS pos, text FROM d),
+            h AS (
+              SELECT doc_id, pos,
+                     CAST(('0x' || substr(md5(lower(substr(text, CAST(pos AS INT),
+                              {TO.SPAN_K}))), 1, 15)) AS BIGINT) AS h
+              FROM s),
+            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos, pos + {TO.SPAN_K} - 1 AS e
+                     FROM h JOIN dup USING (h)),
+            fl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER w1 IS NULL
+                               OR pos > max(e) OVER w1 + 1
+                          THEN 1 ELSE 0 END AS nw
+              FROM hits
+              WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            isl AS (
+              SELECT doc_id, pos, e,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM fl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end,
+                   CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
+        """,
+        # Repeat-decay accounting (curation.repeat_decay_tokens): exact
+        # integer halving per epoch (>>), windowed cumulative sum.
+        "q236_repeat_decay": f"""
+            WITH ps AS (
+              SELECT source,
+                     CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS raw_tokens
+              FROM documents GROUP BY 1),
+            e AS (SELECT source, raw_tokens,
+                         unnest(range(1, {CU.REPEAT_EPOCHS} + 1)) AS epoch
+                  FROM ps)
+            SELECT source, CAST(epoch AS BIGINT) AS epoch, raw_tokens,
+                   CAST(raw_tokens >> CAST(epoch - 1 AS INT) AS BIGINT) AS eff_tokens,
+                   CAST(sum(raw_tokens >> CAST(epoch - 1 AS INT))
+                        OVER (PARTITION BY source ORDER BY epoch
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_eff_tokens
+            FROM e
+        """,
+        # Weak-supervision vote (curation.weak_label_vote): four integer
+        # labeling functions over one shared count projection.
+        "q237_weak_labels": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n,
+                     CAST(len({_TOKS}) AS BIGINT) AS nt,
+                     CAST(len(list_distinct({_TOKS})) AS BIGINT) AS nd,
+                     CAST(len(list_intersect(
+                            list_distinct(list_transform({_TOKS}, tk -> lower(tk))),
+                            {_sql_list(TO.GOPHER_STOPWORDS)})) AS BIGINT) AS ns,
+                     CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                          AS BIGINT) AS na
+              FROM documents),
+            lf AS (
+              SELECT doc_id,
+                     CASE WHEN n >= 100 AND n <= 20000 THEN 1
+                          WHEN n < 50 THEN -1 ELSE 0 END AS lf_length,
+                     CASE WHEN ns >= 2 THEN 1 WHEN ns = 0 THEN -1
+                          ELSE 0 END AS lf_stopword,
+                     CASE WHEN 3 * nd >= nt THEN 1 WHEN 10 * nd < nt THEN -1
+                          ELSE 0 END AS lf_repetition,
+                     CASE WHEN 2 * na >= n THEN 1 WHEN 4 * na < n THEN -1
+                          ELSE 0 END AS lf_alnum
+              FROM m)
+            SELECT doc_id,
+                   CAST(lf_length AS BIGINT) AS lf_length,
+                   CAST(lf_stopword AS BIGINT) AS lf_stopword,
+                   CAST(lf_repetition AS BIGINT) AS lf_repetition,
+                   CAST(lf_alnum AS BIGINT) AS lf_alnum,
+                   CAST(lf_length + lf_stopword + lf_repetition + lf_alnum
+                        AS BIGINT) AS vote_score,
+                   CASE WHEN lf_length + lf_stopword + lf_repetition + lf_alnum > 0
+                        THEN 'keep'
+                        WHEN lf_length + lf_stopword + lf_repetition + lf_alnum < 0
+                        THEN 'drop' ELSE 'abstain' END AS weak_label
+            FROM lf
+        """,
+        # Uncertainty sampling (textops.uncertainty_sample): q191's
+        # unrolled-CTE scores + minimum-margin top-n, doc_id tie-break.
+        "q238_uncertainty_sample": f"""
+            WITH s AS ({_logreg_scores_sql(TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list)})
+            SELECT doc_id, score, round(abs(score - 0.5), 6) AS margin
+            FROM s ORDER BY margin ASC, doc_id ASC LIMIT {TO.UNCERTAINTY_N}
+        """,
+        # Hard negatives (similarity.hard_negatives): broadcast anchor
+        # panel, different-label filter, per-anchor top-k window.
+        "q239_hard_negatives": f"""
+            WITH a AS (
+              SELECT vec_id AS anchor_id, label AS anchor_label,
+                     CAST(embedding AS DOUBLE[]) AS av
+              FROM embeddings WHERE vec_id % {S.HARDNEG_ANCHOR_MOD} = 0),
+            c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            sc AS (
+              SELECT anchor_id, anchor_label, vec_id, label,
+                     round(list_cosine_similarity(cv, av), 6) AS score
+              FROM c CROSS JOIN a WHERE label <> anchor_label),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY score DESC, vec_id) AS rn
+              FROM sc)
+            SELECT anchor_id, anchor_label, vec_id, label, score,
+                   CAST(rn AS BIGINT) AS rn
+            FROM rk WHERE rn <= {S.HARDNEG_K}
+        """,
+        # Matryoshka recall (similarity.matryoshka_recall): per-prefix
+        # exact top-k on sliced vectors vs the full-dim top-k.
+        "q240_matryoshka_recall": f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0),
+            base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id <> 0),
+            sc AS (
+              SELECT p.m AS prefix_dims, b.vec_id,
+                     round(list_cosine_similarity(list_slice(b.e, 1, p.m),
+                                                  list_slice(q.qe, 1, p.m)), 6)
+                       AS score
+              FROM base b
+              CROSS JOIN (VALUES {", ".join(f"({m})" for m in S.MATRYOSHKA_PREFIXES)}) p(m)
+              CROSS JOIN q),
+            rk AS (
+              SELECT prefix_dims, vec_id,
+                     row_number() OVER (PARTITION BY prefix_dims
+                        ORDER BY score DESC, vec_id) AS rn
+              FROM sc),
+            tk AS (SELECT prefix_dims, vec_id FROM rk
+                   WHERE rn <= {S.MATRYOSHKA_K}),
+            fullset AS (SELECT vec_id FROM tk
+                        WHERE prefix_dims = {max(S.MATRYOSHKA_PREFIXES)})
+            SELECT CAST(tk.prefix_dims AS BIGINT) AS prefix_dims,
+                   CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+                   round(count(f.vec_id) / CAST({S.MATRYOSHKA_K} AS DOUBLE), 6)
+                     AS recall
+            FROM tk LEFT JOIN fullset f ON tk.vec_id = f.vec_id
+            GROUP BY tk.prefix_dims
+        """,
+        # Spearman rho (textops.spearman_quality): total-order integer
+        # ranks, exact long Σd², one float division before the round.
+        "q241_spearman_quality": f"""
+            WITH b AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+                     CAST(len({_TOKS}) AS BIGINT) AS y
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY x, doc_id) AS rx,
+                     row_number() OVER (ORDER BY y, doc_id) AS ry
+              FROM b),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+              FROM r)
+            SELECT n_docs, sum_d2,
+                   round(1.0 - 6.0 * sum_d2
+                         / (CAST(n_docs AS DOUBLE)
+                            * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                               - 1.0)), 6) AS rho
+            FROM a
         """,
     })

@@ -1216,3 +1216,183 @@ def shard_manifest(
         F.max("doc_id").alias("max_doc_id"),
         F.bit_xor("row_hash").alias("checksum_xor"),
     )
+
+# --- round 6: DoReMi-style domain reweighting + repeat-decay accounting ---
+
+DOREMI_ITERS = 5
+# eta = 1/DOREMI_ETA_DIV and eps = 1/DOREMI_EPS_DIV as exact rationals:
+# every update step below is INTEGER arithmetic in 1e-6 weight units, so
+# the fixpoint is order-independent and bit-identical to the oracle.
+DOREMI_ETA_DIV = 2
+DOREMI_EPS_DIV = 10
+DOREMI_MAX_DOMAINS = 100_000
+
+
+def doremi_weights(documents: DataFrame, iters: int = DOREMI_ITERS) -> DataFrame:
+    """Domain-mixture reweighting in the DoReMi style (Xie et al. 2023):
+    compute a per-domain (per-source) difficulty proxy, then run
+    multiplicative-weights iterations that upweight domains with excess
+    difficulty, smoothed toward uniform — the mixture a 100 TB
+    pretraining run feeds its sampler.
+
+    The difficulty proxy is the per-source type/token ratio computed as
+    exact integers: floor(Σ distinct_tokens · 1e6 / Σ tokens) — an
+    order-independent integer division, per this repo's no-float-sum
+    convention. The MW loop runs on the COLLECTED per-domain table:
+    the collect is bounded by the distinct-source cardinality and
+    count-guarded at DOREMI_MAX_DOMAINS (domains are repos/sources —
+    at 100 TB this is thousands, never corpus-sized). All updates are
+    integer micro-unit arithmetic:
+
+        raw_d = w_d * (1e6 + excess_d // ETA_DIV) // 1e6
+        w'_d  = (EPS_DIV-1) * raw_d * 1e6 // (EPS_DIV * Z) + 1e6 // (EPS_DIV * k)
+
+    so no exp(), no float sum, no knife edge anywhere.
+    """
+    toks = TXT.tokens(F.col("text"))
+    per_src = (
+        documents.select(
+            "source",
+            F.size(toks).cast("long").alias("nt"),
+            F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        )
+        .groupBy("source")
+        .agg(
+            F.floor(F.sum("nd") * F.lit(1_000_000) / F.sum("nt"))
+            .cast("long")
+            .alias("loss_micro")
+        )
+    )
+    n_domains = per_src.count()
+    if n_domains > DOREMI_MAX_DOMAINS:  # pragma: no cover - scale guard
+        raise ValueError(
+            f"doremi_weights: {n_domains} domains exceeds the driver bound"
+        )
+    rows = sorted(
+        ((r["source"], int(r["loss_micro"])) for r in per_src.collect())
+    )
+    min_loss = min(l for _, l in rows)
+    k = len(rows)
+    w = {s: 1_000_000 for s, _ in rows}
+    uniform_term = 1_000_000 // (DOREMI_EPS_DIV * k)
+    for _ in range(iters):
+        raw = {
+            s: w[s] * (1_000_000 + (l - min_loss) // DOREMI_ETA_DIV) // 1_000_000
+            for s, l in rows
+        }
+        z = sum(raw.values())
+        w = {
+            s: (DOREMI_EPS_DIV - 1) * raw[s] * 1_000_000 // (DOREMI_EPS_DIV * z)
+            + uniform_term
+            for s, _ in rows
+        }
+    spark = documents.sparkSession
+    out = spark.createDataFrame(
+        [(s, l, l - min_loss, w[s]) for s, l in rows],
+        "source string, loss_micro long, excess_micro long, weight_micro long",
+    )
+    return out.select(
+        "source",
+        "loss_micro",
+        "excess_micro",
+        "weight_micro",
+        (F.col("weight_micro") / 1e6).alias("weight"),
+    )
+
+
+REPEAT_EPOCHS = 4
+
+
+def repeat_decay_tokens(
+    documents: DataFrame, epochs: int = REPEAT_EPOCHS
+) -> DataFrame:
+    """Data-constrained scaling accounting (Muennighoff et al. 2023):
+    when a source is repeated for multiple epochs, each extra epoch's
+    tokens are worth less. This reports, per source and epoch, the raw
+    token count, the decayed effective tokens (halving per epoch —
+    eff_e = raw >> (e-1), an EXACT integer), and the cumulative
+    effective total — the table a data-budget planner reads to decide
+    how many epochs of each source are still worth paying for.
+
+    One aggregation plus a 4-row-per-source sequence explode: no
+    second shuffle (the cumulative sum is a window partitioned by
+    source over exactly `epochs` rows).
+    """
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(TXT.tokens(F.col("text")))).cast("long").alias("raw_tokens")
+    )
+    e = per_src.select(
+        "source",
+        "raw_tokens",
+        F.explode(F.sequence(F.lit(1), F.lit(int(epochs)))).alias("epoch"),
+    ).withColumn(
+        "eff_tokens",
+        F.expr("shiftright(raw_tokens, cast(epoch - 1 as int))").cast("long"),
+    )
+    w = Window.partitionBy("source").orderBy("epoch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.withColumn("cum_eff_tokens", F.sum("eff_tokens").over(w).cast("long")).select(
+        "source", F.col("epoch").cast("long").alias("epoch"),
+        "raw_tokens", "eff_tokens", "cum_eff_tokens",
+    )
+
+
+# Weak-supervision labeling functions: vote thresholds are all INTEGER
+# comparisons; +1 keep / -1 drop / 0 abstain.
+WEAK_LF_NAMES = ("lf_length", "lf_stopword", "lf_repetition", "lf_alnum")
+
+
+def weak_label_vote(documents: DataFrame) -> DataFrame:
+    """Snorkel-style weak-supervision label model (Ratner et al. 2017),
+    majority-vote form: four cheap labeling functions vote keep(+1) /
+    drop(-1) / abstain(0) per document and the unweighted vote decides
+    the training label — how a pipeline bootstraps quality labels at
+    100 TB where human labels cover ~0% of the corpus.
+
+    LFs (all single-scan integer expressions, one shared projection):
+    length band, stopword presence (Gopher stopword list), repetition
+    (distinct/token ratio), and alphanumeric fraction. One scan, zero
+    shuffles, zero UDFs.
+    """
+    from githubrepostorag_spark.operators import textops as TO
+
+    t = F.col("text")
+    toks = TXT.tokens(t)
+    base = documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, lambda x: F.lower(x))),
+                F.array(*[F.lit(w) for w in TO.GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("ns"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("long").alias("na"),
+    )
+    n, nt, nd, ns, na = (F.col(c) for c in ("n", "nt", "nd", "ns", "na"))
+    lfs = {
+        "lf_length": F.when((n >= 100) & (n <= 20000), 1)
+        .when(n < 50, -1)
+        .otherwise(0),
+        "lf_stopword": F.when(ns >= 2, 1).when(ns == 0, -1).otherwise(0),
+        "lf_repetition": F.when(3 * nd >= nt, 1)
+        .when(10 * nd < nt, -1)
+        .otherwise(0),
+        "lf_alnum": F.when(2 * na >= n, 1).when(4 * na < n, -1).otherwise(0),
+    }
+    score = None
+    for name in WEAK_LF_NAMES:
+        c = lfs[name].cast("long")
+        score = c if score is None else score + c
+    return base.select(
+        "doc_id",
+        *[lfs[name].cast("long").alias(name) for name in WEAK_LF_NAMES],
+        score.alias("vote_score"),
+        F.when(score > 0, F.lit("keep"))
+        .when(score < 0, F.lit("drop"))
+        .otherwise(F.lit("abstain"))
+        .alias("weak_label"),
+    )

@@ -1067,3 +1067,82 @@ def cdc_chunk_near_dups(
             "n_occ_b",
         )
     )
+
+# --- round 6: repo-level fork detection ---
+
+FORK_SHINGLE_K = 5        # word shingle width for the repo profile
+FORK_SHINGLE_CAP = 10     # drop shingles present in > cap sources
+
+
+def repo_fork_pairs(
+    documents: DataFrame,
+    k: int = FORK_SHINGLE_K,
+    cap: int = FORK_SHINGLE_CAP,
+) -> DataFrame:
+    """Repository-level fork / mirror detection: profile every source
+    (the repo analog in the documents table) as its DISTINCT word
+    k-shingle set and report pairwise Jaccard between profiles — the
+    repo-grain companion to the doc-grain near-dup family (q23/q24).
+    GitHub corpora are full of forks and vendored mirrors; training
+    pipelines dedup them at repo grain before doc-grain passes.
+
+    Scale shape: one shuffle to build (shingle, source) distinct
+    pairs; shingles present in more than `cap` sources are DROPPED
+    before pairing — they are non-discriminative (boilerplate) AND
+    they are the quadratic hot keys, so the cap is simultaneously the
+    semantic and the skew bound: pair work per shingle is <= cap².
+    The self-join runs on the capped inverted index, never on the
+    corpus. Pair count is bounded by Σ c_s² over capped shingles.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    sh = (
+        scale_out(documents, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+                # empty, so short docs must short-circuit to an empty array
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - k + 1),
+                        lambda i: TXT.md5_bigint(
+                            F.array_join(F.slice(toks, i, k), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    rare = sh.join(
+        sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= cap),
+        "h",
+        "inner",
+    ).select("h", "source")
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(sizes.withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("n_shingles", "n_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1608,3 +1608,132 @@ def mmr_rerank(
     return spark.createDataFrame(
         out_rows, f"vec_id long, label {label_type}, rel double, mmr double, pick long"
     )
+
+
+# --- round 6: hard negatives + Matryoshka prefix-dim recall audit ---
+
+HARDNEG_ANCHOR_MOD = 50
+HARDNEG_K = 5
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchor_mod: int = HARDNEG_ANCHOR_MOD,
+    k: int = HARDNEG_K,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor vector (every `anchor_mod`-th vec_id — the bounded anchor
+    panel), the top-`k` most-cosine-similar vectors with a DIFFERENT
+    label. These maximally-confusing negatives are what makes a
+    contrastive batch informative (the alternative — random negatives —
+    wastes gradient on easy pairs).
+
+    Scale shape: the anchor panel is broadcast (bounded by construction:
+    |corpus|/anchor_mod rows, and at 100 TB you'd pass an explicit
+    panel); candidates stream through one scan scoring against all
+    anchors map-side; the per-anchor top-k window partitions on
+    anchor_id — partition count = panel size, each partition
+    corpus-sized only BEFORE the window's internal partial top-k
+    (WindowGroupLimit pushes rn <= k down since Spark 3.5).
+    """
+    anchors = F.broadcast(
+        V.prepare(
+            embeddings.filter(F.col("vec_id") % anchor_mod == 0).select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("anchor_label"),
+                F.col("embedding").alias("aemb"),
+            ),
+            "aemb", "av", "an",
+        ).select("anchor_id", "anchor_label", "av", "an")
+    )
+    cands = V.prepare(embeddings, "embedding", "ve", "vn").select(
+        "vec_id", "label", "ve", "vn"
+    )
+    scored = (
+        cands.crossJoin(anchors)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("av"), F.col("an")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+MATRYOSHKA_PREFIXES = (64, 32, 16)
+MATRYOSHKA_K = 10
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = MATRYOSHKA_K,
+    prefixes: tuple = MATRYOSHKA_PREFIXES,
+) -> DataFrame:
+    """Matryoshka-style prefix-dimension serving audit (Kusupati et al.
+    2022): exact cosine top-k using only the first m dims of every
+    embedding, for each m in `prefixes`, scored against the full-dim
+    top-k as ground truth — the table that tells a serving stack how
+    many dims it can drop (2-4x cheaper ANN) before recall pays.
+
+    Same audit family as the PQ/JL recall audits (q115-q118, q185):
+    every per-prefix candidate set is k-bounded before the overlap
+    join; the scan is shared; ties at 6dp break on vec_id so the
+    selected sets are deterministic and oracle-identical.
+    """
+    full_dim = max(prefixes)
+    q_row = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qemb")
+    )
+    base = embeddings.filter(F.col("vec_id") != query_vec_id)
+    tops = None
+    for m in prefixes:
+        scored = V.prepare(
+            V.prepare(
+                base.crossJoin(F.broadcast(q_row)).select(
+                    "vec_id",
+                    F.slice(F.col("embedding"), 1, int(m)).alias("pe"),
+                    F.slice(F.col("qemb"), 1, int(m)).alias("qe"),
+                ),
+                "pe", "pv", "pn",
+            ),
+            "qe", "qv", "qn",
+        ).select(
+            F.lit(int(m)).cast("long").alias("prefix_dims"),
+            "vec_id",
+            F.round(
+                V.prepared_cosine(F.col("pv"), F.col("pn"), F.col("qv"), F.col("qn")),
+                6,
+            ).alias("score"),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(int(k))
+        tops = top if tops is None else tops.unionByName(top)
+    full = (
+        tops.filter(F.col("prefix_dims") == full_dim)
+        .select("vec_id")
+        .withColumn("_in_full", F.lit(1))
+    )
+    # LEFT join: a prefix whose top-k shares nothing with the full-dim
+    # top-k must still report recall 0, not vanish from the audit
+    return (
+        tops.join(full, "vec_id", "left")
+        .groupBy("prefix_dims")
+        .agg(
+            F.coalesce(F.sum("_in_full"), F.lit(0)).cast("long").alias("n_overlap")
+        )
+        .select(
+            "prefix_dims",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

@@ -2552,3 +2552,277 @@ def c4_line_filter(documents: DataFrame) -> DataFrame:
         F.length(new_text).cast("long").alias("new_len"),
         F.md5(new_text).alias("new_md5"),
     )
+
+# --- round 6: secrets, licenses, code-quality gates, maximal dup spans ---
+
+# Candidate charset deliberately excludes '=' and ':' so salt prefixes
+# like ' key: ' cannot fuse with the candidate token.
+SECRET_CANDIDATE_RE = r"[A-Za-z0-9+/]{20,}"
+SECRET_MIN_ENTROPY = 3.5  # bits/char; random hex ~3.9, random base64 ~5.7
+
+
+def secret_entropy_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Entropy-based credential/secret detector (the technique behind
+    trufflehog-style scanners): extract long base64/hex-ish candidate
+    tokens, compute each candidate's Shannon character entropy, and
+    flag candidates whose entropy clears SECRET_MIN_ENTROPY bits/char.
+    Complements q71's pattern-based scan (pii_scan): regexes catch
+    known key shapes (AKIA...), entropy catches the unknown ones.
+
+    Plan shape: one scan, zero shuffles, zero UDFs. Candidates come
+    from one regexp_extract_all; entropy is a fold over the SORTED
+    distinct characters (sorted so the engine and the DuckDB oracle
+    add float terms in the identical order) with per-candidate 6dp
+    rounding before any cross-candidate reduction — the cross-candidate
+    reductions are max() and integer counts, both order-independent.
+    At 100 TB this is embarrassingly parallel, bounded by scan I/O.
+    """
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(SECRET_CANDIDATE_RE), F.lit(0))
+
+    def _entropy(s):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
+        )
+        n = F.length(s).cast("double")
+        ds = F.array_sort(F.array_distinct(chars))
+        term = lambda c: (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
+        return F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+
+    ents = F.transform(cands, _entropy)
+    return (
+        documents.select("doc_id", ents.alias("_ents"))
+        .filter(F.size("_ents") >= 1)
+        .select(
+            "doc_id",
+            F.size("_ents").cast("long").alias("n_candidates"),
+            F.size(
+                F.filter(F.col("_ents"), lambda e: e >= SECRET_MIN_ENTROPY)
+            ).cast("long").alias("n_high_entropy"),
+            F.array_max("_ents").alias("max_entropy_bits"),
+        )
+    )
+
+
+# Phrase ladder in PRECEDENCE order: first containment match wins.
+# Phrases are the canonical first-line identifiers of each license
+# family; matching is lower-cased containment, one scan, no shuffle.
+LICENSE_LADDER = (
+    ("apache license", "Apache-2.0"),
+    ("gnu general public license", "GPL-3.0"),
+    ("permission is hereby granted", "MIT"),
+    ("redistribution and use in source and binary forms", "BSD-3-Clause"),
+    ("mozilla public license", "MPL-2.0"),
+    ("this is free and unencumbered software", "Unlicense"),
+    ("creative commons", "CC"),
+)
+
+
+def license_detect(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document license identification by canonical-phrase ladder —
+    the compliance gate a code-corpus pipeline (The Stack, Kocetkov et
+    al. 2022 §3) runs before anything ships for training. First match
+    in LICENSE_LADDER precedence order wins; no match → 'none'.
+
+    Pure CASE/contains column expressions over one scan: at 100 TB
+    this is scan-bound and embarrassingly parallel, and Catalyst
+    prunes the read to (doc_id, text).
+    """
+    low = F.lower(F.col(text_col))
+    expr = F.lit("none")
+    for phrase, label in reversed(LICENSE_LADDER):
+        expr = F.when(F.contains(low, F.lit(phrase)), F.lit(label)).otherwise(expr)
+    return documents.select(
+        "doc_id",
+        expr.alias("license"),
+        (expr != "none").alias("has_license"),
+    )
+
+
+# The Stack / StarCoder-style code-file gates (Kocetkov et al. 2022
+# §3.2; Li et al. 2023 appendix): every threshold an INTEGER compare.
+CODEQ_MAX_LINE_LEN = 1000
+CODEQ_MEAN_LINE_LEN = 100
+AUTOGEN_MARKERS = ("do not edit", "@generated", "auto-generated")
+
+
+def code_quality_flags(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document code-quality gate battery — the filters The Stack /
+    StarCoder apply to raw repository files before training: maximum
+    and mean line length (minified/data files), alphanumeric fraction
+    (binary/encoded blobs), and auto-generation markers.
+
+    Same single-scan shape as the Gopher battery (q220): one line
+    split shared by all counts, integer-only thresholds (mean line
+    length > 100 ⇔ Σlen > 100·n), so no float knife-edge exists for
+    the oracle to diverge on.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    low = F.lower(t)
+    d = (
+        documents.withColumn("_n_lines", F.size(lines).cast("long"))
+        .withColumn(
+            "_max_ll",
+            F.array_max(F.transform(lines, lambda l: F.length(l))).cast("long"),
+        )
+        .withColumn(
+            "_sum_ll",
+            F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)),
+        )
+        .withColumn(
+            "_n_alnum",
+            F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("long"),
+        )
+        .withColumn("_len", F.length(t).cast("long"))
+    )
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(low, F.lit(m))
+        autogen = c if autogen is None else autogen | c
+    flags = {
+        "long_line": F.col("_max_ll") > CODEQ_MAX_LINE_LEN,
+        "mean_line_long": F.col("_sum_ll") > CODEQ_MEAN_LINE_LEN * F.col("_n_lines"),
+        "low_alnum": 4 * F.col("_n_alnum") < F.col("_len"),
+        "autogen": autogen,
+        "minified": (F.col("_n_lines") < 3) & (F.col("_len") > 300),
+    }
+    n_failed = None
+    for name in flags:
+        term = flags[name].cast("long")
+        n_failed = term if n_failed is None else n_failed + term
+    return d.select(
+        "doc_id",
+        *[flags[name].alias(name) for name in flags],
+        n_failed.alias("n_flags"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
+def dup_span_merge(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """MAXIMAL duplicated spans — the island-merged refinement of q90's
+    strided profile, producing the actual byte ranges exact-substring
+    dedup (Lee et al. 2022) would cut. Every k-char window (stride 1)
+    is hashed; windows whose hash occurs >= 2 times corpus-wide are
+    duplicated; overlapping/adjacent duplicated windows within a doc
+    merge into maximal spans via a running-max-end island scan.
+
+    Scale shape: the explode is one row per CHARACTER POSITION — the
+    same linear cost class as CDC chunking (q216/q223), scan-bound and
+    shuffle-free until the one groupBy on the 60-bit window hash. The
+    island merge is a window over (doc_id, pos): per-doc partitions,
+    skew bounded by max document length, never a global window.
+    """
+    base = documents.select(
+        "doc_id", "text", (F.length("text") - k + 1).cast("int").alias("n_pos")
+    ).filter(F.col("n_pos") >= 1)
+    spans = scale_out(base, "doc_id").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_pos"))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        TXT.md5_bigint(F.lower(F.expr(f"substring(text, pos, {int(k)})"))).alias("h"),
+    )
+    dup = spans.groupBy("h").agg(F.count("*").alias("occ")).filter(F.col("occ") >= 2)
+    hits = spans.join(dup, "h", "inner").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
+UNCERTAINTY_N = 50
+
+
+def uncertainty_sample(
+    documents: DataFrame,
+    n: int = UNCERTAINTY_N,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Active-learning batch selection: the `n` documents whose trained
+    quality-classifier score sits closest to the 0.5 decision boundary
+    (minimum-margin / maximum-uncertainty sampling) — the docs a human
+    labeling budget buys the most model improvement from.
+
+    Rides logreg_quality_scores (q191) unchanged: one extra projection
+    for the margin, then a global orderBy().limit(n) which compiles to
+    TakeOrderedAndProject — per-partition top-n then a driver merge of
+    n rows per partition, never a global sort. Ties break on doc_id so
+    the selected batch is deterministic and oracle-identical.
+    """
+    s = logreg_quality_scores(documents, rounds=rounds, lr=lr)
+    return (
+        s.select(
+            "doc_id",
+            "score",
+            F.round(F.abs(F.col("score") - F.lit(0.5)), 6).alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(int(n))
+    )
+
+
+def spearman_quality(documents: DataFrame) -> DataFrame:
+    """Spearman rank correlation between two per-document quality
+    signals (document length in chars vs token count) — the audit that
+    tells a curation stack whether two filter signals are redundant
+    (|rho| near 1: gate on the cheaper one) or complementary.
+
+    Exactness: ranks come from `global_rank` with a TOTAL order
+    ((signal, doc_id)), so there are no tie-averaged fractional ranks —
+    both engines assign identical integer ranks, Σd² accumulates as
+    exact longs (order-independent), and the only float op is the
+    final textbook 1 - 6Σd²/(n(n²-1)) division, written with identical
+    operand order on both sides before the 6dp round.
+
+    Scale shape: two distributed rank passes (repartitionByRange +
+    per-partition row_number + broadcast offsets — see functions/ranks)
+    and one global aggregate. No hot window anywhere.
+    """
+    base = documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        TXT.token_count(F.col("text")).cast("long").alias("y"),
+    )
+    rx = global_rank(base, [F.asc("x"), F.asc("doc_id")], "rx")
+    rboth = global_rank(rx, [F.asc("y"), F.asc("doc_id")], "ry")
+    d2 = rboth.select(
+        ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias("d2")
+    )
+    agg = d2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs",
+        "sum_d2",
+        F.round(
+            F.lit(1.0) - 6.0 * F.col("sum_d2") / (nd * (nd * nd - F.lit(1.0))), 6
+        ).alias("rho"),
+    )

@@ -2854,3 +2854,198 @@ def test_best_of_n_margin_and_tie_break(spark):
     assert out[2].best_event_id == 20  # tie -> smaller event_id
     assert out[2].margin == 0.0 and not out[2].accepted
     assert out[3].second_reward is None and not out[3].accepted
+
+
+# --- round 6: secrets / license / code gates / forks / mixtures / spans ---
+
+
+def test_secret_entropy_scan(spark):
+    """High-entropy candidates flag, zero-entropy runs don't, docs with
+    no >=20-char candidate are absent."""
+    hexsec = "a1b2c3d4e5f60718293a4b5c" + "dead"  # 28 chars, 15 distinct
+    rows = [
+        (1, f"config key: {hexsec} end"),
+        (2, "pad " + "a" * 24 + " tail"),
+        (3, "plain short words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TO.secret_entropy_scan(df).collect()}
+    assert 3 not in out
+    assert out[1].n_candidates == 1 and out[1].n_high_entropy == 1
+    assert out[1].max_entropy_bits >= 3.5
+    assert out[2].n_candidates == 1 and out[2].n_high_entropy == 0
+    assert out[2].max_entropy_bits == 0.0
+
+
+def test_license_detect_ladder_and_precedence(spark):
+    rows = [
+        (1, "Licensed under the Apache License, Version 2.0"),
+        (2, "Permission is hereby granted, free of charge"),
+        (3, "released under the GNU General Public License v3"),
+        # both phrases present: apache outranks MIT in the ladder
+        (4, "permission is hereby granted ... see the apache license"),
+        (5, "no licensing text at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.license for r in TO.license_detect(df).collect()}
+    assert out == {
+        1: "Apache-2.0", 2: "MIT", 3: "GPL-3.0", 4: "Apache-2.0", 5: "none"
+    }
+
+
+def test_code_quality_flags(spark):
+    rows = [
+        (1, "short line\nanother short line\nthird line\nfourth one"),
+        (2, "x" * 1500),                          # long_line, mean, minified
+        (3, "// @generated file\nnormal line\nmore\nlines\nhere"),
+        (4, "!!! ??? ... ;;; ::: @@@ $$$ %%% ((( ))) [[[ ]]]\nm\ne\nr\nw"),  # low alnum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TO.code_quality_flags(df).collect()}
+    assert out[1].passes and out[1].n_flags == 0
+    assert out[2].long_line and out[2].mean_line_long and out[2].minified
+    assert out[3].autogen and not out[3].long_line
+    assert out[4].low_alnum
+
+
+def test_dup_span_merge_maximal_islands(spark):
+    """A 40-char substring shared by two docs merges into ONE maximal
+    span per doc covering exactly the shared region; a unique doc
+    yields no spans."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    rows = [
+        (1, "UNIQ-PREFIX-one " + shared + " UNIQ-SUFFIX-one!!"),
+        (2, "different-head__ " + shared + " __different-tail"),
+        (3, "entirely unrepeated content that matches nothing else here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in TO.dup_span_merge(df).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    assert 3 not in out
+    assert len(out[1]) == 1 and len(out[2]) == 1
+    s1 = out[1][0]
+    # the true maximal duplicate is ' ' + shared + ' ' (the flanking
+    # spaces repeat too): starts at the space at position 16, len 42
+    assert s1.span_start == 16 and s1.span_len == 42
+    # windows: 42 - 20 + 1 = 23 stride-1 windows merged into one island
+    assert s1.n_windows == 23
+
+
+def test_repo_fork_pairs_jaccard_and_cap(spark):
+    """Near-identical sources score high Jaccard; a shingle present in
+    ALL sources is dropped by the cap so it adds no pair work."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "wholly different words compose this unrelated source text now"
+    common = "one two three four five"  # will appear in every source
+    rows = [
+        (0, f"{base} {common}", "sA"),
+        (1, f"{base} {common}", "sB"),
+        (2, f"{other} {common}", "sC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.src_a, r.src_b): r for r in DD.repo_fork_pairs(df, cap=2).collect()}
+    ab = out[("sA", "sB")]
+    # sA and sB are identical except the ubiquitous `common` shingles,
+    # which the cap (2 < 3 sources) removes from BOTH numerator sets
+    assert ab.jaccard > 0.5
+    # sA and sC overlap ONLY in ubiquitous (df=3 > cap) shingles, so the
+    # cap removes every shared shingle and the pair vanishes entirely
+    assert ("sA", "sC") not in out
+
+
+def test_doremi_weights_upweights_hard_domain(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    rows = [
+        # src "easy": repetitive (low type/token), "hard": all-distinct
+        (1, "a a a a a a a a", "easy"),
+        (2, "b b b b b b b b", "easy"),
+        (3, "q w e r t y u i", "hard"),
+        (4, "z x c v b n m k", "hard"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in CU.doremi_weights(df).collect()}
+    assert out["hard"].excess_micro > 0 and out["easy"].excess_micro == 0
+    assert out["hard"].weight_micro > out["easy"].weight_micro
+    # weights stay a (near-)distribution in micro units
+    total = out["hard"].weight_micro + out["easy"].weight_micro
+    assert abs(total - 1_000_000) < 10
+
+
+def test_repeat_decay_tokens_exact_halving(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10), "s1")], "doc_id long, text string, source string"
+    )
+    out = sorted(CU.repeat_decay_tokens(df).collect(), key=lambda r: r.epoch)
+    assert [r.eff_tokens for r in out] == [10, 5, 2, 1]
+    assert [r.cum_eff_tokens for r in out] == [10, 15, 17, 18]
+    assert all(r.raw_tokens == 10 for r in out)
+
+
+def test_weak_label_vote(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    good = ("the quick brown fox jumps over a lazy dog with some more "
+            "varied words here that keep the ratios healthy and long")
+    rows = [
+        (1, good),                      # all four LFs vote keep
+        (2, "x"),                       # short, no stopwords -> drop
+        (3, "b " * 40),                 # repetitive: 2 distinct / 40 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CU.weak_label_vote(df).collect()}
+    assert out[1].weak_label == "keep" and out[1].vote_score == 4
+    # doc 2: too short (-1) and stopword-free (-1), but trivially diverse
+    # (+1) and alphanumeric (+1) -> a genuine 0-vote abstain
+    assert out[2].weak_label == "abstain" and out[2].vote_score == 0
+    assert out[3].lf_repetition == -1 and out[3].weak_label == "drop"
+
+
+def test_uncertainty_sample_orders_by_margin(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = TO.uncertainty_sample(docs, n=10).collect()
+    assert len(out) == 10
+    margins = [r.margin for r in out]
+    assert margins == sorted(margins)
+    assert all(abs(abs(r.score - 0.5) - r.margin) < 1e-6 for r in out)
+
+
+def test_hard_negatives_labels_differ(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = S.hard_negatives(emb, anchor_mod=100, k=3).collect()
+    assert out, "expected at least one anchor"
+    by_anchor = {}
+    for r in out:
+        assert r.label != r.anchor_label
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rows in by_anchor.values():
+        assert len(rows) == 3
+        scores = sorted((r.rn for r in rows))
+        assert scores == [1, 2, 3]
+
+
+def test_matryoshka_recall_monotone_shape(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r.prefix_dims: r for r in S.matryoshka_recall(emb).collect()}
+    assert set(out) == {64, 32, 16}
+    # full-dim prefix IS the ground truth
+    assert out[64].recall == 1.0 and out[64].n_overlap == S.MATRYOSHKA_K
+    for m in (16, 32):
+        assert 0.0 <= out[m].recall <= 1.0
+
+
+def test_spearman_perfect_and_inverted(spark):
+    # y = token count grows with x = char length -> rho == 1 exactly
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = TO.spearman_quality(df).collect()[0]
+    assert r.rho == 1.0 and r.sum_d2 == 0 and r.n_docs == 7
