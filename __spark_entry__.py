@@ -45,6 +45,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q243_pair_precision",
+    "q242_bradley_terry",
     "q241_spearman_quality",
     "q240_matryoshka_recall",
     "q239_hard_negatives",
@@ -888,6 +890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "embeddings")
         ),
         "q241_spearman_quality": lambda sp, sf: TO.spearman_quality(
+            t(sp, sf, "documents")
+        ),
+        "q242_bradley_terry": lambda sp, sf: E.bradley_terry(
+            t(sp, sf, "events")
+        ),
+        "q243_pair_precision": lambda sp, sf: DD.pair_ngram_precision(
             t(sp, sf, "documents")
         ),
     })
@@ -6178,7 +6186,7 @@ def oracle_sql() -> dict[str, str]:
               f'''r{i} AS (SELECT source, loss_micro, ex,
                           CAST(w * (1000000 + ex // {CU.DOREMI_ETA_DIV}) // 1000000
                                AS BIGINT) AS raw FROM w{i - 1}),
-              z{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS z FROM r{i}),
+              z{i} AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS z FROM r{i}),
               w{i} AS (SELECT source, loss_micro, ex,
                           CAST({CU.DOREMI_EPS_DIV - 1} * raw * 1000000
                                // ({CU.DOREMI_EPS_DIV} * z)
@@ -6365,5 +6373,99 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
                                - 1.0)), 6) AS rho
             FROM a
+        """,
+        # Bradley-Terry (eventops.bradley_terry): exact micro-unit reward
+        # totals decide per-user wins; 5 unrolled MM iterations in pure
+        # INTEGER arithmetic mirror the engine's driver loop bit-for-bit.
+        "q242_bradley_terry": f"""
+            WITH per AS MATERIALIZED (
+              SELECT user_id, event_type,
+                     CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM events GROUP BY 1, 2),
+            w AS MATERIALIZED (
+              SELECT a.event_type AS winner, b.event_type AS loser,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM per a JOIN per b ON a.user_id = b.user_id
+               AND a.event_type <> b.event_type AND a.s > b.s
+              GROUP BY 1, 2),
+            it AS MATERIALIZED (SELECT DISTINCT it FROM
+                   (SELECT winner AS it FROM w UNION ALL SELECT loser FROM w)),
+            wn AS MATERIALIZED (
+              SELECT it.it,
+                     CAST(coalesce(ws.n, 0) AS BIGINT) AS wins,
+                     CAST(coalesce(ls.n, 0) AS BIGINT) AS losses
+              FROM it
+              LEFT JOIN (SELECT winner, sum(n) AS n FROM w GROUP BY 1) ws
+                ON ws.winner = it.it
+              LEFT JOIN (SELECT loser, sum(n) AS n FROM w GROUP BY 1) ls
+                ON ls.loser = it.it),
+            mm AS MATERIALIZED (
+              SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM
+                (SELECT winner AS i, loser AS j, n FROM w
+                 UNION ALL SELECT loser, winner, n FROM w)
+              GROUP BY 1, 2),
+            p0 AS MATERIALIZED (SELECT it, CAST(1000000 AS BIGINT) AS p FROM it),
+            {", ".join(
+              f'''s{i} AS MATERIALIZED (
+                SELECT mm.i AS it,
+                       CAST(sum(mm.n * 1000000000000 // (pi.p + pj.p))
+                            AS BIGINT) AS s
+                FROM mm JOIN p{i - 1} pi ON pi.it = mm.i
+                        JOIN p{i - 1} pj ON pj.it = mm.j
+                GROUP BY 1),
+              r{i} AS MATERIALIZED (
+                SELECT wn.it,
+                       CAST(CASE WHEN s.s > 0
+                            THEN wn.wins * 1000000000000 // s.s
+                            ELSE 0 END AS BIGINT) AS raw
+                FROM wn JOIN s{i} s ON s.it = wn.it),
+              z{i} AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS z FROM r{i}),
+              p{i} AS MATERIALIZED (SELECT it, CAST(raw * 1000000 // z AS BIGINT) AS p
+                       FROM r{i} CROSS JOIN z{i})'''
+              for i in range(1, E.BT_ITERS + 1)
+            )}
+            SELECT wn.it AS event_type, wn.wins, wn.losses,
+                   p.p AS strength_micro, p.p / 1000000.0 AS strength
+            FROM wn JOIN p{E.BT_ITERS} p ON p.it = wn.it
+        """,
+        # Pair n-gram precision (dedup.pair_ngram_precision): q24's LSH
+        # candidate CTE + clipped integer overlap counts per pair.
+        "q243_pair_precision": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b) for b in range(LSH_BANDS))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            tkn AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            big AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])
+                       ELSE []::VARCHAR[] END AS bg
+              FROM tkn),
+            j AS (
+              SELECT c.doc_a, c.doc_b, x.t AS ta, x.bg AS ba,
+                     y.t AS tb, y.bg AS bb
+              FROM cand c
+              JOIN big x ON x.doc_id = c.doc_a
+              JOIN big y ON y.doc_id = c.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(len(ta) AS BIGINT) AS n_toks_a,
+                   CAST(len(tb) AS BIGINT) AS n_toks_b,
+                   round(CAST(coalesce(list_sum(list_transform(list_distinct(ta),
+                           g -> least(len(list_filter(ta, x -> x = g)),
+                                      len(list_filter(tb, x -> x = g))))), 0)
+                              AS DOUBLE)
+                         / CAST(len(ta) AS DOUBLE), 6) AS unigram_prec,
+                   round(CAST(coalesce(list_sum(list_transform(list_distinct(ba),
+                           g -> least(len(list_filter(ba, x -> x = g)),
+                                      len(list_filter(bb, x -> x = g))))), 0)
+                              AS DOUBLE)
+                         / CAST(greatest(len(ba), 1) AS DOUBLE), 6) AS bigram_prec
+            FROM j
         """,
     })

@@ -1468,3 +1468,88 @@ def best_of_n(events: DataFrame, min_margin: float = BON_MIN_MARGIN) -> DataFram
             ),
         )
     )
+
+
+# --- round 6: Bradley-Terry preference-strength fit ---
+
+BT_ITERS = 5
+BT_MAX_ITEMS = 10_000
+
+
+def bradley_terry(events: DataFrame, iters: int = BT_ITERS) -> DataFrame:
+    """Bradley-Terry strength estimation over pairwise preferences —
+    the model a reward-data pipeline fits to turn per-context pairwise
+    wins into global item strengths (the precursor to reward-model
+    training; Bradley & Terry 1952, MM form per Hunter 2004).
+
+    Matches: within each user (the comparison context), every pair of
+    event types is compared on its total reward; the larger total wins,
+    ties produce no match. Reward totals sum as EXACT micro-unit longs
+    (floor(value·1e6 + 0.5)) so the winner is order-independent.
+
+    The MM loop runs on the COLLECTED (winner, loser, n) matrix —
+    bounded by |event-type vocabulary|² and count-guarded at
+    BT_MAX_ITEMS; the corpus-sized work (per-user totals, pairwise
+    compare) is all distributed, and the per-user pair explode is k²
+    rows per user with k = #types (bounded vocabulary, never corpus).
+    All iteration arithmetic is INTEGER in 1e-6 strength units
+    (term_i = Σ_j n_ij·1e12 // (p_i + p_j), p'_i = W_i·1e12 // S_i,
+    then normalize to Σp = 1e6), so the fixpoint has no float knife
+    edge and the DuckDB oracle unrolls it bit-for-bit.
+    """
+    v = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    per = events.groupBy("user_id", "event_type").agg(F.sum(v).alias("s"))
+    a, b = per.alias("a"), per.alias("b")
+    wins_df = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.s") > F.col("b.s"))
+        )
+        .groupBy(
+            F.col("a.event_type").alias("winner"),
+            F.col("b.event_type").alias("loser"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_pairs = wins_df.count()
+    if n_pairs > BT_MAX_ITEMS:  # pragma: no cover - scale guard
+        raise ValueError(f"bradley_terry: {n_pairs} match pairs exceeds bound")
+    matches = [(r["winner"], r["loser"], int(r["n"])) for r in wins_df.collect()]
+    items = sorted({w for w, _, _ in matches} | {l for _, l, _ in matches})
+    wins = {i: 0 for i in items}
+    losses = {i: 0 for i in items}
+    n_tot: dict[tuple, int] = {}
+    for w, l, n in matches:
+        wins[w] += n
+        losses[l] += n
+        n_tot[(w, l)] = n_tot.get((w, l), 0) + n
+        n_tot[(l, w)] = n_tot.get((l, w), 0) + n
+    p = {i: 1_000_000 for i in items}
+    for _ in range(iters):
+        s = {
+            i: sum(
+                n_tot[(i, j)] * 1_000_000_000_000 // (p[i] + p[j])
+                for j in items
+                if (i, j) in n_tot
+            )
+            for i in items
+        }
+        raw = {
+            i: (wins[i] * 1_000_000_000_000 // s[i]) if s[i] > 0 else 0
+            for i in items
+        }
+        z = sum(raw.values())
+        p = {i: raw[i] * 1_000_000 // z for i in items}
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        [(i, wins[i], losses[i], p[i]) for i in items],
+        "event_type string, wins long, losses long, strength_micro long",
+    )
+    return out.select(
+        "event_type",
+        "wins",
+        "losses",
+        "strength_micro",
+        (F.col("strength_micro") / 1e6).alias("strength"),
+    )

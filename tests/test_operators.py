@@ -3049,3 +3049,43 @@ def test_spearman_perfect_and_inverted(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = TO.spearman_quality(df).collect()[0]
     assert r.rho == 1.0 and r.sum_d2 == 0 and r.n_docs == 7
+
+
+def test_bradley_terry_orders_strengths(spark):
+    from githubrepostorag_spark.operators import eventops as EV
+
+    # item C beats everyone, A loses to everyone: strength C > B > A
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for typ, val in (("A", 1.0), ("B", 2.0), ("C", 3.0)):
+            eid += 1
+            rows.append((eid, u, typ, val))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = {r.event_type: r for r in EV.bradley_terry(df).collect()}
+    assert out["C"].wins == 10 and out["C"].losses == 0
+    assert out["A"].wins == 0 and out["A"].losses == 10
+    assert (
+        out["C"].strength_micro > out["B"].strength_micro > out["A"].strength_micro
+    )
+    total = sum(r.strength_micro for r in out.values())
+    assert abs(total - 1_000_000) < 10
+
+
+def test_pair_ngram_precision_direction(spark):
+    """doc_b contains all of doc_a verbatim -> unigram precision a->b
+    is 1.0 even though the pair is far from identical."""
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    b_text = a_text + " extra trailing words dilute"
+    df = spark.createDataFrame(
+        [(1, a_text.strip()), (2, b_text.strip()),
+         (3, "unrelated totally different content with nothing in common")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in DD.pair_ngram_precision(df).collect()}
+    assert (1, 2) in out, "LSH should propose the containment pair"
+    r = out[(1, 2)]
+    assert r.unigram_prec == 1.0
+    assert r.bigram_prec >= 0.9
