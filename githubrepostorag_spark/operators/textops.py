@@ -2826,3 +2826,51 @@ def spearman_quality(documents: DataFrame) -> DataFrame:
             F.lit(1.0) - 6.0 * F.col("sum_d2") / (nd * (nd * nd - F.lit(1.0))), 6
         ).alias("rho"),
     )
+
+
+def code_hygiene_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Combined code-corpus hygiene GATE: input rows (all columns) that
+    pass every StarCoder code-quality rule (see code_quality_flags) AND
+    contain no high-entropy secret candidate (see secret_entropy_scan).
+    The one-predicate splice a curation pipeline runs over a repository
+    corpus before dedup — same pure-filter shape as gopher_pass_filter:
+    no join, no shuffle, one scan.
+
+    The secret check short-circuits: entropy folds run only over the
+    regex candidates (most docs have none), so the common case costs
+    one regexp_extract_all.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    low = F.lower(t)
+    max_ll = F.array_max(F.transform(lines, lambda l: F.length(l)))
+    sum_ll = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    n_lines = F.size(lines)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    n = F.length(t)
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(low, F.lit(m))
+        autogen = c if autogen is None else autogen | c
+    fail_code = (
+        (max_ll > CODEQ_MAX_LINE_LEN)
+        | (sum_ll > CODEQ_MEAN_LINE_LEN * n_lines)
+        | (4 * n_alnum < n)
+        | autogen
+        | ((n_lines < 3) & (n > 300))
+    )
+    cands = F.regexp_extract_all(t, F.lit(SECRET_CANDIDATE_RE), F.lit(0))
+
+    def _entropy(s):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
+        )
+        nn = F.length(s).cast("double")
+        ds = F.array_sort(F.array_distinct(chars))
+        term = lambda c: (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn)
+        return F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+
+    has_secret = F.exists(cands, lambda s: _entropy(s) >= SECRET_MIN_ENTROPY)
+    return documents.filter(~fail_code & ~has_secret)

@@ -65,6 +65,7 @@ def curation_pipeline(
     n_per_source: int = MIX_PER_SOURCE,
     pack_budget: int = PACK_BUDGET,
     gopher_gate: bool = False,
+    code_hygiene_gate: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; see module docstring for stages.
 
@@ -75,6 +76,12 @@ def curation_pipeline(
     (textops.gopher_pass_filter, Rae et al. 2021 Table A1) behind the
     funnel gate — a pure filter predicate on the same scan, no join —
     and adds a 'gopher_gate' audit/timing row.
+
+    `code_hygiene_gate` (opt-in) splices the code-corpus hygiene gate
+    (textops.code_hygiene_filter: StarCoder quality rules + the
+    high-entropy secret check) in the same pure-filter position — the
+    battery a repository corpus (The Stack) runs instead of / alongside
+    the prose-oriented Gopher rules. Adds a 'code_hygiene' audit row.
     """
     t = F.col("text")
     # --- stage 1: quality gate (same predicates as curation_funnel) ---
@@ -92,6 +99,10 @@ def curation_pipeline(
         from githubrepostorag_spark.operators import textops as TO
 
         gated = TO.gopher_pass_filter(gated)
+    if code_hygiene_gate:
+        from githubrepostorag_spark.operators import textops as TO
+
+        gated = TO.code_hygiene_filter(gated)
 
     # --- stage 2: exact dedup (canonical min-id per fingerprint) ---
     exact_keep = DD.exact_dedup(gated).select(
@@ -164,10 +175,16 @@ def curation_pipeline(
         ("raw", int(head["n_raw"])),
         ("quality_gate", int(head["n_gated"])),
     ]
-    if gopher_gate:
+    if gopher_gate and not code_hygiene_gate:
         # opt-in extra scan: the battery-gated count is its own stage
         counts.append(
             ("gopher_gate", timer.time("gopher_gate", gated.count))
+        )
+    if code_hygiene_gate:
+        # `gated` is the terminal gate frame; its count records the
+        # combined hygiene stage (gopher first when both are on)
+        counts.append(
+            ("code_hygiene", timer.time("code_hygiene", gated.count))
         )
     counts += [
         ("exact_dedup", timer.time("exact_dedup", exact.count)),

@@ -500,3 +500,27 @@ def test_curation_pipeline_gopher_gate_option(spark):
     finally:
         base.unpersist()
         gated.unpersist()
+
+
+def test_curation_pipeline_code_hygiene_gate(spark):
+    """code_hygiene_gate=True splices the StarCoder+secret gate behind
+    the funnel; a doc with a 1200-char line is dropped there and the
+    audit carries a code_hygiene stage."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    ok = ("the quick brown fox jumps over a lazy dog and then keeps "
+          "going with more plain words\n") * 4
+    rows = [(i, ok + f" tail{i}", "en", "srcA", len(ok)) for i in range(1, 9)]
+    rows.append((99, ok + "\n" + "x" * 1200, "en", "srcA", 1200))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame([(1000, "benchmark eval text here")],
+                                  "doc_id long, text string")
+    res = curation_pipeline(docs, bench, run_id="chg", code_hygiene_gate=True)
+    try:
+        audit = {r["stage"]: r["n_docs"] for r in res.audit.collect()}
+        assert "code_hygiene" in audit
+        assert audit["code_hygiene"] == audit["quality_gate"] - 1
+    finally:
+        res.unpersist()
