@@ -45,6 +45,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q245_threshold_sweep",
+    "q244_modularity",
     "q243_pair_precision",
     "q242_bradley_terry",
     "q241_spearman_quality",
@@ -898,6 +900,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_pair_precision": lambda sp, sf: DD.pair_ngram_precision(
             t(sp, sf, "documents")
         ),
+        "q244_modularity": lambda sp, sf: G.community_modularity(
+            t(sp, sf, "documents")
+        ),
+        "q245_threshold_sweep": lambda sp, sf: DD.dedup_threshold_sweep(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -1319,9 +1327,10 @@ def _pagerank_sql(iters: int) -> str:
     )
 
 
-def _lpa_sql(iters: int) -> str:
-    """Fixed-iteration label propagation over the symmetrized LSH
-    candidate graph (mirror of graph.doc_communities)."""
+def _lpa_prefix(iters: int) -> str:
+    """CTE chain (ending at l{iters}: node, label) for fixed-iteration
+    label propagation over the 2-band LSH candidate graph — shared by
+    q101 and the q244 modularity audit."""
     ctes = [
         f"""bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
             cand AS (
@@ -1349,9 +1358,14 @@ def _lpa_sql(iters: int) -> str:
                 FROM n{i}) WHERE rn = 1
             )"""
         )
+    return f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n" + ",\n".join(ctes)
+
+
+def _lpa_sql(iters: int) -> str:
+    """Fixed-iteration label propagation over the symmetrized LSH
+    candidate graph (mirror of graph.doc_communities)."""
     return (
-        f"{_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},\n"
-        + ",\n".join(ctes)
+        _lpa_prefix(iters)
         + f"""
             SELECT node AS doc_id, label AS community FROM l{iters}"""
     )
@@ -6467,5 +6481,79 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / CAST(greatest(len(ba), 1) AS DOUBLE), 6) AS bigram_prec
             FROM j
+        """,
+        # Modularity audit (graph.community_modularity): q101's LPA CTEs
+        # + exact integer edge/degree aggregates, one float term per
+        # community with identical operand order.
+        "q244_modularity": f"""
+            {_lpa_prefix(G.LPA_ITERS)},
+            la AS (SELECT node, label FROM l{G.LPA_ITERS}),
+            mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cand),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                (SELECT doc_a AS node FROM cand
+                 UNION ALL SELECT doc_b FROM cand)
+              GROUP BY 1),
+            dcn AS (
+              SELECT la.label AS community,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+              FROM deg JOIN la ON la.node = deg.node GROUP BY 1),
+            ecn AS (
+              SELECT a.label AS community,
+                     CAST(count(*) AS BIGINT) AS intra_edges
+              FROM cand c
+              JOIN la a ON a.node = c.doc_a
+              JOIN la b ON b.node = c.doc_b
+              WHERE a.label = b.label GROUP BY 1)
+            SELECT d.community, d.n_nodes, d.degree_sum,
+                   CAST(coalesce(e.intra_edges, 0) AS BIGINT) AS intra_edges,
+                   round(coalesce(e.intra_edges, 0) / CAST(mtot.m AS DOUBLE)
+                         - (d.degree_sum / (2.0 * CAST(mtot.m AS DOUBLE)))
+                         * (d.degree_sum / (2.0 * CAST(mtot.m AS DOUBLE))), 6)
+                     AS modularity_term
+            FROM dcn d LEFT JOIN ecn e ON e.community = d.community
+            CROSS JOIN mtot
+        """,
+        # Threshold sweep (dedup.dedup_threshold_sweep): one verify pass
+        # at threshold 0, 5 policy cuts as conditional aggregates.
+        "q245_threshold_sweep": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pr AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b),
+            th AS (SELECT unnest([{", ".join(str(t) for t in DD.DEDUP_SWEEP_THRESHOLDS)}])
+                     AS threshold),
+            hit AS (SELECT t.threshold, p.doc_a, p.doc_b
+                    FROM pr p CROSS JOIN th t WHERE p.jaccard >= t.threshold)
+            SELECT th.threshold,
+                   CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+            FROM th
+            LEFT JOIN (SELECT threshold, count(*) AS n_pairs FROM hit
+                       GROUP BY 1) np USING (threshold)
+            LEFT JOIN (SELECT threshold, count(DISTINCT doc_id) AS n_docs FROM
+                         (SELECT threshold, unnest([doc_a, doc_b]) AS doc_id
+                          FROM hit)
+                       GROUP BY 1) nd USING (threshold)
         """,
     })

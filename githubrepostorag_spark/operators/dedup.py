@@ -1228,3 +1228,52 @@ def pair_ngram_precision(documents: DataFrame) -> DataFrame:
             ).alias("bigram_prec"),
         )
     )
+
+
+DEDUP_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(
+    documents: DataFrame, thresholds: tuple = DEDUP_SWEEP_THRESHOLDS
+) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep for the near-dup policy: the
+    verified candidate pairs are computed ONCE (threshold 0 — every LSH
+    collision gets its exact Jaccard), then each candidate policy
+    threshold reports how many pairs and how many distinct documents it
+    would implicate. The table a corpus owner reads before committing
+    to a dedup threshold — q203 sweeps the LSH *geometry*, this sweeps
+    the *verify* cut on fixed geometry.
+
+    One LSH+verify pass (checkpointed — consumed once per threshold
+    row), then a thresholds×pairs broadcast fan-out (|pairs|·5 rows)
+    with one aggregate: pair counts and endpoint-distinct counts per
+    threshold. Threshold literals are identical decimal strings on both
+    engines, and jaccard is already 6dp-rounded, so the >= compares
+    can't diverge.
+    """
+    pairs = jaccard_on_candidates(documents, threshold=0.0).localCheckpoint(
+        eager=True
+    )
+    spark = documents.sparkSession
+    th = F.broadcast(
+        spark.createDataFrame([(t,) for t in thresholds], "threshold double")
+    )
+    hit = pairs.crossJoin(th).filter(F.col("jaccard") >= F.col("threshold"))
+    ep = hit.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    n_pairs = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = ep.groupBy("threshold").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        th.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )

@@ -724,3 +724,65 @@ def doc_kcore(documents: DataFrame, k: int = KCORE_K) -> DataFrame:
     return kcore_peel(cand, k=k, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "degree", "in_core"
     )
+
+
+def community_modularity(documents: DataFrame) -> DataFrame:
+    """Newman modularity audit of the LPA communities over the LSH
+    near-dup candidate graph — the quality meter for q101's grouping:
+    per community, Q_c = e_c/m − (d_c/2m)², where e_c is intra-community
+    edges, d_c the community's degree mass, m total edges. High-Q_c
+    communities are real template families; Q_c ≈ 0 flags LPA labels
+    that cut across the graph (re-run with more iterations or fall back
+    to components).
+
+    All inputs to the formula are EXACT integer aggregates (edge
+    counts, degree sums) computed distributed; the single float
+    expression per community is written with identical operand order on
+    both engines before the 6dp round. The edge total rides a broadcast
+    singleton crossJoin — nothing collects.
+    """
+    from githubrepostorag_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
+    labels = label_propagation(cand, iters=LPA_ITERS, src="doc_a", dst="doc_b")
+    la = labels.select(F.col("node").alias("doc_a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("label").alias("cb"))
+    e = cand.join(la, "doc_a").join(lb, "doc_b")
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        cand.select(F.col("doc_a").alias("node"))
+        .union(cand.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    ec = (
+        e.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    md = F.col("m").cast("double")
+    return (
+        dc.join(ec, "community", "left")
+        .withColumn("intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            "intra_edges",
+            F.round(
+                F.col("intra_edges") / md
+                - (F.col("degree_sum") / (2.0 * md))
+                * (F.col("degree_sum") / (2.0 * md)),
+                6,
+            ).alias("modularity_term"),
+        )
+    )

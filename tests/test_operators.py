@@ -3089,3 +3089,35 @@ def test_pair_ngram_precision_direction(spark):
     r = out[(1, 2)]
     assert r.unigram_prec == 1.0
     assert r.bigram_prec >= 0.9
+
+
+def test_community_modularity_dense_cliques(spark):
+    """Two exact-duplicate families form two communities whose
+    modularity terms are positive (dense intra, no inter edges)."""
+    fam1 = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    fam2 = "one two three four five six seven eight nine ten " * 8
+    rows = [(i, fam1) for i in range(1, 5)] + [(i, fam2) for i in range(11, 15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = G.community_modularity(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_nodes == 4
+        assert r.intra_edges == 6  # full 4-clique
+        assert r.modularity_term > 0
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [
+        (1, base), (2, base),                          # exact dup (j=1.0)
+        (3, base + " minor tail change here"),         # high-but-<1 jaccard
+        (4, "totally different unrelated text with distinct words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(DD.dedup_threshold_sweep(df).collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    pair_counts = [r.n_pairs for r in out]
+    doc_counts = [r.n_docs for r in out]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    assert out[-1].n_pairs >= 1  # the exact pair survives 0.9
