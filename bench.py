@@ -199,6 +199,25 @@ def main() -> None:
                stages=stage_dict(res.timed_stages))
         res.unpersist()
 
+    # composed mixture-planning pipeline (DoReMi weights → repeat-decay
+    # accounting → epoch/budget plan → quota sampling) — the decision
+    # layer between curation and release
+    from githubrepostorag_spark.plans.mixture import mixture_plan
+
+    def run_mixture():
+        res = mixture_plan(raw_docs)
+        run_query(res.plan)
+        run_query(res.sampled)
+        return res
+
+    run_mixture()  # plan compile warmup
+    for _ in range(2):
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        res = run_mixture()
+        record("mixture_plan", time.time() - t0, load1,
+               stages=stage_dict(res.timed_stages))
+
     # streaming admission gates: one availableNow micro-batch of the
     # documents table through each foreachBatch gate — the always-on
     # ingest front door's recorded steady-state cost. Each pass uses

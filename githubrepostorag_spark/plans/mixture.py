@@ -1,0 +1,144 @@
+"""Composed MIXTURE-PLANNING pipeline: turns raw per-source corpus
+statistics into the sampling plan a pretraining run feeds its loader —
+the decision layer that sits between curation (what survives) and
+release (how it ships).
+
+    documents
+      → DoReMi domain reweighting   (per-source mixture weights, q234)
+      → repeat-decay accounting     (effective tokens per epoch, q236)
+      → epoch plan                  (epochs per source: smallest epoch
+                                     count whose CUMULATIVE effective
+                                     tokens reach the weight-implied
+                                     share of the token budget)
+      → quota sampling              (per-source keep fractions from the
+                                     plan's epoch-1 share, q58 machinery)
+      + plan audit                  (one row per source: weight, raw /
+                                     effective / budgeted tokens, epochs,
+                                     sampled docs)
+
+Every stage reuses an oracle-verified operator (q234, q236, q58); the
+composition itself is pytest-pinned. All plan arithmetic is integer
+micro-units (the q234 convention), so the plan is deterministic across
+clusters and reruns.
+
+Scale notes: the per-source statistics are two aggregates over one
+scan each; the plan table is |sources| rows (bounded — repos/domains,
+never corpus-sized) and broadcasts into the final narrow quota filter.
+Nothing else collects.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.operators import curation as CU
+from githubrepostorag_spark.plans.timing import StageTimer
+
+MIX_TOKEN_BUDGET = 10_000  # default total token budget for the plan
+
+
+class MixturePlanResult(NamedTuple):
+    plan: DataFrame     # per-source: weight, tokens, epochs, quota
+    sampled: DataFrame  # documents surviving the epoch-1 quota filter
+    timed_stages: DataFrame
+
+    def unpersist(self) -> None:
+        pass
+
+
+def mixture_plan(
+    documents: DataFrame,
+    token_budget: int = MIX_TOKEN_BUDGET,
+    epochs: int = CU.REPEAT_EPOCHS,
+) -> MixturePlanResult:
+    """Build the sampling plan; see module docstring for stages.
+
+    Per source: budget_tokens = floor(budget · weight_micro / 1e6)
+    (exact integers); epochs_needed = the smallest epoch count whose
+    cumulative EFFECTIVE tokens (q236's halving decay) reach the
+    budget share, capped at `epochs` (the source simply cannot supply
+    more value); quota_frac = min(1, budget_tokens / raw_tokens) in
+    permille — the epoch-1 keep fraction handed to q58's hash-bucket
+    sampler so the selection is deterministic and growth-stable.
+    """
+    timer = StageTimer()
+
+    weights = timer.time(
+        "doremi_weights",
+        lambda: CU.doremi_weights(documents).localCheckpoint(eager=True),
+    )
+    decay = CU.repeat_decay_tokens(documents, epochs=epochs)
+
+    budget = F.floor(
+        F.lit(int(token_budget)) * F.col("weight_micro") / F.lit(1_000_000)
+    ).cast("long")
+    per_epoch = decay.join(weights.select("source", "weight_micro"), "source")
+    reach = (
+        per_epoch.withColumn("budget_tokens", budget)
+        .withColumn("reached", F.col("cum_eff_tokens") >= F.col("budget_tokens"))
+    )
+    # smallest reaching epoch, else the cap (min over empty = null)
+    epochs_needed = (
+        reach.groupBy("source")
+        .agg(
+            F.min(F.when(F.col("reached"), F.col("epoch"))).alias("first_reach"),
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.max("raw_tokens").alias("raw_tokens"),
+            F.max(F.when(F.col("epoch") == epochs, F.col("cum_eff_tokens"))).alias(
+                "max_eff_tokens"
+            ),
+        )
+        .withColumn(
+            "epochs_needed",
+            F.coalesce(F.col("first_reach"), F.lit(int(epochs))).cast("long"),
+        )
+        .drop("first_reach")
+    )
+    # epoch-1 keep quota in permille: min(1000, budget*1000 // raw)
+    plan = (
+        epochs_needed.join(weights, "source")
+        .withColumn(
+            "quota_permille",
+            F.least(
+                F.lit(1000),
+                F.floor(F.col("budget_tokens") * 1000 / F.col("raw_tokens")).cast(
+                    "long"
+                ),
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            "loss_micro",
+            "weight_micro",
+            "raw_tokens",
+            "max_eff_tokens",
+            "budget_tokens",
+            "epochs_needed",
+            "quota_permille",
+        )
+    )
+    plan = timer.time("mixture_plan", lambda: plan.localCheckpoint(eager=True))
+
+    # deterministic per-source keep: md5(doc_id) permille bucket under
+    # the plan's quota — q58's hash-bucket selection, plan-driven
+    from githubrepostorag_spark.functions import text as TXT
+
+    h = F.pmod(TXT.md5_bigint(F.col("doc_id").cast("string")), F.lit(1000))
+    sampled = (
+        documents.join(
+            F.broadcast(plan.select("source", "quota_permille")), "source"
+        )
+        .filter(h < F.col("quota_permille"))
+        .drop("quota_permille")
+    )
+    sampled = timer.time("quota_sample", lambda: sampled.localCheckpoint(eager=True))
+    return MixturePlanResult(
+        plan=plan,
+        sampled=sampled,
+        timed_stages=timer.frame(
+            documents.sparkSession, "mixture", "mixture_run_id"
+        ),
+    )

@@ -524,3 +524,38 @@ def test_curation_pipeline_code_hygiene_gate(spark):
         assert audit["code_hygiene"] == audit["quality_gate"] - 1
     finally:
         res.unpersist()
+
+
+def test_mixture_plan_end_to_end(spark):
+    """Plan integers are exact, quotas bite when the budget is below a
+    source's raw tokens, and the sampled frame obeys the quota."""
+    from githubrepostorag_spark.plans.mixture import mixture_plan
+
+    rows = []
+    did = 0
+    for src, word, n_docs in (("rep", "a", 30), ("div", None, 30)):
+        for i in range(n_docs):
+            did += 1
+            text = ("a b " * 25).strip() if word else " ".join(
+                f"w{did}x{j}" for j in range(50)
+            )
+            rows.append((did, text, "en", src, len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    res = mixture_plan(docs, token_budget=600)
+    plan = {r.source: r for r in res.plan.collect()}
+    assert set(plan) == {"rep", "div"}
+    # the all-distinct source is "harder" (higher type/token loss)
+    assert plan["div"].weight_micro > plan["rep"].weight_micro
+    for r in plan.values():
+        assert r.raw_tokens == 1500
+        assert 0 <= r.quota_permille <= 1000
+        assert 1 <= r.epochs_needed <= 4
+        # budget below raw -> quota must bite
+        assert r.budget_tokens < r.raw_tokens and r.quota_permille < 1000
+    sampled = res.sampled.groupBy("source").count().collect()
+    for r in sampled:
+        assert r["count"] < 30  # strictly sampled down
+    stages = [r.stage for r in res.timed_stages.collect()]
+    assert stages == ["doremi_weights", "mixture_plan", "quota_sample"]
