@@ -45,6 +45,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q247_zipf_fit",
+    "q246_decon_sweep",
     "q245_threshold_sweep",
     "q244_modularity",
     "q243_pair_precision",
@@ -904,6 +906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q245_threshold_sweep": lambda sp, sf: DD.dedup_threshold_sweep(
+            t(sp, sf, "documents")
+        ),
+        "q246_decon_sweep": lambda sp, sf: CU.decon_gram_sweep(
+            t(sp, sf, "documents")
+        ),
+        "q247_zipf_fit": lambda sp, sf: TO.zipf_fit(
             t(sp, sf, "documents")
         ),
     })
@@ -6555,5 +6563,74 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT threshold, unnest([doc_a, doc_b]) AS doc_id
                           FROM hit)
                        GROUP BY 1) nd USING (threshold)
+        """,
+        # Decontamination gram-width sweep (curation.decon_gram_sweep):
+        # q70's broadcast-gram shape once per width, single-row unions.
+        "q246_decon_sweep": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+                    FROM documents WHERE doc_id % 101 <> 0)
+            {" UNION ALL ".join(f'''
+            SELECT CAST({n} AS BIGINT) AS gram_n, tot.n_train,
+                   s.n_flagged, s.total_overlap,
+                   round(s.n_flagged / CAST(tot.n_train AS DOUBLE), 6) AS flag_frac
+            FROM (
+              SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+                     CAST(coalesce(sum(overlap), 0) AS BIGINT) AS total_overlap
+              FROM (
+                SELECT c.doc_id, count(*) AS overlap
+                FROM (SELECT doc_id, unnest(CASE WHEN len(t) < {n}
+                         THEN []::VARCHAR[]
+                         ELSE list_distinct(list_transform(
+                                range(1, len(t) - {n} + 2),
+                                i -> array_to_string(t[i:i+{n - 1}], ' ')))
+                         END) AS gram
+                      FROM toks WHERE doc_id % 101 <> 0) c
+                JOIN (SELECT DISTINCT unnest(CASE WHEN len(t) < {n}
+                         THEN []::VARCHAR[]
+                         ELSE list_distinct(list_transform(
+                                range(1, len(t) - {n} + 2),
+                                i -> array_to_string(t[i:i+{n - 1}], ' ')))
+                         END) AS gram
+                      FROM toks WHERE doc_id % 101 = 0) b USING (gram)
+                GROUP BY 1)
+            ) s CROSS JOIN tot''' for n in CU.DECON_SWEEP_NS)}
+        """,
+        # Zipf fit (textops.zipf_fit): k-bounded head, 6dp-rounded
+        # DECIMAL term sums, identical closed-form slope/r2 expressions.
+        "q247_zipf_fit": f"""
+            WITH freq AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS f
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY tok),
+            top AS (SELECT tok, f FROM freq
+                    ORDER BY f DESC, tok LIMIT {TO.ZIPF_TOP_K}),
+            ranked AS (
+              SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE) AS r,
+                     f
+              FROM top),
+            terms AS (
+              SELECT CAST(round(ln(r), 6) AS DECIMAL(28,6)) AS x,
+                     CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(28,6)) AS y,
+                     CAST(round(ln(r) * ln(CAST(f AS DOUBLE)), 6)
+                          AS DECIMAL(28,6)) AS xy,
+                     CAST(round(ln(r) * ln(r), 6) AS DECIMAL(28,6)) AS xx,
+                     CAST(round(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 6)
+                          AS DECIMAL(28,6)) AS yy
+              FROM ranked),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(xy) AS DOUBLE) AS sxy,
+                     CAST(sum(xx) AS DOUBLE) AS sxx,
+                     CAST(sum(yy) AS DOUBLE) AS syy
+              FROM terms)
+            SELECT n_ranks,
+                   round(-((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)),
+                         6) AS zipf_alpha,
+                   round(((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx))
+                         * ((n_ranks * sxy - sx * sy) / (n_ranks * syy - sy * sy)),
+                         6) AS r_squared
+            FROM agg
         """,
     })

@@ -1396,3 +1396,50 @@ def weak_label_vote(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit("abstain"))
         .alias("weak_label"),
     )
+
+
+DECON_SWEEP_NS = (3, 5, 8)
+
+
+def decon_gram_sweep(
+    documents: DataFrame, ns: tuple = DECON_SWEEP_NS
+) -> DataFrame:
+    """Decontamination n-gram-size sensitivity sweep: for each gram
+    width, how many training documents share >= 1 distinct word n-gram
+    with the held-out benchmark slice (doc_id % 101 == 0, the q70
+    convention), and how many gram hits in total. Shorter grams flag
+    aggressively (8-gram is the GPT-3/PaLM convention; 13 the Gopher
+    one); this is the table that justifies the width choice — the
+    decontamination twin of q245's Jaccard-threshold sweep.
+
+    One corpus pass per width (the gram explode is width-specific),
+    each the q70 broadcast-join shape; the per-width outputs are
+    single aggregate rows unioned together. The benchmark side stays
+    MBs at any corpus scale, so every join is map-side.
+    """
+    bench = documents.filter(F.col("doc_id") % 101 == 0)
+    train = documents.filter(F.col("doc_id") % 101 != 0)
+    totals = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    out = None
+    for n in ns:
+        flagged = decontaminate(train, bench, n=int(n), min_overlap=1)
+        agg = (
+            flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_flagged"),
+                F.coalesce(F.sum("overlap"), F.lit(0)).cast("long").alias(
+                    "total_overlap"
+                ),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(int(n)).cast("long").alias("gram_n"),
+                "n_train",
+                "n_flagged",
+                "total_overlap",
+                F.round(F.col("n_flagged") / F.col("n_train").cast("double"), 6).alias(
+                    "flag_frac"
+                ),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

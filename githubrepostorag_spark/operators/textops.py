@@ -2874,3 +2874,61 @@ def code_hygiene_filter(documents: DataFrame, text_col: str = "text") -> DataFra
 
     has_secret = F.exists(cands, lambda s: _entropy(s) >= SECRET_MIN_ENTROPY)
     return documents.filter(~fail_code & ~has_secret)
+
+
+ZIPF_TOP_K = 50
+
+
+def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary head: regress
+    ln(frequency) on ln(rank) for the top-`k` tokens and report the
+    Zipf exponent alpha = -slope plus the fit's r² — the one-row corpus
+    health check (natural corpora fit alpha ≈ 1; machine-generated or
+    template-flooded corpora bend the curve) that complements q65's
+    head listing and q82's coverage curve.
+
+    Exactness: the regression runs on k-bounded rows; every per-rank
+    term (ln r, ln f, their products) is 6dp-rounded and summed as
+    DECIMAL — exact and order-independent, the repo's no-float-sum
+    convention — and only the final closed-form slope/r² expressions
+    are float, written with identical operand order on both engines.
+
+    Scale shape: one token explode + map-side-combined count, then
+    orderBy().limit(k) (TakeOrderedAndProject); the rank window runs
+    over the k surviving rows only.
+    """
+    freq = (
+        documents.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(int(k))
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))  # k-bounded frame
+    ranked = top.withColumn("r", F.row_number().over(w).cast("double"))
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r"))
+    dec = "decimal(28,6)"
+    terms = ranked.select(
+        F.round(lr, 6).cast(dec).alias("x"),
+        F.round(lf, 6).cast(dec).alias("y"),
+        F.round(lr * lf, 6).cast(dec).alias("xy"),
+        F.round(lr * lr, 6).cast(dec).alias("xx"),
+        F.round(lf * lf, 6).cast(dec).alias("yy"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "n_ranks",
+        F.round(-(cov / varx), 6).alias("zipf_alpha"),
+        F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
+    )

@@ -3121,3 +3121,31 @@ def test_dedup_threshold_sweep_monotone(spark):
     assert pair_counts == sorted(pair_counts, reverse=True)
     assert doc_counts == sorted(doc_counts, reverse=True)
     assert out[-1].n_pairs >= 1  # the exact pair survives 0.9
+
+
+def test_decon_gram_sweep_monotone(spark):
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = sorted(CU.decon_gram_sweep(docs).collect(), key=lambda r: r.gram_n)
+    assert [r.gram_n for r in out] == [3, 5, 8]
+    flags = [r.n_flagged for r in out]
+    # wider grams can only flag fewer (an 8-gram hit implies 3-gram hits)
+    assert flags == sorted(flags, reverse=True)
+    assert all(r.n_train == out[0].n_train for r in out)
+
+
+def test_zipf_fit_on_synthetic_power_law(spark):
+    # frequencies f(r) = 1000 // r follow alpha ~= 1 exactly in rank
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        for _ in range(1000 // r):
+            did += 1
+            rows.append((did, f"tok{r:02d}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TO.zipf_fit(df, k=20).collect()[0]
+    assert out.n_ranks == 20
+    assert 0.9 <= out.zipf_alpha <= 1.1
+    assert out.r_squared > 0.99
