@@ -6455,7 +6455,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate CTE + clipped integer overlap counts per pair.
         "q243_pair_precision": f"""
             {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
-            bands AS ({" UNION ALL ".join(_band_select(b) for b in range(LSH_BANDS))}),
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b

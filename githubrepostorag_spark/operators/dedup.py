@@ -1171,7 +1171,11 @@ def pair_ngram_precision(documents: DataFrame) -> DataFrame:
     # checkpointed: the pair set feeds four join branches (two size
     # lookups + two clipped-overlap aggregates) — without the pin each
     # branch would re-execute the whole MinHash/LSH chain
-    pairs = lsh_candidate_pairs(documents).localCheckpoint(eager=True)
+    # near-dup geometry (2 bands x 4 rows), matching jaccard_on_candidates:
+    # the default 4x2 geometry admits ~100x more (lower-similarity) pairs
+    # at sf0.1 — measured 3.8M vs ~58k — and a precision VERIFIER only
+    # makes sense on pairs the near-dup pipeline would actually judge
+    pairs = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
     toks = TXT.tokens(F.col("text"))
     base = documents.select("doc_id", toks.alias("t"))
     uni = base.select("doc_id", F.explode("t").alias("g"))

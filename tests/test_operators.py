@@ -3075,10 +3075,11 @@ def test_bradley_terry_orders_strengths(spark):
 
 
 def test_pair_ngram_precision_direction(spark):
-    """doc_b contains all of doc_a verbatim -> unigram precision a->b
-    is 1.0 even though the pair is far from identical."""
+    """doc_b strictly contains doc_a -> a->b precision is exactly 1.0
+    in both gram orders while the docs are NOT identical (the
+    direction-sensitive signal Jaccard < 1 can't give)."""
     a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
-    b_text = a_text + " extra trailing words dilute"
+    b_text = a_text + " extra"
     df = spark.createDataFrame(
         [(1, a_text.strip()), (2, b_text.strip()),
          (3, "unrelated totally different content with nothing in common")],
@@ -3087,8 +3088,9 @@ def test_pair_ngram_precision_direction(spark):
     out = {(r.doc_a, r.doc_b): r for r in DD.pair_ngram_precision(df).collect()}
     assert (1, 2) in out, "LSH should propose the containment pair"
     r = out[(1, 2)]
+    assert r.n_toks_b == r.n_toks_a + 1
     assert r.unigram_prec == 1.0
-    assert r.bigram_prec >= 0.9
+    assert r.bigram_prec == 1.0
 
 
 def test_community_modularity_dense_cliques(spark):
