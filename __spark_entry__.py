@@ -45,6 +45,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
 # PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
 _ROTATION_HEAD = [
+    "q249_quality_calibration",
+    "q248_novelty",
     "q247_zipf_fit",
     "q246_decon_sweep",
     "q245_threshold_sweep",
@@ -912,6 +914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q247_zipf_fit": lambda sp, sf: TO.zipf_fit(
+            t(sp, sf, "documents")
+        ),
+        "q248_novelty": lambda sp, sf: TO.novelty_profile(
+            t(sp, sf, "documents")
+        ),
+        "q249_quality_calibration": lambda sp, sf: TO.quality_calibration(
             t(sp, sf, "documents")
         ),
     })
@@ -6632,5 +6640,84 @@ def oracle_sql() -> dict[str, str]:
                          * ((n_ranks * sxy - sx * sy) / (n_ranks * syy - sy * sy)),
                          6) AS r_squared
             FROM agg
+        """,
+        # Novelty attribution (textops.novelty_profile): per-gram first
+        # occurrence by doc_id, per-doc novel-gram fraction.
+        "q248_novelty": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < {TO.NOVELTY_GRAM_N} THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(t) - {TO.NOVELTY_GRAM_N} + 2),
+                                 i -> array_to_string(
+                                        t[i:i+{TO.NOVELTY_GRAM_N - 1}], ' ')))
+                     END AS gs
+              FROM toks),
+            e AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM g),
+            fo AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT)
+                     AS novel_grams,
+                   round(count(*) FILTER (first_doc = doc_id)
+                         / CAST(n_grams AS DOUBLE), 6) AS novelty
+            FROM e JOIN fo USING (g)
+            GROUP BY doc_id, n_grams
+        """,
+        # Calibration curve (textops.quality_calibration): q191 score
+        # deciles (6dp percent rank, total order) x q220 failure counts,
+        # order-independent integer means.
+        "q249_quality_calibration": f"""
+            WITH s AS ({_logreg_scores_sql(TO.LOGREG_ROUNDS, TO.LOGREG_LR, stop_list)}),
+            r AS (SELECT doc_id,
+                         round(percent_rank() OVER (ORDER BY score, doc_id), 6)
+                           AS pct
+                  FROM s),
+            bk AS (SELECT doc_id,
+                          least(CAST(floor(pct * {TO.CALIB_BUCKETS}) AS BIGINT),
+                                {TO.CALIB_BUCKETS - 1}) AS bucket
+                   FROM r),
+            m AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS}) AS BIGINT) AS nw,
+                     CAST(coalesce(list_sum(list_transform({_TOKS},
+                            tk -> length(tk))), 0) AS BIGINT) AS sl,
+                     CAST(len(list_filter({_TOKS},
+                            tk -> regexp_matches(tk, '[A-Za-z]'))) AS BIGINT) AS na,
+                     CAST(len(list_intersect(
+                            list_distinct(list_transform({_TOKS}, tk -> lower(tk))),
+                            {_sql_list(TO.GOPHER_STOPWORDS)})) AS BIGINT) AS ns,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                          AS BIGINT) AS nb,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> ends_with(rtrim(l), '...')
+                                 OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ne
+              FROM documents),
+            nf AS (
+              SELECT doc_id,
+                     CAST(CAST(nw < {TO.GOPHER_MIN_WORDS} AS INT)
+                        + CAST(nw > {TO.GOPHER_MAX_WORDS} AS INT)
+                        + CAST(nw > 0 AND sl < 3 * nw AS INT)
+                        + CAST(sl > 10 * nw AS INT)
+                        + CAST(10 * nsym > nw AS INT)
+                        + CAST(10 * nb > 9 * nl AS INT)
+                        + CAST(10 * ne > 3 * nl AS INT)
+                        + CAST(nw > 0 AND 5 * na < 4 * nw AS INT)
+                        + CAST(ns < {TO.GOPHER_MIN_STOPWORDS} AS INT)
+                          AS BIGINT) AS n_failed
+              FROM m)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_failed) AS BIGINT) AS total_failed,
+                   CAST(floor(CAST(sum(n_failed) AS BIGINT) * 1000000
+                              / count(*) + 0.5) AS BIGINT) / 1000000.0
+                     AS mean_rules_failed
+            FROM bk JOIN nf USING (doc_id)
+            GROUP BY bucket
         """,
     })

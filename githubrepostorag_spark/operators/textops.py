@@ -2932,3 +2932,99 @@ def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
         F.round(-(cov / varx), 6).alias("zipf_alpha"),
         F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
     )
+
+
+NOVELTY_GRAM_N = 5
+
+
+def novelty_profile(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct word
+    n-grams whose corpus-wide FIRST occurrence (by doc_id order — the
+    ingest order) is this document. The marginal-contribution signal a
+    streaming curation loop uses: a low-novelty late document adds
+    nothing the corpus hasn't seen and is a drop candidate even when no
+    single earlier document matches it (cross-doc mosaic duplication
+    that pairwise near-dup metrics under-count).
+
+    Plan shape: one gram explode → per-gram min(doc_id) (one shuffle,
+    map-side combined) → join the per-doc distinct grams back on the
+    gram → per-doc conditional count. Linear in corpus grams, no pair
+    work at all.
+    """
+    from githubrepostorag_spark.operators.curation import word_ngram_set
+
+    grams = (
+        documents.select(
+            "doc_id", word_ngram_set(F.col("text"), int(n)).alias("gs")
+        )
+        .select("doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams")
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams").cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+CALIB_BUCKETS = 10
+
+
+def quality_calibration(
+    documents: DataFrame, buckets: int = CALIB_BUCKETS
+) -> DataFrame:
+    """Calibration curve between the quality ladder's two rungs: bucket
+    documents into deciles of the trained classifier score (q191) and
+    report each decile's mean Gopher-rule failure count (q220). A
+    monotone-decreasing curve says the learned score and the heuristic
+    battery agree; a flat curve says one of them is noise — the audit
+    to run before gating a 100 TB corpus on either.
+
+    Deciles come from the DISTRIBUTED percent rank (total order on
+    (score, doc_id) — no global window); the per-decile mean failure
+    count is an order-independent integer mean (sum of longs, one
+    division, 6dp floor-rounded via exact integers).
+    """
+    from githubrepostorag_spark.functions.ranks import global_percent_rank
+
+    scores = logreg_quality_scores(documents).select("doc_id", "score")
+    flags = gopher_flags(documents).select("doc_id", "n_rules_failed")
+    ranked = global_percent_rank(
+        scores, [F.asc("score"), F.asc("doc_id")], "pct"
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.floor(F.col("pct") * buckets).cast("long"), F.lit(int(buckets) - 1)
+        ),
+    )
+    return (
+        ranked.join(flags, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_rules_failed").cast("long").alias("total_failed"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_failed",
+            (
+                F.floor(
+                    F.col("total_failed") * 1_000_000 / F.col("n_docs") + F.lit(0.5)
+                ).cast("long")
+                / 1e6
+            ).alias("mean_rules_failed"),
+        )
+    )

@@ -3151,3 +3151,26 @@ def test_zipf_fit_on_synthetic_power_law(spark):
     assert out.n_ranks == 20
     assert 0.9 <= out.zipf_alpha <= 1.1
     assert out.r_squared > 0.99
+
+
+def test_novelty_profile_first_wins(spark):
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words appear here now ok")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TO.novelty_profile(df).collect()}
+    assert out[1].novelty == 1.0      # first occurrence owns every gram
+    assert out[2].novelty == 0.0      # exact dup contributes nothing
+    assert out[3].novelty == 1.0
+
+
+def test_quality_calibration_buckets(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = sorted(TO.quality_calibration(docs).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in out] == list(range(10))
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert 0.0 <= r.mean_rules_failed <= 9.0
