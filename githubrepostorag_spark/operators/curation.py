@@ -1263,14 +1263,13 @@ def doremi_weights(documents: DataFrame, iters: int = DOREMI_ITERS) -> DataFrame
             .alias("loss_micro")
         )
     )
-    n_domains = per_src.count()
-    if n_domains > DOREMI_MAX_DOMAINS:  # pragma: no cover - scale guard
-        raise ValueError(
-            f"doremi_weights: {n_domains} domains exceeds the driver bound"
-        )
-    rows = sorted(
-        ((r["source"], int(r["loss_micro"])) for r in per_src.collect())
-    )
+    # single action: fetch bound+1 rows — a .count() guard before the
+    # .collect() would re-execute the per-domain aggregate (two corpus
+    # scans at 100 TB for one bounded table)
+    fetched = per_src.limit(DOREMI_MAX_DOMAINS + 1).collect()
+    if len(fetched) > DOREMI_MAX_DOMAINS:  # pragma: no cover - scale guard
+        raise ValueError("doremi_weights: domain count exceeds the driver bound")
+    rows = sorted((r["source"], int(r["loss_micro"])) for r in fetched)
     min_loss = min(l for _, l in rows)
     k = len(rows)
     w = {s: 1_000_000 for s, _ in rows}

@@ -1512,10 +1512,12 @@ def bradley_terry(events: DataFrame, iters: int = BT_ITERS) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
-    n_pairs = wins_df.count()
-    if n_pairs > BT_MAX_ITEMS:  # pragma: no cover - scale guard
-        raise ValueError(f"bradley_terry: {n_pairs} match pairs exceeds bound")
-    matches = [(r["winner"], r["loser"], int(r["n"])) for r in wins_df.collect()]
+    # single action: fetch bound+1 rows (a .count() guard would run the
+    # whole per-user compare twice)
+    fetched = wins_df.limit(BT_MAX_ITEMS + 1).collect()
+    if len(fetched) > BT_MAX_ITEMS:  # pragma: no cover - scale guard
+        raise ValueError("bradley_terry: match-pair count exceeds the bound")
+    matches = [(r["winner"], r["loser"], int(r["n"])) for r in fetched]
     items = sorted({w for w, _, _ in matches} | {l for _, l, _ in matches})
     wins = {i: 0 for i in items}
     losses = {i: 0 for i in items}

@@ -450,3 +450,45 @@ def test_round5_chunk_near_dups_scale_linearly(spark):
     assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
         f"chunk_near_dups superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
     )
+
+
+def test_round6_ops_scale_linearly(spark):
+    """Round-6 additions on the hostile corpus: the maximal-span merge
+    explodes one row per CHARACTER of a corpus where half the windows
+    are flood-duplicated; novelty attributes every gram of the flood
+    to its first copy; the fork profiler sees the hot source holding
+    half the corpus (the shingle cap bounds its pair work); the weak
+    labeler and the code gates are pure scans. Growth must stay
+    ≈ linear."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import textops as TO
+
+    for name, mk in (
+        ("dup_span_merge", TO.dup_span_merge),
+        ("novelty_profile", TO.novelty_profile),
+        ("repo_fork_pairs", DD.repo_fork_pairs),
+        ("weak_label_vote", CU.weak_label_vote),
+        ("code_quality_flags", TO.code_quality_flags),
+    ):
+        t1 = _run(mk(_docs(spark, 1)))
+        t10 = _run(mk(_docs(spark, REPLICAS)))
+        spark.catalog.clearCache()
+        assert t10 < LINEARITY_FACTOR * max(t1, 1.0), (
+            f"{name} superlinear: 1x={t1:.1f}s 10x={t10:.1f}s"
+        )
+
+
+def test_round6_pair_precision_on_flood(spark):
+    """q243 on the exact-twin flood: every twin pair the near-dup LSH
+    proposes must verify at clipped precision exactly 1.0 in both gram
+    orders (the pairs are byte-identical texts)."""
+    docs = _docs(spark, 4).filter(F.col("doc_id") % 7 == 0)
+    out = DD.pair_ngram_precision(docs).limit(200).collect()
+    assert out, "flood must produce candidate pairs"
+    exact = [
+        r for r in out
+        if r.n_toks_a == r.n_toks_b and r.unigram_prec == 1.0
+    ]
+    assert exact, "exact twins must appear among verified pairs"
+    for r in exact:
+        assert r.bigram_prec == 1.0
