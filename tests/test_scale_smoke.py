@@ -482,7 +482,9 @@ def test_round6_pair_precision_on_flood(spark):
     """q243 on the exact-twin flood: every twin pair the near-dup LSH
     proposes must verify at clipped precision exactly 1.0 in both gram
     orders (the pairs are byte-identical texts)."""
-    docs = _docs(spark, 4).filter(F.col("doc_id") % 7 == 0)
+    # filter on the BASE id (doc_id % 1e6): a raw doc_id % 7 filter
+    # would keep at most one replica per base doc (ids shift by rep*1e6)
+    docs = _docs(spark, 4).filter((F.col("doc_id") % 1_000_000) % 7 == 0)
     out = DD.pair_ngram_precision(docs).limit(200).collect()
     assert out, "flood must produce candidate pairs"
     exact = [
