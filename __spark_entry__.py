@@ -46,6 +46,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
 # sf0.1 over all 249 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
+    "q251_ivf_probe_sweep",
+    "q250_ivf_pq_knn",
     "q249_quality_calibration",
     "q248_novelty",
     "q247_zipf_fit",
@@ -922,6 +924,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q249_quality_calibration": lambda sp, sf: TO.quality_calibration(
             t(sp, sf, "documents")
+        ),
+        "q250_ivf_pq_knn": lambda sp, sf: S.ivf_pq_knn(
+            t(sp, sf, "embeddings")
+        ),
+        "q251_ivf_probe_sweep": lambda sp, sf: S.ivf_probe_sweep(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -6720,5 +6728,120 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_rules_failed
             FROM bk JOIN nf USING (doc_id)
             GROUP BY bucket
+        """,
+        # IVFADC (similarity.ivf_pq_knn): q35's coarse quantizer +
+        # q87's LUT ADC restricted to probed cells + q88's exact rerank.
+        "q250_ivf_pq_knn": f"""
+            {_pq_cte()},
+            idims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            icent_dims AS (SELECT label, dim, round(avg(v), 6) AS centroid_v
+                          FROM idims GROUP BY label, dim),
+            icent AS (SELECT label AS centroid_label,
+                            list(centroid_v ORDER BY dim) AS centroid
+                     FROM icent_dims GROUP BY label),
+            qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+            crk AS (
+              SELECT centroid_label,
+                     row_number() OVER (ORDER BY sim DESC, centroid_label) AS cr
+              FROM (SELECT c.centroid_label,
+                           list_cosine_similarity(CAST(c.centroid AS DOUBLE[]),
+                                                  qq.qv) AS sim
+                    FROM icent c CROSS JOIN qq)),
+            ascored AS (
+              SELECT e.vec_id, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN icent c),
+            assigned AS (
+              SELECT vec_id, centroid_label AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_label) AS rn
+                FROM ascored) WHERE rn = 1),
+            cand AS (
+              SELECT a.vec_id FROM assigned a
+              JOIN crk ON crk.centroid_label = a.cell
+              WHERE crk.cr <= {S.IVFPQ_PROBES} AND a.vec_id <> 0),
+            lut AS (
+              SELECT c.subspace, c.code,
+                     list_inner_product(q.subvec, c.centroid) AS qdot
+              FROM (SELECT subspace, subvec FROM subs WHERE vec_id = 0) q
+              JOIN cb c ON c.subspace = q.subspace),
+            adc AS (
+              SELECT p.vec_id, round(sum(l.qdot), 6) AS adc_score
+              FROM pqcodes p
+              JOIN cand cd ON cd.vec_id = p.vec_id
+              JOIN lut l ON l.subspace = p.subspace AND l.code = p.code
+              GROUP BY p.vec_id
+              ORDER BY adc_score DESC, p.vec_id
+              LIMIT {S.IVFPQ_SHORTLIST})
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                qq.qv), 6) AS score
+            FROM embeddings e
+            JOIN adc a ON a.vec_id = e.vec_id
+            CROSS JOIN qq
+            ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        # IVF probe sweep (similarity.ivf_probe_sweep): per-config
+        # k-bounded IVF top-k vs the exact top-k, LEFT-join recall.
+        "q251_ivf_probe_sweep": f"""
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            cent_dims AS (SELECT label, dim, round(avg(v), 6) AS centroid_v
+                          FROM dims GROUP BY label, dim),
+            cent AS (SELECT label AS centroid_label,
+                            list(centroid_v ORDER BY dim) AS centroid
+                     FROM cent_dims GROUP BY label),
+            qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+            crk AS (
+              SELECT centroid_label,
+                     row_number() OVER (ORDER BY sim DESC, centroid_label) AS cr
+              FROM (SELECT c.centroid_label,
+                           list_cosine_similarity(CAST(c.centroid AS DOUBLE[]),
+                                                  qq.qv) AS sim
+                    FROM cent c CROSS JOIN qq)),
+            ascored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c),
+            assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_label) AS rn
+                FROM ascored) WHERE rn = 1),
+            cands AS (
+              SELECT p.np, a.vec_id,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  qq.qv), 6) AS score
+              FROM assigned a
+              JOIN crk ON crk.centroid_label = a.cell
+              CROSS JOIN (VALUES {", ".join(f"({p})" for p in S.IVF_SWEEP_PROBES)}) p(np)
+              CROSS JOIN qq
+              WHERE crk.cr <= p.np AND a.vec_id <> 0),
+            rk AS (SELECT np, vec_id,
+                          row_number() OVER (PARTITION BY np
+                             ORDER BY score DESC, vec_id) AS rn
+                   FROM cands),
+            tk AS (SELECT np, vec_id FROM rk WHERE rn <= 10),
+            truth AS (
+              SELECT e.vec_id FROM embeddings e CROSS JOIN qq
+              WHERE e.vec_id <> 0
+              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    qq.qv), 6) DESC, e.vec_id
+              LIMIT 10)
+            SELECT CAST(tk.np AS BIGINT) AS n_probes,
+                   CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+                   round(count(t.vec_id) / 10.0, 6) AS recall
+            FROM tk LEFT JOIN truth t ON t.vec_id = tk.vec_id
+            GROUP BY tk.np
         """,
     })

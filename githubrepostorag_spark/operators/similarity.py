@@ -1737,3 +1737,133 @@ def matryoshka_recall(
             F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+IVFPQ_PROBES = 3
+IVFPQ_SHORTLIST = 50
+
+
+def ivf_pq_knn(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probes: int = IVFPQ_PROBES,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> DataFrame:
+    """The full IVFADC serving composition (Jégou et al. 2011 §IV):
+    IVF coarse quantizer prunes to `n_probes` cells, PQ asymmetric-
+    distance scoring ranks ONLY the probed cells' codes, the top
+    `shortlist` survivors rerank against their full-precision vectors,
+    and the final top-k is exact within the shortlist. q35 (IVF) and
+    q87/q88 (ADC, rerank) are the parts; this is the plan a 100 TB
+    vector store actually serves with: the partition-pruned read
+    touches ~n_probes/n_cells of the files, the ADC pass inside them
+    is m-int lookups per vector against a broadcast LUT, and only
+    `shortlist` full vectors are ever fetched from cold storage.
+    """
+    cents = _centroid_arrays(embeddings)
+    q = F.broadcast(
+        V.prepare(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                F.col("embedding").alias("qvec")
+            ),
+            "qvec", "qv", "qn",
+        ).select("qv", "qn")
+    )
+    probe_cells = F.broadcast(
+        V.prepare(cents, "centroid", "cv", "cn")
+        .crossJoin(q)
+        .select(
+            "centroid_label",
+            V.prepared_cosine(F.col("cv"), F.col("cn"), F.col("qv"), F.col("qn")).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc("centroid_label"))
+        .limit(int(n_probes))
+        .select("centroid_label")
+    )
+    assigned = _assign_cells(embeddings, cents)
+    cand_ids = (
+        assigned.join(
+            probe_cells, assigned.cell == probe_cells.centroid_label, "left_semi"
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    codes = pq_codes(embeddings).join(cand_ids, "vec_id", "left_semi")
+    qsubs = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+    ).select("subspace", F.col("subvec").alias("qsub"))
+    lut = F.broadcast(
+        qsubs.join(pq_codebooks(embeddings), "subspace").select(
+            "subspace", "code", V.dot(F.col("qsub"), F.col("centroid")).alias("qdot")
+        )
+    )
+    short = (
+        codes.join(lut, ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qdot"), 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(int(shortlist))
+        .select("vec_id")
+    )
+    full = V.prepare(
+        embeddings.join(short, "vec_id", "left_semi"), "embedding", "ve", "vn"
+    ).select("vec_id", "label", "ve", "vn")
+    return (
+        full.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+IVF_SWEEP_PROBES = (1, 2, 3, 5)
+
+
+def ivf_probe_sweep(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    probes: tuple = IVF_SWEEP_PROBES,
+) -> DataFrame:
+    """IVF probe-count recall curve: for each n_probes, the recall@k of
+    IVF-pruned search against the exact brute-force top-k — the table
+    that picks the read-cost/recall operating point (probing 1 cell
+    reads ~1/n_cells of a 100 TB store; each extra probe buys recall
+    linearly in read cost). Completes the ANN audit family: q116 sweeps
+    PQ compression, q240 sweeps prefix dims, this sweeps the IVF knob.
+
+    Every per-config candidate set is k-bounded before the overlap
+    join (same LEFT-join discipline as q240 — a zero-overlap config
+    reports recall 0, not a missing row).
+    """
+    truth = (
+        knn_to_query(embeddings, query_vec_id, k=int(k))
+        .select("vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    out = None
+    for p in probes:
+        got = ivf_knn(embeddings, query_vec_id, k=int(k), n_probes=int(p)).select(
+            F.lit(int(p)).cast("long").alias("n_probes"), "vec_id"
+        )
+        agg = (
+            got.join(truth, "vec_id", "left")
+            .groupBy("n_probes")
+            .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"))
+            .select(
+                "n_probes",
+                "n_overlap",
+                F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

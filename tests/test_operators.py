@@ -3174,3 +3174,29 @@ def test_quality_calibration_buckets(spark):
     assert sum(r.n_docs for r in out) == docs.count()
     for r in out:
         assert 0.0 <= r.mean_rules_failed <= 9.0
+
+
+def test_ivf_pq_knn_matches_exact_topk_head(spark):
+    """IVFADC's final ranking is exact WITHIN its shortlist: every
+    returned score equals the brute-force cosine for that vector, and
+    with generous probes/shortlist the result IS the exact top-k."""
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {r.vec_id: r.score for r in S.knn_to_query(emb, k=10).collect()}
+    got = S.ivf_pq_knn(emb, k=10, n_probes=10, shortlist=500).collect()
+    assert len(got) == 10
+    assert {r.vec_id for r in got} == set(exact)
+    for r in got:
+        assert r.score == exact[r.vec_id]
+
+
+def test_ivf_probe_sweep_monotone_recall(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sorted(S.ivf_probe_sweep(emb).collect(), key=lambda r: r.n_probes)
+    assert [r.n_probes for r in out] == [1, 2, 3, 5]
+    recalls = [r.recall for r in out]
+    assert recalls == sorted(recalls)          # more probes never hurt
+    assert all(0.0 <= x <= 1.0 for x in recalls)
