@@ -245,3 +245,93 @@ def stream_contract_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hygiene_gate(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    report_path: str,
+    checkpoint_path: str,
+):
+    """Streaming CODE-HYGIENE gate: the always-on form of the q232+q230
+    battery (textops.code_hygiene_filter) with the contract gate's
+    dead-letter discipline — each micro-batch splits row-wise into
+    accepted rows, quarantined rows tagged with WHICH hygiene rule
+    fired (max line length, mean line length, alnum fraction, autogen
+    marker, minified shape, high-entropy secret), and a per-(batch,
+    rule) count report. A repository firehose runs this in front of
+    the dedup gate so generated/minified blobs and leaked credentials
+    never reach the store.
+
+    All rules are the same single-scan column expressions as the batch
+    operator (the secret entropy fold only runs over regex candidates);
+    the batch is lineage-cut once and feeds three writers.
+    """
+    from githubrepostorag_spark.operators import textops as TO
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        t = F.col("text")
+        lines = F.split(t, "\n", -1)
+        low = F.lower(t)
+        max_ll = F.array_max(F.transform(lines, lambda l: F.length(l)))
+        sum_ll = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        n_lines = F.size(lines)
+        n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+        n = F.length(t)
+        autogen = None
+        for m in TO.AUTOGEN_MARKERS:
+            c = F.contains(low, F.lit(m))
+            autogen = c if autogen is None else autogen | c
+        cands = F.regexp_extract_all(
+            t, F.lit(TO.SECRET_CANDIDATE_RE), F.lit(0)
+        )
+
+        def _entropy(s):
+            chars = F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.substring(s, i, F.lit(1)),
+            )
+            nn = F.length(s).cast("double")
+            ds = F.array_sort(F.array_distinct(chars))
+            term = lambda c: (
+                F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn
+            ) * F.log2(
+                F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn
+            )
+            return F.round(
+                -F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6
+            )
+
+        has_secret = F.exists(cands, lambda s: _entropy(s) >= TO.SECRET_MIN_ENTROPY)
+        flagged = (
+            batch.withColumn(
+                "violation",
+                F.when(max_ll > TO.CODEQ_MAX_LINE_LEN, "long_line")
+                .when(sum_ll > TO.CODEQ_MEAN_LINE_LEN * n_lines, "mean_line_long")
+                .when(4 * n_alnum < n, "low_alnum")
+                .when(autogen, "autogen")
+                .when((n_lines < 3) & (n > 300), "minified")
+                .when(has_secret, "secret_candidate")
+                .otherwise(None),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)  # three consumers below
+        )
+        flagged.filter(F.col("violation").isNull()).drop("violation").write.mode(
+            "append"
+        ).parquet(accepted_path)
+        bad = flagged.filter(F.col("violation").isNotNull())
+        bad.write.mode("append").parquet(quarantine_path)
+        bad.groupBy("batch_id", "violation").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        ).write.mode("append").parquet(report_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

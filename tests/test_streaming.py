@@ -515,3 +515,37 @@ def test_stream_contract_gate_quarantines_and_reports(spark, tmp_path):
     assert report == {
         "null_id": 1, "null_text": 1, "short_text": 1, "dup_id_in_batch": 2,
     }
+
+
+def test_stream_hygiene_gate_quarantines_and_reports(spark, tmp_path):
+    from githubrepostorag_spark.streaming.ingest import stream_hygiene_gate
+
+    src = str(tmp_path / "hsrc")
+    acc = str(tmp_path / "hacc")
+    quar = str(tmp_path / "hquar")
+    rep = str(tmp_path / "hrep")
+    ckpt = str(tmp_path / "hckpt")
+    schema = "doc_id long, text string"
+    clean = "short line\nanother fine line\na third one\nand a fourth"
+    spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "x" * 1500),                                  # long_line
+            (3, "// @generated\nok line\nmore\nlines\nhere"), # autogen
+            (4, clean + "\nkey: a1b2c3d4e5f60718293a4b5cdead"),  # secret
+            (5, clean + " extra"),
+        ],
+        schema,
+    ).write.mode("overwrite").json(src)
+    q = stream_hygiene_gate(
+        spark.readStream.schema(schema).json(src), acc, quar, rep, ckpt
+    )
+    q.awaitTermination(300)
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+    assert accepted == {1, 5}
+    quarantined = {(r.doc_id, r.violation) for r in spark.read.parquet(quar).collect()}
+    assert (2, "long_line") in quarantined
+    assert (3, "autogen") in quarantined
+    assert (4, "secret_candidate") in quarantined
+    report = {r.violation: r.n_violations for r in spark.read.parquet(rep).collect()}
+    assert report["long_line"] == 1 and report["secret_candidate"] == 1
