@@ -46,6 +46,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
 # sf0.1 over all 249 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
+    "q253_split_js",
+    "q252_source_novelty",
     "q251_ivf_probe_sweep",
     "q250_ivf_pq_knn",
     "q249_quality_calibration",
@@ -930,6 +932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q251_ivf_probe_sweep": lambda sp, sf: S.ivf_probe_sweep(
             t(sp, sf, "embeddings")
+        ),
+        "q252_source_novelty": lambda sp, sf: TO.source_novelty(
+            t(sp, sf, "documents")
+        ),
+        "q253_split_js": lambda sp, sf: CU.split_js_divergence(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -6843,5 +6851,76 @@ def oracle_sql() -> dict[str, str]:
                    round(count(t.vec_id) / 10.0, 6) AS recall
             FROM tk LEFT JOIN truth t ON t.vec_id = tk.vec_id
             GROUP BY tk.np
+        """,
+        # Source novelty rollup (textops.source_novelty): q248's first-
+        # occurrence attribution keyed on source, exact long sums.
+        "q252_source_novelty": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+            g AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(t) < {TO.NOVELTY_GRAM_N} THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(t) - {TO.NOVELTY_GRAM_N} + 2),
+                                 i -> array_to_string(
+                                        t[i:i+{TO.NOVELTY_GRAM_N - 1}], ' ')))
+                     END AS gs
+              FROM toks),
+            e AS (SELECT doc_id, source, unnest(gs) AS g FROM g),
+            fo AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1)
+            SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT)
+                     AS novel_grams,
+                   round(count(*) FILTER (first_doc = doc_id)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+            FROM e JOIN fo USING (g)
+            GROUP BY source
+        """,
+        # Split JS divergence (curation.split_js_divergence): q83's hash
+        # split, per-token 12dp-rounded DECIMAL(38,12) term sums (exact,
+        # order-independent), one float combination at the end.
+        "q253_split_js": f"""
+            WITH sp AS (
+              SELECT doc_id, text,
+                     CASE WHEN h < 10 THEN 'test'
+                          WHEN h < 20 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM (SELECT doc_id, text,
+                           CAST(('0x' || substr(md5('split:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) % {CU.SPLIT_DENOM} AS h
+                    FROM documents)),
+            tk AS (SELECT split, unnest({_TOKS}) AS tok FROM sp
+                   WHERE split IN ('train', 'val')),
+            counts AS (
+              SELECT tok,
+                     CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cp,
+                     CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cq
+              FROM tk GROUP BY tok),
+            tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                           CAST(sum(cq) AS BIGINT) AS tq FROM counts),
+            terms AS (
+              SELECT tp, tq,
+                     CAST(CASE WHEN cp > 0 THEN round(
+                       (cp / CAST(tp AS DOUBLE))
+                       * log2((cp / CAST(tp AS DOUBLE))
+                              / ((cp / CAST(tp AS DOUBLE)
+                                  + cq / CAST(tq AS DOUBLE)) / 2.0)), 12)
+                       ELSE 0.0 END AS DECIMAL(38,12)) AS term_p,
+                     CAST(CASE WHEN cq > 0 THEN round(
+                       (cq / CAST(tq AS DOUBLE))
+                       * log2((cq / CAST(tq AS DOUBLE))
+                              / ((cp / CAST(tp AS DOUBLE)
+                                  + cq / CAST(tq AS DOUBLE)) / 2.0)), 12)
+                       ELSE 0.0 END AS DECIMAL(38,12)) AS term_q
+              FROM counts CROSS JOIN tot)
+            SELECT tp AS n_tokens_train, tq AS n_tokens_val,
+                   CAST(count(*) AS BIGINT) AS n_vocab,
+                   round(0.5 * CAST(sum(term_p) AS DOUBLE)
+                         + 0.5 * CAST(sum(term_q) AS DOUBLE), 6) AS js_bits
+            FROM terms GROUP BY tp, tq
         """,
     })

@@ -1442,3 +1442,64 @@ def decon_gram_sweep(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def split_js_divergence(documents: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the train and val token
+    distributions under the deterministic hash split (train_split) —
+    the eval-integrity audit: a near-zero JS says the held-out slice is
+    distributionally representative; a large JS says val measures a
+    different corpus than the model trains on.
+
+    Exactness: per-token JS contributions are tiny, so each term is
+    rounded at 12 dp and summed as DECIMAL(38,12) — exact and
+    order-independent — and only the final 0.5·(Σp + Σq) combination is
+    float, identical operand order on both engines. One token explode,
+    one groupBy(token) with conditional sums, scalar totals broadcast.
+    """
+    split_docs = train_split(documents).filter(F.col("split").isin("train", "val"))
+    toks = split_docs.select(
+        "split", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("cq"),
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("cp").cast("long").alias("tp"),
+            F.sum("cq").cast("long").alias("tq"),
+        )
+    )
+    wc = counts.crossJoin(totals)
+    p = F.col("cp") / F.col("tp").cast("double")
+    q = F.col("cq") / F.col("tq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    dec = "decimal(38,12)"
+    terms = wc.select(
+        "tp",
+        "tq",
+        F.when(F.col("cp") > 0, F.round(p * F.log2(p / m), 12))
+        .otherwise(F.lit(0.0))
+        .cast(dec)
+        .alias("term_p"),
+        F.when(F.col("cq") > 0, F.round(q * F.log2(q / m), 12))
+        .otherwise(F.lit(0.0))
+        .cast(dec)
+        .alias("term_q"),
+    )
+    agg = terms.groupBy("tp", "tq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("term_p").cast("double").alias("sp"),
+        F.sum("term_q").cast("double").alias("sq"),
+    )
+    return agg.select(
+        F.col("tp").alias("n_tokens_train"),
+        F.col("tq").alias("n_tokens_val"),
+        "n_vocab",
+        F.round(0.5 * F.col("sp") + 0.5 * F.col("sq"), 6).alias("js_bits"),
+    )

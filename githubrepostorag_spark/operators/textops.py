@@ -3028,3 +3028,46 @@ def quality_calibration(
             ).alias("mean_rules_failed"),
         )
     )
+
+
+def source_novelty(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
+    """Per-source novelty rollup of q248: what fraction of each
+    source's gram occurrences are corpus-firsts (in ingest order) —
+    the saturation table that says which sources still contribute new
+    content and which are re-crawls of what the corpus already holds
+    (the evidence behind q236's repeat-decay parameters).
+
+    Same two-shuffle shape as novelty_profile; the rollup keys on
+    source, and the rate divides exact long sums (order-independent).
+    """
+    from githubrepostorag_spark.operators.curation import word_ngram_set
+
+    grams = (
+        documents.select(
+            "doc_id",
+            "source",
+            word_ngram_set(F.col("text"), int(n)).alias("gs"),
+        )
+        .select("doc_id", "source", F.explode("gs").alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )

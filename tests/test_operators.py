@@ -3200,3 +3200,27 @@ def test_ivf_probe_sweep_monotone_recall(spark):
     recalls = [r.recall for r in out]
     assert recalls == sorted(recalls)          # more probes never hurt
     assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_source_novelty_recrawl_scores_zero(spark):
+    text = "every gram in here is shared between the two sources exactly"
+    rows = [(1, text, "orig"), (2, text, "recrawl"), (3, text + " plus", "recrawl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in TO.source_novelty(df).collect()}
+    assert out["orig"].novelty_rate == 1.0
+    # the re-crawl's grams were all first seen in doc 1, except the
+    # single trailing gram doc 3 introduces
+    assert out["recrawl"].novel_grams == 1
+    assert out["recrawl"].novelty_rate < 0.1
+
+
+def test_split_js_divergence_identical_halves_near_zero(spark):
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r = CU.split_js_divergence(docs).collect()[0]
+    # hash-split halves of one corpus share the vocabulary: JS well
+    # inside [0, 1] and far from the 1.0 disjoint-support maximum
+    assert 0.0 <= r.js_bits < 0.5
+    assert r.n_tokens_train > r.n_tokens_val > 0
