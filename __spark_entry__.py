@@ -46,6 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
 # sf0.1 over all 249 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
+    "q254_quality_survivors",
     "q253_split_js",
     "q252_source_novelty",
     "q251_ivf_probe_sweep",
@@ -937,6 +938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q253_split_js": lambda sp, sf: CU.split_js_divergence(
+            t(sp, sf, "documents")
+        ),
+        "q254_quality_survivors": lambda sp, sf: DD.quality_survivors(
             t(sp, sf, "documents")
         ),
     })
@@ -6922,5 +6926,67 @@ def oracle_sql() -> dict[str, str]:
                    round(0.5 * CAST(sum(term_p) AS DOUBLE)
                          + 0.5 * CAST(sum(term_q) AS DOUBLE), 6) AS js_bits
             FROM terms GROUP BY tp, tq
+        """,
+        # Quality-aware canonical pick (dedup.quality_survivors): q56's
+        # recursive-components chain, winner = argmax quality / min id.
+        "q254_quality_survivors": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component
+                       FROM reach GROUP BY src),
+            xq AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS},
+                          tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents),
+            scored AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                         + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n
+                                  ELSE 0.0 END), 4) AS quality
+              FROM xq),
+            joined AS (
+              SELECT s.doc_id, s.source, s.quality, l.component
+              FROM scored s JOIN labels l ON l.node = s.doc_id),
+            ranked AS (
+              SELECT doc_id, source, quality,
+                     CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                       AS component_size,
+                     row_number() OVER (PARTITION BY component
+                        ORDER BY quality DESC, doc_id) AS rn
+              FROM joined)
+            SELECT doc_id, source, quality, component_size
+            FROM ranked WHERE rn = 1
         """,
     })

@@ -1281,3 +1281,31 @@ def dedup_threshold_sweep(
             F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+def quality_survivors(documents: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection: one survivor per verified
+    near-dup component, keeping the HIGHEST-QUALITY copy (tie → min
+    doc_id) instead of dedup_survivors' min-id rule — what a production
+    pipeline actually ships: the dup cluster's best-written copy, not
+    its accidentally-lowest id. Same chain as q56 (LSH candidates →
+    Jaccard verify → components); the winner pick is one window per
+    component (bounded by cluster size, never corpus-wide).
+    """
+    verified = jaccard_on_candidates(documents).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = dedup_components(
+        verified, documents.select(F.col("doc_id").alias("node"))
+    )
+    scored = documents.select(
+        "doc_id", "source", TXT.quality_score(F.col("text")).alias("quality")
+    ).join(labels.select(F.col("node").alias("doc_id"), "component"), "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("component_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "quality", "component_size")
+    )

@@ -3224,3 +3224,21 @@ def test_split_js_divergence_identical_halves_near_zero(spark):
     # inside [0, 1] and far from the 1.0 disjoint-support maximum
     assert 0.0 <= r.js_bits < 0.5
     assert r.n_tokens_train > r.n_tokens_val > 0
+
+
+def test_quality_survivors_keeps_best_copy(spark):
+    """Within a near-dup cluster the higher-quality (more diverse)
+    copy survives, even when it has the LARGER doc_id."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    # doc 2: same content plus one distinct extra token -> higher
+    # diversity at 4dp while staying above the 0.8 Jaccard verify bar
+    rows = [
+        (1, dup.strip(), "s"),
+        (2, (dup + "zq").strip(), "s"),
+        (3, "completely different standalone text lives here alone", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in DD.quality_survivors(df).collect()}
+    assert 1 not in out and 2 in out        # best copy wins, not min id
+    assert out[2].component_size == 2
+    assert out[3].component_size == 1
