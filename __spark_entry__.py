@@ -41,10 +41,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # (insertion order).  Rounds 1-4 recorded q01-q51 plus the round-3/4 additions
 # (q153+, q184-q219); round 5's artifact was never emitted by the driver, so
 # its head (q220-q229 + the q52.. band) stays near the front: round 6 leads
-# with its 20 new operators (q230-q249), then q229..q220, then the oldest
+# with its 25 new operators (q230-q254), then q229..q220, then the oldest
 # never-driver-recorded block (q52_language_id ..).  Full-surface coverage is
 # guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
-# sf0.1 over all 249 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
+# sf0.1 over all 254 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
     "q254_quality_survivors",
     "q253_split_js",
