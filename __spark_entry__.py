@@ -46,6 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
 # sf0.1 over all 254 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
 _ROTATION_HEAD = [
+    "q255_embedding_outliers",
     "q254_quality_survivors",
     "q253_split_js",
     "q252_source_novelty",
@@ -942,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q254_quality_survivors": lambda sp, sf: DD.quality_survivors(
             t(sp, sf, "documents")
+        ),
+        "q255_embedding_outliers": lambda sp, sf: S.embedding_outliers(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -6988,5 +6992,31 @@ def oracle_sql() -> dict[str, str]:
               FROM joined)
             SELECT doc_id, source, quality, component_size
             FROM ranked WHERE rn = 1
+        """,
+        # Embedding outlier audit (similarity.embedding_outliers): cos
+        # to own label centroid, 6dp percent rank, bottom-5% flag.
+        "q255_embedding_outliers": f"""
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            cent_dims AS (SELECT label, dim, round(avg(v), 6) AS centroid_v
+                          FROM dims GROUP BY label, dim),
+            cent AS (SELECT label, list(centroid_v ORDER BY dim) AS centroid
+                     FROM cent_dims GROUP BY label),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.centroid AS DOUBLE[])), 6)
+                       AS centroid_cos
+              FROM embeddings e JOIN cent c ON c.label = e.label),
+            ranked AS (
+              SELECT vec_id, label, centroid_cos,
+                     round(percent_rank() OVER (ORDER BY centroid_cos, vec_id), 6)
+                       AS pct
+              FROM scored)
+            SELECT vec_id, label, centroid_cos, pct,
+                   pct < {S.OUTLIER_BOTTOM_FRAC} AS is_outlier
+            FROM ranked
         """,
     })

@@ -1867,3 +1867,50 @@ def ivf_probe_sweep(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+OUTLIER_BOTTOM_FRAC = 0.05
+
+
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """Mislabeled-vector audit: each vector's cosine to its OWN label
+    centroid, percent-ranked corpus-wide; the bottom OUTLIER_BOTTOM_FRAC
+    are flagged — vectors that sit far from their cluster are label
+    noise or genuine outliers, and both contaminate contrastive batches
+    (q239 mines hard negatives assuming labels are right; this audits
+    that assumption). Complements q214's per-label dispersion with a
+    per-VECTOR verdict.
+
+    One centroid build (bounded key space), one broadcast join, one
+    distributed percent rank (total order on (cos, vec_id) — never a
+    global window).
+    """
+    from githubrepostorag_spark.functions.ranks import global_percent_rank
+
+    cents = F.broadcast(
+        V.prepare(_centroid_arrays(embeddings), "centroid", "cv", "cn").select(
+            F.col("centroid_label").alias("label"), "cv", "cn"
+        )
+    )
+    scored = (
+        V.prepare(embeddings, "embedding", "ve", "vn")
+        .join(cents, "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+    ranked = global_percent_rank(
+        scored, [F.asc("centroid_cos"), F.asc("vec_id")], "pct"
+    )
+    return ranked.select(
+        "vec_id",
+        "label",
+        "centroid_cos",
+        "pct",
+        (F.col("pct") < OUTLIER_BOTTOM_FRAC).alias("is_outlier"),
+    )

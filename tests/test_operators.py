@@ -3242,3 +3242,16 @@ def test_quality_survivors_keeps_best_copy(spark):
     assert 1 not in out and 2 in out        # best copy wins, not min id
     assert out[2].component_size == 2
     assert out[3].component_size == 1
+
+
+def test_embedding_outliers_flags_bottom_slice(spark):
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = S.embedding_outliers(emb).collect()
+    n = len(out)
+    assert n == emb.count()
+    flagged = [r for r in out if r.is_outlier]
+    assert 0 < len(flagged) <= max(1, int(n * S.OUTLIER_BOTTOM_FRAC) + 1)
+    worst = min(out, key=lambda r: (r.centroid_cos, r.vec_id))
+    assert worst.is_outlier and worst.pct == 0.0
