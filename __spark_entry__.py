@@ -6082,7 +6082,8 @@ def oracle_sql() -> dict[str, str]:
                                               || md5(text)), 1, 15))
                        AS BIGINT) AS row_hash
               FROM documents)
-            SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
                    bit_xor(row_hash) AS checksum_xor
             FROM r GROUP BY shard
@@ -6117,7 +6118,7 @@ def oracle_sql() -> dict[str, str]:
                               * log2(CAST(len(list_filter(
                                  list_transform(range(1, length(s) + 1), i -> s[i]),
                                  x -> x = c)) AS DOUBLE) / CAST(length(s) AS DOUBLE))),
-                       (a, b) -> a + b), 6)) AS es
+                       (a, b) -> a + b), 6) + 0.0) AS es
               FROM cand WHERE len(cs) >= 1)
             SELECT doc_id,
                    CAST(len(es) AS BIGINT) AS n_candidates,

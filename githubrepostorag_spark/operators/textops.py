@@ -2589,7 +2589,13 @@ def secret_entropy_scan(documents: DataFrame, text_col: str = "text") -> DataFra
         term = lambda c: (
             F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
         ) * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
-        return F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+        # ``+ 0.0`` normalizes IEEE ``-0.0`` (all-same-char candidate,
+        # entropy exactly 0) to ``0.0`` so the driver's exact value hash
+        # matches the DuckDB oracle, which applies the same normalization.
+        return (
+            F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+            + F.lit(0.0)
+        )
 
     ents = F.transform(cands, _entropy)
     return (
