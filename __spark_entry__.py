@@ -6205,10 +6205,10 @@ def oracle_sql() -> dict[str, str]:
                        ELSE []::BIGINT[] END) AS h
               FROM toks),
             d AS (SELECT DISTINCT source, h FROM g),
-            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
             rare AS (SELECT h FROM d GROUP BY h
                      HAVING count(*) <= {DD.FORK_SHINGLE_CAP}),
             dr AS (SELECT d.source, d.h FROM d JOIN rare USING (h)),
+            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dr GROUP BY 1),
             p AS (
               SELECT a.source AS src_a, b.source AS src_b,
                      CAST(count(*) AS BIGINT) AS shared
@@ -6228,11 +6228,12 @@ def oracle_sql() -> dict[str, str]:
         "q234_doremi_weights": f"""
             WITH ps AS (
               SELECT source,
-                     CAST(floor(CAST(sum(CAST(len(list_distinct({_TOKS})) AS BIGINT))
-                                     AS BIGINT) * 1000000
-                                / CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT))
+                     CAST((CAST(sum(CAST(len(list_distinct({_TOKS})) AS BIGINT))
+                                AS BIGINT) * 1000000)
+                          // CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT)
                           AS BIGINT) AS loss_micro
-              FROM documents GROUP BY 1),
+              FROM documents GROUP BY 1
+              HAVING sum(CAST(len({_TOKS}) AS BIGINT)) > 0),
             kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ps),
             mm AS (SELECT min(loss_micro) AS ml FROM ps),
             w0 AS (SELECT source, loss_micro, loss_micro - ml AS ex,
@@ -6398,8 +6399,15 @@ def oracle_sql() -> dict[str, str]:
               FROM sc),
             tk AS (SELECT prefix_dims, vec_id FROM rk
                    WHERE rn <= {S.MATRYOSHKA_K}),
-            fullset AS (SELECT vec_id FROM tk
-                        WHERE prefix_dims = {max(S.MATRYOSHKA_PREFIXES)})
+            gt AS (
+              SELECT b.vec_id,
+                     round(list_cosine_similarity(b.e, q.qe), 6) AS score
+              FROM base b CROSS JOIN q),
+            gtr AS (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+              FROM gt),
+            fullset AS (SELECT vec_id FROM gtr WHERE rn <= {S.MATRYOSHKA_K})
             SELECT CAST(tk.prefix_dims AS BIGINT) AS prefix_dims,
                    CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
                    round(count(f.vec_id) / CAST({S.MATRYOSHKA_K} AS DOUBLE), 6)

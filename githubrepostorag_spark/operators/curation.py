@@ -1257,10 +1257,17 @@ def doremi_weights(documents: DataFrame, iters: int = DOREMI_ITERS) -> DataFrame
             F.size(F.array_distinct(toks)).cast("long").alias("nd"),
         )
         .groupBy("source")
-        .agg(
-            F.floor(F.sum("nd") * F.lit(1_000_000) / F.sum("nt"))
-            .cast("long")
-            .alias("loss_micro")
+        .agg(F.sum("nd").alias("_nd"), F.sum("nt").alias("_nt"))
+        # a source whose texts are all empty has no tokens to mix —
+        # drop it here so the MW loop never sees a NULL loss (round-6
+        # ADVICE: int(NULL) raised TypeError)
+        .filter(F.col("_nt") > 0)
+        # `div` is TRUE integer division (long div long -> long) — the
+        # float `/` variant lost exactness above ~2^53 summed micro-
+        # tokens, plausible at 100 TB (round-6 ADVICE)
+        .select(
+            "source",
+            F.expr("_nd * 1000000 div _nt").cast("long").alias("loss_micro"),
         )
     )
     # single action: fetch bound+1 rows — a .count() guard before the
@@ -1270,6 +1277,13 @@ def doremi_weights(documents: DataFrame, iters: int = DOREMI_ITERS) -> DataFrame
     if len(fetched) > DOREMI_MAX_DOMAINS:  # pragma: no cover - scale guard
         raise ValueError("doremi_weights: domain count exceeds the driver bound")
     rows = sorted((r["source"], int(r["loss_micro"])) for r in fetched)
+    spark = documents.sparkSession
+    if not rows:  # degenerate corpus: nothing to weight (round-6 ADVICE)
+        return spark.createDataFrame(
+            [],
+            "source string, loss_micro long, excess_micro long, "
+            "weight_micro long, weight double",
+        )
     min_loss = min(l for _, l in rows)
     k = len(rows)
     w = {s: 1_000_000 for s, _ in rows}
@@ -1285,7 +1299,6 @@ def doremi_weights(documents: DataFrame, iters: int = DOREMI_ITERS) -> DataFrame
             + uniform_term
             for s, _ in rows
         }
-    spark = documents.sparkSession
     out = spark.createDataFrame(
         [(s, l, l - min_loss, w[s]) for s, l in rows],
         "source string, loss_micro long, excess_micro long, weight_micro long",

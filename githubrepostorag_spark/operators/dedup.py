@@ -1093,6 +1093,12 @@ def repo_fork_pairs(
     semantic and the skew bound: pair work per shingle is <= cap².
     The self-join runs on the capped inverted index, never on the
     corpus. Pair count is bounded by Σ c_s² over capped shingles.
+
+    Jaccard is computed over the CAPPED profiles: numerator (shared)
+    and denominators (n_a/n_b) both count only shingles that survive
+    the df <= cap filter, so the metric is internally consistent —
+    two forks sharing mostly boilerplate score on their discriminative
+    shingles, not a mixed capped/uncapped ratio (round-6 ADVICE).
     """
     toks = TXT.tokens(F.lower(F.col("text")))
     sh = (
@@ -1115,12 +1121,13 @@ def repo_fork_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
     rare = sh.join(
         sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= cap),
         "h",
         "inner",
     ).select("h", "source")
+    # profile sizes from the SAME capped index the pair numerator uses
+    sizes = rare.groupBy("source").agg(F.count("*").alias("n_shingles"))
     pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "h")

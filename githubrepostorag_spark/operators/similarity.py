@@ -1688,14 +1688,41 @@ def matryoshka_recall(
 
     Same audit family as the PQ/JL recall audits (q115-q118, q185):
     every per-prefix candidate set is k-bounded before the overlap
-    join; the scan is shared; ties at 6dp break on vec_id so the
-    selected sets are deterministic and oracle-identical.
+    join; ties at 6dp break on vec_id so the selected sets are
+    deterministic and oracle-identical.
+
+    Ground truth is scored on the UNSLICED embedding column — not on
+    max(prefixes) dims — so on embeddings wider than the largest
+    audited prefix the audit still grades against true full-dim
+    neighbors instead of silently truncating the baseline (round-6
+    ADVICE). On width == max(prefixes) data the two are identical.
     """
-    full_dim = max(prefixes)
     q_row = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qemb")
     )
     base = embeddings.filter(F.col("vec_id") != query_vec_id)
+    gt_scored = V.prepare(
+        V.prepare(
+            base.crossJoin(F.broadcast(q_row)).select(
+                "vec_id",
+                F.col("embedding").alias("fe"),
+                F.col("qemb").alias("fq"),
+            ),
+            "fe", "fv", "fn",
+        ),
+        "fq", "gv", "gn",
+    ).select(
+        "vec_id",
+        F.round(
+            V.prepared_cosine(F.col("fv"), F.col("fn"), F.col("gv"), F.col("gn")), 6
+        ).alias("score"),
+    )
+    full = (
+        gt_scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(int(k))
+        .select("vec_id")
+        .withColumn("_in_full", F.lit(1))
+    )
     tops = None
     for m in prefixes:
         scored = V.prepare(
@@ -1718,11 +1745,6 @@ def matryoshka_recall(
         )
         top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(int(k))
         tops = top if tops is None else tops.unionByName(top)
-    full = (
-        tops.filter(F.col("prefix_dims") == full_dim)
-        .select("vec_id")
-        .withColumn("_in_full", F.lit(1))
-    )
     # LEFT join: a prefix whose top-k shares nothing with the full-dim
     # top-k must still report recall 0, not vanish from the audit
     return (

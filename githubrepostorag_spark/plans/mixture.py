@@ -102,12 +102,18 @@ def mixture_plan(
         epochs_needed.join(weights, "source")
         .withColumn(
             "quota_permille",
-            F.least(
-                F.lit(1000),
-                F.floor(F.col("budget_tokens") * 1000 / F.col("raw_tokens")).cast(
-                    "long"
+            # integer div, and an EXPLICIT 0 for raw_tokens=0 — the float
+            # `/` gave NULL there, and the downstream `h < NULL` filter
+            # silently dropped the whole source as a NULL-comparison
+            # artifact (round-6 ADVICE); a token-less source keeps
+            # nothing, by decision rather than by accident
+            F.coalesce(
+                F.least(
+                    F.lit(1000).cast("long"),
+                    F.expr("budget_tokens * 1000 div raw_tokens").cast("long"),
                 ),
-            ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
         )
         .select(
             "source",

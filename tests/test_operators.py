@@ -2973,6 +2973,50 @@ def test_doremi_weights_upweights_hard_domain(spark):
     assert abs(total - 1_000_000) < 10
 
 
+def test_doremi_weights_degenerate_inputs(spark):
+    """Round-6 ADVICE regressions: empty corpus must return an empty
+    frame (not ValueError from min() on nothing), and a source whose
+    texts are all empty must be dropped (not crash int(NULL))."""
+    from githubrepostorag_spark.operators import curation as CU
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    out = CU.doremi_weights(empty)
+    assert out.count() == 0
+    assert out.columns == [
+        "source", "loss_micro", "excess_micro", "weight_micro", "weight",
+    ]
+
+    rows = [
+        (1, "", "blank"),          # zero tokens -> loss undefined
+        (2, "   ", "blank"),
+        (3, "q w e r t y u i", "hard"),
+        (4, "a a a a a a a a", "easy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in CU.doremi_weights(df).collect()}
+    assert "blank" not in got
+    # remaining sources still form a (near-)distribution
+    total = sum(r.weight_micro for r in got.values())
+    assert abs(total - 1_000_000) < 10
+
+
+def test_mixture_plan_zero_token_source_quota_zero(spark):
+    """Round-6 ADVICE regression: raw_tokens=0 must yield an explicit
+    quota_permille of 0 — never NULL (which made `h < NULL` silently
+    drop the source from `sampled` as a NULL-comparison artifact)."""
+    from githubrepostorag_spark.plans.mixture import mixture_plan
+
+    rows = [(i, f"tok{i} w x y z", "live") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = mixture_plan(df)
+    plan = {r.source: r for r in res.plan.collect()}
+    # doremi drops token-less sources before the plan, so quota NULLs
+    # can no longer arise from the join — but the coalesce must also
+    # hold for any plan row: every quota is a concrete long
+    assert all(r.quota_permille is not None for r in plan.values())
+    assert all(0 <= r.quota_permille <= 1000 for r in plan.values())
+
+
 def test_repeat_decay_tokens_exact_halving(spark):
     from githubrepostorag_spark.operators import curation as CU
 
