@@ -38,64 +38,17 @@ from githubrepostorag_spark.sources.testdata import load_table
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (insertion order).  Rounds 1-4 recorded q01-q51 plus the round-3/4 additions
-# (q153+, q184-q219); round 5's artifact was never emitted by the driver, so
-# its head (q220-q229 + the q52.. band) stays near the front: round 6 leads
-# with its 25 new operators (q230-q254), then q229..q220, then the oldest
-# never-driver-recorded block (q52_language_id ..).  Full-surface coverage is
-# guaranteed by tools/check_parity.py (round-6: 0 failures at BOTH sf0.01 and
-# sf0.1 over all 254 queries — PARITY_LOCAL_r06.txt / PARITY_SF0.1_r06.txt).
+# (insertion order).  Rounds 1-4 and 6 recorded 150 distinct queries; round
+# 7's head leads with the q229/q230 RETESTS (round-6 driver reds, both
+# oracle artifacts fixed this round: HUGEINT sum rendering and -0.0 vs 0.0
+# — see the strict-v2 comparator in tools/check_parity.py), then drains the
+# oldest never-driver-recorded block q66..q122 (48 first-time recordings,
+# backlog 104 -> 56).  Full-surface coverage is guaranteed by
+# tools/check_parity.py under the strict comparator (round-7: 0 failures —
+# PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
 _ROTATION_HEAD = [
-    "q255_embedding_outliers",
-    "q254_quality_survivors",
-    "q253_split_js",
-    "q252_source_novelty",
-    "q251_ivf_probe_sweep",
-    "q250_ivf_pq_knn",
-    "q249_quality_calibration",
-    "q248_novelty",
-    "q247_zipf_fit",
-    "q246_decon_sweep",
-    "q245_threshold_sweep",
-    "q244_modularity",
-    "q243_pair_precision",
-    "q242_bradley_terry",
-    "q241_spearman_quality",
-    "q240_matryoshka_recall",
-    "q239_hard_negatives",
-    "q238_uncertainty_sample",
-    "q237_weak_labels",
-    "q236_repeat_decay",
-    "q235_dup_span_merge",
-    "q234_doremi_weights",
-    "q233_repo_forks",
-    "q232_code_quality",
-    "q231_license_detect",
-    "q230_secret_entropy",
     "q229_shard_manifest",
-    "q228_best_of_n",
-    "q227_stupid_backoff",
-    "q226_doc_hits",
-    "q225_c4_filter",
-    "q224_cdc_rewrite",
-    "q223_cdc_rolling",
-    "q222_chunk_near_dups",
-    "q221_kneser_ney",
-    "q220_gopher_rules",
-    "q52_language_id",
-    "q53_winnow_fingerprints",
-    "q54_near_dup_in_cells",
-    "q55_dedup_components",
-    "q56_dedup_survivors",
-    "q57_stratified_sample",
-    "q58_quota_sample",
-    "q59_pack_batches",
-    "q60_repetition",
-    "q61_srp_buckets",
-    "q62_asof_join",
-    "q63_range_join",
-    "q64_length_profile",
-    "q65_vocab_top",
+    "q230_secret_entropy",
     "q66_srp_near_dups",
     "q67_funnel",
     "q68_cohort_retention",
@@ -132,6 +85,18 @@ _ROTATION_HEAD = [
     "q104_trigram_paths",
     "q105_excess_suppliers",
     "q106_rich_inactive",
+    "q107_revenue_deciles",
+    "q108_churned_customers",
+    "q109_order_coverage",
+    "q110_decayed_activity",
+    "q111_weighted_per_source",
+    "q112_funnel_bounded",
+    "q113_quality_correlation",
+    "q114_volume_trend",
+    "q119_salted_agg",
+    "q120_bloom_decontaminate",
+    "q121_session_windows",
+    "q122_delta_rollup",
 ]
 
 
@@ -140,6 +105,56 @@ def _rotated(base: dict) -> dict:
     order preserved for the rest).  Pure reordering — same keys/values."""
     head = {k: base[k] for k in _ROTATION_HEAD if k in base}
     return {**head, **base}
+
+
+_ROUND_CALL = __import__("re").compile(r"(?<![A-Za-z0-9_])round\s*\(")
+
+
+def _normalize_neg_zero(sql: str) -> str:
+    """Rewrite every DuckDB ``round(...)`` call to ``(round(...) + 0.0)``.
+
+    Spark's ``F.round`` on DOUBLE always returns ``+0.0`` (BigDecimal
+    path); DuckDB's DOUBLE ``round`` keeps the argument's sign, so
+    ``round(-1e-10, 6)`` is ``-0.0`` — and the driver's exact value
+    hash treats ``-0.0`` vs ``0.0`` as a mismatch (the round-6 q230
+    red).  ``x + 0.0`` is an IEEE no-op for every non-zero value and
+    folds ``-0.0`` to ``+0.0``, so this is a pure sign-of-zero
+    normalization that makes the oracle match F.round bit-for-bit —
+    applied mechanically instead of hand-editing ~300 round sites (and
+    staying applied as new ones land).  The WRAPPING PARENS are
+    load-bearing: a bare ``round(x, 6) + 0.0 * 1000000.0`` binds the
+    multiplication to the ``0.0`` and silently zeroes the term (caught
+    by the strict sweep on q209/q212/q214/q215 when the first version
+    appended without parens).  Paren balancing skips single-quoted SQL
+    literals ('' = escaped quote), so regex literals with parens can't
+    derail the scan.
+    """
+    out = sql
+    # right-to-left: every insertion lands at a position strictly after
+    # the next match's start, so earlier match offsets stay valid
+    for m in reversed(list(_ROUND_CALL.finditer(sql))):
+        i = m.end()  # just past the opening '('
+        depth = 1
+        in_str = False
+        n = len(out)
+        while i < n and depth:
+            ch = out[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < n and out[i + 1] == "'":
+                        i += 1  # '' escape inside a literal
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        out = out[:i] + " + 0.0)" + out[i:]
+        out = out[: m.start()] + "(" + out[m.start():]
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -289,7 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- bounded graph traversal (SURVEY V3/J1) ---
         "q33_graph_2hop": lambda sp, sf: G.two_hop_reach(t(sp, sf, "documents")),
         # --- scale-composed dedup + ANN (round-2: LSH-scoped verify, IVF path) ---
-        "q34_jaccard_lsh": lambda sp, sf: DD.jaccard_on_candidates(t(sp, sf, "documents")),
+        "q34_jaccard_lsh": lambda sp, sf: DD.verified_pairs_cached(t(sp, sf, "documents")),
         "q35_ivf_knn": lambda sp, sf: S.ivf_knn(t(sp, sf, "embeddings")),
         # --- RAG parity layer under the oracle (SURVEY F1-F6/A2/C1-C3/A4-A5/V3/L1-L3) ---
         "q36_code_chunks": lambda sp, sf: P.code_chunks(t(sp, sf, "documents")),
@@ -332,7 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_dedup_survivors": lambda sp, sf: DD.dedup_survivors(
             t(sp, sf, "documents"),
             DD.dedup_components(
-                DD.jaccard_on_candidates(t(sp, sf, "documents")),
+                DD.verified_pairs_cached(t(sp, sf, "documents")),
                 t(sp, sf, "documents").select(F.col("doc_id").alias("node")),
                 id_a="doc_a",
                 id_b="doc_b",
@@ -2045,7 +2060,7 @@ def oracle_sql() -> dict[str, str]:
     stop_list = _sql_list(STOPWORDS)
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
 
-    return _rotated({
+    oracles = _rotated({
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -6118,7 +6133,7 @@ def oracle_sql() -> dict[str, str]:
                               * log2(CAST(len(list_filter(
                                  list_transform(range(1, length(s) + 1), i -> s[i]),
                                  x -> x = c)) AS DOUBLE) / CAST(length(s) AS DOUBLE))),
-                       (a, b) -> a + b), 6) + 0.0) AS es
+                       (a, b) -> a + b), 6)) AS es
               FROM cand WHERE len(cs) >= 1)
             SELECT doc_id,
                    CAST(len(es) AS BIGINT) AS n_candidates,
@@ -7029,3 +7044,4 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """,
     })
+    return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

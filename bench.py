@@ -147,6 +147,43 @@ def main() -> None:
         states = agent.run_batch(batch)
         record("agent_batch4", time.time() - t0, load1)
         assert all(st.answer for st in states)
+
+    # agent serving at 25× batch: 100 mixed queries through the same
+    # loop — the number that proves the batched-retrieval design (every
+    # scope+expansion folded into shared jobs, collects k-bounded per
+    # query) holds when the batch is large. Spark job count recorded in
+    # meta: it must track attempt rounds (≤3), never the query count.
+    batch100 = [
+        {
+            "job_id": f"h{i}",
+            "query": [
+                f"tell me about the projects variant {i}",
+                f"how is the cache configured in part {i}",
+                f"stacktrace timeout exception in stream {i}",
+                f"repo: src1 what does module m3 contain about {i}",
+            ][i % 4],
+        }
+        for i in range(100)
+    ]
+    sc = spark.sparkContext
+    for p in range(2):
+        group = f"bench-agent100-{p}"
+        load1 = os.getloadavg()[0]
+        sc.setJobGroup(group, group)
+        t0 = time.time()
+        states = agent.run_batch(batch100)
+        elapsed = time.time() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        assert all(st.answer for st in states)
+        if record("agent_batch100", elapsed, load1):
+            entry_meta["agent_batch100"].update(
+                {
+                    "n_spark_jobs": len(
+                        sc.statusTracker().getJobIdsForGroup(group)
+                    ),
+                    "queries_per_sec": round(100 / elapsed, 2),
+                }
+            )
     store.unpersist()
 
     # composed curation pipeline (quality gate → exact dedup → LSH
@@ -281,6 +318,73 @@ def main() -> None:
             )
 
         run_stream("stream_contract_gate", launch_contract)
+
+        from githubrepostorag_spark.streaming.ingest import stream_hygiene_gate
+
+        def launch_hygiene(root):
+            return stream_hygiene_gate(
+                spark.readStream.schema("doc_id long, text string").json(src_dir),
+                os.path.join(root, "accepted"),
+                os.path.join(root, "quarantine"),
+                os.path.join(root, "report"),
+                os.path.join(root, "ckpt"),
+            )
+
+        run_stream("stream_hygiene_gate", launch_hygiene)
+
+        # Sustained multi-batch throughput: the dedup gate (the one with
+        # per-batch store-probe state) driven over N micro-batches
+        # (maxFilesPerTrigger=1 over an N-file source) — the firehose
+        # number the one-shot entries can't show: steady-state docs/sec
+        # and per-batch latency once checkpoint/plan setup amortizes.
+        # Matches the reference worker's sustained-consumption envelope
+        # (rag_worker/src/worker/worker.py:182-187: 10 concurrent jobs,
+        # 300 s timeout). Value recorded = elapsed seconds; docs/sec and
+        # per-batch trigger ms land in entry_meta.
+        n_batches = 8
+        multi_src = os.path.join(dedup_store_root, "multi_src")
+        batch_side.repartition(n_batches).write.mode("overwrite").json(multi_src)
+        n_gate_docs = batch_side.count()
+
+        def launch_dedup_sustained(root):
+            shutil.copytree(store_path, os.path.join(root, "store"))
+            return stream_dedup_gate(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(multi_src),
+                os.path.join(root, "store"),
+                os.path.join(root, "accepted"),
+                os.path.join(root, "rejected"),
+                os.path.join(root, "ckpt"),
+            )
+
+        for i in range(2):
+            root = tempfile.mkdtemp(prefix="bench-gate-sustained-")
+            try:
+                load1 = os.getloadavg()[0]
+                t0 = time.time()
+                q = launch_dedup_sustained(root)
+                q.awaitTermination()
+                elapsed = time.time() - t0
+                # StreamingQueryProgress is dict-like in PySpark 4
+                batches = [
+                    p for p in (q.recentProgress or [])
+                    if p.get("numInputRows", 0) > 0
+                ]
+                if record("stream_dedup_sustained", elapsed, load1):
+                    entry_meta["stream_dedup_sustained"].update(
+                        {
+                            "n_batches": len(batches),
+                            "docs_per_sec": round(n_gate_docs / elapsed, 1),
+                            "batch_trigger_ms": [
+                                int(p["durationMs"]["triggerExecution"])
+                                for p in batches
+                                if "durationMs" in p
+                            ],
+                        }
+                    )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
     finally:
         shutil.rmtree(dedup_store_root, ignore_errors=True)
 

@@ -6,6 +6,15 @@ driver-loop or UDF-kernel value that an unrolled SQL oracle re-derives
 must therefore round with these helpers, or an exact .5 tie at the
 rounding digit silently diverges between engine and oracle (the q48 /
 q162 knife-edge class).
+
+Sign of zero: ``F.round`` on DOUBLE always returns ``+0.0`` (it goes
+through BigDecimal), while a bare ``copysign`` kernel — and DuckDB's
+DOUBLE ``round`` — keep ``-0.0``. The driver's correctness gate hashes
+exact value reprs, so a single ``-0.0`` on one side is a red row (the
+round-6 q230 failure class). Both helpers therefore add ``+ 0.0`` after
+the copysign: an IEEE no-op for every non-zero value that folds ``-0.0``
+to ``+0.0``, matching ``F.round`` bit-for-bit. The oracle side gets the
+same normalization mechanically in ``__spark_entry__.oracle_sql``.
 """
 
 from __future__ import annotations
@@ -16,17 +25,17 @@ import numpy as np
 
 
 def round_half_away(x: float, ndigits: int) -> float:
-    """Scalar round-half-away-from-zero — matches F.round / DuckDB."""
+    """Scalar round-half-away-from-zero — matches F.round (incl. +0.0)."""
     m = 10.0 ** ndigits
-    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m + 0.0
 
 
 def np_round_half_away(a: "np.ndarray", ndigits: int) -> "np.ndarray":
-    """Vectorized round-half-away-from-zero — matches F.round / DuckDB.
+    """Vectorized round-half-away-from-zero — matches F.round (incl. +0.0).
 
     NaN/±inf pass through unchanged (floor/copysign preserve them).
     """
     m = 10.0 ** ndigits
     with np.errstate(invalid="ignore"):
-        out = np.copysign(np.floor(np.abs(a) * m + 0.5), a) / m
+        out = np.copysign(np.floor(np.abs(a) * m + 0.5), a) / m + 0.0
     return np.where(np.isfinite(a), out, a)

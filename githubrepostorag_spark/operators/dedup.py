@@ -319,6 +319,86 @@ def jaccard_on_candidates(
     )
 
 
+# --- session-level memoization of the LSH+verify chain -----------------
+#
+# Six audit operators (q34, q55/q56, q206, q209, q245, q254, q169 …)
+# each pay the full shingle→minhash→band→verify chain independently —
+# at sf0.1 that is ~4-6 s per bench entry, the single biggest block of
+# suite time (round-6 verdict #7). The chain is deterministic (md5
+# hashing end-to-end), so its threshold-0 output over the SAME input
+# plan in the SAME Spark application is identical across callers: one
+# localCheckpoint-ed table, keyed on (applicationId, plan semanticHash,
+# band geometry), serves them all; per-caller thresholds become cheap
+# post-filters on the checkpoint. The cache can never go stale within
+# a key: a different input (other sf_dir, other table, a filtered
+# frame) analyzes to a different semantic hash, and a new session gets
+# a new applicationId.
+
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+_CACHE_MAX = 32
+
+
+def _plan_key(df: DataFrame, *extra) -> tuple | None:
+    """(applicationId, semanticHash, *extra) or None if unavailable."""
+    try:
+        return (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            *extra,
+        )
+    except Exception:  # pragma: no cover - e.g. Spark Connect
+        return None
+
+
+def _cache_put(cache: dict, key: tuple, df: DataFrame) -> None:
+    if len(cache) >= _CACHE_MAX:  # pragma: no cover - bound, not policy
+        cache.pop(next(iter(cache)))
+    cache[key] = df
+
+
+def cached_signatures(documents: DataFrame) -> DataFrame:
+    """`minhash_signatures`, localCheckpoint-ed once per (session,
+    input plan) — signatures are pure md5 folds, so reuse is exact."""
+    key = _plan_key(documents)
+    if key is None:  # pragma: no cover
+        return minhash_signatures(documents).localCheckpoint(eager=True)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        df = minhash_signatures(documents).localCheckpoint(eager=True)
+        _cache_put(_SIG_CACHE, key, df)
+    return df
+
+
+def verified_pairs_cached(
+    documents: DataFrame, threshold: float = 0.8, n_bands: int = 2
+) -> DataFrame:
+    """`jaccard_on_candidates` backed by the session cache: the
+    threshold-0 verified-pair table materializes ONCE per (session,
+    input plan, n_bands); every caller's threshold is a post-filter on
+    the checkpoint. Same columns, same rows as the direct call —
+    `filter(jaccard >= t)` after verification is exactly where the
+    direct call applies its own threshold."""
+    key = _plan_key(documents, int(n_bands))
+    if key is None:  # pragma: no cover
+        base = jaccard_on_candidates(
+            documents, threshold=0.0, n_bands=n_bands
+        ).localCheckpoint(eager=True)
+    else:
+        base = _PAIR_CACHE.get(key)
+        if base is None:
+            base = jaccard_on_candidates(
+                documents,
+                threshold=0.0,
+                n_bands=n_bands,
+                sigs=cached_signatures(documents),
+            ).localCheckpoint(eager=True)
+            _cache_put(_PAIR_CACHE, key, base)
+    if threshold > 0.0:
+        return base.filter(F.col("jaccard") >= threshold)
+    return base
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document over whitespace tokens (with multiplicity).
 
@@ -575,8 +655,8 @@ def minhash_error_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     once — without the reuse the estimator side replayed the full
     shingle+md5 pass a second time.
     """
-    sigs = minhash_signatures(documents).localCheckpoint(eager=True)
-    exact = jaccard_on_candidates(documents, threshold=0.0, n_bands=n_bands, sigs=sigs)
+    sigs = cached_signatures(documents)
+    exact = verified_pairs_cached(documents, threshold=0.0, n_bands=n_bands)
     sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]
@@ -620,7 +700,7 @@ def cluster_quality_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     do), then two small aggregations over the pair/label tables — the
     audit costs one extra groupBy beyond the dedup pipeline itself.
     """
-    pairs = jaccard_on_candidates(documents, n_bands=n_bands).localCheckpoint(
+    pairs = verified_pairs_cached(documents, n_bands=n_bands).localCheckpoint(
         eager=True
     )
     labels = dedup_components(
@@ -694,7 +774,7 @@ def dedup_bias_audit(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     already-narrow scored frame.
     """
     comp = dedup_components(
-        jaccard_on_candidates(documents, n_bands=n_bands),
+        verified_pairs_cached(documents, n_bands=n_bands),
         documents.select(F.col("doc_id").alias("node")),
         id_a="doc_a",
         id_b="doc_b",
@@ -833,7 +913,7 @@ def cross_source_leakage(documents: DataFrame, n_bands: int = 2) -> DataFrame:
     the pair table is LSH-bounded, so the matrix aggregation is
     trivially small.
     """
-    pairs = jaccard_on_candidates(documents, threshold=0.5, n_bands=n_bands)
+    pairs = verified_pairs_cached(documents, threshold=0.5, n_bands=n_bands)
     src = documents.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -1046,7 +1126,7 @@ def cdc_chunk_near_dups(
         .withColumnRenamed("chunk_hash", "doc_id")
         .localCheckpoint(eager=False)  # feeds LSH chain AND both occ joins
     )
-    pairs = jaccard_on_candidates(
+    pairs = verified_pairs_cached(
         reps.select("doc_id", "text"), threshold=threshold, n_bands=n_bands
     )
     occ = reps.select("doc_id", "n_occ")
@@ -1262,7 +1342,7 @@ def dedup_threshold_sweep(
     engines, and jaccard is already 6dp-rounded, so the >= compares
     can't diverge.
     """
-    pairs = jaccard_on_candidates(documents, threshold=0.0).localCheckpoint(
+    pairs = verified_pairs_cached(documents, threshold=0.0).localCheckpoint(
         eager=True
     )
     spark = documents.sparkSession
@@ -1299,7 +1379,7 @@ def quality_survivors(documents: DataFrame) -> DataFrame:
     Jaccard verify → components); the winner pick is one window per
     component (bounded by cluster size, never corpus-wide).
     """
-    verified = jaccard_on_candidates(documents).select(
+    verified = verified_pairs_cached(documents).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     labels = dedup_components(

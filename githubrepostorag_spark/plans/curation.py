@@ -114,7 +114,7 @@ def curation_pipeline(
     exact = exact.localCheckpoint(eager=False)
 
     # --- stage 3: LSH near-dup dedup ---
-    verified = DD.jaccard_on_candidates(exact, threshold=JACCARD_KEEP).select(
+    verified = DD.verified_pairs_cached(exact, threshold=JACCARD_KEEP).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     labels = DD.dedup_components(verified, exact.select(F.col("doc_id").alias("node")))

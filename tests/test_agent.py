@@ -132,3 +132,53 @@ def test_deterministic_across_runs(spark, store):
         return st.answer, [e["event"] for e in st.events], [s["metadata"] for s in st.sources]
 
     assert run() == run()  # md5 content keys → no PYTHONHASHSEED flake
+
+
+@pytest.mark.slow
+def test_agent_batch100_completes_and_jobs_stay_bounded(spark, store):
+    """Round-6 verdict #6: run_batch folds every scope/expansion into
+    shared Spark jobs, so the SPARK JOB COUNT must scale with the
+    attempt rounds (≤3), never with the number of queries. Prove it at
+    25× the bench batch: 100 queries answer correctly and schedule at
+    most a small constant factor more jobs than the 4-query batch —
+    a per-query job (or per-query collect) would blow straight through
+    the bound."""
+    agent = GraphRAGAgent(spark, store, DeterministicLLM())
+    agent.run_batch([{"job_id": "w", "query": "warmup probe"}])
+    sc = spark.sparkContext
+
+    def run_counted(group: str, jobs):
+        sc.setJobGroup(group, group)
+        try:
+            states = agent.run_batch(jobs)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return states, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    templates = [
+        "tell me about the projects variant {i}",
+        "how is the cache configured in part {i}",
+        "stacktrace timeout exception in stream {i}",
+        "repo: src1 what does module m3 contain about {i}",
+    ]
+    small = [
+        {"job_id": f"s{i}", "query": templates[i % 4].format(i=i)} for i in range(4)
+    ]
+    big = [
+        {"job_id": f"b{i}", "query": templates[i % 4].format(i=i)} for i in range(100)
+    ]
+    _, jobs_small = run_counted("agent-small", small)
+    states, jobs_big = run_counted("agent-big", big)
+
+    assert len(states) == 100
+    assert all(st.answer for st in states)
+    # the fixture corpus is tiny, so some templated variants legitimately
+    # retrieve nothing (the agent still answers via its no-context path);
+    # the batch as a whole must be served, not starved
+    assert sum(1 for st in states if st.docs) >= 75
+    # O(attempts) scheduling: the big batch may take at most the full
+    # 3-attempt ladder where the small batch converged earlier, plus
+    # the rare late-expansion job per round — but NEVER a per-query
+    # term. 100 per-query jobs would need jobs_big >= 100.
+    assert jobs_big <= 3 * jobs_small + 10, (jobs_small, jobs_big)
+    assert jobs_big < 100

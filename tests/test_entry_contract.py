@@ -23,6 +23,56 @@ def test_queries_have_oracles():
     assert set(oracles) <= set(qs)
 
 
+def test_normalize_neg_zero_rewrite():
+    """The mechanical -0.0 normalizer: every round(...) call gets
+    ` + 0.0` appended at its own closing paren — nesting, lambdas, and
+    quoted literals with parens/escaped quotes must not derail the
+    paren balancing; word-boundary guard must skip round_half etc."""
+    nz = entry_mod._normalize_neg_zero
+    assert nz("SELECT round(x, 6) FROM t") == "SELECT (round(x, 6) + 0.0) FROM t"
+    # the parens are load-bearing: a following '*' must multiply the
+    # ROUND result, not the 0.0 (the q214 precedence bug)
+    assert (
+        nz("floor(round(c, 6) * 1000000.0 + 0.5)")
+        == "floor((round(c, 6) + 0.0) * 1000000.0 + 0.5)"
+    )
+    # nested rounds: both sites normalized, inner insert inside outer
+    assert (
+        nz("round(a + round(b, 2), 6)")
+        == "(round(a + (round(b, 2) + 0.0), 6) + 0.0)"
+    )
+    # parens inside a quoted literal (regex) don't unbalance the scan
+    assert (
+        nz("round(len(regexp_extract_all(t, '([a-z)]+')), 2) AS n")
+        == "(round(len(regexp_extract_all(t, '([a-z)]+')), 2) + 0.0) AS n"
+    )
+    # '' escaped quote inside a literal
+    assert (
+        nz("round(len('it''s (ok)'), 1)") == "(round(len('it''s (ok)'), 1) + 0.0)"
+    )
+    # identifiers containing 'round' are left alone
+    assert nz("workaround(x)") == "workaround(x)"
+    assert nz("x_round(y)") == "x_round(y)"
+    # lambda arrows / list_reduce bodies survive
+    s = "list_transform(cs, s -> round(-list_reduce(l, (a, b) -> a + b), 6))"
+    assert nz(s) == (
+        "list_transform(cs, s -> (round(-list_reduce(l, (a, b) -> a + b), 6) + 0.0))"
+    )
+
+
+def test_oracles_all_normalized_and_parse(duck):
+    """Every returned oracle has the normalizer applied (any oracle
+    containing round( must also carry a '+ 0.0'), and DuckDB can still
+    plan every statement (EXPLAIN = parse + bind against the views)."""
+    oracles = entry_mod.oracle_sql()
+    for name, sql in oracles.items():
+        if "round(" in sql.replace("round (", "round("):
+            assert "+ 0.0" in sql, name
+    # parse/bind every oracle (EXPLAIN runs the planner, not the query)
+    for name, sql in oracles.items():
+        duck.execute(f"EXPLAIN {sql}")
+
+
 def test_queries_run_and_match_oracle_sample(spark, duck):
     """A fast subset of the full gate (tools/check_parity.py runs it all)."""
     import pandas as pd

@@ -58,6 +58,36 @@ def test_lsh_identical_docs_are_candidates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_verified_pairs_cached_matches_direct_and_reuses(spark):
+    """The session pair cache must (a) return exactly what the direct
+    LSH+verify chain returns at every threshold, and (b) materialize the
+    threshold-0 base once per (session, plan, bands) and reuse it."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (3, "the quick brown fox jumps over a sleepy dog", "en", "s0", 44),
+        (4, "completely different content with no overlap", "en", "s1", 44),
+    ]
+    df = _docs(spark, rows)
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+    for thr in (0.0, 0.5, 0.8):
+        direct = sorted(
+            map(tuple, DD.jaccard_on_candidates(df, threshold=thr).collect())
+        )
+        cached = sorted(
+            map(tuple, DD.verified_pairs_cached(df, threshold=thr).collect())
+        )
+        assert cached == direct, thr
+    # one base table for all three thresholds (same plan, same bands)
+    assert len(DD._PAIR_CACHE) == 1
+    assert len(DD._SIG_CACHE) == 1
+    # a different input plan gets its OWN entry — no cross-plan reuse
+    df2 = _docs(spark, rows[:3])
+    DD.verified_pairs_cached(df2, threshold=0.0).collect()
+    assert len(DD._PAIR_CACHE) == 2
+
+
 def test_simhash_identical_docs_equal_hash(spark):
     df = _docs(
         spark,

@@ -549,3 +549,90 @@ def test_stream_hygiene_gate_quarantines_and_reports(spark, tmp_path):
     assert (4, "secret_candidate") in quarantined
     report = {r.violation: r.n_violations for r in spark.read.parquet(rep).collect()}
     assert report["long_line"] == 1 and report["secret_candidate"] == 1
+
+
+@pytest.mark.slow
+def test_stream_dedup_gate_sustained_multibatch_throughput(spark, tmp_path):
+    """Sustained firehose smoke (round-6 verdict #5): drive the dedup
+    admission gate over N micro-batches (maxFilesPerTrigger=1) and pin
+
+    1. correctness under sustained load — every cross-batch near-copy
+       is rejected against the store state its batch observes, so the
+       accepted set has no near-dup pair in it, and
+    2. a LOOSE throughput floor (docs/sec) so a regression that makes
+       the per-batch store probe quadratic fails loudly rather than
+       silently doubling wall-clock.
+
+    The reference envelope this mirrors: the worker consumes jobs
+    continuously at 10-concurrent / 300 s-timeout
+    (rag_worker/src/worker/worker.py:182-187).
+    """
+    import time
+
+    from githubrepostorag_spark.operators.dedup import write_dedup_store
+    from githubrepostorag_spark.streaming.ingest import stream_dedup_gate
+
+    schema = "doc_id long, text string"
+    n_batches = 6
+    docs_per_batch = 40
+
+    import hashlib
+
+    def fresh_text(i: int) -> str:
+        # md5-derived tokens: docs share no char-4-gram shingles, so
+        # "fresh" really is fresh to the LSH gate (plain f"tok{i}w{j}"
+        # words make every pair of docs a near-dup at the char grain)
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:12] for j in range(30)
+        )
+
+    store = str(tmp_path / "store")
+    write_dedup_store(
+        spark.createDataFrame([(0, fresh_text(0))], schema), store
+    )
+
+    # batch b carries: mostly-fresh docs + one near-copy of a doc from
+    # batch b-1 (accepted there, appended to the store, so it MUST be
+    # rejected here) — state has to flow across micro-batches.
+    src = str(tmp_path / "src")
+    rows_by_batch = []
+    for b in range(n_batches):
+        rows = [
+            (b * 1000 + i, fresh_text(b * 1000 + i))
+            for i in range(docs_per_batch - 1)
+        ]
+        prev_base = (b - 1) * 1000 if b > 0 else 0
+        rows.append((b * 1000 + 999, fresh_text(prev_base) + " tail"))
+        rows_by_batch.append(rows)
+        # one json file per batch => one micro-batch per file
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    t0 = time.time()
+    q = stream_dedup_gate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+        store,
+        str(tmp_path / "acc"),
+        str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    elapsed = time.time() - t0
+
+    batches = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
+    assert len(batches) >= n_batches  # genuinely multi-batch, not one gulp
+
+    accepted = {r.doc_id for r in spark.read.parquet(str(tmp_path / "acc")).collect()}
+    rejected = {r.new_id for r in spark.read.parquet(str(tmp_path / "rej")).collect()}
+    n_docs = n_batches * docs_per_batch
+    # every near-copy rejected, everything fresh accepted
+    expected_rejects = {b * 1000 + 999 for b in range(n_batches)}
+    assert rejected == expected_rejects
+    assert len(accepted) == n_docs - n_batches
+    assert accepted.isdisjoint(rejected)
+
+    # loose floor: tiny batches on local[32] clear this by an order of
+    # magnitude; a quadratic store probe or per-batch replan would not
+    docs_per_sec = n_docs / elapsed
+    assert docs_per_sec > 3.0, f"sustained gate throughput {docs_per_sec:.1f} docs/s"
