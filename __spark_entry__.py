@@ -962,7 +962,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_embedding_outliers": lambda sp, sf: S.embedding_outliers(
             t(sp, sf, "embeddings")
         ),
+        # --- round 7: packing/vocab/script/mixture-geometry audits +
+        #     the paper-policy SemDeDup survivor chain ---
+        "q256_semdedup_policy": lambda sp, sf: S.semdedup_survivors(
+            t(sp, sf, "embeddings")
+        ),
+        "q257_oov_rate": lambda sp, sf: TO.oov_rate(t(sp, sf, "documents")),
+        "q258_padding_waste": lambda sp, sf: CU.padding_waste(
+            t(sp, sf, "documents")
+        ),
+        "q259_script_mix": lambda sp, sf: TO.script_mix(
+            _script_salted(t(sp, sf, "documents"))
+        ),
+        "q260_source_jsd": lambda sp, sf: CU.source_jsd_matrix(
+            t(sp, sf, "documents")
+        ),
     })
+
+
+def _script_salted(documents: DataFrame) -> DataFrame:
+    """Salt the all-ASCII testdata with non-Latin snippets so q259's
+    mixed-script flag has positives; the oracle applies the identical
+    salt (doc_id % {7,11,13} → Cyrillic/Greek/CJK; multiples of
+    several get genuinely mixed text)."""
+    t_ = F.col("text")
+    return documents.withColumn(
+        "text",
+        F.concat(
+            t_,
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" привет мир")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" αλφα βητα")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" 中文测试")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
 
 
 def _customer_updates(customer: DataFrame) -> DataFrame:
@@ -7042,6 +7080,208 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, centroid_cos, pct,
                    pct < {S.OUTLIER_BOTTOM_FRAC} AS is_outlier
             FROM ranked
+        """,
+        # SemDeDup paper keep-policy (similarity.semdedup_survivors):
+        # q97's cell-bucketed pair chain, then recursive components and
+        # per-component keep = min (cos-to-assigned-centroid, vec_id).
+        "q256_semdedup_policy": f"""
+            WITH RECURSIVE dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM ranked WHERE rn = 1
+            ), cc AS (
+              SELECT a.vec_id, a.cell,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(c.centroid AS DOUBLE[])), 6)
+                       AS cell_cos
+              FROM assigned a JOIN cent c ON c.centroid_label = a.cell
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6)
+                    >= {S.SEMANTIC_DEDUP_THRESHOLD}
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), comp AS (
+              SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src
+            ), final AS (
+              SELECT e.vec_id, e.label, CAST(cc.cell AS BIGINT) AS cell,
+                     cc.cell_cos, CAST(comp.component AS BIGINT) AS component,
+                     row_number() OVER (PARTITION BY comp.component
+                                        ORDER BY cc.cell_cos, e.vec_id) AS krn
+              FROM embeddings e
+              JOIN cc ON cc.vec_id = e.vec_id
+              JOIN comp ON comp.vec_id = e.vec_id)
+            SELECT vec_id, label, cell, cell_cos, component, krn = 1 AS kept
+            FROM final
+        """,
+        # Per-source OOV rate vs the corpus top-V vocab (textops.oov_rate):
+        # deterministic head via (count DESC, token ASC) total order.
+        "q257_oov_rate": f"""
+            WITH toks AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+            vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT {TO.OOV_VOCAB_SIZE}),
+            fl AS (
+              SELECT t.source, v.tok IS NOT NULL AS iv
+              FROM toks t LEFT JOIN vocab v USING (tok))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                   CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) * 1000
+                        // count(*) AS BIGINT) AS oov_permille
+            FROM fl GROUP BY source
+        """,
+        # Padding-waste audit (curation.padding_waste): three policies,
+        # all-integer arithmetic, ceil via (x + L-1) // L.
+        "q258_padding_waste": f"""
+            WITH toks AS (
+              SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+            per_doc AS (
+              SELECT 'pad_per_doc' AS policy, n_tokens,
+                     ((n_tokens + {CU.PAD_SEQ_LEN - 1}) // {CU.PAD_SEQ_LEN})
+                       * {CU.PAD_SEQ_LEN} AS slot_tokens
+              FROM nz),
+            p1 AS (
+              SELECT source,
+                     (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tokens)
+                       // {CU.PAD_SEQ_LEN} AS batch_id,
+                     n_tokens
+              FROM nz),
+            a1 AS (
+              SELECT 'pack_by_id' AS policy,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     ((CAST(sum(n_tokens) AS BIGINT) + {CU.PAD_SEQ_LEN - 1})
+                        // {CU.PAD_SEQ_LEN}) * {CU.PAD_SEQ_LEN} AS slot_tokens
+              FROM p1 GROUP BY source, batch_id),
+            p2 AS (
+              SELECT source,
+                     (sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY n_tokens, doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tokens)
+                       // {CU.PAD_SEQ_LEN} AS batch_id,
+                     n_tokens
+              FROM nz),
+            a2 AS (
+              SELECT 'pack_by_len' AS policy,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     ((CAST(sum(n_tokens) AS BIGINT) + {CU.PAD_SEQ_LEN - 1})
+                        // {CU.PAD_SEQ_LEN}) * {CU.PAD_SEQ_LEN} AS slot_tokens
+              FROM p2 GROUP BY source, batch_id),
+            u AS (SELECT * FROM per_doc UNION ALL SELECT * FROM a1
+                  UNION ALL SELECT * FROM a2)
+            SELECT policy, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(slot_tokens) AS BIGINT) AS slot_tokens,
+                   CAST(sum(slot_tokens) - sum(n_tokens) AS BIGINT) AS waste_tokens,
+                   CAST((sum(slot_tokens) - sum(n_tokens)) * 1000
+                        // sum(slot_tokens) AS BIGINT) AS waste_permille
+            FROM u GROUP BY policy
+        """,
+        # Mixed-script audit (textops.script_mix) over the salted docs;
+        # regexp_replace needs the 'g' option in DuckDB (Spark's
+        # replaces all matches by default).
+        "q259_script_mix": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' привет мир' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' αλφα βητα' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' 中文测试' ELSE '' END
+                       AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     {", ".join(
+                       f"CAST(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')) AS BIGINT) AS n_{name}"
+                       for name, rng in TO.SCRIPT_RANGES
+                     )}
+              FROM salted),
+            tot AS (
+              SELECT *, {" + ".join(f"n_{name}" for name, _ in TO.SCRIPT_RANGES)} AS n_letters
+              FROM c),
+            sc AS (
+              SELECT *,
+                     {" + ".join(
+                       f"(CASE WHEN n_{name} * 100 > n_letters * {TO.SCRIPT_MIX_MIN_PCT} AND n_{name} > 0 THEN 1 ELSE 0 END)"
+                       for name, _ in TO.SCRIPT_RANGES
+                     )} AS n_scripts
+              FROM tot)
+            SELECT doc_id,
+                   {", ".join(f"n_{name}" for name, _ in TO.SCRIPT_RANGES)},
+                   CAST(n_letters AS BIGINT) AS n_letters,
+                   CAST(n_scripts AS BIGINT) AS n_scripts,
+                   n_scripts >= 2 AS is_mixed
+            FROM sc
+        """,
+        # Pairwise source JSD matrix (curation.source_jsd_matrix):
+        # q253's decimal-sum exactness; exclusive token mass folds in
+        # closed form as (total - shared)/total per side.
+        "q260_source_jsd": f"""
+            WITH toks AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+            counts AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+                    FROM counts GROUP BY source),
+            pair_terms AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     a.c AS ca, b.c AS cb, ta.t AS ta, tb.t AS tb,
+                     CAST(round(
+                       (a.c / CAST(ta.t AS DOUBLE))
+                       * log2((a.c / CAST(ta.t AS DOUBLE))
+                              / ((a.c / CAST(ta.t AS DOUBLE)
+                                  + b.c / CAST(tb.t AS DOUBLE)) / 2.0)), 12)
+                       AS DECIMAL(38,12)) AS term_p,
+                     CAST(round(
+                       (b.c / CAST(tb.t AS DOUBLE))
+                       * log2((b.c / CAST(tb.t AS DOUBLE))
+                              / ((a.c / CAST(ta.t AS DOUBLE)
+                                  + b.c / CAST(tb.t AS DOUBLE)) / 2.0)), 12)
+                       AS DECIMAL(38,12)) AS term_q
+              FROM counts a
+              JOIN counts b ON a.tok = b.tok AND a.source < b.source
+              JOIN tot ta ON ta.source = a.source
+              JOIN tot tb ON tb.source = b.source),
+            agg AS (
+              SELECT src_a, src_b,
+                     CAST(count(*) AS BIGINT) AS n_shared_vocab,
+                     CAST(sum(ca) AS BIGINT) AS shared_ca,
+                     CAST(sum(cb) AS BIGINT) AS shared_cb,
+                     max(ta) AS ta, max(tb) AS tb,
+                     CAST(sum(term_p) AS DOUBLE) AS sp,
+                     CAST(sum(term_q) AS DOUBLE) AS sq
+              FROM pair_terms GROUP BY 1, 2)
+            SELECT src_a, src_b, n_shared_vocab,
+                   round(0.5 * (sp + (ta - shared_ca) / CAST(ta AS DOUBLE))
+                         + 0.5 * (sq + (tb - shared_cb) / CAST(tb AS DOUBLE)), 6)
+                     AS js_bits
+            FROM agg
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

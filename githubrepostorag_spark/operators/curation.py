@@ -1516,3 +1516,160 @@ def split_js_divergence(documents: DataFrame) -> DataFrame:
         "n_vocab",
         F.round(0.5 * F.col("sp") + 0.5 * F.col("sq"), 6).alias("js_bits"),
     )
+
+
+PAD_SEQ_LEN = 256
+
+
+def padding_waste(documents: DataFrame, seq_len: int = PAD_SEQ_LEN) -> DataFrame:
+    """Padding-efficiency audit for three sequence-building policies at
+    a fixed `seq_len` — the number that decides whether a tokenization
+    pipeline packs or pads (Krell et al. 2021 measure up to ~50% of
+    compute wasted on padding under naive per-doc batching):
+
+    * pad_per_doc   — every doc alone in ceil(n/seq_len) sequences
+                      (the naive fine-tuning shape);
+    * pack_by_id    — q59's offset packing (concatenate in doc_id
+                      order, per source), waste only at batch tails;
+    * pack_by_len   — the same offset packing but length-sorted
+                      (n_tokens, doc_id), the common locality heuristic.
+
+    One row per policy: total tokens, slots, waste, integer-permille
+    waste rate. ALL arithmetic is exact integers (ceil via (x+L-1) div
+    L), so the three-way comparison is bit-stable on both engines.
+
+    Scale shape: one token-count scan feeds all three policies; the
+    packing policies reuse pack_token_batches' window (one shuffle on
+    source each); per-policy reductions are map-side-combined sums.
+    """
+    L = int(seq_len)
+    toks = documents.select(
+        "source",
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def slots(col: str):  # ceil(col / L) * L, exact integers
+        return F.expr(f"(({col} + {L - 1}) div {L}) * {L}")
+
+    per_doc = toks.select(
+        F.lit("pad_per_doc").alias("policy"),
+        F.col("n_tokens"),
+        slots("n_tokens").alias("slot_tokens"),
+    )
+
+    def packed(order_cols, name: str):
+        w = (
+            Window.partitionBy("source")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        batches = (
+            toks.withColumn(
+                "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .withColumn("batch_id", F.expr(f"start_offset div {L}"))
+            .groupBy("source", "batch_id")
+            .agg(F.sum("n_tokens").cast("long").alias("bt"))
+        )
+        return batches.select(
+            F.lit(name).alias("policy"),
+            F.col("bt").alias("n_tokens"),
+            slots("bt").alias("slot_tokens"),
+        )
+
+    unioned = per_doc.unionByName(
+        packed([F.asc("doc_id")], "pack_by_id")
+    ).unionByName(packed([F.asc("n_tokens"), F.asc("doc_id")], "pack_by_len"))
+    return (
+        unioned.groupBy("policy")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("slot_tokens").cast("long").alias("slot_tokens"),
+        )
+        .select(
+            "policy",
+            "total_tokens",
+            "slot_tokens",
+            (F.col("slot_tokens") - F.col("total_tokens"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.expr(
+                "(slot_tokens - total_tokens) * 1000 div slot_tokens"
+            ).cast("long").alias("waste_permille"),
+        )
+    )
+
+
+def source_jsd_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every two
+    sources' unigram distributions — the mixture-design distance matrix
+    (q81 scores each source against the corpus; DoReMi-style mixture
+    work wants the source-to-source geometry: which sources are
+    near-redundant, which are the diversity outliers).
+
+    Exactness follows split_js_divergence: co-occurring-token JS terms
+    round at 12 dp and sum as DECIMAL(38,12) (order-independent); the
+    tokens present in only ONE side contribute p·log2(2p/(p+0)) = p
+    exactly, so each side's exclusive mass folds in CLOSED FORM as
+    (total - shared) / total — one long division, no per-token float
+    work for the exclusive tail. Final combination order is pinned
+    identically in the oracle.
+
+    Scale shape: ONE token explode + one (source, tok) groupBy; the
+    pair matrix comes from a self-join on tok (fan-out per token =
+    sources carrying it, ≤ |sources|), aggregated straight to the
+    |sources|²-bounded output. Totals are a broadcast of |sources| rows.
+    """
+    counts = (
+        documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = F.broadcast(
+        counts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    )
+    a = counts.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    ).join(totals.select(F.col("source").alias("src_a"), F.col("t").alias("ta")), "src_a")
+    b = counts.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    ).join(totals.select(F.col("source").alias("src_b"), F.col("t").alias("tb")), "src_b")
+    p = F.col("ca") / F.col("ta").cast("double")
+    q = F.col("cb") / F.col("tb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    dec = "decimal(38,12)"
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "ca",
+            "cb",
+            "ta",
+            "tb",
+            F.round(p * F.log2(p / m), 12).cast(dec).alias("term_p"),
+            F.round(q * F.log2(q / m), 12).cast(dec).alias("term_q"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_vocab"),
+            F.sum("ca").cast("long").alias("shared_ca"),
+            F.sum("cb").cast("long").alias("shared_cb"),
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.sum("term_p").cast("double").alias("sp"),
+            F.sum("term_q").cast("double").alias("sq"),
+        )
+    )
+    only_a = (F.col("ta") - F.col("shared_ca")) / F.col("ta").cast("double")
+    only_b = (F.col("tb") - F.col("shared_cb")) / F.col("tb").cast("double")
+    return shared.select(
+        "src_a",
+        "src_b",
+        "n_shared_vocab",
+        F.round(
+            0.5 * (F.col("sp") + only_a) + 0.5 * (F.col("sq") + only_b), 6
+        ).alias("js_bits"),
+    )

@@ -1936,3 +1936,70 @@ def embedding_outliers(embeddings: DataFrame) -> DataFrame:
         "pct",
         (F.col("pct") < OUTLIER_BOTTOM_FRAC).alias("is_outlier"),
     )
+
+
+def semdedup_survivors(
+    embeddings: DataFrame, threshold: float = SEMANTIC_DEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup with the paper's CENTROID-AWARE keep policy (Abbas et
+    al. 2023 §3: within each semantic-duplicate group, keep the example
+    with the LOWEST cosine to its cluster centroid — the most atypical
+    member carries the most marginal training signal). Completes the
+    family: q97 (`semantic_dedup`) is the pair-local min-id variant;
+    this one builds the within-cell duplicate COMPONENTS and audits
+    which representative the paper's policy keeps, one row per vector
+    with its component and kept flag.
+
+    Scale shape: cell-bucketed pair scoring (`near_dup_in_cells` —
+    broadcast codebook, one shuffle on cell, per-cell BLAS kernel),
+    hash-min components on the pair-bounded edge list
+    (`dedup.dedup_components` — driver union-find under the memory
+    bound, distributed propagation above it), and ONE window per
+    component (bounded by semantic-cluster size, like q254's
+    quality-survivor window — never corpus-wide). The centroid-cosine
+    keep score rides the broadcast codebook join; 6dp rounding + vec_id
+    tiebreak pin the survivor deterministically on both engines.
+    """
+    from githubrepostorag_spark.operators.dedup import dedup_components
+
+    cents = _centroid_arrays(embeddings)
+    assigned = _assign_cells(embeddings, cents)
+    pc = F.broadcast(
+        V.prepare(cents, "centroid", "cv", "cn").select(
+            F.col("centroid_label").alias("cell"), "cv", "cn"
+        )
+    )
+    scored = (
+        V.prepare(assigned, "embedding", "ve", "vn")
+        .join(pc, "cell")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
+                6,
+            ).alias("cell_cos"),
+        )
+    )
+    pairs = near_dup_in_cells(embeddings, threshold=threshold)
+    labels = dedup_components(
+        pairs.select("id_a", "id_b"),
+        embeddings.select(F.col("vec_id").alias("node")),
+        id_a="id_a",
+        id_b="id_b",
+    )
+    w = Window.partitionBy("component").orderBy(F.asc("cell_cos"), F.asc("vec_id"))
+    return (
+        scored.join(labels, scored.vec_id == labels.node)
+        .select("vec_id", "label", "cell", "cell_cos", "component")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "cell_cos",
+            F.col("component").cast("long").alias("component"),
+            (F.col("rn") == 1).alias("kept"),
+        )
+    )

@@ -3077,3 +3077,96 @@ def source_novelty(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+OOV_VOCAB_SIZE = 500
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-`vocab_size` token vocabulary — the tokenizer-fit audit a
+    pipeline runs before committing a vocab: a source whose OOV rate is
+    an outlier either needs vocab budget or is noise (complements q65's
+    head listing and q208's fertility with a per-SOURCE verdict).
+
+    Scale shape: one token explode feeds BOTH the global vocab count
+    and the per-source totals; the vocab head is a k-bounded
+    orderBy+limit (TakeOrdered — never a global window), broadcast into
+    a left-anti-style membership flag on the (source, token) grain.
+    All arithmetic is exact integers; the rate is integer permille.
+    """
+    toks = documents.select(
+        "source", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = F.broadcast(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(vocab, "tok", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000 div n_tokens").cast("long").alias("oov_permille"),
+        )
+    )
+
+
+# Unicode letter-script ranges checked by the mixed-script audit; the
+# salt in the q259 oracle cycles snippets from each non-Latin script.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+)
+SCRIPT_MIX_MIN_PCT = 5  # a script "counts" above 5% of letter mass
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """Per-document Unicode-script profile and mixed-script flag — the
+    homoglyph/spam screen a multilingual corpus runs before language-ID
+    (q52 assumes one script; Cyrillic 'о' spoofing Latin 'o' in a
+    code identifier is invisible to trigram language-ID but fails
+    training data): counts per letter script, number of scripts above
+    SCRIPT_MIX_MIN_PCT of the letter mass, and is_mixed.
+
+    Single-scan column expressions: each script count is one
+    regexp_replace-and-length over the text (no explode, no shuffle);
+    the threshold test is pure integer arithmetic (100·n > pct·total),
+    so the flag is exact on both engines.
+    """
+    t = F.col("text")
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))).cast(
+            "long"
+        )
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    n_scripts = None
+    for c in counts.values():
+        hit = F.when(
+            (c * 100 > total * F.lit(SCRIPT_MIX_MIN_PCT)) & (c > 0), 1
+        ).otherwise(0)
+        n_scripts = hit if n_scripts is None else n_scripts + hit
+    return documents.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        total.cast("long").alias("n_letters"),
+        n_scripts.cast("long").alias("n_scripts"),
+        (n_scripts >= 2).alias("is_mixed"),
+    )

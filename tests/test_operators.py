@@ -3329,3 +3329,109 @@ def test_embedding_outliers_flags_bottom_slice(spark):
     assert 0 < len(flagged) <= max(1, int(n * S.OUTLIER_BOTTOM_FRAC) + 1)
     worst = min(out, key=lambda r: (r.centroid_cos, r.vec_id))
     assert worst.is_outlier and worst.pct == 0.0
+
+
+# --- round 7 additions: q256-q260 ---
+
+
+def test_semdedup_survivors_keeps_lowest_centroid_cos(spark):
+    """Paper policy: within a semantic-dup component, the survivor is
+    the member FARTHEST from its cell centroid (lowest cosine)."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    # one tight cluster around +x (label 0): two near-identical vecs,
+    # one slightly off-axis (lower cos to centroid -> the paper keeps
+    # it IF it is in the dup component); plus a lone far vector
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (3, [0.9, 0.42, 0.0, 0.0], 0),   # same cell, still > threshold to 1/2
+        (10, [0.0, 0.0, 1.0, 0.0], 1),   # own cell, singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in S.semdedup_survivors(df, threshold=0.9).collect()}
+    assert len(out) == 4
+    # 1,2,3 are one component (pairwise cos > 0.9 within the cell)
+    comps = {out[1].component, out[2].component, out[3].component}
+    assert comps == {1}
+    # vec 3 has the LOWEST cos to the cell centroid -> it is kept
+    assert out[3].kept is True
+    assert out[1].kept is False and out[2].kept is False
+    # the singleton keeps itself
+    assert out[10].kept is True and out[10].component == 10
+
+
+def test_oov_rate_exact_counts(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    rows = [
+        (1, "a a a b", "s1"),
+        (2, "a b b zz", "s2"),
+        (3, "qq rr", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # vocab_size=2 -> vocab = {a (4), b (3)}; OOV: zz, qq, rr
+    got = {r.source: r for r in TO.oov_rate(df, vocab_size=2).collect()}
+    assert got["s1"].n_tokens == 4 and got["s1"].n_oov == 0
+    assert got["s1"].oov_permille == 0
+    assert got["s2"].n_tokens == 6 and got["s2"].n_oov == 3
+    assert got["s2"].oov_permille == 500
+
+
+def test_padding_waste_hand_computed(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    # one source, docs of 3, 3, 2 tokens; L=4
+    rows = [
+        (1, "a b c", "s"),
+        (2, "d e f", "s"),
+        (3, "g h", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.policy: r for r in CU.padding_waste(df, seq_len=4).collect()}
+    # pad_per_doc: each doc alone -> slots 4+4+4=12, tokens 8, waste 4
+    assert got["pad_per_doc"].total_tokens == 8
+    assert got["pad_per_doc"].slot_tokens == 12
+    assert got["pad_per_doc"].waste_tokens == 4
+    assert got["pad_per_doc"].waste_permille == 333
+    # pack_by_id: offsets 0,3,6 -> batches 0:[1], 0? (3//4=0),(6//4=1)
+    #   batch0 = docs 1+2 = 6 tokens -> slots 8; batch1 = doc 3 = 2 -> 4
+    assert got["pack_by_id"].slot_tokens == 12
+    # pack_by_len: order (2),(3,id1),(3,id2) offsets 0,2,5 ->
+    #   batch0 = 2+3 = 5 -> slots 8; batch1 = 3 -> 4
+    assert got["pack_by_len"].slot_tokens == 12
+
+
+def test_script_mix_flags_mixed_docs(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    rows = [
+        (1, "pure ascii text only"),
+        (2, "привет мир"),              # pure cyrillic
+        (3, "hello привет"),            # latin + cyrillic, both > 5%
+        (4, "mostly english text with one letter ё buried deep inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TO.script_mix(df).collect()}
+    assert got[1].is_mixed is False and got[1].n_scripts == 1
+    assert got[2].is_mixed is False and got[2].n_latin == 0
+    assert got[3].is_mixed is True and got[3].n_scripts == 2
+    # one cyrillic letter among ~47 latin letters is < 5% -> not mixed
+    assert got[4].is_mixed is False
+
+
+def test_source_jsd_matrix_extremes(spark):
+    from githubrepostorag_spark.operators import curation as CU
+
+    rows = [
+        (1, "a b c d", "same1"),
+        (2, "a b c d", "same2"),
+        (3, "x y z w", "disjoint"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r for r in CU.source_jsd_matrix(df).collect()}
+    # identical distributions -> JSD 0
+    assert got[("same1", "same2")].js_bits == 0.0
+    assert got[("same1", "same2")].n_shared_vocab == 4
+    # disjoint-vocab pairs share no token -> no row (documented contract)
+    assert ("disjoint", "same1") not in got and ("same1", "disjoint") not in got
