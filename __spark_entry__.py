@@ -977,6 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_source_jsd": lambda sp, sf: CU.source_jsd_matrix(
             t(sp, sf, "documents")
         ),
+        "q261_dup_size_hist": lambda sp, sf: DD.dup_size_histogram(
+            t(sp, sf, "documents")
+        ),
+        "q262_quality_chi2": lambda sp, sf: TO.quality_chi2_by_source(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -7282,6 +7288,93 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5 * (sq + (tb - shared_cb) / CAST(tb AS DOUBLE)), 6)
                      AS js_bits
             FROM agg
+        """,
+        # Near-dup cluster-size histogram (dedup.dup_size_histogram):
+        # q56's recursive-components chain, reduced to the size grain.
+        "q261_dup_size_hist": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+            csize AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+                      FROM labels GROUP BY component)
+            SELECT component_size,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(component_size * count(*) AS BIGINT) AS n_docs,
+                   CAST((component_size - 1) * count(*) AS BIGINT) AS shed_docs
+            FROM csize GROUP BY component_size
+        """,
+        # Quality x source chi-square contributions
+        # (textops.quality_chi2_by_source): integer contingency counts,
+        # one pinned double division per expectation.
+        "q262_quality_chi2": f"""
+            WITH x AS (
+              SELECT source,
+                     CAST(len({_TOKS}) AS DOUBLE) AS n,
+                     CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                     CAST(len(list_filter({_TOKS}, tk -> list_contains({stop_list}, tk))) AS DOUBLE) AS sw
+              FROM documents),
+            f AS (
+              SELECT source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n ELSE 0.0 END), 4)
+                       >= {TO.CHI2_QUALITY_CUT} AS hi
+              FROM x),
+            per AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                     CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_lo
+              FROM f GROUP BY source),
+            tot AS (SELECT CAST(sum(n_hi) AS BIGINT) AS c_hi,
+                           CAST(sum(n_lo) AS BIGINT) AS c_lo FROM per)
+            SELECT source, n_hi, n_lo,
+                   round(CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                         / CAST(c_hi + c_lo AS DOUBLE), 6) AS expected_hi,
+                   round(
+                     (CAST(n_hi AS DOUBLE)
+                      - CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                        / CAST(c_hi + c_lo AS DOUBLE))
+                     * (CAST(n_hi AS DOUBLE)
+                        - CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                          / CAST(c_hi + c_lo AS DOUBLE))
+                     / (CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                        / CAST(c_hi + c_lo AS DOUBLE))
+                     +
+                     (CAST(n_lo AS DOUBLE)
+                      - CAST((n_hi + n_lo) * c_lo AS DOUBLE)
+                        / CAST(c_hi + c_lo AS DOUBLE))
+                     * (CAST(n_lo AS DOUBLE)
+                        - CAST((n_hi + n_lo) * c_lo AS DOUBLE)
+                          / CAST(c_hi + c_lo AS DOUBLE))
+                     / (CAST((n_hi + n_lo) * c_lo AS DOUBLE)
+                        / CAST(c_hi + c_lo AS DOUBLE)), 6) AS chi2_contrib
+            FROM per CROSS JOIN tot
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

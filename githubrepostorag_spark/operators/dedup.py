@@ -1396,3 +1396,45 @@ def quality_survivors(documents: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "quality", "component_size")
     )
+
+
+def dup_size_histogram(documents: DataFrame) -> DataFrame:
+    """Near-duplicate CLUSTER-SIZE distribution — the one-page shape
+    report curation reviews before picking a dedup policy: web-scale
+    corpora show power-law cluster sizes (a few mega-clusters of
+    boilerplate hold much of the duplicate mass — Lee et al. 2022), and
+    the histogram decides whether min-id survivorship is enough or the
+    mega-clusters need their own handling.
+
+    One row per distinct component size: how many components, how many
+    documents they hold, and the duplicate mass those rows would shed
+    under keep-one-per-component (size-1 components shed nothing).
+
+    Scale shape: rides the session-cached verified-pair table
+    (`verified_pairs_cached`) and the same hash-min components as q56;
+    the histogram itself is two tiny key-bounded aggregations on the
+    two-column label frame — nothing document-sized shuffles twice.
+    """
+    labels = dedup_components(
+        verified_pairs_cached(documents),
+        documents.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("component_size") - 1) * F.col("n_components"))
+            .cast("long")
+            .alias("shed_docs"),
+        )
+    )

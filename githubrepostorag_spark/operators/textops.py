@@ -3170,3 +3170,54 @@ def script_mix(documents: DataFrame) -> DataFrame:
         n_scripts.cast("long").alias("n_scripts"),
         (n_scripts >= 2).alias("is_mixed"),
     )
+
+
+CHI2_QUALITY_CUT = 0.7  # quality >= cut counts as the "high" cell
+
+
+def quality_chi2_by_source(
+    documents: DataFrame, cut: float = CHI2_QUALITY_CUT
+) -> DataFrame:
+    """Chi-square independence audit of quality × source: per source,
+    the observed high/low-quality counts against the expectation under
+    independence, with the source's chi-square contribution — the
+    "is our quality signal just a source detector?" check that q209
+    runs for DEDUP bias, applied to the quality gate itself. A source
+    whose contribution dominates gets its own review before a mixture
+    weights quality into sampling.
+
+    Exactness: counts are integers; each expectation is ONE long
+    multiply + one double division (order pinned in the oracle); each
+    contribution is two (o-e)²/e terms added in a fixed order and
+    rounded at 6dp. One scan, one groupBy(source), broadcast totals.
+    """
+    flags = documents.select(
+        "source",
+        (TXT.quality_score(F.col("text")) >= F.lit(cut)).alias("hi"),
+    )
+    per_src = flags.groupBy("source").agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("long").alias("n_lo"),
+    )
+    tot = F.broadcast(
+        per_src.agg(
+            F.sum("n_hi").cast("long").alias("c_hi"),
+            F.sum("n_lo").cast("long").alias("c_lo"),
+        )
+    )
+    w = per_src.crossJoin(tot).withColumn(
+        "n_src", (F.col("n_hi") + F.col("n_lo")).cast("long")
+    )
+    n_all = (F.col("c_hi") + F.col("c_lo")).cast("double")
+    e_hi = (F.col("n_src") * F.col("c_hi")).cast("double") / n_all
+    e_lo = (F.col("n_src") * F.col("c_lo")).cast("double") / n_all
+    term = lambda o, e: (o.cast("double") - e) * (o.cast("double") - e) / e
+    return w.select(
+        "source",
+        "n_hi",
+        "n_lo",
+        F.round(e_hi, 6).alias("expected_hi"),
+        F.round(term(F.col("n_hi"), e_hi) + term(F.col("n_lo"), e_lo), 6).alias(
+            "chi2_contrib"
+        ),
+    )

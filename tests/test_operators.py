@@ -3435,3 +3435,46 @@ def test_source_jsd_matrix_extremes(spark):
     assert got[("same1", "same2")].n_shared_vocab == 4
     # disjoint-vocab pairs share no token -> no row (documented contract)
     assert ("disjoint", "same1") not in got and ("same1", "disjoint") not in got
+
+
+def test_dup_size_histogram_counts(spark):
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (1, base, "en", "s0", len(base)),
+        (2, base + " x", "en", "s0", len(base) + 2),   # near-dup of 1
+        (3, "completely different content about spark shuffles here", "en", "s0", 54),
+        (4, "another unrelated and unique document body entirely", "en", "s0", 52),
+    ]
+    df = _docs(spark, rows)
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    got = {r.component_size: r for r in DDm.dup_size_histogram(df).collect()}
+    # one 2-doc component (1,2), two singletons (3,4)
+    assert got[2].n_components == 1 and got[2].n_docs == 2 and got[2].shed_docs == 1
+    assert got[1].n_components == 2 and got[1].shed_docs == 0
+
+
+def test_quality_chi2_by_source_balanced_is_zero(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    # two sources with IDENTICAL quality mix -> independence holds,
+    # every contribution is exactly 0
+    hi = "alpha beta gamma delta epsilon zeta"        # all-distinct: high
+    lo = "the the the the the the the the"            # stopword repeat: low
+    rows = [
+        (1, hi, "a"), (2, lo, "a"),
+        (3, hi, "b"), (4, lo, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in TO.quality_chi2_by_source(df).collect()}
+    assert got["a"].n_hi == 1 and got["a"].n_lo == 1
+    assert got["a"].chi2_contrib == 0.0 and got["b"].chi2_contrib == 0.0
+    assert got["a"].expected_hi == 1.0
+
+    # skew source b fully high -> positive contributions on both rows
+    rows2 = [(1, hi, "a"), (2, lo, "a"), (3, hi, "b"), (4, hi, "b")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    got2 = {r.source: r for r in TO.quality_chi2_by_source(df2).collect()}
+    assert got2["a"].chi2_contrib > 0 and got2["b"].chi2_contrib > 0
