@@ -371,15 +371,28 @@ def cached_signatures(documents: DataFrame) -> DataFrame:
 
 
 def verified_pairs_cached(
-    documents: DataFrame, threshold: float = 0.8, n_bands: int = 2
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n_bands: int = 2,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """`jaccard_on_candidates` backed by the session cache: the
     threshold-0 verified-pair table materializes ONCE per (session,
     input plan, n_bands); every caller's threshold is a post-filter on
     the checkpoint. Same columns, same rows as the direct call —
     `filter(jaccard >= t)` after verification is exactly where the
-    direct call applies its own threshold."""
-    key = _plan_key(documents, int(n_bands))
+    direct call applies its own threshold.
+
+    ``cache_key``: callers whose input frame contains a LINEAGE CUT
+    (localCheckpoint produces a fresh LogicalRDD, so its semantic hash
+    never repeats — e.g. the CDC chunk reps table) pass an explicit
+    stable key derived from their OWN upstream plan; the caller owns
+    the invariant that equal keys imply equal inputs. Still scoped by
+    applicationId, so a new session can never read a stale entry."""
+    if cache_key is not None:
+        key = (*cache_key, int(n_bands))
+    else:
+        key = _plan_key(documents, int(n_bands))
     if key is None:  # pragma: no cover
         base = jaccard_on_candidates(
             documents, threshold=0.0, n_bands=n_bands
@@ -1126,8 +1139,15 @@ def cdc_chunk_near_dups(
         .withColumnRenamed("chunk_hash", "doc_id")
         .localCheckpoint(eager=False)  # feeds LSH chain AND both occ joins
     )
+    # reps sits behind a lineage cut (fresh LogicalRDD per call), so
+    # the plan-hash key would never repeat — key the pair cache on the
+    # DOCUMENTS plan + the fixed CDC-chunk recipe instead (the whole
+    # reps derivation is deterministic in `documents`)
     pairs = verified_pairs_cached(
-        reps.select("doc_id", "text"), threshold=threshold, n_bands=n_bands
+        reps.select("doc_id", "text"),
+        threshold=threshold,
+        n_bands=n_bands,
+        cache_key=_plan_key(documents, "cdc_reps_v1"),
     )
     occ = reps.select("doc_id", "n_occ")
     return (

@@ -3478,3 +3478,26 @@ def test_quality_chi2_by_source_balanced_is_zero(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
     got2 = {r.source: r for r in TO.quality_chi2_by_source(df2).collect()}
     assert got2["a"].chi2_contrib > 0 and got2["b"].chi2_contrib > 0
+
+
+def test_cdc_pair_cache_cross_call_reuse(spark):
+    """cdc_chunk_near_dups' reps table sits behind a lineage cut, so
+    the pair cache keys on the DOCUMENTS plan instead — a second call
+    with the same input must reuse the materialized base (one cache
+    entry) and return identical pairs."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    base = ("alpha beta gamma delta " * 40).strip()
+    rows = [
+        (1, base, "en", "s0", len(base)),
+        (2, base.replace("gamma", "gamma2", 1), "en", "s0", len(base) + 1),
+        (3, "totally different content here " * 30, "en", "s0", 900),
+    ]
+    df = _docs(spark, rows)
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    first = sorted(map(tuple, DDm.cdc_chunk_near_dups(df).collect()))
+    n_after_first = len(DDm._PAIR_CACHE)
+    second = sorted(map(tuple, DDm.cdc_chunk_near_dups(df).collect()))
+    assert first == second
+    assert len(DDm._PAIR_CACHE) == n_after_first == 1
