@@ -1616,15 +1616,19 @@ def source_jsd_matrix(documents: DataFrame) -> DataFrame:
     work for the exclusive tail. Final combination order is pinned
     identically in the oracle.
 
-    Scale shape: ONE token explode + one (source, tok) groupBy; the
-    pair matrix comes from a self-join on tok (fan-out per token =
-    sources carrying it, ≤ |sources|), aggregated straight to the
-    |sources|²-bounded output. Totals are a broadcast of |sources| rows.
+    Scale shape: ONE token explode + one (source, tok) groupBy,
+    lineage-cut because THREE consumers read it (both self-join sides
+    and the totals — without the cut Catalyst replays the corpus
+    explode per consumer); the pair matrix comes from a self-join on
+    tok (fan-out per token = sources carrying it, ≤ |sources|),
+    aggregated straight to the |sources|²-bounded output. Totals are a
+    broadcast of |sources| rows.
     """
     counts = (
         documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = F.broadcast(
         counts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))

@@ -3089,28 +3089,35 @@ def oov_rate(documents: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFram
     an outlier either needs vocab budget or is noise (complements q65's
     head listing and q208's fertility with a per-SOURCE verdict).
 
-    Scale shape: one token explode feeds BOTH the global vocab count
-    and the per-source totals; the vocab head is a k-bounded
-    orderBy+limit (TakeOrdered — never a global window), broadcast into
-    a left-anti-style membership flag on the (source, token) grain.
-    All arithmetic is exact integers; the rate is integer permille.
+    Scale shape: ONE token explode collapses immediately to the
+    (source, token) count grain — vocab-bounded, orders of magnitude
+    below token grain — and that table is lineage-cut once because it
+    feeds two consumers (the global vocab head and the per-source
+    reductions); without the cut Catalyst replays the corpus explode
+    per consumer. The vocab head is a k-bounded orderBy+limit
+    (TakeOrdered — never a global window), broadcast into a membership
+    flag. All arithmetic is exact integers; the rate is integer
+    permille.
     """
-    toks = documents.select(
-        "source", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    counts = (
+        documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     vocab = F.broadcast(
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(int(vocab_size))
         .select("tok", F.lit(1).alias("in_vocab"))
     )
-    flagged = toks.join(vocab, "tok", "left")
+    flagged = counts.join(vocab, "tok", "left")
     return (
         flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
         )
