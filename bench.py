@@ -388,6 +388,44 @@ def main() -> None:
     finally:
         shutil.rmtree(dedup_store_root, ignore_errors=True)
 
+    # embedding-plane semantic admission gate: one availableNow batch of
+    # held-out vectors probed against the persisted IVF store (top-1
+    # cosine, reject >= 0.95) — the SemDeDup firehose discipline. Fresh
+    # store copy per pass (the gate appends); pass 0 warms the plan.
+    from githubrepostorag_spark.operators.similarity import write_ivf_store as _wivf
+    from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
+
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    eg_root = tempfile.mkdtemp(prefix="bench-embgate-")
+    try:
+        eg_store = os.path.join(eg_root, "store")
+        _wivf(emb_all.filter(F.col("vec_id") % 5 == 0), eg_store)
+        eg_src = os.path.join(eg_root, "src")
+        emb_all.filter(F.col("vec_id") % 5 != 0).select(
+            "vec_id", "label", "embedding"
+        ).write.mode("overwrite").json(eg_src)
+        for i in range(2):
+            root = tempfile.mkdtemp(prefix="bench-embgate-pass-")
+            try:
+                shutil.copytree(eg_store, os.path.join(root, "store"))
+                load1 = os.getloadavg()[0]
+                t0 = time.time()
+                q = stream_embedding_gate(
+                    spark.readStream.schema(
+                        "vec_id long, label int, embedding array<float>"
+                    ).json(eg_src),
+                    os.path.join(root, "store"),
+                    os.path.join(root, "accepted"),
+                    os.path.join(root, "rejected"),
+                    os.path.join(root, "ckpt"),
+                )
+                q.awaitTermination()
+                record("stream_embedding_gate", time.time() - t0, load1)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        shutil.rmtree(eg_root, ignore_errors=True)
+
     # IVF maintenance cycle (append -> probe -> drift-check): the
     # per-ingest-batch cost of the vector store's cheap path. Each pass
     # maintains a FRESH copy of the store (the cycle appends to it);

@@ -335,3 +335,85 @@ def stream_hygiene_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_embedding_gate(
+    vecs_stream: DataFrame,
+    ivf_store_path: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint_path: str,
+    max_cos: float = 0.95,
+):
+    """Continuous SEMANTIC admission gate: every micro-batch of
+    embedding rows (vec_id, label, embedding) is probed against the
+    persisted IVF store (`similarity.write_ivf_store` layout); vectors
+    whose nearest stored neighbor scores >= `max_cos` are semantic
+    near-dups and land in `rejected_path` with the matched store id and
+    score, everything else appends to `accepted_path` AND to the IVF
+    store — so the NEXT batch sees it. The embedding-plane twin of the
+    MinHash text gate (`stream_dedup_gate`): text LSH catches edit-near
+    copies, this catches paraphrases/re-encodings text shingles miss
+    (the SemDeDup admission discipline, applied at the firehose).
+
+    Per-batch plan: centroids reconstruct from the store's persisted
+    cells (tiny agg, same `_cell_centroids` as the maintenance loop),
+    the batch assigns by broadcast, and the probe is the shared
+    per-cell batch×store kernel (`incremental_knn_probe`, k=1) — batch
+    work is |batch|·|cell|, never |store|², and non-probed cells'
+    parquet directories are never read by the scoring side.
+
+    Crash-safety matches the text gate: BOTH logs land before the
+    store append, so a replayed batch probes the pre-batch store state
+    and re-derives the same decisions (duplicate log rows only, deduped
+    by vec_id at read). A batch vector landing in a store-empty cell
+    has no neighbor to match and is accepted — the same recall edge the
+    IVF audits (q115) price; run the exact near-dup audit (q31) over
+    the accepted log to bound it.
+    """
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.similarity import (
+        _assign_cells,
+        incremental_knn_probe,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import _cell_centroids
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # assign + probe + writes
+        store = spark.read.parquet(ivf_store_path)
+        frozen = _cell_centroids(store).localCheckpoint(eager=True)
+        assigned = _assign_cells(batch, frozen).localCheckpoint(eager=True)
+        top1 = incremental_knn_probe(
+            store.select("cell", "vec_id", F.col("ve").alias("embedding")),
+            assigned.select("cell", "vec_id", "embedding"),
+            k=1,
+        )
+        hits = (
+            top1.filter(F.col("score") >= max_cos)
+            .select(
+                F.col("vec_id").alias("new_id"),
+                F.col("nbr_id").alias("store_id"),
+                "score",
+            )
+            .localCheckpoint(eager=True)  # reject log + accept anti-join
+        )
+        accepted = assigned.join(
+            hits.select(F.col("new_id").alias("vec_id")), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)  # sink write AND store append
+        accepted.select("vec_id", "label").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(accepted_path)
+        hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(rejected_path)
+        V.prepare(accepted, "embedding", "ve", "vn").select(
+            "vec_id", "label", "ve", "vn", "cell"
+        ).write.mode("append").partitionBy("cell").parquet(ivf_store_path)
+
+    return (
+        vecs_stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -636,3 +636,58 @@ def test_stream_dedup_gate_sustained_multibatch_throughput(spark, tmp_path):
     # magnitude; a quadratic store probe or per-batch replan would not
     docs_per_sec = n_docs / elapsed
     assert docs_per_sec > 3.0, f"sustained gate throughput {docs_per_sec:.1f} docs/s"
+
+
+def test_stream_embedding_gate_semantic_admission(spark, tmp_path):
+    """The embedding-plane admission gate: near-copies of STORED
+    vectors are rejected with their matched store id; fresh vectors are
+    accepted and become visible to the NEXT batch via the store append."""
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    src = str(tmp_path / "vsrc")
+    acc = str(tmp_path / "vacc")
+    rej = str(tmp_path / "vrej")
+    ckpt = str(tmp_path / "vckpt")
+
+    # store: two well-separated unit vectors in two label cells
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])],
+            schema,
+        ),
+        store,
+    )
+
+    # batch 1: a near-copy of stored vec 1 + an orthogonal fresh vector
+    spark.createDataFrame(
+        [(100, 0, [0.999, 0.02, 0.0, 0.0]), (101, 0, [0.0, 0.02, 0.999, 0.0])],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_embedding_gate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+        store, acc, rej, ckpt,
+    )
+    q.awaitTermination(300)
+    accepted = {r.vec_id for r in spark.read.parquet(acc).collect()}
+    rejected = {(r.new_id, r.store_id) for r in spark.read.parquet(rej).collect()}
+    assert accepted == {101}
+    assert rejected == {(100, 1)}
+
+    # batch 2: a near-copy of batch 1's ACCEPTED vector must now be
+    # rejected against the appended store, plus another fresh vector
+    spark.createDataFrame(
+        [(200, 0, [0.01, 0.0, 1.0, 0.01]), (201, 1, [0.0, 0.0, 0.0, 1.0])],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_embedding_gate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+        store, acc, rej, ckpt,
+    )
+    q.awaitTermination(300)
+    accepted = {r.vec_id for r in spark.read.parquet(acc).collect()}
+    rejected = {(r.new_id, r.store_id) for r in spark.read.parquet(rej).collect()}
+    assert accepted == {101, 201}
+    assert (200, 101) in rejected
