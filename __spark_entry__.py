@@ -39,16 +39,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 and 6 recorded 150 distinct queries; round
-# 7's head leads with its 7 NEW operators (q256-q262, first-time coverage of
+# 7's head leads with its 8 NEW operators (q256-q263, first-time coverage of
 # new code — the precedent the r6 verdict endorsed), then the q229/q230
 # RETESTS (round-6 driver reds, both oracle artifacts fixed this round:
 # HUGEINT sum rendering and -0.0 vs 0.0 — see the strict-v2 comparator in
 # tools/check_parity.py), then drains the oldest never-driver-recorded block
-# q66..q111 (41 backlog slots; 48 first-time recordings total, backlog
-# 104 -> 63).  Full-surface coverage is guaranteed by tools/check_parity.py
-# under the strict comparator (round-7: 0 failures over all 262 queries at
+# q66..q110 (40 backlog slots; 48 first-time recordings total, backlog
+# 104 -> 64).  Full-surface coverage is guaranteed by tools/check_parity.py
+# under the strict comparator (round-7: 0 failures over all 263 queries at
 # BOTH scales — PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
 _ROTATION_HEAD = [
+    "q263_template_prefixes",
     "q262_quality_chi2",
     "q261_dup_size_hist",
     "q260_source_jsd",
@@ -98,7 +99,6 @@ _ROTATION_HEAD = [
     "q108_churned_customers",
     "q109_order_coverage",
     "q110_decayed_activity",
-    "q111_weighted_per_source",
 ]
 
 
@@ -985,7 +985,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_quality_chi2": lambda sp, sf: TO.quality_chi2_by_source(
             t(sp, sf, "documents")
         ),
+        "q263_template_prefixes": lambda sp, sf: TO.template_prefixes(
+            _template_salted(t(sp, sf, "documents"))
+        ),
     })
+
+
+# Boilerplate headers (each > TEMPLATE_PREFIX_LEN chars) cycled onto
+# every 9th doc so q263's template detector has realistic positives;
+# the oracle prepends the identical salt.
+_TEMPLATE_HEADERS = (
+    "/* copyright (c) example corp. all rights reserved. licensed under the apache license, version 2.0. */",
+    "# this file was automatically generated by protoc-gen. do not edit by hand; changes will be lost. #",
+    "<!-- scraped page chrome: home | products | docs | blog | careers | contact | privacy | terms -->",
+)
+
+
+def _template_salted(documents: DataFrame) -> DataFrame:
+    h = None
+    for i, hdr in enumerate(_TEMPLATE_HEADERS):
+        cond = (F.col("doc_id") % 9 == 0) & (
+            F.expr("doc_id div 9") % len(_TEMPLATE_HEADERS) == i
+        )
+        piece = F.when(cond, F.lit(hdr + " ")).otherwise(F.lit(""))
+        h = piece if h is None else F.concat(h, piece)
+    return documents.withColumn("text", F.concat(h, F.col("text")))
 
 
 def _script_salted(documents: DataFrame) -> DataFrame:
@@ -7377,6 +7401,31 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST((n_hi + n_lo) * c_lo AS DOUBLE)
                         / CAST(c_hi + c_lo AS DOUBLE)), 6) AS chi2_contrib
             FROM per CROSS JOIN tot
+        """,
+        # Boilerplate-template detection (textops.template_prefixes)
+        # over the header-salted docs; groups on the md5 of the first
+        # 64 normalized chars.
+        "q263_template_prefixes": f"""
+            WITH salted AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 9 = 0 THEN
+                       CASE (doc_id // 9) % {len(_TEMPLATE_HEADERS)}
+                         {" ".join(f"WHEN {i} THEN '{h}' || ' '" for i, h in enumerate(_TEMPLATE_HEADERS))}
+                       END ELSE '' END || text AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id, source,
+                     md5(substr(lower(trim(text)), 1, {TO.TEMPLATE_PREFIX_LEN}))
+                       AS prefix_hash,
+                     substr(lower(trim(text)), 1, {TO.TEMPLATE_PREFIX_LEN}) AS prefix
+              FROM salted WHERE length(lower(trim(text))) >= 16)
+            SELECT prefix_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(min(doc_id) AS BIGINT) AS example_doc_id,
+                   min(prefix) AS prefix
+            FROM p GROUP BY prefix_hash
+            HAVING count(*) >= {TO.TEMPLATE_MIN_DOCS}
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -3228,3 +3228,41 @@ def quality_chi2_by_source(
             "chi2_contrib"
         ),
     )
+
+
+TEMPLATE_PREFIX_LEN = 64
+TEMPLATE_MIN_DOCS = 3
+
+
+def template_prefixes(
+    documents: DataFrame,
+    prefix_len: int = TEMPLATE_PREFIX_LEN,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Boilerplate-template detection by shared normalized PREFIX: hash
+    the first `prefix_len` chars of lower(trim(text)) and report every
+    prefix carried by >= `min_docs` documents, with its source spread —
+    the C4-style template-spam screen (license headers, generator
+    banners, scraped-page chrome) that line-grain dedup (q89) misses
+    when the template is a single long line and doc-grain near-dup
+    (q23) misses when the bodies differ.
+
+    One scan, one groupBy on the prefix hash (key space bounded by
+    distinct prefixes), exact integer counts; the literal prefix rides
+    along via min() (all group members share it by construction).
+    """
+    t = F.lower(F.trim(F.col("text")))
+    pref = F.substring(t, 1, int(prefix_len))
+    base = documents.filter(F.length(t) >= 16).select(
+        "doc_id", "source", F.md5(pref).alias("prefix_hash"), pref.alias("prefix")
+    )
+    return (
+        base.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+            F.min("prefix").alias("prefix"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )

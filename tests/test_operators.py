@@ -3501,3 +3501,24 @@ def test_cdc_pair_cache_cross_call_reuse(spark):
     second = sorted(map(tuple, DDm.cdc_chunk_near_dups(df).collect()))
     assert first == second
     assert len(DDm._PAIR_CACHE) == n_after_first == 1
+
+
+def test_template_prefixes_groups_and_threshold(spark):
+    from githubrepostorag_spark.operators import textops as TO
+
+    hdr = "x" * 70  # shared 70-char header -> identical 64-char prefix
+    rows = [
+        (1, hdr + " body one", "s1"),
+        (2, hdr + " body two", "s2"),
+        (3, hdr + " body three", "s1"),
+        (4, "unique start here " + "y" * 60, "s1"),
+        (5, "short", "s1"),  # < 16 chars: excluded from profiling
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = TO.template_prefixes(df).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert r.n_docs == 3 and r.n_sources == 2 and r.example_doc_id == 1
+    assert r.prefix == "x" * 64
+    # min_docs knob: at 4 the group disappears
+    assert TO.template_prefixes(df, min_docs=4).count() == 0
