@@ -39,16 +39,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 and 6 recorded 150 distinct queries; round
-# 7's head leads with its 8 NEW operators (q256-q263, first-time coverage of
+# 7's head leads with its 9 NEW operators (q256-q264, first-time coverage of
 # new code — the precedent the r6 verdict endorsed), then the q229/q230
 # RETESTS (round-6 driver reds, both oracle artifacts fixed this round:
 # HUGEINT sum rendering and -0.0 vs 0.0 — see the strict-v2 comparator in
 # tools/check_parity.py), then drains the oldest never-driver-recorded block
-# q66..q110 (40 backlog slots; 48 first-time recordings total, backlog
-# 104 -> 64).  Full-surface coverage is guaranteed by tools/check_parity.py
-# under the strict comparator (round-7: 0 failures over all 263 queries at
+# q66..q110 (39 backlog slots; 48 first-time recordings total, backlog
+# 104 -> 65).  Full-surface coverage is guaranteed by tools/check_parity.py
+# under the strict comparator (round-7: 0 failures over all 264 queries at
 # BOTH scales — PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
 _ROTATION_HEAD = [
+    "q264_edit_verify",
     "q263_template_prefixes",
     "q262_quality_chi2",
     "q261_dup_size_hist",
@@ -98,7 +99,6 @@ _ROTATION_HEAD = [
     "q107_revenue_deciles",
     "q108_churned_customers",
     "q109_order_coverage",
-    "q110_decayed_activity",
 ]
 
 
@@ -987,6 +987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q263_template_prefixes": lambda sp, sf: TO.template_prefixes(
             _template_salted(t(sp, sf, "documents"))
+        ),
+        "q264_edit_verify": lambda sp, sf: DD.edit_distance_verify(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -7426,6 +7429,47 @@ def oracle_sql() -> dict[str, str]:
                    min(prefix) AS prefix
             FROM p GROUP BY prefix_hash
             HAVING count(*) >= {TO.TEMPLATE_MIN_DOCS}
+        """,
+        # Edit-distance verification of LSH candidates
+        # (dedup.edit_distance_verify): q56's candidate chain without
+        # the threshold filter + byte/char-identical (ASCII corpus)
+        # levenshtein on 2000-char-capped texts.
+        "q264_edit_verify": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs0 AS (
+              SELECT s.doc_a, s.doc_b,
+                     round(CAST(s.n_shared AS DOUBLE)
+                           / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b),
+            tx AS (SELECT doc_id,
+                          substr(text, 1, {DD.EDIT_VERIFY_MAX_CHARS}) AS t
+                   FROM documents)
+            SELECT p.doc_a, p.doc_b, p.jaccard,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+                   CASE WHEN greatest(length(a.t), length(b.t)) > 0
+                        THEN round(1.0 - levenshtein(a.t, b.t)
+                               / CAST(greatest(length(a.t), length(b.t))
+                                      AS DOUBLE), 6)
+                        ELSE 1.0 END AS edit_sim
+            FROM pairs0 p
+            JOIN tx a ON a.doc_id = p.doc_a
+            JOIN tx b ON b.doc_id = p.doc_b
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -3522,3 +3522,30 @@ def test_template_prefixes_groups_and_threshold(spark):
     assert r.prefix == "x" * 64
     # min_docs knob: at 4 the group disappears
     assert TO.template_prefixes(df, min_docs=4).count() == 0
+
+
+def test_edit_distance_verify_order_sensitivity(spark):
+    """Edit similarity must punish a scrambled-paragraph copy that
+    set-overlap Jaccard scores as a perfect duplicate — the reason the
+    third verifier exists."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    a = "alpha block one two three. beta block four five six. gamma block seven eight nine."
+    scrambled = "gamma block seven eight nine. alpha block one two three. beta block four five six."
+    rows = [
+        (1, a, "en", "s0", len(a)),
+        (2, scrambled, "en", "s0", len(scrambled)),
+        (3, a + " tail", "en", "s0", len(a) + 5),
+    ]
+    df = _docs(spark, rows)
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    got = {(r.doc_a, r.doc_b): r for r in DDm.edit_distance_verify(df).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    # scrambled copy: near-identical shingle set (only the sentence
+    # boundaries differ) -> jaccard high, edit_sim low
+    assert got[(1, 2)].jaccard > 0.8
+    assert got[(1, 2)].edit_sim < got[(1, 3)].edit_sim
+    # literal near-copy: both metrics high, dist == the 5 appended chars
+    assert got[(1, 3)].edit_dist == 5
+    assert got[(1, 3)].edit_sim > 0.9
