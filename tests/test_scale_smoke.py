@@ -494,3 +494,34 @@ def test_round6_pair_precision_on_flood(spark):
     assert exact, "exact twins must appear among verified pairs"
     for r in exact:
         assert r.bigram_prec == 1.0
+
+
+def test_round7_semdedup_on_twin_flood(spark):
+    """q256 on an exact-twin flood: replicate every vector 4x with
+    re-spread ids — each replica group is a within-cell clique at
+    cosine 1.0, so the component count must equal the base vector
+    count and the paper policy must keep EXACTLY ONE member per group
+    (lowest cell-cos is a 4-way tie at identical vectors, so min
+    vec_id breaks it: the rep-0 copy survives)."""
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    emb = base.crossJoin(reps).select(
+        (F.col("vec_id") * 4 + F.col("rep")).alias("vec_id"), "embedding", "label"
+    )
+    out = S.semdedup_survivors(emb, threshold=0.999999)
+    agg = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    ).collect()[0]
+    assert agg.n == 4 * n_base
+    # every 4-twin clique collapses to one survivor (some DISTINCT base
+    # vectors may also merge if they tie at >= threshold, so <=)
+    assert agg.n_kept <= n_base
+    # the survivor of each twin clique is its min id (rep-0 copy)
+    kept_ids = {
+        r.vec_id for r in out.filter(F.col("kept")).limit(5000).collect()
+    }
+    assert all(v % 4 == 0 for v in kept_ids)
