@@ -39,16 +39,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rounds 1-4 and 6 recorded 150 distinct queries; round
-# 7's head leads with its 9 NEW operators (q256-q264, first-time coverage of
+# 7's head leads with its 10 NEW operators (q256-q265, first-time coverage of
 # new code — the precedent the r6 verdict endorsed), then the q229/q230
 # RETESTS (round-6 driver reds, both oracle artifacts fixed this round:
 # HUGEINT sum rendering and -0.0 vs 0.0 — see the strict-v2 comparator in
 # tools/check_parity.py), then drains the oldest never-driver-recorded block
-# q66..q110 (39 backlog slots; 48 first-time recordings total, backlog
-# 104 -> 65).  Full-surface coverage is guaranteed by tools/check_parity.py
-# under the strict comparator (round-7: 0 failures over all 264 queries at
+# q66..q109 (38 backlog slots; 48 first-time recordings total, backlog
+# 104 -> 66).  Full-surface coverage is guaranteed by tools/check_parity.py
+# under the strict comparator (round-7: 0 failures over all 265 queries at
 # BOTH scales — PARITY_LOCAL_r07_strict.txt / PARITY_SF0.1_r07_strict.txt).
 _ROTATION_HEAD = [
+    "q265_ivf_cell_balance",
     "q264_edit_verify",
     "q263_template_prefixes",
     "q262_quality_chi2",
@@ -98,7 +99,6 @@ _ROTATION_HEAD = [
     "q106_rich_inactive",
     "q107_revenue_deciles",
     "q108_churned_customers",
-    "q109_order_coverage",
 ]
 
 
@@ -990,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q264_edit_verify": lambda sp, sf: DD.edit_distance_verify(
             t(sp, sf, "documents")
+        ),
+        "q265_ivf_cell_balance": lambda sp, sf: S.ivf_cell_balance(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -7470,6 +7473,43 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs0 p
             JOIN tx a ON a.doc_id = p.doc_a
             JOIN tx b ON b.doc_id = p.doc_b
+        """,
+        # IVF cell-balance audit (similarity.ivf_cell_balance): q97's
+        # assignment CTE reduced to per-cell occupancy, exact permille.
+        "q265_ivf_cell_balance": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, centroid_label AS cell FROM ranked WHERE rn = 1
+            ), counts AS (
+              SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+              FROM assigned GROUP BY cell
+            ), tot AS (
+              SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM counts)
+            SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+                   CAST(n_vectors * 1000 // total AS BIGINT) AS share_permille,
+                   CAST(n_vectors * n_cells * 1000 // total AS BIGINT)
+                     AS vs_uniform_permille
+            FROM counts CROSS JOIN tot
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -2003,3 +2003,38 @@ def semdedup_survivors(
             (F.col("rn") == 1).alias("kept"),
         )
     )
+
+
+def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse-quantizer balance audit: per-cell occupancy with its
+    integer-permille share and the imbalance vs the uniform ideal — the
+    serving-health number behind every IVF latency claim (q35/q250's
+    "read ~n_probes/n_cells of the data" only holds when cells are
+    balanced; one mega-cell re-creates the brute-force scan for every
+    query that probes it, and the maintenance loop's remap trigger
+    watches exactly this skew next to q99's drift).
+
+    One broadcast-codebook assignment (the fact table never shuffles
+    for it) + one count per cell; all ratios are exact integer
+    permille, so the audit is bit-stable cross-engine.
+    """
+    assigned = _assign_cells(embeddings, _centroid_arrays(embeddings))
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_vectors").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+    return counts.crossJoin(totals).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        F.expr("n_vectors * 1000 div total").cast("long").alias("share_permille"),
+        # occupancy vs the uniform ideal, in permille (1000 = exactly
+        # balanced; the remap trigger watches the max of this column)
+        F.expr("n_vectors * n_cells * 1000 div total")
+        .cast("long")
+        .alias("vs_uniform_permille"),
+    )

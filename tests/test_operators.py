@@ -3549,3 +3549,20 @@ def test_edit_distance_verify_order_sensitivity(spark):
     # literal near-copy: both metrics high, dist == the 5 appended chars
     assert got[(1, 3)].edit_dist == 5
     assert got[(1, 3)].edit_sim > 0.9
+
+
+def test_ivf_cell_balance_exact_permille(spark):
+    from githubrepostorag_spark.operators import similarity as S
+
+    # 3 vectors near +x (label 0), 1 near +y (label 1): cells carry 3/1
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),
+        (3, [0.98, 0.02], 0),
+        (4, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.cell: r for r in S.ivf_cell_balance(df).collect()}
+    assert got[0].n_vectors == 3 and got[0].share_permille == 750
+    assert got[0].vs_uniform_permille == 1500  # 3 vs ideal 2 per cell
+    assert got[1].n_vectors == 1 and got[1].vs_uniform_permille == 500
