@@ -3566,3 +3566,58 @@ def test_ivf_cell_balance_exact_permille(spark):
     assert got[0].n_vectors == 3 and got[0].share_permille == 750
     assert got[0].vs_uniform_permille == 1500  # 3 vs ideal 2 per cell
     assert got[1].n_vectors == 1 and got[1].vs_uniform_permille == 500
+
+
+def test_round7_operator_invariants(spark):
+    """Bound-invariants for the round-7 ops over a hostile little
+    corpus (unicode zoo, empty/whitespace docs, exact twins): every
+    rate stays in its mathematical range, packing never beats the
+    per-doc lower bound, and JSD stays within [0, 1] bits."""
+    import hashlib
+
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    def body(i):
+        if i % 13 == 0:
+            return ""
+        if i % 13 == 1:
+            return "   "
+        if i % 13 == 2:
+            return "наш мир 🌍 مرحبا שלום étoile 中文 deterministic"
+        toks = [hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6] for j in range(i % 19 + 1)]
+        if i % 5 == 0:
+            toks = toks * 3  # repetitive
+        return " ".join(toks)
+
+    rows = [(i, body(i), f"src{i % 4}") for i in range(60)]
+    rows += [(100 + i, rows[3][1], "src_twin") for i in range(4)]  # exact twins
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for r in CU.padding_waste(df, seq_len=16).collect():
+        assert 0 <= r.waste_permille < 1000
+        assert r.slot_tokens >= r.total_tokens
+    waste = {r.policy: r for r in CU.padding_waste(df, seq_len=16).collect()}
+    # packing concatenates: ceil is subadditive, so both packers use at
+    # most the per-doc slot count
+    assert waste["pack_by_id"].slot_tokens <= waste["pad_per_doc"].slot_tokens
+    assert waste["pack_by_len"].slot_tokens <= waste["pad_per_doc"].slot_tokens
+
+    for r in TO.oov_rate(df, vocab_size=10).collect():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_permille <= 1000
+
+    for r in TO.script_mix(df).collect():
+        parts = r.n_latin + r.n_cyrillic + r.n_greek + r.n_cjk
+        assert parts == r.n_letters
+        assert (r.n_scripts >= 1) == (r.n_letters > 0)
+
+    for r in CU.source_jsd_matrix(df).collect():
+        assert -1e-6 <= r.js_bits <= 1.0 + 1e-6
+
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    for r in DDm.edit_distance_verify(df).collect():
+        assert 0.0 <= r.edit_sim <= 1.0
+        assert r.edit_dist >= 0
