@@ -1521,3 +1521,65 @@ def edit_distance_verify(
         .otherwise(F.lit(1.0))
         .alias("edit_sim"),
     )
+
+
+def dedup_impact_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source near-dup dedup impact: how many of the source's docs
+    sit in multi-doc components, how many survive keep-min-id, and how
+    many lose their canonical to ANOTHER source — the directional
+    "who copies whom" accounting that q169's pair-grain leakage report
+    doesn't aggregate: under min-id survivorship a mirror source whose
+    ids sort later loses ALL its duplicated mass to the original, and
+    a mixture plan (q234/q84) weighting post-dedup tokens needs exactly
+    this per-source shrinkage.
+
+    Rides the session-cached verified pairs + q56's components; the
+    report is three joins on the two-column label frame and one
+    groupBy(source) — nothing document-sized shuffles beyond the
+    labels. Rates are exact integer permille.
+    """
+    labels = dedup_components(
+        verified_pairs_cached(documents),
+        documents.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    src = documents.select("doc_id", "source")
+    lab = labels.join(src, labels.node == src.doc_id).select(
+        "node", "component", "source"
+    )
+    comp_sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    canon_src = (
+        lab.filter(F.col("node") == F.col("component"))
+        .select("component", F.col("source").alias("canon_source"))
+    )
+    j = lab.join(comp_sizes, "component").join(canon_src, "component")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_multi"),
+            F.sum(F.when(F.col("node") == F.col("component"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_survivors"),
+            F.sum(
+                F.when(F.col("canon_source") != F.col("source"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_foreign_canonical"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_in_multi",
+            "n_survivors",
+            "n_foreign_canonical",
+            F.expr("(n_docs - n_survivors) * 1000 div n_docs")
+            .cast("long")
+            .alias("shed_permille"),
+        )
+    )

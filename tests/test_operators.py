@@ -3621,3 +3621,28 @@ def test_round7_operator_invariants(spark):
     for r in DDm.edit_distance_verify(df).collect():
         assert 0.0 <= r.edit_sim <= 1.0
         assert r.edit_dist >= 0
+
+
+def test_dedup_impact_by_source_mirror_loses_to_original(spark):
+    """A mirror source whose ids sort AFTER the original must lose all
+    its duplicated mass: min-id canonicals live in the original source,
+    so the mirror reports foreign canonicals and full shedding."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away"
+    rows = [
+        (1, base, "en", "orig", len(base)),
+        (2, "a completely distinct document body here", "en", "orig", 41),
+        (10, base + " x", "en", "mirror", len(base) + 2),   # near-copy of 1
+        (11, base + " y", "en", "mirror", len(base) + 2),   # near-copy of 1
+    ]
+    df = _docs(spark, rows)
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    got = {r.source: r for r in DDm.dedup_impact_by_source(df).collect()}
+    assert got["orig"].n_docs == 2 and got["orig"].n_survivors == 2
+    assert got["orig"].n_foreign_canonical == 0
+    assert got["mirror"].n_docs == 2 and got["mirror"].n_survivors == 0
+    assert got["mirror"].n_foreign_canonical == 2
+    assert got["mirror"].shed_permille == 1000
+    assert got["mirror"].n_in_multi == 2
