@@ -392,6 +392,9 @@ def main() -> None:
     # held-out vectors probed against the persisted IVF store (top-1
     # cosine, reject >= 0.95) — the SemDeDup firehose discipline. Fresh
     # store copy per pass (the gate appends); pass 0 warms the plan.
+    from githubrepostorag_spark.operators.similarity import (
+        ivf_sidecar_path as _sidecar,
+    )
     from githubrepostorag_spark.operators.similarity import write_ivf_store as _wivf
     from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
 
@@ -408,6 +411,9 @@ def main() -> None:
             root = tempfile.mkdtemp(prefix="bench-embgate-pass-")
             try:
                 shutil.copytree(eg_store, os.path.join(root, "store"))
+                shutil.copytree(
+                    _sidecar(eg_store), _sidecar(os.path.join(root, "store"))
+                )
                 load1 = os.getloadavg()[0]
                 t0 = time.time()
                 q = stream_embedding_gate(
@@ -425,6 +431,69 @@ def main() -> None:
                 shutil.rmtree(root, ignore_errors=True)
     finally:
         shutil.rmtree(eg_root, ignore_errors=True)
+
+    # Sustained embedding-gate throughput (round-7 verdict #3): N
+    # micro-batches (maxFilesPerTrigger=1) against a store ~100x the
+    # batch size. Before the round-8 fix the per-batch plan re-scanned
+    # and re-shuffled the WHOLE store (full-store centroid posexplode +
+    # unpruned probe), so per-batch cost grew with the store; with
+    # sidecar centroids + cell-pruned probe it must stay flat —
+    # batch_trigger_ms in entry_meta is the per-batch evidence.
+    es_root = tempfile.mkdtemp(prefix="bench-embsust-")
+    try:
+        es_store = os.path.join(es_root, "store")
+        _wivf(emb_all.filter(F.col("vec_id") % 5 != 0), es_store)
+        n_es_batches = 8
+        es_docs = emb_all.filter(F.col("vec_id") % 5 == 0).limit(
+            n_es_batches * 16
+        )  # 16-vector batches: store is ~100x each batch at sf0.1
+        n_es_docs = es_docs.count()
+        es_src = os.path.join(es_root, "src")
+        es_docs.select("vec_id", "label", "embedding").repartition(
+            n_es_batches
+        ).write.mode("overwrite").json(es_src)
+        for i in range(2):
+            root = tempfile.mkdtemp(prefix="bench-embsust-pass-")
+            try:
+                shutil.copytree(es_store, os.path.join(root, "store"))
+                shutil.copytree(
+                    _sidecar(es_store), _sidecar(os.path.join(root, "store"))
+                )
+                load1 = os.getloadavg()[0]
+                t0 = time.time()
+                q = stream_embedding_gate(
+                    spark.readStream.schema(
+                        "vec_id long, label int, embedding array<float>"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .json(es_src),
+                    os.path.join(root, "store"),
+                    os.path.join(root, "accepted"),
+                    os.path.join(root, "rejected"),
+                    os.path.join(root, "ckpt"),
+                )
+                q.awaitTermination()
+                elapsed = time.time() - t0
+                batches = [
+                    p for p in (q.recentProgress or [])
+                    if p.get("numInputRows", 0) > 0
+                ]
+                if record("stream_embedding_sustained", elapsed, load1):
+                    entry_meta["stream_embedding_sustained"].update(
+                        {
+                            "n_batches": len(batches),
+                            "docs_per_sec": round(n_es_docs / elapsed, 1),
+                            "batch_trigger_ms": [
+                                int(p["durationMs"]["triggerExecution"])
+                                for p in batches
+                                if "durationMs" in p
+                            ],
+                        }
+                    )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        shutil.rmtree(es_root, ignore_errors=True)
 
     # IVF maintenance cycle (append -> probe -> drift-check): the
     # per-ingest-batch cost of the vector store's cheap path. Each pass
@@ -444,6 +513,7 @@ def main() -> None:
         for i in range(3):  # pass 0 = warmup
             work = os.path.join(ivf_root, f"pass{i}")
             shutil.copytree(base_store, work)
+            shutil.copytree(_sidecar(base_store), _sidecar(work))
             load1 = os.getloadavg()[0]
             t0 = time.time()
             # threshold 0.9: measure the every-batch CHEAP path (a 10%

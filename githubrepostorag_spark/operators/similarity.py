@@ -835,6 +835,106 @@ def pq_adc_rerank(
 # --- IVF-partitioned store: the physical layout behind ivf_knn -------------
 
 
+IVF_SIDECAR_SUFFIX = "__centroids"
+
+
+def ivf_sidecar_path(path: str) -> str:
+    """Centroid-sidecar directory for the IVF store at `path` — a
+    SIBLING directory (not a child: a child would need the `_`-prefix
+    hidden-path convention to stay out of the store's own listing)."""
+    return path.rstrip("/") + IVF_SIDECAR_SUFFIX
+
+
+def cell_sum_partials(prepped: DataFrame, batch_id: int = -1) -> DataFrame:
+    """Per-cell running-mean state `(cell, n, sum_vec, batch_id)` from
+    prepared rows carrying (cell, ve). This is the ONLY shape the
+    centroid sidecar persists: folding any partition of the corpus's
+    partials recovers the exact per-cell mean (sum of sums / sum of
+    counts), so centroids never need a store re-scan — an append folds
+    the BATCH's partials in. `batch_id` >= 0 marks streaming appends
+    (replay-deduped at read); -1 marks base/maintenance writes."""
+    return (
+        prepped.select("cell", F.posexplode("ve").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("cell")
+        .agg(
+            F.max("n").alias("n"),  # identical across dims of one cell
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("s")))),
+                lambda st: st["s"],
+            ).alias("sum_vec"),
+        )
+        .select("cell", "n", "sum_vec", F.lit(int(batch_id)).alias("batch_id"))
+    )
+
+
+def read_ivf_sidecar(spark, path: str) -> DataFrame:
+    """Sidecar partials with at-least-once replay reconciled: streaming
+    appends (batch_id >= 0) are deduped on (cell, batch_id) — a
+    replayed micro-batch rewrites bit-identical partials, so keeping
+    one row per key is exact. batch_id == -1 rows (base write +
+    maintenance appends, not checkpoint-replayed) are kept as-is."""
+    sc = spark.read.parquet(ivf_sidecar_path(path))
+    return sc.filter(F.col("batch_id") < 0).unionByName(
+        sc.filter(F.col("batch_id") >= 0).dropDuplicates(["cell", "batch_id"])
+    )
+
+
+def fold_partials(partials: DataFrame) -> DataFrame:
+    """(cell, n, centroid) from sidecar partials — the same 6dp-rounded
+    per-cell mean `_centroid_arrays` computes from raw rows, derived
+    from |cells|·|appends| partial rows instead of a store scan."""
+    return (
+        partials.select("cell", "n", F.posexplode("sum_vec").alias("dim", "s"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"), F.sum("n").alias("nn"))
+        .groupBy("cell")
+        .agg(
+            F.max("nn").alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
+                lambda st: st["cv"],
+            ).alias("centroid"),
+        )
+        .select("cell", "n", "centroid")
+    )
+
+
+def centroids_from_sidecar(spark, path: str) -> DataFrame:
+    """(centroid_label, centroid) for the store at `path`, read from
+    the persisted sidecar — O(|cells|) rows, NO store scan. Falls back
+    to a one-off store-scan recompute for stores written before the
+    sidecar existed (and does not write one: the caller may hold the
+    store read-only)."""
+    try:
+        folded = fold_partials(read_ivf_sidecar(spark, path))
+    except Exception:  # sidecar absent: pre-sidecar store layout
+        store = spark.read.parquet(path)
+        return (
+            store.select("cell", F.posexplode("ve").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("cv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
+                    lambda st: st["cv"],
+                ).alias("centroid")
+            )
+            .select(F.col("cell").alias("centroid_label"), "centroid")
+        )
+    return folded.select(F.col("cell").alias("centroid_label"), "centroid")
+
+
+def append_ivf_sidecar(prepped: DataFrame, path: str, batch_id: int = -1) -> None:
+    """Fold an appended batch into the sidecar: ONE append of the
+    batch's |cells|-bounded partials — the store is never re-scanned."""
+    cell_sum_partials(prepped, batch_id).coalesce(1).write.mode("append").parquet(
+        ivf_sidecar_path(path)
+    )
+
+
 def write_ivf_store(embeddings: DataFrame, path: str) -> None:
     """Materialize the vector table partitioned by assigned IVF cell:
     parquet directory per cell, rows carrying the prepared (cast +
@@ -845,13 +945,28 @@ def write_ivf_store(embeddings: DataFrame, path: str) -> None:
     (PartitionFilters — non-probed cells are never opened), not as a
     post-scan filter. One shuffle on cell at write time buys every
     query's read reduction.
+
+    Alongside the data, a centroid SIDECAR (`ivf_sidecar_path`) stores
+    per-cell (n, sum_vec) partial sums, so every later centroid read —
+    the streaming admission gate's per-batch codebook, the maintenance
+    loop's frozen/refit centroids — is O(|cells|) instead of a
+    full-store posexplode scan. Store rows carry the writer's
+    `batch_id` (-1 for this base write; streaming appends stamp their
+    micro-batch id) so an at-least-once replayed batch can exclude its
+    own earlier append and re-derive identical decisions.
     """
     cents = _centroid_arrays(embeddings)
     assigned = _assign_cells(embeddings, cents)
     prepped = V.prepare(assigned, "embedding", "ve", "vn").select(
-        "vec_id", "label", "cell", "ve", "vn"
+        "vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell"
     )
     prepped.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    # sidecar from the WRITTEN rows (one scan of the fresh local files,
+    # exactly consistent with what landed) — overwrite resets history
+    stored = embeddings.sparkSession.read.parquet(path)
+    cell_sum_partials(stored, -1).coalesce(1).write.mode("overwrite").parquet(
+        ivf_sidecar_path(path)
+    )
 
 
 def ivf_knn_from_store(
@@ -862,9 +977,11 @@ def ivf_knn_from_store(
     n_probes: int = 3,
 ) -> DataFrame:
     """ANN over a written IVF store: score the broadcast query against
-    the per-cell centroids derived FROM the store, then scan only the
-    `n_probes` nearest cells — the cell predicate is a partition
-    filter, so non-probed parquet directories are never read.
+    the per-cell centroids read from the PERSISTED SIDECAR (O(|cells|)
+    rows — the store itself contributes nothing to centroid scoring),
+    then scan only the `n_probes` nearest cells — the cell predicate is
+    a partition filter, so non-probed parquet directories are never
+    read.
 
     `query_vec` is a plain Python list (the serving path receives the
     query embedding from outside the store).
@@ -874,19 +991,8 @@ def ivf_knn_from_store(
     q = F.broadcast(
         V.prepare(qdf, "qvec", "qv", "qn").select("qv", "qn")
     )
-    # cell centroids reconstructed from the stored vectors (tiny agg);
-    # a production store would persist the codebook next to the data
-    cents = (
-        store.select("cell", F.posexplode("ve").alias("dim", "v"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
-                lambda s: s["cv"],
-            ).alias("centroid")
-        )
+    cents = centroids_from_sidecar(spark, path).select(
+        F.col("centroid_label").alias("cell"), "centroid"
     )
     probe = [
         r.cell

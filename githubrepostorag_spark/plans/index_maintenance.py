@@ -7,26 +7,37 @@ cells it lands in) and q99's centroid-drift monitor (the retrain
 trigger) — into the lifecycle a production vector store actually runs
 per ingest batch:
 
-    1. read the partitioned store (write_ivf_store layout: one parquet
-       directory per cell; rows carry prepared ve/vn)
-    2. derive the FROZEN per-cell centroids from the store
-    3. assign the batch to cells (broadcast centroids — the store
+    1. read the FROZEN per-cell centroids from the store's persisted
+       sidecar (`similarity.ivf_sidecar_path`: per-cell (n, sum_vec)
+       partial sums — |cells| rows, the store data is never scanned
+       for centroids)
+    2. assign the batch to cells (broadcast centroids — the store
        never shuffles) and probe each new vector's top-k store
-       neighbors (per-cell matmul, batch×cell-bounded)
-    4. append the batch rows to the store — cheap path: existing cell
+       neighbors against ONLY the batch's cells: the bounded
+       distinct-cell list is collected and pushed as a partition
+       filter, so untouched cell directories are never opened
+    3. append the batch rows to the store — cheap path: existing cell
        directories are untouched, appended files land only in the
-       batch's cells
-    5. drift check: refit per-cell centroids over store+batch and
-       compare to frozen by cosine; if any cell drifts below the
-       threshold, RETRAIN + REMAP — refit label-seeded centroids over
-       the full corpus, reassign every row, rewrite the store
-       (the expensive path, taken only when the trigger fires)
+       batch's cells — and fold the batch's partial sums into the
+       sidecar (one |cells|-bounded append)
+    4. drift check: refit centroids = sidecar partials ∪ the batch's
+       partials (closed-form running mean — again no store scan) and
+       compare to frozen by cosine; balance check: post-append cell
+       occupancy vs the uniform ideal (q265's `vs_uniform_permille`).
+       If any cell drifts below the drift threshold OR any cell
+       exceeds the balance threshold, RETRAIN + REMAP — refit
+       label-seeded centroids over the full corpus, reassign every
+       row, rewrite the store (the expensive path, taken only when a
+       trigger fires)
 
-At 100 TB the cheap path is the every-batch cost: one broadcast-
-centroid scan of the batch + one shuffle on cell for the probe + an
-append of |batch| rows. The remap is a full rewrite by construction —
-which is exactly why the drift trigger, not the ingest cadence, must
-decide when it runs.
+At 100 TB the cheap path is the every-batch cost: one |cells|-row
+sidecar read + one broadcast-centroid scan of the batch + one shuffle
+on cell for the probe over ONLY the batch's cells + an append of
+|batch| rows + a |cells|-row sidecar fold. Nothing in it scales with
+the store. The remap is a full rewrite by construction — which is
+exactly why the triggers (drift = centroids stale, balance = one
+mega-cell re-creating brute force for every query that probes it),
+not the ingest cadence, must decide when it runs.
 
 Reference anchor: the reference's vector store re-embeds and rewrites
 wholesale per ingest (`cassandra_service.py:119-127`); the incremental
@@ -43,11 +54,17 @@ from pyspark.sql import functions as F
 from githubrepostorag_spark.functions import vectors as V
 from githubrepostorag_spark.operators.similarity import (
     _assign_cells,
+    append_ivf_sidecar,
+    cell_sum_partials,
+    centroids_from_sidecar,
+    fold_partials,
     incremental_knn_probe,
+    read_ivf_sidecar,
     write_ivf_store,
 )
 
 DRIFT_COS_THRESHOLD = 0.995  # any cell below this triggers retrain+remap
+BALANCE_PERMILLE_THRESHOLD = 3000  # any cell above 3x uniform occupancy remaps
 
 
 class MaintenanceResult(NamedTuple):
@@ -60,7 +77,9 @@ class MaintenanceResult(NamedTuple):
 def _cell_centroids(rows: DataFrame) -> DataFrame:
     """(centroid_label, centroid) per cell from stored prepared rows —
     the same 6dp-rounded mean discipline as _centroid_arrays, keyed on
-    the PERSISTED cell instead of the label seed."""
+    the PERSISTED cell instead of the label seed. Kept as the
+    full-scan recompute used by parity tests and pre-sidecar stores;
+    the maintenance loop itself reads the sidecar."""
     return (
         rows.select("cell", F.posexplode("ve").alias("dim", "v"))
         .groupBy("cell", "dim")
@@ -82,54 +101,50 @@ def maintain_ivf_store(
     batch: DataFrame,
     k: int = 10,
     drift_cos_threshold: float = DRIFT_COS_THRESHOLD,
+    balance_permille_threshold: int = BALANCE_PERMILLE_THRESHOLD,
     run_id: str = "maintenance",
 ) -> MaintenanceResult:
     """Run one maintenance cycle against the store at `path` with a
     `batch` of (vec_id, label, embedding) rows. See module docstring.
     """
-    store = spark.read.parquet(path)
-    n_store = store.count()
-
-    # --- frozen centroids + batch assignment (broadcast, no store shuffle)
-    frozen = _cell_centroids(store).localCheckpoint(eager=False)
+    # --- frozen centroids from the sidecar (|cells| rows, no store scan)
+    partials = read_ivf_sidecar(spark, path).localCheckpoint(eager=False)
+    frozen_tbl = fold_partials(partials).localCheckpoint(eager=False)
+    frozen = frozen_tbl.select(F.col("cell").alias("centroid_label"), "centroid")
     assigned = _assign_cells(batch, frozen).localCheckpoint(eager=False)
     n_batch = assigned.count()
+    batch_cells = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )  # bounded by n_cells — the probe's partition-pruning predicate
 
-    # --- probe: top-k store neighbors per new vector (cell-bounded)
+    # --- probe: top-k store neighbors per new vector, reading ONLY the
+    # batch's cell directories (isin on the partition column lands in
+    # the file index as PartitionFilters: untouched cells never open)
+    store = spark.read.parquet(path)
     neighbors = incremental_knn_probe(
-        store.select("cell", "vec_id", F.col("ve").alias("embedding")),
+        store.filter(F.col("cell").isin(batch_cells)).select(
+            "cell", "vec_id", F.col("ve").alias("embedding")
+        ),
         assigned.select("cell", "vec_id", "embedding"),
         k=k,
     )
 
-    # --- append (cheap path): only the batch's cells gain files
+    # --- append (cheap path): only the batch's cells gain files; the
+    # sidecar folds the batch's |cells|-bounded partials in one append
     appended = V.prepare(assigned, "embedding", "ve", "vn").select(
-        "vec_id", "label", "ve", "vn", "cell"
-    )
+        "vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell"
+    ).localCheckpoint(eager=True)  # store append + sidecar + refit below
     appended.write.mode("append").partitionBy("cell").parquet(path)
-    cells_touched = assigned.select("cell").distinct().count()
+    append_ivf_sidecar(appended, path, batch_id=-1)
 
-    # --- drift: refit per-cell centroids over store+batch, cosine vs frozen
-    # The post-append state is the SNAPSHOT UNION store ∪ appended — never
-    # a re-read of `path`: two same-path scans in one plan canonicalize
-    # identically, so exchange reuse can silently serve the PRE-append
-    # listing to one of them (observed: n_total == n_store while the
-    # refit side saw the new files). The union also keeps the later
-    # remap from lazily re-scanning a path it is overwriting.
-    post = store.select("vec_id", "label", "ve", "vn", "cell").unionByName(
-        appended
-    )
-    refit = _cell_centroids(post)
-    fd = frozen.select(
-        F.col("centroid_label").alias("cell"), F.posexplode("centroid").alias("dim", "fv")
-    )
-    rd = refit.select(
-        F.col("centroid_label").alias("cell"), F.posexplode("centroid").alias("dim", "rv")
-    )
-    sizes = post.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    before = store.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_store")
-    )
+    # --- drift: refit = closed-form fold of (sidecar ∪ batch) partials
+    # vs frozen, by cosine — |cells|·dim rows end to end, no store scan
+    batch_partials = cell_sum_partials(appended, -1)
+    refit_tbl = fold_partials(
+        partials.select("cell", "n", "sum_vec", "batch_id").unionByName(batch_partials)
+    ).localCheckpoint(eager=False)
+    fd = frozen_tbl.select("cell", F.posexplode("centroid").alias("dim", "fv"))
+    rd = refit_tbl.select("cell", F.posexplode("centroid").alias("dim", "rv"))
     drift = (
         fd.join(rd, ["cell", "dim"])
         .groupBy("cell")
@@ -144,31 +159,62 @@ def maintain_ivf_store(
                 F.col("dot") / F.nullif(F.col("nf") * F.col("nr"), F.lit(0.0)), 6
             ).alias("cos_frozen_refit"),
         )
-        .join(before, "cell", "left")
-        .join(sizes, "cell", "left")
+        .join(frozen_tbl.select("cell", F.col("n").alias("n_store")), "cell", "left")
+        .join(refit_tbl.select("cell", F.col("n").alias("n_total")), "cell", "left")
         .select("cell", "n_store", "n_total", "cos_frozen_refit")
         .localCheckpoint(eager=False)
     )
-    min_cos = drift.agg(F.min("cos_frozen_refit").alias("m")).collect()[0]["m"]
-    remapped = min_cos is not None and min_cos < drift_cos_threshold
+    agg = drift.agg(
+        F.min("cos_frozen_refit").alias("m"),
+        F.sum("n_total").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_total").alias("max_cell"),
+    ).collect()[0]
+    min_cos, n_cells = agg["m"], int(agg["n_cells"])
+    n_store = int(agg["total"]) - n_batch
+    # q265's vs_uniform_permille on the post-append occupancy: the
+    # balance trigger — one mega-cell re-creates brute force for every
+    # query that probes it, drift or no drift
+    max_vs_uniform = (
+        int(agg["max_cell"]) * n_cells * 1000 // int(agg["total"])
+        if agg["total"] else 0
+    )
+    drift_fired = min_cos is not None and min_cos < drift_cos_threshold
+    balance_fired = (
+        balance_permille_threshold is not None
+        and max_vs_uniform > balance_permille_threshold
+    )
+    remapped = drift_fired or balance_fired
 
-    # --- retrain + remap (expensive path, trigger-gated)
+    # --- retrain + remap (expensive path, trigger-gated): the ONLY
+    # path that scans the store — a full rewrite is O(store) by
+    # construction. The snapshot union (store ∪ appended) avoids
+    # re-listing `path` post-append: two same-path scans in one plan
+    # canonicalize identically, so exchange reuse can silently serve
+    # the PRE-append listing to one of them; it also keeps the remap
+    # from lazily re-scanning a path it is overwriting.
     if remapped:
         # pin every result that still reads the store's ORIGINAL files
         # BEFORE the overwrite deletes them: the probe result is lazy
         # and a caller consuming it post-remap would hit FILE_NOT_EXIST
         neighbors = neighbors.localCheckpoint(eager=True)
-        full = post.select(
-            "vec_id", "label", F.col("ve").alias("embedding")
-        ).localCheckpoint(eager=True)
+        full = (
+            store.select("vec_id", "label", "ve", "vn", "cell")
+            .unionByName(appended.select("vec_id", "label", "ve", "vn", "cell"))
+            .select("vec_id", "label", F.col("ve").alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
         write_ivf_store(full, path)
 
     audit = spark.createDataFrame(
         [
             ("n_store", float(n_store), run_id),
             ("n_batch", float(n_batch), run_id),
-            ("cells_touched", float(cells_touched), run_id),
+            ("cells_touched", float(len(batch_cells)), run_id),
             ("min_cell_cos", float(min_cos) if min_cos is not None else -1.0, run_id),
+            ("max_vs_uniform_permille", float(max_vs_uniform), run_id),
+            ("trigger_drift", 1.0 if drift_fired else 0.0, run_id),
+            ("trigger_balance", 1.0 if balance_fired else 0.0, run_id),
             ("remapped", 1.0 if remapped else 0.0, run_id),
         ],
         "step string, value double, run_id string",

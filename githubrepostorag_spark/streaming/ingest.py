@@ -337,6 +337,74 @@ def stream_hygiene_gate(
     )
 
 
+def _embedding_gate_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ivf_store_path: str,
+    accepted_path: str,
+    rejected_path: str,
+    max_cos: float,
+) -> None:
+    """One `stream_embedding_gate` micro-batch, module-level so tests
+    can drive it directly (replay = call twice with the same batch_id).
+    See `stream_embedding_gate` for the contract."""
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.similarity import (
+        _assign_cells,
+        append_ivf_sidecar,
+        centroids_from_sidecar,
+        incremental_knn_probe,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)  # assign + probe + writes
+    # frozen centroids from the persisted sidecar: |cells| rows, the
+    # store's data directories contribute NOTHING to centroid scoring
+    frozen = centroids_from_sidecar(spark, ivf_store_path).localCheckpoint(eager=True)
+    assigned = _assign_cells(batch, frozen).localCheckpoint(eager=True)
+    batch_cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    # store side pruned to the batch's cells (bounded by n_cells): the
+    # isin on the partition column lands in the file index as
+    # PartitionFilters — untouched cell directories are never opened.
+    # Same-batch store rows are excluded so an at-least-once REPLAY
+    # whose first attempt already appended (crash between store append
+    # and checkpoint commit) re-derives the SAME decisions instead of
+    # self-matching its own vectors at cosine 1.0.
+    store = (
+        spark.read.parquet(ivf_store_path)
+        .filter(F.col("cell").isin(batch_cells))
+        .filter(F.col("batch_id") != F.lit(int(batch_id)))
+    )
+    top1 = incremental_knn_probe(
+        store.select("cell", "vec_id", F.col("ve").alias("embedding")),
+        assigned.select("cell", "vec_id", "embedding"),
+        k=1,
+    )
+    hits = (
+        top1.filter(F.col("score") >= max_cos)
+        .select(
+            F.col("vec_id").alias("new_id"),
+            F.col("nbr_id").alias("store_id"),
+            "score",
+        )
+        .localCheckpoint(eager=True)  # reject log + accept anti-join
+    )
+    accepted = assigned.join(
+        hits.select(F.col("new_id").alias("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)  # sink write AND store append
+    accepted.select("vec_id", "label").withColumn(
+        "batch_id", F.lit(int(batch_id))
+    ).write.mode("append").parquet(accepted_path)
+    hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+        "append"
+    ).parquet(rejected_path)
+    prepped = V.prepare(accepted, "embedding", "ve", "vn").select(
+        "vec_id", "label", "ve", "vn", F.lit(int(batch_id)).alias("batch_id"), "cell"
+    ).localCheckpoint(eager=True)  # store append + sidecar fold
+    prepped.write.mode("append").partitionBy("cell").parquet(ivf_store_path)
+    append_ivf_sidecar(prepped, ivf_store_path, batch_id=int(batch_id))
+
+
 def stream_embedding_gate(
     vecs_stream: DataFrame,
     ivf_store_path: str,
@@ -356,60 +424,34 @@ def stream_embedding_gate(
     copies, this catches paraphrases/re-encodings text shingles miss
     (the SemDeDup admission discipline, applied at the firehose).
 
-    Per-batch plan: centroids reconstruct from the store's persisted
-    cells (tiny agg, same `_cell_centroids` as the maintenance loop),
-    the batch assigns by broadcast, and the probe is the shared
-    per-cell batch×store kernel (`incremental_knn_probe`, k=1) — batch
-    work is |batch|·|cell|, never |store|², and non-probed cells'
-    parquet directories are never read by the scoring side.
+    Per-batch plan — every step bounded by the BATCH, never the store:
+    frozen centroids read from the persisted sidecar (|cells| rows, no
+    store scan), the batch assigns by broadcast, the probe's store side
+    is pruned to the batch's cells via a partition filter (untouched
+    cell directories are never opened — pinned by
+    `test_streaming.test_embedding_gate_store_side_cell_pruned`), and
+    the kernel is the shared per-cell batch×store matmul
+    (`incremental_knn_probe`, k=1). The store append lands only in the
+    batch's cells; the sidecar folds the batch's |cells|-bounded
+    partial sums in one append.
 
-    Crash-safety matches the text gate: BOTH logs land before the
-    store append, so a replayed batch probes the pre-batch store state
-    and re-derives the same decisions (duplicate log rows only, deduped
-    by vec_id at read). A batch vector landing in a store-empty cell
-    has no neighbor to match and is accepted — the same recall edge the
-    IVF audits (q115) price; run the exact near-dup audit (q31) over
-    the accepted log to bound it.
+    Crash-safety: BOTH logs land before the store append, and the
+    probe EXCLUDES store rows stamped with the current batch_id, so an
+    at-least-once replay re-derives identical decisions whether the
+    crash hit before or after the first attempt's store append
+    (duplicate — never contradictory — log and store rows; dedup by
+    (vec_id, batch_id) at read where exactness matters; the sidecar
+    read already reconciles replayed partials on (cell, batch_id)). A
+    batch vector landing in a store-empty cell has no neighbor to
+    match and is accepted — the same recall edge the IVF audits (q115)
+    price; run the exact near-dup audit (q31) over the accepted log to
+    bound it.
     """
-    from githubrepostorag_spark.functions import vectors as V
-    from githubrepostorag_spark.operators.similarity import (
-        _assign_cells,
-        incremental_knn_probe,
-    )
-    from githubrepostorag_spark.plans.index_maintenance import _cell_centroids
 
     def gate_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.localCheckpoint(eager=True)  # assign + probe + writes
-        store = spark.read.parquet(ivf_store_path)
-        frozen = _cell_centroids(store).localCheckpoint(eager=True)
-        assigned = _assign_cells(batch, frozen).localCheckpoint(eager=True)
-        top1 = incremental_knn_probe(
-            store.select("cell", "vec_id", F.col("ve").alias("embedding")),
-            assigned.select("cell", "vec_id", "embedding"),
-            k=1,
+        _embedding_gate_batch(
+            batch, batch_id, ivf_store_path, accepted_path, rejected_path, max_cos
         )
-        hits = (
-            top1.filter(F.col("score") >= max_cos)
-            .select(
-                F.col("vec_id").alias("new_id"),
-                F.col("nbr_id").alias("store_id"),
-                "score",
-            )
-            .localCheckpoint(eager=True)  # reject log + accept anti-join
-        )
-        accepted = assigned.join(
-            hits.select(F.col("new_id").alias("vec_id")), "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)  # sink write AND store append
-        accepted.select("vec_id", "label").withColumn(
-            "batch_id", F.lit(int(batch_id))
-        ).write.mode("append").parquet(accepted_path)
-        hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(rejected_path)
-        V.prepare(accepted, "embedding", "ve", "vn").select(
-            "vec_id", "label", "ve", "vn", "cell"
-        ).write.mode("append").partitionBy("cell").parquet(ivf_store_path)
 
     return (
         vecs_stream.writeStream.foreachBatch(gate_batch)

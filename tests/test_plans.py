@@ -577,3 +577,48 @@ def test_ivf_maintenance_append_then_remap(spark, tmp_path):
     # the remapped store still serves: every original vector present
     post = spark.read.parquet(path)
     assert post.count() == store_side.count() + 20 + 300
+
+
+def test_ivf_maintenance_balance_trigger(spark, tmp_path):
+    """q265's cell-balance metric wired into the remap trigger (VERDICT
+    r7 ask #4): a flood of vectors IDENTICAL to one cell's centroid
+    direction cannot move the centroid (drift cos stays 1.0) but blows
+    its occupancy past the 3x-uniform default — the audit must record
+    trigger_balance=1, trigger_drift=0, and the store must remap."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import maintain_ivf_store
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "ivf")
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    write_ivf_store(base, path)
+    n_base = base.count()
+    cent = sorted(
+        centroids_from_sidecar(spark, path).collect(),
+        key=lambda r: r.centroid_label,
+    )[0]
+    dim = len(cent.centroid)
+    flood = spark.range(1000).select(
+        (F.col("id") + 3_000_000).alias("vec_id"),
+        F.lit(0).cast(base.schema["label"].dataType).alias("label"),
+        F.array(*[F.lit(float(cent.centroid[j])) for j in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    res = maintain_ivf_store(
+        spark, path, flood, k=3, drift_cos_threshold=0.5, run_id="balance"
+    )  # drift threshold floored so ONLY the balance trigger can fire
+    audit = {r.step: r.value for r in res.audit.collect()}
+    assert res.remapped and audit["remapped"] == 1.0
+    assert audit["trigger_balance"] == 1.0
+    assert audit["trigger_drift"] == 0.0
+    assert audit["max_vs_uniform_permille"] > 3000
+    # adding copies of the mean leaves the mean fixed: drift cos == 1
+    assert audit["min_cell_cos"] >= 0.999999
+    # the remapped store still serves every row
+    assert spark.read.parquet(path).count() == n_base + 1000
