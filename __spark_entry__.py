@@ -129,12 +129,36 @@ def _normalize_neg_zero(sql: str) -> str:
     by the strict sweep on q209/q212/q214/q215 when the first version
     appended without parens).  Paren balancing skips single-quoted SQL
     literals ('' = escaped quote), so regex literals with parens can't
-    derail the scan.
+    derail the scan — and a match whose ``round(`` sits INSIDE a
+    quoted literal (a doc string or regex containing the word) is
+    skipped entirely: rewriting it would corrupt the literal and start
+    the paren scan with inverted quote state.
     """
+    # one left-to-right pass marks which positions are inside a
+    # single-quoted literal ('' = escaped quote), so literal-interior
+    # matches can be classified and skipped before any rewriting
+    in_literal = [False] * len(sql)
+    in_str = False
+    j = 0
+    while j < len(sql):
+        if in_str:
+            in_literal[j] = True
+            if sql[j] == "'":
+                if j + 1 < len(sql) and sql[j + 1] == "'":
+                    in_literal[j + 1] = True
+                    j += 1  # '' escape stays inside the literal
+                else:
+                    in_str = False
+        elif sql[j] == "'":
+            in_literal[j] = True
+            in_str = True
+        j += 1
     out = sql
     # right-to-left: every insertion lands at a position strictly after
     # the next match's start, so earlier match offsets stay valid
     for m in reversed(list(_ROUND_CALL.finditer(sql))):
+        if in_literal[m.start()]:
+            continue  # 'round(' inside a quoted literal — not a call
         i = m.end()  # just past the opening '('
         depth = 1
         in_str = False
@@ -6685,8 +6709,8 @@ def oracle_sql() -> dict[str, str]:
               FROM shared s
               JOIN sizes sa ON sa.doc_id = s.doc_a
               JOIN sizes sb ON sb.doc_id = s.doc_b),
-            th AS (SELECT unnest([{", ".join(str(t) for t in DD.DEDUP_SWEEP_THRESHOLDS)}])
-                     AS threshold),
+            th AS (SELECT CAST(unnest([{", ".join(str(t) for t in DD.DEDUP_SWEEP_THRESHOLDS)}])
+                     AS DOUBLE) AS threshold),
             hit AS (SELECT t.threshold, p.doc_a, p.doc_b
                     FROM pr p CROSS JOIN th t WHERE p.jaccard >= t.threshold)
             SELECT th.threshold,
@@ -7391,24 +7415,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_hi, n_lo,
                    round(CAST((n_hi + n_lo) * c_hi AS DOUBLE)
                          / CAST(c_hi + c_lo AS DOUBLE), 6) AS expected_hi,
+                   -- a corpus-wide-empty class (c_hi=0 / c_lo=0) makes
+                   -- its expectation 0: that term is a pinned 0.0 on
+                   -- BOTH engines, never 0/0 (engine-side guard in
+                   -- textops.quality_chi2_by_source)
                    round(
-                     (CAST(n_hi AS DOUBLE)
-                      - CAST((n_hi + n_lo) * c_hi AS DOUBLE)
-                        / CAST(c_hi + c_lo AS DOUBLE))
-                     * (CAST(n_hi AS DOUBLE)
+                     CASE WHEN c_hi > 0 THEN
+                       (CAST(n_hi AS DOUBLE)
                         - CAST((n_hi + n_lo) * c_hi AS DOUBLE)
                           / CAST(c_hi + c_lo AS DOUBLE))
-                     / (CAST((n_hi + n_lo) * c_hi AS DOUBLE)
-                        / CAST(c_hi + c_lo AS DOUBLE))
+                       * (CAST(n_hi AS DOUBLE)
+                          - CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                            / CAST(c_hi + c_lo AS DOUBLE))
+                       / (CAST((n_hi + n_lo) * c_hi AS DOUBLE)
+                          / CAST(c_hi + c_lo AS DOUBLE))
+                     ELSE 0.0 END
                      +
-                     (CAST(n_lo AS DOUBLE)
-                      - CAST((n_hi + n_lo) * c_lo AS DOUBLE)
-                        / CAST(c_hi + c_lo AS DOUBLE))
-                     * (CAST(n_lo AS DOUBLE)
+                     CASE WHEN c_lo > 0 THEN
+                       (CAST(n_lo AS DOUBLE)
                         - CAST((n_hi + n_lo) * c_lo AS DOUBLE)
                           / CAST(c_hi + c_lo AS DOUBLE))
-                     / (CAST((n_hi + n_lo) * c_lo AS DOUBLE)
-                        / CAST(c_hi + c_lo AS DOUBLE)), 6) AS chi2_contrib
+                       * (CAST(n_lo AS DOUBLE)
+                          - CAST((n_hi + n_lo) * c_lo AS DOUBLE)
+                            / CAST(c_hi + c_lo AS DOUBLE))
+                       / (CAST((n_hi + n_lo) * c_lo AS DOUBLE)
+                          / CAST(c_hi + c_lo AS DOUBLE))
+                     ELSE 0.0 END, 6) AS chi2_contrib
             FROM per CROSS JOIN tot
         """,
         # Boilerplate-template detection (textops.template_prefixes)
@@ -7439,7 +7471,11 @@ def oracle_sql() -> dict[str, str]:
         # Edit-distance verification of LSH candidates
         # (dedup.edit_distance_verify): q56's candidate chain without
         # the threshold filter + byte/char-identical (ASCII corpus)
-        # levenshtein on 2000-char-capped texts.
+        # levenshtein on texts capped at EDIT_VERIFY_MAX_CHARS (600)
+        # per side. The ascii_guard CTE makes a non-ASCII corpus fail
+        # LOUDLY here (DuckDB levenshtein counts BYTES, Spark counts
+        # CHARACTERS — the engine side is the semantic truth; a silent
+        # divergence would surface as a mystery hash mismatch).
         "q264_edit_verify": f"""
             {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
             bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
@@ -7465,7 +7501,13 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = s.doc_b),
             tx AS (SELECT doc_id,
                           substr(text, 1, {DD.EDIT_VERIFY_MAX_CHARS}) AS t
-                   FROM documents)
+                   FROM documents),
+            ascii_guard AS (
+              SELECT CASE WHEN max(CASE WHEN strlen(t) <> length(t)
+                                        THEN 1 ELSE 0 END) = 1
+                          THEN error('q264 oracle: non-ASCII corpus - DuckDB byte-grain levenshtein diverges from Spark char grain; engine side is semantic truth')
+                          ELSE 1 END AS ok
+              FROM tx)
             SELECT p.doc_a, p.doc_b, p.jaccard,
                    CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
                    CASE WHEN greatest(length(a.t), length(b.t)) > 0
@@ -7476,6 +7518,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs0 p
             JOIN tx a ON a.doc_id = p.doc_a
             JOIN tx b ON b.doc_id = p.doc_b
+            CROSS JOIN ascii_guard g
+            WHERE g.ok = 1
         """,
         # IVF cell-balance audit (similarity.ivf_cell_balance): q97's
         # assignment CTE reduced to per-cell occupancy, exact permille.

@@ -328,23 +328,35 @@ def jaccard_on_candidates(
 # hashing end-to-end), so its threshold-0 output over the SAME input
 # plan in the SAME Spark application is identical across callers: one
 # localCheckpoint-ed table, keyed on (applicationId, plan semanticHash,
-# band geometry), serves them all; per-caller thresholds become cheap
-# post-filters on the checkpoint. The cache can never go stale within
-# a key: a different input (other sf_dir, other table, a filtered
-# frame) analyzes to a different semantic hash, and a new session gets
-# a new applicationId.
+# schema, band geometry), serves them all; per-caller thresholds become
+# cheap post-filters on the checkpoint. The cache can never go stale
+# within a key: a different input (other sf_dir, other table, a
+# filtered frame) analyzes to a different semantic hash, and a new
+# session gets a new applicationId. IMMUTABLE-INPUT ASSUMPTION: the
+# cache identifies inputs by their ANALYZED PLAN — overwriting a
+# parquet path in-session and re-reading it produces the same plan and
+# would be served the stale pair table. The engine never overwrites an
+# input table in-session (stores the gates append to are keyed
+# per-batch, not cached); callers that do must bust the cache with an
+# explicit cache_key.
 
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
+_PAIR_STAMP: dict[tuple, int] = {}  # explicit-key entries: input row count
 _SIG_CACHE: dict[tuple, DataFrame] = {}
 _CACHE_MAX = 32
 
 
 def _plan_key(df: DataFrame, *extra) -> tuple | None:
-    """(applicationId, semanticHash, *extra) or None if unavailable."""
+    """(applicationId, semanticHash, schema, *extra) or None if
+    unavailable. The schema string rides along because semanticHash is
+    32-bit — a silent cross-plan collision would serve WRONG pairs;
+    with the schema in the key a collision additionally needs an
+    identical column layout."""
     try:
         return (
             df.sparkSession.sparkContext.applicationId,
             df.semanticHash(),
+            df.schema.simpleString(),
             *extra,
         )
     except Exception:  # pragma: no cover - e.g. Spark Connect
@@ -353,7 +365,13 @@ def _plan_key(df: DataFrame, *extra) -> tuple | None:
 
 def _cache_put(cache: dict, key: tuple, df: DataFrame) -> None:
     if len(cache) >= _CACHE_MAX:  # pragma: no cover - bound, not policy
-        cache.pop(next(iter(cache)))
+        evicted_key = next(iter(cache))
+        evicted = cache.pop(evicted_key)
+        _PAIR_STAMP.pop(evicted_key, None)
+        try:  # free the localCheckpoint blocks, not just the reference
+            evicted.unpersist()
+        except Exception:
+            pass
     cache[key] = df
 
 
@@ -388,7 +406,11 @@ def verified_pairs_cached(
     never repeats — e.g. the CDC chunk reps table) pass an explicit
     stable key derived from their OWN upstream plan; the caller owns
     the invariant that equal keys imply equal inputs. Still scoped by
-    applicationId, so a new session can never read a stale entry."""
+    applicationId, so a new session can never read a stale entry — and
+    each explicit-key entry is STAMPED with its input row count, so a
+    stale-key bug (same key, different input) fails loudly on reuse
+    instead of silently serving wrong pairs to the nine downstream
+    audit queries."""
     if cache_key is not None:
         key = (*cache_key, int(n_bands))
     else:
@@ -407,6 +429,17 @@ def verified_pairs_cached(
                 sigs=cached_signatures(documents),
             ).localCheckpoint(eager=True)
             _cache_put(_PAIR_CACHE, key, base)
+            if cache_key is not None:
+                _PAIR_STAMP[key] = documents.count()
+        elif cache_key is not None and key in _PAIR_STAMP:
+            n_now = documents.count()
+            if n_now != _PAIR_STAMP[key]:
+                raise ValueError(
+                    f"verified_pairs_cached: explicit cache_key {cache_key!r} "
+                    f"reused with a different input ({n_now} rows vs "
+                    f"{_PAIR_STAMP[key]} at first materialization) — equal "
+                    "keys must imply equal inputs"
+                )
     if threshold > 0.0:
         return base.filter(F.col("jaccard") >= threshold)
     return base
@@ -975,20 +1008,27 @@ def write_dedup_store(documents: DataFrame, path: str, n_bands: int = LSH_BANDS)
     read again. Same build-once/serve-many layout as the IVF vector
     store (similarity.write_ivf_store) and the inverted text index
     (textindex.write_text_index).
+
+    Every row carries the writer's ``batch_id`` (-1 for this base
+    write; streaming appends stamp their micro-batch id) so an
+    at-least-once replayed batch can EXCLUDE its own earlier append
+    from the probe and re-derive identical decisions.
     """
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents).withColumn("batch_id", F.lit(-1))
     sigs.write.mode("overwrite").parquet(path + "/signatures")
     spark = documents.sparkSession
     stored = spark.read.parquet(path + "/signatures")
     # bands derive from the just-written signatures, not a second
     # shingle pass over the text
-    _bands_from_sigs(stored, n_bands).sortWithinPartitions("band_val").write.mode(
+    _bands_from_sigs(stored, n_bands).withColumn(
+        "batch_id", F.lit(-1)
+    ).sortWithinPartitions("band_val").write.mode(
         "overwrite"
     ).partitionBy("band_idx").parquet(path + "/bands")
     # exact-dup side: the normalized content fingerprint, sorted so
     # parquet row-group min/max stats serve point probes
     documents.select(
-        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp"), F.lit(-1).alias("batch_id")
     ).sortWithinPartitions("fp").write.mode("overwrite").parquet(path + "/fingerprints")
 
 
@@ -998,6 +1038,7 @@ def incremental_near_dups(
     new_docs: DataFrame,
     min_est_jaccard: float = 0.5,
     n_bands: int = LSH_BANDS,
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Flag documents in a new ingestion batch that near-duplicate a
     document already in the persisted dedup store: LSH band collision
@@ -1015,14 +1056,25 @@ def incremental_near_dups(
     - verification is pure signature arithmetic — no text is re-read
       for either side. Set `min_est_jaccard` with q153's measured
       estimator error in hand (±1/MINHASH_FUNCS per slot).
+
+    ``exclude_batch_id``: the streaming gate passes its micro-batch id
+    so an at-least-once REPLAY whose first attempt already appended
+    (crash between store append and checkpoint commit) skips its own
+    earlier rows instead of self-matching every document at estimate
+    1.0 and flipping accepted→rejected.
     """
     new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=False)
     sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
 
+    def _excl(df: DataFrame) -> DataFrame:
+        if exclude_batch_id is None or "batch_id" not in df.columns:
+            return df
+        return df.filter(F.col("batch_id") != F.lit(int(exclude_batch_id)))
+
     new_bands = _bands_from_sigs(new_sigs, n_bands).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_val"
     )
-    store_bands = spark.read.parquet(path + "/bands")
+    store_bands = _excl(spark.read.parquet(path + "/bands"))
     cand = (
         store_bands.join(F.broadcast(new_bands), ["band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("new_id"))
@@ -1030,7 +1082,7 @@ def incremental_near_dups(
         .distinct()
     )
 
-    store_sigs = spark.read.parquet(path + "/signatures")
+    store_sigs = _excl(spark.read.parquet(path + "/signatures"))
     old = store_sigs.select(
         F.col("doc_id").alias("old_id"),
         *[F.col(c).alias(f"o_{c}") for c in sig_cols],
@@ -1057,20 +1109,28 @@ def incremental_near_dups(
 
 
 def append_to_dedup_store(
-    new_docs: DataFrame, path: str, n_bands: int = LSH_BANDS
+    new_docs: DataFrame, path: str, n_bands: int = LSH_BANDS, batch_id: int = -1
 ) -> None:
     """Append an accepted ingestion batch to the persisted dedup store,
     so the NEXT batch's incremental_near_dups sees it. Completes the
     build → probe → accept → append loop: the corpus text still never
     gets re-read; only the new batch is shingled (once — the signature
-    frame is checkpointed and both writes derive from it)."""
-    sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    frame is checkpointed and both writes derive from it). Streaming
+    callers pass their micro-batch id so a replay can exclude the
+    rows its first attempt appended."""
+    sigs = minhash_signatures(new_docs).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    ).localCheckpoint(eager=True)
     sigs.write.mode("append").parquet(path + "/signatures")
-    _bands_from_sigs(sigs, n_bands).sortWithinPartitions("band_val").write.mode(
+    _bands_from_sigs(sigs, n_bands).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    ).sortWithinPartitions("band_val").write.mode(
         "append"
     ).partitionBy("band_idx").parquet(path + "/bands")
     new_docs.select(
-        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+        "doc_id",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        F.lit(int(batch_id)).alias("batch_id"),
     ).sortWithinPartitions("fp").write.mode("append").parquet(path + "/fingerprints")
 
 

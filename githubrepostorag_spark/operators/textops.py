@@ -3197,6 +3197,9 @@ def quality_chi2_by_source(
     multiply + one double division (order pinned in the oracle); each
     contribution is two (o-e)²/e terms added in a fixed order and
     rounded at 6dp. One scan, one groupBy(source), broadcast totals.
+    A degenerate contingency table (a quality class empty CORPUS-wide,
+    so e == 0 for that class everywhere) contributes a pinned 0.0
+    instead of 0/0 — NaN/Inf render differently across engines.
     """
     flags = documents.select(
         "source",
@@ -3218,7 +3221,9 @@ def quality_chi2_by_source(
     n_all = (F.col("c_hi") + F.col("c_lo")).cast("double")
     e_hi = (F.col("n_src") * F.col("c_hi")).cast("double") / n_all
     e_lo = (F.col("n_src") * F.col("c_lo")).cast("double") / n_all
-    term = lambda o, e: (o.cast("double") - e) * (o.cast("double") - e) / e
+    term = lambda o, e: F.when(
+        e > 0, (o.cast("double") - e) * (o.cast("double") - e) / e
+    ).otherwise(F.lit(0.0))
     return w.select(
         "source",
         "n_hi",

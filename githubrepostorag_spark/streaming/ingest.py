@@ -132,10 +132,11 @@ def stream_dedup_gate(
     form of build → probe → accept → append.
 
     Per-batch order of operations is crash-safe: BOTH logs (accepted
-    and rejected) are written before the store append, so a failure
-    anywhere before the append replays the batch with the store still
-    unaware of it — the replay re-derives the same decisions
-    (duplicate log rows only, deduped by doc_id at read, same
+    and rejected) are written before the store append, AND the probe
+    excludes store rows stamped with the current batch_id — so a
+    replay re-derives identical decisions whether the crash hit before
+    or after the first attempt's store append (duplicate — never
+    contradictory — log and store rows; dedup by doc_id at read, same
     at-least-once discipline as the versioned vector store above)
     rather than being falsely rejected by its own half-landed
     signatures. Batches are exact-deduped within themselves first
@@ -160,7 +161,11 @@ def stream_dedup_gate(
         keep = exact_dedup(batch).select(F.col("canonical_doc_id").alias("doc_id"))
         batch = batch.join(keep, "doc_id", "left_semi")
         hits = incremental_near_dups(
-            spark, dedup_store_path, batch, min_est_jaccard=min_est_jaccard
+            spark,
+            dedup_store_path,
+            batch,
+            min_est_jaccard=min_est_jaccard,
+            exclude_batch_id=int(batch_id),  # replay skips its own append
         ).localCheckpoint(eager=True)  # reject log + accept anti-join
         dup_ids = hits.select(F.col("new_id").alias("doc_id")).distinct()
         accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
@@ -179,7 +184,10 @@ def stream_dedup_gate(
         hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode("append").parquet(
             rejected_path
         )
-        append_to_dedup_store(accepted.select("doc_id", "text"), dedup_store_path)
+        append_to_dedup_store(
+            accepted.select("doc_id", "text"), dedup_store_path,
+            batch_id=int(batch_id),
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(gate_batch)

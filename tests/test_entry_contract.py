@@ -58,6 +58,20 @@ def test_normalize_neg_zero_rewrite():
     assert nz(s) == (
         "list_transform(cs, s -> (round(-list_reduce(l, (a, b) -> a + b), 6) + 0.0))"
     )
+    # 'round(' INSIDE a quoted literal is text, not a call: rewriting
+    # it would corrupt the literal and invert the quote state of the
+    # paren scan for everything after it (ADVICE r7)
+    assert (
+        nz("SELECT 'use round(x) here' AS note, round(y, 2) AS r")
+        == "SELECT 'use round(x) here' AS note, (round(y, 2) + 0.0) AS r"
+    )
+    # literal-interior match with an UNBALANCED paren inside the string
+    assert (
+        nz("SELECT regexp_extract(t, 'round([0-9]+') AS m, round(z, 6) AS r")
+        == "SELECT regexp_extract(t, 'round([0-9]+') AS m, (round(z, 6) + 0.0) AS r"
+    )
+    # escaped-quote literal containing round( — still skipped
+    assert nz("SELECT 'it''s round(' AS s") == "SELECT 'it''s round(' AS s"
 
 
 def test_oracles_all_normalized_and_parse(duck):

@@ -3646,3 +3646,80 @@ def test_dedup_impact_by_source_mirror_loses_to_original(spark):
     assert got["mirror"].n_foreign_canonical == 2
     assert got["mirror"].shed_permille == 1000
     assert got["mirror"].n_in_multi == 2
+
+
+def test_quality_chi2_degenerate_class_pinned_zero(spark):
+    """ADVICE r7: a quality class empty CORPUS-wide makes its
+    expectation 0 — the (o-e)^2/e term must be a pinned 0.0 on the
+    engine (and the q262 oracle mirrors it with CASE WHEN), never
+    NaN/Inf, which the two engines would render differently."""
+    import math
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    hi = "alpha beta gamma delta epsilon zeta"  # all-distinct: high
+    rows = [(1, hi, "a"), (2, hi, "a"), (3, hi, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in TO.quality_chi2_by_source(df).collect()}
+    for src, r in got.items():
+        assert r.n_lo == 0, src
+        assert r.chi2_contrib is not None and math.isfinite(r.chi2_contrib), src
+        # o == e for the hi class when the lo class is empty everywhere
+        assert r.chi2_contrib == 0.0, src
+
+
+def test_verified_pairs_cached_explicit_key_stamp_guard(spark):
+    """VERDICT r7 ask #7: an explicit cache_key reused with a DIFFERENT
+    input (a stale-key bug) must fail loudly — the cached frame is
+    stamped with its input row count at first materialization."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (3, "unrelated content entirely different words", "en", "s1", 43),
+    ]
+    df = _docs(spark, rows)
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+    key = ("test-stamp-guard", spark.sparkContext.applicationId)
+    DD.verified_pairs_cached(df, threshold=0.0, cache_key=key).collect()
+    # same key, same input: served from cache, no complaint
+    DD.verified_pairs_cached(df, threshold=0.5, cache_key=key).collect()
+    # same key, DIFFERENT input: must raise, not silently serve stale pairs
+    df2 = _docs(spark, rows[:2])
+    with _pytest.raises(ValueError, match="different input"):
+        DD.verified_pairs_cached(df2, threshold=0.0, cache_key=key)
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+
+
+def test_edit_verify_unicode_grain_contract(spark):
+    """VERDICT r7 ask #6: q264's oracle counts BYTE edits (DuckDB),
+    the engine counts CHARACTER edits (Spark) — identical only while
+    the corpus is ASCII. Pins (a) the engine's char-grain semantics on
+    a non-ASCII pair (the SEMANTIC TRUTH side), (b) that DuckDB's
+    byte grain genuinely diverges on it, and (c) that the shipped
+    corpora are still all-ASCII, so a future testdata regeneration
+    flips THIS test red instead of q264's hash."""
+    import duckdb as _duck
+
+    # (a) char grain: 'héllo' -> 'hello' is ONE substitution in chars
+    row = spark.createDataFrame([("héllo", "hello")], "a string, b string")
+    d = row.select(F.levenshtein("a", "b").alias("d")).collect()[0]["d"]
+    assert d == 1
+    # (b) byte grain diverges: é is 2 bytes in UTF-8
+    bd = _duck.sql("select levenshtein('héllo', 'hello')").fetchone()[0]
+    assert bd == 2
+    # (c) every shipped documents corpus is all-ASCII (strlen = bytes,
+    # length = chars in DuckDB)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_bad = _duck.sql(
+            f"select count(*) from '/root/testdata/{sf}/documents.parquet' "
+            "where strlen(text) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, (
+            f"{sf}: {n_bad} non-ASCII documents — q264's oracle now "
+            "fails loudly (ascii_guard CTE) and the engine (char-grain) "
+            "side is the semantic truth"
+        )

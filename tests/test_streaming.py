@@ -904,3 +904,56 @@ def test_stream_embedding_gate_sustained_flat_per_batch(spark, tmp_path):
     assert max(trig[half:]) <= 4 * head_median + 500, trig
     docs_per_sec = (n_batches * per_batch) / elapsed
     assert docs_per_sec > 1.0, f"sustained embedding gate {docs_per_sec:.1f} docs/s"
+
+
+def test_dedup_gate_probe_excludes_own_batch_on_replay(spark, tmp_path):
+    """ADVICE r7 medium (text-gate side): after a crash between the
+    store append and the checkpoint commit, the replayed batch's probe
+    must EXCLUDE the rows its first attempt appended (batch_id stamp).
+    Same-ID self-matches are already blocked by the probe's id
+    inequality; the real window is TWO intra-batch near-dups — both
+    pass the gate (LSH probing is batch-vs-store by design), both get
+    appended, and an unguarded replay then matches each against the
+    OTHER's appended copy, flipping both accepted→rejected."""
+    from githubrepostorag_spark.operators.dedup import (
+        append_to_dedup_store,
+        incremental_near_dups,
+        write_dedup_store,
+    )
+
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    fresh = "completely fresh unrelated words appear in this document body"
+    write_dedup_store(spark.createDataFrame([(1, base)], schema), store)
+    # 100 near-copies the STORE doc; 101/102 near-copy EACH OTHER only
+    batch = spark.createDataFrame(
+        [(100, base + " tail"), (101, fresh), (102, fresh + " tail")],
+        schema,
+    )
+    # decisions on the pre-append store: only 100 is a near-copy
+    first = {
+        r.new_id
+        for r in incremental_near_dups(
+            spark, store, batch, exclude_batch_id=0
+        ).collect()
+    }
+    assert first == {100}
+    # simulate the first attempt's append landing before the crash
+    append_to_dedup_store(
+        batch.filter(F.col("doc_id").isin([101, 102])), store, batch_id=0
+    )
+    # replay with the exclusion: identical decisions (101/102 not flipped)
+    replay = {
+        r.new_id
+        for r in incremental_near_dups(
+            spark, store, batch, exclude_batch_id=0
+        ).collect()
+    }
+    assert replay == {100}
+    # without the exclusion the replay matches 101 and 102 against each
+    # other's appended copies — the contradictory-logs failure mode
+    unguarded = {
+        r.new_id for r in incremental_near_dups(spark, store, batch).collect()
+    }
+    assert unguarded == {100, 101, 102}

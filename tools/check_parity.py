@@ -13,6 +13,10 @@ the driver's md5 value hash:
   tolerance does NOT apply (the round-6 driver reds q229/q230 were both
   invisible to the old ``np.allclose`` comparator; see VERDICT round 6
   "What's wrong" #3);
+* results are fetched through ARROW on both engines, so SQL NULL stays
+  ``None`` and a genuinely computed NaN stays ``nan`` — a NaN-vs-NULL
+  divergence is a hard failure (strict-v3; under ``toPandas`` both
+  collapsed to NaN in float columns and the divergence was invisible);
 * lists/arrays recurse element-wise.
 
 Usage: python tools/check_parity.py [sf_dir] [query_name ...]
@@ -20,6 +24,7 @@ Usage: python tools/check_parity.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import sys
 import time
@@ -34,7 +39,10 @@ import __spark_entry__ as entry_mod
 from githubrepostorag_spark.session import get_spark
 from githubrepostorag_spark.sources.testdata import TABLES
 
-COMPARATOR_VERSION = "strict-v2 (exact typed repr; int-vs-float and -0.0 are hard failures)"
+COMPARATOR_VERSION = (
+    "strict-v3 (exact typed repr via Arrow; int-vs-float, -0.0 AND "
+    "NaN-vs-NULL are hard failures)"
+)
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -50,7 +58,12 @@ def canon_cell(v) -> str:
     The type prefix makes integer-vs-float a value mismatch (DuckDB's
     HUGEINT ``sum()`` reaching pandas as float64 must FAIL against
     Spark's int64).  ``repr(float)`` keeps the sign of zero, so
-    ``-0.0`` != ``0.0``.
+    ``-0.0`` != ``0.0``.  Results are fetched through ARROW on both
+    engines (``fetch_spark`` / ``fetch_duck``), which preserves the
+    NULL-vs-NaN distinction pandas float columns lose — a genuine
+    computed NaN renders ``float:nan`` and FAILS against a NULL on the
+    other engine (strict-v3; under toPandas both collapsed to NULL and
+    the divergence was invisible).
     """
     if isinstance(v, (list, tuple)):
         return "list:[" + ",".join(canon_cell(x) for x in v) + "]"
@@ -67,11 +80,25 @@ def canon_cell(v) -> str:
         return f"int:{int(v)}"
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        if f != f:  # NaN — pandas renders SQL NULL as NaN in float cols
-            return "NULL"
+        if f != f:  # genuine computed NaN (NULL is None under Arrow)
+            return "float:nan"
         return f"float:{f!r}"
-    if isinstance(v, (pd.Timestamp,)):
+    if type(v).__name__ == "Decimal":
+        # the external driver fetches through pandas, which coerces
+        # DECIMAL to float64 — render as float to stay in the driver's
+        # equivalence class (oracles should still CAST to DOUBLE at the
+        # source; q245's threshold literal list was the one offender)
+        return f"float:{float(v)!r}"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        # Spark's Arrow export carries the UTC session tz, DuckDB's
+        # TIMESTAMP is naive — normalize to naive UTC before rendering
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"date:{v.isoformat()}"
     if isinstance(v, bytes):
         return f"bytes:{v.hex()}"
     try:
@@ -82,13 +109,23 @@ def canon_cell(v) -> str:
     return f"{type(v).__name__}:{v!r}"
 
 
-def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    cols = sorted(df.columns)
-    rows = [
-        tuple(canon_cell(df[c].iloc[i]) for c in cols) for i in range(len(df))
-    ]
-    rows.sort()
-    return rows
+def fetch_spark(df) -> tuple[list[str], list[dict]]:
+    """(columns, rows-as-dicts) via Arrow: NULL arrives as None, a
+    computed NaN as float('nan') — distinguishable, unlike toPandas."""
+    tbl = df.toArrow()
+    return list(tbl.column_names), tbl.to_pylist()
+
+
+def fetch_duck(con, sql: str) -> tuple[list[str], list[dict]]:
+    tbl = con.execute(sql).arrow()
+    return list(tbl.column_names), tbl.to_pylist()
+
+
+def canon_rows(cols: list[str], rows: list[dict]) -> list[tuple[str, ...]]:
+    scols = sorted(cols)
+    out = [tuple(canon_cell(r[c]) for c in scols) for r in rows]
+    out.sort()
+    return out
 
 
 def value_hash(rows: list[tuple[str, ...]]) -> str:
@@ -99,21 +136,23 @@ def value_hash(rows: list[tuple[str, ...]]) -> str:
     return h.hexdigest()
 
 
-def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+def compare(spark_res, duck_res) -> list[str]:
+    (s_cols, s_rows), (d_cols, d_rows) = spark_res, duck_res
     problems: list[str] = []
-    if sorted(spark_df.columns) != sorted(duck_df.columns):
+    if sorted(s_cols) != sorted(d_cols):
         problems.append(
-            f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+            f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
         )
         return problems
-    if len(spark_df) != len(duck_df):
+    if len(s_rows) != len(d_rows):
         problems.append(
-            f"row count differs: spark={len(spark_df)} duck={len(duck_df)}"
+            f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
         )
         return problems
-    a, b = canon_rows(spark_df), canon_rows(duck_df)
+    a = canon_rows(s_cols, s_rows)
+    b = canon_rows(d_cols, d_rows)
     if value_hash(a) != value_hash(b):
-        cols = sorted(spark_df.columns)
+        cols = sorted(s_cols)
         n_bad = 0
         for ra, rb in zip(a, b):
             if ra != rb:
@@ -145,25 +184,27 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            s_res = fetch_spark(fn(spark, sf_dir))
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            print(
+                f"SKIP {name}: no oracle (rows={len(s_res[1])}) [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            d_res = fetch_duck(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        probs = compare(sdf, ddf)
+        probs = compare(s_res, d_res)
         status = "OK  " if not probs else "FAIL"
         if probs:
             failures += 1
-        print(f"{status} {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+        print(f"{status} {name}: rows={len(s_res[1])} [{time.time()-t0:.1f}s]")
         for p in probs:
             print(f"     - {p}")
     print(f"\n{failures} failures")
