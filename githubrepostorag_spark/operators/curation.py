@@ -1677,3 +1677,63 @@ def source_jsd_matrix(documents: DataFrame) -> DataFrame:
             0.5 * (F.col("sp") + only_a) + 0.5 * (F.col("sq") + only_b), 6
         ).alias("js_bits"),
     )
+
+
+NGRAM_COVERAGE_NS = (1, 2, 3)
+
+
+def ngram_coverage_depth(
+    documents: DataFrame,
+    ns: tuple[int, ...] = NGRAM_COVERAGE_NS,
+    val_permille: int = 10,
+    test_permille: int = 10,
+) -> DataFrame:
+    """Contamination DEPTH profile between the deterministic train and
+    test splits (q83's hash buckets): for each n in `ns`, the fraction
+    of the test split's distinct word n-grams that also occur anywhere
+    in the train split. Unigram coverage near 1000‰ is expected (shared
+    vocabulary); rising coverage at n=3+ means the eval set shares
+    phrasing, not just words — the graded signal the binary
+    decontamination gates (q70's 8-gram overlap, q120's bloom) collapse
+    to one bit. Track it per corpus version: a coverage jump at high n
+    is an eval leak introduced by ingestion.
+
+    One tokenize feeding |ns| explode branches unioned, one
+    groupBy(n, gram) computing each gram's split membership (two max
+    flags — partial-aggregated, so the shuffle carries one row per
+    (n, gram)), one |ns|-row final agg. Exact integer permille.
+    """
+    split_df = train_split(
+        documents, val_permille=val_permille, test_permille=test_permille
+    ).select("split", "text")
+    branches = [
+        split_df.select(
+            F.lit(int(n)).cast("long").alias("n"),
+            "split",
+            F.explode(TXT.word_ngrams(F.col("text"), int(n))).alias("gram"),
+        )
+        for n in ns
+    ]
+    allg = branches[0]
+    for b in branches[1:]:
+        allg = allg.unionByName(b)
+    membership = allg.groupBy("n", "gram").agg(
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+    )
+    return (
+        membership.filter(F.col("in_test") == 1)
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_grams"),
+            F.sum("in_train").cast("long").alias("n_covered"),
+        )
+        .select(
+            "n",
+            "n_test_grams",
+            "n_covered",
+            F.expr("n_covered * 1000 div n_test_grams").cast("long").alias(
+                "coverage_permille"
+            ),
+        )
+    )

@@ -1643,3 +1643,55 @@ def dedup_impact_by_source(documents: DataFrame) -> DataFrame:
             .alias("shed_permille"),
         )
     )
+
+
+def dup_token_inflation(documents: DataFrame) -> DataFrame:
+    """Per-source TOKEN-mass accounting of exact duplication: how much
+    of each source's token volume is duplicate mass (its docs whose
+    normalized content hash already has a smaller-id canonical anywhere
+    in the corpus). q266 counts DOCUMENTS through the near-dup
+    components; this weighs exact copies by the tokens a training run
+    would actually re-consume — the number a token-budgeted mixture
+    plan (q202/q234) must subtract, since feeding N copies of a 10k-
+    token document costs N·10k of budget for one document's signal.
+
+    One fingerprint+token-count scan, one groupBy(fp) for the global
+    min-id canonical, one broadcast-size join back, one groupBy(source).
+    All counts exact longs; the share is exact integer permille.
+    """
+    base = documents.select(
+        "doc_id",
+        "source",
+        TXT.token_count(F.col("text")).cast("long").alias("n_toks"),
+        TXT.fingerprint(F.col("text")).alias("fp"),
+    )
+    canon = base.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    j = base.join(canon, "fp")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") == F.col("canon_id"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("doc_id") == F.col("canon_id"), F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("canonical_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "total_tokens",
+            "canonical_tokens",
+            (F.col("total_tokens") - F.col("canonical_tokens")).alias("dup_tokens"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.expr("(total_tokens - canonical_tokens) * 1000 div total_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_token_permille"),
+        )
+    )

@@ -3271,3 +3271,183 @@ def template_prefixes(
         )
         .filter(F.col("n_docs") >= int(min_docs))
     )
+
+
+PROFILE_TOP_TOKENS = 20
+
+
+def token_profile_anomaly(
+    documents: DataFrame, top_m: int = PROFILE_TOP_TOKENS
+) -> DataFrame:
+    """Per-document style-anomaly score: the L1 distance between the
+    document's token distribution RESTRICTED to the corpus's `top_m`
+    most frequent tokens (its "function-word profile") and the corpus
+    distribution over those same tokens. Machine-generated spam,
+    concatenation glitches, and wrong-register documents all show a
+    function-word profile far from the corpus norm even when their
+    content words look plausible — the stylometric screen next to the
+    content-level quality gates (q17/q79) and source-level KL (q81).
+
+    Closed form: with the profile normalized to mass 1, L1 =
+    sum_present(|p_doc - p_corpus| - p_corpus) + 1.0 — absent profile
+    tokens never materialize rows (the q260 exclusive-mass trick).
+    Scale shape: one token explode; the corpus profile is a top_m-row
+    broadcast (deterministic count DESC, token ASC cut); the per-doc
+    agg keys on doc_id. Docs containing NO profile token have no
+    restricted distribution: score NULL, n_profile_tokens 0.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    profile_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(top_m))
+    )
+    total = profile_counts.agg(F.sum("c").cast("double").alias("tc"))
+    profile = F.broadcast(
+        profile_counts.crossJoin(F.broadcast(total)).select(
+            "tok", (F.col("c") / F.col("tc")).alias("p_c")
+        )
+    )
+    per_doc_tok = (
+        toks.join(profile, "tok")
+        .groupBy("doc_id", "tok", "p_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_d"))
+    )
+    w = Window.partitionBy("doc_id")
+    scored = (
+        per_doc_tok.withColumn("tot_d", F.sum("c_d").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max("tot_d").cast("long").alias("n_profile_tokens"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("c_d") / F.col("tot_d") - F.col("p_c"))
+                    - F.col("p_c")
+                )
+                + F.lit(1.0),
+                6,
+            ).alias("l1_anomaly"),
+        )
+    )
+    return documents.select("doc_id", "source").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_profile_tokens", F.lit(0)).cast("long").alias(
+            "n_profile_tokens"
+        ),
+        "l1_anomaly",
+    )
+
+
+MAD_OUTLIER_K = 3.0
+
+
+def length_mad_outliers(documents: DataFrame, k: float = MAD_OUTLIER_K) -> DataFrame:
+    """Per-source robust length-outlier screen: median and MAD (median
+    absolute deviation) of n_chars, and how many of the source's docs
+    sit more than `k`·MAD from the median — the heavy-tail-safe
+    companion to the mean/stddev length profile (q64): one pathological
+    100 MB document moves a mean but not a median, so the MAD screen
+    flags IT instead of shifting the fence for everyone else (q162's
+    robust-outlier rule, applied at the curation grain).
+
+    Exactness: medians of integer lengths are exact halves (both
+    engines interpolate the even-count midpoint identically), deviations
+    are exact, and the k·MAD comparison is between exactly-representable
+    doubles — bit-stable cross-engine with NO rounding tricks. Two
+    aggs + one join, all keyed on source.
+    """
+    per_med = documents.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = documents.select("source", "n_chars").join(per_med, "source").withColumn(
+        "dev", F.abs(F.col("n_chars").cast("double") - F.col("med_chars"))
+    )
+    stats = dev.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.first("med_chars").alias("med_chars"),
+        F.expr("percentile(dev, 0.5)").alias("mad_chars"),
+    )
+    outl = (
+        dev.join(stats.select("source", F.col("mad_chars").alias("m2")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("dev") > F.lit(float(k)) * F.col("m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        stats.join(outl, "source")
+        .select(
+            "source",
+            "n_docs",
+            "med_chars",
+            "mad_chars",
+            "n_outliers",
+            F.expr("n_outliers * 1000 div n_docs").cast("long").alias(
+                "outlier_permille"
+            ),
+        )
+    )
+
+
+WINNOW_PAIR_MAX_DF = 10
+WINNOW_PAIR_MIN_SHARED = 2
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    max_df: int = WINNOW_PAIR_MAX_DF,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+) -> DataFrame:
+    """Cross-document overlap detection by shared winnowing
+    fingerprints — the MOSS pairing step on top of q53's per-doc
+    fingerprint sets: two documents sharing >= `min_shared` fingerprints
+    share (with winnowing's guarantee) substrings of length
+    >= WINNOW_K + WINNOW_WINDOW - 1, and the containment score
+    n_shared / min(|fps_a|, |fps_b|) ranks partial-copy pairs that
+    doc-grain MinHash (q34) under-scores when the copied block is small
+    relative to the larger document.
+
+    Ubiquitous fingerprints (document frequency > `max_df`) are dropped
+    BEFORE pairing — MOSS's "ignore matches in too many documents"
+    rule. That is also the scale bound: the fingerprint self-join emits
+    at most df² pairs per fingerprint, so capping df caps per-key pair
+    work; sizes and containment are computed over the same rare-only
+    sets the pairing saw. One winnow pass, one df-filter, one
+    equi-self-join on fingerprint.
+    """
+    fps = winnow_fingerprints(documents).localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_df))
+        .select("fingerprint")
+    )
+    f2 = fps.join(rare, "fingerprint", "left_semi").localCheckpoint(eager=False)
+    sizes = f2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

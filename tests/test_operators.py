@@ -3723,3 +3723,93 @@ def test_edit_verify_unicode_grain_contract(spark):
             "fails loudly (ascii_guard CTE) and the engine (char-grain) "
             "side is the semantic truth"
         )
+
+
+def test_token_profile_anomaly_detects_off_profile_doc(spark):
+    """q267: a doc whose function-word mix diverges from the corpus
+    norm scores higher than an in-profile doc; a doc with NO profile
+    tokens gets NULL + 0 count; closed form bounded by [0, 2]."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    # corpus dominated by 'alpha beta': profile = those tokens
+    rows = [(i, "alpha beta alpha beta", "s0") for i in range(1, 9)]
+    rows.append((9, "alpha alpha alpha alpha", "s0"))   # skewed mix
+    rows.append((10, "zzz yyy xxx www", "s1"))          # off-profile entirely
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in TO.token_profile_anomaly(df, top_m=2).collect()}
+    assert got[10].l1_anomaly is None and got[10].n_profile_tokens == 0
+    assert got[1].l1_anomaly is not None and got[9].l1_anomaly is not None
+    assert got[9].l1_anomaly > got[1].l1_anomaly
+    for r in got.values():
+        if r.l1_anomaly is not None:
+            assert 0.0 <= r.l1_anomaly <= 2.0
+
+
+def test_ngram_coverage_depth_graded_signal(spark):
+    """q268: coverage must be exact-integer permille and can only
+    shrink (or hold) as n grows on a fixed corpus split."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {r.n: r for r in CU.ngram_coverage_depth(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for n, r in rows.items():
+        assert 0 <= r.n_covered <= r.n_test_grams
+        assert r.coverage_permille == r.n_covered * 1000 // r.n_test_grams
+    assert rows[1].coverage_permille >= rows[3].coverage_permille
+
+
+def test_dup_token_inflation_mirror_accounting(spark):
+    """q269: a full mirror source loses ALL its token mass (1000 permille
+    duplicate) while original sources keep their canonicals."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    rows = [
+        (1, "alpha beta gamma delta", "orig"),
+        (2, "epsilon zeta eta theta iota", "orig"),
+        (101, "alpha beta gamma delta", "mirror"),
+        (102, "epsilon zeta eta theta iota", "mirror"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in DDm.dup_token_inflation(df).collect()}
+    assert got["orig"].n_dup_docs == 0 and got["orig"].dup_token_permille == 0
+    assert got["mirror"].n_dup_docs == 2
+    assert got["mirror"].canonical_tokens == 0
+    assert got["mirror"].dup_tokens == got["mirror"].total_tokens == 9
+    assert got["mirror"].dup_token_permille == 1000
+
+
+def test_length_mad_outliers_flags_tail_not_fence(spark):
+    """q270: one pathological giant moves neither the median nor the
+    MAD materially — it gets flagged; a mean/stddev fence would have
+    shifted instead."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    rows = [(i, "x", "s0", 100 + i) for i in range(9)]  # 100..108
+    rows.append((99, "x", "s0", 1_000_000))             # the giant
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    r = TO.length_mad_outliers(df).collect()[0]
+    assert r.n_docs == 10
+    assert 100 <= r.med_chars <= 108.5
+    assert r.n_outliers == 1 and r.outlier_permille == 100
+
+
+def test_winnow_overlap_pairs_max_df_bounds_pairing(spark):
+    """q271: a copied block yields a high-containment pair; a
+    boilerplate fingerprint shared by MANY docs is dropped by the
+    max_df rule and creates NO pairs."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    block = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    boiler = "standard header everyone shares verbatim in every file here"
+    rows = [(1, block + " unique tail one", "s0"),
+            (2, block + " other ending entirely", "s0")]
+    rows += [(10 + i, boiler + f" doc body {i} varies", "s1") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = {(r.doc_a, r.doc_b): r for r in
+             TO.winnow_overlap_pairs(df, max_df=4, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment > 0.3
+    # boilerplate-only pairs are suppressed: its fingerprints have df=12 > 4
+    assert all(a == 1 and b == 2 for (a, b) in pairs), pairs
