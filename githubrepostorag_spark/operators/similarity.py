@@ -1557,6 +1557,101 @@ def incremental_knn_probe(
     )
 
 
+def broadcast_knn_probe(
+    store_cells: DataFrame, batch_cells: DataFrame, k: int = KNN_GRAPH_K
+) -> DataFrame:
+    """`incremental_knn_probe` with the BATCH broadcast into the store
+    partitions instead of shuffling the store to the batch: the store
+    side (already cell-partitioned on disk and cell-pruned by the
+    caller) is scanned in place by `mapInPandas`, each partition scores
+    its rows against the (micro-batch-sized, driver-collected) batch
+    and emits per-partition top-k candidates; only those
+    |batch|·|partitions|·k candidate rows shuffle for the final
+    per-vector merge. Same results, ranks, and (score DESC, nbr_id ASC)
+    tie discipline as `incremental_knn_probe` — pinned equal by
+    `test_operators.test_broadcast_probe_matches_shuffle_probe` — but
+    ZERO store rows move: the admission gate's steady-state cost is a
+    pruned scan plus a candidate-sized shuffle.
+
+    Contract: `batch_cells` must be micro-batch-sized (it is collected
+    to the driver and captured by the kernel closure — at 384 double
+    dims, 10k vectors ≈ 30 MB). For batch-scale backfills use
+    `incremental_knn_probe`, whose cost is a store-side shuffle instead.
+    """
+    import numpy as np
+
+    rows = batch_cells.select("cell", "vec_id", "embedding").collect()
+    spark = batch_cells.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "vec_id long, nbr_id long, score double, rk long"
+        )
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], ([], []))
+        by_cell[r["cell"]][0].append(int(r["vec_id"]))
+        by_cell[r["cell"]][1].append([float(x) for x in r["embedding"]])
+    bc = {
+        c: (np.asarray(ids, dtype="int64"), np.asarray(vs, dtype="float64"))
+        for c, (ids, vs) in by_cell.items()
+    }
+
+    def part_topk(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            out = []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                hit = bc.get(cell)
+                if hit is None or grp.empty:
+                    continue
+                ids_new, mn = hit
+                mo = np.stack(grp["embedding"].to_numpy()).astype("float64")
+                sims = np_round_half_away(
+                    (mn @ mo.T)
+                    / np.outer(
+                        np.linalg.norm(mn, axis=1), np.linalg.norm(mo, axis=1)
+                    ),
+                    6,
+                )
+                ids_old = grp["vec_id"].to_numpy()
+                kk = min(k, sims.shape[1])
+                # columns presorted by id: stable argsort's tie order IS
+                # the (score DESC, nbr_id ASC) oracle discipline
+                perm = np.argsort(ids_old, kind="stable")
+                ids_sorted = ids_old[perm]
+                m_sorted = sims[:, perm]
+                idx = np.argsort(-m_sorted, axis=1, kind="stable")[:, :kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(ids_new, kk),
+                            "nbr_id": ids_sorted[idx].ravel(),
+                            "score": np.take_along_axis(
+                                m_sorted, idx, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out).astype(
+                    {"vec_id": "int64", "nbr_id": "int64", "score": "float64"}
+                )
+
+    cand = store_cells.select("cell", "vec_id", "embedding").mapInPandas(
+        part_topk, schema="vec_id long, nbr_id long, score double"
+    )
+    # per-partition top-k is a superset of the global top-k per vector;
+    # one candidate-sized window finishes the merge
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "nbr_id", "score", "rk")
+    )
+
+
 def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
     """Semantic clustering by mutual-kNN components: connect two
     vectors iff EACH is in the other's top-k (the mutuality filter

@@ -360,8 +360,8 @@ def _embedding_gate_batch(
     from githubrepostorag_spark.operators.similarity import (
         _assign_cells,
         append_ivf_sidecar,
+        broadcast_knn_probe,
         centroids_from_sidecar,
-        incremental_knn_probe,
     )
 
     spark = batch.sparkSession
@@ -383,7 +383,9 @@ def _embedding_gate_batch(
         .filter(F.col("cell").isin(batch_cells))
         .filter(F.col("batch_id") != F.lit(int(batch_id)))
     )
-    top1 = incremental_knn_probe(
+    # broadcast probe: the micro-batch rides into the store partitions,
+    # so ZERO store rows shuffle — the scan is the whole store-side cost
+    top1 = broadcast_knn_probe(
         store.select("cell", "vec_id", F.col("ve").alias("embedding")),
         assigned.select("cell", "vec_id", "embedding"),
         k=1,

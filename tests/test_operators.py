@@ -3813,3 +3813,33 @@ def test_winnow_overlap_pairs_max_df_bounds_pairing(spark):
     assert pairs[(1, 2)].containment > 0.3
     # boilerplate-only pairs are suppressed: its fingerprints have df=12 > 4
     assert all(a == 1 and b == 2 for (a, b) in pairs), pairs
+
+
+def test_broadcast_probe_matches_shuffle_probe(spark):
+    """broadcast_knn_probe must return EXACTLY incremental_knn_probe's
+    rows, scores, and ranks — same 6dp rounding, same (score DESC,
+    nbr_id ASC) tie discipline — while moving zero store rows."""
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.operators.similarity import (
+        _assign_cells,
+        _centroid_arrays,
+    )
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _centroid_arrays(emb.filter(F.col("vec_id") % 10 != 7))
+    sc = _assign_cells(emb.filter(F.col("vec_id") % 10 != 7), cents).select(
+        "cell", "vec_id", "embedding"
+    )
+    bc = _assign_cells(emb.filter(F.col("vec_id") % 10 == 7), cents).select(
+        "cell", "vec_id", "embedding"
+    )
+    want = sorted(
+        map(tuple, S.incremental_knn_probe(sc, bc, k=5).collect())
+    )
+    got = sorted(map(tuple, S.broadcast_knn_probe(sc, bc, k=5).collect()))
+    assert got == want
+    assert len(got) > 0
+    # empty batch: empty typed frame, no crash
+    empty = S.broadcast_knn_probe(sc, bc.limit(0), k=5)
+    assert empty.count() == 0

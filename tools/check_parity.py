@@ -98,7 +98,10 @@ def canon_cell(v) -> str:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return f"ts:{v.isoformat()}"
     if isinstance(v, _dt.date):
-        return f"date:{v.isoformat()}"
+        # pandas (the driver's fetch path) coerces DATE to a midnight
+        # Timestamp, so Spark date_trunc (TIMESTAMP) vs DuckDB DATE is
+        # equal under the driver's hash — stay in that equivalence class
+        return f"ts:{v.isoformat()}T00:00:00"
     if isinstance(v, bytes):
         return f"bytes:{v.hex()}"
     try:
