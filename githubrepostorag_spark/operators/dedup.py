@@ -1134,6 +1134,52 @@ def append_to_dedup_store(
     ).sortWithinPartitions("fp").write.mode("append").parquet(path + "/fingerprints")
 
 
+def compact_dedup_store(spark: SparkSession, path: str) -> None:
+    """Offline compaction of the persisted LSH dedup store: a streaming
+    gate appends one small file set per micro-batch to each of the
+    three tables (signatures / bands / fingerprints), and the probe's
+    single store scan degrades as the file count grows — the
+    append-only firehose sink's classic failure mode, same as the IVF
+    store (`similarity.compact_ivf_store`). Each table is rewritten in
+    one pass: replay duplicates reconciled ((doc_id, batch_id) grain —
+    the documented at-least-once read-side dedup, applied once at
+    rest), batch_id folded to -1, the bands table re-partitioned by
+    band_idx and re-sorted on band_val so parquet row-group skipping
+    serves point probes again.
+
+    Run OFFLINE with no gate in flight: folding batch ids collapses
+    the per-batch replay-exclusion keys, so a batch replayed ACROSS a
+    compaction boundary would re-append its rows.
+    """
+    sigs = (
+        spark.read.parquet(path + "/signatures")
+        .dropDuplicates(["doc_id", "batch_id"])
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)  # pin before overwriting its source
+    )
+    sigs.coalesce(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(path + "/signatures")
+    bands = (
+        spark.read.parquet(path + "/bands")
+        .dropDuplicates(["doc_id", "band_idx", "band_val", "batch_id"])
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    bands.repartition("band_idx").sortWithinPartitions("band_val").write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path + "/bands")
+    fps = (
+        spark.read.parquet(path + "/fingerprints")
+        .dropDuplicates(["doc_id", "batch_id"])
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    fps.coalesce(spark.sparkContext.defaultParallelism).sortWithinPartitions(
+        "fp"
+    ).write.mode("overwrite").parquet(path + "/fingerprints")
+
+
 def incremental_exact_dups(
     spark: SparkSession, path: str, new_docs: DataFrame
 ) -> DataFrame:

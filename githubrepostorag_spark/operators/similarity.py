@@ -935,6 +935,40 @@ def append_ivf_sidecar(prepped: DataFrame, path: str, batch_id: int = -1) -> Non
     )
 
 
+def compact_ivf_store(spark, path: str) -> None:
+    """Offline compaction of an IVF store a streaming gate has been
+    appending to: every micro-batch leaves its own small parquet files
+    in the cells it touched, and after N batches a cell directory holds
+    N file sets — file-count growth is the classic failure mode of any
+    append-only firehose sink (the text store's `compact_dedup_store`
+    twin). Rewrites each cell as one shuffle partition's worth of
+    files (the same repartition("cell") layout the base writer uses,
+    parallel across cells), reconciles
+    at-least-once replay duplicates (same (vec_id, batch_id) appended
+    twice keeps one row — this is the documented read-side dedup,
+    applied once at rest), folds batch_id to -1, and rebuilds the
+    centroid sidecar from the compacted partials.
+
+    Run it like table-format snapshot expiry: OFFLINE, with no gate in
+    flight — folding batch ids collapses the per-batch replay keys, so
+    a batch replayed ACROSS a compaction boundary would re-append.
+    Existing cell ASSIGNMENTS are preserved verbatim (no re-assignment,
+    no centroid drift); only the file layout changes.
+    """
+    store = (
+        spark.read.parquet(path)
+        .dropDuplicates(["vec_id", "batch_id"])
+        .select("vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell")
+        .localCheckpoint(eager=True)  # pin before overwriting its source
+    )
+    store.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path
+    )
+    cell_sum_partials(store, -1).coalesce(1).write.mode("overwrite").parquet(
+        ivf_sidecar_path(path)
+    )
+
+
 def write_ivf_store(embeddings: DataFrame, path: str) -> None:
     """Materialize the vector table partitioned by assigned IVF cell:
     parquet directory per cell, rows carrying the prepared (cast +

@@ -962,3 +962,108 @@ def test_dedup_gate_probe_excludes_own_batch_on_replay(spark, tmp_path):
         r.new_id for r in incremental_near_dups(spark, store, batch).collect()
     }
     assert unguarded == {100, 101, 102}
+
+
+def test_compact_ivf_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
+    """Compaction must (a) cut the per-cell file count the gate's
+    appends accumulated, (b) keep centroids bit-identical, (c) keep
+    probe decisions identical, and (d) reconcile replay duplicates."""
+    import glob
+    import os as _os
+
+    from githubrepostorag_spark.operators.similarity import (
+        broadcast_knn_probe,
+        centroids_from_sidecar,
+        compact_ivf_store,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.sources.testdata import load_table
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    path = str(tmp_path / "ivf")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    write_ivf_store(emb.filter(F.col("vec_id") % 5 != 0), path)
+    # several appends + one simulated replay (duplicate rows on disk)
+    held = emb.filter(F.col("vec_id") % 5 == 0).limit(30).collect()
+    for b in range(3):
+        rows = held[b * 10:(b + 1) * 10]
+        batch = spark.createDataFrame(rows, emb.schema)
+        _embedding_gate_batch(
+            batch, b, path, str(tmp_path / "a"), str(tmp_path / "r"), 0.9999
+        )
+    batch = spark.createDataFrame(held[20:30], emb.schema)
+    _embedding_gate_batch(  # replay of batch 2
+        batch, 2, path, str(tmp_path / "a"), str(tmp_path / "r"), 0.9999
+    )
+
+    cents_before = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path).collect()
+    }
+    n_logical = spark.read.parquet(path).dropDuplicates(
+        ["vec_id", "batch_id"]
+    ).count()
+    files_before = len(glob.glob(_os.path.join(path, "cell=*", "*.parquet")))
+
+    compact_ivf_store(spark, path)
+
+    files_after = len(glob.glob(_os.path.join(path, "cell=*", "*.parquet")))
+    assert files_after < files_before
+    post = spark.read.parquet(path)
+    assert post.count() == n_logical  # replay duplicates reconciled
+    assert post.select("batch_id").distinct().collect()[0][0] == -1
+    cents_after = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path).collect()
+    }
+    assert set(cents_after) == set(cents_before)
+    for c in cents_before:
+        assert cents_after[c] == pytest.approx(cents_before[c], abs=1e-12), c
+    # probe decisions unchanged through compaction
+    probe_batch = spark.createDataFrame(held[:5], emb.schema)
+    from githubrepostorag_spark.operators.similarity import _assign_cells
+
+    frozen = centroids_from_sidecar(spark, path)
+    assigned = _assign_cells(probe_batch, frozen).select(
+        "cell", "vec_id", "embedding"
+    )
+    got = broadcast_knn_probe(
+        post.select("cell", "vec_id", F.col("ve").alias("embedding")), assigned, k=1
+    ).collect()
+    # every probed vector finds its own first-append twin at cosine 1.0
+    assert {r.vec_id for r in got} == {r["vec_id"] for r in held[:5]}
+    assert all(r.score == 1.0 for r in got)
+
+
+def test_compact_dedup_store_preserves_probe(spark, tmp_path):
+    """Text-store twin: compaction dedups replayed appends, folds
+    batch_id, and the incremental probe returns identical hits."""
+    from githubrepostorag_spark.operators.dedup import (
+        append_to_dedup_store,
+        compact_dedup_store,
+        incremental_near_dups,
+        write_dedup_store,
+    )
+
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    write_dedup_store(spark.createDataFrame([(1, base)], schema), store)
+    extra = spark.createDataFrame(
+        [(2, "some completely fresh words live here in this body")], schema
+    )
+    append_to_dedup_store(extra, store, batch_id=0)
+    append_to_dedup_store(extra, store, batch_id=0)  # replay duplicate
+
+    probe = spark.createDataFrame([(100, base + " tail")], schema)
+    before = sorted(
+        map(tuple, incremental_near_dups(spark, store, probe).collect())
+    )
+    compact_dedup_store(spark, store)
+    sigs = spark.read.parquet(store + "/signatures")
+    assert sigs.count() == 2  # replay duplicate reconciled
+    assert sigs.select("batch_id").distinct().collect()[0][0] == -1
+    after = sorted(
+        map(tuple, incremental_near_dups(spark, store, probe).collect())
+    )
+    assert after == before and len(after) == 1
