@@ -42,16 +42,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # queries; round 7 recorded its 11 new ops + 2 retests + 37 backlog slots
 # (backlog 104 -> 68 — the round-7 header said "-> 67", an off-by-one the r7
 # verdict flagged; the true remainder was 68: q108-q157 band 45 + q158-q183
-# band 23).  ROUND 8 head: the 5 NEW operators (q267-q271, first-time
-# coverage of new code) + the oldest 45 backlog slots (q108..q157), leaving
-# backlog 23 (q158..q183).
+# band 23).  ROUND 8 head: the 6 NEW operators (q267-q272, first-time
+# coverage of new code) + the oldest 44 backlog slots (q108..q156), leaving
+# backlog 24 (q157..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers, then the final 23 backlog slots (q158, q159, q160, q161, q162,
-# q163, q164, q165, q167, q168, q169, q170, q171, q174, q175, q176, q177,
-# q178, q179, q180, q181, q182, q183), then start the RE-TEST pass over the
-# oldest round-1 recordings (q01..q48, driver-checked only in round 1) with
-# whatever slots remain — continue that re-test band in round 10.
+# newcomers, then the final 24 backlog slots (q157, q158, q159, q160, q161,
+# q162, q163, q164, q165, q167, q168, q169, q170, q171, q174, q175, q176,
+# q177, q178, q179, q180, q181, q182, q183), then start the RE-TEST pass over
+# the oldest round-1 recordings (q01..q48, driver-checked only in round 1)
+# with whatever slots remain — continue that re-test band in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict comparator (round-7: 0 failures over all 266 queries at
@@ -63,6 +63,7 @@ _ROTATION_HEAD = [
     "q269_dup_inflation",
     "q270_length_mad",
     "q271_winnow_pairs",
+    "q272_ivf_probe_cost",
     "q108_churned_customers",
     "q109_order_coverage",
     "q110_decayed_activity",
@@ -107,7 +108,6 @@ _ROTATION_HEAD = [
     "q154_weighted_percentile",
     "q155_first_touch",
     "q156_ab_test",
-    "q157_bigram_surprisal",
 ]
 
 
@@ -1044,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q271_winnow_pairs": lambda sp, sf: TO.winnow_overlap_pairs(
             t(sp, sf, "documents")
+        ),
+        "q272_ivf_probe_cost": lambda sp, sf: S.ivf_probe_cost(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -7799,6 +7802,48 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN sizes sa ON sa.doc_id = p.doc_a
             JOIN sizes sb ON sb.doc_id = p.doc_b
+        """,
+        # IVF worst-case probe cost curve (similarity.ivf_probe_cost):
+        # q265's assignment CTE, cells ranked by occupancy, cumulative
+        # exact-permille scan share.
+        "q272_ivf_probe_cost": """
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim) AS centroid
+              FROM cent_dims GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_label) AS rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, centroid_label AS cell FROM ranked WHERE rn = 1
+            ), counts AS (
+              SELECT cell, CAST(count(*) AS BIGINT) AS cell_rows
+              FROM assigned GROUP BY cell
+            ), tot AS (SELECT CAST(sum(cell_rows) AS BIGINT) AS total FROM counts)
+            SELECT CAST(row_number() OVER (ORDER BY cell_rows DESC, cell)
+                        AS BIGINT) AS n_probes,
+                   CAST(cell AS BIGINT) AS cell, cell_rows,
+                   CAST(sum(cell_rows) OVER (ORDER BY cell_rows DESC, cell
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+                     AS cum_rows,
+                   CAST(sum(cell_rows) OVER (ORDER BY cell_rows DESC, cell
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) * 1000 // total
+                        AS BIGINT) AS cum_scan_permille
+            FROM counts CROSS JOIN tot
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

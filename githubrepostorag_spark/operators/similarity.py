@@ -2240,6 +2240,50 @@ def semdedup_survivors(
     )
 
 
+def ivf_probe_cost(embeddings: DataFrame) -> DataFrame:
+    """IVF worst-case scan-cost model: cells sorted by occupancy
+    (largest first), with the CUMULATIVE row count and exact-permille
+    corpus share a p-probe query pays when its probes land on the p
+    largest cells. This is the static table that turns q265's balance
+    audit into a serving latency bound — "n_probes=3 reads at most X‰
+    of the corpus" — and the worst-case companion to q251's measured
+    recall sweep; a skewed quantizer shows up as a cumulative curve
+    that jumps to ~1000‰ in one step (the mega-cell re-creating brute
+    force).
+
+    One broadcast-codebook assignment + one count per cell + one
+    window over the |cells|-row table. All shares exact integer
+    permille.
+    """
+    assigned = _assign_cells(embeddings, _centroid_arrays(embeddings))
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_rows")
+    )
+    total = F.broadcast(counts.agg(F.sum("cell_rows").cast("long").alias("total")))
+    w = Window.orderBy(F.desc("cell_rows"), F.asc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(total)
+        .withColumn("cum_rows", F.sum("cell_rows").over(w).cast("long"))
+        .withColumn(
+            "n_probes",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cell_rows"), F.asc("cell")))
+            .cast("long"),
+        )
+        .select(
+            "n_probes",
+            F.col("cell").cast("long").alias("cell"),
+            "cell_rows",
+            "cum_rows",
+            F.expr("cum_rows * 1000 div total").cast("long").alias(
+                "cum_scan_permille"
+            ),
+        )
+    )
+
+
 def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
     """IVF coarse-quantizer balance audit: per-cell occupancy with its
     integer-permille share and the imbalance vs the uniform ideal — the

@@ -3843,3 +3843,21 @@ def test_broadcast_probe_matches_shuffle_probe(spark):
     # empty batch: empty typed frame, no crash
     empty = S.broadcast_knn_probe(sc, bc.limit(0), k=5)
     assert empty.count() == 0
+
+
+def test_ivf_probe_cost_monotone_curve(spark):
+    """q272: the cumulative curve is monotone, ends at exactly the
+    corpus size (1000 permille), and cells are ranked largest-first —
+    the single-partition window is over |cells| rows only."""
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(S.ivf_probe_cost(emb).collect(), key=lambda r: r.n_probes)
+    assert rows[0].n_probes == 1
+    assert rows[-1].cum_rows == emb.count()
+    assert rows[-1].cum_scan_permille == 1000
+    for a, b in zip(rows, rows[1:]):
+        assert a.cell_rows >= b.cell_rows       # largest-first ranking
+        assert b.cum_rows == a.cum_rows + b.cell_rows
+        assert a.cum_scan_permille <= b.cum_scan_permille
