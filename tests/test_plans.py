@@ -622,3 +622,31 @@ def test_ivf_maintenance_balance_trigger(spark, tmp_path):
     assert audit["min_cell_cos"] >= 0.999999
     # the remapped store still serves every row
     assert spark.read.parquet(path).count() == n_base + 1000
+
+
+def test_round8_new_ops_plan_shapes(spark):
+    """Physical-plan pins for the round-8 operators: no cartesian
+    product anywhere (broadcast joins only), and the only global Sort
+    allowed is q267's deterministic 20-row profile cut and q272's
+    |cells|-row cost window — nothing corpus-sized sorts."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import dedup as DD
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plans = {
+        "q267": TO.token_profile_anomaly(docs),
+        "q268": CU.ngram_coverage_depth(docs),
+        "q269": DD.dup_token_inflation(docs),
+        "q270": TO.length_mad_outliers(docs),
+        "q271": TO.winnow_overlap_pairs(docs),
+        "q272": S.ivf_probe_cost(emb),
+    }
+    for name, df in plans.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
