@@ -42,16 +42,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # queries; round 7 recorded its 11 new ops + 2 retests + 37 backlog slots
 # (backlog 104 -> 68 — the round-7 header said "-> 67", an off-by-one the r7
 # verdict flagged; the true remainder was 68: q108-q157 band 45 + q158-q183
-# band 23).  ROUND 8 head: the 6 NEW operators (q267-q272, first-time
-# coverage of new code) + the oldest 44 backlog slots (q108..q156), leaving
-# backlog 24 (q157..q183).
+# band 23).  ROUND 8 head: the 7 NEW operators (q267-q273, first-time
+# coverage of new code) + the oldest 43 backlog slots (q108..q155), leaving
+# backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers, then the final 24 backlog slots (q157, q158, q159, q160, q161,
-# q162, q163, q164, q165, q167, q168, q169, q170, q171, q174, q175, q176,
-# q177, q178, q179, q180, q181, q182, q183), then start the RE-TEST pass over
-# the oldest round-1 recordings (q01..q48, driver-checked only in round 1)
-# with whatever slots remain — continue that re-test band in round 10.
+# newcomers, then the final 25 backlog slots (q156, q157, q158, q159, q160,
+# q161, q162, q163, q164, q165, q167, q168, q169, q170, q171, q174, q175,
+# q176, q177, q178, q179, q180, q181, q182, q183), then start the RE-TEST
+# pass over the oldest round-1 recordings (q01..q48, driver-checked only in
+# round 1) with whatever slots remain — continue that re-test band in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict comparator (round-7: 0 failures over all 266 queries at
@@ -64,6 +64,7 @@ _ROTATION_HEAD = [
     "q270_length_mad",
     "q271_winnow_pairs",
     "q272_ivf_probe_cost",
+    "q273_labeler_kappa",
     "q108_churned_customers",
     "q109_order_coverage",
     "q110_decayed_activity",
@@ -107,7 +108,6 @@ _ROTATION_HEAD = [
     "q152_zorder_tiles",
     "q154_weighted_percentile",
     "q155_first_touch",
-    "q156_ab_test",
 ]
 
 
@@ -1047,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q272_ivf_probe_cost": lambda sp, sf: S.ivf_probe_cost(
             t(sp, sf, "embeddings")
+        ),
+        "q273_labeler_kappa": lambda sp, sf: TO.labeler_agreement(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -7844,6 +7847,110 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) * 1000 // total
                         AS BIGINT) AS cum_scan_permille
             FROM counts CROSS JOIN tot
+        """,
+        # Cohen's kappa per source between the lexical quality labeler
+        # (q262's flag) and the Gopher battery (q220's rules) —
+        # textops.labeler_agreement. 2x2 integer contingency; po/pe in
+        # the engine's pinned expression order; pe==1 degenerate pinned.
+        "q273_labeler_kappa": f"""
+            WITH m AS (
+              SELECT doc_id, source, text,
+                     CAST(len({_TOKS}) AS BIGINT) AS nw,
+                     CAST(coalesce(list_sum(list_transform({_TOKS},
+                            tk -> length(tk))), 0) AS BIGINT) AS sl,
+                     CAST(len(list_filter({_TOKS},
+                            tk -> regexp_matches(tk, '[A-Za-z]'))) AS BIGINT) AS na,
+                     CAST(len(list_intersect(
+                            list_distinct(list_transform({_TOKS}, tk -> lower(tk))),
+                            {_sql_list(TO.GOPHER_STOPWORDS)})) AS BIGINT) AS ns,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                          AS BIGINT) AS nb,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> ends_with(rtrim(l), '...')
+                                 OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ne,
+                     CAST(len(list_distinct({_TOKS})) AS BIGINT) AS nd,
+                     CAST(len(list_filter({_TOKS},
+                            tk -> list_contains({_sql_list(STOPWORDS)}, tk)))
+                          AS BIGINT) AS nsw
+              FROM documents
+            ), lab AS (
+              SELECT source,
+                     round(0.5 * (CASE WHEN nw > 0
+                                       THEN CAST(nd AS DOUBLE) / nw ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN nw > 0
+                                         THEN CAST(nw - nsw AS DOUBLE) / nw
+                                         ELSE 0.0 END), 4)
+                       >= {TO.CHI2_QUALITY_CUT} AS a,
+                     NOT (nw < {TO.GOPHER_MIN_WORDS}
+                          OR nw > {TO.GOPHER_MAX_WORDS}
+                          OR (nw > 0 AND sl < 3 * nw)
+                          OR sl > 10 * nw
+                          OR 10 * nsym > nw
+                          OR 10 * nb > 9 * nl
+                          OR 10 * ne > 3 * nl
+                          OR (nw > 0 AND 5 * na < 4 * nw)
+                          OR ns < {TO.GOPHER_MIN_STOPWORDS}) AS b
+              FROM m
+            ), per AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_both_hi,
+                     CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a_only,
+                     CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b_only,
+                     CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_both_lo
+              FROM lab GROUP BY source
+            )
+            SELECT source, n_docs, n_both_hi, n_a_only, n_b_only, n_both_lo,
+                   round(CAST(n_both_hi + n_both_lo AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS po,
+                   round((CAST(n_both_hi + n_a_only AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))
+                         * (CAST(n_both_hi + n_b_only AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))
+                         + (1.0 - CAST(n_both_hi + n_a_only AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))
+                         * (1.0 - CAST(n_both_hi + n_b_only AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)), 6) AS pe,
+                   CASE WHEN (CAST(n_both_hi + n_a_only AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))
+                             * (CAST(n_both_hi + n_b_only AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))
+                             + (1.0 - CAST(n_both_hi + n_a_only AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE))
+                             * (1.0 - CAST(n_both_hi + n_b_only AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE)) < 1.0
+                        THEN round(
+                          (CAST(n_both_hi + n_both_lo AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE)
+                           - ((CAST(n_both_hi + n_a_only AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))
+                              * (CAST(n_both_hi + n_b_only AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))
+                              + (1.0 - CAST(n_both_hi + n_a_only AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE))
+                              * (1.0 - CAST(n_both_hi + n_b_only AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE))))
+                          / (1.0
+                             - ((CAST(n_both_hi + n_a_only AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE))
+                                * (CAST(n_both_hi + n_b_only AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE))
+                                + (1.0 - CAST(n_both_hi + n_a_only AS DOUBLE)
+                                         / CAST(n_docs AS DOUBLE))
+                                * (1.0 - CAST(n_both_hi + n_b_only AS DOUBLE)
+                                         / CAST(n_docs AS DOUBLE)))), 6)
+                        ELSE 1.0 END AS kappa
+            FROM per
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

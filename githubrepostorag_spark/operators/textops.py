@@ -3451,3 +3451,58 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def labeler_agreement(
+    documents: DataFrame, cut: float = CHI2_QUALITY_CUT
+) -> DataFrame:
+    """Per-source Cohen's kappa between two INDEPENDENT heuristic
+    quality labelers: A = lexical quality_score >= `cut` (the q17/q262
+    signal), B = passes every Gopher rule (q220's battery). Kappa is
+    chance-corrected agreement — the ensemble-health number a weak-
+    supervision pipeline (q237) or an LLM-judge panel reports before
+    anyone trusts a majority vote: two labelers that agree 90% of the
+    time are worthless if both just say "high" 95% of the time, and
+    kappa is what exposes that.
+
+    One scan builds both labels (the Gopher counts projection +
+    quality_score are column expressions), one groupBy(source) reduces
+    to the 2x2 contingency; po/pe/kappa are derived from the four
+    integer cells in a pinned expression order, rounded 6dp, with the
+    degenerate pe == 1 case (both labelers constant and identical)
+    pinned to kappa = 1.0 on both engines.
+    """
+    flags = _gopher_flag_cols()
+    any_fail = None
+    for r in GOPHER_RULES:
+        any_fail = flags[r] if any_fail is None else (any_fail | flags[r])
+    labeled = _gopher_base(documents, "text").select(
+        "source",
+        (TXT.quality_score(F.col("text")) >= F.lit(float(cut))).alias("a"),
+        (~any_fail).alias("b"),
+    )
+    per = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n_both_hi"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n_a_only"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n_b_only"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n_both_lo"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n_both_hi") + F.col("n_both_lo")).cast("double") / n
+    pa = (F.col("n_both_hi") + F.col("n_a_only")).cast("double") / n
+    pb = (F.col("n_both_hi") + F.col("n_b_only")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_both_hi",
+        "n_a_only",
+        "n_b_only",
+        "n_both_lo",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .otherwise(F.lit(1.0))
+        .alias("kappa"),
+    )

@@ -3861,3 +3861,33 @@ def test_ivf_probe_cost_monotone_curve(spark):
         assert a.cell_rows >= b.cell_rows       # largest-first ranking
         assert b.cum_rows == a.cum_rows + b.cell_rows
         assert a.cum_scan_permille <= b.cum_scan_permille
+
+
+def test_labeler_agreement_kappa_properties(spark):
+    """q273: perfect agreement gives kappa 1.0 even in the degenerate
+    all-one-class case (pe == 1 pinned); independent labelers over a
+    balanced 2x2 give kappa 0; contingency cells always sum to n."""
+    import math
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    # both pass: 55 words, nearly all distinct (quality_score ~0.98 >=
+    # 0.7), contains >= 2 Gopher stopwords, mean word length in (3, 10)
+    hi = "the quick analysis of data and " + " ".join(
+        f"word{i:02d}ix" for i in range(49)
+    )
+    # fails gopher word_count_low AND scores low lexically: both say low
+    lo = "the the the"
+    rows = [(1, hi, "s0"), (2, hi, "s0"), (3, lo, "s0"), (4, lo, "s0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = TO.labeler_agreement(df).collect()[0]
+    assert r.n_both_hi + r.n_a_only + r.n_b_only + r.n_both_lo == r.n_docs == 4
+    assert r.n_both_hi == 2 and r.n_both_lo == 2
+    assert r.po == 1.0 and r.kappa == 1.0
+
+    # degenerate: every doc agreed-high -> pe == 1 -> kappa pinned 1.0
+    df2 = spark.createDataFrame(
+        [(1, hi, "s0"), (2, hi, "s0")], "doc_id long, text string, source string"
+    )
+    r2 = TO.labeler_agreement(df2).collect()[0]
+    assert r2.pe == 1.0 and r2.kappa == 1.0 and math.isfinite(r2.kappa)
