@@ -47,11 +47,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers, then the final 25 backlog slots (q156, q157, q158, q159, q160,
-# q161, q162, q163, q164, q165, q167, q168, q169, q170, q171, q174, q175,
-# q176, q177, q178, q179, q180, q181, q182, q183), then start the RE-TEST
-# pass over the oldest round-1 recordings (q01..q48, driver-checked only in
-# round 1) with whatever slots remain — continue that re-test band in round 10.
+# newcomers + the two round-8 late additions (q274, q275 — added after the
+# head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
+# q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
+# q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
+# RE-TEST pass over the oldest round-1 recordings (q01..q48, driver-checked
+# only in round 1) with whatever slots remain — continue in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict comparator (round-7: 0 failures over all 266 queries at
@@ -1051,6 +1052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_labeler_kappa": lambda sp, sf: TO.labeler_agreement(
             t(sp, sf, "documents")
         ),
+        "q274_source_zipf": lambda sp, sf: TO.zipf_fit_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q275_codebook_confusion": lambda sp, sf: S.codebook_confusion(
+            t(sp, sf, "embeddings")
+        ),
     })
 
 
@@ -1625,6 +1632,32 @@ def _kmeans_sql(iters: int) -> str:
             SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim, centroid_v
             FROM cd{iters}"""
     )
+
+
+def _codebook_confusion_sql(iters: int) -> str:
+    """Mirror of similarity.codebook_confusion: the _kmeans_sql CTE
+    chain, with the seed assignment (assign1 — the first Lloyd round's
+    assignment IS the assignment under cent0) joined to a fresh
+    assignment under the refined cent{iters}."""
+    base = _kmeans_sql(iters)
+    ctes = base.rsplit("SELECT CAST(cell AS BIGINT)", 1)[0].rstrip().rstrip("\n")
+    return f"""{ctes}
+            , assign_ref AS (
+              SELECT vec_id, centroid_label AS cell FROM (
+                SELECT e.vec_id, c.centroid_label,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(c.centroid AS DOUBLE[])) DESC,
+                         c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent{iters} c
+              ) WHERE rn = 1
+            )
+            SELECT CAST(s.cell AS BIGINT) AS cell_seed,
+                   CAST(r.cell AS BIGINT) AS cell_refined,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   s.cell = r.cell AS stayed
+            FROM assign1 s JOIN assign_ref r USING (vec_id)
+            GROUP BY s.cell, r.cell"""
 
 
 # BPE pretokenizer pattern escaped for a DuckDB string literal.
@@ -7952,5 +7985,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1.0 END AS kappa
             FROM per
         """,
+        # Per-source Zipf fit (textops.zipf_fit_by_source): q247's
+        # DECIMAL-exact regression, windowed per source.
+        "q274_source_zipf": f"""
+            WITH freq AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY source, tok),
+            ranked AS (
+              SELECT source, f,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY f DESC, tok) AS DOUBLE) AS r
+              FROM freq
+              QUALIFY r <= {TO.ZIPF_SRC_TOP_K}),
+            terms AS (
+              SELECT source,
+                     CAST(round(ln(r), 6) AS DECIMAL(28,6)) AS x,
+                     CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(28,6)) AS y,
+                     CAST(round(ln(r) * ln(CAST(f AS DOUBLE)), 6)
+                          AS DECIMAL(28,6)) AS xy,
+                     CAST(round(ln(r) * ln(r), 6) AS DECIMAL(28,6)) AS xx,
+                     CAST(round(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 6)
+                          AS DECIMAL(28,6)) AS yy
+              FROM ranked),
+            agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_ranks,
+                     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(xy) AS DOUBLE) AS sxy,
+                     CAST(sum(xx) AS DOUBLE) AS sxx,
+                     CAST(sum(yy) AS DOUBLE) AS syy
+              FROM terms GROUP BY source)
+            SELECT source, n_ranks,
+                   round(-((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)),
+                         6) AS zipf_alpha,
+                   round(((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx))
+                         * ((n_ranks * sxy - sx * sy) / (n_ranks * syy - sy * sy)),
+                         6) AS r_squared
+            FROM agg
+        """,
+        # Seed-vs-refined codebook assignment churn
+        # (similarity.codebook_confusion): q73's unrolled Lloyd CTEs +
+        # one extra assignment under the refined codebook.
+        "q275_codebook_confusion": _codebook_confusion_sql(2),
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

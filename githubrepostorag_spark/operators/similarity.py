@@ -2317,3 +2317,48 @@ def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
         .cast("long")
         .alias("vs_uniform_permille"),
     )
+
+
+def codebook_confusion(embeddings: DataFrame, iters: int = 2) -> DataFrame:
+    """Assignment-churn matrix between the label-seeded IVF codebook
+    and its `iters`-round Lloyd refinement (q73's): one row per
+    (cell_seed, cell_refined) with the vector count and a stayed flag.
+    This is the REMAP SCOPE estimate the maintenance trigger
+    (`plans.index_maintenance`) needs before committing to a store
+    rewrite: the off-diagonal mass is exactly the fraction of rows a
+    retrain would move between cell directories — churn near zero
+    means the rewrite buys nothing, a hot off-diagonal block says
+    which cells split or merged.
+
+    Two broadcast-codebook assignments over one corpus scan each, one
+    join on vec_id, one |cells|²-bounded aggregate.
+    """
+    seed = _centroid_arrays(embeddings)
+    a_seed = _assign_cells(embeddings, seed).select(
+        "vec_id", F.col("cell").alias("cell_seed")
+    )
+    rd = kmeans_refined_centroids(embeddings, iters=iters)
+    refined = (
+        rd.groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("centroid_v")))),
+                lambda s: s["centroid_v"],
+            ).alias("centroid")
+        )
+        .select(F.col("cell").alias("centroid_label"), "centroid")
+    )
+    a_ref = _assign_cells(embeddings, refined).select(
+        "vec_id", F.col("cell").alias("cell_refined")
+    )
+    return (
+        a_seed.join(a_ref, "vec_id")
+        .groupBy("cell_seed", "cell_refined")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(
+            F.col("cell_seed").cast("long").alias("cell_seed"),
+            F.col("cell_refined").cast("long").alias("cell_refined"),
+            "n_vectors",
+            (F.col("cell_seed") == F.col("cell_refined")).alias("stayed"),
+        )
+    )

@@ -3506,3 +3506,62 @@ def labeler_agreement(
         .otherwise(F.lit(1.0))
         .alias("kappa"),
     )
+
+
+ZIPF_SRC_TOP_K = 30
+
+
+def zipf_fit_by_source(documents: DataFrame, k: int = ZIPF_SRC_TOP_K) -> DataFrame:
+    """q247's Zipf regression at the SOURCE grain: per ingestion feed,
+    the exponent alpha and fit r² over the feed's own top-`k` token
+    frequencies — the per-feed naturalness screen. A feed whose curve
+    is much flatter (template flood: many tokens equally frequent) or
+    steeper (near-constant boilerplate: one token dominating) than its
+    siblings gets reviewed before it enters the mixture, which the
+    single corpus-level fit (q247) averages away.
+
+    Same exactness discipline as q247: every per-rank term 6dp-rounded
+    and summed as DECIMAL (exact, order-independent), only the final
+    closed-form slope/r² float — identical operand order both engines.
+    One token explode, one map-side-combined count, one window bounded
+    to k rows per source.
+    """
+    freq = (
+        documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w).cast("double"))
+        .filter(F.col("r") <= float(k))
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r"))
+    dec = "decimal(28,6)"
+    terms = ranked.select(
+        "source",
+        F.round(lr, 6).cast(dec).alias("x"),
+        F.round(lf, 6).cast(dec).alias("y"),
+        F.round(lr * lf, 6).cast(dec).alias("xy"),
+        F.round(lr * lr, 6).cast(dec).alias("xx"),
+        F.round(lf * lf, 6).cast(dec).alias("yy"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "source",
+        "n_ranks",
+        F.round(-(cov / varx), 6).alias("zipf_alpha"),
+        F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
+    )

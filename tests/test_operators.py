@@ -3891,3 +3891,44 @@ def test_labeler_agreement_kappa_properties(spark):
     )
     r2 = TO.labeler_agreement(df2).collect()[0]
     assert r2.pe == 1.0 and r2.kappa == 1.0 and math.isfinite(r2.kappa)
+
+
+def test_zipf_fit_by_source_flags_template_flood(spark):
+    """q274: a natural-ish feed gets a positive alpha with decent fit;
+    a template-flooded feed (every token equally frequent) fits a flat
+    curve — alpha ~ 0. Both regressions run on per-source top-k only."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    natural = []
+    # Zipfian-ish: token i appears ~40/i times
+    for i in range(1, 9):
+        natural.extend([f"tok{i}"] * (40 // i))
+    flood = [f"flat{i}" for i in range(8)] * 5  # all equally frequent
+    rows = [(1, " ".join(natural), "nat"), (2, " ".join(flood), "tpl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in TO.zipf_fit_by_source(df, k=8).collect()}
+    assert got["nat"].n_ranks == 8 and got["tpl"].n_ranks == 8
+    assert got["nat"].zipf_alpha > 0.8
+    assert abs(got["tpl"].zipf_alpha) < 1e-6
+
+
+def test_codebook_confusion_identity_when_converged(spark):
+    """q275: refining an ALREADY-converged codebook (one vector per
+    label, centroid == the vector) moves nothing — the matrix is pure
+    diagonal; counts always sum to the corpus size."""
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    schema = "vec_id long, embedding array<float>, label int"
+    conv = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0], 1), (3, [0.0, 0.0, 1.0], 2)],
+        schema,
+    )
+    rows = S.codebook_confusion(conv).collect()
+    assert all(r.stayed for r in rows)
+    assert sum(r.n_vectors for r in rows) == 3
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m = S.codebook_confusion(emb).collect()
+    assert sum(r.n_vectors for r in m) == emb.count()
+    assert all((r.cell_seed == r.cell_refined) == r.stayed for r in m)
