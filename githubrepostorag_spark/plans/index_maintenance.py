@@ -55,6 +55,7 @@ from githubrepostorag_spark.functions import vectors as V
 from githubrepostorag_spark.operators.similarity import (
     _assign_cells,
     append_ivf_sidecar,
+    broadcast_knn_probe,
     cell_sum_partials,
     centroids_from_sidecar,
     fold_partials,
@@ -62,6 +63,7 @@ from githubrepostorag_spark.operators.similarity import (
     read_ivf_sidecar,
     write_ivf_store,
 )
+from githubrepostorag_spark.session import driver_bound_rows
 
 DRIFT_COS_THRESHOLD = 0.995  # any cell below this triggers retrain+remap
 BALANCE_PERMILLE_THRESHOLD = 3000  # any cell above 3x uniform occupancy remaps
@@ -119,15 +121,22 @@ def maintain_ivf_store(
 
     # --- probe: top-k store neighbors per new vector, reading ONLY the
     # batch's cell directories (isin on the partition column lands in
-    # the file index as PartitionFilters: untouched cells never open)
+    # the file index as PartitionFilters: untouched cells never open).
+    # Micro-batch-sized batches take the BROADCAST kernel (the batch
+    # rides into the store partitions, zero store rows shuffle — same
+    # results, pinned equal); batch-scale backfills above the
+    # driver-memory-derived bound fall back to the shuffle kernel.
     store = spark.read.parquet(path)
-    neighbors = incremental_knn_probe(
-        store.filter(F.col("cell").isin(batch_cells)).select(
-            "cell", "vec_id", F.col("ve").alias("embedding")
-        ),
-        assigned.select("cell", "vec_id", "embedding"),
-        k=k,
+    probe_store = store.filter(F.col("cell").isin(batch_cells)).select(
+        "cell", "vec_id", F.col("ve").alias("embedding")
     )
+    probe_batch = assigned.select("cell", "vec_id", "embedding")
+    probe = (
+        broadcast_knn_probe
+        if n_batch <= driver_bound_rows(spark, bytes_per_row=8 * 512)
+        else incremental_knn_probe
+    )
+    neighbors = probe(probe_store, probe_batch, k=k)
 
     # --- append (cheap path): only the batch's cells gain files; the
     # sidecar folds the batch's |cells|-bounded partials in one append
