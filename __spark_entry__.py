@@ -47,7 +47,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the two round-8 late additions (q274, q275 — added after the
+# newcomers + the round-8 late additions (q274, q275, q276 — added after the
 # head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
 # q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
 # q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
@@ -1056,6 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q275_codebook_confusion": lambda sp, sf: S.codebook_confusion(
+            t(sp, sf, "embeddings")
+        ),
+        "q276_gate_recall_audit": lambda sp, sf: S.gate_recall_audit(
             t(sp, sf, "embeddings")
         ),
     })
@@ -8028,5 +8031,69 @@ def oracle_sql() -> dict[str, str]:
         # (similarity.codebook_confusion): q73's unrolled Lloyd CTEs +
         # one extra assignment under the refined codebook.
         "q275_codebook_confusion": _codebook_confusion_sql(2),
+        # Gate false-accept audit (similarity.gate_recall_audit):
+        # q207's frozen-centroid probe at k=1 next to the brute-force
+        # true top-1, flagged at the gate threshold.
+        "q276_gate_recall_audit": f"""
+            WITH store AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+            batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 7),
+            dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM store
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim)
+                       AS centroid
+              FROM cent_dims GROUP BY label
+            ), s_assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM store e CROSS JOIN cent c) WHERE rn = 1
+            ), b_assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM batch e CROSS JOIN cent c) WHERE rn = 1
+            ), ivf AS (
+              SELECT vec_id, score AS ivf_top1 FROM (
+                SELECT b.vec_id,
+                       round(list_cosine_similarity(
+                         CAST(b.embedding AS DOUBLE[]),
+                         CAST(s.embedding AS DOUBLE[])), 6) AS score,
+                       row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(b.embedding AS DOUBLE[]),
+                                    CAST(s.embedding AS DOUBLE[])), 6) DESC,
+                                  s.vec_id) AS rk
+                FROM b_assigned b JOIN s_assigned s ON b.cell = s.cell
+              ) WHERE rk = 1
+            ), bf AS (
+              SELECT b.vec_id,
+                     max(round(list_cosine_similarity(
+                       CAST(b.embedding AS DOUBLE[]),
+                       CAST(s.embedding AS DOUBLE[])), 6)) AS true_top1
+              FROM batch b CROSS JOIN store s GROUP BY b.vec_id
+            )
+            SELECT b.vec_id, bf.true_top1, ivf.ivf_top1,
+                   bf.true_top1 >= {S.GATE_AUDIT_MAX_COS} AS is_true_dup,
+                   coalesce(ivf.ivf_top1, -1.0) >= {S.GATE_AUDIT_MAX_COS} AS caught
+            FROM batch b
+            LEFT JOIN bf ON bf.vec_id = b.vec_id
+            LEFT JOIN ivf ON ivf.vec_id = b.vec_id
+        """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -2362,3 +2362,74 @@ def codebook_confusion(embeddings: DataFrame, iters: int = 2) -> DataFrame:
             (F.col("cell_seed") == F.col("cell_refined")).alias("stayed"),
         )
     )
+
+
+GATE_AUDIT_MAX_COS = 0.95
+
+
+def gate_recall_audit(
+    embeddings: DataFrame,
+    batch_mod: int = 10,
+    batch_rem: int = 7,
+    max_cos: float = GATE_AUDIT_MAX_COS,
+) -> DataFrame:
+    """False-accept audit of the embedding admission gate: for the
+    deterministic batch slice, the gate's CELL-PRUNED top-1 cosine
+    (exactly what `stream_embedding_gate` scores) next to the
+    brute-force TRUE top-1 over the whole store, with the two flags
+    that matter — is the vector truly a near-dup (true_top1 >=
+    max_cos), and did the gate catch it. A true-dup the probe missed
+    landed in a different cell than its neighbor: the q115 recall edge
+    priced at the GATE's threshold, per vector, so the corpus owner
+    can read the actual false-accept rate of the always-on gate rather
+    than a generic recall@k.
+
+    The brute-force side is the VERIFIER (broadcast batch ×
+    store nested-loop — audit-slice-sized by construction, never the
+    serving path); the IVF side reuses the gate's shared probe kernel.
+    """
+    is_new = F.pmod(F.col("vec_id"), F.lit(batch_mod)) == batch_rem
+    store = embeddings.filter(~is_new)
+    batch = embeddings.filter(is_new)
+    cents = _centroid_arrays(store)
+    sc = _assign_cells(store, cents).select("cell", "vec_id", "embedding")
+    bc = _assign_cells(batch, cents).select("cell", "vec_id", "embedding")
+    ivf1 = (
+        incremental_knn_probe(sc, bc, k=1)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("score").alias("ivf_top1"))
+    )
+    sp = V.prepare(
+        store.select(F.col("vec_id").alias("nbr_id"), "embedding"),
+        "embedding", "se", "sn",
+    ).select("nbr_id", "se", "sn")
+    bp = V.prepare(batch.select("vec_id", "embedding"), "embedding", "be", "bn").select(
+        "vec_id", "be", "bn"
+    )
+    true1 = (
+        F.broadcast(bp)
+        .crossJoin(sp)
+        .select(
+            "vec_id",
+            F.round(
+                V.prepared_cosine(F.col("be"), F.col("bn"), F.col("se"), F.col("sn")),
+                6,
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("true_top1"))
+    )
+    return (
+        batch.select("vec_id")
+        .join(true1, "vec_id", "left")
+        .join(ivf1, "vec_id", "left")
+        .select(
+            "vec_id",
+            "true_top1",
+            "ivf_top1",
+            (F.col("true_top1") >= F.lit(float(max_cos))).alias("is_true_dup"),
+            (F.coalesce(F.col("ivf_top1"), F.lit(-1.0)) >= F.lit(float(max_cos))).alias(
+                "caught"
+            ),
+        )
+    )

@@ -3932,3 +3932,34 @@ def test_codebook_confusion_identity_when_converged(spark):
     m = S.codebook_confusion(emb).collect()
     assert sum(r.n_vectors for r in m) == emb.count()
     assert all((r.cell_seed == r.cell_refined) == r.stayed for r in m)
+
+
+def test_gate_recall_audit_flags_cross_cell_miss(spark):
+    """q276: a batch vector whose true near-dup lives in a DIFFERENT
+    cell is a true-dup the gate misses (is_true_dup & ~caught); one in
+    the same cell is caught; a genuinely fresh vector is neither."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    schema = "vec_id long, embedding array<float>, label int"
+    # store: two tight clusters around e1 (label 0) and e2 (label 1)
+    rows = [
+        (10, [1.0, 0.02, 0.0, 0.0], 0),
+        (20, [0.99, 0.0, 0.02, 0.0], 0),
+        (11, [0.0, 1.0, 0.02, 0.0], 1),
+        (21, [0.02, 0.99, 0.0, 0.0], 1),
+        # batch slice (vec_id % 10 == 7):
+        (7, [1.0, 0.01, 0.01, 0.0], 0),    # same-cell near-dup: caught
+        (17, [0.6, 0.82, 0.0, 0.0], 0),    # between clusters: fresh-ish
+        (27, [0.0, 0.0, 0.0, 1.0], 1),     # orthogonal: fresh
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.vec_id: r for r in S.gate_recall_audit(df, max_cos=0.95).collect()}
+    assert set(got) == {7, 17, 27}
+    assert got[7].is_true_dup and got[7].caught
+    assert not got[27].is_true_dup and not got[27].caught
+    for r in got.values():  # caught implies the ivf probe saw >= max_cos
+        if r.caught:
+            assert r.ivf_top1 is not None and r.ivf_top1 >= 0.95
+        # the pruned probe can never exceed the brute-force truth
+        if r.ivf_top1 is not None:
+            assert r.ivf_top1 <= r.true_top1
