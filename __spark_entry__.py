@@ -47,7 +47,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the round-8 late additions (q274, q275, q276 — added after the
+# newcomers + the round-8 late additions (q274..q277 — added after the
 # head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
 # q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
 # q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
@@ -1061,6 +1061,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_gate_recall_audit": lambda sp, sf: S.gate_recall_audit(
             t(sp, sf, "embeddings")
         ),
+        "q277_lateness_profile": lambda sp, sf: E.lateness_profile(
+            _arrival_salted(t(sp, sf, "events")),
+            order_col="arrival_us",
+            tiebreak_col="event_id",
+            chunk=3_600_000_000,  # hour-of-arrival chunks
+        ),
     })
 
 
@@ -1083,6 +1089,22 @@ def _template_salted(documents: DataFrame) -> DataFrame:
         piece = F.when(cond, F.lit(hdr + " ")).otherwise(F.lit(""))
         h = piece if h is None else F.concat(h, piece)
     return documents.withColumn("text", F.concat(h, F.col("text")))
+
+
+def _arrival_salted(events: DataFrame) -> DataFrame:
+    """Deterministic delivery-jitter salt for q277: the raw testdata's
+    events arrive EXACTLY in event-time order (zero lateness — the
+    profile would be one degenerate bucket), so arrival time becomes
+    ts + (md5(event_id) % 300) seconds: bounded per-event network
+    delay, mirrored verbatim in the oracle."""
+    from githubrepostorag_spark.functions.text import md5_bigint
+
+    return events.withColumn(
+        "arrival_us",
+        F.unix_micros(F.col("ts"))
+        + F.pmod(md5_bigint(F.col("event_id").cast("string")), F.lit(300))
+        * F.lit(1_000_000),
+    )
 
 
 def _mirror_salted(documents: DataFrame) -> DataFrame:
@@ -8094,6 +8116,40 @@ def oracle_sql() -> dict[str, str]:
             FROM batch b
             LEFT JOIN bf ON bf.vec_id = b.vec_id
             LEFT JOIN ivf ON ivf.vec_id = b.vec_id
+        """,
+        # Watermark-lateness histogram (eventops.lateness_profile) over
+        # the jitter-salted arrival order (__spark_entry__._arrival_salted):
+        # running event-time max in arrival order (global window is
+        # fine for the oracle; the engine uses the chunked prefix-max),
+        # exact integer microseconds throughout.
+        "q277_lateness_profile": f"""
+            WITH arr AS (
+              SELECT event_id, epoch_us(ts) AS ts_us,
+                     epoch_us(ts)
+                     + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 300) * 1000000 AS arrival_us
+              FROM events),
+            l AS (
+              SELECT max(ts_us) OVER (ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - ts_us AS late_us
+              FROM arr),
+            hist AS (
+              SELECT CAST(late_us // {E.LATENESS_BUCKET_S * 1_000_000} AS BIGINT)
+                       AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM l GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM hist)
+            SELECT CAST(bucket * {E.LATENESS_BUCKET_S} AS BIGINT) AS late_bucket_s,
+                   n_events,
+                   CAST(sum(n_events) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_events,
+                   CAST(sum(n_events) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        * 1000 // total AS BIGINT)
+                     AS watermark_coverage_permille
+            FROM hist CROSS JOIN tot
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

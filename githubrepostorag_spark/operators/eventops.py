@@ -1555,3 +1555,84 @@ def bradley_terry(events: DataFrame, iters: int = BT_ITERS) -> DataFrame:
         "strength_micro",
         (F.col("strength_micro") / 1e6).alias("strength"),
     )
+
+
+LATENESS_BUCKET_S = 60
+LATENESS_CHUNK = 8192
+
+
+def lateness_profile(
+    events: DataFrame,
+    bucket_s: int = LATENESS_BUCKET_S,
+    chunk: int = LATENESS_CHUNK,
+    order_col: str = "event_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Watermark-design histogram: how late events actually arrive.
+    An event's LATENESS is the gap between the maximum event-time seen
+    so far (arrival order = event_id) and its own event-time — zero
+    for in-order arrivals. Bucketed at `bucket_s` seconds with the
+    cumulative permille of events a watermark of that bound would
+    admit, this is the table that justifies every
+    `withWatermark("ts", ...)` setting in the streaming plane (q12/q13
+    pick horizons; this measures what the horizon DROPS).
+
+    Scale shape — the running max is NOT one global window: events
+    split into fixed `chunk`-sized ranges of the (integer) arrival
+    order `order_col`; a per-chunk window (bounded) computes the
+    within-chunk running max, a |chunks|-row prefix window computes
+    each chunk's prior maximum, and the two combine per row. All
+    arithmetic on exact integer microseconds. `tiebreak_col` pins a
+    TOTAL arrival order when `order_col` has ties (equal-order rows
+    would otherwise see engine-dependent running maxima).
+    """
+    tb = tiebreak_col or order_col
+    e = events.select(
+        F.col(order_col).alias("ord"),
+        F.col(tb).alias("tb"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr(f"{order_col} div {int(chunk)}").alias("pid"),
+    )
+    inner = (
+        Window.partitionBy("pid")
+        .orderBy("ord", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunk_prior = (
+        e.groupBy("pid")
+        .agg(F.max("ts_us").alias("pmax"))
+        .withColumn(
+            "prior_max",
+            F.max("pmax").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("pid", "prior_max")
+    )
+    late = (
+        e.withColumn("run_in", F.max("ts_us").over(inner))
+        .join(F.broadcast(chunk_prior), "pid")
+        .select(
+            (
+                F.greatest(F.col("run_in"), F.coalesce("prior_max", F.col("run_in")))
+                - F.col("ts_us")
+            ).alias("late_us")
+        )
+    )
+    hist = late.groupBy(
+        F.expr(f"late_us div {int(bucket_s) * 1_000_000}").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = F.broadcast(hist.agg(F.sum("n_events").cast("long").alias("total")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum_events", F.sum("n_events").over(w).cast("long"))
+        .crossJoin(tot)
+        .select(
+            (F.col("bucket") * int(bucket_s)).cast("long").alias("late_bucket_s"),
+            "n_events",
+            "cum_events",
+            F.expr("cum_events * 1000 div total").cast("long").alias(
+                "watermark_coverage_permille"
+            ),
+        )
+    )

@@ -3963,3 +3963,49 @@ def test_gate_recall_audit_flags_cross_cell_miss(spark):
         # the pruned probe can never exceed the brute-force truth
         if r.ivf_top1 is not None:
             assert r.ivf_top1 <= r.true_top1
+
+
+def test_lateness_profile_chunked_prefix_matches_global(spark):
+    """q277: the chunked prefix-max must equal a straight global
+    running max — verified with a tiny chunk size that forces many
+    chunk boundaries — and the cumulative coverage ends at 1000."""
+    from pyspark.sql import Window as W
+
+    from githubrepostorag_spark.operators import eventops as E
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # jitter arrival so lateness is non-degenerate
+    import pyspark.sql.functions as F
+    from githubrepostorag_spark.functions.text import md5_bigint
+
+    salted = ev.withColumn(
+        "arrival_us",
+        F.unix_micros("ts")
+        + F.pmod(md5_bigint(F.col("event_id").cast("string")), F.lit(300))
+        * F.lit(1_000_000),
+    )
+    got = {
+        r.late_bucket_s: r
+        for r in E.lateness_profile(
+            salted, order_col="arrival_us", tiebreak_col="event_id",
+            chunk=60_000_000,  # 1-minute chunks: hundreds of boundaries
+        ).collect()
+    }
+    # reference: one global window (test-only; the operator avoids it)
+    gw = W.orderBy("arrival_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ref_late = salted.select(
+        (F.max(F.unix_micros("ts")).over(gw) - F.unix_micros("ts")).alias("late_us")
+    )
+    ref = {
+        int(r.b) * 60: r.n
+        for r in ref_late.groupBy(
+            F.expr("late_us div 60000000").alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: r.n_events for k, r in got.items()} == ref
+    last = max(got)
+    assert got[last].watermark_coverage_permille == 1000
+    assert got[last].cum_events == ev.count()
