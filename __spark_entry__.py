@@ -47,7 +47,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the round-8 late additions (q274..q277 — added after the
+# newcomers + the round-8 late additions (q274..q279 — added after the
 # head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
 # q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
 # q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
@@ -1066,6 +1066,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             order_col="arrival_us",
             tiebreak_col="event_id",
             chunk=3_600_000_000,  # hour-of-arrival chunks
+        ),
+        "q278_source_coherence": lambda sp, sf: S.source_coherence(
+            t(sp, sf, "documents"), t(sp, sf, "embeddings")
+        ),
+        "q279_dup_transitivity": lambda sp, sf: DD.dup_transitivity(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -8150,6 +8156,79 @@ def oracle_sql() -> dict[str, str]:
                         * 1000 // total AS BIGINT)
                      AS watermark_coverage_permille
             FROM hist CROSS JOIN tot
+        """,
+        # Cross-modal per-source coherence (similarity.source_coherence):
+        # documents join embeddings on doc_id = vec_id; DECIMAL-exact
+        # mean of 6dp member-to-centroid cosines.
+        "q278_source_coherence": """
+            WITH m AS (
+              SELECT d.source, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+            cd AS (
+              SELECT source, dim, round(avg(v), 6) AS cv
+              FROM (SELECT source, generate_subscripts(ve, 1) - 1 AS dim,
+                           unnest(ve) AS v
+                    FROM m)
+              GROUP BY source, dim),
+            cent AS (SELECT source, list(cv ORDER BY dim) AS centroid
+                     FROM cd GROUP BY source),
+            sc AS (
+              SELECT m.source,
+                     round(list_cosine_similarity(m.ve,
+                             CAST(c.centroid AS DOUBLE[])), 6) AS cos
+              FROM m JOIN cent c USING (source))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+                   min(cos) AS min_cos
+            FROM sc GROUP BY source
+        """,
+        # Near-dup transitivity closure (dedup.dup_transitivity): the
+        # q34 verified-pair chain at the survivorship threshold, wedges
+        # by one self-join, closure by a semi-join back.
+        "q279_dup_transitivity": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle
+                    FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            strong AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6)
+                    >= {DD.DUP_TRANSITIVITY_THRESHOLD}),
+            und AS (
+              SELECT doc_a AS x, doc_b AS y FROM strong
+              UNION ALL
+              SELECT doc_b AS x, doc_a AS y FROM strong),
+            wedges AS (
+              SELECT DISTINCT p.x AS doc_a, q.y AS doc_b
+              FROM und p JOIN und q ON p.y = q.x
+              WHERE p.x < q.y),
+            closed AS (
+              SELECT w.doc_a, w.doc_b
+              FROM wedges w JOIN strong s
+                ON s.doc_a = w.doc_a AND s.doc_b = w.doc_b)
+            SELECT nw.n_wedges, nc.n_closed,
+                   CAST(CASE WHEN nw.n_wedges > 0
+                             THEN nc.n_closed * 1000 // nw.n_wedges
+                             ELSE 0 END AS BIGINT) AS closure_permille
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM wedges) nw
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_closed FROM closed) nc
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1741,3 +1741,59 @@ def dup_token_inflation(documents: DataFrame) -> DataFrame:
             .alias("dup_token_permille"),
         )
     )
+
+
+DUP_TRANSITIVITY_THRESHOLD = 0.8
+
+
+def dup_transitivity(
+    documents: DataFrame, threshold: float = DUP_TRANSITIVITY_THRESHOLD
+) -> DataFrame:
+    """Transitivity audit of the verified near-dup relation: of all
+    WEDGES (x-b, b-z both verified pairs at >= `threshold`), what
+    fraction close into a direct x-z pair at the same threshold. This
+    is the number that justifies (or indicts) treating near-dup
+    components as equivalence classes: min-id survivorship (q56) keeps
+    ONE representative per connected component, which silently assumes
+    near-duplication is transitive — a low closure rate means
+    components are CHAINS of pairwise-similar-but-globally-different
+    documents and a survivor policy is throwing away real content.
+
+    Rides the session-cached threshold-0 pair table; wedges are built
+    by one self-join of the strong edge list on the shared endpoint
+    (pair-bounded — components are small by construction), and closure
+    is a semi-join back onto the same edges. Caveat, stated rather
+    than hidden: an x-z pair that never collided in ANY LSH band is
+    counted as not-closed even if its true Jaccard clears the
+    threshold; at 0.8 with the default band geometry that miss
+    probability is the q203-audited tail.
+    """
+    strong = verified_pairs_cached(documents, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    und = strong.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(strong.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    wedges = (
+        und.alias("p")
+        .join(und.alias("q"), F.col("p.y") == F.col("q.x"))
+        .filter(F.col("p.x") < F.col("q.y"))
+        .select(F.col("p.x").alias("doc_a"), F.col("q.y").alias("doc_b"))
+        .distinct()
+    )
+    closed = wedges.join(strong, ["doc_a", "doc_b"], "left_semi")
+    return (
+        wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+        .crossJoin(closed.agg(F.count(F.lit(1)).cast("long").alias("n_closed")))
+        .select(
+            "n_wedges",
+            "n_closed",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("n_closed * 1000 div n_wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("closure_permille"),
+        )
+    )

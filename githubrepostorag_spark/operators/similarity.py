@@ -2433,3 +2433,67 @@ def gate_recall_audit(
             ),
         )
     )
+
+
+def source_coherence(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Per-source SEMANTIC coherence: join the corpus's two modalities
+    (documents carry source, embeddings carry the vector — aligned on
+    doc_id = vec_id), build each source's embedding centroid, and
+    report every source's member-to-centroid cosine as an exact mean
+    plus the minimum — the "is this feed one topic or a junk drawer"
+    audit a mixture plan reads next to token counts (q84) and quality
+    mix (q262): a source with low mean coherence contributes diffuse
+    gradient signal no sampling weight can fix, and its min flags
+    outright mis-ingested members (q255's outlier rule at feed grain).
+
+    Exactness: centroids are 6dp-rounded per-dim means, member cosines
+    6dp-rounded, and the MEAN of member cosines is summed as DECIMAL
+    (order-independent) before one final division — the q247
+    no-float-sum discipline. One join, one posexplode agg on
+    (source, dim), one broadcast of |sources| centroids.
+    """
+    members = documents.select("doc_id", "source").join(
+        embeddings, F.col("doc_id") == F.col("vec_id")
+    ).select("source", "vec_id", "embedding")
+    cents = (
+        members.select("source", F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "v"))
+        .groupBy("source", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    pc = F.broadcast(
+        V.prepare(cents, "centroid", "cv", "cn").select("source", "cv", "cn")
+    )
+    scored = (
+        V.prepare(members, "embedding", "ve", "vn")
+        .join(pc, "source")
+        .select(
+            "source",
+            F.round(
+                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.col("cos").cast("decimal(28,6)")).alias("_s"),
+            F.min("cos").alias("min_cos"),
+        )
+        .select(
+            "source",
+            "n_vectors",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_vectors").cast("double"), 6
+            ).alias("mean_cos"),
+            "min_cos",
+        )
+    )
