@@ -650,3 +650,42 @@ def test_round8_new_ops_plan_shapes(spark):
             df._jdf.queryExecution(), "formatted"
         )
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_centroids_fallback_when_sidecar_missing(spark, tmp_path):
+    """Pre-sidecar store layouts (or a lost sidecar) must still serve:
+    centroids_from_sidecar falls back to the one-off store-scan
+    recompute with identical 6dp values, and ivf_knn_from_store keeps
+    answering through the fallback."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        ivf_knn_from_store,
+        ivf_sidecar_path,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import _cell_centroids
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "ivf")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    write_ivf_store(emb, path)
+    want = {
+        r.centroid_label: r.centroid
+        for r in _cell_centroids(spark.read.parquet(path)).collect()
+    }
+    shutil.rmtree(ivf_sidecar_path(path))  # simulate a pre-sidecar store
+
+    got = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path).collect()
+    }
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], abs=1e-9), c
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    top = ivf_knn_from_store(spark, path, qvec, k=5, n_probes=2).collect()
+    assert len(top) == 5 and top[0].score == 1.0  # finds the query's own row
