@@ -47,7 +47,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the round-8 late additions (q274..q279 — added after the
+# newcomers + the round-8 late additions (q274..q280 — added after the
 # head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
 # q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
 # q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
@@ -1071,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents"), t(sp, sf, "embeddings")
         ),
         "q279_dup_transitivity": lambda sp, sf: DD.dup_transitivity(
+            t(sp, sf, "documents")
+        ),
+        "q280_gopher_matrix": lambda sp, sf: TO.gopher_matrix_by_source(
             t(sp, sf, "documents")
         ),
     })
@@ -8229,6 +8232,56 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS closure_permille
             FROM (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM wedges) nw
             CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_closed FROM closed) nc
+        """,
+        # Per-source Gopher rule matrix (textops.gopher_matrix_by_source):
+        # q220's count projection + flags, grouped by source.
+        "q280_gopher_matrix": f"""
+            WITH m AS (
+              SELECT source,
+                     CAST(len({_TOKS}) AS BIGINT) AS nw,
+                     CAST(coalesce(list_sum(list_transform({_TOKS},
+                            tk -> length(tk))), 0) AS BIGINT) AS sl,
+                     CAST(len(list_filter({_TOKS},
+                            tk -> regexp_matches(tk, '[A-Za-z]'))) AS BIGINT) AS na,
+                     CAST(len(list_intersect(
+                            list_distinct(list_transform({_TOKS}, tk -> lower(tk))),
+                            {_sql_list(TO.GOPHER_STOPWORDS)})) AS BIGINT) AS ns,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                          AS BIGINT) AS nb,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> ends_with(rtrim(l), '...')
+                                 OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ne
+              FROM documents
+            ), fl AS (
+              SELECT source,
+                     nw < {TO.GOPHER_MIN_WORDS} AS word_count_low,
+                     nw > {TO.GOPHER_MAX_WORDS} AS word_count_high,
+                     nw > 0 AND sl < 3 * nw AS mean_word_len_low,
+                     sl > 10 * nw AS mean_word_len_high,
+                     10 * nsym > nw AS symbol_ratio,
+                     10 * nb > 9 * nl AS bullet_lines,
+                     10 * ne > 3 * nl AS ellipsis_lines,
+                     nw > 0 AND 5 * na < 4 * nw AS alpha_words,
+                     ns < {TO.GOPHER_MIN_STOPWORDS} AS stopword_floor
+              FROM m
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   {", ".join(
+                      f"CAST(sum(CASE WHEN {r} THEN 1 ELSE 0 END) AS BIGINT) AS {r}"
+                      for r in TO.GOPHER_RULES
+                   )},
+                   CAST(sum(CASE WHEN NOT ({" OR ".join(TO.GOPHER_RULES)})
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN NOT ({" OR ".join(TO.GOPHER_RULES)})
+                                 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+                     AS pass_permille
+            FROM fl GROUP BY source
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -3565,3 +3565,30 @@ def zipf_fit_by_source(documents: DataFrame, k: int = ZIPF_SRC_TOP_K) -> DataFra
         F.round(-(cov / varx), 6).alias("zipf_alpha"),
         F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
     )
+
+
+def gopher_matrix_by_source(documents: DataFrame) -> DataFrame:
+    """The Gopher battery (q220) pivoted to the ACTIONABLE grain:
+    per source, how many documents trip each rule, plus the clean-pass
+    count and exact-permille pass rate. q220's corpus-level flag rates
+    say the corpus has a symbol-ratio problem; this matrix says WHICH
+    ingestion feed has it — the row a corpus owner actually routes to
+    a crawler fix or a feed drop.
+
+    One scan (the shared `_gopher_base` count projection), one
+    groupBy(source) carrying nine conditional sums — all integer."""
+    flags = _gopher_flag_cols()
+    any_fail = None
+    for r in GOPHER_RULES:
+        any_fail = flags[r] if any_fail is None else (any_fail | flags[r])
+    base = _gopher_base(documents, "text")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(flags[r], 1).otherwise(0)).cast("long").alias(r)
+            for r in GOPHER_RULES
+        ],
+        F.sum(F.when(any_fail, 0).otherwise(1)).cast("long").alias("n_pass"),
+    ).withColumn(
+        "pass_permille", F.expr("n_pass * 1000 div n_docs").cast("long")
+    )

@@ -4065,3 +4065,24 @@ def test_dup_transitivity_chain_vs_clique(spark):
     assert r.closure_permille == r.n_closed * 1000 // r.n_wedges
     DDm._PAIR_CACHE.clear()
     DDm._SIG_CACHE.clear()
+
+
+def test_gopher_matrix_by_source_localizes_rule(spark):
+    """q280: the matrix pins WHICH source trips WHICH rule — a
+    short-doc feed trips word_count_low only; a healthy feed passes;
+    counts are consistent with the pass column."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    healthy = "the quick analysis of data and " + " ".join(
+        f"word{i:02d}ix" for i in range(49)
+    )
+    rows = [(1, healthy, "good"), (2, healthy, "good"),
+            (3, "tiny", "shorts"), (4, "also tiny", "shorts")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in TO.gopher_matrix_by_source(df).collect()}
+    assert got["good"].n_pass == 2 and got["good"].pass_permille == 1000
+    assert got["good"].word_count_low == 0
+    assert got["shorts"].word_count_low == 2
+    assert got["shorts"].n_pass == 0 and got["shorts"].pass_permille == 0
+    for r in got.values():
+        assert 0 <= r.n_pass <= r.n_docs
