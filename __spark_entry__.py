@@ -47,7 +47,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # backlog 25 (q156..q183).
 #
 # ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the round-8 late additions (q274..q280 — added after the
+# newcomers + the round-8 late additions (q274..q281 — added after the
 # head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
 # q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
 # q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
@@ -1074,6 +1074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q280_gopher_matrix": lambda sp, sf: TO.gopher_matrix_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q281_split_length_ladder": lambda sp, sf: CU.split_length_ladder(
             t(sp, sf, "documents")
         ),
     })
@@ -8282,6 +8285,38 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
                      AS pass_permille
             FROM fl GROUP BY source
+        """,
+        # Exact-rank token-length ladder per split
+        # (curation.split_length_ladder): histogram + per-split
+        # cumulative, smallest length reaching ceil(p*n/1000).
+        "q281_split_length_ladder": f"""
+            WITH sp AS (
+              SELECT CASE WHEN h < 10 THEN 'test'
+                          WHEN h < 20 THEN 'val'
+                          ELSE 'train' END AS split,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_toks
+              FROM (SELECT text,
+                           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) % {CU.SPLIT_DENOM} AS h
+                    FROM documents)),
+            hist AS (SELECT split, n_toks, CAST(count(*) AS BIGINT) AS c
+                     FROM sp GROUP BY split, n_toks),
+            cum AS (SELECT split, n_toks,
+                           CAST(sum(c) OVER (PARTITION BY split ORDER BY n_toks
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS cum
+                    FROM hist),
+            tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM sp GROUP BY split),
+            pm AS (SELECT CAST(unnest([{", ".join(str(p) for p in CU.SPLIT_LADDER_PERMILLES)}])
+                      AS BIGINT) AS permille)
+            SELECT c.split, p.permille, t.n_docs,
+                   CAST(min(c.n_toks) AS BIGINT) AS p_tokens
+            FROM cum c
+            JOIN tot t ON t.split = c.split
+            CROSS JOIN pm p
+            WHERE c.cum * 1000 >= p.permille * t.n_docs
+            GROUP BY c.split, p.permille, t.n_docs
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1737,3 +1737,57 @@ def ngram_coverage_depth(
             ),
         )
     )
+
+
+SPLIT_LADDER_PERMILLES = (500, 900, 990)
+
+
+def split_length_ladder(
+    documents: DataFrame, permilles: tuple[int, ...] = SPLIT_LADDER_PERMILLES
+) -> DataFrame:
+    """Sequence-length planning ladder per split: for train/val/test
+    (q83's hash buckets), the EXACT-rank token-count percentiles at
+    each requested permille — the numbers that size max_seq_len,
+    packing bins (q59/q258), and the eval batch shape, computed per
+    split because a val set whose p990 differs from train's silently
+    changes truncation behavior between training and eval.
+
+    Exact discrete selection, no interpolation and no global sort:
+    one histogram groupBy(split, n_tokens), a per-split cumulative
+    window over the BOUNDED distinct-length rows, and the smallest
+    length whose cumulative count reaches ceil(permille·n/1000) —
+    bit-stable integers end to end.
+    """
+    base = train_split(documents).select(
+        "split", TXT.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    hist = base.groupBy("split", "n_toks").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("n_toks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w).cast("long"))
+    totals = base.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ladder = cum.join(F.broadcast(totals), "split").crossJoin(
+        F.broadcast(
+            documents.sparkSession.createDataFrame(
+                [(int(p),) for p in permilles], "permille long"
+            )
+        )
+    )
+    # smallest length whose cumulative count reaches the exact rank
+    # k = ceil(permille * n / 1000)
+    hit = ladder.filter(
+        F.col("cum") * 1000 >= F.col("permille") * F.col("n_docs")
+    )
+    return (
+        hit.groupBy("split", "permille")
+        .agg(
+            F.max("n_docs").alias("n_docs"),  # constant within the group
+            F.min("n_toks").cast("long").alias("p_tokens"),
+        )
+        .select("split", "permille", "n_docs", "p_tokens")
+    )

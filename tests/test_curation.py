@@ -559,3 +559,38 @@ def test_mixture_plan_end_to_end(spark):
         assert r["count"] < 30  # strictly sampled down
     stages = [r.stage for r in res.timed_stages.collect()]
     assert stages == ["doremi_weights", "mixture_plan", "quota_sample"]
+
+
+def test_split_length_ladder_exact_rank_selection(spark):
+    """q281: the ladder's p_tokens is EXACT discrete rank selection —
+    verified against a sorted-list reference per (split, permille) —
+    and is monotone in the permille."""
+    import math
+
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.split, r.permille): r
+        for r in CU.split_length_ladder(docs).collect()
+    }
+    # reference: collect token counts per split and index directly
+    from pyspark.sql import functions as F
+    from githubrepostorag_spark.functions.text import token_count
+
+    base = CU.train_split(docs).select(
+        "split", token_count(F.col("text")).alias("n")
+    ).collect()
+    by_split: dict = {}
+    for r in base:
+        by_split.setdefault(r.split, []).append(r.n)
+    for (split, permille), row in got.items():
+        xs = sorted(by_split[split])
+        k = math.ceil(permille * len(xs) / 1000)
+        assert row.p_tokens == xs[k - 1], (split, permille)
+        assert row.n_docs == len(xs)
+    for split in by_split:
+        ps = sorted(p for s, p in got if s == split)
+        vals = [got[(split, p)].p_tokens for p in ps]
+        assert vals == sorted(vals)
