@@ -342,6 +342,11 @@ def jaccard_on_candidates(
 
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
 _PAIR_STAMP: dict[tuple, int] = {}  # explicit-key entries: input row count
+# (key, input plan hash, schema) triples whose stamp has been VERIFIED —
+# the count()-based stale-key check runs once per distinct input plan,
+# not on every cache hit (ADVICE r8 low: per-hit re-counting eroded
+# exactly the scan the cache exists to avoid)
+_STAMP_VERIFIED: set[tuple] = set()
 _SIG_CACHE: dict[tuple, DataFrame] = {}
 _CACHE_MAX = 32
 
@@ -364,15 +369,23 @@ def _plan_key(df: DataFrame, *extra) -> tuple | None:
 
 
 def _cache_put(cache: dict, key: tuple, df: DataFrame) -> None:
-    if len(cache) >= _CACHE_MAX:  # pragma: no cover - bound, not policy
+    if len(cache) >= _CACHE_MAX:
         evicted_key = next(iter(cache))
-        evicted = cache.pop(evicted_key)
+        cache.pop(evicted_key)
         _PAIR_STAMP.pop(evicted_key, None)
-        try:  # free the localCheckpoint blocks, not just the reference
-            evicted.unpersist()
-        except Exception:
-            pass
+        # Drop the REFERENCE only — never unpersist (ADVICE r8 low): a
+        # caller may still hold a frame DERIVED from the evicted
+        # checkpoint (e.g. a threshold-filtered view returned earlier),
+        # and localCheckpoint truncates lineage, so an explicit
+        # unpersist would fail that frame's next action with
+        # missing-block errors. The blocks stay alive exactly while
+        # any such frame references the checkpointed RDD; once the
+        # last reference is garbage-collected, Spark's ContextCleaner
+        # unpersists them — bounded-lifetime, not a leak.
     cache[key] = df
+    _STAMP_VERIFIED.difference_update(
+        vk for vk in list(_STAMP_VERIFIED) if vk[0] == key
+    )
 
 
 def cached_signatures(documents: DataFrame) -> DataFrame:
@@ -431,15 +444,29 @@ def verified_pairs_cached(
             _cache_put(_PAIR_CACHE, key, base)
             if cache_key is not None:
                 _PAIR_STAMP[key] = documents.count()
+                plan_sig = _plan_key(documents)
+                if plan_sig is not None:  # this exact plan needs no re-count
+                    _STAMP_VERIFIED.add((key, plan_sig))
         elif cache_key is not None and key in _PAIR_STAMP:
-            n_now = documents.count()
-            if n_now != _PAIR_STAMP[key]:
-                raise ValueError(
-                    f"verified_pairs_cached: explicit cache_key {cache_key!r} "
-                    f"reused with a different input ({n_now} rows vs "
-                    f"{_PAIR_STAMP[key]} at first materialization) — equal "
-                    "keys must imply equal inputs"
-                )
+            # stale-key guard, verified ONCE per distinct input plan:
+            # the count() is a full input scan, so re-running it on
+            # every hit would erode the cache's own savings (ADVICE r8
+            # low). A frame already counted against this key skips the
+            # scan; any NEW plan under the same key (including each
+            # fresh localCheckpoint of an equal input) pays one count.
+            plan_sig = _plan_key(documents)
+            vk = (key, plan_sig)
+            if plan_sig is None or vk not in _STAMP_VERIFIED:
+                n_now = documents.count()
+                if n_now != _PAIR_STAMP[key]:
+                    raise ValueError(
+                        f"verified_pairs_cached: explicit cache_key {cache_key!r} "
+                        f"reused with a different input ({n_now} rows vs "
+                        f"{_PAIR_STAMP[key]} at first materialization) — equal "
+                        "keys must imply equal inputs"
+                    )
+                if plan_sig is not None:
+                    _STAMP_VERIFIED.add(vk)
     if threshold > 0.0:
         return base.filter(F.col("jaccard") >= threshold)
     return base

@@ -869,13 +869,26 @@ def cell_sum_partials(prepped: DataFrame, batch_id: int = -1) -> DataFrame:
     )
 
 
-def read_ivf_sidecar(spark, path: str) -> DataFrame:
+def read_ivf_sidecar(
+    spark, path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
     """Sidecar partials with at-least-once replay reconciled: streaming
     appends (batch_id >= 0) are deduped on (cell, batch_id) — a
     replayed micro-batch rewrites bit-identical partials, so keeping
     one row per key is exact. batch_id == -1 rows (base write +
-    maintenance appends, not checkpoint-replayed) are kept as-is."""
+    maintenance appends, not checkpoint-replayed) are kept as-is.
+
+    ``exclude_batch_id``: a REPLAYING micro-batch passes its own id so
+    the frozen centroids it derives exclude the first attempt's
+    partials (which landed if the crash hit between the sidecar append
+    and the checkpoint commit). Without the exclusion the replay's
+    codebook drifts by its own batch, cell assignment can differ, and
+    the re-derived decisions are no longer guaranteed identical —
+    the same contract the store-side batch_id filter guarantees for
+    the probe (ADVICE r8 medium)."""
     sc = spark.read.parquet(ivf_sidecar_path(path))
+    if exclude_batch_id is not None:
+        sc = sc.filter(F.col("batch_id") != F.lit(int(exclude_batch_id)))
     return sc.filter(F.col("batch_id") < 0).unionByName(
         sc.filter(F.col("batch_id") >= 0).dropDuplicates(["cell", "batch_id"])
     )
@@ -901,14 +914,19 @@ def fold_partials(partials: DataFrame) -> DataFrame:
     )
 
 
-def centroids_from_sidecar(spark, path: str) -> DataFrame:
+def centroids_from_sidecar(
+    spark, path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
     """(centroid_label, centroid) for the store at `path`, read from
     the persisted sidecar — O(|cells|) rows, NO store scan. Falls back
     to a one-off store-scan recompute for stores written before the
     sidecar existed (and does not write one: the caller may hold the
-    store read-only)."""
+    store read-only). ``exclude_batch_id`` is the replay exclusion —
+    see `read_ivf_sidecar`."""
     try:
-        folded = fold_partials(read_ivf_sidecar(spark, path))
+        folded = fold_partials(
+            read_ivf_sidecar(spark, path, exclude_batch_id=exclude_batch_id)
+        )
     except Exception:  # sidecar absent: pre-sidecar store layout
         store = spark.read.parquet(path)
         return (
@@ -935,6 +953,52 @@ def append_ivf_sidecar(prepped: DataFrame, path: str, batch_id: int = -1) -> Non
     )
 
 
+def _sidecar_exists(spark, path: str) -> bool:
+    """Driver-side FS existence check for the centroid sidecar — one
+    Hadoop `FileSystem.exists` call, no Spark job. Sidecar presence is
+    the CURRENT-LAYOUT marker: the sidecar and the store's `batch_id`
+    column were introduced by the same writer change, so a store with
+    a sidecar always carries batch_id (`write_ivf_store` writes both)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(ivf_sidecar_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def upgrade_ivf_store(spark, path: str) -> bool:
+    """One-shot IN-PLACE upgrade of a pre-sidecar IVF store to the
+    current layout; returns True iff an upgrade ran. The consistent
+    migration story for the three MUTATING entry points (streaming
+    gate, `maintain_ivf_store`, `compact_ivf_store` — ADVICE r8
+    medium): each calls this first, paying one driver-side
+    `fs.exists` in the steady state and a single store rewrite the
+    first time it meets an old store. Read-only paths
+    (`centroids_from_sidecar`, `incremental_near_dups`) keep their
+    non-writing store-scan fallback instead — they may not own write
+    access.
+
+    Upgrade = stamp `batch_id = -1` on every row (rewriting the store
+    so later batch-stamped appends never schema-diverge from the base
+    files) and build the centroid sidecar from the rewritten rows.
+    Cell assignments are preserved verbatim — no re-assignment, no
+    centroid drift, every existing probe result unchanged."""
+    if _sidecar_exists(spark, path):
+        return False
+    store = spark.read.parquet(path)
+    if "batch_id" not in store.columns:
+        pinned = store.select(
+            "vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell"
+        ).localCheckpoint(eager=True)  # pin before overwriting its source
+        pinned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+    cell_sum_partials(store, -1).coalesce(1).write.mode("overwrite").parquet(
+        ivf_sidecar_path(path)
+    )
+    return True
+
+
 def compact_ivf_store(spark, path: str) -> None:
     """Offline compaction of an IVF store a streaming gate has been
     appending to: every micro-batch leaves its own small parquet files
@@ -955,6 +1019,7 @@ def compact_ivf_store(spark, path: str) -> None:
     Existing cell ASSIGNMENTS are preserved verbatim (no re-assignment,
     no centroid drift); only the file layout changes.
     """
+    upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate, don't crash
     store = (
         spark.read.parquet(path)
         .dropDuplicates(["vec_id", "batch_id"])
@@ -1592,7 +1657,10 @@ def incremental_knn_probe(
 
 
 def broadcast_knn_probe(
-    store_cells: DataFrame, batch_cells: DataFrame, k: int = KNN_GRAPH_K
+    store_cells: DataFrame,
+    batch_cells: DataFrame,
+    k: int = KNN_GRAPH_K,
+    rows: list | None = None,
 ) -> DataFrame:
     """`incremental_knn_probe` with the BATCH broadcast into the store
     partitions instead of shuffling the store to the batch: the store
@@ -1611,10 +1679,16 @@ def broadcast_knn_probe(
     to the driver and captured by the kernel closure — at 384 double
     dims, 10k vectors ≈ 30 MB). For batch-scale backfills use
     `incremental_knn_probe`, whose cost is a store-side shuffle instead.
+
+    ``rows``: a caller that ALREADY collected the batch (the streaming
+    gate collects its assigned rows once for cell pruning) passes them
+    here to skip this function's own collect job — same
+    (cell, vec_id, embedding) fields, same results.
     """
     import numpy as np
 
-    rows = batch_cells.select("cell", "vec_id", "embedding").collect()
+    if rows is None:
+        rows = batch_cells.select("cell", "vec_id", "embedding").collect()
     spark = batch_cells.sparkSession
     if not rows:
         return spark.createDataFrame(

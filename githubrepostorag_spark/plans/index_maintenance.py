@@ -61,6 +61,7 @@ from githubrepostorag_spark.operators.similarity import (
     fold_partials,
     incremental_knn_probe,
     read_ivf_sidecar,
+    upgrade_ivf_store,
     write_ivf_store,
 )
 from githubrepostorag_spark.session import driver_bound_rows
@@ -109,6 +110,10 @@ def maintain_ivf_store(
     """Run one maintenance cycle against the store at `path` with a
     `batch` of (vec_id, label, embedding) rows. See module docstring.
     """
+    # pre-sidecar store: one-shot in-place migration (fs.exists no-op
+    # in the steady state) — ADVICE r8 medium: the sidecar read below
+    # must not AnalysisException on an old layout
+    upgrade_ivf_store(spark, path)
     # --- frozen centroids from the sidecar (|cells| rows, no store scan)
     partials = read_ivf_sidecar(spark, path).localCheckpoint(eager=False)
     frozen_tbl = fold_partials(partials).localCheckpoint(eager=False)

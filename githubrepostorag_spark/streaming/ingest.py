@@ -355,22 +355,43 @@ def _embedding_gate_batch(
 ) -> None:
     """One `stream_embedding_gate` micro-batch, module-level so tests
     can drive it directly (replay = call twice with the same batch_id).
-    See `stream_embedding_gate` for the contract."""
+    See `stream_embedding_gate` for the contract.
+
+    Per-batch job ledger (the r8 verdict ask #4 — the fixed overhead
+    IS the scheduling of Spark jobs, so the plan runs exactly six):
+    assign-collect, probe, reject-log write, accept-log write, store
+    append, sidecar append. The micro-batch is driver-collectable BY
+    THE GATE'S CONTRACT (`broadcast_knn_probe` broadcasts exactly
+    these rows anyway), so assignment/cell-pruning/accept-filtering
+    all ride ONE collect instead of six eager localCheckpoints."""
     from githubrepostorag_spark.functions import vectors as V
     from githubrepostorag_spark.operators.similarity import (
         _assign_cells,
         append_ivf_sidecar,
         broadcast_knn_probe,
         centroids_from_sidecar,
+        upgrade_ivf_store,
     )
 
     spark = batch.sparkSession
-    batch = batch.localCheckpoint(eager=True)  # assign + probe + writes
+    # pre-sidecar store: one-shot in-place migration (a driver-side
+    # fs.exists no-op per batch in the steady state)
+    upgrade_ivf_store(spark, ivf_store_path)
     # frozen centroids from the persisted sidecar: |cells| rows, the
-    # store's data directories contribute NOTHING to centroid scoring
-    frozen = centroids_from_sidecar(spark, ivf_store_path).localCheckpoint(eager=True)
-    assigned = _assign_cells(batch, frozen).localCheckpoint(eager=True)
-    batch_cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    # store's data directories contribute NOTHING to centroid scoring.
+    # The CURRENT batch_id is excluded so an at-least-once REPLAY whose
+    # first attempt crashed between the sidecar append and the
+    # checkpoint commit re-derives its cell assignments from the SAME
+    # codebook the first attempt saw — not one drifted by its own
+    # partials (ADVICE r8 medium; the centroid twin of the store-side
+    # exclusion below).
+    frozen = centroids_from_sidecar(
+        spark, ivf_store_path, exclude_batch_id=int(batch_id)
+    )
+    assigned = _assign_cells(batch, frozen)
+    a_schema = assigned.schema
+    arows = assigned.collect()  # job 1 — micro-batch-sized by contract
+    batch_cells = sorted({r["cell"] for r in arows})
     # store side pruned to the batch's cells (bounded by n_cells): the
     # isin on the partition column lands in the file index as
     # PartitionFilters — untouched cell directories are never opened.
@@ -384,35 +405,36 @@ def _embedding_gate_batch(
         .filter(F.col("batch_id") != F.lit(int(batch_id)))
     )
     # broadcast probe: the micro-batch rides into the store partitions,
-    # so ZERO store rows shuffle — the scan is the whole store-side cost
+    # so ZERO store rows shuffle — the scan is the whole store-side
+    # cost; the already-collected rows skip the probe's own collect
     top1 = broadcast_knn_probe(
         store.select("cell", "vec_id", F.col("ve").alias("embedding")),
         assigned.select("cell", "vec_id", "embedding"),
         k=1,
+        rows=arows,
     )
-    hits = (
-        top1.filter(F.col("score") >= max_cos)
-        .select(
-            F.col("vec_id").alias("new_id"),
-            F.col("nbr_id").alias("store_id"),
-            "score",
-        )
-        .localCheckpoint(eager=True)  # reject log + accept anti-join
+    # hits are batch-bounded (top-1 per batch vector, thresholded) —
+    # collected once, serving the reject log AND the accept filter
+    hit_rows = [
+        (int(r["vec_id"]), int(r["nbr_id"]), float(r["score"]), int(batch_id))
+        for r in top1.filter(F.col("score") >= max_cos).collect()  # job 2
+    ]
+    hit_ids = {r[0] for r in hit_rows}
+    # BOTH logs land before the store append (crash-safety ordering)
+    spark.createDataFrame(
+        hit_rows, "new_id long, store_id long, score double, batch_id long"
+    ).coalesce(1).write.mode("append").parquet(rejected_path)  # job 3
+    accepted = spark.createDataFrame(
+        [r for r in arows if r["vec_id"] not in hit_ids], a_schema
     )
-    accepted = assigned.join(
-        hits.select(F.col("new_id").alias("vec_id")), "vec_id", "left_anti"
-    ).localCheckpoint(eager=True)  # sink write AND store append
-    accepted.select("vec_id", "label").withColumn(
-        "batch_id", F.lit(int(batch_id))
-    ).write.mode("append").parquet(accepted_path)
-    hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-        "append"
-    ).parquet(rejected_path)
     prepped = V.prepare(accepted, "embedding", "ve", "vn").select(
         "vec_id", "label", "ve", "vn", F.lit(int(batch_id)).alias("batch_id"), "cell"
-    ).localCheckpoint(eager=True)  # store append + sidecar fold
-    prepped.write.mode("append").partitionBy("cell").parquet(ivf_store_path)
-    append_ivf_sidecar(prepped, ivf_store_path, batch_id=int(batch_id))
+    )  # local-rows source: each write below replans trivially + deterministically
+    prepped.select("vec_id", "label", "batch_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(accepted_path)  # job 4
+    prepped.write.mode("append").partitionBy("cell").parquet(ivf_store_path)  # job 5
+    append_ivf_sidecar(prepped, ivf_store_path, batch_id=int(batch_id))  # job 6
 
 
 def stream_embedding_gate(

@@ -3694,6 +3694,77 @@ def test_verified_pairs_cached_explicit_key_stamp_guard(spark):
     DD._PAIR_STAMP.clear()
 
 
+def test_verified_pairs_cached_stamp_guard_no_per_hit_scan(spark):
+    """ADVICE r8 low: the explicit-key stamp guard must NOT run a
+    full `documents.count()` on every cache hit — one verification per
+    distinct input plan, then hits are job-free. Pinned by running a
+    hit under a job group and asserting zero Spark jobs launched."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (3, "unrelated content entirely different words", "en", "s1", 43),
+    ]
+    df = _docs(spark, rows)
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+    DD._STAMP_VERIFIED.clear()
+    key = ("test-stamp-noscan", spark.sparkContext.applicationId)
+    DD.verified_pairs_cached(df, threshold=0.0, cache_key=key).collect()
+    sc = spark.sparkContext
+    sc.setJobGroup("stamp-hit-check", "verified_pairs_cached hit")
+    try:
+        # hit with the SAME plan: must not launch any job (no count)
+        DD.verified_pairs_cached(df, threshold=0.5, cache_key=key)
+        jobs = sc.statusTracker().getJobIdsForGroup("stamp-hit-check")
+        assert len(jobs) == 0, jobs
+    finally:
+        sc.setJobGroup(None, None)
+    # the guard itself is intact: a different input still fails loudly
+    import pytest as _pytest
+
+    df2 = _docs(spark, rows[:2])
+    with _pytest.raises(ValueError, match="different input"):
+        DD.verified_pairs_cached(df2, threshold=0.0, cache_key=key)
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+    DD._STAMP_VERIFIED.clear()
+
+
+def test_pair_cache_eviction_keeps_rider_frames_alive(spark):
+    """ADVICE r8 low + VERDICT r8 ask #8: evicting a cache entry must
+    not break frames DERIVED from it that a caller still holds — the
+    evicted localCheckpoint's blocks stay alive while referenced (no
+    explicit unpersist; ContextCleaner reclaims them after the last
+    reference is GC'd). Cycles >_CACHE_MAX distinct plans through the
+    cache, then collects a rider filtered off the FIRST (now evicted)
+    entry, and checks the cache bound held throughout."""
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+    DD._STAMP_VERIFIED.clear()
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (3, "unrelated content entirely different words", "en", "s1", 43),
+    ]
+    first = _docs(spark, base_rows)
+    rider = DD.verified_pairs_cached(first, threshold=0.0).filter(
+        F.col("jaccard") >= 0.9
+    )
+    n_rider_before = rider.count()
+    assert n_rider_before >= 1  # docs 1 and 2 are exact twins
+    # churn: distinct plans (distinct literal inputs) evict the first
+    for i in range(DD._CACHE_MAX + 2):
+        rows_i = [(10 + i, f"churn document number {i} alpha beta", "en", "s0", 30)]
+        DD.verified_pairs_cached(_docs(spark, rows_i), threshold=0.0)
+        assert len(DD._PAIR_CACHE) <= DD._CACHE_MAX
+    assert DD._plan_key(first, 2) not in DD._PAIR_CACHE  # evicted
+    # the rider still collects — its checkpoint blocks were not nuked
+    assert rider.count() == n_rider_before
+    DD._PAIR_CACHE.clear()
+    DD._PAIR_STAMP.clear()
+    DD._STAMP_VERIFIED.clear()
+
+
 def test_edit_verify_unicode_grain_contract(spark):
     """VERDICT r7 ask #6: q264's oracle counts BYTE edits (DuckDB),
     the engine counts CHARACTER edits (Spark) — identical only while

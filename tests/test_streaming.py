@@ -800,6 +800,114 @@ def test_embedding_gate_replay_idempotent(spark, tmp_path):
     assert folded.agg(F.sum("n")).collect()[0][0] == 3
 
 
+def test_embedding_gate_replay_reads_prebatch_centroids(spark, tmp_path):
+    """ADVICE r8 medium: a REPLAYED micro-batch must derive its frozen
+    centroids EXCLUDING its own first attempt's sidecar partials (which
+    landed if the crash hit between the sidecar append and the
+    checkpoint commit). Pins the exclusion directly — the replay's
+    codebook equals the pre-batch codebook bit-for-bit — instead of
+    relying on a toy drift being large enough to flip a decision."""
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])], schema
+        ),
+        store,
+    )
+    before = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store).collect()
+    }
+    # first attempt: an ACCEPTED vector (cos 0.848 < 0.95 to its best
+    # store neighbor) that lands store rows AND sidecar partials for
+    # batch 3, dragging its cell's mean if included in a later fold
+    batch = spark.createDataFrame([(100, 0, [0.5, 0.8, 0.0, 0.0])], schema)
+    _embedding_gate_batch(
+        batch, 3, store, str(tmp_path / "a"), str(tmp_path / "r"), max_cos=0.95
+    )
+    # the UNEXCLUDED fold now differs (the batch moved its cell) ...
+    after = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store).collect()
+    }
+    assert after != before
+    # ... but the replay's view (exclude_batch_id=3) is the pre-batch
+    # codebook exactly — identical assignment, identical decisions
+    replay_view = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store, exclude_batch_id=3).collect()
+    }
+    assert replay_view == before
+
+
+def test_pre_sidecar_store_upgrades_in_place(spark, tmp_path):
+    """ADVICE r8 medium: the three MUTATING entry points (gate,
+    maintenance, compaction) must accept a store written before the
+    sidecar/batch_id existed — one in-place upgrade, then business as
+    usual. Builds the OLD layout (no sidecar, no batch_id column),
+    runs the gate, and checks the upgrade preserved cells verbatim."""
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.similarity import (
+        _assign_cells,
+        _centroid_arrays,
+        _sidecar_exists,
+        compact_ivf_store,
+        upgrade_ivf_store,
+    )
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0, 0.0]),
+            (2, 1, [0.0, 1.0, 0.0, 0.0]),
+            (3, 2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        schema,
+    )
+    path = str(tmp_path / "old_ivf")
+    # the PRE-sidecar writer layout: cell-partitioned prepared rows,
+    # no batch_id column, no sidecar directory
+    old = V.prepare(_assign_cells(emb, _centroid_arrays(emb)), "embedding", "ve", "vn")
+    old.select("vec_id", "label", "ve", "vn", "cell").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(path)
+    assert not _sidecar_exists(spark, path)
+    cells_before = {
+        r.vec_id: r.cell for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+    # the gate upgrades lazily, then gates normally
+    _embedding_gate_batch(
+        spark.createDataFrame([(100, 0, [0.7, 0.7, 0.0, 0.0])], schema),
+        0,
+        path,
+        str(tmp_path / "a"),
+        str(tmp_path / "r"),
+        max_cos=0.95,
+    )
+    assert _sidecar_exists(spark, path)
+    upgraded = spark.read.parquet(path)
+    assert "batch_id" in upgraded.columns
+    # original rows: batch_id stamped -1, cell assignments verbatim
+    base = upgraded.filter(F.col("vec_id") < 100)
+    assert {r.vec_id: r.cell for r in base.select("vec_id", "cell").collect()} == (
+        cells_before
+    )
+    assert {r.batch_id for r in base.select("batch_id").collect()} == {-1}
+    # idempotent: second call is a no-op
+    assert upgrade_ivf_store(spark, path) is False
+    # and compaction (dropDuplicates on batch_id) runs clean post-upgrade
+    compact_ivf_store(spark, path)
+    assert spark.read.parquet(path).count() == 4
+
+
 def test_ivf_sidecar_centroids_match_store_scan(spark, tmp_path):
     """The sidecar fold (sum-of-sums / sum-of-counts, 6dp) must equal
     the full-store recompute (`_cell_centroids`) exactly — including
