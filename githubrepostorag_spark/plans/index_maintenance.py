@@ -24,11 +24,13 @@ per ingest batch:
        partials (closed-form running mean — again no store scan) and
        compare to frozen by cosine; balance check: post-append cell
        occupancy vs the uniform ideal (q265's `vs_uniform_permille`).
-       If any cell drifts below the drift threshold OR any cell
-       exceeds the balance threshold, RETRAIN + REMAP — refit
-       label-seeded centroids over the full corpus, reassign every
-       row, rewrite the store (the expensive path, taken only when a
-       trigger fires)
+       The remap is SCOPED to the trigger: global drift → full
+       retrain+rewrite (refit label-seeded centroids over the corpus,
+       reassign every row — the only store-scan path); a balance
+       breach alone → cell-LOCAL 2-means split of only the offending
+       mega-cells (`_split_cell_local`: their directories rewritten
+       via dynamic partition overwrite, every other cell untouched,
+       sidecar partials replaced for the split cells only)
 
 At 100 TB the cheap path is the every-batch cost: one |cells|-row
 sidecar read + one broadcast-centroid scan of the batch + one shuffle
@@ -96,6 +98,104 @@ def _cell_centroids(rows: DataFrame) -> DataFrame:
         )
         .select(F.col("cell").alias("centroid_label"), "centroid")
     )
+
+
+def _split_cell_local(
+    spark: SparkSession, path: str, cell: int, new_cell: int, n_iters: int = 4
+) -> bool:
+    """Split ONE overloaded cell in place: deterministic 2-means over
+    only that cell's rows, rewriting only that cell's directory (plus
+    the new cell's) via dynamic partition overwrite — every other cell
+    directory is untouched. This is the balance trigger's 100 TB cost
+    model: proportional to the mega-cell that tripped it, not the
+    corpus (r8 verdict ask #5 — the old path rewrote the WHOLE store).
+
+    Seeding is deterministic (seed A = the min-vec_id row, seed B = the
+    row least-cosine-similar to A, ties by vec_id), then `n_iters`
+    Lloyd steps, each one cell-bounded Spark job. Returns False without
+    writing when the split degenerates (one side empty — a cell of
+    identical vectors cannot be balanced by ANY codebook; that mass is
+    the dedup gate's problem, not the index's).
+
+    The sidecar is reconciled by REPLACING the split cell's partials
+    with fresh per-subcell partials from the rewritten rows — an
+    O(|cells|) sidecar rewrite, still no store scan."""
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.similarity import (
+        _assign_cells,
+        cell_sum_partials,
+        ivf_sidecar_path,
+        read_ivf_sidecar,
+    )
+
+    # pin the cell's rows before overwriting their files (partition-
+    # pruned read: only this cell's directory opens)
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("cell") == int(cell))
+        .localCheckpoint(eager=True)
+    )
+    emb = rows.select("vec_id", "label", F.col("ve").alias("embedding"))
+    seed_a = emb.orderBy("vec_id").limit(1).collect()[0]
+    a_vec = [float(x) for x in seed_a["embedding"]]
+    cos_to_a = V.prepared_cosine(
+        F.col("ve"), F.col("vn"),
+        F.array(*[F.lit(x) for x in a_vec]),
+        F.lit(float(sum(x * x for x in a_vec) ** 0.5)),
+    )
+    seed_b = (
+        rows.select("vec_id", "ve", cos_to_a.alias("cos_a"))
+        .orderBy(F.asc("cos_a"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    cents = [(0, a_vec), (1, [float(x) for x in seed_b["ve"]])]
+    assigned = None
+    for _ in range(n_iters):
+        cents_df = spark.createDataFrame(
+            cents, "centroid_label int, centroid array<double>"
+        )
+        assigned = _assign_cells(emb, cents_df)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        if len(means) < 2:  # degenerate: every row on one side
+            return False
+        cents = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in means]
+    sides = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    if sides != {0, 1}:
+        return False
+    final = rows.join(
+        assigned.select("vec_id", F.col("cell").alias("sub")), "vec_id"
+    ).withColumn(
+        "cell",
+        F.when(F.col("sub") == 0, F.lit(int(cell))).otherwise(F.lit(int(new_cell))),
+    ).drop("sub").localCheckpoint(eager=True)  # store rewrite + sidecar
+    # dynamic overwrite: ONLY the partitions present in `final` (the
+    # split cell + the new cell) are replaced — untouched cells keep
+    # their files verbatim (input-files pin in test_plans)
+    final.repartition("cell").write.mode("overwrite").partitionBy("cell").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+    kept = (
+        read_ivf_sidecar(spark, path)
+        .filter(F.col("cell") != int(cell))
+        .localCheckpoint(eager=True)  # pin before overwriting its source
+    )
+    kept.unionByName(cell_sum_partials(final, -1)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ivf_sidecar_path(path))
+    return True
 
 
 def maintain_ivf_store(
@@ -199,16 +299,24 @@ def maintain_ivf_store(
         and max_vs_uniform > balance_permille_threshold
     )
     remapped = drift_fired or balance_fired
+    n_cells_split = 0
 
-    # --- retrain + remap (expensive path, trigger-gated): the ONLY
-    # path that scans the store — a full rewrite is O(store) by
-    # construction. The snapshot union (store ∪ appended) avoids
-    # re-listing `path` post-append: two same-path scans in one plan
-    # canonicalize identically, so exchange reuse can silently serve
-    # the PRE-append listing to one of them; it also keeps the remap
-    # from lazily re-scanning a path it is overwriting.
-    if remapped:
-        # pin every result that still reads the store's ORIGINAL files
+    # --- remap, scoped to the trigger (r8 verdict ask #5):
+    #   drift   → FULL retrain+rewrite: stale centroids are a global
+    #             property, every assignment is suspect — O(store) by
+    #             construction, and the only path that scans it.
+    #   balance → CELL-LOCAL 2-means split of ONLY the cells above the
+    #             occupancy threshold: one mega-cell re-creates brute
+    #             force for queries probing it, but the fix is local —
+    #             cost proportional to the offending cells, untouched
+    #             cell directories never rewritten.
+    if drift_fired:
+        # The snapshot union (store ∪ appended) avoids re-listing
+        # `path` post-append: two same-path scans in one plan
+        # canonicalize identically, so exchange reuse can silently
+        # serve the PRE-append listing to one of them; it also keeps
+        # the remap from lazily re-scanning a path it is overwriting.
+        # Pin every result that still reads the store's ORIGINAL files
         # BEFORE the overwrite deletes them: the probe result is lazy
         # and a caller consuming it post-remap would hit FILE_NOT_EXIST
         neighbors = neighbors.localCheckpoint(eager=True)
@@ -219,6 +327,23 @@ def maintain_ivf_store(
             .localCheckpoint(eager=True)
         )
         write_ivf_store(full, path)
+    elif balance_fired:
+        neighbors = neighbors.localCheckpoint(eager=True)  # pre-split files
+        cell_rows = drift.select("cell", "n_total").collect()  # |cells|-bounded
+        total = int(agg["total"])
+        mega = sorted(
+            int(r["cell"])
+            for r in cell_rows
+            if r["n_total"]
+            and int(r["n_total"]) * n_cells * 1000 // total
+            > balance_permille_threshold
+        )
+        next_id = max(int(r["cell"]) for r in cell_rows) + 1
+        for c in mega:
+            if _split_cell_local(spark, path, c, next_id):
+                n_cells_split += 1
+                next_id += 1
+        remapped = n_cells_split > 0  # all-degenerate: nothing rewrote
 
     audit = spark.createDataFrame(
         [
@@ -230,6 +355,13 @@ def maintain_ivf_store(
             ("trigger_drift", 1.0 if drift_fired else 0.0, run_id),
             ("trigger_balance", 1.0 if balance_fired else 0.0, run_id),
             ("remapped", 1.0 if remapped else 0.0, run_id),
+            # 0 = no remap, 1 = cell-local split, 2 = full retrain
+            (
+                "remap_scope",
+                2.0 if drift_fired and remapped else (1.0 if remapped else 0.0),
+                run_id,
+            ),
+            ("n_cells_split", float(n_cells_split), run_id),
         ],
         "step string, value double, run_id string",
     )

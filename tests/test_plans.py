@@ -624,6 +624,105 @@ def test_ivf_maintenance_balance_trigger(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_base + 1000
 
 
+def test_ivf_balance_split_rewrites_only_offending_cell(spark, tmp_path):
+    """r8 verdict ask #5: a balance-only trigger must take the CELL-
+    LOCAL split — only the mega-cell's directory (plus the new
+    subcell's) is rewritten; every other cell's files survive
+    byte-identical (input-files pin, like the gate's PartitionFilters
+    pin). The audit must record remap_scope=1 (local) and the store
+    must keep serving every row."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        fold_partials,
+        read_ivf_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import maintain_ivf_store
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "ivf")
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    write_ivf_store(base, path)
+    n_base = base.count()
+    cents = sorted(
+        centroids_from_sidecar(spark, path).collect(),
+        key=lambda r: r.centroid_label,
+    )
+    hot = cents[0]
+    dim = len(hot.centroid)
+    cell_files_before = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "cell=*"))
+    }
+    # flood the hot cell with NEAR-centroid vectors (tiny deterministic
+    # per-vector jitter so the 2-means has real structure to split on;
+    # direction stays closest to `hot`, drift cos stays ~1)
+    flood = spark.range(1000).select(
+        (F.col("id") + 3_000_000).alias("vec_id"),
+        F.lit(0).cast(base.schema["label"].dataType).alias("label"),
+        F.array(
+            *[
+                F.lit(float(hot.centroid[j]))
+                + F.when(F.col("id") % 2 == 0, 0.02).otherwise(-0.02)
+                * F.lit(1.0 if j % 3 == 0 else 0.5)
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    res = maintain_ivf_store(
+        spark, path, flood, k=3, drift_cos_threshold=0.5, run_id="balance-local"
+    )
+    audit = {r.step: r.value for r in res.audit.collect()}
+    assert audit["trigger_balance"] == 1.0 and audit["trigger_drift"] == 0.0
+    assert res.remapped and audit["remap_scope"] == 1.0
+    assert audit["n_cells_split"] >= 1.0
+    hot_dir = os.path.join(path, f"cell={hot.centroid_label}")
+    for d, files in cell_files_before.items():
+        if d == hot_dir:
+            continue  # the split cell: rewritten by design
+        now = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        # non-split cells: the batch append may ADD files to cells the
+        # flood landed in, but never deletes/rewrites pre-existing ones
+        assert set(files) <= set(now), d
+    # the split cell's old files are GONE (dynamic overwrite replaced it)
+    assert not set(cell_files_before[hot_dir]) & set(
+        glob.glob(os.path.join(hot_dir, "*.parquet"))
+    )
+    # a NEW subcell directory exists beyond the original codebook
+    max_before = max(int(r.centroid_label) for r in cents)
+    new_dirs = [
+        d
+        for d in glob.glob(os.path.join(path, "cell=*"))
+        if int(d.rsplit("=", 1)[1]) > max_before
+    ]
+    assert new_dirs, "split created no new cell directory"
+    # every row still served, and the sidecar fold matches the store
+    post = spark.read.parquet(path)
+    assert post.count() == n_base + 1000
+    folded_n = (
+        fold_partials(read_ivf_sidecar(spark, path)).agg(F.sum("n")).collect()[0][0]
+    )
+    assert folded_n == n_base + 1000
+    # sidecar centroids agree with a fresh store-side recompute per cell
+    from githubrepostorag_spark.plans.index_maintenance import _cell_centroids
+
+    got = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path).collect()
+    }
+    want = {
+        r.centroid_label: r.centroid for r in _cell_centroids(post).collect()
+    }
+    assert set(got) == set(want)
+    for c, v in want.items():
+        assert got[c] == pytest.approx(v, abs=1e-6), c
+
+
 def test_round8_new_ops_plan_shapes(spark):
     """Physical-plan pins for the round-8 operators: no cartesian
     product anywhere (broadcast joins only), and the only global Sort
