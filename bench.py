@@ -563,6 +563,43 @@ def main() -> None:
                 shutil.rmtree(work, ignore_errors=True)
         finally:
             shutil.rmtree(ivf_root, ignore_errors=True)
+
+    if _want('index_lifecycle'):
+        # composed index lifecycle (r8 verdict ask #6): base build →
+        # streaming semantic gate → maintenance cheap path → IVFADC
+        # serve, all against ONE store — per-stage seconds in
+        # entry_meta prove no stage degrades into a store scan when
+        # composed (gate/maintain/serve must each be a fraction of
+        # build, which is the only O(corpus) stage).
+        from githubrepostorag_spark.plans.index_lifecycle import index_lifecycle
+
+        lc_base = emb_all.filter(F.col("vec_id") % 5 < 3)
+        lc_gate = emb_all.filter(F.col("vec_id") % 5 == 3).limit(128).select(
+            "vec_id", "label", "embedding"
+        )
+        lc_maint = emb_all.filter(F.col("vec_id") % 5 == 4).limit(512).select(
+            "vec_id", "label", "embedding"
+        )
+        lc_qv = [float(x) for x in emb_all.orderBy("vec_id").first()["embedding"]]
+        for i in range(3):  # pass 0 = plan/UDF warmup
+            root = tempfile.mkdtemp(prefix="bench-lifecycle-")
+            try:
+                load1 = os.getloadavg()[0]
+                t0 = time.time()
+                lres = index_lifecycle(
+                    spark, lc_base, lc_gate, lc_maint, root, lc_qv,
+                    k=10, n_probes=3, run_id=f"bench-{i}",
+                )
+                run_query(lres.served)
+                elapsed = time.time() - t0
+                if i > 0:
+                    record(
+                        "index_lifecycle", elapsed, load1,
+                        stages=stage_dict(lres.timed_stages),
+                    )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
     # drop everything the composed pipeline left behind before the
     # per-query loop (measured FIRST: long query churn accumulates
     # driver-side state that would otherwise inflate the pipeline's

@@ -1,0 +1,125 @@
+"""Composed IVF index lifecycle: base build → streaming semantic
+admission gate → maintenance cheap path → IVFADC-style serve — the
+four vector-store pieces the engine tests individually, proven to
+COMPOSE without a store scan sneaking in between stages.
+
+Stage plan (per-stage wall seconds recorded, `plans.timing` pattern):
+
+    1. build     `write_ivf_store`: one shuffle on cell, centroid
+                 sidecar persisted alongside — the only stage whose
+                 cost is O(corpus), paid once.
+    2. gate      `stream_embedding_gate` (availableNow): every
+                 micro-batch assigns by sidecar centroids (no store
+                 scan), probes only its own cells (PartitionFilters),
+                 appends survivors + sidecar partials.
+    3. maintain  `maintain_ivf_store` cheap path: sidecar-frozen
+                 centroids, cell-pruned broadcast probe, append +
+                 |cells|-bounded sidecar fold; triggers scoped (local
+                 split / full retrain) if the batch tripped one.
+    4. serve     `ivf_knn_from_store`: sidecar centroid scoring +
+                 n_probes partition-pruned cell scans — the q250
+                 IVFADC read path over the store all prior stages
+                 mutated.
+
+Reference anchor: the reference rebuilds its vector table wholesale
+per ingest and serves from Cassandra SAI (`cassandra_service.py:
+119-127`); this composition is the beyond-reference incremental
+lifecycle at 100 TB shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from githubrepostorag_spark.operators.similarity import (
+    ivf_knn_from_store,
+    write_ivf_store,
+)
+from githubrepostorag_spark.plans.index_maintenance import (
+    MaintenanceResult,
+    maintain_ivf_store,
+)
+from githubrepostorag_spark.plans.timing import StageTimer
+from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
+
+
+class LifecycleResult(NamedTuple):
+    served: DataFrame       # (vec_id, label, score) — final top-k
+    maintenance: MaintenanceResult
+    audit: DataFrame        # (step, value, run_id) across all stages
+    timed_stages: DataFrame  # (stage_idx, stage, seconds, run_id)
+
+
+def index_lifecycle(
+    spark: SparkSession,
+    base: DataFrame,
+    gate_batch: DataFrame,
+    maint_batch: DataFrame,
+    work_dir: str,
+    query_vec: list,
+    k: int = 10,
+    n_probes: int = 3,
+    max_cos: float = 0.95,
+    run_id: str = "lifecycle",
+) -> LifecycleResult:
+    """Run the four-stage lifecycle in `work_dir` (created fresh:
+    store + gate sink/checkpoint directories live under it). `base`,
+    `gate_batch`, `maint_batch` are (vec_id, label, embedding) frames;
+    `query_vec` is the serving query embedding as a plain list."""
+    timer = StageTimer()
+    store = os.path.join(work_dir, "store")
+
+    timer.time("build", lambda: write_ivf_store(base, store))
+
+    src = os.path.join(work_dir, "gate_src")
+    gate_batch.select("vec_id", "label", "embedding").write.mode(
+        "overwrite"
+    ).json(src)
+    schema = "vec_id long, label int, embedding array<float>"
+
+    def _run_gate():
+        q = stream_embedding_gate(
+            spark.readStream.schema(schema).json(src),
+            store,
+            os.path.join(work_dir, "accepted"),
+            os.path.join(work_dir, "rejected"),
+            os.path.join(work_dir, "ckpt"),
+            max_cos=max_cos,
+        )
+        q.awaitTermination()
+
+    timer.time("gate", _run_gate)
+
+    maint = timer.time(
+        "maintain",
+        lambda: maintain_ivf_store(spark, store, maint_batch, k=k, run_id=run_id),
+    )
+
+    served = timer.time(
+        "serve",
+        lambda: ivf_knn_from_store(
+            spark, store, query_vec, k=k, n_probes=n_probes
+        ).localCheckpoint(eager=True),
+    )
+
+    n_accepted = spark.read.parquet(os.path.join(work_dir, "accepted")).count()
+    try:
+        n_rejected = spark.read.parquet(os.path.join(work_dir, "rejected")).count()
+    except Exception:  # all accepted: the gate wrote no reject files
+        n_rejected = 0
+    audit = spark.createDataFrame(
+        [
+            ("n_gate_accepted", float(n_accepted), run_id),
+            ("n_gate_rejected", float(n_rejected), run_id),
+        ],
+        "step string, value double, run_id string",
+    ).unionByName(maint.audit)  # same (step, value, run_id) shape
+    return LifecycleResult(
+        served=served,
+        maintenance=maint,
+        audit=audit,
+        timed_stages=timer.frame(spark, run_id, "run_id"),
+    )

@@ -357,19 +357,39 @@ def _embedding_gate_batch(
     can drive it directly (replay = call twice with the same batch_id).
     See `stream_embedding_gate` for the contract.
 
-    Per-batch job ledger (the r8 verdict ask #4 — the fixed overhead
-    IS the scheduling of Spark jobs, so the plan runs exactly six):
-    assign-collect, probe, reject-log write, accept-log write, store
-    append, sidecar append. The micro-batch is driver-collectable BY
-    THE GATE'S CONTRACT (`broadcast_knn_probe` broadcasts exactly
-    these rows anyway), so assignment/cell-pruning/accept-filtering
-    all ride ONE collect instead of six eager localCheckpoints."""
-    from githubrepostorag_spark.functions import vectors as V
+    Per-batch plan (r8 verdict ask #4 — at micro-batch scale the cost
+    IS fixed overhead, so the batch-bounded half of the work moves to
+    the DRIVER and the cluster runs only what actually touches the
+    store):
+
+      job 1  sidecar scan (toPandas: |cells|·|appends| rows, plain
+             parquet read, NO shuffle — the fold to centroids happens
+             in numpy, replay rules included: drop the CURRENT
+             batch_id [ADVICE r8 medium], dedup (cell, batch_id))
+      job 2  batch collect (micro-batch-sized by the gate's contract —
+             the probe broadcasts exactly these rows anyway); cell
+             assignment is a numpy argmax with the same
+             (sim DESC, centroid_label ASC) tie discipline
+      job 3  the probe: the ONLY job that reads store data — cell-
+             pruned (PartitionFilters) + same-batch-excluded, batch
+             broadcast via `broadcast_knn_probe` (zero store rows
+             shuffle), top-1 collected
+      jobs 4-7  four Arrow-backed writes (reject log, accept log,
+             store append, sidecar partials) — pandas frames convert
+             via Arrow into JVM-side scans (~0.2 s each; a
+             createDataFrame from plain ROWS would route each write
+             through the Python-RDD scan path, ~5 s each at 128 rows).
+             Both logs land before the store append (crash-safety
+             ordering); the sidecar partials are numpy per-cell
+             (n, sum_vec) float64 sums.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from githubrepostorag_spark.functions.numerics import np_round_half_away
     from githubrepostorag_spark.operators.similarity import (
-        _assign_cells,
-        append_ivf_sidecar,
         broadcast_knn_probe,
-        centroids_from_sidecar,
+        ivf_sidecar_path,
         upgrade_ivf_store,
     )
 
@@ -377,21 +397,50 @@ def _embedding_gate_batch(
     # pre-sidecar store: one-shot in-place migration (a driver-side
     # fs.exists no-op per batch in the steady state)
     upgrade_ivf_store(spark, ivf_store_path)
-    # frozen centroids from the persisted sidecar: |cells| rows, the
-    # store's data directories contribute NOTHING to centroid scoring.
-    # The CURRENT batch_id is excluded so an at-least-once REPLAY whose
-    # first attempt crashed between the sidecar append and the
-    # checkpoint commit re-derives its cell assignments from the SAME
-    # codebook the first attempt saw — not one drifted by its own
-    # partials (ADVICE r8 medium; the centroid twin of the store-side
-    # exclusion below).
-    frozen = centroids_from_sidecar(
-        spark, ivf_store_path, exclude_batch_id=int(batch_id)
+
+    brows = batch.select("vec_id", "label", "embedding").collect()
+    lab_int32 = batch.schema["label"].dataType.simpleString() in ("int", "integer")
+    lab_dtype = np.int32 if lab_int32 else np.int64
+    if not brows:
+        return
+
+    # frozen centroids folded driver-side from the sidecar partials:
+    # same sum-of-sums / sum-of-counts + 6dp half-away rounding as
+    # `fold_partials`, minus the CURRENT batch's partials so a replayed
+    # attempt re-derives assignments from the codebook its first
+    # attempt saw (the centroid twin of the store-side exclusion below)
+    sc_pdf = spark.read.parquet(ivf_sidecar_path(ivf_store_path)).toPandas()
+    sc_pdf = sc_pdf[sc_pdf["batch_id"] != int(batch_id)]
+    parts = pd.concat(
+        [
+            sc_pdf[sc_pdf["batch_id"] < 0],
+            sc_pdf[sc_pdf["batch_id"] >= 0].drop_duplicates(
+                subset=["cell", "batch_id"]
+            ),
+        ]
     )
-    assigned = _assign_cells(batch, frozen)
-    a_schema = assigned.schema
-    arows = assigned.collect()  # job 1 — micro-batch-sized by contract
-    batch_cells = sorted({r["cell"] for r in arows})
+    cent_cells: list[int] = []
+    cents: list = []
+    for cell, grp in sorted(parts.groupby("cell"), key=lambda kv: kv[0]):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack(grp["sum_vec"].to_numpy()).astype("float64"), axis=0)
+        cent_cells.append(int(cell))
+        cents.append(np_round_half_away(s / n, 6))
+    C = np.stack(cents)  # (m, dim), rows ordered by ascending cell id
+
+    # numpy cell assignment — C's rows are label-ascending, and argmax
+    # returns the FIRST max, so ties resolve to the smallest cell id:
+    # exactly _assign_cells' (sim DESC, centroid_label ASC) discipline
+    ids = np.asarray([int(r["vec_id"]) for r in brows], dtype="int64")
+    labels = np.asarray([r["label"] for r in brows], dtype=lab_dtype)
+    B = np.asarray([r["embedding"] for r in brows], dtype="float64")
+    bn = np.linalg.norm(B, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (B @ C.T) / np.outer(bn, cn)
+    cell_of = np.asarray(cent_cells, dtype="int64")[np.argmax(sims, axis=1)]
+    batch_cells = sorted({int(c) for c in cell_of})
+
     # store side pruned to the batch's cells (bounded by n_cells): the
     # isin on the partition column lands in the file index as
     # PartitionFilters — untouched cell directories are never opened.
@@ -405,36 +454,104 @@ def _embedding_gate_batch(
         .filter(F.col("batch_id") != F.lit(int(batch_id)))
     )
     # broadcast probe: the micro-batch rides into the store partitions,
-    # so ZERO store rows shuffle — the scan is the whole store-side
-    # cost; the already-collected rows skip the probe's own collect
+    # so ZERO store rows shuffle — the pruned scan is the whole
+    # store-side cost; the driver-assigned rows ARE the broadcast side
+    probe_rows = [
+        {"cell": int(c), "vec_id": int(i), "embedding": e}
+        for c, i, e in zip(cell_of, ids, B.tolist())
+    ]
     top1 = broadcast_knn_probe(
         store.select("cell", "vec_id", F.col("ve").alias("embedding")),
-        assigned.select("cell", "vec_id", "embedding"),
+        store,  # spark-session carrier only: `rows` skips its collect
         k=1,
-        rows=arows,
+        rows=probe_rows,
     )
-    # hits are batch-bounded (top-1 per batch vector, thresholded) —
-    # collected once, serving the reject log AND the accept filter
-    hit_rows = [
-        (int(r["vec_id"]), int(r["nbr_id"]), float(r["score"]), int(batch_id))
-        for r in top1.filter(F.col("score") >= max_cos).collect()  # job 2
+    hits = [
+        (int(r["vec_id"]), int(r["nbr_id"]), float(r["score"]))
+        for r in top1.filter(F.col("score") >= max_cos).collect()
     ]
-    hit_ids = {r[0] for r in hit_rows}
+    hit_ids = {h[0] for h in hits}
+
+    def _write(pdf: pd.DataFrame, empty_schema: str, path: str, part_col=None):
+        """Arrow-backed append; empty frames write as a casted
+        `spark.range(0)` projection — pure JVM. (Arrow cannot infer
+        list columns from zero rows, and `createDataFrame([], schema)`
+        parallelizes an empty Python RDD, which routes the write
+        through Python-worker scan tasks — measured ~5 s for a 0-row
+        parquet commit vs ~0.1 s for the range(0) form.)"""
+        if len(pdf):
+            df = spark.createDataFrame(pdf)
+        else:
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(empty_schema)
+            df = spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+            )
+        w = df.coalesce(1).write.mode("append")
+        if part_col:
+            w = df.write.mode("append").partitionBy(part_col)
+        w.parquet(path)
+
+    lab_sql = "int" if lab_int32 else "long"
     # BOTH logs land before the store append (crash-safety ordering)
-    spark.createDataFrame(
-        hit_rows, "new_id long, store_id long, score double, batch_id long"
-    ).coalesce(1).write.mode("append").parquet(rejected_path)  # job 3
-    accepted = spark.createDataFrame(
-        [r for r in arows if r["vec_id"] not in hit_ids], a_schema
+    _write(
+        pd.DataFrame(
+            {
+                "new_id": np.asarray([h[0] for h in hits], dtype="int64"),
+                "store_id": np.asarray([h[1] for h in hits], dtype="int64"),
+                "score": np.asarray([h[2] for h in hits], dtype="float64"),
+                "batch_id": np.full(len(hits), int(batch_id), dtype="int32"),
+            }
+        ),
+        "new_id long, store_id long, score double, batch_id int",
+        rejected_path,
     )
-    prepped = V.prepare(accepted, "embedding", "ve", "vn").select(
-        "vec_id", "label", "ve", "vn", F.lit(int(batch_id)).alias("batch_id"), "cell"
-    )  # local-rows source: each write below replans trivially + deterministically
-    prepped.select("vec_id", "label", "batch_id").coalesce(1).write.mode(
-        "append"
-    ).parquet(accepted_path)  # job 4
-    prepped.write.mode("append").partitionBy("cell").parquet(ivf_store_path)  # job 5
-    append_ivf_sidecar(prepped, ivf_store_path, batch_id=int(batch_id))  # job 6
+    keep = np.asarray([i not in hit_ids for i in ids.tolist()], dtype=bool)
+    _write(
+        pd.DataFrame(
+            {
+                "vec_id": ids[keep],
+                "label": labels[keep],
+                "batch_id": np.full(int(keep.sum()), int(batch_id), dtype="int32"),
+            }
+        ),
+        f"vec_id long, label {lab_sql}, batch_id int",
+        accepted_path,
+    )
+    if keep.any():
+        kb = B[keep]
+        store_pdf = pd.DataFrame(
+            {
+                "vec_id": ids[keep],
+                "label": labels[keep],
+                "ve": list(kb),
+                "vn": np.linalg.norm(kb, axis=1),
+                "batch_id": np.full(int(keep.sum()), int(batch_id), dtype="int32"),
+                "cell": cell_of[keep].astype("int32"),
+            }
+        )
+        _write(store_pdf, "", ivf_store_path, part_col="cell")
+        # sidecar partials: per-cell (n, sum_vec) float64 sums — the
+        # |cells|-bounded fold `append_ivf_sidecar` computes, in numpy
+        sp_cells, sp_n, sp_sum = [], [], []
+        for c in sorted({int(x) for x in cell_of[keep]}):
+            m = cell_of[keep] == c
+            sp_cells.append(c)
+            sp_n.append(int(m.sum()))
+            sp_sum.append(kb[m].sum(axis=0))
+        _write(
+            pd.DataFrame(
+                {
+                    "cell": np.asarray(sp_cells, dtype="int32"),
+                    "n": np.asarray(sp_n, dtype="int64"),
+                    "sum_vec": sp_sum,
+                    "batch_id": np.full(len(sp_cells), int(batch_id), dtype="int32"),
+                }
+            ),
+            "",
+            ivf_sidecar_path(ivf_store_path),
+        )
 
 
 def stream_embedding_gate(

@@ -723,6 +723,81 @@ def test_ivf_balance_split_rewrites_only_offending_cell(spark, tmp_path):
         assert got[c] == pytest.approx(v, abs=1e-6), c
 
 
+def test_index_lifecycle_end_to_end(spark, tmp_path):
+    """r8 verdict ask #6: build → gate → maintain → serve composed in
+    one plan. The served top-k AFTER the gated append must equal brute
+    force over exactly the SURVIVORS (base ∪ gate-accepted ∪
+    maintenance batch — rejected vectors absent), proving the stages
+    compose on one store without losing or double-counting rows."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.plans.index_lifecycle import index_lifecycle
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    gate_batch = emb.filter(F.col("vec_id") % 5 == 3).limit(40)
+    maint_batch = emb.filter(F.col("vec_id") % 5 == 4).limit(40).select(
+        "vec_id", "label", "embedding"
+    )
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    res = index_lifecycle(
+        spark,
+        base,
+        gate_batch,
+        maint_batch,
+        str(tmp_path / "wk"),
+        qv,
+        k=8,
+        n_probes=100,  # probe every cell: serve == exact brute force
+        run_id="e2e",
+    )
+    audit = {r.step: r.value for r in res.audit.collect()}
+    stages = {r.stage for r in res.timed_stages.collect()}
+    assert stages == {"build", "gate", "maintain", "serve"}
+    # survivors: base + accepted gate rows + the maintenance batch
+    accepted = spark.read.parquet(str(tmp_path / "wk" / "accepted")).select(
+        "vec_id"
+    )
+    survivors = (
+        base.select("vec_id", "label", "embedding")
+        .unionByName(
+            gate_batch.select("vec_id", "label", "embedding").join(
+                accepted, "vec_id"
+            )
+        )
+        .unionByName(maint_batch)
+    )
+    n_surv = survivors.count()
+    assert audit["n_gate_accepted"] + audit["n_gate_rejected"] == 40
+    assert (
+        spark.read.parquet(str(tmp_path / "wk" / "store")).count() == n_surv
+    )
+    qdf = spark.createDataFrame([(qv,)], "qvec array<double>")
+    brute = (
+        V.prepare(survivors, "embedding", "ve", "vn")
+        .crossJoin(F.broadcast(V.prepare(qdf, "qvec", "qv", "qn")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                V.prepared_cosine(
+                    F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(8)
+        .collect()
+    )
+    got = res.served.orderBy(F.desc("score"), F.asc("vec_id")).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in brute
+    ]
+
+
 def test_round8_new_ops_plan_shapes(spark):
     """Physical-plan pins for the round-8 operators: no cartesian
     product anywhere (broadcast joins only), and the only global Sort
