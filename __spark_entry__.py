@@ -40,75 +40,84 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (insertion order).  Rotation ledger: rounds 1-4 and 6 recorded 150 distinct
 # queries; round 7 recorded its 11 new ops + 2 retests + 37 backlog slots
-# (backlog 104 -> 68 — the round-7 header said "-> 67", an off-by-one the r7
-# verdict flagged; the true remainder was 68: q108-q157 band 45 + q158-q183
-# band 23).  ROUND 8 head: the 7 NEW operators (q267-q273, first-time
-# coverage of new code) + the oldest 43 backlog slots (q108..q155), leaving
-# backlog 25 (q156..q183).
+# (backlog 104 -> 68); round 8 recorded its 7 new ops (q267-q273) + the
+# oldest 43 backlog slots (q108..q155), leaving backlog 25 (q156..q183,
+# minus the already-recorded q166/q172/q173).
 #
-# ROUND-9 PLAN (written ahead per the r7 verdict ask #5): head = the round-9
-# newcomers + the round-8 late additions (q274..q281 — added after the
-# head was frozen at 50), then the final 25 backlog slots (q156, q157, q158,
-# q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q170, q171,
-# q174, q175, q176, q177, q178, q179, q180, q181, q182, q183), then start the
-# RE-TEST pass over the oldest round-1 recordings (q01..q48, driver-checked
-# only in round 1) with whatever slots remain — continue in round 10.
+# ROUND 9 head (executes the plan the r8 header wrote ahead, exactly the
+# r8 verdict asks #1-#2): the 7 NEW round-9 operators (q282..q288,
+# first-time coverage of new code), then the 8 round-8 late additions
+# (q274..q281 — registered after the r8 head froze; never driver-
+# recorded), then ALL 25 remaining backlog slots (q156..q165, q167..q171,
+# q174..q183 — this empties the never-recorded backlog), then the first
+# 10 slots of the q01..q48 RE-TEST pass (recordings from round 1, code
+# refactored many times since; sweeps cover them, the driver re-check
+# closes the loop).  7 + 8 + 25 + 10 = 50.
+#
+# ROUND-10 PLAN (written ahead): head = the round-10 newcomers, then
+# continue the re-test pass where this round stops (q11_market_share
+# onward through q48, oldest first), filling all remaining slots —
+# ~38 retest slots if round 10 adds ~12 new ops, which finishes the
+# q01-q48 pass entirely in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
-# under the strict comparator (round-7: 0 failures over all 266 queries at
-# BOTH scales; round 8 sweeps under strict-v3, which also hard-fails
-# NaN-vs-NULL).
+# under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
+# AND sf0.1 — committed as PARITY_LOCAL_r{N}_strict.txt / PARITY_SF0.1_.
 _ROTATION_HEAD = [
-    "q267_token_profile_anomaly",
-    "q268_ngram_coverage",
-    "q269_dup_inflation",
-    "q270_length_mad",
-    "q271_winnow_pairs",
-    "q272_ivf_probe_cost",
-    "q273_labeler_kappa",
-    "q108_churned_customers",
-    "q109_order_coverage",
-    "q110_decayed_activity",
-    "q111_weighted_per_source",
-    "q112_funnel_bounded",
-    "q113_quality_correlation",
-    "q114_volume_trend",
-    "q119_salted_agg",
-    "q120_bloom_decontaminate",
-    "q121_session_windows",
-    "q122_delta_rollup",
-    "q123_scd2_status",
-    "q124_small_order_revenue",
-    "q125_lone_return_suppliers",
-    "q126_top_suppliers",
-    "q127_heavy_hitters",
-    "q128_cumulative_users",
-    "q129_fuzzy_names",
-    "q130_merge_upsert",
-    "q131_snapshot_diff",
-    "q132_doc_triangles",
-    "q133_basket_pairs",
-    "q134_grouping_sets",
-    "q135_pareto_orders",
-    "q136_gap_fill",
-    "q137_forecast_revenue",
-    "q138_volume_shipping",
-    "q139_market_share",
-    "q140_product_profit",
-    "q141_returned_items",
-    "q142_order_count_dist",
-    "q143_promo_revenue",
-    "q144_large_volume_customers",
-    "q145_disjunctive_revenue",
-    "q146_unpivot_metrics",
-    "q147_tfidf_terms",
-    "q148_embedding_decontaminate",
-    "q149_interval_moving_avg",
-    "q150_curriculum_interleave",
-    "q151_rolling_active_users",
-    "q152_zorder_tiles",
-    "q154_weighted_percentile",
-    "q155_first_touch",
+    # round-9 new operators
+    "q282_order_reconciliation",
+    "q283_term_burstiness",
+    "q284_dedup_method_agreement",
+    "q285_component_source_mix",
+    "q286_pq_code_entropy",
+    "q287_token_runs",
+    "q288_decile_transitions",
+    # round-8 late additions (never driver-recorded)
+    "q274_source_zipf",
+    "q275_codebook_confusion",
+    "q276_gate_recall_audit",
+    "q277_lateness_profile",
+    "q278_source_coherence",
+    "q279_dup_transitivity",
+    "q280_gopher_matrix",
+    "q281_split_length_ladder",
+    # final 25 backlog slots (empties the never-recorded backlog)
+    "q156_ab_test",
+    "q157_bigram_surprisal",
+    "q158_chi_square",
+    "q159_hash_features",
+    "q160_price_bins",
+    "q161_ngram_novelty",
+    "q162_robust_outliers",
+    "q163_sql_surface",
+    "q164_window_family",
+    "q165_bfs_distances",
+    "q167_shipping_sla",
+    "q168_purchase_gaps",
+    "q169_source_leakage",
+    "q170_stickiness",
+    "q171_value_concentration",
+    "q174_mutual_knn_clusters",
+    "q175_seasonal_anomalies",
+    "q176_cohort_decay",
+    "q177_min_cost_supplier",
+    "q178_important_stock",
+    "q179_parts_supplier_count",
+    "q180_cluster_sample",
+    "q181_bag_set_ops",
+    "q182_leakage_safe_split",
+    "q183_split_leakage_audit",
+    # q01-q48 re-test pass, part 1 of 2 (round-1 recordings, oldest first)
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_local_supplier_volume",
+    "q04_order_priority",
+    "q05_topk_per_group",
+    "q06_customers_without_orders",
+    "q07_running_count",
+    "q08_rollup_agg",
+    "q09_distinct_agg",
+    "q10_pivot_linestatus",
 ]
 
 
@@ -1078,6 +1087,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q281_split_length_ladder": lambda sp, sf: CU.split_length_ladder(
             t(sp, sf, "documents")
+        ),
+        # --- round 9: reconciliation / burstiness / cross-method dedup
+        #     calibration / cluster provenance / quantizer health /
+        #     degenerate repetition / value-decile drift ---
+        "q282_order_reconciliation": lambda sp, sf: R.order_reconciliation(
+            t(sp, sf, "orders"), t(sp, sf, "lineitem")
+        ),
+        "q283_term_burstiness": lambda sp, sf: TO.term_burstiness(
+            t(sp, sf, "documents")
+        ),
+        "q284_dedup_method_agreement": lambda sp, sf: DD.dedup_method_agreement(
+            t(sp, sf, "documents")
+        ),
+        "q285_component_source_mix": lambda sp, sf: DD.component_source_mix(
+            t(sp, sf, "documents")
+        ),
+        "q286_pq_code_entropy": lambda sp, sf: S.pq_code_entropy(
+            t(sp, sf, "embeddings")
+        ),
+        "q287_token_runs": lambda sp, sf: TO.token_run_profile(
+            t(sp, sf, "documents")
+        ),
+        "q288_decile_transitions": lambda sp, sf: R.decile_transitions(
+            t(sp, sf, "orders")
         ),
     })
 
@@ -8317,6 +8350,229 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN pm p
             WHERE c.cum * 1000 >= p.permille * t.n_docs
             GROUP BY c.split, p.permille, t.n_docs
+        """,
+        # --- round 9 ---
+        "q282_order_reconciliation": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * (1 + l_tax), 4) AS DECIMAL(18,4))) AS computed
+              FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+              SELECT o.o_orderstatus,
+                     po.computed IS NULL AS no_lines,
+                     CASE WHEN po.computed IS NULL THEN NULL
+                          ELSE abs(CAST(o.o_totalprice AS DECIMAL(18,4)) - po.computed)
+                     END AS abs_err
+              FROM orders o LEFT JOIN po ON po.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+                   CAST(sum(CASE WHEN abs_err > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   CAST(max(abs_err) AS DOUBLE) AS max_abs_err,
+                   CAST(sum(CASE WHEN abs_err > 0.01 THEN 1 ELSE 0 END) * 1000
+                        // count(*) AS BIGINT) AS mismatch_permille
+            FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q283_term_burstiness": f"""
+            WITH toks AS (SELECT source, doc_id, unnest({_TOKS}) AS tok FROM documents),
+            pd AS (SELECT source, doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+            pt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS df,
+                          CAST(sum(c) AS BIGINT) AS n_occ,
+                          CAST(sum(c * c) AS BIGINT) AS ss
+                   FROM pd GROUP BY 1, 2),
+            nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+            sc AS (SELECT p.source, p.tok, p.df, p.n_occ,
+                          round(CAST(p.ss AS DOUBLE) / p.n_occ
+                                - CAST(p.n_occ AS DOUBLE) / nd.n_docs, 6) AS vmr
+                   FROM pt p JOIN nd ON nd.source = p.source
+                   WHERE p.df >= {TO.BURSTINESS_MIN_DF})
+            SELECT source, CAST(rk AS BIGINT) AS rk, tok, df, n_occ, vmr
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY vmr DESC, tok) AS rk
+                  FROM sc)
+            WHERE rk <= {TO.BURSTINESS_TOP_K}
+        """,
+        "q284_dedup_method_agreement": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS)},
+            {_simhash_cte().replace("WITH ", "", 1).replace("hashed", "shashed")},
+            sbands AS (
+              SELECT doc_id, b.b AS band,
+                     (simhash >> (b.b * {SIMHASH_BITS // DD.SIMHASH_AGREE_BANDS}))
+                       & {(1 << (SIMHASH_BITS // DD.SIMHASH_AGREE_BANDS)) - 1} AS bv
+              FROM sim CROSS JOIN (SELECT unnest(range({DD.SIMHASH_AGREE_BANDS})) AS b) b),
+            scand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sbands a JOIN sbands b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            pred AS (
+              SELECT c.doc_a, c.doc_b,
+                     bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+              FROM scand c
+              JOIN sim sa ON sa.doc_id = c.doc_a
+              JOIN sim sb ON sb.doc_id = c.doc_b
+              WHERE bit_count(xor(sa.simhash, sb.simhash))
+                    <= {DD.SIMHASH_AGREE_MAX_HAMMING}),
+            tbands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            tcand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM tbands a JOIN tbands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM tcand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            joined AS (
+              SELECT p.hamming,
+                     CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+              FROM pred p LEFT JOIN truth t
+                ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+            cuts AS (SELECT CAST(unnest(range({DD.SIMHASH_AGREE_MAX_HAMMING + 1}))
+                              AS BIGINT) AS hamming_cutoff),
+            agg AS (
+              SELECT c.hamming_cutoff, CAST(count(*) AS BIGINT) AS n_pred,
+                     CAST(sum(j.is_true) AS BIGINT) AS n_hit
+              FROM cuts c JOIN joined j ON j.hamming <= c.hamming_cutoff
+              GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+            SELECT c.hamming_cutoff,
+                   coalesce(a.n_pred, 0) AS n_pred,
+                   coalesce(a.n_hit, 0) AS n_hit,
+                   nt.n_truth,
+                   CAST(CASE WHEN coalesce(a.n_pred, 0) > 0
+                             THEN coalesce(a.n_hit, 0) * 1000 // a.n_pred
+                             ELSE 0 END AS BIGINT) AS precision_permille,
+                   CAST(CASE WHEN nt.n_truth > 0
+                             THEN coalesce(a.n_hit, 0) * 1000 // nt.n_truth
+                             ELSE 0 END AS BIGINT) AS recall_permille
+            FROM cuts c
+            LEFT JOIN agg a ON a.hamming_cutoff = c.hamming_cutoff
+            CROSS JOIN nt
+            ORDER BY c.hamming_cutoff
+        """,
+        "q285_component_source_mix": f"""
+            {_minhash_cte(SHINGLE_K, MINHASH_FUNCS).replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({" UNION ALL ".join(_band_select(b, 2) for b in range(2))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+            sh2 AS (SELECT doc_id, unnest({_shingles_sql(SHINGLE_K)}) AS shingle FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes sa ON sa.doc_id = s.doc_a
+              JOIN sizes sb ON sb.doc_id = s.doc_b
+              WHERE round(CAST(s.n_shared AS DOUBLE)
+                          / (sa.n + sb.n - s.n_shared), 6) >= 0.8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+            pc AS (
+              SELECT l.component, CAST(count(*) AS BIGINT) AS component_size,
+                     CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+              FROM labels l JOIN documents d ON d.doc_id = l.node
+              GROUP BY l.component)
+            SELECT component_size,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_multi_source,
+                   CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) * 1000
+                        // count(*) AS BIGINT) AS multi_permille
+            FROM pc WHERE component_size >= 2
+            GROUP BY component_size ORDER BY component_size
+        """,
+        "q286_pq_code_entropy": f"""
+            {_pq_cte()},
+            usage AS (SELECT subspace, code, CAST(count(*) AS BIGINT) AS n
+                      FROM pqcodes GROUP BY 1, 2),
+            tot AS (SELECT subspace, sum(n) AS n_total,
+                           CAST(count(*) AS BIGINT) AS n_used
+                    FROM usage GROUP BY 1),
+            k AS (SELECT CAST(count(DISTINCT code) AS BIGINT) AS n_codes FROM cb),
+            ent AS (SELECT u.subspace,
+                           round(-sum((CAST(u.n AS DOUBLE) / t.n_total)
+                                      * log2(CAST(u.n AS DOUBLE) / t.n_total)), 6)
+                             AS entropy_bits
+                    FROM usage u JOIN tot t ON t.subspace = u.subspace
+                    GROUP BY u.subspace)
+            SELECT CAST(t.subspace AS BIGINT) AS subspace,
+                   t.n_used, k.n_codes,
+                   CAST(t.n_used * 1000 // k.n_codes AS BIGINT) AS utilization_permille,
+                   e.entropy_bits,
+                   CAST(floor(e.entropy_bits / log2(CAST(k.n_codes AS DOUBLE)) * 1000)
+                        AS BIGINT) AS entropy_permille
+            FROM tot t JOIN ent e ON e.subspace = t.subspace CROSS JOIN k
+            ORDER BY subspace
+        """,
+        "q287_token_runs": f"""
+            WITH toks AS (SELECT source, doc_id, {_TOKS} AS tk FROM documents),
+            pos AS (SELECT source, doc_id, CAST(u.i AS BIGINT) AS pos, tk[u.i] AS tok
+                    FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)),
+            isl AS (SELECT source, doc_id, tok,
+                           pos - row_number() OVER (PARTITION BY doc_id, tok
+                                                    ORDER BY pos) AS island
+                    FROM pos),
+            runs AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS run_len
+                     FROM isl GROUP BY source, doc_id, tok, island),
+            mx AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY 1),
+            f AS (SELECT d.source, coalesce(m.max_run, 0) AS max_run
+                  FROM documents d LEFT JOIN mx m ON m.doc_id = d.doc_id)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN max_run >= {TO.TOKEN_RUN_LOOPY} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_loopy,
+                   CAST(max(max_run) AS BIGINT) AS max_run_seen,
+                   CAST(sum(CASE WHEN max_run >= {TO.TOKEN_RUN_LOOPY} THEN 1 ELSE 0 END)
+                        * 1000 // count(*) AS BIGINT) AS loopy_permille
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "q288_decile_transitions": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS half,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY 1, 2
+            ), tiled AS (
+              SELECT o_custkey, half,
+                     ntile(10) OVER (PARTITION BY half
+                                     ORDER BY rev DESC, o_custkey) AS decile
+              FROM rev
+            ), h1 AS (SELECT o_custkey, decile AS decile_h1 FROM tiled WHERE half = 1),
+            h2 AS (SELECT o_custkey, decile AS decile_h2 FROM tiled WHERE half = 2)
+            SELECT CAST(decile_h1 AS BIGINT) AS decile_h1,
+                   CAST(decile_h2 AS BIGINT) AS decile_h2,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM h1 JOIN h2 ON h2.o_custkey = h1.o_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1824,3 +1824,149 @@ def dup_transitivity(
             .alias("closure_permille"),
         )
     )
+
+
+SIMHASH_AGREE_BANDS = 4  # 4 bands x 8 bits: candidate iff any band equal
+SIMHASH_AGREE_MAX_HAMMING = 3
+
+
+def dedup_method_agreement(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = SIMHASH_AGREE_MAX_HAMMING,
+    n_bands: int = SIMHASH_AGREE_BANDS,
+) -> DataFrame:
+    """Cross-method dedup calibration: how well do SimHash Hamming
+    cutoffs agree with the verified-Jaccard truth? For each cutoff
+    h ∈ [0, max_hamming], precision/recall (permille) of "SimHash pair
+    with Hamming(a,b) ≤ h" against "verified Jaccard ≥ threshold" —
+    the audit a curator runs before swapping the cheap 8-bytes-per-doc
+    SimHash gate in for the full MinHash+verify chain on a new corpus
+    (Manku et al. 2007 pick their k this way).
+
+    Both pair sets are band-bounded: SimHash candidates come from a
+    4×8-bit band self-join (the standard Hamming-LSH trick — any pair
+    within Hamming 3 of a 32-bit hash shares at least one of 4 bands,
+    so recall at h ≤ 3 is exact); the truth side rides the session's
+    cached verified-pair table. Output is max_hamming+1 rows.
+    """
+    width = SIMHASH_BITS // n_bands
+    s = simhash(documents).localCheckpoint(eager=False)  # both join sides
+    bands = s.select(
+        "doc_id",
+        *[
+            (
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ],
+    )
+    cands = None
+    for b in range(n_bands):
+        left = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"b{b}").alias("bv"))
+        right = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"b{b}").alias("bv"))
+        one = (
+            left.join(right, "bv")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cands = one if cands is None else cands.unionByName(one)
+    pred = (
+        cands.distinct()
+        .join(s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    truth = verified_pairs_cached(documents, threshold=jaccard_threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    joined = pred.join(truth, ["doc_a", "doc_b"], "left").localCheckpoint(
+        eager=False
+    )
+    n_truth = truth.count()
+    cuts = documents.sparkSession.range(0, max_hamming + 1).select(
+        F.col("id").cast("long").alias("hamming_cutoff")
+    )
+    agg = (
+        cuts.crossJoin(joined)
+        .filter(F.col("hamming") <= F.col("hamming_cutoff"))
+        .groupBy("hamming_cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    return (
+        cuts.join(agg, "hamming_cutoff", "left")
+        .select(
+            "hamming_cutoff",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.lit(int(n_truth)).cast("long").alias("n_truth"),
+        )
+        .withColumn(
+            "precision_permille",
+            F.when(F.col("n_pred") > 0, F.expr("n_hit * 1000 div n_pred"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.when(F.lit(int(n_truth)) > 0, F.expr("n_hit * 1000 div n_truth"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .orderBy("hamming_cutoff")
+    )
+
+
+def component_source_mix(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Provenance mix of near-duplicate clusters: for every verified
+    near-dup component of ≥ 2 documents, is it WITHIN one source
+    (scraper re-crawl, mirrored dump — dedup freely) or ACROSS sources
+    (genuine syndication — dropping changes the mixture weights)? The
+    distinction decides whether dedup is mixture-neutral; per
+    component-size bucket the output counts mono- vs multi-source
+    clusters. Rides the session pair cache + the bounded component
+    labeler; everything after the pair table is component-grain.
+    """
+    pairs = verified_pairs_cached(documents, threshold=threshold)
+    labels = dedup_components(
+        pairs,
+        documents.select(F.col("doc_id").alias("node")),
+        id_a="doc_a",
+        id_b="doc_b",
+    )
+    per_comp = (
+        labels.join(
+            documents.select(F.col("doc_id").alias("node"), "source"), "node"
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("component_size"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("component_size") >= 2)
+    )
+    return (
+        per_comp.groupBy("component_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_source"),
+        )
+        .withColumn(
+            "multi_permille",
+            F.expr("n_multi_source * 1000 div n_components").cast("long"),
+        )
+        .orderBy("component_size")
+    )

@@ -1674,3 +1674,104 @@ def data_contract_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
     )
     return stacked.withColumn("pass", F.col("n_violations") == 0)
+
+
+def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Header-vs-lines financial reconciliation, per order status: does
+    `o_totalprice` equal the sum of its lineitems'
+    `l_extendedprice * (1 - l_discount) * (1 + l_tax)`? The standard
+    warehouse data-quality audit for any header/detail pair (invoice vs
+    postings) — run after every load, alarmed on drift.
+
+    Determinism across engines: each line's amount is computed in
+    double (identical expression both sides), rounded to 4dp, then cast
+    to DECIMAL(18,4) so the per-order SUM is exact and order-
+    independent — a double sum would differ in the last ulp between
+    Spark's and the oracle's aggregation order and flip 2dp roundings
+    on .005 boundaries.
+
+    Scale: one shuffle on l_orderkey for the line rollup, one join to
+    the header (both sides keyed the same), output is |status| rows.
+    """
+    line_amt = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        4,
+    ).cast("decimal(18,4)")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_amt).alias("computed")
+    )
+    j = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    )
+    diff = F.col("o_totalprice").cast("decimal(18,4)") - F.col("computed")
+    return (
+        j.select(
+            "o_orderstatus",
+            F.col("computed").isNull().alias("no_lines"),
+            F.when(F.col("computed").isNull(), None)
+            .otherwise(F.abs(diff))
+            .alias("abs_err"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("no_lines"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_no_lines"),
+            F.sum(F.when(F.col("abs_err") > 0.01, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+            F.max("abs_err").cast("double").alias("max_abs_err"),
+        )
+        .withColumn(
+            "mismatch_permille",
+            F.expr("n_mismatch * 1000 div n_orders").cast("long"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def decile_transitions(orders: DataFrame) -> DataFrame:
+    """Customer-value decile TRANSITION matrix between the two halves
+    of the year (order months 1-6 vs 7-12): each customer active in
+    both periods is ranked into revenue deciles per period
+    (NTILE(10) over revenue DESC, custkey ASC — fully ordered, so the
+    tiling is deterministic), and the output counts customers per
+    (decile_h1, decile_h2) pair. The curator's drift view of customer
+    value — a heavy diagonal means stable cohorts, mass below it means
+    churn-in-progress. Same shape as a training-data 'quality decile
+    migration' audit between two corpus snapshots.
+
+    Scale: two shuffles (revenue rollup per period, the self-join on
+    custkey), both on the customer key; NTILE runs per period over
+    customer-grain aggregates, not raw orders.
+    """
+    half = F.when(F.month("o_orderdate") <= 6, F.lit(1)).otherwise(F.lit(2))
+    rev = (
+        orders.select(
+            "o_custkey",
+            half.alias("half"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    tiled = rev.withColumn("decile", F.ntile(10).over(w))
+    h1 = tiled.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("decile").alias("decile_h1")
+    )
+    h2 = tiled.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("decile").alias("decile_h2")
+    )
+    return (
+        h1.join(h2, "o_custkey")
+        .groupBy(
+            F.col("decile_h1").cast("long").alias("decile_h1"),
+            F.col("decile_h2").cast("long").alias("decile_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("decile_h1", "decile_h2")
+    )

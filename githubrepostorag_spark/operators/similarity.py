@@ -2571,3 +2571,56 @@ def source_coherence(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
             "min_cos",
         )
     )
+
+
+def pq_code_entropy(embeddings: DataFrame) -> DataFrame:
+    """Quantizer-health audit: per PQ subspace, the entropy of codeword
+    usage. A healthy product quantizer spreads mass across its codes
+    (entropy near log2 K — every code earns its bits); a collapsed
+    subspace (entropy ≪ log2 K) wastes index bits and crushes recall,
+    and is the first thing to check when q116's PQ recall sags after a
+    corpus shift. Reports per subspace: codes used, utilization
+    permille of the codebook, usage entropy (bits, 6dp), and the
+    entropy_permille share of the log2(K) maximum.
+
+    Rides `pq_codes` (broadcast codebook, one explode); everything
+    after is |subspaces|·|codes| rows. At 100 TB the codes table is
+    the only corpus-sized input and it aggregates in one shuffle.
+    """
+    codes = pq_codes(embeddings)
+    n_codes = (
+        pq_codebooks(embeddings).select("code").distinct().count()
+    )  # codebook size K (label-seeded, so |labels|) — NOT the used-code
+    # count; utilization is used/K. Bounded, one tiny job.
+    usage = codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = usage.groupBy("subspace").agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+    )
+    ent = (
+        usage.join(tot.select("subspace", "n_total"), "subspace")
+        .withColumn("p", F.col("n") / F.col("n_total").cast("double"))
+        .groupBy("subspace")
+        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"))
+    )
+    max_bits = float(__import__("math").log2(n_codes)) if n_codes > 1 else 1.0
+    return (
+        tot.join(ent, "subspace")
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "n_used",
+            F.lit(int(n_codes)).cast("long").alias("n_codes"),
+            F.expr(f"n_used * 1000 div {int(n_codes)}").cast("long").alias(
+                "utilization_permille"
+            ),
+            "entropy_bits",
+            # floor, not cast: Spark's double→long cast truncates while
+            # DuckDB's rounds — floor() agrees in both engines
+            F.floor(F.col("entropy_bits") / F.lit(max_bits) * 1000)
+            .cast("long")
+            .alias("entropy_permille"),
+        )
+        .orderBy("subspace")
+    )

@@ -3592,3 +3592,113 @@ def gopher_matrix_by_source(documents: DataFrame) -> DataFrame:
     ).withColumn(
         "pass_permille", F.expr("n_pass * 1000 div n_docs").cast("long")
     )
+
+
+BURSTINESS_MIN_DF = 5
+BURSTINESS_TOP_K = 10
+
+
+def term_burstiness(
+    documents: DataFrame,
+    min_df: int = BURSTINESS_MIN_DF,
+    top_k: int = BURSTINESS_TOP_K,
+) -> DataFrame:
+    """Per-source top-k BURSTY terms by variance-to-mean ratio of the
+    per-document count (Church & Gale: content words are bursty —
+    VMR >> 1 — while function words are near-Poisson). A term whose
+    occurrences pile into few documents inflates n-gram LM counts and
+    survives naive frequency caps; burstiness is the curator's signal
+    for boilerplate/template vocabulary that frequency alone misses.
+
+    VMR over ALL n_s docs of the source (absent docs contribute zero
+    counts, no second scan needed): with c = Σ count, ss = Σ count²,
+    VMR = var/mean = ss/c − c/n_s — two integer sums per (source,
+    term), one shuffle, then a top-k window over df-filtered terms
+    (the filter bounds the ranked set). Ranked on the ROUNDED value so
+    both engines order identical doubles.
+    """
+    toks = documents.select(
+        "source", "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("source", "doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_term = per_doc.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("n_occ"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    n_docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        per_term.filter(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs), "source")
+        .withColumn(
+            "vmr",
+            F.round(
+                F.col("ss") / F.col("n_occ").cast("double")
+                - F.col("n_occ") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("vmr"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("source", "rk", "tok", "df", "n_occ", "vmr")
+    )
+
+
+TOKEN_RUN_LOOPY = 4
+
+
+def token_run_profile(
+    documents: DataFrame, loopy_run: int = TOKEN_RUN_LOOPY
+) -> DataFrame:
+    """Per-source degenerate-repetition audit: the longest run of
+    CONSECUTIVE identical tokens per document ("the the the ..."), the
+    signature of generation loops and copy-paste stutter that n-gram
+    fraction metrics (q60) dilute away on long documents. Reports per
+    source: docs, docs whose max run ≥ `loopy_run` (and the permille),
+    and the longest run seen — all integers, no float comparisons.
+
+    Plan: gaps-and-islands entirely with one posexplode + one window
+    keyed (doc_id, tok) — island id = pos − per-token row_number, runs
+    are island sizes. Both windows partition by document (and token),
+    so no corpus-global ordering exists anywhere.
+    """
+    toks = documents.select(
+        "source",
+        "doc_id",
+        F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w_tok = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        toks.withColumn("island", F.col("pos") - F.row_number().over(w_tok))
+        .groupBy("source", "doc_id", "tok", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("source", "doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    # documents with zero tokens never reach `runs` — rejoin so they
+    # count as max_run = 0 instead of vanishing from the denominator
+    base = documents.select("source", "doc_id")
+    full = base.join(runs.select("doc_id", "max_run"), "doc_id", "left").select(
+        "source", F.coalesce(F.col("max_run"), F.lit(0)).alias("max_run")
+    )
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("max_run") >= loopy_run, 1).otherwise(0))
+            .cast("long")
+            .alias("n_loopy"),
+            F.max("max_run").cast("long").alias("max_run_seen"),
+        )
+        .withColumn(
+            "loopy_permille", F.expr("n_loopy * 1000 div n_docs").cast("long")
+        )
+        .orderBy("source")
+    )

@@ -4157,3 +4157,181 @@ def test_gopher_matrix_by_source_localizes_rule(spark):
     assert got["shorts"].n_pass == 0 and got["shorts"].pass_permille == 0
     for r in got.values():
         assert 0 <= r.n_pass <= r.n_docs
+
+
+# --- round 9 operators -------------------------------------------------
+
+
+def test_order_reconciliation_classifies_orders(spark):
+    """q282: matched, mismatched, and line-less orders land in the
+    right buckets; the amount sum is DECIMAL-exact."""
+    from githubrepostorag_spark.operators.relational import order_reconciliation
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 110.0),   # matches its lines exactly
+            (2, "O", 999.0),   # off by far
+            (3, "F", 50.0),    # no lines at all
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),  # 100 * 1.0 * 1.10 = 110.00
+            (2, 100.0, 0.1, 0.00),  # 90.00 != 999
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    import pytest as _pytest
+
+    got = {r.o_orderstatus: r for r in order_reconciliation(orders, lineitem).collect()}
+    assert got["O"].n_orders == 2
+    assert got["O"].n_no_lines == 0
+    assert got["O"].n_mismatch == 1
+    assert got["O"].mismatch_permille == 500
+    assert got["O"].max_abs_err == _pytest.approx(909.0)
+    assert got["F"].n_no_lines == 1 and got["F"].n_mismatch == 0
+
+
+def test_term_burstiness_ranks_bursty_terms_first(spark):
+    """q283: a term whose mass piles into one doc out-ranks a term
+    spread uniformly at the same total count; df floor respected."""
+    from githubrepostorag_spark.operators.textops import term_burstiness
+
+    filler = "pad%d"
+    rows = []
+    # 10 docs; 'burst' appears 10x in doc 0 and 1x in docs 1..4 (df=5);
+    # 'even' appears 2x in docs 0..4 plus 1x in 5..8 (df=9, same total)
+    for i in range(10):
+        parts = [filler % i]
+        if i == 0:
+            parts += ["burst"] * 10 + ["even", "even"]
+        elif i < 5:
+            parts += ["burst"] + ["even", "even"]
+        elif i < 9:
+            parts += ["even"]
+        rows.append((i, " ".join(parts), "en", "s0", 10))
+    df = _docs(spark, rows)
+    got = term_burstiness(df, min_df=5, top_k=3).collect()
+    by_rk = {r.rk: r for r in got}
+    assert by_rk[1].tok == "burst"
+    assert by_rk[1].vmr > by_rk[2].vmr
+    # df floor: the per-doc pad tokens (df=1) never appear
+    assert all(not r.tok.startswith("pad") for r in got)
+
+
+def test_dedup_method_agreement_monotone_and_hits_twins(spark):
+    """q284: exact twins are found at Hamming cutoff 0 with perfect
+    recall there, and n_pred / n_hit / recall are nondecreasing in the
+    cutoff while n_truth stays constant."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "s0", 50),
+        (2, "the quick brown fox jumps over the lazy dog today", "en", "s0", 50),
+        (3, "completely different content with other words here", "en", "s1", 50),
+        (4, "yet another unrelated document full of fresh terms", "en", "s1", 50),
+    ]
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+    got = sorted(
+        DD.dedup_method_agreement(_docs(spark, rows)).collect(),
+        key=lambda r: r.hamming_cutoff,
+    )
+    assert [r.hamming_cutoff for r in got] == [0, 1, 2, 3]
+    assert len({r.n_truth for r in got}) == 1 and got[0].n_truth >= 1
+    assert got[0].n_hit >= 1 and got[0].recall_permille == 1000
+    for a, b in zip(got, got[1:]):
+        assert b.n_pred >= a.n_pred and b.n_hit >= a.n_hit
+        assert b.recall_permille >= a.recall_permille
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+
+
+def test_component_source_mix_flags_cross_source_clusters(spark):
+    """q285: one 3-doc near-dup cluster spanning two sources and one
+    2-doc mono-source cluster report the right mix rows."""
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mono = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, twin, "en", "s0", 60),
+        (2, twin, "en", "s0", 60),
+        (3, twin, "en", "s1", 60),
+        (4, mono, "en", "s2", 60),
+        (5, mono, "en", "s2", 60),
+        (6, "unrelated text entirely different words", "en", "s0", 40),
+    ]
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+    got = {r.component_size: r for r in DD.component_source_mix(_docs(spark, rows)).collect()}
+    assert got[3].n_components == 1 and got[3].n_multi_source == 1
+    assert got[3].multi_permille == 1000
+    assert got[2].n_components == 1 and got[2].n_multi_source == 0
+    assert got[2].multi_permille == 0
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+
+
+def test_pq_code_entropy_bounds_and_collapse(spark):
+    """q286: one row per subspace, entropy within [0, log2 K],
+    utilization <= 1000; a corpus of ONE repeated vector collapses
+    every subspace to a single code with zero entropy."""
+    import math
+
+    from githubrepostorag_spark.operators.similarity import PQ_M, pq_code_entropy
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = pq_code_entropy(emb).collect()
+    assert [r.subspace for r in got] == list(range(PQ_M))
+    for r in got:
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_codes) + 1e-9
+        assert 0 < r.utilization_permille <= 1000
+        assert 0 <= r.entropy_permille <= 1000
+    one = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    collapsed = pq_code_entropy(one).collect()
+    for r in collapsed:
+        assert r.n_used == 1 and r.entropy_bits == 0.0
+
+
+def test_token_run_profile_counts_loops(spark):
+    """q287: a doc with a 4-run is loopy, a clean doc is not, and an
+    empty doc still lands in the denominator with max_run 0."""
+    from githubrepostorag_spark.operators.textops import token_run_profile
+
+    rows = [
+        (1, "go go go go stop", "en", "s0", 17),
+        (2, "all distinct tokens here", "en", "s0", 24),
+        (3, "", "en", "s1", 0),
+        (4, "x x y y x x", "en", "s1", 11),  # runs of 2 only
+    ]
+    got = {r.source: r for r in token_run_profile(_docs(spark, rows)).collect()}
+    assert got["s0"].n_docs == 2 and got["s0"].n_loopy == 1
+    assert got["s0"].max_run_seen == 4
+    assert got["s0"].loopy_permille == 500
+    assert got["s1"].n_docs == 2 and got["s1"].n_loopy == 0
+    assert got["s1"].max_run_seen == 2
+
+
+def test_decile_transitions_partitions_both_halves(spark):
+    """q288: every customer active in both halves appears exactly once
+    in the matrix, deciles stay in [1, 10], and a customer whose spend
+    collapses moves to a strictly later decile."""
+    from githubrepostorag_spark.operators.relational import decile_transitions
+
+    rows = []
+    for c in range(1, 21):
+        # H1: revenue descending in c => customer 1 is decile 1
+        rows.append((1000 + c, c, float(2100 - c * 100), "1995-03-10"))
+        # H2: same ordering EXCEPT customer 1 collapses to the bottom
+        h2 = 1.0 if c == 1 else float(2100 - c * 100)
+        rows.append((2000 + c, c, h2, "1995-09-10"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, d string"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", F.col("d").cast("date").alias("o_orderdate"))
+    got = decile_transitions(orders).collect()
+    assert sum(r.n_customers for r in got) == 20
+    assert all(1 <= r.decile_h1 <= 10 and 1 <= r.decile_h2 <= 10 for r in got)
+    # customer 1: top decile in H1, bottom decile in H2
+    assert any(r.decile_h1 == 1 and r.decile_h2 == 10 for r in got)
