@@ -30,6 +30,10 @@ def run_query(df) -> None:
 
 def main() -> None:
     harness_t0 = time.time()
+    # capture BEFORE the session spins up: by the time the warmup
+    # queries finish, the 1-min loadavg reflects the bench's OWN 32-core
+    # bursts — the guard below must measure the box's idleness, not ours
+    loadavg_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
@@ -75,7 +79,6 @@ def main() -> None:
     # BENCH_r04's pipeline "regression" was exactly this artifact (see
     # README "Comparing bench rounds").
     entry_meta: dict[str, dict] = {}
-    loadavg_start = round(os.getloadavg()[0], 2)
 
     def record(name: str, seconds: float, load1: float, stages=None) -> bool:
         """Keep the min across passes; meta follows the winning pass.

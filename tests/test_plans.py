@@ -826,6 +826,43 @@ def test_round8_new_ops_plan_shapes(spark):
         assert "CartesianProduct" not in plan, (name, plan)
 
 
+def test_round9_new_ops_plan_shapes(spark):
+    """Physical-plan pins for the round-9 operators: no cartesian
+    product anywhere — q284's only crossJoin is the 4-row cutoff frame
+    (broadcast nested loop, never cartesian) and q286's K constant is
+    collected, not joined. Corpus-sized frames never globally sort:
+    q283/q288 rank inside per-source / per-half windows, q282/q287
+    order only their |status|- and |source|-sized outputs."""
+    from githubrepostorag_spark.operators import dedup as DD
+    from githubrepostorag_spark.operators import relational as R
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+    plans = {
+        "q282": R.order_reconciliation(orders, lineitem),
+        "q283": TO.term_burstiness(docs),
+        "q284": DD.dedup_method_agreement(docs),
+        "q285": DD.component_source_mix(docs),
+        "q286": S.pq_code_entropy(emb),
+        "q287": TO.token_run_profile(docs),
+        "q288": R.decile_transitions(orders),
+    }
+    for name, df in plans.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+    DD._PAIR_CACHE.clear()
+    DD._SIG_CACHE.clear()
+
+
 def test_centroids_fallback_when_sidecar_missing(spark, tmp_path):
     """Pre-sidecar store layouts (or a lost sidecar) must still serve:
     centroids_from_sidecar falls back to the one-off store-scan

@@ -1,0 +1,50 @@
+"""Compare two bench_result.json files entry by entry — the README
+"Comparing bench rounds" ledger's calculator: shared-entry delta vs
+new-entry cost, plus the biggest per-entry movers with their winning-
+pass load1 so adjudication starts from facts.
+
+Usage: python tools/compare_bench.py OLD.json NEW.json [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    so = sum(oq[k] for k in shared)
+    sn = sum(nq[k] for k in shared)
+    deltas = sorted(((nq[k] - oq[k], k) for k in shared), key=lambda x: -abs(x[0]))
+    med = sorted(nq[k] - oq[k] for k in shared)[len(shared) // 2]
+    print(f"old: {old_path}  load_start={old.get('loadavg_start')} "
+          f"load_end={old.get('loadavg_end')}  n={len(oq)} total={old['value']}")
+    print(f"new: {new_path}  load_start={new.get('loadavg_start')} "
+          f"load_end={new.get('loadavg_end')}  n={len(nq)} total={new['value']}")
+    pct = (sn - so) / so * 100 if so else 0.0
+    print(f"shared {len(shared)} entries: {so:.1f} -> {sn:.1f} s ({pct:+.1f}%), "
+          f"median per-entry delta {med:+.3f} s")
+    if added:
+        cost = sum(nq[k] for k in added)
+        print(f"new entries ({len(added)}): {cost:.1f} s total")
+        for k in added:
+            print(f"  + {k}: {nq[k]} s")
+    if removed:
+        print(f"removed entries ({len(removed)}): {removed}")
+    print(f"top {top_n} movers (delta, old -> new, winning-pass load1):")
+    meta = new.get("entry_meta", {})
+    for d, k in deltas[:top_n]:
+        l1 = meta.get(k, {}).get("load1")
+        print(f"  {d:+7.3f}  {k}: {oq[k]} -> {nq[k]}  (load1 {l1})")
+
+
+if __name__ == "__main__":
+    main()
