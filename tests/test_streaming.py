@@ -908,6 +908,76 @@ def test_pre_sidecar_store_upgrades_in_place(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+def test_embedding_gate_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (foreachBatch delivers these on replays and
+    idle triggers) must be a clean no-op: no logs written, no store
+    mutation, no sidecar append — and no crash in the driver-side
+    assignment path (np.stack on zero rows would throw)."""
+    import glob
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    write_ivf_store(
+        spark.createDataFrame([(1, 0, [1.0, 0.0, 0.0, 0.0])], schema), store
+    )
+    files_before = sorted(glob.glob(str(tmp_path / "ivf" / "**" / "*.parquet"),
+                                    recursive=True))
+    empty = spark.createDataFrame([], schema)
+    _embedding_gate_batch(
+        empty, 9, store, str(tmp_path / "a"), str(tmp_path / "r"), max_cos=0.95
+    )
+    assert not (tmp_path / "a").exists()
+    assert not (tmp_path / "r").exists()
+    assert files_before == sorted(
+        glob.glob(str(tmp_path / "ivf" / "**" / "*.parquet"), recursive=True)
+    )
+
+
+def test_upgrade_rebuilds_lost_sidecar_without_store_rewrite(spark, tmp_path):
+    """A CURRENT-layout store whose sidecar was lost (wiped cache dir,
+    partial restore) upgrades by rebuilding the sidecar only — the
+    store's data files are untouched because batch_id is already
+    present."""
+    import glob
+    import shutil
+
+    from githubrepostorag_spark.operators.similarity import (
+        _sidecar_exists,
+        centroids_from_sidecar,
+        ivf_sidecar_path,
+        upgrade_ivf_store,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import _cell_centroids
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])], schema
+        ),
+        store,
+    )
+    files_before = sorted(glob.glob(store + "/cell=*/*.parquet"))
+    shutil.rmtree(ivf_sidecar_path(store))
+    assert upgrade_ivf_store(spark, store) is True
+    assert _sidecar_exists(spark, store)
+    # store data files byte-identical — only the sidecar was rebuilt
+    assert sorted(glob.glob(store + "/cell=*/*.parquet")) == files_before
+    got = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store).collect()
+    }
+    want = {
+        r.centroid_label: list(r.centroid)
+        for r in _cell_centroids(spark.read.parquet(store)).collect()
+    }
+    assert got == want
+
+
 def test_ivf_sidecar_centroids_match_store_scan(spark, tmp_path):
     """The sidecar fold (sum-of-sums / sum-of-counts, 6dp) must equal
     the full-store recompute (`_cell_centroids`) exactly — including
