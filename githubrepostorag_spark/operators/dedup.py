@@ -1066,6 +1066,7 @@ def incremental_near_dups(
     min_est_jaccard: float = 0.5,
     n_bands: int = LSH_BANDS,
     exclude_batch_id: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Flag documents in a new ingestion batch that near-duplicate a
     document already in the persisted dedup store: LSH band collision
@@ -1089,8 +1090,17 @@ def incremental_near_dups(
     (crash between store append and checkpoint commit) skips its own
     earlier rows instead of self-matching every document at estimate
     1.0 and flipping accepted→rejected.
+
+    ``sigs``: a caller that already holds `minhash_signatures(new_docs)`
+    (the streaming gate computes the batch's signatures ONCE and reuses
+    them for probe AND store append) passes them here to skip this
+    function's own shingling pass.
     """
-    new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=False)
+    new_sigs = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(new_docs).localCheckpoint(eager=False)
+    )
     sig_cols = [f"sig_{i}" for i in range(MINHASH_FUNCS)]
 
     def _excl(df: DataFrame) -> DataFrame:
@@ -1136,7 +1146,11 @@ def incremental_near_dups(
 
 
 def append_to_dedup_store(
-    new_docs: DataFrame, path: str, n_bands: int = LSH_BANDS, batch_id: int = -1
+    new_docs: DataFrame,
+    path: str,
+    n_bands: int = LSH_BANDS,
+    batch_id: int = -1,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Append an accepted ingestion batch to the persisted dedup store,
     so the NEXT batch's incremental_near_dups sees it. Completes the
@@ -1144,8 +1158,15 @@ def append_to_dedup_store(
     gets re-read; only the new batch is shingled (once — the signature
     frame is checkpointed and both writes derive from it). Streaming
     callers pass their micro-batch id so a replay can exclude the
-    rows its first attempt appended."""
-    sigs = minhash_signatures(new_docs).withColumn(
+    rows its first attempt appended.
+
+    ``sigs``: pre-computed `minhash_signatures(new_docs)` rows (no
+    batch_id column) — the streaming gate passes its probe-side
+    signatures filtered to the accepted ids, so the batch is shingled
+    exactly once per trigger instead of once for the probe and again
+    here."""
+    base = sigs if sigs is not None else minhash_signatures(new_docs)
+    sigs = base.withColumn(
         "batch_id", F.lit(int(batch_id))
     ).localCheckpoint(eager=True)
     sigs.write.mode("append").parquet(path + "/signatures")

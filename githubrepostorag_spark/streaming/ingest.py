@@ -156,21 +156,34 @@ def stream_dedup_gate(
     )
 
     def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        # Per-batch plan (r9: the batch is SHINGLED ONCE — the probe's
+        # signature frame, filtered to the accepted ids, is also what
+        # the store append writes — and the lazy checkpoints fold their
+        # materialization into the first action instead of paying a
+        # separate job each): batch ∘ exact-dedup ∘ signatures ∘ probe
+        # all materialize under the dup-id collect; the accept filter
+        # is an isin on the batch-bounded dup-id list (no anti-join).
         spark = batch.sparkSession
-        batch = batch.localCheckpoint(eager=True)  # probe + two writes
+        from githubrepostorag_spark.operators.dedup import minhash_signatures
+
+        batch = batch.localCheckpoint(eager=False)  # accept writes + fp
         keep = exact_dedup(batch).select(F.col("canonical_doc_id").alias("doc_id"))
-        batch = batch.join(keep, "doc_id", "left_semi")
+        batch = batch.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
+        sigs = minhash_signatures(batch).localCheckpoint(eager=False)
         hits = incremental_near_dups(
             spark,
             dedup_store_path,
             batch,
             min_est_jaccard=min_est_jaccard,
             exclude_batch_id=int(batch_id),  # replay skips its own append
-        ).localCheckpoint(eager=True)  # reject log + accept anti-join
-        dup_ids = hits.select(F.col("new_id").alias("doc_id")).distinct()
-        accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )  # consumed by the sink write AND the store append
+            sigs=sigs,
+        ).localCheckpoint(eager=False)  # pinned by the dup-id collect
+        dup_ids = [
+            int(r["new_id"]) for r in hits.select("new_id").distinct().collect()
+        ]  # batch-bounded by construction
+        accepted = (
+            batch.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else batch
+        )
         # BOTH logs land before the store mutates: a crash after either
         # write but before the append replays the batch against the
         # pre-batch store state, so the replay makes the same
@@ -184,9 +197,13 @@ def stream_dedup_gate(
         hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode("append").parquet(
             rejected_path
         )
+        acc_sigs = (
+            sigs.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else sigs
+        )
         append_to_dedup_store(
             accepted.select("doc_id", "text"), dedup_store_path,
             batch_id=int(batch_id),
+            sigs=acc_sigs,
         )
 
     return (
