@@ -110,12 +110,16 @@ def index_lifecycle(
         n_rejected = spark.read.parquet(os.path.join(work_dir, "rejected")).count()
     except Exception:  # all accepted: the gate wrote no reject files
         n_rejected = 0
+    import pandas as pd
+
     audit = spark.createDataFrame(
-        [
-            ("n_gate_accepted", float(n_accepted), run_id),
-            ("n_gate_rejected", float(n_rejected), run_id),
-        ],
-        "step string, value double, run_id string",
+        pd.DataFrame(
+            {
+                "step": ["n_gate_accepted", "n_gate_rejected"],
+                "value": [float(n_accepted), float(n_rejected)],
+                "run_id": [run_id, run_id],
+            }
+        )
     ).unionByName(maint.audit)  # same (step, value, run_id) shape
     return LifecycleResult(
         served=served,

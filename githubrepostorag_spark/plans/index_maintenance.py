@@ -149,11 +149,21 @@ def _split_cell_local(
         .limit(1)
         .collect()[0]
     )
+    import pandas as pd
+
     cents = [(0, a_vec), (1, [float(x) for x in seed_b["ve"]])]
     assigned = None
     for _ in range(n_iters):
+        # pandas → Arrow: a plain-rows createDataFrame parallelizes a
+        # Python RDD and every Lloyd iteration's broadcast build would
+        # pay a Python-worker scan task (seconds each, measured)
         cents_df = spark.createDataFrame(
-            cents, "centroid_label int, centroid array<double>"
+            pd.DataFrame(
+                {
+                    "centroid_label": [int(c) for c, _ in cents],
+                    "centroid": [v for _, v in cents],
+                }
+            )
         )
         assigned = _assign_cells(emb, cents_df)
         means = (
@@ -345,25 +355,31 @@ def maintain_ivf_store(
                 next_id += 1
         remapped = n_cells_split > 0  # all-degenerate: nothing rewrote
 
+    import pandas as pd
+
+    audit_rows = [
+        ("n_store", float(n_store)),
+        ("n_batch", float(n_batch)),
+        ("cells_touched", float(len(batch_cells))),
+        ("min_cell_cos", float(min_cos) if min_cos is not None else -1.0),
+        ("max_vs_uniform_permille", float(max_vs_uniform)),
+        ("trigger_drift", 1.0 if drift_fired else 0.0),
+        ("trigger_balance", 1.0 if balance_fired else 0.0),
+        ("remapped", 1.0 if remapped else 0.0),
+        # 0 = no remap, 1 = cell-local split, 2 = full retrain
+        ("remap_scope", 2.0 if drift_fired and remapped else (1.0 if remapped else 0.0)),
+        ("n_cells_split", float(n_cells_split)),
+    ]
+    # pandas → Arrow (a plain-rows createDataFrame would back the audit
+    # with a Python RDD and its every materialization with worker tasks)
     audit = spark.createDataFrame(
-        [
-            ("n_store", float(n_store), run_id),
-            ("n_batch", float(n_batch), run_id),
-            ("cells_touched", float(len(batch_cells)), run_id),
-            ("min_cell_cos", float(min_cos) if min_cos is not None else -1.0, run_id),
-            ("max_vs_uniform_permille", float(max_vs_uniform), run_id),
-            ("trigger_drift", 1.0 if drift_fired else 0.0, run_id),
-            ("trigger_balance", 1.0 if balance_fired else 0.0, run_id),
-            ("remapped", 1.0 if remapped else 0.0, run_id),
-            # 0 = no remap, 1 = cell-local split, 2 = full retrain
-            (
-                "remap_scope",
-                2.0 if drift_fired and remapped else (1.0 if remapped else 0.0),
-                run_id,
-            ),
-            ("n_cells_split", float(n_cells_split), run_id),
-        ],
-        "step string, value double, run_id string",
+        pd.DataFrame(
+            {
+                "step": [s for s, _ in audit_rows],
+                "value": [v for _, v in audit_rows],
+                "run_id": [run_id] * len(audit_rows),
+            }
+        )
     )
     return MaintenanceResult(
         neighbors=neighbors, drift=drift, audit=audit, remapped=remapped
