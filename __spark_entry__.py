@@ -8528,8 +8528,14 @@ def oracle_sql() -> dict[str, str]:
                    t.n_used, k.n_codes,
                    CAST(t.n_used * 1000 // k.n_codes AS BIGINT) AS utilization_permille,
                    e.entropy_bits,
-                   CAST(floor(e.entropy_bits / log2(CAST(k.n_codes AS DOUBLE)) * 1000)
-                        AS BIGINT) AS entropy_permille
+                   -- single-code codebook: log2(1)=0 would divide to NaN,
+                   -- a strict-comparator hard failure; the engine guards
+                   -- max_bits and emits 0 there (entropy of one code is 0)
+                   CASE WHEN k.n_codes > 1
+                        THEN CAST(floor(e.entropy_bits
+                                        / log2(CAST(k.n_codes AS DOUBLE)) * 1000)
+                             AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS entropy_permille
             FROM tot t JOIN ent e ON e.subspace = t.subspace CROSS JOIN k
             ORDER BY subspace
         """,

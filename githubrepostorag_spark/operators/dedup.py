@@ -349,6 +349,11 @@ _PAIR_STAMP: dict[tuple, int] = {}  # explicit-key entries: input row count
 _STAMP_VERIFIED: set[tuple] = set()
 _SIG_CACHE: dict[tuple, DataFrame] = {}
 _CACHE_MAX = 32
+# hard bound on the verified-stamp set: a hot explicit key fed one fresh
+# localCheckpoint plan per streaming trigger adds one tuple per trigger
+# forever — when full, clear and re-verify lazily (one count per distinct
+# plan, the documented steady-state cost) instead of growing the driver
+_STAMP_VERIFIED_MAX = 1024
 
 
 def _plan_key(df: DataFrame, *extra) -> tuple | None:
@@ -368,11 +373,26 @@ def _plan_key(df: DataFrame, *extra) -> tuple | None:
         return None
 
 
+def _stamp_verified_add(vk: tuple) -> None:
+    """Record a (key, plan) pair as count-verified, under the hard
+    bound: at capacity the set is CLEARED, not trimmed — the penalty is
+    one lazy re-count per still-live plan, never a wrong answer."""
+    if len(_STAMP_VERIFIED) >= _STAMP_VERIFIED_MAX:
+        _STAMP_VERIFIED.clear()
+    _STAMP_VERIFIED.add(vk)
+
+
 def _cache_put(cache: dict, key: tuple, df: DataFrame) -> None:
     if len(cache) >= _CACHE_MAX:
         evicted_key = next(iter(cache))
         cache.pop(evicted_key)
         _PAIR_STAMP.pop(evicted_key, None)
+        # the evicted key's verified-plan tuples are dead weight (they
+        # are only consulted while the key is cached); without this a
+        # session rotating explicit keys leaks one tuple set per key
+        _STAMP_VERIFIED.difference_update(
+            vk for vk in list(_STAMP_VERIFIED) if vk[0] == evicted_key
+        )
         # Drop the REFERENCE only — never unpersist (ADVICE r8 low): a
         # caller may still hold a frame DERIVED from the evicted
         # checkpoint (e.g. a threshold-filtered view returned earlier),
@@ -446,7 +466,7 @@ def verified_pairs_cached(
                 _PAIR_STAMP[key] = documents.count()
                 plan_sig = _plan_key(documents)
                 if plan_sig is not None:  # this exact plan needs no re-count
-                    _STAMP_VERIFIED.add((key, plan_sig))
+                    _stamp_verified_add((key, plan_sig))
         elif cache_key is not None and key in _PAIR_STAMP:
             # stale-key guard, verified ONCE per distinct input plan:
             # the count() is a full input scan, so re-running it on
@@ -466,7 +486,7 @@ def verified_pairs_cached(
                         "keys must imply equal inputs"
                     )
                 if plan_sig is not None:
-                    _STAMP_VERIFIED.add(vk)
+                    _stamp_verified_add(vk)
     if threshold > 0.0:
         return base.filter(F.col("jaccard") >= threshold)
     return base
@@ -1870,7 +1890,19 @@ def dedup_method_agreement(
     within Hamming 3 of a 32-bit hash shares at least one of 4 bands,
     so recall at h ≤ 3 is exact); the truth side rides the session's
     cached verified-pair table. Output is max_hamming+1 rows.
+
+    The pigeonhole guarantee only covers Hamming distances up to
+    n_bands - 1 — a larger ``max_hamming`` would silently undercount
+    the very calibration numbers this audit exists to make
+    trustworthy, so it raises instead.
     """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"dedup_method_agreement: max_hamming={max_hamming} exceeds the "
+            f"band self-join's exact-recall bound n_bands-1={n_bands - 1}; "
+            f"pass n_bands >= max_hamming + 1 (must divide SIMHASH_BITS="
+            f"{SIMHASH_BITS}) so every pair within the cutoff shares a band"
+        )
     width = SIMHASH_BITS // n_bands
     s = simhash(documents).localCheckpoint(eager=False)  # both join sides
     bands = s.select(

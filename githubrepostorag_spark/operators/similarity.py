@@ -845,19 +845,30 @@ def ivf_sidecar_path(path: str) -> str:
     return path.rstrip("/") + IVF_SIDECAR_SUFFIX
 
 
-def cell_sum_partials(prepped: DataFrame, batch_id: int = -1) -> DataFrame:
+def cell_sum_partials(prepped: DataFrame, batch_id: int | None = -1) -> DataFrame:
     """Per-cell running-mean state `(cell, n, sum_vec, batch_id)` from
     prepared rows carrying (cell, ve). This is the ONLY shape the
     centroid sidecar persists: folding any partition of the corpus's
     partials recovers the exact per-cell mean (sum of sums / sum of
     counts), so centroids never need a store re-scan — an append folds
     the BATCH's partials in. `batch_id` >= 0 marks streaming appends
-    (replay-deduped at read); -1 marks base/maintenance writes."""
-    return (
-        prepped.select("cell", F.posexplode("ve").alias("dim", "v"))
-        .groupBy("cell", "dim")
+    (replay-deduped at read); -1 marks base/maintenance writes.
+
+    ``batch_id=None`` keys the partials by the FRAME's own batch_id
+    column instead of a constant — the rebuild-from-store path
+    (`upgrade_ivf_store` on a lost sidecar, `_split_cell_local`'s
+    replacement partials), where collapsing streaming appends to -1
+    would strip the (cell, batch_id) keys that read-side replay
+    reconciliation and a pending replay's ``exclude_batch_id`` need.
+    Callers on that path must first apply the read-side row dedup
+    (`dropDuplicates(["vec_id", "batch_id"])`) so replay-duplicated
+    store rows are not double-counted into the rebuilt sums."""
+    keys = ["cell"] if batch_id is not None else ["cell", "batch_id"]
+    out = (
+        prepped.select(*keys, F.posexplode("ve").alias("dim", "v"))
+        .groupBy(*keys, "dim")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
-        .groupBy("cell")
+        .groupBy(*keys)
         .agg(
             F.max("n").alias("n"),  # identical across dims of one cell
             F.transform(
@@ -865,8 +876,12 @@ def cell_sum_partials(prepped: DataFrame, batch_id: int = -1) -> DataFrame:
                 lambda st: st["s"],
             ).alias("sum_vec"),
         )
-        .select("cell", "n", "sum_vec", F.lit(int(batch_id)).alias("batch_id"))
     )
+    if batch_id is not None:
+        return out.select(
+            "cell", "n", "sum_vec", F.lit(int(batch_id)).alias("batch_id")
+        )
+    return out.select("cell", "n", "sum_vec", "batch_id")
 
 
 def read_ivf_sidecar(
@@ -992,10 +1007,22 @@ def upgrade_ivf_store(spark, path: str) -> bool:
         pinned.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(path)
-        store = spark.read.parquet(path)
-    cell_sum_partials(store, -1).coalesce(1).write.mode("overwrite").parquet(
-        ivf_sidecar_path(path)
-    )
+        # a pre-sidecar base write has unique vec_ids and no streaming
+        # appends, so constant -1 partials are exact
+        cell_sum_partials(spark.read.parquet(path), -1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ivf_sidecar_path(path))
+        return True
+    # current-layout store whose SIDECAR was lost: rebuild it from the
+    # store with the read side's replay reconciliation applied first
+    # (a gate crash between store append and checkpoint commit leaves
+    # duplicate (vec_id, batch_id) rows — counting them twice here
+    # would silently shift every rebuilt centroid), and keep the
+    # per-batch keys so a still-pending replay's exclude_batch_id
+    # still removes its first attempt's contribution.
+    cell_sum_partials(
+        store.dropDuplicates(["vec_id", "batch_id"]), None
+    ).coalesce(1).write.mode("overwrite").parquet(ivf_sidecar_path(path))
     return True
 
 

@@ -129,13 +129,22 @@ def _split_cell_local(
     )
 
     # pin the cell's rows before overwriting their files (partition-
-    # pruned read: only this cell's directory opens)
+    # pruned read: only this cell's directory opens). Replay duplicates
+    # — same (vec_id, batch_id) appended twice by an at-least-once
+    # retry — are reconciled HERE, once, exactly as every read path
+    # does: without it the rewrite below would keep the copies and the
+    # vec_id join against `assigned` would square them.
     rows = (
         spark.read.parquet(path)
         .filter(F.col("cell") == int(cell))
+        .dropDuplicates(["vec_id", "batch_id"])
         .localCheckpoint(eager=True)
     )
-    emb = rows.select("vec_id", "label", F.col("ve").alias("embedding"))
+    # one assignment row per vec_id (a vec re-ingested under several
+    # batch ids splits to the same side; the join fans it back out)
+    emb = rows.select(
+        "vec_id", "label", F.col("ve").alias("embedding")
+    ).dropDuplicates(["vec_id"])
     seed_a = emb.orderBy("vec_id").limit(1).collect()[0]
     a_vec = [float(x) for x in seed_a["embedding"]]
     cos_to_a = V.prepared_cosine(
@@ -202,7 +211,11 @@ def _split_cell_local(
         .filter(F.col("cell") != int(cell))
         .localCheckpoint(eager=True)  # pin before overwriting its source
     )
-    kept.unionByName(cell_sum_partials(final, -1)).coalesce(1).write.mode(
+    # replacement partials keep the FRAME's batch ids (batch_id=None):
+    # collapsing them to -1 would strip the (cell, batch_id) keys a
+    # still-pending replay's exclude_batch_id needs; `final` is already
+    # (vec_id, batch_id)-deduped above, so no double-counting
+    kept.unionByName(cell_sum_partials(final, None)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(ivf_sidecar_path(path))
     return True

@@ -359,6 +359,27 @@ def stream_hygiene_gate(
     )
 
 
+def np_assign_cells(B, cent_cells, C):
+    """Driver-side twin of `_assign_cells`: nearest-centroid cell per
+    row of ``B`` against centroid matrix ``C`` whose rows are ordered
+    by ascending cell id ``cent_cells``. Ties resolve to the SMALLEST
+    cell id (np.argmax returns the first max), and degenerate cosines
+    — zero-norm rows or centroids, where the Spark kernel's nullif
+    yields NULL ranked last under F.desc — are masked to -inf so they
+    lose to every finite sim; an all-degenerate row falls to index 0 =
+    smallest cell id, exactly (sim DESC NULLS LAST, centroid_label ASC).
+    Factored out of `_embedding_gate_batch` so the discipline is
+    unit-testable against the Spark kernel on hostile codebooks."""
+    import numpy as np
+
+    bn = np.linalg.norm(B, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (B @ C.T) / np.outer(bn, cn)
+    sims = np.where(np.isfinite(sims), sims, -np.inf)
+    return np.asarray(cent_cells, dtype="int64")[np.argmax(sims, axis=1)]
+
+
 def _embedding_gate_batch(
     batch: DataFrame,
     batch_id: int,
@@ -442,17 +463,12 @@ def _embedding_gate_batch(
         cents.append(np_round_half_away(s / n, 6))
     C = np.stack(cents)  # (m, dim), rows ordered by ascending cell id
 
-    # numpy cell assignment — C's rows are label-ascending, and argmax
-    # returns the FIRST max, so ties resolve to the smallest cell id:
-    # exactly _assign_cells' (sim DESC, centroid_label ASC) discipline
+    # numpy cell assignment — see np_assign_cells for the tie and
+    # degenerate-cosine discipline (matches _assign_cells exactly)
     ids = np.asarray([int(r["vec_id"]) for r in brows], dtype="int64")
     labels = np.asarray([r["label"] for r in brows], dtype=lab_dtype)
     B = np.asarray([r["embedding"] for r in brows], dtype="float64")
-    bn = np.linalg.norm(B, axis=1)
-    cn = np.linalg.norm(C, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sims = (B @ C.T) / np.outer(bn, cn)
-    cell_of = np.asarray(cent_cells, dtype="int64")[np.argmax(sims, axis=1)]
+    cell_of = np_assign_cells(B, cent_cells, C)
     batch_cells = sorted({int(c) for c in cell_of})
 
     # store side pruned to the batch's cells (bounded by n_cells): the

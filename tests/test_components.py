@@ -383,3 +383,23 @@ def test_pagerank_guard_accepts_integral_rejects_string(spark):
         e_str.selectExpr("cast(src as string) src", "dst"), iters=2
     )
     assert out2.count() == 4  # {1,2,a,b}
+
+
+def test_compare_bench_handles_disjoint_files(tmp_path):
+    """BENCH_ONLY adjudication partials can share zero entries with a
+    full run — the comparator must still print added/removed instead of
+    crashing on the empty shared-median index."""
+    import json
+    import subprocess
+    import sys
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"value": 1.0, "queries": {"a": 1.0}}))
+    new.write_text(json.dumps({"value": 2.0, "queries": {"b": 2.0}}))
+    out = subprocess.run(
+        [sys.executable, "tools/compare_bench.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "new entries (1)" in out.stdout and "removed entries (1)" in out.stdout

@@ -4335,3 +4335,78 @@ def test_decile_transitions_partitions_both_halves(spark):
     assert all(1 <= r.decile_h1 <= 10 and 1 <= r.decile_h2 <= 10 for r in got)
     # customer 1: top decile in H1, bottom decile in H2
     assert any(r.decile_h1 == 1 and r.decile_h2 == 10 for r in got)
+
+
+def test_stamp_verified_pruned_on_eviction_and_bounded(spark):
+    """Driver-memory hygiene for the explicit-key stamp guard: evicting
+    a cache entry drops its verified-plan tuples (a session rotating
+    explicit keys must not leak one tuple set per key), and the set
+    itself is hard-bounded — a hot key fed a fresh plan per streaming
+    trigger cannot grow the driver without limit."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, base, "en", "s0", len(base)), (2, base + " x", "en", "s0", len(base) + 2)])
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    DDm._PAIR_STAMP.clear()
+    DDm._STAMP_VERIFIED.clear()
+    DDm.verified_pairs_cached(df, cache_key=("t-evict",)).collect()
+    key = next(iter(DDm._PAIR_CACHE))
+    assert any(vk[0] == key for vk in DDm._STAMP_VERIFIED)
+    # flood the cache with implicit-key entries until the explicit key evicts
+    i = 0
+    while key in DDm._PAIR_CACHE:
+        i += 1
+        DDm.verified_pairs_cached(
+            _docs(spark, [(10 + i, f"{base} {i}", "en", "s0", 60)])
+        )
+        assert i < 2 * DDm._CACHE_MAX, "explicit key never evicted"
+    assert key not in DDm._PAIR_STAMP
+    assert not any(vk[0] == key for vk in DDm._STAMP_VERIFIED), (
+        "eviction must drop the key's verified-plan tuples"
+    )
+    # hard bound: the set clears instead of growing past the cap
+    DDm._STAMP_VERIFIED.clear()
+    for j in range(DDm._STAMP_VERIFIED_MAX + 5):
+        DDm._stamp_verified_add((("k",), j))
+    assert len(DDm._STAMP_VERIFIED) <= DDm._STAMP_VERIFIED_MAX
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    DDm._PAIR_STAMP.clear()
+    DDm._STAMP_VERIFIED.clear()
+
+
+def test_dedup_method_agreement_rejects_uncovered_hamming(spark):
+    """The band self-join's pigeonhole guarantee stops at n_bands-1;
+    asking for a larger cutoff must raise instead of silently
+    undercounting the calibration it exists to audit."""
+    import pytest as _pt
+
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    df = _docs(spark, [(1, "a b c", "en", "s0", 5)])
+    with _pt.raises(ValueError, match="exact-recall bound"):
+        DDm.dedup_method_agreement(df, max_hamming=5, n_bands=4)
+    # the documented remedy works: more bands cover the larger cutoff
+    DDm.dedup_method_agreement(df, max_hamming=5, n_bands=8)
+
+
+def test_pq_code_entropy_single_code_codebook(spark):
+    """A collapsed single-label corpus gives a one-code codebook:
+    log2(1)=0 must not divide to NaN — the engine pins entropy_permille
+    to 0 (matching the oracle's CASE guard)."""
+    import math
+
+    from githubrepostorag_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, 0, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(12)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    rows = S.pq_code_entropy(emb).collect()
+    assert rows, "expected one row per subspace"
+    for r in rows:
+        assert r.n_codes == 1
+        assert r.entropy_permille == 0
+        assert not math.isnan(r.entropy_bits)

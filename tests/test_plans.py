@@ -900,3 +900,97 @@ def test_centroids_fallback_when_sidecar_missing(spark, tmp_path):
     qvec = [float(x) for x in emb.first()["embedding"]]
     top = ivf_knn_from_store(spark, path, qvec, k=5, n_probes=2).collect()
     assert len(top) == 5 and top[0].score == 1.0  # finds the query's own row
+
+
+def test_split_cell_local_reconciles_replay_duplicates(spark, tmp_path):
+    """A cell-local split over a mega-cell holding replay-duplicated
+    (vec_id, batch_id) rows must (a) not SQUARE the duplicates through
+    its vec_id assignment join, (b) write back the read-side-deduped
+    rows, and (c) replace the split cell's sidecar partials with
+    per-batch-keyed, non-double-counted partials so replay exclusion
+    and the sidecar fold both stay exact."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        fold_partials,
+        read_ivf_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import (
+        _cell_centroids,
+        _split_cell_local,
+    )
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    path = str(tmp_path / "ivf")
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])], schema
+        ),
+        path,
+    )
+    # two tight sub-clusters inside the label-0 cell → clean 2-means
+    batch = spark.createDataFrame(
+        [
+            (100, 0, [0.95, 0.30, 0.00, 0.0]),
+            (101, 0, [0.95, 0.31, 0.01, 0.0]),
+            (102, 0, [0.96, 0.30, 0.02, 0.0]),
+            (103, 0, [0.95, -0.30, 0.00, 0.0]),
+            (104, 0, [0.95, -0.31, 0.01, 0.0]),
+            (105, 0, [0.96, -0.30, 0.02, 0.0]),
+        ],
+        schema,
+    )
+    for _attempt in range(2):  # replay → duplicate (vec_id, batch_id=9) rows
+        _embedding_gate_batch(batch, 9, path, acc, rej, max_cos=0.9999)
+    store = spark.read.parquet(path)
+    hot = (
+        store.groupBy("cell").count().orderBy(F.desc("count")).first()["cell"]
+    )
+    n_raw_hot = store.filter(F.col("cell") == hot).count()
+    assert n_raw_hot == 13, n_raw_hot  # 1 base + 6 batch ×2 replays
+    new_cell = store.agg(F.max("cell")).collect()[0][0] + 1
+    assert _split_cell_local(spark, path, int(hot), int(new_cell)) is True
+    post = spark.read.parquet(path)
+    # (a)+(b): duplicates reconciled once, never squared — 7 distinct
+    # rows across the two subcells, one per vec_id
+    sub = post.filter(F.col("cell").isin([int(hot), int(new_cell)]))
+    assert sub.count() == 7, "split must write read-side-deduped rows"
+    assert sub.select("vec_id").distinct().count() == 7
+    assert post.count() == 8
+    # both subcells actually used
+    assert sub.select("cell").distinct().count() == 2
+    # (c): sidecar fold counts each logical row once and keeps the
+    # batch key for replay exclusion
+    folded = fold_partials(read_ivf_sidecar(spark, path))
+    assert folded.agg(F.sum("n")).collect()[0][0] == 8
+    bids = {
+        r.batch_id
+        for r in read_ivf_sidecar(spark, path)
+        .filter(F.col("cell").isin([int(hot), int(new_cell)]))
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert 9 in bids, bids
+    got = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path).collect()
+    }
+    want = {r.centroid_label: r.centroid for r in _cell_centroids(post).collect()}
+    assert set(got) == set(want)
+    for c, v in want.items():
+        assert got[c] == pytest.approx(v, abs=1e-9), c
+    # excluding the pending batch recovers exactly the base-rows codebook
+    ex = {
+        r.centroid_label: r.centroid
+        for r in centroids_from_sidecar(spark, path, exclude_batch_id=9).collect()
+    }
+    base_only = _cell_centroids(post.filter(F.col("batch_id") != 9))
+    want_ex = {r.centroid_label: r.centroid for r in base_only.collect()}
+    assert set(ex) == set(want_ex)
+    for c, v in want_ex.items():
+        assert ex[c] == pytest.approx(v, abs=1e-9), c

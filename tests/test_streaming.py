@@ -1245,3 +1245,117 @@ def test_compact_dedup_store_preserves_probe(spark, tmp_path):
         map(tuple, incremental_near_dups(spark, store, probe).collect())
     )
     assert after == before and len(after) == 1
+
+
+def test_upgrade_rebuild_reconciles_replay_duplicates(spark, tmp_path):
+    """A lost-sidecar rebuild over a store holding replay-duplicated
+    (vec_id, batch_id) rows must reproduce the READ-side reconciled
+    centroids — counting the copies twice would silently shift every
+    rebuilt centroid — and must keep per-batch partial keys so a
+    still-pending replay's exclude_batch_id still removes its first
+    attempt's contribution."""
+    import shutil
+
+    import pytest as _pt
+
+    from githubrepostorag_spark.operators.similarity import (
+        centroids_from_sidecar,
+        ivf_sidecar_path,
+        read_ivf_sidecar,
+        upgrade_ivf_store,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])], schema
+        ),
+        store,
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, [0.7, 0.7, 0.0, 0.0]), (101, 1, [0.0, 0.02, 0.999, 0.0])], schema
+    )
+    for _attempt in range(2):  # replay: duplicate (vec_id, batch_id=5) rows
+        _embedding_gate_batch(batch, 5, store, acc, rej, max_cos=0.9999)
+    assert (
+        spark.read.parquet(store).count()
+        > spark.read.parquet(store).dropDuplicates(["vec_id", "batch_id"]).count()
+    ), "fixture must actually contain replay duplicates"
+    want = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store).collect()
+    }
+    want_ex = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store, exclude_batch_id=5).collect()
+    }
+    shutil.rmtree(ivf_sidecar_path(store))
+    assert upgrade_ivf_store(spark, store) is True
+    got = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store).collect()
+    }
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == _pt.approx(want[c], abs=1e-9), c
+    # replay-exclusion keys survived: excluding the batch still recovers
+    # the pre-batch codebook, and the rebuilt sidecar is per-batch keyed
+    got_ex = {
+        r.centroid_label: list(r.centroid)
+        for r in centroids_from_sidecar(spark, store, exclude_batch_id=5).collect()
+    }
+    assert set(got_ex) == set(want_ex)
+    for c in want_ex:
+        assert got_ex[c] == _pt.approx(want_ex[c], abs=1e-9), c
+    bids = {
+        r.batch_id
+        for r in read_ivf_sidecar(spark, store).select("batch_id").distinct().collect()
+    }
+    assert bids == {-1, 5}, bids
+
+
+def test_np_assign_cells_matches_spark_on_degenerate_codebook(spark):
+    """The driver-side numpy assignment and the Spark kernel
+    (_assign_cells) must agree on hostile inputs: a zero-norm centroid
+    (NULL cosine in Spark, NaN in raw numpy) must never win, a
+    zero-norm batch row falls to the smallest cell id, and a negative
+    finite sim still beats a degenerate one."""
+    import numpy as np
+
+    from githubrepostorag_spark.operators.similarity import _assign_cells
+    from githubrepostorag_spark.streaming.ingest import np_assign_cells
+
+    cent_cells = [0, 1, 2]
+    C = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0],  # degenerate centroid
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+        ]
+    )
+    B = np.array(
+        [
+            [0.9, 0.1, 0.0, 0.0],  # clear finite winner (cell 1)
+            [0.1, 0.9, 0.0, 0.0],  # clear finite winner (cell 2)
+            [0.0, 0.0, 0.0, 0.0],  # zero row: every sim degenerate
+            [-1.0, 0.0, 0.0, 0.0],  # best FINITE sim is 0.0 (cell 2)
+        ]
+    )
+    got = list(np_assign_cells(B, cent_cells, C))
+    emb = spark.createDataFrame(
+        [(i, 0, [float(x) for x in row]) for i, row in enumerate(B)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in C[j]]) for j, c in enumerate(cent_cells)],
+        "centroid_label int, centroid array<double>",
+    )
+    want = {
+        r.vec_id: r.cell for r in _assign_cells(emb, cents).collect()
+    }
+    assert got == [want[i] for i in range(len(B))]
+    assert got == [1, 2, 0, 2]

@@ -24,7 +24,9 @@ def main() -> None:
     so = sum(oq[k] for k in shared)
     sn = sum(nq[k] for k in shared)
     deltas = sorted(((nq[k] - oq[k], k) for k in shared), key=lambda x: -abs(x[0]))
-    med = sorted(nq[k] - oq[k] for k in shared)[len(shared) // 2]
+    # BENCH_ONLY partials can share nothing with a full run — still
+    # print the added/removed sections instead of IndexError-ing here
+    med = sorted(nq[k] - oq[k] for k in shared)[len(shared) // 2] if shared else 0.0
     print(f"old: {old_path}  load_start={old.get('loadavg_start')} "
           f"load_end={old.get('loadavg_end')}  n={len(oq)} total={old['value']}")
     print(f"new: {new_path}  load_start={new.get('loadavg_start')} "
