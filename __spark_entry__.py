@@ -54,11 +54,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # refactored many times since; sweeps cover them, the driver re-check
 # closes the loop).  7 + 8 + 25 + 10 = 50.
 #
-# ROUND-10 PLAN (written ahead): head = the round-10 newcomers, then
+# ROUND-10 PLAN (written ahead): head = the round-10 newcomers — five
+# are ALREADY registered and two-scale-sweep-green (q289_heaps_fit,
+# q290_knn_hubness, q291_length_ks, q292_variance_spectrum,
+# q293_repeat_revenue) plus any added in round 10 itself — then
 # continue the re-test pass where this round stops (q11_market_share
-# onward through q48, oldest first), filling all remaining slots —
-# ~38 retest slots if round 10 adds ~12 new ops, which finishes the
-# q01-q48 pass entirely in round 10.
+# onward through q48, oldest first), filling all remaining slots;
+# ~38 retest slots remain if round 10 adds ~7 more new ops, which
+# finishes the q01-q48 pass entirely in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
@@ -1111,6 +1114,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q288_decile_transitions": lambda sp, sf: R.decile_transitions(
             t(sp, sf, "orders")
+        ),
+        # --- round-10 operators (registered ahead; r10 head newcomers) ---
+        "q289_heaps_fit": lambda sp, sf: TO.heaps_fit_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q290_knn_hubness": lambda sp, sf: S.knn_hubness(
+            t(sp, sf, "embeddings")
+        ),
+        "q291_length_ks": lambda sp, sf: TO.length_ks_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q292_variance_spectrum": lambda sp, sf: S.variance_concentration(
+            t(sp, sf, "embeddings")
+        ),
+        "q293_repeat_revenue": lambda sp, sf: R.repeat_revenue_by_segment(
+            t(sp, sf, "orders"), t(sp, sf, "customer")
         ),
     })
 
@@ -8579,6 +8598,191 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM h1 JOIN h2 ON h2.o_custkey = h1.o_custkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # --- round-10 operators (registered ahead; r10 head newcomers) ---
+        "q289_heaps_fit": f"""
+            WITH toks AS (SELECT source, doc_id, unnest({_TOKS}) AS tok
+                          FROM documents),
+            bounds AS (SELECT source, min(doc_id) AS mn, max(doc_id) AS mx
+                       FROM documents GROUP BY 1),
+            tokc AS (SELECT t.source,
+                            ((t.doc_id - b.mn) * {TO.HEAPS_BUCKETS})
+                              // (b.mx - b.mn + 1) AS b,
+                            CAST(count(*) AS BIGINT) AS n_toks
+                     FROM toks t JOIN bounds b ON b.source = t.source
+                     GROUP BY 1, 2),
+            fst AS (SELECT source, tok, min(doc_id) AS fd
+                    FROM toks GROUP BY 1, 2),
+            newt AS (SELECT f.source,
+                            ((f.fd - b.mn) * {TO.HEAPS_BUCKETS})
+                              // (b.mx - b.mn + 1) AS b,
+                            CAST(count(*) AS BIGINT) AS n_new
+                     FROM fst f JOIN bounds b ON b.source = f.source
+                     GROUP BY 1, 2),
+            grid AS (SELECT c.source, c.b, c.n_toks,
+                            coalesce(n.n_new, 0) AS n_new
+                     FROM tokc c LEFT JOIN newt n
+                       ON n.source = c.source AND n.b = c.b),
+            pts AS (SELECT source,
+                           sum(n_toks) OVER (PARTITION BY source ORDER BY b)
+                             AS cum_toks,
+                           sum(n_new) OVER (PARTITION BY source ORDER BY b)
+                             AS cum_types
+                    FROM grid),
+            terms AS (SELECT source, cum_toks, cum_types,
+                             CAST(round(ln(CAST(cum_toks AS DOUBLE)), 6)
+                                  AS DECIMAL(28,6)) AS x,
+                             CAST(round(ln(CAST(cum_types AS DOUBLE)), 6)
+                                  AS DECIMAL(28,6)) AS y,
+                             CAST(round(ln(CAST(cum_toks AS DOUBLE))
+                                        * ln(CAST(cum_types AS DOUBLE)), 6)
+                                  AS DECIMAL(28,6)) AS xy,
+                             CAST(round(ln(CAST(cum_toks AS DOUBLE))
+                                        * ln(CAST(cum_toks AS DOUBLE)), 6)
+                                  AS DECIMAL(28,6)) AS xx
+                      FROM pts WHERE cum_toks > 0),
+            agg AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_points,
+                           CAST(max(cum_toks) AS BIGINT) AS total_tokens,
+                           CAST(max(cum_types) AS BIGINT) AS vocab,
+                           CAST(sum(x) AS DOUBLE) AS sx,
+                           CAST(sum(y) AS DOUBLE) AS sy,
+                           CAST(sum(xy) AS DOUBLE) AS sxy,
+                           CAST(sum(xx) AS DOUBLE) AS sxx
+                    FROM terms GROUP BY 1)
+            SELECT source, n_points, total_tokens, vocab,
+                   CASE WHEN n_points >= 2
+                             AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) <> 0
+                        THEN round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n_points AS DOUBLE) * sxx - sx * sx),
+                                   6) END AS heaps_beta,
+                   CASE WHEN n_points >= 2
+                             AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) <> 0
+                        THEN round((sy - ((CAST(n_points AS DOUBLE) * sxy
+                                           - sx * sy)
+                                          / (CAST(n_points AS DOUBLE) * sxx
+                                             - sx * sx)) * sx)
+                                   / CAST(n_points AS DOUBLE), 6)
+                        END AS heaps_logk
+            FROM agg ORDER BY source
+        """,
+        "q290_knn_hubness": f"""
+            WITH p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            knn AS (SELECT vec_id, nbr_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, nbr_id) AS rk FROM p)
+                    WHERE rk <= {S.KNN_GRAPH_K}),
+            ind AS (SELECT nbr_id AS vec_id,
+                           CAST(count(*) AS BIGINT) AS in_deg
+                    FROM knn GROUP BY 1),
+            j AS (SELECT e.label, coalesce(i.in_deg, 0) AS in_deg
+                  FROM embeddings e LEFT JOIN ind i ON i.vec_id = e.vec_id)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(in_deg) AS BIGINT) AS sum_in_degree,
+                   CAST(max(in_deg) AS BIGINT) AS max_in_degree,
+                   CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans,
+                   CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END) * 1000
+                        // count(*) AS BIGINT) AS orphan_permille
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "q291_length_ks": """
+            WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                        FROM documents GROUP BY 1, 2),
+            lt AS (SELECT n_chars, sum(c) AS t FROM sl GROUP BY 1),
+            spine AS (SELECT n_chars,
+                             sum(t) OVER (ORDER BY n_chars) AS cum_all
+                      FROM lt),
+            totals AS (SELECT source, sum(c) AS n_src FROM sl GROUP BY 1),
+            grand AS (SELECT sum(c) AS n_all FROM sl),
+            grid AS (SELECT t.source, t.n_src, g.n_all, s.n_chars
+                     FROM totals t CROSS JOIN grand g
+                     CROSS JOIN (SELECT n_chars FROM spine) s),
+            cum AS (SELECT gr.source, gr.n_src, gr.n_all, gr.n_chars,
+                           sum(coalesce(sl.c, 0)) OVER (
+                             PARTITION BY gr.source ORDER BY gr.n_chars)
+                             AS cum_src
+                    FROM grid gr LEFT JOIN sl
+                      ON sl.source = gr.source AND sl.n_chars = gr.n_chars),
+            d AS (SELECT c.source, c.n_src, c.n_all, c.n_chars,
+                         round(abs(CAST(c.cum_src AS DOUBLE)
+                                   / CAST(c.n_src AS DOUBLE)
+                                   - CAST(sp.cum_all - c.cum_src AS DOUBLE)
+                                   / CAST(c.n_all - c.n_src AS DOUBLE)), 6)
+                           AS d
+                  FROM cum c JOIN spine sp ON sp.n_chars = c.n_chars
+                  WHERE c.n_all > c.n_src)
+            SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+                   CAST(n_all - n_src AS BIGINT) AS n_rest,
+                   d AS ks_d, CAST(n_chars AS BIGINT) AS ks_at_length
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY d DESC, n_chars) AS rk FROM d)
+            WHERE rk = 1 ORDER BY source
+        """,
+        "q292_variance_spectrum": """
+            WITH t AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            terms AS (SELECT dim,
+                             CAST(round(v, 6) AS DECIMAL(28,6)) AS x,
+                             CAST(round(v * v, 12) AS DECIMAL(38,12)) AS xx
+                      FROM t),
+            pd AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS DOUBLE) AS sx,
+                          CAST(sum(xx) AS DOUBLE) AS sxx
+                   FROM terms GROUP BY 1),
+            rv AS (SELECT CAST(dim AS BIGINT) AS dim,
+                          round((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                            AS variance
+                   FROM pd),
+            tot AS (SELECT sum(CAST(variance AS DECIMAL(28,6))) AS tv FROM rv),
+            cum AS (SELECT dim, variance,
+                           CAST(row_number() OVER (ORDER BY variance DESC, dim)
+                                AS BIGINT) AS rank,
+                           sum(CAST(variance AS DECIMAL(28,6))) OVER (
+                             ORDER BY variance DESC, dim) AS cum_var
+                    FROM rv)
+            SELECT rank, dim, variance,
+                   CASE WHEN tv <> 0 THEN CAST(floor(
+                          CAST(CAST(variance AS DECIMAL(28,6)) AS DOUBLE)
+                          / CAST(tv AS DOUBLE) * 1000) AS BIGINT)
+                        END AS var_share_permille,
+                   CASE WHEN tv <> 0 THEN CAST(floor(
+                          CAST(cum_var AS DOUBLE)
+                          / CAST(tv AS DOUBLE) * 1000) AS BIGINT)
+                        END AS cum_share_permille
+            FROM cum CROSS JOIN tot ORDER BY rank
+        """,
+        "q293_repeat_revenue": """
+            WITH ranked AS (
+              SELECT o_custkey,
+                     CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS rev,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                       AS ord_rank
+              FROM orders),
+            j AS (SELECT r.o_custkey, r.rev, r.ord_rank, c.c_mktsegment
+                  FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey)
+            SELECT c_mktsegment,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN ord_rank = 1 THEN rev END) AS DOUBLE)
+                     AS first_revenue,
+                   CAST(coalesce(sum(CASE WHEN ord_rank > 1 THEN rev END),
+                                 0) AS DOUBLE) AS repeat_revenue,
+                   CASE WHEN sum(rev) <> 0 THEN CAST(floor(
+                          CAST(coalesce(sum(CASE WHEN ord_rank > 1
+                                            THEN rev END), 0) AS DOUBLE)
+                          / CAST(sum(rev) AS DOUBLE) * 1000) AS BIGINT)
+                        END AS repeat_share_permille
+            FROM j GROUP BY 1 ORDER BY 1
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1775,3 +1775,71 @@ def decile_transitions(orders: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("decile_h1", "decile_h2")
     )
+
+
+def repeat_revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """First-order vs repeat-order revenue split per market segment:
+    rank every customer's orders by date (orderkey tie-break), then
+    roll up how much of each segment's revenue the FIRST order brings
+    versus all subsequent ones — the acquisition-vs-retention lens
+    (repeat share ≈ 0 in a segment says its customers never return;
+    high repeat share says the segment compounds). The customer-grain
+    twin of the value-decile transitions (q288): that audits movement
+    between periods, this audits the first-touch split itself.
+
+    Exactness: order revenue is `o_totalprice` rounded 2dp then cast
+    DECIMAL(18,2) (q282's money discipline), so segment sums are exact
+    and order-independent; the repeat share divides those exact sums
+    once, floored to permille. The rank window partitions by customer
+    — never a global sort; the segment join broadcasts the dimension.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    money = F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+    ranked = orders.select(
+        "o_custkey",
+        money.alias("rev"),
+        F.row_number().over(w).alias("ord_rank"),
+    )
+    j = ranked.join(
+        F.broadcast(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            )
+        ),
+        "o_custkey",
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("ord_rank") == 1, F.col("rev"))).alias(
+                "first_revenue"
+            ),
+            F.sum(F.when(F.col("ord_rank") > 1, F.col("rev"))).alias(
+                "_rep"
+            ),
+            F.sum("rev").alias("_tot"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_orders",
+            F.col("first_revenue").cast("double").alias("first_revenue"),
+            F.coalesce(F.col("_rep"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("repeat_revenue"),
+            F.when(
+                F.col("_tot") != 0,
+                F.floor(
+                    F.coalesce(F.col("_rep"), F.lit(0).cast("decimal(18,2)"))
+                    .cast("double")
+                    / F.col("_tot").cast("double")
+                    * 1000
+                ),
+            )
+            .cast("long")
+            .alias("repeat_share_permille"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2651,3 +2651,112 @@ def pq_code_entropy(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+def knn_hubness(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """Hubness audit of the k-NN graph, per label: how unevenly
+    retrieval in-degree is distributed. In high dimensions a few "hub"
+    vectors appear in a disproportionate share of neighbor lists while
+    "orphans" appear in none (Radovanović et al. 2010) — hubs dominate
+    retrieval results and orphans are never surfaced, so a label whose
+    max in-degree balloons or whose orphan share climbs is the first
+    place recall complaints localize. Reports per label: member count,
+    total in-degree mass, the worst hub's in-degree, orphan count and
+    exact-permille orphan rate.
+
+    Composition, no new kernel: `knn_graph`'s blocked-matmul top-k
+    (rounded-score ranking, id tie-break — oracle-exact), one
+    groupBy(nbr_id) for in-degree, one left join back to the
+    |vectors|-row (vec_id, label) projection, one label rollup. At
+    100 TB the graph front-end swaps to the IVF-bucketed variant
+    (knn_graph_ivf) unchanged.
+    """
+    g = knn_graph(embeddings, k=k)
+    indeg = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    j = (
+        embeddings.select("vec_id", "label")
+        .join(indeg, "vec_id", "left")
+        .fillna(0, subset=["in_deg"])
+    )
+    return (
+        j.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("in_deg").cast("long").alias("sum_in_degree"),
+            F.max("in_deg").cast("long").alias("max_in_degree"),
+            F.sum(F.when(F.col("in_deg") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .withColumn(
+            "orphan_permille",
+            F.expr("n_orphans * 1000 div n_vecs").cast("long"),
+        )
+        .orderBy("label")
+    )
+
+
+def variance_concentration(embeddings: DataFrame) -> DataFrame:
+    """Axis-aligned variance spectrum of the embedding space: per
+    dimension, its share of total variance, ranked, with the
+    cumulative share — the anisotropy audit (Ethayarajh 2019: contextual
+    embeddings collapse into a narrow cone; a handful of rogue
+    dimensions carrying most of the variance crushes cosine contrast
+    and is the standard argument for whitening before ANN indexing).
+    A healthy space spreads mass (cumulative share grows ~linearly);
+    top-4-dims ≥ half the variance says distances are effectively
+    4-dimensional no matter what the index does.
+
+    Exactness: per-dim Σx and Σx² accumulate 6dp/12dp-rounded terms as
+    DECIMAL (order-independent), the population-variance numerator
+    n·Σx² − (Σx)² is evaluated in double from those exact sums
+    (identical operands both engines), re-rounded at 6dp, and shares
+    divide DECIMAL-exact variance sums once, floored to permille.
+    All post-explode work is |dims| rows; the only corpus-sized pass
+    is the one explode+aggregate."""
+    terms = embeddings.select(
+        F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "v")
+    ).select(
+        "dim",
+        F.round(F.col("v"), 6).cast("decimal(28,6)").alias("x"),
+        F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)").alias("xx"),
+    )
+    per_dim = terms.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    var6 = F.round(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx")) / (nn * nn), 6
+    )
+    ranked = per_dim.select(
+        F.col("dim").cast("long").alias("dim"), var6.alias("variance")
+    )
+    tot = ranked.agg(
+        F.sum(F.col("variance").cast("decimal(28,6)")).alias("tv")
+    )
+    wr = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    cum = (
+        ranked.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "cum_var",
+            F.sum(F.col("variance").cast("decimal(28,6)")).over(
+                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    share = lambda c: F.when(
+        F.col("tv") != 0,
+        F.floor(c.cast("double") / F.col("tv").cast("double") * 1000),
+    ).cast("long")
+    return cum.select(
+        "rank",
+        "dim",
+        "variance",
+        share(F.col("variance").cast("decimal(28,6)")).alias("var_share_permille"),
+        share(F.col("cum_var")).alias("cum_share_permille"),
+    ).orderBy("rank")

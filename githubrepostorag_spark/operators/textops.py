@@ -3702,3 +3702,199 @@ def token_run_profile(
         )
         .orderBy("source")
     )
+
+
+HEAPS_BUCKETS = 32  # vocab-growth checkpoints per source (fit points)
+
+
+def heaps_fit_by_source(
+    documents: DataFrame, n_buckets: int = HEAPS_BUCKETS
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: V(N) ≈ K·N^β over
+    the feed's own ingestion order (doc_id). β near the natural-text
+    band (~0.4–0.6, Heaps 1978) says the feed keeps contributing new
+    types as it grows; β ≈ 0 says the feed's vocabulary has saturated
+    (template/boilerplate flood — more tokens, no new information),
+    and β near 1 flags id/hash spam where almost every token is novel.
+    The companion to the Zipf screen (q247/q274): Zipf checks the
+    frequency SHAPE at a point in time, Heaps checks the GROWTH curve,
+    and feeds gamed to pass one routinely fail the other.
+
+    Fit points are `n_buckets` doc_id-range checkpoints per source
+    (integer bucket = (doc_id-min)·B div (max-min+1) — identical
+    arithmetic in the oracle): per bucket, cumulative token count N_b
+    and cumulative distinct types V_b (types counted at their FIRST
+    doc), then an OLS of ln V on ln N over the checkpoints — the q247
+    exactness discipline (each log term 6dp-rounded, summed as
+    DECIMAL, one closed-form slope in double with identical operand
+    order both engines). Degenerate fits (a single distinct point)
+    emit NULL rather than a NaN slope.
+
+    Scale: one token explode feeding two map-side-combined aggregates
+    (per-bucket counts, per-token first-doc), a broadcast of the
+    |sources|-row bounds table, and windows over |sources|·B rows —
+    no corpus-sized window, no global sort.
+    """
+    toks = documents.select(
+        "source", "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    bounds = documents.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bucket_of = lambda col: F.expr(
+        f"(({col} - mn) * {int(n_buckets)}) div (mx - mn + 1)"
+    ).cast("long")
+    tokc = (
+        toks.join(F.broadcast(bounds), "source")
+        .withColumn("b", bucket_of("doc_id"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    )
+    first = (
+        toks.groupBy("source", "tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(F.broadcast(bounds), "source")
+        .withColumn("b", bucket_of("fd"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    grid = tokc.join(first, ["source", "b"], "left").fillna(0, subset=["n_new"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        grid.select(
+            "source",
+            "b",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum("n_new").over(w).alias("cum_types"),
+        )
+        .filter(F.col("cum_toks") > 0)
+    )
+    lx = F.log(F.col("cum_toks").cast("double"))
+    ly = F.log(F.col("cum_types").cast("double"))
+    dec = "decimal(28,6)"
+    terms = pts.select(
+        "source",
+        "cum_toks",
+        "cum_types",
+        F.round(lx, 6).cast(dec).alias("x"),
+        F.round(ly, 6).cast(dec).alias("y"),
+        F.round(lx * ly, 6).cast(dec).alias("xy"),
+        F.round(lx * lx, 6).cast(dec).alias("xx"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cum_toks").cast("long").alias("total_tokens"),
+        F.max("cum_types").cast("long").alias("vocab"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = cov / varx
+    # n_points >= 2 is checked EXPLICITLY: at one point the algebraic
+    # varx is 0, but the 6dp term rounding leaves a ~1e-5 residue that
+    # would "fit" a garbage slope of rounding noise
+    fit_ok = (F.col("n_points") >= 2) & (varx != 0)
+    return (
+        agg.select(
+            "source",
+            "n_points",
+            "total_tokens",
+            "vocab",
+            F.when(fit_ok, F.round(beta, 6)).alias("heaps_beta"),
+            F.when(
+                fit_ok,
+                F.round((F.col("sy") - beta * F.col("sx")) / n, 6),
+            ).alias("heaps_logk"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_ks_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source length-distribution drift: the two-sample
+    Kolmogorov–Smirnov statistic D between each source's document-
+    length ECDF and the ECDF of everything else. The companion to the
+    token-distribution divergences (q253/q260): JS over unigrams
+    catches topical drift, KS over lengths catches STRUCTURAL drift —
+    a feed that switched from documents to log lines (or started
+    concatenating pages) moves D long before its vocabulary shifts.
+    Reports D (6dp), the length where the gap peaks (smallest such
+    length on ties), and both sample sizes.
+
+    Exactness: ECDFs are exact integer cumulative counts divided once
+    in double — identical rational inputs and operand order in both
+    engines — and the argmax ranks on the 6dp-ROUNDED gap with the
+    length as tie-break, so engine-order never leaks into the answer.
+
+    Scale: one groupBy(source, length), the corpus-length spine is
+    |distinct lengths| rows (window over it is bounded by the length
+    domain, not the corpus), and the evaluation grid is
+    |sources|·|lengths| — both dimension-bounded. Sources with an
+    empty complement (single-source corpus) are excluded: D against
+    nothing is undefined.
+    """
+    src_len = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    len_tot = src_len.groupBy("n_chars").agg(F.sum("c").alias("t"))
+    wl = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # corpus spine: cumulative total per distinct length (|lengths| rows)
+    spine = len_tot.select(
+        "n_chars", F.sum("t").over(wl).alias("cum_all")
+    )
+    totals = src_len.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grand = src_len.agg(F.sum("c").alias("n_all"))
+    # evaluation grid: every source × every corpus length
+    grid = totals.crossJoin(F.broadcast(grand)).crossJoin(
+        F.broadcast(spine.select("n_chars"))
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(src_len, ["source", "n_chars"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn("cum_src", F.sum("c").over(ws))
+        .join(F.broadcast(spine), "n_chars")
+        .filter(F.col("n_all") > F.col("n_src"))  # complement non-empty
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cum_src").cast("double") / F.col("n_src").cast("double")
+            - (F.col("cum_all") - F.col("cum_src")).cast("double")
+            / (F.col("n_all") - F.col("n_src")).cast("double")
+        ),
+        6,
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.desc("d"), F.asc("n_chars")
+    )
+    return (
+        cum.select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs"),
+            (F.col("n_all") - F.col("n_src")).cast("long").alias("n_rest"),
+            "n_chars",
+            gap.alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            "n_docs",
+            "n_rest",
+            F.col("d").alias("ks_d"),
+            F.col("n_chars").cast("long").alias("ks_at_length"),
+        )
+        .orderBy("source")
+    )

@@ -4410,3 +4410,122 @@ def test_pq_code_entropy_single_code_codebook(spark):
         assert r.n_codes == 1
         assert r.entropy_permille == 0
         assert not math.isnan(r.entropy_bits)
+
+
+def test_heaps_fit_saturating_vs_growing_vocab(spark):
+    """β separates a saturated-vocabulary feed (template flood) from a
+    feed whose types keep growing: near-0 vs near-1; a single-point
+    source emits NULL instead of a NaN slope."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    rows = []
+    for i in range(8):  # flat: two types forever
+        rows.append((i, "aa bb aa bb", "en", "flat", 11))
+    for i in range(8):  # grow: every doc introduces two new types
+        rows.append((100 + i, f"t{i}a t{i}b", "en", "grow", 8))
+    rows.append((200, "solo doc here", "en", "single", 13))
+    df = _docs(spark, rows)
+    got = {r.source: r for r in TO.heaps_fit_by_source(df).collect()}
+    assert got["flat"].vocab == 2 and got["flat"].total_tokens == 32
+    assert got["grow"].vocab == 16 and got["grow"].total_tokens == 16
+    assert got["flat"].heaps_beta < 0.2
+    assert got["grow"].heaps_beta > 0.9
+    assert got["single"].n_points == 1
+    assert got["single"].heaps_beta is None and got["single"].heaps_logk is None
+
+
+def test_knn_hubness_orphan_and_mass_conservation(spark):
+    """In-degree mass is conserved (Σ in-degree = Σ out-degree =
+    n·min(k, n-1)) and a vector pointing at the cluster that never
+    appears in any top-k is counted as its label's orphan."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    rows = [
+        (1, 0, [1.0, 0.00]),
+        (2, 0, [1.0, 0.01]),
+        (3, 0, [1.0, -0.01]),
+        (4, 0, [1.0, 0.02]),
+        (5, 1, [-1.0, 0.5]),  # far: lists cluster members, listed by none
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {r.label: r for r in S.knn_hubness(emb, k=2).collect()}
+    assert sum(r.sum_in_degree for r in got.values()) == 5 * 2
+    assert got[1].n_orphans == 1 and got[1].orphan_permille == 1000
+    assert got[0].n_orphans == 0
+    assert got[0].n_vecs == 4 and got[1].n_vecs == 1
+
+
+def test_length_ks_disjoint_distributions(spark):
+    """Two sources with disjoint length supports reach D = 1.0 exactly,
+    peaking at the smallest length where the gap is maximal."""
+    from githubrepostorag_spark.operators import textops as TO
+
+    rows = [
+        (1, "x", "en", "a", 10),
+        (2, "x", "en", "a", 20),
+        (3, "x", "en", "b", 30),
+        (4, "x", "en", "b", 40),
+    ]
+    got = {r.source: r for r in TO.length_ks_by_source(_docs(spark, rows)).collect()}
+    assert got["a"].ks_d == 1.0 and got["a"].ks_at_length == 20
+    assert got["b"].ks_d == 1.0 and got["b"].ks_at_length == 20
+    assert got["a"].n_docs == 2 and got["a"].n_rest == 2
+
+
+def test_variance_concentration_single_loaded_dim(spark):
+    """One dimension carrying all the variance gets rank 1 with the
+    full permille share; constant dimensions contribute zero and rank
+    by dim id."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, 0, [0.0, 1.0, 0.5]), (2, 0, [2.0, 1.0, 0.5]),
+         (3, 0, [0.0, 1.0, 0.5]), (4, 0, [2.0, 1.0, 0.5])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = S.variance_concentration(emb).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].dim == 0 and got[0].variance == 1.0
+    assert got[0].var_share_permille == 1000 and got[0].cum_share_permille == 1000
+    assert got[1].dim == 1 and got[1].variance == 0.0  # tie → dim asc
+    assert got[1].var_share_permille == 0 and got[1].cum_share_permille == 1000
+
+
+def test_repeat_revenue_first_vs_repeat_split(spark):
+    """First order = earliest (date, orderkey); repeat share divides
+    exact DECIMAL sums; a one-order customer contributes zero repeat."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (11, 1, "O", 50.0, dt.datetime(2024, 2, 1), "1-URGENT"),
+            (12, 2, "O", 10.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+            # same-date tie: smaller orderkey is the first order
+            (13, 3, "O", 1.0, dt.datetime(2024, 3, 1), "1-URGENT"),
+            (14, 3, "O", 2.0, dt.datetime(2024, 3, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG_A"), (2, "c2", 0, 0.0, "SEG_B"),
+         (3, "c3", 0, 0.0, "SEG_A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    got = {
+        r.c_mktsegment: r
+        for r in R.repeat_revenue_by_segment(orders, customer).collect()
+    }
+    a, b = got["SEG_A"], got["SEG_B"]
+    assert a.n_customers == 2 and a.n_orders == 4
+    assert a.first_revenue == 101.0  # 100 (cust1) + 1 (cust3 key-13 tie win)
+    assert a.repeat_revenue == 52.0
+    assert a.repeat_share_permille == 339  # floor(52/153*1000)
+    assert b.first_revenue == 10.0 and b.repeat_revenue == 0.0
+    assert b.repeat_share_permille == 0

@@ -994,3 +994,36 @@ def test_split_cell_local_reconciles_replay_duplicates(spark, tmp_path):
     assert set(ex) == set(want_ex)
     for c, v in want_ex.items():
         assert ex[c] == pytest.approx(v, abs=1e-9), c
+
+
+def test_round10_new_ops_plan_shapes(spark):
+    """Physical-plan pins for the round-10 operators: no cartesian
+    product anywhere (q291/q292's crossJoins are against broadcast
+    one-row/|lengths|-row frames — broadcast nested loop, never
+    cartesian), and the q293 segment join broadcasts the customer
+    dimension instead of shuffling the fact."""
+    from githubrepostorag_spark.operators import relational as R
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    plans = {
+        "q289": TO.heaps_fit_by_source(docs),
+        "q290": S.knn_hubness(emb),
+        "q291": TO.length_ks_by_source(docs),
+        "q292": S.variance_concentration(emb),
+        "q293": R.repeat_revenue_by_segment(orders, customer),
+    }
+    for name, df in plans.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+    q293 = plans["q293"]._sc._jvm.PythonSQLUtils.explainString(
+        plans["q293"]._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in q293, q293
