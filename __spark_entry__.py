@@ -54,13 +54,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # refactored many times since; sweeps cover them, the driver re-check
 # closes the loop).  7 + 8 + 25 + 10 = 50.
 #
-# ROUND-10 PLAN (written ahead): head = the round-10 newcomers — five
+# ROUND-10 PLAN (written ahead): head = the round-10 newcomers — seven
 # are ALREADY registered and two-scale-sweep-green (q289_heaps_fit,
 # q290_knn_hubness, q291_length_ks, q292_variance_spectrum,
-# q293_repeat_revenue) plus any added in round 10 itself — then
+# q293_repeat_revenue, q294_source_cross_entropy,
+# q295_arrival_burstiness) plus any added in round 10 itself — then
 # continue the re-test pass where this round stops (q11_market_share
 # onward through q48, oldest first), filling all remaining slots;
-# ~38 retest slots remain if round 10 adds ~7 more new ops, which
+# ~36 retest slots remain if round 10 adds ~5 more new ops, which
 # finishes the q01-q48 pass entirely in round 10.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
@@ -1130,6 +1131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q293_repeat_revenue": lambda sp, sf: R.repeat_revenue_by_segment(
             t(sp, sf, "orders"), t(sp, sf, "customer")
+        ),
+        "q294_source_cross_entropy": lambda sp, sf: CU.source_cross_entropy(
+            t(sp, sf, "documents")
+        ),
+        "q295_arrival_burstiness": lambda sp, sf: E.arrival_burstiness(
+            t(sp, sf, "events")
         ),
     })
 
@@ -8783,6 +8790,73 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(sum(rev) AS DOUBLE) * 1000) AS BIGINT)
                         END AS repeat_share_permille
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "q294_source_cross_entropy": f"""
+            WITH tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                        FROM (SELECT source, unnest({_TOKS}) AS tok
+                              FROM documents)
+                        GROUP BY 1, 2),
+            totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+                       FROM tc GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+            j AS (SELECT m.source AS model_source, e.source AS eval_source,
+                         e.c AS c_eval, te.t AS t_eval, m.t AS t_model,
+                         coalesce(mc.c, 0) AS c_model
+                  FROM tc e
+                  JOIN totals te ON te.source = e.source
+                  CROSS JOIN totals m
+                  LEFT JOIN tc mc ON mc.source = m.source AND mc.tok = e.tok),
+            terms AS (SELECT model_source, eval_source, t_eval,
+                             CAST(round(
+                               (CAST(c_eval AS DOUBLE) / CAST(t_eval AS DOUBLE))
+                               * log2(CAST(c_model + 1 AS DOUBLE)
+                                      / CAST(t_model + v.v AS DOUBLE)), 12)
+                               AS DECIMAL(38,12)) AS term
+                      FROM j CROSS JOIN v)
+            SELECT model_source, eval_source,
+                   CAST(max(t_eval) AS BIGINT) AS n_eval_tokens,
+                   round(-CAST(sum(term) AS DOUBLE), 6) AS cross_entropy_bits
+            FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q295_arrival_burstiness": f"""
+            WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+                              epoch_us(ts) // {E.BURSTINESS_CHUNK_S * 1_000_000}
+                                AS ck
+                       FROM events),
+            ig AS (SELECT event_type, gap_us FROM (
+                     SELECT event_type,
+                            us - lag(us) OVER (PARTITION BY event_type, ck
+                                               ORDER BY us, event_id) AS gap_us
+                     FROM e) WHERE gap_us IS NOT NULL),
+            pc AS (SELECT event_type, ck, min(us) AS mn, max(us) AS mx
+                   FROM e GROUP BY 1, 2),
+            bg AS (SELECT event_type, mn - prior_mx AS gap_us FROM (
+                     SELECT event_type, mn,
+                            max(mx) OVER (PARTITION BY event_type ORDER BY ck
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_mx
+                     FROM pc) WHERE prior_mx IS NOT NULL),
+            g AS (SELECT * FROM ig UNION ALL SELECT * FROM bg),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_gaps,
+                           sum(CAST(gap_us AS DECIMAL(38,0))) AS s,
+                           sum(CAST(gap_us AS DECIMAL(19,0))
+                               * CAST(gap_us AS DECIMAL(19,0))) AS ss,
+                           max(gap_us) AS mx_us
+                    FROM g GROUP BY 1)
+            SELECT event_type,
+                   CAST(n_gaps + 1 AS BIGINT) AS n_events, n_gaps,
+                   round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         / 1000000.0, 6) AS mean_gap_s,
+                   round(CAST(mx_us AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+                   CASE WHEN CAST(s AS DOUBLE) <> 0 THEN round(
+                          ((CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                          / ((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))),
+                          6) END AS cv2
+            FROM agg ORDER BY event_type
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1791,3 +1791,78 @@ def split_length_ladder(
         )
         .select("split", "permille", "n_docs", "p_tokens")
     )
+
+
+def source_cross_entropy(documents: DataFrame) -> DataFrame:
+    """Directional predictability matrix between ingestion feeds: the
+    cross-entropy (bits/token) of each source's unigram distribution
+    under every other source's add-one-smoothed unigram model. The
+    symmetric JSD matrix (q260) says two feeds are "far"; this says in
+    WHICH DIRECTION — H(B‖A) ≪ H(A‖B) means B is roughly a subset of
+    A's vocabulary (drop B before down-weighting A), and the diagonal
+    H(A‖A) is each feed's own smoothed entropy baseline, so excess
+    bits are read straight off the matrix. The standard n-gram-model
+    transfer screen (Chen & Goodman 1999 smoothing, applied as a
+    corpus-distance tool).
+
+    Exactness: per-token terms p_B(tok)·log2(p̂_A(tok)) are computed in
+    double from exact integer counts (identical operand order both
+    engines), rounded at 12 dp and summed as DECIMAL(38,12) —
+    order-independent — with one final 6 dp rounding.
+
+    Scale: one token explode into a map-side-combined (source, token)
+    count table; the matrix expansion joins that table against the
+    broadcast |sources|-row totals and shuffles |tokens|·|sources|
+    rows once on (model, token) — bounded by vocab × the (small) feed
+    count, never by the corpus. Output is |sources|² rows.
+    """
+    tc = (
+        documents.select(
+            "source", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = tc.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    vocab = F.broadcast(
+        tc.select("tok").distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    model = F.broadcast(
+        totals.select(
+            F.col("source").alias("model_source"), F.col("t").alias("t_model")
+        )
+    )
+    ev = tc.select(
+        F.col("source").alias("eval_source"), "tok", F.col("c").alias("c_eval")
+    ).join(
+        F.broadcast(
+            totals.select(
+                F.col("source").alias("eval_source"), F.col("t").alias("t_eval")
+            )
+        ),
+        "eval_source",
+    )
+    mc = tc.select(
+        F.col("source").alias("model_source"),
+        "tok",
+        F.col("c").alias("c_model"),
+    )
+    joined = (
+        ev.crossJoin(model)
+        .join(mc, ["model_source", "tok"], "left")
+        .fillna(0, subset=["c_model"])
+        .crossJoin(vocab)
+    )
+    p_eval = F.col("c_eval").cast("double") / F.col("t_eval").cast("double")
+    p_model = (F.col("c_model") + 1).cast("double") / (
+        F.col("t_model") + F.col("v")
+    ).cast("double")
+    term = F.round(p_eval * F.log2(p_model), 12).cast("decimal(38,12)")
+    return (
+        joined.groupBy("model_source", "eval_source")
+        .agg(
+            F.max("t_eval").alias("n_eval_tokens"),
+            F.round(-F.sum(term).cast("double"), 6).alias("cross_entropy_bits"),
+        )
+        .orderBy("model_source", "eval_source")
+    )

@@ -1636,3 +1636,88 @@ def lateness_profile(
             ),
         )
     )
+
+
+BURSTINESS_CHUNK_S = 3600  # time-chunk width for the gap computation
+
+
+def arrival_burstiness(
+    events: DataFrame, chunk_s: int = BURSTINESS_CHUNK_S
+) -> DataFrame:
+    """Per event-type arrival burstiness: the coefficient-of-variation
+    squared (CV²) of consecutive inter-arrival gaps in event time.
+    CV² ≈ 1 is Poisson (memoryless) traffic; CV² ≫ 1 is bursty
+    (queueing delay explodes at the same mean rate — the
+    capacity-planning number next to the mean); CV² ≪ 1 is
+    metronome-regular, which in a supposedly organic stream usually
+    means a synthetic generator or a retry loop. Reports per type:
+    event and gap counts, mean gap, max gap, and CV² — the
+    watermark-horizon companion (q277 measures disorder, this measures
+    cadence).
+
+    Scale shape — gaps are NOT one global per-type sort: events bucket
+    into `chunk_s`-second time chunks, a per-(type, chunk) window
+    (bounded) takes within-chunk lags, each chunk's boundary gap comes
+    from a |chunks|-row prior-max window over per-chunk min/max
+    aggregates, and the union carries exactly n−1 gaps per type.
+    Moments accumulate exact integer microseconds into DECIMAL(38,0)
+    (no long overflow, order-independent); doubles appear only in the
+    two final ratios, identical operand order in the oracle.
+    """
+    e = events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr(f"unix_micros(ts) div {int(chunk_s) * 1_000_000}").alias("ck"),
+    )
+    wi = Window.partitionBy("event_type", "ck").orderBy("us", "event_id")
+    inner = e.withColumn("prev", F.lag("us").over(wi)).filter(
+        F.col("prev").isNotNull()
+    ).select("event_type", (F.col("us") - F.col("prev")).alias("gap_us"))
+    per_chunk = e.groupBy("event_type", "ck").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    wb = Window.partitionBy("event_type").orderBy("ck").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boundary = (
+        per_chunk.withColumn("prior_mx", F.max("mx").over(wb))
+        .filter(F.col("prior_mx").isNotNull())
+        .select("event_type", (F.col("mn") - F.col("prior_mx")).alias("gap_us"))
+    )
+    gaps = inner.unionByName(boundary)
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast(dec)).alias("s"),
+        # square AFTER a decimal cast: a multi-hour gap in µs squared
+        # overflows long before a post-hoc cast could save it. The
+        # operands are DECIMAL(19,0) so the product's inferred width
+        # (19+19 ≤ 38) is legal in BOTH engines — DuckDB rejects a
+        # (38,0)×(38,0) outright
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        ).alias("ss"),
+        F.max("gap_us").alias("mx_us"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean_us = s / n
+    var_us = (n * ss - s * s) / (n * n)
+    return (
+        agg.select(
+            "event_type",
+            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+            "n_gaps",
+            F.round(mean_us / F.lit(1e6), 6).alias("mean_gap_s"),
+            F.round(F.col("mx_us").cast("double") / F.lit(1e6), 6).alias(
+                "max_gap_s"
+            ),
+            F.when(s != 0, F.round(var_us / (mean_us * mean_us), 6)).alias(
+                "cv2"
+            ),
+        )
+        .orderBy("event_type")
+    )

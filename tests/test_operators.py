@@ -4529,3 +4529,64 @@ def test_repeat_revenue_first_vs_repeat_split(spark):
     assert a.repeat_share_permille == 339  # floor(52/153*1000)
     assert b.first_revenue == 10.0 and b.repeat_revenue == 0.0
     assert b.repeat_share_permille == 0
+
+
+def test_source_cross_entropy_direction_and_values(spark):
+    """Hand-checkable 2-source matrix: uniform A = exactly 1 bit under
+    its own smoothed model, and the vocabulary-subset source B is far
+    cheaper under A's model than A is under B's — the directional
+    signal the symmetric JSD cannot give."""
+    from githubrepostorag_spark.operators import curation as CU
+
+    df = _docs(
+        spark,
+        [(1, "a b a b", "en", "A", 7), (2, "a a", "en", "B", 3)],
+    )
+    got = {
+        (r.model_source, r.eval_source): r
+        for r in CU.source_cross_entropy(df).collect()
+    }
+    assert len(got) == 4
+    # p̂_A(a) = (2+1)/(4+2) = 0.5 → H(A‖A) = 1 bit exactly
+    assert got[("A", "A")].cross_entropy_bits == 1.0
+    assert got[("A", "B")].cross_entropy_bits == 1.0  # all of B is 'a'
+    assert got[("B", "B")].cross_entropy_bits == 0.415037  # -log2(3/4)
+    assert got[("B", "A")].cross_entropy_bits == 1.207519
+    # subset direction: B under A ≪ A under B
+    assert (
+        got[("A", "B")].cross_entropy_bits
+        < got[("B", "A")].cross_entropy_bits
+    )
+    assert got[("A", "A")].n_eval_tokens == 4
+    assert got[("A", "B")].n_eval_tokens == 2
+
+
+def test_arrival_burstiness_regular_vs_bursty(spark):
+    """A metronome stream scores CV² = 0, a bursty one CV² > 1; a gap
+    crossing the time-chunk boundary is still counted exactly once
+    (n_gaps = n_events - 1) with the right magnitude."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(4):  # regular: 10 s apart
+        rows.append((i, t0 + dt.timedelta(seconds=10 * i), 1, "reg", 1.0, "{}"))
+    # bursty: 1 s, 1 s, then a 7200 s gap spanning two 3600 s chunks
+    for j, s in enumerate([0, 1, 2, 7202]):
+        rows.append((10 + j, t0 + dt.timedelta(seconds=s), 1, "burst", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.arrival_burstiness(ev).collect()}
+    reg, burst = got["reg"], got["burst"]
+    assert reg.n_events == 4 and reg.n_gaps == 3
+    assert reg.mean_gap_s == 10.0 and reg.max_gap_s == 10.0
+    assert reg.cv2 == 0.0
+    assert burst.n_events == 4 and burst.n_gaps == 3
+    assert burst.max_gap_s == 7200.0
+    assert burst.mean_gap_s == 2400.666667
+    assert burst.cv2 > 1.9  # two tiny gaps + one huge → strongly bursty

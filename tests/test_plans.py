@@ -1007,16 +1007,22 @@ def test_round10_new_ops_plan_shapes(spark):
     from githubrepostorag_spark.operators import textops as TO
     from githubrepostorag_spark.sources.testdata import load_table
 
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import eventops as E
+
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     plans = {
         "q289": TO.heaps_fit_by_source(docs),
         "q290": S.knn_hubness(emb),
         "q291": TO.length_ks_by_source(docs),
         "q292": S.variance_concentration(emb),
         "q293": R.repeat_revenue_by_segment(orders, customer),
+        "q294": CU.source_cross_entropy(docs),
+        "q295": E.arrival_burstiness(events),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
