@@ -60,9 +60,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # q293_repeat_revenue, q294_source_cross_entropy,
 # q295_arrival_burstiness) plus any added in round 10 itself — then
 # continue the re-test pass where this round stops (q11_market_share
-# onward through q48, oldest first), filling all remaining slots;
-# ~36 retest slots remain if round 10 adds ~5 more new ops, which
-# finishes the q01-q48 pass entirely in round 10.
+# onward through q48, oldest first). The arithmetic: the remaining
+# retest range q11..q48 is exactly 38 queries, 7 + 38 = 45 of 50 head
+# slots, leaving 5 for operators added during round 10 itself; if
+# round 10 adds more than 5, the retest tail past the cut-off slides
+# to round 11 (newcomers always outrank retests — retests re-confirm
+# rows that already exist).
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
@@ -8822,7 +8825,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
                               epoch_us(ts) // {E.BURSTINESS_CHUNK_S * 1_000_000}
                                 AS ck
-                       FROM events),
+                       FROM events WHERE ts IS NOT NULL),
             ig AS (SELECT event_type, gap_us FROM (
                      SELECT event_type,
                             us - lag(us) OVER (PARTITION BY event_type, ck
@@ -8843,20 +8846,24 @@ def oracle_sql() -> dict[str, str]:
                            sum(CAST(gap_us AS DECIMAL(19,0))
                                * CAST(gap_us AS DECIMAL(19,0))) AS ss,
                            max(gap_us) AS mx_us
-                    FROM g GROUP BY 1)
-            SELECT event_type,
-                   CAST(n_gaps + 1 AS BIGINT) AS n_events, n_gaps,
-                   round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                    FROM g GROUP BY 1),
+            types AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+                      FROM e GROUP BY 1)
+            SELECT t.event_type, t.n_events,
+                   CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+                   round(CAST(a.s AS DOUBLE) / CAST(a.n_gaps AS DOUBLE)
                          / 1000000.0, 6) AS mean_gap_s,
-                   round(CAST(mx_us AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
-                   CASE WHEN CAST(s AS DOUBLE) <> 0 THEN round(
-                          ((CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)
-                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                           / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
-                          / ((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-                             * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))),
+                   round(CAST(a.mx_us AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+                   CASE WHEN CAST(a.s AS DOUBLE) <> 0 THEN round(
+                          ((CAST(a.n_gaps AS DOUBLE) * CAST(a.ss AS DOUBLE)
+                            - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+                           / (CAST(a.n_gaps AS DOUBLE)
+                              * CAST(a.n_gaps AS DOUBLE)))
+                          / ((CAST(a.s AS DOUBLE) / CAST(a.n_gaps AS DOUBLE))
+                             * (CAST(a.s AS DOUBLE) / CAST(a.n_gaps AS DOUBLE))),
                           6) END AS cv2
-            FROM agg ORDER BY event_type
+            FROM types t LEFT JOIN agg a ON a.event_type = t.event_type
+            ORDER BY t.event_type
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1663,8 +1663,15 @@ def arrival_burstiness(
     Moments accumulate exact integer microseconds into DECIMAL(38,0)
     (no long overflow, order-independent); doubles appear only in the
     two final ratios, identical operand order in the oracle.
+
+    Rows with a NULL timestamp are excluded up front (an arrival gap is
+    undefined for them — and the two engines' window null orderings
+    would otherwise diverge on the NULL chunk). Types present with a
+    single timestamped event still get their row (n_gaps = 0, NULL
+    cadence stats) — absent from the report must mean absent from the
+    stream.
     """
-    e = events.select(
+    e = events.filter(F.col("ts").isNotNull()).select(
         "event_type",
         "event_id",
         F.unix_micros(F.col("ts")).alias("us"),
@@ -1706,11 +1713,15 @@ def arrival_burstiness(
     ss = F.col("ss").cast("double")
     mean_us = s / n
     var_us = (n * ss - s * s) / (n * n)
+    types = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
     return (
-        agg.select(
+        types.join(agg, "event_type", "left")
+        .select(
             "event_type",
-            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
-            "n_gaps",
+            "n_events",
+            F.coalesce(F.col("n_gaps"), F.lit(0)).cast("long").alias("n_gaps"),
             F.round(mean_us / F.lit(1e6), 6).alias("mean_gap_s"),
             F.round(F.col("mx_us").cast("double") / F.lit(1e6), 6).alias(
                 "max_gap_s"

@@ -4590,3 +4590,70 @@ def test_arrival_burstiness_regular_vs_bursty(spark):
     assert burst.max_gap_s == 7200.0
     assert burst.mean_gap_s == 2400.666667
     assert burst.cv2 > 1.9  # two tiny gaps + one huge → strongly bursty
+
+
+def test_arrival_burstiness_identical_timestamps(spark):
+    """All events at the same instant: every gap is 0, so the mean is
+    0 and CV² is undefined — both engines emit NULL, never NaN."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0, 1, "same", 1.0, "{}") for i in range(3)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = E.arrival_burstiness(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_events == 3 and r.n_gaps == 2
+    assert r.mean_gap_s == 0.0 and r.max_gap_s == 0.0
+    assert r.cv2 is None
+
+
+def test_source_cross_entropy_single_source_diagonal(spark):
+    """A single-source corpus yields exactly its 1×1 diagonal — the
+    feed's own smoothed entropy — with no NULL/NaN artifacts."""
+    import math
+
+    from githubrepostorag_spark.operators import curation as CU
+
+    df = _docs(spark, [(1, "a b c d", "en", "only", 7)])
+    got = CU.source_cross_entropy(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.model_source, r.eval_source) == ("only", "only")
+    # uniform over 4 types, V=4: p̂ = (1+1)/(4+4) = 0.25 → 2 bits
+    assert r.cross_entropy_bits == 2.0
+    assert not math.isnan(r.cross_entropy_bits)
+
+
+def test_arrival_burstiness_single_event_type_and_null_ts(spark):
+    """A type with one timestamped event still appears (n_gaps=0, NULL
+    cadence); NULL-timestamp rows are excluded before gap derivation
+    instead of leaking engine-dependent NULL-ordering behavior."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "lone", 1.0, "{}"),
+            (2, None, 1, "lone", 1.0, "{}"),  # NULL ts: not an arrival
+            (3, t0, 1, "pair", 1.0, "{}"),
+            (4, t0 + dt.timedelta(seconds=5), 1, "pair", 1.0, "{}"),
+            (5, None, 1, "ghost", 1.0, "{}"),  # only NULL ts → absent
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.arrival_burstiness(ev).collect()}
+    assert set(got) == {"lone", "pair"}
+    lone = got["lone"]
+    assert lone.n_events == 1 and lone.n_gaps == 0
+    assert lone.mean_gap_s is None and lone.max_gap_s is None
+    assert lone.cv2 is None
+    assert got["pair"].n_events == 2 and got["pair"].mean_gap_s == 5.0
