@@ -1413,6 +1413,14 @@ def knn_graph(
     the DuckDB oracle's total order matches bit-for-bit. At 100 TB the
     front-end is an IVF/LSH bucketing so only same-bucket block pairs
     are scored — the kernel and merge are unchanged.
+
+    Precondition: embeddings must have nonzero norm. A zero-norm
+    vector has no defined cosine; the numpy kernel would score it NaN
+    where the SQL comparison convention scores NULL, and Spark ranks
+    NaN FIRST under desc while the NULL ranks last — the same
+    divergence class `np_assign_cells` masks in the streaming gate.
+    Callers ingesting untrusted vectors should drop zero-norm rows
+    first (`filter(vn != 0)` after `V.prepare`).
     """
     import pandas as pd
 

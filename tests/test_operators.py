@@ -4657,3 +4657,88 @@ def test_arrival_burstiness_single_event_type_and_null_ts(spark):
     assert lone.mean_gap_s is None and lone.max_gap_s is None
     assert lone.cv2 is None
     assert got["pair"].n_events == 2 and got["pair"].mean_gap_s == 5.0
+
+
+def test_round10_operator_invariants(spark):
+    """Bound-invariants for the round-10 ops over a hostile little
+    corpus (unicode zoo, empty/whitespace docs, exact twins, duplicate
+    embeddings): every rate stays in its mathematical range, KS is a
+    probability gap, in-degree mass is conserved, the variance
+    spectrum's cumulative share ends at exactly 1000 permille, and
+    cross-entropies are non-negative finite bits."""
+    import hashlib
+    import math
+
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import similarity as S
+    from githubrepostorag_spark.operators import textops as TO
+
+    def body(i):
+        if i % 13 == 0:
+            return ""
+        if i % 13 == 1:
+            return "   "
+        if i % 13 == 2:
+            return "наш мир 🌍 مرحبا שלום étoile 中文 deterministic"
+        toks = [
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6]
+            for j in range(i % 19 + 1)
+        ]
+        if i % 5 == 0:
+            toks = toks * 3
+        return " ".join(toks)
+
+    rows = [(i, body(i), f"src{i % 4}") for i in range(60)]
+    rows += [(100 + i, rows[3][1], "src_twin") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    n_docs_total = df.count()
+
+    heaps = TO.heaps_fit_by_source(df).collect()
+    assert heaps, "tokenful sources must appear"
+    for r in heaps:
+        assert 1 <= r.vocab <= r.total_tokens
+        assert 1 <= r.n_points <= TO.HEAPS_BUCKETS
+        if r.heaps_beta is not None:
+            assert math.isfinite(r.heaps_beta) and math.isfinite(r.heaps_logk)
+
+    ldf = df.withColumn("n_chars", F.length("text"))
+    for r in TO.length_ks_by_source(ldf).collect():
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_docs + r.n_rest == n_docs_total
+        assert r.n_docs >= 1 and r.n_rest >= 1
+
+    xent = CU.source_cross_entropy(df).collect()
+    srcs = {r.model_source for r in xent}
+    assert len(xent) == len(srcs) ** 2
+    for r in xent:
+        assert math.isfinite(r.cross_entropy_bits)
+        assert r.cross_entropy_bits >= 0.0
+
+    # embeddings: duplicates (score ties at 1.0) + near-parallel rows
+    emb_rows = [
+        (i, i % 3, [1.0 + 0.001 * (i % 7), 0.5, 0.25 * (i % 2), 1e-6])
+        for i in range(20)
+    ]
+    emb_rows += [(100 + j, 9, emb_rows[5][2]) for j in range(3)]  # twins
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, label int, embedding array<double>"
+    )
+    n_vecs = emb.count()
+    k = 5
+    hub = S.knn_hubness(emb, k=k).collect()
+    assert sum(r.n_vecs for r in hub) == n_vecs
+    assert sum(r.sum_in_degree for r in hub) == n_vecs * min(k, n_vecs - 1)
+    for r in hub:
+        assert 0 <= r.n_orphans <= r.n_vecs
+        assert 0 <= r.orphan_permille <= 1000
+        assert r.max_in_degree <= n_vecs - 1
+
+    spec = S.variance_concentration(emb).collect()
+    assert [r.rank for r in spec] == list(range(1, len(spec) + 1))
+    prev = -1
+    for r in spec:
+        assert r.variance >= 0.0
+        assert r.cum_share_permille >= prev
+        prev = r.cum_share_permille
+    assert spec[-1].cum_share_permille == 1000
+    assert sum(r.var_share_permille for r in spec) <= 1000
