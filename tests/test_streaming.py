@@ -1359,3 +1359,68 @@ def test_np_assign_cells_matches_spark_on_degenerate_codebook(spark):
     }
     assert got == [want[i] for i in range(len(B))]
     assert got == [1, 2, 0, 2]
+
+
+@pytest.mark.slow
+def test_embedding_gate_batch_size_amortizes_fixed_cost(spark, tmp_path):
+    """The gate's per-trigger cost is FIXED + O(batch): processing the
+    same 40 vectors as one batch must be decisively cheaper than as
+    eight 5-vector batches (which pay the sidecar read, probe job and
+    four writes eight times) — the amortization story behind the low
+    absolute docs/s of the small-batch sustained bench. Decisions are
+    identical either way."""
+    import hashlib
+    import time
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.sources.testdata import load_table
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+
+    def sign_vec(i: int) -> list[float]:
+        h = b"".join(
+            hashlib.md5(f"{i}:{blk}".encode()).digest()
+            for blk in range(dim // 16 + 1)
+        )
+        return [1.0 if (h[j // 8] >> (j % 8)) & 1 else -1.0 for j in range(dim)]
+
+    schema = "vec_id long, label int, embedding array<float>"
+    rows = [(9_000_000 + i, 0, sign_vec(i)) for i in range(40)]
+
+    stores = {}
+    for name in ("many", "one"):
+        p = str(tmp_path / f"ivf_{name}")
+        write_ivf_store(emb, p)
+        stores[name] = p
+
+    t0 = time.time()
+    for b in range(8):
+        _embedding_gate_batch(
+            spark.createDataFrame(rows[b * 5 : (b + 1) * 5], schema),
+            b,
+            stores["many"],
+            str(tmp_path / "acc_many"),
+            str(tmp_path / "rej_many"),
+            max_cos=0.95,
+        )
+    t_many = time.time() - t0
+
+    t0 = time.time()
+    _embedding_gate_batch(
+        spark.createDataFrame(rows, schema),
+        0,
+        stores["one"],
+        str(tmp_path / "acc_one"),
+        str(tmp_path / "rej_one"),
+        max_cos=0.95,
+    )
+    t_one = time.time() - t0
+
+    acc_many = {r.vec_id for r in spark.read.parquet(str(tmp_path / "acc_many")).collect()}
+    acc_one = {r.vec_id for r in spark.read.parquet(str(tmp_path / "acc_one")).collect()}
+    assert acc_many == acc_one == {r[0] for r in rows}
+    # generous margin so shared-box load can't flake it: 8x the fixed
+    # overhead must show up as AT LEAST a 20% gap
+    assert t_one < 0.8 * t_many, (t_one, t_many)
