@@ -1814,7 +1814,11 @@ def source_cross_entropy(documents: DataFrame) -> DataFrame:
     count table; the matrix expansion joins that table against the
     broadcast |sources|-row totals and shuffles |tokens|·|sources|
     rows once on (model, token) — bounded by vocab × the (small) feed
-    count, never by the corpus. Output is |sources|² rows.
+    count, never by the corpus. Output is |sources|² rows. At 100 TB
+    cap the vocabulary FIRST (top-K tokens by frequency + an OOV
+    bucket — standard n-gram practice, cf. the q257 OOV audit): the
+    expansion is vocab-linear, and an uncapped web-scale vocab puts
+    billions of rows per source pair through the join.
     """
     tc = (
         documents.select(
