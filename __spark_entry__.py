@@ -58,14 +58,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # are ALREADY registered and two-scale-sweep-green (q289_heaps_fit,
 # q290_knn_hubness, q291_length_ks, q292_variance_spectrum,
 # q293_repeat_revenue, q294_source_cross_entropy,
-# q295_arrival_burstiness) plus any added in round 10 itself — then
-# continue the re-test pass where this round stops (q11_market_share
-# onward through q48, oldest first). The arithmetic: the remaining
-# retest range q11..q48 is exactly 38 queries, 7 + 38 = 45 of 50 head
-# slots, leaving 5 for operators added during round 10 itself; if
-# round 10 adds more than 5, the retest tail past the cut-off slides
-# to round 11 (newcomers always outrank retests — retests re-confirm
-# rows that already exist).
+# q295_arrival_burstiness, q296_knn_hubness_ivf, q297_benford_totals,
+# q298_value_psi — ten in all) plus any added in round 10 itself —
+# then continue the re-test pass where this round stops
+# (q11_market_share onward through q48, oldest first). The
+# arithmetic: the remaining retest range q11..q48 is exactly 38
+# queries, 10 + 38 = 48 of 50 head slots, leaving 2 for operators
+# added during round 10 itself; if round 10 adds more than 2, the
+# retest tail past the cut-off slides to round 11 (newcomers always
+# outrank retests — retests re-confirm rows that already exist).
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
@@ -1139,6 +1140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "documents")
         ),
         "q295_arrival_burstiness": lambda sp, sf: E.arrival_burstiness(
+            t(sp, sf, "events")
+        ),
+        "q296_knn_hubness_ivf": lambda sp, sf: S.knn_hubness_ivf(
+            t(sp, sf, "embeddings")
+        ),
+        "q297_benford_totals": lambda sp, sf: R.benford_first_digit(
+            t(sp, sf, "orders")
+        ),
+        "q298_value_psi": lambda sp, sf: E.value_psi_by_type(
             t(sp, sf, "events")
         ),
     })
@@ -8864,6 +8874,136 @@ def oracle_sql() -> dict[str, str]:
                           6) END AS cv2
             FROM types t LEFT JOIN agg a ON a.event_type = t.event_type
             ORDER BY t.event_type
+        """,
+        # Cell-restricted hubness: q173's assignment + knn CTEs, q290's rollup.
+        "q296_knn_hubness_ivf": f"""
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ), cent_dims AS (
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM dims GROUP BY label, dim
+            ), cent AS (
+              SELECT label AS centroid_label, list(centroid_v ORDER BY dim)
+                       AS centroid
+              FROM cent_dims GROUP BY label
+            ), assigned AS (
+              SELECT vec_id, embedding, centroid_label AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_label,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.centroid AS DOUBLE[])) DESC,
+                                  c.centroid_label) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+            ), p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+            knn AS (SELECT vec_id, nbr_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, nbr_id) AS rk FROM p)
+                    WHERE rk <= {S.KNN_GRAPH_K}),
+            ind AS (SELECT nbr_id AS vec_id,
+                           CAST(count(*) AS BIGINT) AS in_deg
+                    FROM knn GROUP BY 1),
+            j AS (SELECT e.label, coalesce(i.in_deg, 0) AS in_deg
+                  FROM embeddings e LEFT JOIN ind i ON i.vec_id = e.vec_id)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(in_deg) AS BIGINT) AS sum_in_degree,
+                   CAST(max(in_deg) AS BIGINT) AS max_in_degree,
+                   CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans,
+                   CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END) * 1000
+                        // count(*) AS BIGINT) AS orphan_permille
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "q297_benford_totals": f"""
+            WITH digits AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit
+              FROM orders WHERE o_totalprice > 0),
+            cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+                    FROM digits GROUP BY 1),
+            tot AS (SELECT sum(n_orders) AS total FROM cnt),
+            spine AS (SELECT CAST(r.range AS BIGINT) AS digit FROM range(1, 10) r),
+            exp AS (SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in R.BENFORD_EXPECTED_PERMILLE.items())})
+                      AS t(digit, expected_permille))
+            SELECT s.digit,
+                   CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(c.n_orders, 0) * 1000 // t.total AS BIGINT)
+                     AS observed_permille,
+                   CAST(e.expected_permille AS BIGINT) AS expected_permille,
+                   CAST(coalesce(c.n_orders, 0) * 1000 // t.total
+                        - e.expected_permille AS BIGINT) AS dev_permille
+            FROM spine s
+            LEFT JOIN cnt c ON c.digit = s.digit
+            JOIN exp e ON e.digit = s.digit
+            CROSS JOIN tot t
+            ORDER BY s.digit
+        """,
+        "q298_value_psi": f"""
+            WITH e AS (SELECT event_type, value, epoch_us(ts) AS us
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL),
+            span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+            halved AS (SELECT event_type, value,
+                              CASE WHEN us <= s.mid THEN 1 ELSE 2 END AS half
+                       FROM e CROSS JOIN span s),
+            counts AS (SELECT event_type, value,
+                              CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS c1,
+                              CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS c2
+                       FROM halved GROUP BY 1, 2),
+            cum AS (SELECT *, sum(c1) OVER (PARTITION BY event_type
+                                            ORDER BY value) AS cum1
+                    FROM counts),
+            totals AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+                              CAST(sum(c2) AS BIGINT) AS n2
+                       FROM counts GROUP BY 1),
+            ks AS (SELECT CAST(r.range AS BIGINT) AS k
+                   FROM range(1, {E.PSI_BUCKETS}) r),
+            edges AS (SELECT c.event_type, k.k, min(c.value) AS edge
+                      FROM cum c
+                      JOIN totals t ON t.event_type = c.event_type
+                      CROSS JOIN ks k
+                      WHERE c.cum1 >= (k.k * t.n1 + {E.PSI_BUCKETS - 1})
+                                        // {E.PSI_BUCKETS}
+                      GROUP BY 1, 2),
+            bucketed AS (
+              SELECT event_type, bucket,
+                     sum(c1) AS b1, sum(c2) AS b2 FROM (
+                SELECT c.event_type, c.value, c.c1, c.c2,
+                       coalesce(sum(CASE WHEN ed.edge < c.value THEN 1 END),
+                                0) + 1 AS bucket
+                FROM counts c LEFT JOIN edges ed
+                  ON ed.event_type = c.event_type
+                GROUP BY c.event_type, c.value, c.c1, c.c2)
+              GROUP BY 1, 2),
+            terms AS (SELECT b.event_type, t.n1, t.n2,
+                             CAST(round(
+                               ((CAST(b.b2 AS DOUBLE) + 0.5)
+                                  / (CAST(t.n2 AS DOUBLE) + 5.0)
+                                - (CAST(b.b1 AS DOUBLE) + 0.5)
+                                  / (CAST(t.n1 AS DOUBLE) + 5.0))
+                               * ln(((CAST(b.b2 AS DOUBLE) + 0.5)
+                                     / (CAST(t.n2 AS DOUBLE) + 5.0))
+                                    / ((CAST(b.b1 AS DOUBLE) + 0.5)
+                                       / (CAST(t.n1 AS DOUBLE) + 5.0))), 12)
+                               AS DECIMAL(38,12)) AS term
+                      FROM bucketed b
+                      JOIN totals t ON t.event_type = b.event_type)
+            SELECT event_type, max(n1) AS n_half1, max(n2) AS n_half2,
+                   round(CAST(sum(term) AS DOUBLE), 6) AS psi
+            FROM terms GROUP BY 1 ORDER BY 1
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1732,3 +1732,103 @@ def arrival_burstiness(
         )
         .orderBy("event_type")
     )
+
+
+PSI_BUCKETS = 10  # decile grid for the population-stability index
+
+
+def value_psi_by_type(events: DataFrame) -> DataFrame:
+    """Population Stability Index per event type: bucket the metric
+    `value` into deciles fitted on the FIRST half of the time range,
+    score the second half against those fixed edges, and report
+    PSI = Σ (p₂−p₁)·ln(p₂/p₁) — the production drift monitor (credit-
+    scoring lineage; <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+    The events twin of the corpus drift screens: q291's KS is a single
+    worst-gap, PSI localizes mass movement across the whole grid and
+    is the number ops teams alarm on.
+
+    Exactness and scale share q281's exact-rank ladder: decile edges
+    come from per-(type, value) integer counts with a cumulative
+    window over DISTINCT values only (never a global sort of the
+    event stream), bucket assignment is a |distinct values|×9
+    bounded join against the broadcast edge table, counts are
+    integers, and the smoothed (+0.5/bucket) PSI terms are 12dp-
+    rounded DECIMAL sums — bit-equal in the oracle. The time split is
+    the integer midpoint of the observed microsecond range; NULL
+    timestamps are excluded (not arrivals), NULL values excluded (not
+    measurements). Buckets empty in BOTH halves contribute exactly 0
+    and may be skipped — the smoothing constant keeps every emitted
+    term finite.
+    """
+    e = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "value", F.unix_micros("ts").alias("us"))
+    # integer div, not /2: float division's long-cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB, so an odd min+max would split the
+    # halves differently between the engines
+    span = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    halved = e.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        F.when(F.col("us") <= F.col("mid"), 1).otherwise(2).alias("half"),
+    )
+    counts = halved.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum1", F.sum("c1").over(wv))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    ks = halved.sparkSession.range(1, PSI_BUCKETS).select(
+        F.col("id").alias("k")
+    )
+    # edge_k = smallest value whose half-1 cumulative reaches
+    # ceil(k·n1/10): ((k*n1 + 9) div 10) in pure integers
+    edges = (
+        cum.join(F.broadcast(totals.select("event_type", "n1")), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cum1") >= F.expr(f"(k * n1 + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
+        )
+        .groupBy("event_type", "k")
+        .agg(F.min("value").alias("edge"))
+    )
+    bucketed = (
+        counts.join(F.broadcast(edges), "event_type", "left")
+        .groupBy("event_type", "value", "c1", "c2")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("edge") < F.col("value"), 1)), F.lit(0)
+                )
+                + 1
+            ).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+    )
+    j = bucketed.join(F.broadcast(totals), "event_type")
+    p1 = (F.col("b1").cast("double") + F.lit(0.5)) / (
+        F.col("n1").cast("double") + F.lit(0.5 * PSI_BUCKETS)
+    )
+    p2 = (F.col("b2").cast("double") + F.lit(0.5)) / (
+        F.col("n2").cast("double") + F.lit(0.5 * PSI_BUCKETS)
+    )
+    term = F.round((p2 - p1) * F.log(p2 / p1), 12).cast("decimal(38,12)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_half1"),
+            F.max("n2").alias("n_half2"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

@@ -1843,3 +1843,60 @@ def repeat_revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+# floor(1000 * log10(1 + 1/d)) for d = 1..9 — Benford's expected
+# first-digit mass, precomputed so neither engine evaluates log10
+BENFORD_EXPECTED_PERMILLE = {
+    1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66, 7: 57, 8: 51, 9: 45,
+}
+
+
+def benford_first_digit(orders: DataFrame) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of first
+    significant digits against the log-law expectation — the standard
+    forensic screen for fabricated or re-generated monetary data
+    (Nigrini 2012). Organic prices follow the law closely; a synthetic
+    generator drawing uniforms (or a partner back-filling invoices)
+    shows up as a flat or spiked digit profile long before any
+    row-level check fires. Reports all nine digits (zero-filled from a
+    constant spine) with observed vs expected permille and the signed
+    deviation.
+
+    Exactness: the digit comes from integer cents rendered as a
+    string (substring of a BIGINT cast — float log10 would misplace
+    values like 1000.0 whose log lands at 2.9999…); expected masses
+    are precomputed literals, so the only arithmetic is integer
+    counting. One scan, 9-row output; positive totals only (the law is
+    undefined at zero and signs are a different audit).
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    spine = orders.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    tot = F.broadcast(digits.agg(F.sum("n_orders").alias("total")))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_EXPECTED_PERMILLE.items() for x in kv]
+    )
+    return (
+        spine.join(digits, "digit", "left")
+        .fillna(0, subset=["n_orders"])
+        .crossJoin(tot)
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 1000 div total").cast("long").alias(
+                "observed_permille"
+            ),
+            expected[F.col("digit")].cast("long").alias("expected_permille"),
+            (
+                F.expr("n_orders * 1000 div total")
+                - expected[F.col("digit")]
+            ).cast("long").alias("dev_permille"),
+        )
+        .orderBy("digit")
+    )

@@ -2661,25 +2661,10 @@ def pq_code_entropy(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def knn_hubness(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
-    """Hubness audit of the k-NN graph, per label: how unevenly
-    retrieval in-degree is distributed. In high dimensions a few "hub"
-    vectors appear in a disproportionate share of neighbor lists while
-    "orphans" appear in none (Radovanović et al. 2010) — hubs dominate
-    retrieval results and orphans are never surfaced, so a label whose
-    max in-degree balloons or whose orphan share climbs is the first
-    place recall complaints localize. Reports per label: member count,
-    total in-degree mass, the worst hub's in-degree, orphan count and
-    exact-permille orphan rate.
-
-    Composition, no new kernel: `knn_graph`'s blocked-matmul top-k
-    (rounded-score ranking, id tie-break — oracle-exact), one
-    groupBy(nbr_id) for in-degree, one left join back to the
-    |vectors|-row (vec_id, label) projection, one label rollup. At
-    100 TB the graph front-end swaps to the IVF-bucketed variant
-    (knn_graph_ivf) unchanged.
-    """
-    g = knn_graph(embeddings, k=k)
+def _hubness_rollup(embeddings: DataFrame, g: DataFrame) -> DataFrame:
+    """Per-label in-degree rollup shared by the exact and IVF hubness
+    audits: one groupBy(nbr_id), one left join back to the
+    |vectors|-row (vec_id, label) projection, one label aggregate."""
     indeg = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
         F.count(F.lit(1)).cast("long").alias("in_deg")
     )
@@ -2704,6 +2689,40 @@ def knn_hubness(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def knn_hubness(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """Hubness audit of the k-NN graph, per label: how unevenly
+    retrieval in-degree is distributed. In high dimensions a few "hub"
+    vectors appear in a disproportionate share of neighbor lists while
+    "orphans" appear in none (Radovanović et al. 2010) — hubs dominate
+    retrieval results and orphans are never surfaced, so a label whose
+    max in-degree balloons or whose orphan share climbs is the first
+    place recall complaints localize. Reports per label: member count,
+    total in-degree mass, the worst hub's in-degree, orphan count and
+    exact-permille orphan rate.
+
+    Composition, no new kernel: `knn_graph`'s blocked-matmul top-k
+    (rounded-score ranking, id tie-break — oracle-exact), one
+    groupBy(nbr_id) for in-degree, one left join back to the
+    |vectors|-row (vec_id, label) projection, one label rollup. At
+    100 TB the graph front-end swaps to the IVF-bucketed variant
+    (knn_graph_ivf) unchanged.
+    """
+    return _hubness_rollup(embeddings, knn_graph(embeddings, k=k))
+
+
+def knn_hubness_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
+    """`knn_hubness` on the IVF-restricted graph — the 100 TB serving
+    path: hubs and orphans are measured against the neighbor lists the
+    INDEX will actually return (cell-restricted, `knn_graph_ivf`), not
+    the exact brute-force lists. Reading the two side by side separates
+    intrinsic hubness (present in both) from index-induced orphanhood
+    (cell walls cutting off a vector's true neighbors — singleton cells
+    emit no edges at all, so their members are orphans BY CONSTRUCTION
+    here and not in q290). Same |labels|-row rollup, same oracle grain.
+    """
+    return _hubness_rollup(embeddings, knn_graph_ivf(embeddings, k=k))
 
 
 def variance_concentration(embeddings: DataFrame) -> DataFrame:

@@ -4742,3 +4742,99 @@ def test_round10_operator_invariants(spark):
         prev = r.cum_share_permille
     assert spec[-1].cum_share_permille == 1000
     assert sum(r.var_share_permille for r in spec) <= 1000
+
+
+def test_knn_hubness_ivf_singleton_cell_orphan(spark):
+    """A vector alone in its IVF cell is an orphan BY CONSTRUCTION in
+    the cell-restricted audit while the exact graph still reaches it —
+    the index-induced orphanhood the q290/q296 pair separates."""
+    from githubrepostorag_spark.operators import similarity as S
+
+    rows = [
+        (1, 0, [1.00, 0.01, 0.0, 0.0]),
+        (2, 0, [1.00, 0.02, 0.0, 0.0]),
+        (3, 0, [1.00, 0.03, 0.0, 0.0]),
+        (4, 0, [1.00, 0.04, 0.0, 0.0]),
+        (5, 1, [0.90, 0.44, 0.0, 0.0]),  # own-label centroid = itself
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    exact = {r.label: r for r in S.knn_hubness(emb, k=4).collect()}
+    ivf = {r.label: r for r in S.knn_hubness_ivf(emb, k=4).collect()}
+    # exact: everyone lists everyone (k=4 of 4 others)
+    assert exact[1].sum_in_degree == 4 and exact[1].n_orphans == 0
+    # IVF: the singleton cell emits and receives nothing
+    assert ivf[1].sum_in_degree == 0 and ivf[1].n_orphans == 1
+    assert ivf[1].orphan_permille == 1000
+    assert ivf[0].n_orphans == 0  # the 4-cluster still serves itself
+
+
+def test_benford_first_digit_zero_filled_and_exact(spark):
+    """Digits come from integer cents (1000.0 → '1', not a log10
+    boundary artifact), non-positive totals are excluded, and absent
+    digits still get zero-filled rows with the literal expectation."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import relational as R
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 1.23, d, "x"),
+        (2, 1, "O", 19.99, d, "x"),
+        (3, 1, "O", 100.0, d, "x"),
+        (4, 1, "O", 2.5, d, "x"),
+        (5, 1, "O", 999.99, d, "x"),
+        (6, 1, "O", 0.0, d, "x"),    # excluded
+        (7, 1, "O", 55.5, d, "x"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r.digit: r for r in R.benford_first_digit(orders).collect()}
+    assert sorted(got) == list(range(1, 10))
+    assert got[1].n_orders == 3 and got[1].observed_permille == 500
+    assert got[2].n_orders == 1 and got[5].n_orders == 1 and got[9].n_orders == 1
+    assert got[3].n_orders == 0 and got[3].observed_permille == 0
+    assert got[1].expected_permille == 301
+    assert got[1].dev_permille == 500 - 301
+    assert sum(r.n_orders for r in got.values()) == 6  # 0.0 excluded
+
+
+def test_value_psi_identical_halves_zero_shifted_large(spark):
+    """Identical half distributions score PSI = 0 exactly; a full mass
+    shift past every fitted edge scores far above the 0.25 alarm."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for half_off in (0, 90):  # mid of [0, 100s] range splits at 50s
+        for v in range(1, 21):
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=half_off + v % 7), 1,
+                 "same", float(v), "{}")
+            )
+            eid += 1
+    for v in range(1, 21):
+        rows.append((eid, t0 + dt.timedelta(seconds=v % 7), 1,
+                     "shift", float(v), "{}")); eid += 1
+    for v in range(101, 121):
+        rows.append((eid, t0 + dt.timedelta(seconds=90 + v % 7), 1,
+                     "shift", float(v), "{}")); eid += 1
+    rows.append((eid, t0 + dt.timedelta(seconds=95), 1, "same", None, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.value_psi_by_type(ev).collect()}
+    same, shift = got["same"], got["shift"]
+    assert same.n_half1 == 20 and same.n_half2 == 20  # NULL value excluded
+    assert same.psi == 0.0
+    assert shift.n_half1 == 20 and shift.n_half2 == 20
+    assert shift.psi > 1.0

@@ -1023,6 +1023,9 @@ def test_round10_new_ops_plan_shapes(spark):
         "q293": R.repeat_revenue_by_segment(orders, customer),
         "q294": CU.source_cross_entropy(docs),
         "q295": E.arrival_burstiness(events),
+        "q296": S.knn_hubness_ivf(emb),
+        "q297": R.benford_first_digit(orders),
+        "q298": E.value_psi_by_type(events),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
