@@ -8929,7 +8929,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
                                         AS BIGINT) AS VARCHAR), 1, 1)
                           AS BIGINT) AS digit
-              FROM orders WHERE o_totalprice > 0),
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 1),
             cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
                     FROM digits GROUP BY 1),
             tot AS (SELECT sum(n_orders) AS total FROM cnt),
@@ -8988,18 +8989,27 @@ def oracle_sql() -> dict[str, str]:
                   ON ed.event_type = c.event_type
                 GROUP BY c.event_type, c.value, c.c1, c.c2)
               GROUP BY 1, 2),
+            spine AS (SELECT t.event_type, CAST(r.range AS BIGINT) AS bucket
+                      FROM totals t
+                      CROSS JOIN range(1, {E.PSI_BUCKETS + 1}) r),
+            fullb AS (SELECT s.event_type, s.bucket,
+                             coalesce(b.b1, 0) AS b1,
+                             coalesce(b.b2, 0) AS b2
+                      FROM spine s LEFT JOIN bucketed b
+                        ON b.event_type = s.event_type
+                       AND b.bucket = s.bucket),
             terms AS (SELECT b.event_type, t.n1, t.n2,
                              CAST(round(
                                ((CAST(b.b2 AS DOUBLE) + 0.5)
-                                  / (CAST(t.n2 AS DOUBLE) + 5.0)
+                                  / (CAST(t.n2 AS DOUBLE) + {E.PSI_BUCKETS * 0.5})
                                 - (CAST(b.b1 AS DOUBLE) + 0.5)
-                                  / (CAST(t.n1 AS DOUBLE) + 5.0))
+                                  / (CAST(t.n1 AS DOUBLE) + {E.PSI_BUCKETS * 0.5}))
                                * ln(((CAST(b.b2 AS DOUBLE) + 0.5)
-                                     / (CAST(t.n2 AS DOUBLE) + 5.0))
+                                     / (CAST(t.n2 AS DOUBLE) + {E.PSI_BUCKETS * 0.5}))
                                     / ((CAST(b.b1 AS DOUBLE) + 0.5)
-                                       / (CAST(t.n1 AS DOUBLE) + 5.0))), 12)
+                                       / (CAST(t.n1 AS DOUBLE) + {E.PSI_BUCKETS * 0.5}))), 12)
                                AS DECIMAL(38,12)) AS term
-                      FROM bucketed b
+                      FROM fullb b
                       JOIN totals t ON t.event_type = b.event_type)
             SELECT event_type, max(n1) AS n_half1, max(n2) AS n_half2,
                    round(CAST(sum(term) AS DOUBLE), 6) AS psi

@@ -1756,9 +1756,10 @@ def value_psi_by_type(events: DataFrame) -> DataFrame:
     rounded DECIMAL sums — bit-equal in the oracle. The time split is
     the integer midpoint of the observed microsecond range; NULL
     timestamps are excluded (not arrivals), NULL values excluded (not
-    measurements). Buckets empty in BOTH halves contribute exactly 0
-    and may be skipped — the smoothing constant keeps every emitted
-    term finite.
+    measurements). All ten buckets contribute via a constant spine —
+    a bucket empty in BOTH halves still carries a nonzero smoothed
+    term whenever n₁ ≠ n₂ (coincident decile edges collapse buckets),
+    so skipping it would under-report the documented metric.
     """
     e = events.filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
@@ -1815,7 +1816,23 @@ def value_psi_by_type(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
     )
-    j = bucketed.join(F.broadcast(totals), "event_type")
+    # constant 10-bucket spine per type: buckets collapsed away by
+    # coincident edges still carry their smoothed term
+    spine = (
+        totals.select("event_type")
+        .crossJoin(
+            F.broadcast(
+                halved.sparkSession.range(1, PSI_BUCKETS + 1).select(
+                    F.col("id").alias("bucket")
+                )
+            )
+        )
+    )
+    full = (
+        spine.join(bucketed, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["b1", "b2"])
+    )
+    j = full.join(F.broadcast(totals), "event_type")
     p1 = (F.col("b1").cast("double") + F.lit(0.5)) / (
         F.col("n1").cast("double") + F.lit(0.5 * PSI_BUCKETS)
     )

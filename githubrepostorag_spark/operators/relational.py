@@ -1867,12 +1867,16 @@ def benford_first_digit(orders: DataFrame) -> DataFrame:
     string (substring of a BIGINT cast — float log10 would misplace
     values like 1000.0 whose log lands at 2.9999…); expected masses
     are precomputed literals, so the only arithmetic is integer
-    counting. One scan, 9-row output; positive totals only (the law is
-    undefined at zero and signs are a different audit).
+    counting. One scan, 9-row output; totals below one cent are
+    excluded (they round to digit 0, off the Benford support — zero
+    and signs are a different audit).
     """
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     digits = (
-        orders.filter(F.col("o_totalprice") > 0)
+        # cents >= 1, not o_totalprice > 0: a sub-cent positive total
+        # rounds to 0 cents and digit '0', which would inflate the
+        # permille denominator while appearing on no spine row
+        orders.filter(cents >= 1)
         .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
@@ -1882,6 +1886,7 @@ def benford_first_digit(orders: DataFrame) -> DataFrame:
     expected = F.create_map(
         *[F.lit(x) for kv in BENFORD_EXPECTED_PERMILLE.items() for x in kv]
     )
+    obs = F.expr("n_orders * 1000 div total").cast("long")
     return (
         spine.join(digits, "digit", "left")
         .fillna(0, subset=["n_orders"])
@@ -1889,14 +1894,9 @@ def benford_first_digit(orders: DataFrame) -> DataFrame:
         .select(
             "digit",
             "n_orders",
-            F.expr("n_orders * 1000 div total").cast("long").alias(
-                "observed_permille"
-            ),
+            obs.alias("observed_permille"),
             expected[F.col("digit")].cast("long").alias("expected_permille"),
-            (
-                F.expr("n_orders * 1000 div total")
-                - expected[F.col("digit")]
-            ).cast("long").alias("dev_permille"),
+            (obs - expected[F.col("digit")]).cast("long").alias("dev_permille"),
         )
         .orderBy("digit")
     )

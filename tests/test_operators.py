@@ -4838,3 +4838,69 @@ def test_value_psi_identical_halves_zero_shifted_large(spark):
     assert same.psi == 0.0
     assert shift.n_half1 == 20 and shift.n_half2 == 20
     assert shift.psi > 1.0
+
+
+def test_benford_subcent_totals_excluded_from_denominator(spark):
+    """A positive total below one cent rounds to digit '0' — off the
+    Benford support; it must not inflate the permille denominator
+    while appearing on no spine row."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import relational as R
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, "O", 0.004, d, "x") for i in range(10)]
+    rows += [(100 + i, 1, "O", 10.0, d, "x") for i in range(10)]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r.digit: r for r in R.benford_first_digit(orders).collect()}
+    assert got[1].n_orders == 10
+    assert got[1].observed_permille == 1000  # not 500: sub-cents excluded
+    assert sum(r.n_orders for r in got.values()) == 10
+
+
+def test_value_psi_collapsed_edges_count_empty_buckets(spark):
+    """Coincident decile edges collapse buckets; with n1 != n2 the
+    empty buckets still carry nonzero smoothed terms — the constant
+    spine must include them or PSI under-reports (review finding)."""
+    import datetime as dt
+    import math
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # half 1 (n1=100): mass concentrated on three values
+    for v, n in [(1.0, 10), (5.0, 80), (9.0, 10)]:
+        for _ in range(n):
+            rows.append((eid, t0, 1, "x", v, "{}")); eid += 1
+    # half 2 (n2=50): same values, half the mass
+    for v, n in [(1.0, 5), (5.0, 40), (9.0, 5)]:
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=100), 1, "x", v, "{}")
+            ); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = E.value_psi_by_type(ev).collect()[0]
+    assert r.n_half1 == 100 and r.n_half2 == 50
+    # hand-computed full 10-bucket smoothed PSI: three occupied buckets
+    # with (b1, b2) = (10,5), (80,40), (10,5) and SEVEN empty buckets
+    def p(c, n):
+        return (c + 0.5) / (n + 5.0)
+    want = 0.0
+    for b1, b2 in [(10, 5), (80, 40), (10, 5)] + [(0, 0)] * 7:
+        t1, t2 = p(b1, 100), p(b2, 50)
+        want += round((t2 - t1) * math.log(t2 / t1), 12)
+    assert r.psi == round(want, 6)
+    # the empty buckets' contribution is material, not noise
+    empty_part = 7 * round(
+        (p(0, 50) - p(0, 100)) * math.log(p(0, 50) / p(0, 100)), 12
+    )
+    assert empty_part > 0.005
