@@ -130,6 +130,43 @@ def global_running_sum(
     )
 
 
+def ansi_ntile(rank0: Column, n: Column, k: int) -> Column:
+    """Exact ANSI ``NTILE(k)`` as closed-form arithmetic over a 0-based
+    in-group rank ``rank0`` and the group size ``n`` — the scale-safe
+    replacement for ``ntile(k) OVER (PARTITION BY g ORDER BY ...)``
+    when ``g`` has few distinct values over a corpus-grain frame (the
+    shape where Spark's WindowExec buffers and sorts a corpus-scale
+    partition in ONE task). Compute ``rank0`` / ``n`` with
+    `global_rank` plus a group-cardinality-bounded aggregate, then
+    tile with this expression.
+
+    ANSI semantics: with ``q = n div k`` and ``r = n mod k``, the
+    FIRST ``r`` buckets hold ``q+1`` rows and the remaining ``k-r``
+    hold ``q``. NOTE this is NOT the even-spread tiling
+    ``floor(rank0*k/n)+1`` (which q204 uses with k=3, where the two
+    coincide for every n): the even spread places the extra rows in
+    the buckets where ``ceil(b*r/k)`` increments — identical only for
+    ``k <= 3`` or ``r in {0, 1, k-1}``, different otherwise (n=6, k=4:
+    ANSI sizes 2,2,1,1 vs even-spread 2,1,2,1). This closed form
+    matches DuckDB's and Spark's NTILE for every (n, k), so real-NTILE
+    oracles stay row-identical.
+
+    ``rank0`` must come from a TOTAL order (unique tie-break). When
+    ``q = 0`` (n < k) every row satisfies ``rank0 < r*(q+1) = n``, so
+    the ``div q`` branch never divides by zero. Double division is
+    exact here: every operand is < 2^53 (9e15 rows — beyond 100 TB at
+    any realistic row width).
+    """
+    q = F.floor(n / k)
+    r = n % k
+    head = r * (q + 1)  # rows living in the (q+1)-sized buckets
+    return (
+        F.when(rank0 < head, F.floor(rank0 / (q + 1)) + 1)
+        .otherwise(r + 1 + F.floor((rank0 - head) / q))
+        .cast("long")
+    )
+
+
 def global_percent_rank(
     df: DataFrame, order_exprs: list[Column], pct_col: str
 ) -> DataFrame:

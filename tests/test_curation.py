@@ -372,6 +372,33 @@ def test_global_running_sum_matches_window(spark):
     assert got == want
 
 
+def test_ansi_ntile_matches_real_ntile_every_remainder(spark):
+    """`ranks.ansi_ntile` must equal Spark's NTILE for every n mod k —
+    including the remainders where the even-spread tiling
+    floor(i*k/n)+1 diverges (e.g. n=6 k=4, n=15 k=10). One frame per
+    (n, k), bucket compared row-for-row against the real window."""
+    from pyspark.sql import Window
+
+    from githubrepostorag_spark.functions.ranks import ansi_ntile
+
+    for k in (4, 10):
+        for n in range(1, 3 * k + 2):  # covers q=0 and every remainder
+            df = spark.range(n).withColumnRenamed("id", "i")
+            want = {
+                r.i: r.b
+                for r in df.withColumn(
+                    "b", F.ntile(k).over(Window.orderBy("i"))
+                ).collect()
+            }
+            got = {
+                r.i: r.b
+                for r in df.withColumn(
+                    "b", ansi_ntile(F.col("i"), F.lit(n), k)
+                ).collect()
+            }
+            assert got == want, (n, k)
+
+
 def test_preference_pair_stats_margins(spark):
     # s0: 4 docs in doc_id order pair (1,2) and (3,4).
     # doc 1 all-distinct (high quality), doc 2 all-repeat (low) → strong

@@ -832,7 +832,9 @@ def test_round9_new_ops_plan_shapes(spark):
     (broadcast nested loop, never cartesian) and q286's K constant is
     collected, not joined. Corpus-sized frames never globally sort:
     q283/q288 rank inside per-source / per-half windows, q282/q287
-    order only their |status|- and |source|-sized outputs."""
+    order only their |status|- and |source|-sized outputs (q288 was
+    refit in round 10 to the distributed arithmetic ntile — see
+    test_decile_refits_have_no_hot_ntile_window)."""
     from githubrepostorag_spark.operators import dedup as DD
     from githubrepostorag_spark.operators import relational as R
     from githubrepostorag_spark.operators import similarity as S
@@ -861,6 +863,36 @@ def test_round9_new_ops_plan_shapes(spark):
         assert "CartesianProduct" not in plan, (name, plan)
     DD._PAIR_CACHE.clear()
     DD._SIG_CACHE.clear()
+
+
+def test_decile_refits_have_no_hot_ntile_window(spark):
+    """Round-10 plan pin (r9 verdict ask #1, the inverse of the
+    round-9 allowance): q107/q288 must NOT plan a real NTILE over a
+    low-cardinality partition — the shape where WindowExec buffers and
+    sorts a corpus-scale partition in ONE task. Concretely: no ntile
+    function anywhere in either physical plan, and every window spec
+    is partitioned by the distributed rank's _gr_pid (corpus-parallel
+    per-partition row_number), never by the 3-value return flag or the
+    2-value half."""
+    import re
+
+    from githubrepostorag_spark.operators import relational as R
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    for name, df in {
+        "q107": R.revenue_deciles(li),
+        "q288": R.decile_transitions(orders),
+    }.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "ntile(" not in plan, (name, plan)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, (name, "expected the distributed-rank window")
+        for spec in specs:
+            assert "_gr_pid" in spec, (name, spec)
 
 
 def test_centroids_fallback_when_sidecar_missing(spark, tmp_path):
