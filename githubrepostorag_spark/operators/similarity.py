@@ -860,9 +860,12 @@ def cell_sum_partials(prepped: DataFrame, batch_id: int | None = -1) -> DataFram
     replacement partials), where collapsing streaming appends to -1
     would strip the (cell, batch_id) keys that read-side replay
     reconciliation and a pending replay's ``exclude_batch_id`` need.
-    Callers on that path must first apply the read-side row dedup
-    (`dropDuplicates(["vec_id", "batch_id"])`) so replay-duplicated
-    store rows are not double-counted into the rebuilt sums."""
+    Callers on that path must first apply the read-side row
+    reconciliation (`reconcile_replay_rows`: dedup batch_id >= 0 rows
+    on (vec_id, batch_id), keep -1 rows additive) so replay-duplicated
+    store rows are not double-counted into the rebuilt sums — and
+    legitimate repeat-vec_id maintenance appends, both stamped -1, ARE
+    still counted twice, exactly as the folded sidecar counts them."""
     keys = ["cell"] if batch_id is not None else ["cell", "batch_id"]
     out = (
         prepped.select(*keys, F.posexplode("ve").alias("dim", "v"))
@@ -906,6 +909,26 @@ def read_ivf_sidecar(
         sc = sc.filter(F.col("batch_id") != F.lit(int(exclude_batch_id)))
     return sc.filter(F.col("batch_id") < 0).unionByName(
         sc.filter(F.col("batch_id") >= 0).dropDuplicates(["cell", "batch_id"])
+    )
+
+
+def reconcile_replay_rows(store: DataFrame) -> DataFrame:
+    """Read-side replay reconciliation for STORE ROWS, mirroring
+    `read_ivf_sidecar`'s split exactly: streaming appends
+    (batch_id >= 0) are deduped on (vec_id, batch_id) — an
+    at-least-once replay rewrites bit-identical rows, so one per key
+    is exact — while batch_id == -1 rows (base write + maintenance
+    appends, never checkpoint-replayed) are kept AS-IS.
+    `maintain_ivf_store` may legitimately append the same vec_id in
+    two cycles, both stamped -1, and the additively-folded sidecar
+    counts both — so a rebuild that blanket-deduped (vec_id, batch_id)
+    INCLUDING -1 rows would provably undercount vs the append-built
+    sidecar it replaces (r9 ADVICE low #2). Every rebuild path
+    (`upgrade_ivf_store` lost-sidecar branch, `_split_cell_local`,
+    `compact_ivf_store`) must reconcile through this helper, not a
+    bare dropDuplicates."""
+    return store.filter(F.col("batch_id") < 0).unionByName(
+        store.filter(F.col("batch_id") >= 0).dropDuplicates(["vec_id", "batch_id"])
     )
 
 
@@ -1017,11 +1040,13 @@ def upgrade_ivf_store(spark, path: str) -> bool:
     # store with the read side's replay reconciliation applied first
     # (a gate crash between store append and checkpoint commit leaves
     # duplicate (vec_id, batch_id) rows — counting them twice here
-    # would silently shift every rebuilt centroid), and keep the
-    # per-batch keys so a still-pending replay's exclude_batch_id
-    # still removes its first attempt's contribution.
+    # would silently shift every rebuilt centroid). Reconciliation
+    # dedups ONLY batch_id >= 0 rows (reconcile_replay_rows): -1 rows
+    # are additive by contract, and the per-batch keys are kept so a
+    # still-pending replay's exclude_batch_id still removes its first
+    # attempt's contribution.
     cell_sum_partials(
-        store.dropDuplicates(["vec_id", "batch_id"]), None
+        reconcile_replay_rows(store), None
     ).coalesce(1).write.mode("overwrite").parquet(ivf_sidecar_path(path))
     return True
 
@@ -1035,9 +1060,10 @@ def compact_ivf_store(spark, path: str) -> None:
     twin). Rewrites each cell as one shuffle partition's worth of
     files (the same repartition("cell") layout the base writer uses,
     parallel across cells), reconciles
-    at-least-once replay duplicates (same (vec_id, batch_id) appended
-    twice keeps one row — this is the documented read-side dedup,
-    applied once at rest), folds batch_id to -1, and rebuilds the
+    at-least-once replay duplicates (same (vec_id, batch_id >= 0)
+    appended twice keeps one row; -1 rows stay additive — the
+    documented read-side split via `reconcile_replay_rows`, applied
+    once at rest), folds batch_id to -1, and rebuilds the
     centroid sidecar from the compacted partials.
 
     Run it like table-format snapshot expiry: OFFLINE, with no gate in
@@ -1048,8 +1074,7 @@ def compact_ivf_store(spark, path: str) -> None:
     """
     upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate, don't crash
     store = (
-        spark.read.parquet(path)
-        .dropDuplicates(["vec_id", "batch_id"])
+        reconcile_replay_rows(spark.read.parquet(path))
         .select("vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell")
         .localCheckpoint(eager=True)  # pin before overwriting its source
     )

@@ -121,30 +121,43 @@ def _split_cell_local(
     with fresh per-subcell partials from the rewritten rows — an
     O(|cells|) sidecar rewrite, still no store scan."""
     from githubrepostorag_spark.functions import vectors as V
+    from pyspark.sql import Window
+
     from githubrepostorag_spark.operators.similarity import (
         _assign_cells,
         cell_sum_partials,
         ivf_sidecar_path,
         read_ivf_sidecar,
+        reconcile_replay_rows,
     )
 
     # pin the cell's rows before overwriting their files (partition-
     # pruned read: only this cell's directory opens). Replay duplicates
-    # — same (vec_id, batch_id) appended twice by an at-least-once
+    # — same (vec_id, batch_id >= 0) appended twice by an at-least-once
     # retry — are reconciled HERE, once, exactly as every read path
-    # does: without it the rewrite below would keep the copies and the
+    # does (batch_id = -1 rows stay additive — r9 ADVICE low #2):
+    # without it the rewrite below would keep the replay copies and the
     # vec_id join against `assigned` would square them.
-    rows = (
-        spark.read.parquet(path)
-        .filter(F.col("cell") == int(cell))
-        .dropDuplicates(["vec_id", "batch_id"])
-        .localCheckpoint(eager=True)
+    rows = reconcile_replay_rows(
+        spark.read.parquet(path).filter(F.col("cell") == int(cell))
+    ).localCheckpoint(eager=True)
+    # one assignment row per vec_id, chosen DETERMINISTICALLY: when the
+    # same vec_id was re-ingested with a DIFFERENT embedding under two
+    # batch ids, keep the newest batch's copy (ties — e.g. two -1
+    # maintenance appends — break on the vector bytes themselves, so
+    # the pick is content-determined). A bare dropDuplicates(["vec_id"])
+    # keeps an ARBITRARY copy and the 2-means seeds could vary run to
+    # run (r9 ADVICE low #1). The join below fans the one assignment
+    # back out to every stored copy.
+    w_dd = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("batch_id"), F.asc("ve")
     )
-    # one assignment row per vec_id (a vec re-ingested under several
-    # batch ids splits to the same side; the join fans it back out)
-    emb = rows.select(
-        "vec_id", "label", F.col("ve").alias("embedding")
-    ).dropDuplicates(["vec_id"])
+    dedup = (
+        rows.withColumn("_rn", F.row_number().over(w_dd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    emb = dedup.select("vec_id", "label", F.col("ve").alias("embedding"))
     seed_a = emb.orderBy("vec_id").limit(1).collect()[0]
     a_vec = [float(x) for x in seed_a["embedding"]]
     cos_to_a = V.prepared_cosine(
@@ -152,8 +165,11 @@ def _split_cell_local(
         F.array(*[F.lit(x) for x in a_vec]),
         F.lit(float(sum(x * x for x in a_vec) ** 0.5)),
     )
+    # seed B from the DEDUPED frame: picking it from `rows` would order
+    # duplicate vec_ids on (cos_a, vec_id) — not a total order across
+    # copies with different embeddings (r9 ADVICE low #1)
     seed_b = (
-        rows.select("vec_id", "ve", cos_to_a.alias("cos_a"))
+        dedup.select("vec_id", "ve", cos_to_a.alias("cos_a"))
         .orderBy(F.asc("cos_a"), F.asc("vec_id"))
         .limit(1)
         .collect()[0]
@@ -214,7 +230,8 @@ def _split_cell_local(
     # replacement partials keep the FRAME's batch ids (batch_id=None):
     # collapsing them to -1 would strip the (cell, batch_id) keys a
     # still-pending replay's exclude_batch_id needs; `final` is already
-    # (vec_id, batch_id)-deduped above, so no double-counting
+    # replay-reconciled above (>=0 keys deduped, -1 rows additive), so
+    # no double-counting and no undercounting of repeat -1 appends
     kept.unionByName(cell_sum_partials(final, None)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(ivf_sidecar_path(path))

@@ -1028,6 +1028,136 @@ def test_split_cell_local_reconciles_replay_duplicates(spark, tmp_path):
         assert ex[c] == pytest.approx(v, abs=1e-9), c
 
 
+def test_lost_sidecar_rebuild_keeps_repeat_minus1_appends(spark, tmp_path):
+    """r9 ADVICE low #2: `maintain_ivf_store` may legitimately append
+    the same vec_id in two cycles, both stamped batch_id=-1, and the
+    incrementally-folded sidecar counts both. The lost-sidecar rebuild
+    must NOT blanket-dedup (vec_id, batch_id) — it reconciles through
+    `reconcile_replay_rows` (-1 rows additive), so the rebuilt sidecar
+    equals the append-built one it replaces, counts included."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        append_ivf_sidecar,
+        fold_partials,
+        ivf_sidecar_path,
+        read_ivf_sidecar,
+        upgrade_ivf_store,
+        write_ivf_store,
+    )
+
+    schema = "vec_id long, label int, embedding array<float>"
+    path = str(tmp_path / "ivf")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0])], schema
+        ),
+        path,
+    )
+    # a second maintenance cycle re-appends vec_id=1 — stamped -1 again
+    again = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") == 1)
+        .localCheckpoint(eager=True)
+    )
+    again.write.mode("append").partitionBy("cell").parquet(path)
+    append_ivf_sidecar(again, path, batch_id=-1)
+
+    want = {
+        r.cell: (r.n, r.centroid)
+        for r in fold_partials(read_ivf_sidecar(spark, path)).collect()
+    }
+    assert sum(n for n, _ in want.values()) == 3  # the repeat IS counted
+    shutil.rmtree(ivf_sidecar_path(path))
+    assert upgrade_ivf_store(spark, path) is True
+    got = {
+        r.cell: (r.n, r.centroid)
+        for r in fold_partials(read_ivf_sidecar(spark, path)).collect()
+    }
+    assert set(got) == set(want)
+    for c, (n, cent) in want.items():
+        assert got[c][0] == n, (c, got[c], n)
+        assert got[c][1] == pytest.approx(cent, abs=1e-9), c
+
+
+def test_split_cell_local_dedups_conflicting_vecids_deterministically(
+    spark, tmp_path
+):
+    """r9 ADVICE low #1: when the same vec_id carries DIFFERENT
+    embeddings under two batch ids, the split's 2-means must seed from
+    a DETERMINISTIC copy — the newest batch's row (vec bytes break -1
+    ties) — never an arbitrary dropDuplicates pick. Pinned by driving
+    a split whose outcome differs by which copy seeds it: with the
+    newest (batch 7) copy of vec 1 pointing along e2, vec 1 and vec 2
+    must co-locate on one side and vec 3 alone on the other, with both
+    stored copies of vec 1 fanned out to the SAME subcell."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.similarity import (
+        append_ivf_sidecar,
+        fold_partials,
+        read_ivf_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.plans.index_maintenance import _split_cell_local
+
+    schema = "vec_id long, label int, embedding array<float>"
+    path = str(tmp_path / "ivf")
+    # one cell (every label 0): vec1 points along e1, vec2 along e2,
+    # vec3 along e1 — the OLD copy of vec1 agrees with vec3's side
+    write_ivf_store(
+        spark.createDataFrame(
+            [
+                (1, 0, [1.0, 0.0, 0.0, 0.0]),
+                (2, 0, [0.0, 0.99, 0.14, 0.0]),
+                (3, 0, [0.99, 0.14, 0.0, 0.0]),
+            ],
+            schema,
+        ),
+        path,
+    )
+    cell0 = int(spark.read.parquet(path).select("cell").first()["cell"])
+    # newest copy of vec 1 (batch 7) flips it to e2's side
+    extra = V.prepare(
+        spark.createDataFrame([(1, 0, [0.0, 1.0, 0.0, 0.0])], schema),
+        "embedding",
+        "ve",
+        "vn",
+    ).select(
+        "vec_id",
+        "label",
+        "ve",
+        "vn",
+        F.lit(7).alias("batch_id"),
+        F.lit(cell0).alias("cell"),
+    ).localCheckpoint(eager=True)
+    extra.write.mode("append").partitionBy("cell").parquet(path)
+    append_ivf_sidecar(extra, path, batch_id=7)
+
+    new_cell = cell0 + 1
+    assert _split_cell_local(spark, path, cell0, new_cell) is True
+    post = spark.read.parquet(path)
+    cells = {
+        r.vec_id: r.cs
+        for r in post.groupBy("vec_id")
+        .agg(F.collect_set("cell").alias("cs"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # both copies of vec 1 kept (no undercount) and fanned to ONE side
+    assert post.filter(F.col("vec_id") == 1).count() == 2
+    assert len(cells[1]) == 1
+    # deterministic seed = newest copy → vec1 sides with vec2, not vec3
+    assert cells[1] == cells[2]
+    assert cells[3] != cells[1]
+    # sidecar fold still counts all 4 stored rows
+    assert fold_partials(read_ivf_sidecar(spark, path)).agg(
+        F.sum("n")
+    ).collect()[0][0] == 4
+
+
 def test_round10_new_ops_plan_shapes(spark):
     """Physical-plan pins for the round-10 operators: no cartesian
     product anywhere (q291/q292's crossJoins are against broadcast
