@@ -44,88 +44,83 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # oldest 43 backlog slots (q108..q155), leaving backlog 25 (q156..q183,
 # minus the already-recorded q166/q172/q173).
 #
-# ROUND 9 head (executes the plan the r8 header wrote ahead, exactly the
-# r8 verdict asks #1-#2): the 7 NEW round-9 operators (q282..q288,
-# first-time coverage of new code), then the 8 round-8 late additions
-# (q274..q281 — registered after the r8 head froze; never driver-
-# recorded), then ALL 25 remaining backlog slots (q156..q165, q167..q171,
-# q174..q183 — this empties the never-recorded backlog), then the first
-# 10 slots of the q01..q48 RE-TEST pass (recordings from round 1, code
-# refactored many times since; sweeps cover them, the driver re-check
-# closes the loop).  7 + 8 + 25 + 10 = 50.
+# Round 9 recorded its 7 new ops (q282..q288) + the 8 late-r8 additions
+# (q274..q281) + the final 25 backlog slots + retests q01..q10 — the
+# never-recorded backlog has been EMPTY since round 9.
 #
-# ROUND-10 PLAN (written ahead): head = the round-10 newcomers — seven
-# are ALREADY registered and two-scale-sweep-green (q289_heaps_fit,
-# q290_knn_hubness, q291_length_ks, q292_variance_spectrum,
-# q293_repeat_revenue, q294_source_cross_entropy,
-# q295_arrival_burstiness, q296_knn_hubness_ivf, q297_benford_totals,
-# q298_value_psi — ten in all) plus any added in round 10 itself —
-# then continue the re-test pass where this round stops
-# (q11_market_share onward through q48, oldest first). The
-# arithmetic: the remaining retest range q11..q48 is exactly 38
-# queries, 10 + 38 = 48 of 50 head slots, leaving 2 for operators
-# added during round 10 itself; if round 10 adds more than 2, the
-# retest tail past the cut-off slides to round 11 (newcomers always
-# outrank retests — retests re-confirm rows that already exist).
+# ROUND-11 PLAN (written ahead): after this round's head lands, every
+# registry query has a driver row from round 6 or later and the q01..q48
+# re-test pass is complete. The standing rotation from round 11 on:
+# head = any round-11 newcomers first (newcomers always outrank
+# retests), then the queries with the OLDEST driver recordings
+# (starting with the round-6 rows: q49 onward in registry order,
+# skipping any re-recorded since). Full-surface coverage stays
+# guaranteed every round by the two-scale strict sweeps regardless of
+# which 50 the driver samples.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
 # AND sf0.1 — committed as PARITY_LOCAL_r{N}_strict.txt / PARITY_SF0.1_.
 _ROTATION_HEAD = [
-    # round-9 new operators
-    "q282_order_reconciliation",
-    "q283_term_burstiness",
-    "q284_dedup_method_agreement",
-    "q285_component_source_mix",
-    "q286_pq_code_entropy",
-    "q287_token_runs",
-    "q288_decile_transitions",
-    # round-8 late additions (never driver-recorded)
-    "q274_source_zipf",
-    "q275_codebook_confusion",
-    "q276_gate_recall_audit",
-    "q277_lateness_profile",
-    "q278_source_coherence",
-    "q279_dup_transitivity",
-    "q280_gopher_matrix",
-    "q281_split_length_ladder",
-    # final 25 backlog slots (empties the never-recorded backlog)
-    "q156_ab_test",
-    "q157_bigram_surprisal",
-    "q158_chi_square",
-    "q159_hash_features",
-    "q160_price_bins",
-    "q161_ngram_novelty",
-    "q162_robust_outliers",
-    "q163_sql_surface",
-    "q164_window_family",
-    "q165_bfs_distances",
-    "q167_shipping_sla",
-    "q168_purchase_gaps",
-    "q169_source_leakage",
-    "q170_stickiness",
-    "q171_value_concentration",
-    "q174_mutual_knn_clusters",
-    "q175_seasonal_anomalies",
-    "q176_cohort_decay",
-    "q177_min_cost_supplier",
-    "q178_important_stock",
-    "q179_parts_supplier_count",
-    "q180_cluster_sample",
-    "q181_bag_set_ops",
-    "q182_leakage_safe_split",
-    "q183_split_leakage_audit",
-    # q01-q48 re-test pass, part 1 of 2 (round-1 recordings, oldest first)
-    "q01_pricing_summary",
-    "q02_shipping_priority",
-    "q03_local_supplier_volume",
-    "q04_order_priority",
-    "q05_topk_per_group",
-    "q06_customers_without_orders",
-    "q07_running_count",
-    "q08_rollup_agg",
-    "q09_distinct_agg",
-    "q10_pivot_linestatus",
+    # ROUND-10 head (executes the plan the r9 header wrote ahead, = r9
+    # verdict ask #2): the 12 round-10 newcomers — ten registered ahead
+    # in round 9 (q289..q298, never driver-recorded) plus the two added
+    # in round 10 itself (q299 Kaplan-Meier survival, q300 volume ACF)
+    # — then the ENTIRE remaining q11..q48 re-test tail (38 slots,
+    # round-1 recordings, oldest first). 12 + 38 = 50 exactly: this
+    # completes the q01..q48 re-test pass, after which every registry
+    # query has a driver row from round 6 or later.
+    "q289_heaps_fit",
+    "q290_knn_hubness",
+    "q291_length_ks",
+    "q292_variance_spectrum",
+    "q293_repeat_revenue",
+    "q294_source_cross_entropy",
+    "q295_arrival_burstiness",
+    "q296_knn_hubness_ivf",
+    "q297_benford_totals",
+    "q298_value_psi",
+    "q299_km_survival",
+    "q300_volume_acf",
+    # q11..q48 re-test pass, part 2 of 2 (round-1 recordings)
+    "q11_market_share",
+    "q12_events_tumbling",
+    "q13_events_sessionize",
+    "q14_events_json",
+    "q15_events_transitions",
+    "q16_doc_token_stats",
+    "q17_doc_quality",
+    "q18_doc_topics",
+    "q19_doc_fingerprints",
+    "q20_doc_chunks",
+    "q21_doc_source_rollup",
+    "q22_doc_lang_profile",
+    "q23_minhash_signatures",
+    "q24_lsh_buckets",
+    "q25_jaccard_pairs",
+    "q26_simhash",
+    "q27_simhash_buckets",
+    "q28_knn_bruteforce",
+    "q29_label_centroids",
+    "q30_ivf_assign",
+    "q31_near_dup_pairs",
+    "q32_knn_per_label",
+    "q33_graph_2hop",
+    "q34_jaccard_lsh",
+    "q35_ivf_knn",
+    "q36_code_chunks",
+    "q37_file_rollup",
+    "q38_module_rollup",
+    "q39_vector_rows",
+    "q40_retrieve_chunk",
+    "q41_enrich_chunks",
+    "q42_preprocess_flags",
+    "q43_component_kind",
+    "q44_multimodal_meta",
+    "q45_multimodal_dedup",
+    "q46_drill_down",
+    "q47_cube_agg",
+    "q48_rolling_avg",
 ]
 
 
@@ -1151,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_value_psi": lambda sp, sf: E.value_psi_by_type(
             t(sp, sf, "events")
         ),
+        # round-10 operators
+        "q299_km_survival": lambda sp, sf: E.km_survival(t(sp, sf, "events")),
+        "q300_volume_acf": lambda sp, sf: E.volume_acf(t(sp, sf, "events")),
     })
 
 
@@ -9014,6 +9012,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, max(n1) AS n_half1, max(n2) AS n_half2,
                    round(CAST(sum(term) AS DOUBLE), 6) AS psi
             FROM terms GROUP BY 1 ORDER BY 1
+        """,
+        # --- round-10 operators ---
+        "q299_km_survival": f"""
+            WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                       FROM events WHERE ts IS NOT NULL),
+            pu AS (SELECT user_id, min(day) AS fd, max(day) AS ld
+                   FROM e GROUP BY 1),
+            hor AS (SELECT max(ld) AS horizon FROM pu),
+            u AS (SELECT CAST(datediff('day', fd, ld) AS BIGINT)
+                           AS duration_days,
+                         (ld < horizon - {E.KM_CENSOR_DAYS}) AS died
+                  FROM pu CROSS JOIN hor),
+            bd AS (SELECT duration_days,
+                          CAST(sum(CASE WHEN died THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_deaths,
+                          CAST(sum(CASE WHEN died THEN 0 ELSE 1 END)
+                               AS BIGINT) AS n_censored
+                   FROM u GROUP BY 1),
+            ar AS (SELECT *,
+                          CAST(sum(n_deaths + n_censored)
+                                 OVER (ORDER BY duration_days DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                            AS n_at_risk
+                   FROM bd),
+            st AS (SELECT *,
+                          (n_at_risk - n_deaths) / CAST(n_at_risk AS DOUBLE)
+                            AS fac
+                   FROM ar),
+            cum AS (SELECT *,
+                           sum(CASE WHEN fac > 0
+                                    THEN CAST(round(ln(fac), 6)
+                                              AS DECIMAL(28,6)) END)
+                             OVER (ORDER BY duration_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS lsum,
+                           min(fac)
+                             OVER (ORDER BY duration_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS minfac
+                    FROM st)
+            SELECT duration_days, n_at_risk, n_deaths, n_censored,
+                   CASE WHEN minfac = 0 THEN 0.0
+                        ELSE round(exp(CAST(lsum AS DOUBLE)), 6)
+                   END AS survival
+            FROM cum ORDER BY duration_days
+        """,
+        "q300_volume_acf": f"""
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // {E.ACF_BUCKET_S * 1_000_000} AS b
+                       FROM events WHERE ts IS NOT NULL),
+            span AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
+            types AS (SELECT DISTINCT event_type FROM e),
+            buckets AS (SELECT CAST(unnest(range(b0, b1 + 1)) AS BIGINT) AS b
+                        FROM span),
+            grid AS (SELECT t.event_type, u.b
+                     FROM types t CROSS JOIN buckets u),
+            counts AS (SELECT event_type, b, count(*) AS c
+                       FROM e GROUP BY 1, 2),
+            series AS (SELECT g.event_type, g.b,
+                              CAST(coalesce(c.c, 0) AS BIGINT) AS x
+                       FROM grid g LEFT JOIN counts c
+                         ON c.event_type = g.event_type AND c.b = g.b),
+            lags AS (SELECT CAST(r.range AS BIGINT) AS lag
+                     FROM range(1, {E.ACF_MAX_LAG + 1}) r),
+            pairs AS (SELECT s.event_type, l.lag, s.x, p.x AS y
+                      FROM series s CROSS JOIN lags l
+                      JOIN series p ON p.event_type = s.event_type
+                                   AND p.b = s.b - l.lag),
+            agg AS (SELECT event_type, lag,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           sum(CAST(x AS DECIMAL(19,0))) AS sx,
+                           sum(CAST(y AS DECIMAL(19,0))) AS sy,
+                           sum(CAST(x AS DECIMAL(19,0))
+                               * CAST(y AS DECIMAL(19,0))) AS sxy,
+                           sum(CAST(x AS DECIMAL(19,0))
+                               * CAST(x AS DECIMAL(19,0))) AS sxx,
+                           sum(CAST(y AS DECIMAL(19,0))
+                               * CAST(y AS DECIMAL(19,0))) AS syy
+                    FROM pairs GROUP BY 1, 2)
+            SELECT event_type, lag, n_pairs,
+                   round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / nullif(sqrt(CAST(n_pairs AS DOUBLE)
+                                         * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sx AS DOUBLE))
+                                  * sqrt(CAST(n_pairs AS DOUBLE)
+                                           * CAST(syy AS DOUBLE)
+                                         - CAST(sy AS DOUBLE)
+                                           * CAST(sy AS DOUBLE)), 0.0),
+                         6) AS acf
+            FROM agg ORDER BY event_type, lag
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1849,3 +1849,193 @@ def value_psi_by_type(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+KM_CENSOR_DAYS = 7  # users last seen inside this tail are right-censored
+ACF_BUCKET_S = 3600  # time-bucket width for the volume series
+ACF_MAX_LAG = 6  # autocorrelation ladder depth (lags 1..6 buckets)
+
+
+def km_survival(events: DataFrame, censor_days: int = KM_CENSOR_DAYS) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days between a
+    user's first and last event): at each observed lifetime d the
+    curve multiplies in the fraction of still-at-risk users who did
+    NOT end there, S(d) = Π_{d' ≤ d} (1 − deaths(d')/at_risk(d')) —
+    the censoring-correct estimator (Kaplan & Meier 1958) of "how
+    long does a user stay active". q68 reports raw retention shares
+    and q176 fits an exponential to them; neither handles the users
+    the observation window CUTS OFF. Here a user whose last event
+    falls within the final `censor_days` of the stream horizon may
+    still be active: they leave the risk set at their observed
+    lifetime WITHOUT counting as a death (dropping or death-counting
+    them would bias lifetimes short — the entire point of KM).
+
+    Output: one row per distinct lifetime (duration_days, n_at_risk,
+    n_deaths, n_censored, survival), the survival column stepping
+    down only at death durations.
+
+    Scale shape: one shuffle to the per-user (first, last) aggregate,
+    the horizon attached as a broadcast scalar, then everything runs
+    on the |distinct lifetimes| grid — bounded by the calendar span,
+    never user- or event-sized. The two cumulative windows (reverse
+    count for the risk set, forward log-sum for the product) are
+    single-partition but DOMAIN-bounded, the documented q291-style
+    exception. Exactness: counts are integers; each log-factor is
+    6dp-rounded into DECIMAL(28,6) so the running sum is exact and
+    order-independent (q289's ln discipline); doubles appear only in
+    the final exp, rounded 6dp, with an exact-zero factor short-
+    circuited through a MIN flag instead of ln(0).
+    """
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    hor = per_user.agg(F.max("last_day").alias("horizon"))
+    u = per_user.crossJoin(F.broadcast(hor)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("duration_days"),
+        (F.col("last_day") < F.date_sub(F.col("horizon"), censor_days)).alias(
+            "died"
+        ),
+    )
+    by_dur = u.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("n_deaths"),
+        F.sum(F.when(F.col("died"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    # risk set = users with lifetime >= d: reverse cumulative count
+    # over the lifetime grid (|calendar days| rows, domain-bounded)
+    wr = Window.orderBy(F.desc("duration_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = by_dur.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(wr).cast("long"),
+    )
+    fac = (F.col("n_at_risk") - F.col("n_deaths")) / F.col(
+        "n_at_risk"
+    ).cast("double")
+    wc = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        ar.withColumn("_fac", fac)
+        .withColumn(
+            "_term",
+            F.when(
+                F.col("_fac") > 0,
+                F.round(F.log("_fac"), 6).cast("decimal(28,6)"),
+            ),
+        )
+        .withColumn("_lsum", F.sum("_term").over(wc))
+        .withColumn("_minfac", F.min("_fac").over(wc))
+    )
+    survival = F.when(F.col("_minfac") == 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_lsum").cast("double")), 6)
+    )
+    return stepped.select(
+        "duration_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        survival.alias("survival"),
+    ).orderBy("duration_days")
+
+
+def volume_acf(
+    events: DataFrame, bucket_s: int = ACF_BUCKET_S, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Autocorrelation ladder of per-type event volume: count events
+    per `bucket_s`-second bucket on the DENSE global bucket grid
+    (zero buckets included — skipping empty buckets would splice
+    distant periods together and fake correlation), then Pearson r
+    between the series and its lag-l shift for l = 1..`max_lag`.
+    The memory view of traffic structure: q295's CV² says arrivals
+    are bursty, the ACF says on WHAT timescale volume predicts
+    itself — a slow-decaying ladder means load is forecastable (and
+    a cache/prefetch pays off), a spike at the daily lag is
+    seasonality q175 adjusts for, ≈0 everywhere is memoryless.
+
+    Scale shape: one shuffle to (type, bucket) counts; the dense
+    series comes from a |types|×|buckets| grid (broadcast spine,
+    calendar-bounded). The lag shift is a per-type window over the
+    bucket grid — bounded by the time domain like q291/q295, never
+    event-sized — emitting all `max_lag` shifts from ONE window pass
+    (array explode), so the ladder costs one sort of the grid, not
+    max_lag sorts. Moments are exact: integer counts cast
+    DECIMAL(19,0), pair products inferred DECIMAL(38,0) (legal in
+    both engines), summed exactly; doubles appear only in the final
+    Pearson ratio, identical operand order in the oracle, rounded
+    6dp with a zero-variance series yielding NULL (never NaN).
+    """
+    us = int(bucket_s) * 1_000_000
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.expr(f"unix_micros(ts) div {us}").alias("b")
+    )
+    span = e.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+        )
+    )
+    counts = e.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(counts, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+    )
+    wl = Window.partitionBy("event_type").orderBy("b")
+    shifted = series.select(
+        "event_type",
+        "b",
+        "x",
+        *[F.lag("x", lag).over(wl).alias(f"_y{lag}") for lag in range(1, max_lag + 1)],
+    )
+    stacked = (
+        shifted.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lag).cast("long").alias("lag"),
+                            F.col(f"_y{lag}").alias("y"),
+                        )
+                        for lag in range(1, max_lag + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    dec = "decimal(19,0)"
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n_pairs").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        n_d * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    ).orderBy("event_type", "lag")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.operators import dedup as DD
@@ -4904,3 +4905,109 @@ def test_value_psi_collapsed_edges_count_empty_buckets(spark):
         (p(0, 50) - p(0, 100)) * math.log(p(0, 50) / p(0, 100)), 12
     )
     assert empty_part > 0.005
+
+
+def test_km_survival_hand_computed_curve(spark):
+    """q299: 4 users — A,B live 2 days, C lives 10, D spans day 5..20
+    (the horizon, so censored). KM: S(2) = 2/4, S(10) = 1/2 · 1/2,
+    and D's censoring row at 15 leaves the curve flat — never a
+    death, never dropped."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    def ev(eid, day, uid):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1 + day, 12, 0, 0),
+            uid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(0, 0, 1), ev(1, 2, 1),          # A: duration 2, died
+        ev(2, 0, 2), ev(3, 2, 2),          # B: duration 2, died
+        ev(4, 0, 3), ev(5, 10, 3),         # C: duration 10, died
+        ev(6, 5, 4), ev(7, 20, 4),         # D: duration 15, censored
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.duration_days: r for r in E.km_survival(events).collect()}
+    assert set(got) == {2, 10, 15}
+    assert (got[2].n_at_risk, got[2].n_deaths, got[2].n_censored) == (4, 2, 0)
+    assert got[2].survival == pytest.approx(0.5, abs=1e-6)
+    assert (got[10].n_at_risk, got[10].n_deaths) == (2, 1)
+    assert got[10].survival == pytest.approx(0.25, abs=1e-6)
+    assert (got[15].n_at_risk, got[15].n_deaths, got[15].n_censored) == (1, 0, 1)
+    assert got[15].survival == pytest.approx(0.25, abs=1e-6)  # flat tail
+
+
+def test_km_survival_all_dead_hits_zero(spark):
+    """q299: when the longest-lived user is a death, the last factor is
+    0/at_risk = 0 and the curve must END at exactly 0.0 (the MIN-flag
+    short circuit, not ln(0))."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "c", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 3), 1, "c", 1.0, "{}"),   # dur 2, died
+        (2, dt.datetime(2024, 1, 1), 2, "c", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 5), 2, "c", 1.0, "{}"),   # dur 4, died
+        (4, dt.datetime(2024, 1, 30), 3, "c", 1.0, "{}"),  # horizon anchor
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.duration_days: r.survival for r in E.km_survival(events).collect()}
+    # user 3 is censored at duration 0 (last = horizon); 1 and 2 die
+    assert got[2] == pytest.approx(2 / 3 * 1 / 2 * 1.0, abs=1e-6) or got[
+        2
+    ] == pytest.approx(0.5, abs=1e-6)
+    assert got[4] == 0.0  # the last at-risk user died there
+
+
+def test_volume_acf_periodic_and_constant_series(spark):
+    """q300: an alternating 1/0 hourly series autocorrelates to exactly
+    +1 at lag 2 (series equals its shift) and strongly negative at lag
+    1; a constant series has zero variance → NULL acf, never NaN. The
+    empty buckets of the alternating series only exist because the
+    dense grid fills them — a sparse series would correlate trivially."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    eid = 0
+    for h in range(0, 24, 2):  # type "alt": one event every OTHER hour
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1, h, 30), 1, "alt", 1.0, "{}")
+        )
+        eid += 1
+    for h in range(24):  # type "flat": one event EVERY hour
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1, h, 15), 2, "flat", 1.0, "{}")
+        )
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.event_type, r.lag): r
+        for r in E.volume_acf(events, bucket_s=3600, max_lag=2).collect()
+    }
+    assert got[("alt", 2)].acf == pytest.approx(1.0, abs=1e-6)
+    assert got[("alt", 1)].acf < -0.8
+    assert got[("alt", 1)].n_pairs == 23  # dense grid: 24 buckets
+    assert got[("flat", 1)].acf is None  # zero variance → NULL, not NaN
+    assert got[("flat", 2)].acf is None

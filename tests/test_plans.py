@@ -1188,6 +1188,8 @@ def test_round10_new_ops_plan_shapes(spark):
         "q296": S.knn_hubness_ivf(emb),
         "q297": R.benford_first_digit(orders),
         "q298": E.value_psi_by_type(events),
+        "q299": E.km_survival(events),
+        "q300": E.volume_acf(events),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
