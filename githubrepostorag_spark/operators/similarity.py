@@ -1981,834 +1981,28 @@ def mmr_rerank(
 
 # --- round 6: hard negatives + Matryoshka prefix-dim recall audit ---
 
-HARDNEG_ANCHOR_MOD = 50
-HARDNEG_K = 5
+
+# ---------------------------------------------------------------------------
+# Round-10 module split (r9 verdict ask #6): the index-quality audit /
+# serving-policy family (recall audits, probe economics, codebook
+# health, hubness, semdedup policy, IVFPQ/hard-negative compositions)
+# now lives in ``similarity_audit.py``. PEP 562 forwarding keeps every
+# historical import path and citation working without an import cycle:
+# this module never imports similarity_audit at load time,
+# similarity_audit imports the shared kernels from here.
+
+def __getattr__(name: str):
+    from githubrepostorag_spark.operators import similarity_audit as _a
+
+    try:
+        return getattr(_a, name)
+    except AttributeError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
 
 
-def hard_negatives(
-    embeddings: DataFrame,
-    anchor_mod: int = HARDNEG_ANCHOR_MOD,
-    k: int = HARDNEG_K,
-) -> DataFrame:
-    """Hard-negative mining for contrastive/embedding training: for each
-    anchor vector (every `anchor_mod`-th vec_id — the bounded anchor
-    panel), the top-`k` most-cosine-similar vectors with a DIFFERENT
-    label. These maximally-confusing negatives are what makes a
-    contrastive batch informative (the alternative — random negatives —
-    wastes gradient on easy pairs).
+def __dir__():
+    from githubrepostorag_spark.operators import similarity_audit as _a
 
-    Scale shape: the anchor panel is broadcast (bounded by construction:
-    |corpus|/anchor_mod rows, and at 100 TB you'd pass an explicit
-    panel); candidates stream through one scan scoring against all
-    anchors map-side; the per-anchor top-k window partitions on
-    anchor_id — partition count = panel size, each partition
-    corpus-sized only BEFORE the window's internal partial top-k
-    (WindowGroupLimit pushes rn <= k down since Spark 3.5).
-    """
-    anchors = F.broadcast(
-        V.prepare(
-            embeddings.filter(F.col("vec_id") % anchor_mod == 0).select(
-                F.col("vec_id").alias("anchor_id"),
-                F.col("label").alias("anchor_label"),
-                F.col("embedding").alias("aemb"),
-            ),
-            "aemb", "av", "an",
-        ).select("anchor_id", "anchor_label", "av", "an")
-    )
-    cands = V.prepare(embeddings, "embedding", "ve", "vn").select(
-        "vec_id", "label", "ve", "vn"
-    )
-    scored = (
-        cands.crossJoin(anchors)
-        .filter(F.col("label") != F.col("anchor_label"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "vec_id",
-            "label",
-            F.round(
-                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("av"), F.col("an")),
-                6,
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
-
-
-MATRYOSHKA_PREFIXES = (64, 32, 16)
-MATRYOSHKA_K = 10
-
-
-def matryoshka_recall(
-    embeddings: DataFrame,
-    query_vec_id: int = 0,
-    k: int = MATRYOSHKA_K,
-    prefixes: tuple = MATRYOSHKA_PREFIXES,
-) -> DataFrame:
-    """Matryoshka-style prefix-dimension serving audit (Kusupati et al.
-    2022): exact cosine top-k using only the first m dims of every
-    embedding, for each m in `prefixes`, scored against the full-dim
-    top-k as ground truth — the table that tells a serving stack how
-    many dims it can drop (2-4x cheaper ANN) before recall pays.
-
-    Same audit family as the PQ/JL recall audits (q115-q118, q185):
-    every per-prefix candidate set is k-bounded before the overlap
-    join; ties at 6dp break on vec_id so the selected sets are
-    deterministic and oracle-identical.
-
-    Ground truth is scored on the UNSLICED embedding column — not on
-    max(prefixes) dims — so on embeddings wider than the largest
-    audited prefix the audit still grades against true full-dim
-    neighbors instead of silently truncating the baseline (round-6
-    ADVICE). On width == max(prefixes) data the two are identical.
-    """
-    q_row = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qemb")
-    )
-    base = embeddings.filter(F.col("vec_id") != query_vec_id)
-    gt_scored = V.prepare(
-        V.prepare(
-            base.crossJoin(F.broadcast(q_row)).select(
-                "vec_id",
-                F.col("embedding").alias("fe"),
-                F.col("qemb").alias("fq"),
-            ),
-            "fe", "fv", "fn",
-        ),
-        "fq", "gv", "gn",
-    ).select(
-        "vec_id",
-        F.round(
-            V.prepared_cosine(F.col("fv"), F.col("fn"), F.col("gv"), F.col("gn")), 6
-        ).alias("score"),
-    )
-    full = (
-        gt_scored.orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(int(k))
-        .select("vec_id")
-        .withColumn("_in_full", F.lit(1))
-    )
-    tops = None
-    for m in prefixes:
-        scored = V.prepare(
-            V.prepare(
-                base.crossJoin(F.broadcast(q_row)).select(
-                    "vec_id",
-                    F.slice(F.col("embedding"), 1, int(m)).alias("pe"),
-                    F.slice(F.col("qemb"), 1, int(m)).alias("qe"),
-                ),
-                "pe", "pv", "pn",
-            ),
-            "qe", "qv", "qn",
-        ).select(
-            F.lit(int(m)).cast("long").alias("prefix_dims"),
-            "vec_id",
-            F.round(
-                V.prepared_cosine(F.col("pv"), F.col("pn"), F.col("qv"), F.col("qn")),
-                6,
-            ).alias("score"),
-        )
-        top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(int(k))
-        tops = top if tops is None else tops.unionByName(top)
-    # LEFT join: a prefix whose top-k shares nothing with the full-dim
-    # top-k must still report recall 0, not vanish from the audit
-    return (
-        tops.join(full, "vec_id", "left")
-        .groupBy("prefix_dims")
-        .agg(
-            F.coalesce(F.sum("_in_full"), F.lit(0)).cast("long").alias("n_overlap")
-        )
-        .select(
-            "prefix_dims",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
-        )
-    )
-
-
-IVFPQ_PROBES = 3
-IVFPQ_SHORTLIST = 50
-
-
-def ivf_pq_knn(
-    embeddings: DataFrame,
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_probes: int = IVFPQ_PROBES,
-    shortlist: int = IVFPQ_SHORTLIST,
-) -> DataFrame:
-    """The full IVFADC serving composition (Jégou et al. 2011 §IV):
-    IVF coarse quantizer prunes to `n_probes` cells, PQ asymmetric-
-    distance scoring ranks ONLY the probed cells' codes, the top
-    `shortlist` survivors rerank against their full-precision vectors,
-    and the final top-k is exact within the shortlist. q35 (IVF) and
-    q87/q88 (ADC, rerank) are the parts; this is the plan a 100 TB
-    vector store actually serves with: the partition-pruned read
-    touches ~n_probes/n_cells of the files, the ADC pass inside them
-    is m-int lookups per vector against a broadcast LUT, and only
-    `shortlist` full vectors are ever fetched from cold storage.
-    """
-    cents = _centroid_arrays(embeddings)
-    q = F.broadcast(
-        V.prepare(
-            embeddings.filter(F.col("vec_id") == query_vec_id).select(
-                F.col("embedding").alias("qvec")
-            ),
-            "qvec", "qv", "qn",
-        ).select("qv", "qn")
-    )
-    probe_cells = F.broadcast(
-        V.prepare(cents, "centroid", "cv", "cn")
-        .crossJoin(q)
-        .select(
-            "centroid_label",
-            V.prepared_cosine(F.col("cv"), F.col("cn"), F.col("qv"), F.col("qn")).alias(
-                "sim"
-            ),
-        )
-        .orderBy(F.desc("sim"), F.asc("centroid_label"))
-        .limit(int(n_probes))
-        .select("centroid_label")
-    )
-    assigned = _assign_cells(embeddings, cents)
-    cand_ids = (
-        assigned.join(
-            probe_cells, assigned.cell == probe_cells.centroid_label, "left_semi"
-        )
-        .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id")
-    )
-    codes = pq_codes(embeddings).join(cand_ids, "vec_id", "left_semi")
-    qsubs = _pq_subvectors(
-        embeddings.filter(F.col("vec_id") == query_vec_id)
-    ).select("subspace", F.col("subvec").alias("qsub"))
-    lut = F.broadcast(
-        qsubs.join(pq_codebooks(embeddings), "subspace").select(
-            "subspace", "code", V.dot(F.col("qsub"), F.col("centroid")).alias("qdot")
-        )
-    )
-    short = (
-        codes.join(lut, ["subspace", "code"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qdot"), 6).alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
-        .limit(int(shortlist))
-        .select("vec_id")
-    )
-    full = V.prepare(
-        embeddings.join(short, "vec_id", "left_semi"), "embedding", "ve", "vn"
-    ).select("vec_id", "label", "ve", "vn")
-    return (
-        full.crossJoin(q)
-        .select(
-            "vec_id",
-            "label",
-            F.round(
-                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("qv"), F.col("qn")), 6
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(int(k))
-    )
-
-
-IVF_SWEEP_PROBES = (1, 2, 3, 5)
-
-
-def ivf_probe_sweep(
-    embeddings: DataFrame,
-    query_vec_id: int = 0,
-    k: int = 10,
-    probes: tuple = IVF_SWEEP_PROBES,
-) -> DataFrame:
-    """IVF probe-count recall curve: for each n_probes, the recall@k of
-    IVF-pruned search against the exact brute-force top-k — the table
-    that picks the read-cost/recall operating point (probing 1 cell
-    reads ~1/n_cells of a 100 TB store; each extra probe buys recall
-    linearly in read cost). Completes the ANN audit family: q116 sweeps
-    PQ compression, q240 sweeps prefix dims, this sweeps the IVF knob.
-
-    Every per-config candidate set is k-bounded before the overlap
-    join (same LEFT-join discipline as q240 — a zero-overlap config
-    reports recall 0, not a missing row).
-    """
-    truth = (
-        knn_to_query(embeddings, query_vec_id, k=int(k))
-        .select("vec_id")
-        .withColumn("_hit", F.lit(1))
-    )
-    out = None
-    for p in probes:
-        got = ivf_knn(embeddings, query_vec_id, k=int(k), n_probes=int(p)).select(
-            F.lit(int(p)).cast("long").alias("n_probes"), "vec_id"
-        )
-        agg = (
-            got.join(truth, "vec_id", "left")
-            .groupBy("n_probes")
-            .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"))
-            .select(
-                "n_probes",
-                "n_overlap",
-                F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
-            )
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
-
-
-OUTLIER_BOTTOM_FRAC = 0.05
-
-
-def embedding_outliers(embeddings: DataFrame) -> DataFrame:
-    """Mislabeled-vector audit: each vector's cosine to its OWN label
-    centroid, percent-ranked corpus-wide; the bottom OUTLIER_BOTTOM_FRAC
-    are flagged — vectors that sit far from their cluster are label
-    noise or genuine outliers, and both contaminate contrastive batches
-    (q239 mines hard negatives assuming labels are right; this audits
-    that assumption). Complements q214's per-label dispersion with a
-    per-VECTOR verdict.
-
-    One centroid build (bounded key space), one broadcast join, one
-    distributed percent rank (total order on (cos, vec_id) — never a
-    global window).
-    """
-    from githubrepostorag_spark.functions.ranks import global_percent_rank
-
-    cents = F.broadcast(
-        V.prepare(_centroid_arrays(embeddings), "centroid", "cv", "cn").select(
-            F.col("centroid_label").alias("label"), "cv", "cn"
-        )
-    )
-    scored = (
-        V.prepare(embeddings, "embedding", "ve", "vn")
-        .join(cents, "label")
-        .select(
-            "vec_id",
-            "label",
-            F.round(
-                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
-                6,
-            ).alias("centroid_cos"),
-        )
-    )
-    ranked = global_percent_rank(
-        scored, [F.asc("centroid_cos"), F.asc("vec_id")], "pct"
-    )
-    return ranked.select(
-        "vec_id",
-        "label",
-        "centroid_cos",
-        "pct",
-        (F.col("pct") < OUTLIER_BOTTOM_FRAC).alias("is_outlier"),
-    )
-
-
-def semdedup_survivors(
-    embeddings: DataFrame, threshold: float = SEMANTIC_DEDUP_THRESHOLD
-) -> DataFrame:
-    """SemDeDup with the paper's CENTROID-AWARE keep policy (Abbas et
-    al. 2023 §3: within each semantic-duplicate group, keep the example
-    with the LOWEST cosine to its cluster centroid — the most atypical
-    member carries the most marginal training signal). Completes the
-    family: q97 (`semantic_dedup`) is the pair-local min-id variant;
-    this one builds the within-cell duplicate COMPONENTS and audits
-    which representative the paper's policy keeps, one row per vector
-    with its component and kept flag.
-
-    Scale shape: cell-bucketed pair scoring (`near_dup_in_cells` —
-    broadcast codebook, one shuffle on cell, per-cell BLAS kernel),
-    hash-min components on the pair-bounded edge list
-    (`dedup.dedup_components` — driver union-find under the memory
-    bound, distributed propagation above it), and ONE window per
-    component (bounded by semantic-cluster size, like q254's
-    quality-survivor window — never corpus-wide). The centroid-cosine
-    keep score rides the broadcast codebook join; 6dp rounding + vec_id
-    tiebreak pin the survivor deterministically on both engines.
-    """
-    from githubrepostorag_spark.operators.dedup import dedup_components
-
-    cents = _centroid_arrays(embeddings)
-    assigned = _assign_cells(embeddings, cents)
-    pc = F.broadcast(
-        V.prepare(cents, "centroid", "cv", "cn").select(
-            F.col("centroid_label").alias("cell"), "cv", "cn"
-        )
-    )
-    scored = (
-        V.prepare(assigned, "embedding", "ve", "vn")
-        .join(pc, "cell")
-        .select(
-            "vec_id",
-            "label",
-            F.col("cell").cast("long").alias("cell"),
-            F.round(
-                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
-                6,
-            ).alias("cell_cos"),
-        )
-    )
-    pairs = near_dup_in_cells(embeddings, threshold=threshold)
-    labels = dedup_components(
-        pairs.select("id_a", "id_b"),
-        embeddings.select(F.col("vec_id").alias("node")),
-        id_a="id_a",
-        id_b="id_b",
-    )
-    w = Window.partitionBy("component").orderBy(F.asc("cell_cos"), F.asc("vec_id"))
-    return (
-        scored.join(labels, scored.vec_id == labels.node)
-        .select("vec_id", "label", "cell", "cell_cos", "component")
-        .withColumn("rn", F.row_number().over(w))
-        .select(
-            "vec_id",
-            "label",
-            "cell",
-            "cell_cos",
-            F.col("component").cast("long").alias("component"),
-            (F.col("rn") == 1).alias("kept"),
-        )
-    )
-
-
-def ivf_probe_cost(embeddings: DataFrame) -> DataFrame:
-    """IVF worst-case scan-cost model: cells sorted by occupancy
-    (largest first), with the CUMULATIVE row count and exact-permille
-    corpus share a p-probe query pays when its probes land on the p
-    largest cells. This is the static table that turns q265's balance
-    audit into a serving latency bound — "n_probes=3 reads at most X‰
-    of the corpus" — and the worst-case companion to q251's measured
-    recall sweep; a skewed quantizer shows up as a cumulative curve
-    that jumps to ~1000‰ in one step (the mega-cell re-creating brute
-    force).
-
-    One broadcast-codebook assignment + one count per cell + one
-    window over the |cells|-row table. All shares exact integer
-    permille.
-    """
-    assigned = _assign_cells(embeddings, _centroid_arrays(embeddings))
-    counts = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("cell_rows")
-    )
-    total = F.broadcast(counts.agg(F.sum("cell_rows").cast("long").alias("total")))
-    w = Window.orderBy(F.desc("cell_rows"), F.asc("cell")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        counts.crossJoin(total)
-        .withColumn("cum_rows", F.sum("cell_rows").over(w).cast("long"))
-        .withColumn(
-            "n_probes",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cell_rows"), F.asc("cell")))
-            .cast("long"),
-        )
-        .select(
-            "n_probes",
-            F.col("cell").cast("long").alias("cell"),
-            "cell_rows",
-            "cum_rows",
-            F.expr("cum_rows * 1000 div total").cast("long").alias(
-                "cum_scan_permille"
-            ),
-        )
-    )
-
-
-def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
-    """IVF coarse-quantizer balance audit: per-cell occupancy with its
-    integer-permille share and the imbalance vs the uniform ideal — the
-    serving-health number behind every IVF latency claim (q35/q250's
-    "read ~n_probes/n_cells of the data" only holds when cells are
-    balanced; one mega-cell re-creates the brute-force scan for every
-    query that probes it, and the maintenance loop's remap trigger
-    watches exactly this skew next to q99's drift).
-
-    One broadcast-codebook assignment (the fact table never shuffles
-    for it) + one count per cell; all ratios are exact integer
-    permille, so the audit is bit-stable cross-engine.
-    """
-    assigned = _assign_cells(embeddings, _centroid_arrays(embeddings))
-    counts = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vectors")
-    )
-    totals = F.broadcast(
-        counts.agg(
-            F.sum("n_vectors").cast("long").alias("total"),
-            F.count(F.lit(1)).cast("long").alias("n_cells"),
-        )
-    )
-    return counts.crossJoin(totals).select(
-        F.col("cell").cast("long").alias("cell"),
-        "n_vectors",
-        F.expr("n_vectors * 1000 div total").cast("long").alias("share_permille"),
-        # occupancy vs the uniform ideal, in permille (1000 = exactly
-        # balanced; the remap trigger watches the max of this column)
-        F.expr("n_vectors * n_cells * 1000 div total")
-        .cast("long")
-        .alias("vs_uniform_permille"),
-    )
-
-
-def codebook_confusion(embeddings: DataFrame, iters: int = 2) -> DataFrame:
-    """Assignment-churn matrix between the label-seeded IVF codebook
-    and its `iters`-round Lloyd refinement (q73's): one row per
-    (cell_seed, cell_refined) with the vector count and a stayed flag.
-    This is the REMAP SCOPE estimate the maintenance trigger
-    (`plans.index_maintenance`) needs before committing to a store
-    rewrite: the off-diagonal mass is exactly the fraction of rows a
-    retrain would move between cell directories — churn near zero
-    means the rewrite buys nothing, a hot off-diagonal block says
-    which cells split or merged.
-
-    Two broadcast-codebook assignments over one corpus scan each, one
-    join on vec_id, one |cells|²-bounded aggregate.
-    """
-    seed = _centroid_arrays(embeddings)
-    a_seed = _assign_cells(embeddings, seed).select(
-        "vec_id", F.col("cell").alias("cell_seed")
-    )
-    rd = kmeans_refined_centroids(embeddings, iters=iters)
-    refined = (
-        rd.groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("centroid_v")))),
-                lambda s: s["centroid_v"],
-            ).alias("centroid")
-        )
-        .select(F.col("cell").alias("centroid_label"), "centroid")
-    )
-    a_ref = _assign_cells(embeddings, refined).select(
-        "vec_id", F.col("cell").alias("cell_refined")
-    )
-    return (
-        a_seed.join(a_ref, "vec_id")
-        .groupBy("cell_seed", "cell_refined")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .select(
-            F.col("cell_seed").cast("long").alias("cell_seed"),
-            F.col("cell_refined").cast("long").alias("cell_refined"),
-            "n_vectors",
-            (F.col("cell_seed") == F.col("cell_refined")).alias("stayed"),
-        )
-    )
-
-
-GATE_AUDIT_MAX_COS = 0.95
-
-
-def gate_recall_audit(
-    embeddings: DataFrame,
-    batch_mod: int = 10,
-    batch_rem: int = 7,
-    max_cos: float = GATE_AUDIT_MAX_COS,
-) -> DataFrame:
-    """False-accept audit of the embedding admission gate: for the
-    deterministic batch slice, the gate's CELL-PRUNED top-1 cosine
-    (exactly what `stream_embedding_gate` scores) next to the
-    brute-force TRUE top-1 over the whole store, with the two flags
-    that matter — is the vector truly a near-dup (true_top1 >=
-    max_cos), and did the gate catch it. A true-dup the probe missed
-    landed in a different cell than its neighbor: the q115 recall edge
-    priced at the GATE's threshold, per vector, so the corpus owner
-    can read the actual false-accept rate of the always-on gate rather
-    than a generic recall@k.
-
-    The brute-force side is the VERIFIER (broadcast batch ×
-    store nested-loop — audit-slice-sized by construction, never the
-    serving path); the IVF side reuses the gate's shared probe kernel.
-    """
-    is_new = F.pmod(F.col("vec_id"), F.lit(batch_mod)) == batch_rem
-    store = embeddings.filter(~is_new)
-    batch = embeddings.filter(is_new)
-    cents = _centroid_arrays(store)
-    sc = _assign_cells(store, cents).select("cell", "vec_id", "embedding")
-    bc = _assign_cells(batch, cents).select("cell", "vec_id", "embedding")
-    ivf1 = (
-        incremental_knn_probe(sc, bc, k=1)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("score").alias("ivf_top1"))
-    )
-    sp = V.prepare(
-        store.select(F.col("vec_id").alias("nbr_id"), "embedding"),
-        "embedding", "se", "sn",
-    ).select("nbr_id", "se", "sn")
-    bp = V.prepare(batch.select("vec_id", "embedding"), "embedding", "be", "bn").select(
-        "vec_id", "be", "bn"
-    )
-    true1 = (
-        F.broadcast(bp)
-        .crossJoin(sp)
-        .select(
-            "vec_id",
-            F.round(
-                V.prepared_cosine(F.col("be"), F.col("bn"), F.col("se"), F.col("sn")),
-                6,
-            ).alias("s"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("true_top1"))
-    )
-    return (
-        batch.select("vec_id")
-        .join(true1, "vec_id", "left")
-        .join(ivf1, "vec_id", "left")
-        .select(
-            "vec_id",
-            "true_top1",
-            "ivf_top1",
-            (F.col("true_top1") >= F.lit(float(max_cos))).alias("is_true_dup"),
-            (F.coalesce(F.col("ivf_top1"), F.lit(-1.0)) >= F.lit(float(max_cos))).alias(
-                "caught"
-            ),
-        )
-    )
-
-
-def source_coherence(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """Per-source SEMANTIC coherence: join the corpus's two modalities
-    (documents carry source, embeddings carry the vector — aligned on
-    doc_id = vec_id), build each source's embedding centroid, and
-    report every source's member-to-centroid cosine as an exact mean
-    plus the minimum — the "is this feed one topic or a junk drawer"
-    audit a mixture plan reads next to token counts (q84) and quality
-    mix (q262): a source with low mean coherence contributes diffuse
-    gradient signal no sampling weight can fix, and its min flags
-    outright mis-ingested members (q255's outlier rule at feed grain).
-
-    Exactness: centroids are 6dp-rounded per-dim means, member cosines
-    6dp-rounded, and the MEAN of member cosines is summed as DECIMAL
-    (order-independent) before one final division — the q247
-    no-float-sum discipline. One join, one posexplode agg on
-    (source, dim), one broadcast of |sources| centroids.
-    """
-    members = documents.select("doc_id", "source").join(
-        embeddings, F.col("doc_id") == F.col("vec_id")
-    ).select("source", "vec_id", "embedding")
-    cents = (
-        members.select("source", F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "v"))
-        .groupBy("source", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("cv"))
-        .groupBy("source")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("dim"), F.col("cv")))),
-                lambda s: s["cv"],
-            ).alias("centroid")
-        )
-    )
-    pc = F.broadcast(
-        V.prepare(cents, "centroid", "cv", "cn").select("source", "cv", "cn")
-    )
-    scored = (
-        V.prepare(members, "embedding", "ve", "vn")
-        .join(pc, "source")
-        .select(
-            "source",
-            F.round(
-                V.prepared_cosine(F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")),
-                6,
-            ).alias("cos"),
-        )
-    )
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.sum(F.col("cos").cast("decimal(28,6)")).alias("_s"),
-            F.min("cos").alias("min_cos"),
-        )
-        .select(
-            "source",
-            "n_vectors",
-            F.round(
-                F.col("_s").cast("double") / F.col("n_vectors").cast("double"), 6
-            ).alias("mean_cos"),
-            "min_cos",
-        )
-    )
-
-
-def pq_code_entropy(embeddings: DataFrame) -> DataFrame:
-    """Quantizer-health audit: per PQ subspace, the entropy of codeword
-    usage. A healthy product quantizer spreads mass across its codes
-    (entropy near log2 K — every code earns its bits); a collapsed
-    subspace (entropy ≪ log2 K) wastes index bits and crushes recall,
-    and is the first thing to check when q116's PQ recall sags after a
-    corpus shift. Reports per subspace: codes used, utilization
-    permille of the codebook, usage entropy (bits, 6dp), and the
-    entropy_permille share of the log2(K) maximum.
-
-    Rides `pq_codes` (broadcast codebook, one explode); everything
-    after is |subspaces|·|codes| rows. At 100 TB the codes table is
-    the only corpus-sized input and it aggregates in one shuffle.
-    """
-    codes = pq_codes(embeddings)
-    n_codes = (
-        pq_codebooks(embeddings).select("code").distinct().count()
-    )  # codebook size K (label-seeded, so |labels|) — NOT the used-code
-    # count; utilization is used/K. Bounded, one tiny job.
-    usage = codes.groupBy("subspace", "code").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    tot = usage.groupBy("subspace").agg(
-        F.sum("n").alias("n_total"),
-        F.count(F.lit(1)).cast("long").alias("n_used"),
-    )
-    ent = (
-        usage.join(tot.select("subspace", "n_total"), "subspace")
-        .withColumn("p", F.col("n") / F.col("n_total").cast("double"))
-        .groupBy("subspace")
-        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"))
-    )
-    max_bits = float(__import__("math").log2(n_codes)) if n_codes > 1 else 1.0
-    return (
-        tot.join(ent, "subspace")
-        .select(
-            F.col("subspace").cast("long").alias("subspace"),
-            "n_used",
-            F.lit(int(n_codes)).cast("long").alias("n_codes"),
-            F.expr(f"n_used * 1000 div {int(n_codes)}").cast("long").alias(
-                "utilization_permille"
-            ),
-            "entropy_bits",
-            # floor, not cast: Spark's double→long cast truncates while
-            # DuckDB's rounds — floor() agrees in both engines
-            F.floor(F.col("entropy_bits") / F.lit(max_bits) * 1000)
-            .cast("long")
-            .alias("entropy_permille"),
-        )
-        .orderBy("subspace")
-    )
-
-
-def _hubness_rollup(embeddings: DataFrame, g: DataFrame) -> DataFrame:
-    """Per-label in-degree rollup shared by the exact and IVF hubness
-    audits: one groupBy(nbr_id), one left join back to the
-    |vectors|-row (vec_id, label) projection, one label aggregate."""
-    indeg = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("in_deg")
-    )
-    j = (
-        embeddings.select("vec_id", "label")
-        .join(indeg, "vec_id", "left")
-        .fillna(0, subset=["in_deg"])
-    )
-    return (
-        j.groupBy(F.col("label").cast("long").alias("label"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("in_deg").cast("long").alias("sum_in_degree"),
-            F.max("in_deg").cast("long").alias("max_in_degree"),
-            F.sum(F.when(F.col("in_deg") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_orphans"),
-        )
-        .withColumn(
-            "orphan_permille",
-            F.expr("n_orphans * 1000 div n_vecs").cast("long"),
-        )
-        .orderBy("label")
-    )
-
-
-def knn_hubness(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
-    """Hubness audit of the k-NN graph, per label: how unevenly
-    retrieval in-degree is distributed. In high dimensions a few "hub"
-    vectors appear in a disproportionate share of neighbor lists while
-    "orphans" appear in none (Radovanović et al. 2010) — hubs dominate
-    retrieval results and orphans are never surfaced, so a label whose
-    max in-degree balloons or whose orphan share climbs is the first
-    place recall complaints localize. Reports per label: member count,
-    total in-degree mass, the worst hub's in-degree, orphan count and
-    exact-permille orphan rate.
-
-    Composition, no new kernel: `knn_graph`'s blocked-matmul top-k
-    (rounded-score ranking, id tie-break — oracle-exact), one
-    groupBy(nbr_id) for in-degree, one left join back to the
-    |vectors|-row (vec_id, label) projection, one label rollup. At
-    100 TB the graph front-end swaps to the IVF-bucketed variant
-    (knn_graph_ivf) unchanged.
-    """
-    return _hubness_rollup(embeddings, knn_graph(embeddings, k=k))
-
-
-def knn_hubness_ivf(embeddings: DataFrame, k: int = KNN_GRAPH_K) -> DataFrame:
-    """`knn_hubness` on the IVF-restricted graph — the 100 TB serving
-    path: hubs and orphans are measured against the neighbor lists the
-    INDEX will actually return (cell-restricted, `knn_graph_ivf`), not
-    the exact brute-force lists. Reading the two side by side separates
-    intrinsic hubness (present in both) from index-induced orphanhood
-    (cell walls cutting off a vector's true neighbors — singleton cells
-    emit no edges at all, so their members are orphans BY CONSTRUCTION
-    here and not in q290). Same |labels|-row rollup, same oracle grain.
-    """
-    return _hubness_rollup(embeddings, knn_graph_ivf(embeddings, k=k))
-
-
-def variance_concentration(embeddings: DataFrame) -> DataFrame:
-    """Axis-aligned variance spectrum of the embedding space: per
-    dimension, its share of total variance, ranked, with the
-    cumulative share — the anisotropy audit (Ethayarajh 2019: contextual
-    embeddings collapse into a narrow cone; a handful of rogue
-    dimensions carrying most of the variance crushes cosine contrast
-    and is the standard argument for whitening before ANN indexing).
-    A healthy space spreads mass (cumulative share grows ~linearly);
-    top-4-dims ≥ half the variance says distances are effectively
-    4-dimensional no matter what the index does.
-
-    Exactness: per-dim Σx and Σx² accumulate 6dp/12dp-rounded terms as
-    DECIMAL (order-independent), the population-variance numerator
-    n·Σx² − (Σx)² is evaluated in double from those exact sums
-    (identical operands both engines), re-rounded at 6dp, and shares
-    divide DECIMAL-exact variance sums once, floored to permille.
-    All post-explode work is |dims| rows; the only corpus-sized pass
-    is the one explode+aggregate."""
-    terms = embeddings.select(
-        F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "v")
-    ).select(
-        "dim",
-        F.round(F.col("v"), 6).cast("decimal(28,6)").alias("x"),
-        F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)").alias("xx"),
-    )
-    per_dim = terms.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("xx").cast("double").alias("sxx"),
-    )
-    nn = F.col("n").cast("double")
-    var6 = F.round(
-        (nn * F.col("sxx") - F.col("sx") * F.col("sx")) / (nn * nn), 6
-    )
-    ranked = per_dim.select(
-        F.col("dim").cast("long").alias("dim"), var6.alias("variance")
-    )
-    tot = ranked.agg(
-        F.sum(F.col("variance").cast("decimal(28,6)")).alias("tv")
-    )
-    wr = Window.orderBy(F.desc("variance"), F.asc("dim"))
-    cum = (
-        ranked.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .withColumn(
-            "cum_var",
-            F.sum(F.col("variance").cast("decimal(28,6)")).over(
-                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
-    share = lambda c: F.when(
-        F.col("tv") != 0,
-        F.floor(c.cast("double") / F.col("tv").cast("double") * 1000),
-    ).cast("long")
-    return cum.select(
-        "rank",
-        "dim",
-        "variance",
-        share(F.col("variance").cast("decimal(28,6)")).alias("var_share_permille"),
-        share(F.col("cum_var")).alias("cum_share_permille"),
-    ).orderBy("rank")
+    return sorted(set(globals()) | set(dir(_a)))

@@ -1,0 +1,1664 @@
+"""Corpus-quality and audit operators over ``documents`` — the
+Gopher/C4-style filter batteries, secret/license/code hygiene scans,
+distribution fits (Zipf, Heaps, KS), novelty/calibration profiles and
+per-source audit matrices. Mechanically split out of ``textops.py`` in
+round 10 (r9 verdict ask #6) to keep both modules under 2,500 LoC;
+every public name is still importable from
+``githubrepostorag_spark.operators.textops`` (PEP 562 forwarding
+there), so existing citations, tests and oracles are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.functions.ranks import global_percent_rank, global_rank
+from githubrepostorag_spark.operators.textops import (
+    LOGREG_LR,
+    LOGREG_ROUNDS,
+    SPAN_K,
+    WINNOW_K,
+    WINNOW_WINDOW,
+    cdc_chunks,
+    fingerprints,
+    logreg_quality_scores,
+    pii_scan,
+    winnow_fingerprints,
+)
+from githubrepostorag_spark.session import scale_out
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_RULES = (
+    "word_count_low",      # n_words < 50
+    "word_count_high",     # n_words > 100000
+    "mean_word_len_low",   # mean word length < 3
+    "mean_word_len_high",  # mean word length > 10
+    "symbol_ratio",        # (#, '...', '…') per word > 0.1
+    "bullet_lines",        # > 90% of lines start with a bullet
+    "ellipsis_lines",      # > 30% of lines end with an ellipsis
+    "alpha_words",         # < 80% of words contain a letter
+    "stopword_floor",      # < 2 distinct Gopher stopwords present
+)
+
+
+def _gopher_base(documents: DataFrame, text_col: str) -> DataFrame:
+    """Shared count projection for the Gopher rules: token / line
+    arrays split once each and reduced to the nine integer counts the
+    rules compare — one scan, whole-stage codegen, zero shuffles."""
+    t = F.col(text_col)
+    toks = TXT.tokens(t)
+    lines = F.split(t, "\n", -1)
+    return documents.withColumn("_n_words", F.size(toks).cast("long")).withColumn(
+        "_sum_len",
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+    ).withColumn(
+        "_n_alpha",
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long"),
+    ).withColumn(
+        "_n_stop",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, lambda x: F.lower(x))),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        ).cast("long"),
+    ).withColumn(
+        "_n_sym",
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+            + (
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                / F.lit(3)
+            ).cast("long")
+        ).cast("long"),
+    ).withColumn("_n_lines", F.size(lines).cast("long")).withColumn(
+        "_n_bullet",
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("long"),
+    ).withColumn(
+        "_n_ell_lines",
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+            )
+        ).cast("long"),
+    )
+
+
+def _gopher_flag_cols() -> dict[str, "F.Column"]:
+    """Rule name → boolean Column over the _gopher_base counts. Every
+    threshold compares as INTEGERS (mean word length < 3 ⇔ Σlen < 3·n),
+    so there is no float knife-edge for the oracle to diverge on."""
+    nw, sl = F.col("_n_words"), F.col("_sum_len")
+    nl = F.col("_n_lines")
+    return {
+        "word_count_low": nw < GOPHER_MIN_WORDS,
+        "word_count_high": nw > GOPHER_MAX_WORDS,
+        "mean_word_len_low": (nw > 0) & (sl < 3 * nw),
+        "mean_word_len_high": sl > 10 * nw,
+        "symbol_ratio": 10 * F.col("_n_sym") > nw,
+        "bullet_lines": 10 * F.col("_n_bullet") > 9 * nl,
+        "ellipsis_lines": 10 * F.col("_n_ell_lines") > 3 * nl,
+        "alpha_words": (nw > 0) & (5 * F.col("_n_alpha") < 4 * nw),
+        "stopword_floor": F.col("_n_stop") < GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_flags(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags: one boolean per rule plus the
+    failed-rule count — the industry-standard heuristic quality battery
+    (Rae et al. 2021 Table A1) the quality ladder's model-based rungs
+    (q92/q157/q189/q219) sit on top of. One projection over one scan
+    (see _gopher_base), integer-only thresholds (_gopher_flag_cols).
+    """
+    flags = _gopher_flag_cols()
+    n_failed = None
+    for r in GOPHER_RULES:
+        term = flags[r].cast("long")
+        n_failed = term if n_failed is None else n_failed + term
+    return _gopher_base(documents, text_col).select(
+        "doc_id",
+        *[flags[r].alias(r) for r in GOPHER_RULES],
+        n_failed.alias("n_rules_failed"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
+def gopher_pass_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The GATE form of the battery: input rows (all columns) that fail
+    no Gopher rule. A pure filter predicate over the same single-scan
+    count projection — no join, no shuffle — so a curation pipeline can
+    splice it in front of dedup at zero extra passes over the corpus.
+    """
+    flags = _gopher_flag_cols()
+    fail_any = None
+    for r in GOPHER_RULES:
+        fail_any = flags[r] if fail_any is None else fail_any | flags[r]
+    return (
+        _gopher_base(documents, text_col)
+        .filter(~fail_any)
+        .drop(
+            "_n_words", "_sum_len", "_n_alpha", "_n_stop", "_n_sym",
+            "_n_lines", "_n_bullet", "_n_ell_lines",
+        )
+    )
+
+
+def gopher_quality_battery(documents: DataFrame) -> DataFrame:
+    """Corpus-level Gopher battery report: one row per rule with the
+    flagged-document count and rate, plus a 'passes_all' row — the
+    single-scan summary a 100 TB curation run reads BEFORE choosing
+    gates (same shape as data_contract_report, relational.py
+    data-contract family: every rule one conditional aggregate, one
+    pass over the corpus, 10-row output).
+    """
+    f = gopher_flags(documents)
+    aggs = [
+        F.sum(F.col(r).cast("long")).cast("long").alias(r) for r in GOPHER_RULES
+    ] + [
+        F.sum(F.col("passes").cast("long")).cast("long").alias("passes_all"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ]
+    one = f.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, n_flagged)".format(
+                n=len(GOPHER_RULES) + 1,
+                args=", ".join(
+                    f"'{r}', {r}" for r in (*GOPHER_RULES, "passes_all")
+                ),
+            )
+        ),
+        F.col("_n").alias("n_docs"),
+    )
+    return stacked.select(
+        "rule",
+        "n_docs",
+        "n_flagged",
+        # single-value division of two longs — deterministic; 6dp
+        # convention-free rounding matches the oracle's floor form
+        (F.floor(F.col("n_flagged") * 1e6 / F.col("n_docs") + 0.5) / 1e6).alias(
+            "flag_rate"
+        ),
+    )
+
+
+def cdc_dedup_rewrite(documents: DataFrame) -> DataFrame:
+    """The TRANSFORM half of chunk-grain dedup (q216 detects, this
+    rewrites — the q89→q184 / q70→q197 detect→transform pattern at
+    paragraph grain): every duplicated CDC chunk keeps its FIRST
+    corpus occurrence (min (doc_id, chunk_idx)) and is deleted from
+    every other document, then each document is rebuilt from its
+    surviving chunks in order — Lee et al. 2022's "deduplicate the
+    repeated passage, not the whole document", made edit-stable by
+    the content-defined boundaries.
+
+    Scale shape: the shuffle-free chunk stream, ONE map-side-combined
+    groupBy(chunk_hash) computing the canonical occurrence as
+    min(doc_id·10⁵ + chunk_idx) (an order-independent integer min —
+    never a window over a hot hash), a join back on chunk_hash, and
+    one groupBy(doc_id) reassembly (array_sort by chunk_idx +
+    array_join — order-preserving, the q184 discipline). Emits
+    narrow audit columns plus md5(new_text) so the oracle compares
+    rebuilt content without shipping it.
+    """
+    ch = (
+        cdc_chunks(documents)
+        .join(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_hash",
+            F.substr(
+                F.col("text"), F.col("start_pos"), F.col("chunk_len")
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "occ_key", F.col("doc_id") * 100_000 + F.col("chunk_idx")
+        )
+    )
+    canon = ch.groupBy("chunk_hash").agg(F.min("occ_key").alias("canon_key"))
+    kept = ch.join(canon, "chunk_hash").withColumn(
+        "keep", F.col("occ_key") == F.col("canon_key")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "",
+        ).alias("new_text"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length("new_text").cast("long").alias("new_len"),
+        F.md5("new_text").alias("new_md5"),
+    )
+
+
+C4_TERMINALS = (".", "!", "?", '"', "'")
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_line_filter(documents: DataFrame) -> DataFrame:
+    """C4's cleaning pass (Raffel et al. 2020 §2.2) as a single-scan
+    line-level TRANSFORM plus page-level flags — the companion to
+    q220's doc-level Gopher battery on the heuristic-quality shelf:
+
+    - line rule: keep only lines ending in terminal punctuation with
+      ≥ 3 words; the document rebuilds from surviving lines
+    - page rules: flag pages containing 'lorem ipsum', a curly brace
+      (code/markup leak), or fewer than 5 sentences (terminal-mark
+      count) — page_keep is the AND of the three
+
+    Everything is column expressions over one scan (one line split,
+    shared by the filter and the counts); thresholds are integer
+    comparisons and the rebuilt text ships as md5 + length, so the
+    oracle compares content without hauling it.
+    """
+    t = F.col("text")
+    lines = F.split(t, "\n", -1)
+    keep_line = lambda l: (
+        F.right(F.rtrim(l), F.lit(1)).isin(*C4_TERMINALS)
+        & (
+            F.size(
+                F.when(
+                    F.length(F.trim(l)) == 0, F.array().cast("array<string>")
+                ).otherwise(F.split(F.trim(l), r"\s+"))
+            )
+            >= C4_MIN_LINE_WORDS
+        )
+    )
+    kept = F.filter(lines, keep_line)
+    n_sent = (
+        (F.length(t) - F.length(F.replace(t, F.lit("."), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("!"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("?"), F.lit(""))))
+    ).cast("long")
+    new_text = F.array_join(kept, "\n")
+    return documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+        (n_sent < C4_MIN_SENTENCES).alias("few_sentences"),
+        (
+            ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+            & ~F.contains(t, F.lit("{"))
+            & (n_sent >= C4_MIN_SENTENCES)
+        ).alias("page_keep"),
+        F.length(new_text).cast("long").alias("new_len"),
+        F.md5(new_text).alias("new_md5"),
+    )
+
+# --- round 6: secrets, licenses, code-quality gates, maximal dup spans ---
+
+# Candidate charset deliberately excludes '=' and ':' so salt prefixes
+# like ' key: ' cannot fuse with the candidate token.
+SECRET_CANDIDATE_RE = r"[A-Za-z0-9+/]{20,}"
+SECRET_MIN_ENTROPY = 3.5  # bits/char; random hex ~3.9, random base64 ~5.7
+
+
+def secret_entropy_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Entropy-based credential/secret detector (the technique behind
+    trufflehog-style scanners): extract long base64/hex-ish candidate
+    tokens, compute each candidate's Shannon character entropy, and
+    flag candidates whose entropy clears SECRET_MIN_ENTROPY bits/char.
+    Complements q71's pattern-based scan (pii_scan): regexes catch
+    known key shapes (AKIA...), entropy catches the unknown ones.
+
+    Plan shape: one scan, zero shuffles, zero UDFs. Candidates come
+    from one regexp_extract_all; entropy is a fold over the SORTED
+    distinct characters (sorted so the engine and the DuckDB oracle
+    add float terms in the identical order) with per-candidate 6dp
+    rounding before any cross-candidate reduction — the cross-candidate
+    reductions are max() and integer counts, both order-independent.
+    At 100 TB this is embarrassingly parallel, bounded by scan I/O.
+    """
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(SECRET_CANDIDATE_RE), F.lit(0))
+
+    def _entropy(s):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
+        )
+        n = F.length(s).cast("double")
+        ds = F.array_sort(F.array_distinct(chars))
+        term = lambda c: (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
+        # ``+ 0.0`` normalizes IEEE ``-0.0`` (all-same-char candidate,
+        # entropy exactly 0) to ``0.0`` so the driver's exact value hash
+        # matches the DuckDB oracle, which applies the same normalization.
+        return (
+            F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+            + F.lit(0.0)
+        )
+
+    ents = F.transform(cands, _entropy)
+    return (
+        documents.select("doc_id", ents.alias("_ents"))
+        .filter(F.size("_ents") >= 1)
+        .select(
+            "doc_id",
+            F.size("_ents").cast("long").alias("n_candidates"),
+            F.size(
+                F.filter(F.col("_ents"), lambda e: e >= SECRET_MIN_ENTROPY)
+            ).cast("long").alias("n_high_entropy"),
+            F.array_max("_ents").alias("max_entropy_bits"),
+        )
+    )
+
+
+# Phrase ladder in PRECEDENCE order: first containment match wins.
+# Phrases are the canonical first-line identifiers of each license
+# family; matching is lower-cased containment, one scan, no shuffle.
+LICENSE_LADDER = (
+    ("apache license", "Apache-2.0"),
+    ("gnu general public license", "GPL-3.0"),
+    ("permission is hereby granted", "MIT"),
+    ("redistribution and use in source and binary forms", "BSD-3-Clause"),
+    ("mozilla public license", "MPL-2.0"),
+    ("this is free and unencumbered software", "Unlicense"),
+    ("creative commons", "CC"),
+)
+
+
+def license_detect(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document license identification by canonical-phrase ladder —
+    the compliance gate a code-corpus pipeline (The Stack, Kocetkov et
+    al. 2022 §3) runs before anything ships for training. First match
+    in LICENSE_LADDER precedence order wins; no match → 'none'.
+
+    Pure CASE/contains column expressions over one scan: at 100 TB
+    this is scan-bound and embarrassingly parallel, and Catalyst
+    prunes the read to (doc_id, text).
+    """
+    low = F.lower(F.col(text_col))
+    expr = F.lit("none")
+    for phrase, label in reversed(LICENSE_LADDER):
+        expr = F.when(F.contains(low, F.lit(phrase)), F.lit(label)).otherwise(expr)
+    return documents.select(
+        "doc_id",
+        expr.alias("license"),
+        (expr != "none").alias("has_license"),
+    )
+
+
+# The Stack / StarCoder-style code-file gates (Kocetkov et al. 2022
+# §3.2; Li et al. 2023 appendix): every threshold an INTEGER compare.
+CODEQ_MAX_LINE_LEN = 1000
+CODEQ_MEAN_LINE_LEN = 100
+AUTOGEN_MARKERS = ("do not edit", "@generated", "auto-generated")
+
+
+def code_quality_flags(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document code-quality gate battery — the filters The Stack /
+    StarCoder apply to raw repository files before training: maximum
+    and mean line length (minified/data files), alphanumeric fraction
+    (binary/encoded blobs), and auto-generation markers.
+
+    Same single-scan shape as the Gopher battery (q220): one line
+    split shared by all counts, integer-only thresholds (mean line
+    length > 100 ⇔ Σlen > 100·n), so no float knife-edge exists for
+    the oracle to diverge on.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    low = F.lower(t)
+    d = (
+        documents.withColumn("_n_lines", F.size(lines).cast("long"))
+        .withColumn(
+            "_max_ll",
+            F.array_max(F.transform(lines, lambda l: F.length(l))).cast("long"),
+        )
+        .withColumn(
+            "_sum_ll",
+            F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)),
+        )
+        .withColumn(
+            "_n_alnum",
+            F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("long"),
+        )
+        .withColumn("_len", F.length(t).cast("long"))
+    )
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(low, F.lit(m))
+        autogen = c if autogen is None else autogen | c
+    flags = {
+        "long_line": F.col("_max_ll") > CODEQ_MAX_LINE_LEN,
+        "mean_line_long": F.col("_sum_ll") > CODEQ_MEAN_LINE_LEN * F.col("_n_lines"),
+        "low_alnum": 4 * F.col("_n_alnum") < F.col("_len"),
+        "autogen": autogen,
+        "minified": (F.col("_n_lines") < 3) & (F.col("_len") > 300),
+    }
+    n_failed = None
+    for name in flags:
+        term = flags[name].cast("long")
+        n_failed = term if n_failed is None else n_failed + term
+    return d.select(
+        "doc_id",
+        *[flags[name].alias(name) for name in flags],
+        n_failed.alias("n_flags"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
+def dup_span_merge(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """MAXIMAL duplicated spans — the island-merged refinement of q90's
+    strided profile, producing the actual byte ranges exact-substring
+    dedup (Lee et al. 2022) would cut. Every k-char window (stride 1)
+    is hashed; windows whose hash occurs >= 2 times corpus-wide are
+    duplicated; overlapping/adjacent duplicated windows within a doc
+    merge into maximal spans via a running-max-end island scan.
+
+    Scale shape: the explode is one row per CHARACTER POSITION — the
+    same linear cost class as CDC chunking (q216/q223), scan-bound and
+    shuffle-free until the one groupBy on the 60-bit window hash. The
+    island merge is a window over (doc_id, pos): per-doc partitions,
+    skew bounded by max document length, never a global window.
+    """
+    base = documents.select(
+        "doc_id", "text", (F.length("text") - k + 1).cast("int").alias("n_pos")
+    ).filter(F.col("n_pos") >= 1)
+    spans = scale_out(base, "doc_id").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_pos"))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        TXT.md5_bigint(F.lower(F.expr(f"substring(text, pos, {int(k)})"))).alias("h"),
+    )
+    dup = spans.groupBy("h").agg(F.count("*").alias("occ")).filter(F.col("occ") >= 2)
+    hits = spans.join(dup, "h", "inner").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
+UNCERTAINTY_N = 50
+
+
+def uncertainty_sample(
+    documents: DataFrame,
+    n: int = UNCERTAINTY_N,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Active-learning batch selection: the `n` documents whose trained
+    quality-classifier score sits closest to the 0.5 decision boundary
+    (minimum-margin / maximum-uncertainty sampling) — the docs a human
+    labeling budget buys the most model improvement from.
+
+    Rides logreg_quality_scores (q191) unchanged: one extra projection
+    for the margin, then a global orderBy().limit(n) which compiles to
+    TakeOrderedAndProject — per-partition top-n then a driver merge of
+    n rows per partition, never a global sort. Ties break on doc_id so
+    the selected batch is deterministic and oracle-identical.
+    """
+    s = logreg_quality_scores(documents, rounds=rounds, lr=lr)
+    return (
+        s.select(
+            "doc_id",
+            "score",
+            F.round(F.abs(F.col("score") - F.lit(0.5)), 6).alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(int(n))
+    )
+
+
+def spearman_quality(documents: DataFrame) -> DataFrame:
+    """Spearman rank correlation between two per-document quality
+    signals (document length in chars vs token count) — the audit that
+    tells a curation stack whether two filter signals are redundant
+    (|rho| near 1: gate on the cheaper one) or complementary.
+
+    Exactness: ranks come from `global_rank` with a TOTAL order
+    ((signal, doc_id)), so there are no tie-averaged fractional ranks —
+    both engines assign identical integer ranks, Σd² accumulates as
+    exact longs (order-independent), and the only float op is the
+    final textbook 1 - 6Σd²/(n(n²-1)) division, written with identical
+    operand order on both sides before the 6dp round.
+
+    Scale shape: two distributed rank passes (repartitionByRange +
+    per-partition row_number + broadcast offsets — see functions/ranks)
+    and one global aggregate. No hot window anywhere.
+    """
+    base = documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        TXT.token_count(F.col("text")).cast("long").alias("y"),
+    )
+    rx = global_rank(base, [F.asc("x"), F.asc("doc_id")], "rx")
+    rboth = global_rank(rx, [F.asc("y"), F.asc("doc_id")], "ry")
+    d2 = rboth.select(
+        ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias("d2")
+    )
+    agg = d2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs",
+        "sum_d2",
+        F.round(
+            F.lit(1.0) - 6.0 * F.col("sum_d2") / (nd * (nd * nd - F.lit(1.0))), 6
+        ).alias("rho"),
+    )
+
+
+def code_hygiene_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Combined code-corpus hygiene GATE: input rows (all columns) that
+    pass every StarCoder code-quality rule (see code_quality_flags) AND
+    contain no high-entropy secret candidate (see secret_entropy_scan).
+    The one-predicate splice a curation pipeline runs over a repository
+    corpus before dedup — same pure-filter shape as gopher_pass_filter:
+    no join, no shuffle, one scan.
+
+    The secret check short-circuits: entropy folds run only over the
+    regex candidates (most docs have none), so the common case costs
+    one regexp_extract_all.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    low = F.lower(t)
+    max_ll = F.array_max(F.transform(lines, lambda l: F.length(l)))
+    sum_ll = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    n_lines = F.size(lines)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    n = F.length(t)
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(low, F.lit(m))
+        autogen = c if autogen is None else autogen | c
+    fail_code = (
+        (max_ll > CODEQ_MAX_LINE_LEN)
+        | (sum_ll > CODEQ_MEAN_LINE_LEN * n_lines)
+        | (4 * n_alnum < n)
+        | autogen
+        | ((n_lines < 3) & (n > 300))
+    )
+    cands = F.regexp_extract_all(t, F.lit(SECRET_CANDIDATE_RE), F.lit(0))
+
+    def _entropy(s):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(s)), lambda i: F.substring(s, i, F.lit(1))
+        )
+        nn = F.length(s).cast("double")
+        ds = F.array_sort(F.array_distinct(chars))
+        term = lambda c: (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / nn)
+        return F.round(-F.aggregate(ds, F.lit(0.0), lambda acc, c: acc + term(c)), 6)
+
+    has_secret = F.exists(cands, lambda s: _entropy(s) >= SECRET_MIN_ENTROPY)
+    return documents.filter(~fail_code & ~has_secret)
+
+
+ZIPF_TOP_K = 50
+
+
+def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary head: regress
+    ln(frequency) on ln(rank) for the top-`k` tokens and report the
+    Zipf exponent alpha = -slope plus the fit's r² — the one-row corpus
+    health check (natural corpora fit alpha ≈ 1; machine-generated or
+    template-flooded corpora bend the curve) that complements q65's
+    head listing and q82's coverage curve.
+
+    Exactness: the regression runs on k-bounded rows; every per-rank
+    term (ln r, ln f, their products) is 6dp-rounded and summed as
+    DECIMAL — exact and order-independent, the repo's no-float-sum
+    convention — and only the final closed-form slope/r² expressions
+    are float, written with identical operand order on both engines.
+
+    Scale shape: one token explode + map-side-combined count, then
+    orderBy().limit(k) (TakeOrderedAndProject); the rank window runs
+    over the k surviving rows only.
+    """
+    freq = (
+        documents.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(int(k))
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))  # k-bounded frame
+    ranked = top.withColumn("r", F.row_number().over(w).cast("double"))
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r"))
+    dec = "decimal(28,6)"
+    terms = ranked.select(
+        F.round(lr, 6).cast(dec).alias("x"),
+        F.round(lf, 6).cast(dec).alias("y"),
+        F.round(lr * lf, 6).cast(dec).alias("xy"),
+        F.round(lr * lr, 6).cast(dec).alias("xx"),
+        F.round(lf * lf, 6).cast(dec).alias("yy"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "n_ranks",
+        F.round(-(cov / varx), 6).alias("zipf_alpha"),
+        F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
+    )
+
+
+NOVELTY_GRAM_N = 5
+
+
+def novelty_profile(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct word
+    n-grams whose corpus-wide FIRST occurrence (by doc_id order — the
+    ingest order) is this document. The marginal-contribution signal a
+    streaming curation loop uses: a low-novelty late document adds
+    nothing the corpus hasn't seen and is a drop candidate even when no
+    single earlier document matches it (cross-doc mosaic duplication
+    that pairwise near-dup metrics under-count).
+
+    Plan shape: one gram explode → per-gram min(doc_id) (one shuffle,
+    map-side combined) → join the per-doc distinct grams back on the
+    gram → per-doc conditional count. Linear in corpus grams, no pair
+    work at all.
+    """
+    from githubrepostorag_spark.operators.curation import word_ngram_set
+
+    grams = (
+        documents.select(
+            "doc_id", word_ngram_set(F.col("text"), int(n)).alias("gs")
+        )
+        .select("doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams")
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams").cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+CALIB_BUCKETS = 10
+
+
+def quality_calibration(
+    documents: DataFrame, buckets: int = CALIB_BUCKETS
+) -> DataFrame:
+    """Calibration curve between the quality ladder's two rungs: bucket
+    documents into deciles of the trained classifier score (q191) and
+    report each decile's mean Gopher-rule failure count (q220). A
+    monotone-decreasing curve says the learned score and the heuristic
+    battery agree; a flat curve says one of them is noise — the audit
+    to run before gating a 100 TB corpus on either.
+
+    Deciles come from the DISTRIBUTED percent rank (total order on
+    (score, doc_id) — no global window); the per-decile mean failure
+    count is an order-independent integer mean (sum of longs, one
+    division, 6dp floor-rounded via exact integers).
+    """
+    from githubrepostorag_spark.functions.ranks import global_percent_rank
+
+    scores = logreg_quality_scores(documents).select("doc_id", "score")
+    flags = gopher_flags(documents).select("doc_id", "n_rules_failed")
+    ranked = global_percent_rank(
+        scores, [F.asc("score"), F.asc("doc_id")], "pct"
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.floor(F.col("pct") * buckets).cast("long"), F.lit(int(buckets) - 1)
+        ),
+    )
+    return (
+        ranked.join(flags, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_rules_failed").cast("long").alias("total_failed"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_failed",
+            (
+                F.floor(
+                    F.col("total_failed") * 1_000_000 / F.col("n_docs") + F.lit(0.5)
+                ).cast("long")
+                / 1e6
+            ).alias("mean_rules_failed"),
+        )
+    )
+
+
+def source_novelty(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
+    """Per-source novelty rollup of q248: what fraction of each
+    source's gram occurrences are corpus-firsts (in ingest order) —
+    the saturation table that says which sources still contribute new
+    content and which are re-crawls of what the corpus already holds
+    (the evidence behind q236's repeat-decay parameters).
+
+    Same two-shuffle shape as novelty_profile; the rollup keys on
+    source, and the rate divides exact long sums (order-independent).
+    """
+    from githubrepostorag_spark.operators.curation import word_ngram_set
+
+    grams = (
+        documents.select(
+            "doc_id",
+            "source",
+            word_ngram_set(F.col("text"), int(n)).alias("gs"),
+        )
+        .select("doc_id", "source", F.explode("gs").alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+OOV_VOCAB_SIZE = 500
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-`vocab_size` token vocabulary — the tokenizer-fit audit a
+    pipeline runs before committing a vocab: a source whose OOV rate is
+    an outlier either needs vocab budget or is noise (complements q65's
+    head listing and q208's fertility with a per-SOURCE verdict).
+
+    Scale shape: ONE token explode collapses immediately to the
+    (source, token) count grain — vocab-bounded, orders of magnitude
+    below token grain — and that table is lineage-cut once because it
+    feeds two consumers (the global vocab head and the per-source
+    reductions); without the cut Catalyst replays the corpus explode
+    per consumer. The vocab head is a k-bounded orderBy+limit
+    (TakeOrdered — never a global window), broadcast into a membership
+    flag. All arithmetic is exact integers; the rate is integer
+    permille.
+    """
+    counts = (
+        documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = F.broadcast(
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = counts.join(vocab, "tok", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000 div n_tokens").cast("long").alias("oov_permille"),
+        )
+    )
+
+
+# Unicode letter-script ranges checked by the mixed-script audit; the
+# salt in the q259 oracle cycles snippets from each non-Latin script.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+)
+SCRIPT_MIX_MIN_PCT = 5  # a script "counts" above 5% of letter mass
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """Per-document Unicode-script profile and mixed-script flag — the
+    homoglyph/spam screen a multilingual corpus runs before language-ID
+    (q52 assumes one script; Cyrillic 'о' spoofing Latin 'o' in a
+    code identifier is invisible to trigram language-ID but fails
+    training data): counts per letter script, number of scripts above
+    SCRIPT_MIX_MIN_PCT of the letter mass, and is_mixed.
+
+    Single-scan column expressions: each script count is one
+    regexp_replace-and-length over the text (no explode, no shuffle);
+    the threshold test is pure integer arithmetic (100·n > pct·total),
+    so the flag is exact on both engines.
+    """
+    t = F.col("text")
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))).cast(
+            "long"
+        )
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    n_scripts = None
+    for c in counts.values():
+        hit = F.when(
+            (c * 100 > total * F.lit(SCRIPT_MIX_MIN_PCT)) & (c > 0), 1
+        ).otherwise(0)
+        n_scripts = hit if n_scripts is None else n_scripts + hit
+    return documents.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        total.cast("long").alias("n_letters"),
+        n_scripts.cast("long").alias("n_scripts"),
+        (n_scripts >= 2).alias("is_mixed"),
+    )
+
+
+CHI2_QUALITY_CUT = 0.7  # quality >= cut counts as the "high" cell
+
+
+def quality_chi2_by_source(
+    documents: DataFrame, cut: float = CHI2_QUALITY_CUT
+) -> DataFrame:
+    """Chi-square independence audit of quality × source: per source,
+    the observed high/low-quality counts against the expectation under
+    independence, with the source's chi-square contribution — the
+    "is our quality signal just a source detector?" check that q209
+    runs for DEDUP bias, applied to the quality gate itself. A source
+    whose contribution dominates gets its own review before a mixture
+    weights quality into sampling.
+
+    Exactness: counts are integers; each expectation is ONE long
+    multiply + one double division (order pinned in the oracle); each
+    contribution is two (o-e)²/e terms added in a fixed order and
+    rounded at 6dp. One scan, one groupBy(source), broadcast totals.
+    A degenerate contingency table (a quality class empty CORPUS-wide,
+    so e == 0 for that class everywhere) contributes a pinned 0.0
+    instead of 0/0 — NaN/Inf render differently across engines.
+    """
+    flags = documents.select(
+        "source",
+        (TXT.quality_score(F.col("text")) >= F.lit(cut)).alias("hi"),
+    )
+    per_src = flags.groupBy("source").agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("long").alias("n_lo"),
+    )
+    tot = F.broadcast(
+        per_src.agg(
+            F.sum("n_hi").cast("long").alias("c_hi"),
+            F.sum("n_lo").cast("long").alias("c_lo"),
+        )
+    )
+    w = per_src.crossJoin(tot).withColumn(
+        "n_src", (F.col("n_hi") + F.col("n_lo")).cast("long")
+    )
+    n_all = (F.col("c_hi") + F.col("c_lo")).cast("double")
+    e_hi = (F.col("n_src") * F.col("c_hi")).cast("double") / n_all
+    e_lo = (F.col("n_src") * F.col("c_lo")).cast("double") / n_all
+    term = lambda o, e: F.when(
+        e > 0, (o.cast("double") - e) * (o.cast("double") - e) / e
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "source",
+        "n_hi",
+        "n_lo",
+        F.round(e_hi, 6).alias("expected_hi"),
+        F.round(term(F.col("n_hi"), e_hi) + term(F.col("n_lo"), e_lo), 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+TEMPLATE_PREFIX_LEN = 64
+TEMPLATE_MIN_DOCS = 3
+
+
+def template_prefixes(
+    documents: DataFrame,
+    prefix_len: int = TEMPLATE_PREFIX_LEN,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Boilerplate-template detection by shared normalized PREFIX: hash
+    the first `prefix_len` chars of lower(trim(text)) and report every
+    prefix carried by >= `min_docs` documents, with its source spread —
+    the C4-style template-spam screen (license headers, generator
+    banners, scraped-page chrome) that line-grain dedup (q89) misses
+    when the template is a single long line and doc-grain near-dup
+    (q23) misses when the bodies differ.
+
+    One scan, one groupBy on the prefix hash (key space bounded by
+    distinct prefixes), exact integer counts; the literal prefix rides
+    along via min() (all group members share it by construction).
+    """
+    t = F.lower(F.trim(F.col("text")))
+    pref = F.substring(t, 1, int(prefix_len))
+    base = documents.filter(F.length(t) >= 16).select(
+        "doc_id", "source", F.md5(pref).alias("prefix_hash"), pref.alias("prefix")
+    )
+    return (
+        base.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+            F.min("prefix").alias("prefix"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+PROFILE_TOP_TOKENS = 20
+
+
+def token_profile_anomaly(
+    documents: DataFrame, top_m: int = PROFILE_TOP_TOKENS
+) -> DataFrame:
+    """Per-document style-anomaly score: the L1 distance between the
+    document's token distribution RESTRICTED to the corpus's `top_m`
+    most frequent tokens (its "function-word profile") and the corpus
+    distribution over those same tokens. Machine-generated spam,
+    concatenation glitches, and wrong-register documents all show a
+    function-word profile far from the corpus norm even when their
+    content words look plausible — the stylometric screen next to the
+    content-level quality gates (q17/q79) and source-level KL (q81).
+
+    Closed form: with the profile normalized to mass 1, L1 =
+    sum_present(|p_doc - p_corpus| - p_corpus) + 1.0 — absent profile
+    tokens never materialize rows (the q260 exclusive-mass trick).
+    Scale shape: one token explode; the corpus profile is a top_m-row
+    broadcast (deterministic count DESC, token ASC cut); the per-doc
+    agg keys on doc_id. Docs containing NO profile token have no
+    restricted distribution: score NULL, n_profile_tokens 0.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    profile_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(top_m))
+    )
+    total = profile_counts.agg(F.sum("c").cast("double").alias("tc"))
+    profile = F.broadcast(
+        profile_counts.crossJoin(F.broadcast(total)).select(
+            "tok", (F.col("c") / F.col("tc")).alias("p_c")
+        )
+    )
+    per_doc_tok = (
+        toks.join(profile, "tok")
+        .groupBy("doc_id", "tok", "p_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_d"))
+    )
+    w = Window.partitionBy("doc_id")
+    scored = (
+        per_doc_tok.withColumn("tot_d", F.sum("c_d").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max("tot_d").cast("long").alias("n_profile_tokens"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("c_d") / F.col("tot_d") - F.col("p_c"))
+                    - F.col("p_c")
+                )
+                + F.lit(1.0),
+                6,
+            ).alias("l1_anomaly"),
+        )
+    )
+    return documents.select("doc_id", "source").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_profile_tokens", F.lit(0)).cast("long").alias(
+            "n_profile_tokens"
+        ),
+        "l1_anomaly",
+    )
+
+
+MAD_OUTLIER_K = 3.0
+
+
+def length_mad_outliers(documents: DataFrame, k: float = MAD_OUTLIER_K) -> DataFrame:
+    """Per-source robust length-outlier screen: median and MAD (median
+    absolute deviation) of n_chars, and how many of the source's docs
+    sit more than `k`·MAD from the median — the heavy-tail-safe
+    companion to the mean/stddev length profile (q64): one pathological
+    100 MB document moves a mean but not a median, so the MAD screen
+    flags IT instead of shifting the fence for everyone else (q162's
+    robust-outlier rule, applied at the curation grain).
+
+    Exactness: medians of integer lengths are exact halves (both
+    engines interpolate the even-count midpoint identically), deviations
+    are exact, and the k·MAD comparison is between exactly-representable
+    doubles — bit-stable cross-engine with NO rounding tricks. Two
+    aggs + one join, all keyed on source.
+    """
+    per_med = documents.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = documents.select("source", "n_chars").join(per_med, "source").withColumn(
+        "dev", F.abs(F.col("n_chars").cast("double") - F.col("med_chars"))
+    )
+    stats = dev.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.first("med_chars").alias("med_chars"),
+        F.expr("percentile(dev, 0.5)").alias("mad_chars"),
+    )
+    outl = (
+        dev.join(stats.select("source", F.col("mad_chars").alias("m2")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("dev") > F.lit(float(k)) * F.col("m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        stats.join(outl, "source")
+        .select(
+            "source",
+            "n_docs",
+            "med_chars",
+            "mad_chars",
+            "n_outliers",
+            F.expr("n_outliers * 1000 div n_docs").cast("long").alias(
+                "outlier_permille"
+            ),
+        )
+    )
+
+
+WINNOW_PAIR_MAX_DF = 10
+WINNOW_PAIR_MIN_SHARED = 2
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    max_df: int = WINNOW_PAIR_MAX_DF,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+) -> DataFrame:
+    """Cross-document overlap detection by shared winnowing
+    fingerprints — the MOSS pairing step on top of q53's per-doc
+    fingerprint sets: two documents sharing >= `min_shared` fingerprints
+    share (with winnowing's guarantee) substrings of length
+    >= WINNOW_K + WINNOW_WINDOW - 1, and the containment score
+    n_shared / min(|fps_a|, |fps_b|) ranks partial-copy pairs that
+    doc-grain MinHash (q34) under-scores when the copied block is small
+    relative to the larger document.
+
+    Ubiquitous fingerprints (document frequency > `max_df`) are dropped
+    BEFORE pairing — MOSS's "ignore matches in too many documents"
+    rule. That is also the scale bound: the fingerprint self-join emits
+    at most df² pairs per fingerprint, so capping df caps per-key pair
+    work; sizes and containment are computed over the same rare-only
+    sets the pairing saw. One winnow pass, one df-filter, one
+    equi-self-join on fingerprint.
+    """
+    fps = winnow_fingerprints(documents).localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_df))
+        .select("fingerprint")
+    )
+    f2 = fps.join(rare, "fingerprint", "left_semi").localCheckpoint(eager=False)
+    sizes = f2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def labeler_agreement(
+    documents: DataFrame, cut: float = CHI2_QUALITY_CUT
+) -> DataFrame:
+    """Per-source Cohen's kappa between two INDEPENDENT heuristic
+    quality labelers: A = lexical quality_score >= `cut` (the q17/q262
+    signal), B = passes every Gopher rule (q220's battery). Kappa is
+    chance-corrected agreement — the ensemble-health number a weak-
+    supervision pipeline (q237) or an LLM-judge panel reports before
+    anyone trusts a majority vote: two labelers that agree 90% of the
+    time are worthless if both just say "high" 95% of the time, and
+    kappa is what exposes that.
+
+    One scan builds both labels (the Gopher counts projection +
+    quality_score are column expressions), one groupBy(source) reduces
+    to the 2x2 contingency; po/pe/kappa are derived from the four
+    integer cells in a pinned expression order, rounded 6dp, with the
+    degenerate pe == 1 case (both labelers constant and identical)
+    pinned to kappa = 1.0 on both engines.
+    """
+    flags = _gopher_flag_cols()
+    any_fail = None
+    for r in GOPHER_RULES:
+        any_fail = flags[r] if any_fail is None else (any_fail | flags[r])
+    labeled = _gopher_base(documents, "text").select(
+        "source",
+        (TXT.quality_score(F.col("text")) >= F.lit(float(cut))).alias("a"),
+        (~any_fail).alias("b"),
+    )
+    per = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n_both_hi"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n_a_only"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n_b_only"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n_both_lo"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n_both_hi") + F.col("n_both_lo")).cast("double") / n
+    pa = (F.col("n_both_hi") + F.col("n_a_only")).cast("double") / n
+    pb = (F.col("n_both_hi") + F.col("n_b_only")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_both_hi",
+        "n_a_only",
+        "n_b_only",
+        "n_both_lo",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .otherwise(F.lit(1.0))
+        .alias("kappa"),
+    )
+
+
+ZIPF_SRC_TOP_K = 30
+
+
+def zipf_fit_by_source(documents: DataFrame, k: int = ZIPF_SRC_TOP_K) -> DataFrame:
+    """q247's Zipf regression at the SOURCE grain: per ingestion feed,
+    the exponent alpha and fit r² over the feed's own top-`k` token
+    frequencies — the per-feed naturalness screen. A feed whose curve
+    is much flatter (template flood: many tokens equally frequent) or
+    steeper (near-constant boilerplate: one token dominating) than its
+    siblings gets reviewed before it enters the mixture, which the
+    single corpus-level fit (q247) averages away.
+
+    Same exactness discipline as q247: every per-rank term 6dp-rounded
+    and summed as DECIMAL (exact, order-independent), only the final
+    closed-form slope/r² float — identical operand order both engines.
+    One token explode, one map-side-combined count, one window bounded
+    to k rows per source.
+    """
+    freq = (
+        documents.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w).cast("double"))
+        .filter(F.col("r") <= float(k))
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r"))
+    dec = "decimal(28,6)"
+    terms = ranked.select(
+        "source",
+        F.round(lr, 6).cast(dec).alias("x"),
+        F.round(lf, 6).cast(dec).alias("y"),
+        F.round(lr * lf, 6).cast(dec).alias("xy"),
+        F.round(lr * lr, 6).cast(dec).alias("xx"),
+        F.round(lf * lf, 6).cast(dec).alias("yy"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "source",
+        "n_ranks",
+        F.round(-(cov / varx), 6).alias("zipf_alpha"),
+        F.round((cov / varx) * (cov / vary), 6).alias("r_squared"),
+    )
+
+
+def gopher_matrix_by_source(documents: DataFrame) -> DataFrame:
+    """The Gopher battery (q220) pivoted to the ACTIONABLE grain:
+    per source, how many documents trip each rule, plus the clean-pass
+    count and exact-permille pass rate. q220's corpus-level flag rates
+    say the corpus has a symbol-ratio problem; this matrix says WHICH
+    ingestion feed has it — the row a corpus owner actually routes to
+    a crawler fix or a feed drop.
+
+    One scan (the shared `_gopher_base` count projection), one
+    groupBy(source) carrying nine conditional sums — all integer."""
+    flags = _gopher_flag_cols()
+    any_fail = None
+    for r in GOPHER_RULES:
+        any_fail = flags[r] if any_fail is None else (any_fail | flags[r])
+    base = _gopher_base(documents, "text")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(flags[r], 1).otherwise(0)).cast("long").alias(r)
+            for r in GOPHER_RULES
+        ],
+        F.sum(F.when(any_fail, 0).otherwise(1)).cast("long").alias("n_pass"),
+    ).withColumn(
+        "pass_permille", F.expr("n_pass * 1000 div n_docs").cast("long")
+    )
+
+
+BURSTINESS_MIN_DF = 5
+BURSTINESS_TOP_K = 10
+
+
+def term_burstiness(
+    documents: DataFrame,
+    min_df: int = BURSTINESS_MIN_DF,
+    top_k: int = BURSTINESS_TOP_K,
+) -> DataFrame:
+    """Per-source top-k BURSTY terms by variance-to-mean ratio of the
+    per-document count (Church & Gale: content words are bursty —
+    VMR >> 1 — while function words are near-Poisson). A term whose
+    occurrences pile into few documents inflates n-gram LM counts and
+    survives naive frequency caps; burstiness is the curator's signal
+    for boilerplate/template vocabulary that frequency alone misses.
+
+    VMR over ALL n_s docs of the source (absent docs contribute zero
+    counts, no second scan needed): with c = Σ count, ss = Σ count²,
+    VMR = var/mean = ss/c − c/n_s — two integer sums per (source,
+    term), one shuffle, then a top-k window over df-filtered terms
+    (the filter bounds the ranked set). Ranked on the ROUNDED value so
+    both engines order identical doubles.
+    """
+    toks = documents.select(
+        "source", "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("source", "doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_term = per_doc.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("n_occ"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    n_docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        per_term.filter(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs), "source")
+        .withColumn(
+            "vmr",
+            F.round(
+                F.col("ss") / F.col("n_occ").cast("double")
+                - F.col("n_occ") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("vmr"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("source", "rk", "tok", "df", "n_occ", "vmr")
+    )
+
+
+TOKEN_RUN_LOOPY = 4
+
+
+def token_run_profile(
+    documents: DataFrame, loopy_run: int = TOKEN_RUN_LOOPY
+) -> DataFrame:
+    """Per-source degenerate-repetition audit: the longest run of
+    CONSECUTIVE identical tokens per document ("the the the ..."), the
+    signature of generation loops and copy-paste stutter that n-gram
+    fraction metrics (q60) dilute away on long documents. Reports per
+    source: docs, docs whose max run ≥ `loopy_run` (and the permille),
+    and the longest run seen — all integers, no float comparisons.
+
+    Plan: gaps-and-islands entirely with one posexplode + one window
+    keyed (doc_id, tok) — island id = pos − per-token row_number, runs
+    are island sizes. Both windows partition by document (and token),
+    so no corpus-global ordering exists anywhere.
+    """
+    toks = documents.select(
+        "source",
+        "doc_id",
+        F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w_tok = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        toks.withColumn("island", F.col("pos") - F.row_number().over(w_tok))
+        .groupBy("source", "doc_id", "tok", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("source", "doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    # documents with zero tokens never reach `runs` — rejoin so they
+    # count as max_run = 0 instead of vanishing from the denominator
+    base = documents.select("source", "doc_id")
+    full = base.join(runs.select("doc_id", "max_run"), "doc_id", "left").select(
+        "source", F.coalesce(F.col("max_run"), F.lit(0)).alias("max_run")
+    )
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("max_run") >= loopy_run, 1).otherwise(0))
+            .cast("long")
+            .alias("n_loopy"),
+            F.max("max_run").cast("long").alias("max_run_seen"),
+        )
+        .withColumn(
+            "loopy_permille", F.expr("n_loopy * 1000 div n_docs").cast("long")
+        )
+        .orderBy("source")
+    )
+
+
+HEAPS_BUCKETS = 32  # vocab-growth checkpoints per source (fit points)
+
+
+def heaps_fit_by_source(
+    documents: DataFrame, n_buckets: int = HEAPS_BUCKETS
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: V(N) ≈ K·N^β over
+    the feed's own ingestion order (doc_id). β near the natural-text
+    band (~0.4–0.6, Heaps 1978) says the feed keeps contributing new
+    types as it grows; β ≈ 0 says the feed's vocabulary has saturated
+    (template/boilerplate flood — more tokens, no new information),
+    and β near 1 flags id/hash spam where almost every token is novel.
+    The companion to the Zipf screen (q247/q274): Zipf checks the
+    frequency SHAPE at a point in time, Heaps checks the GROWTH curve,
+    and feeds gamed to pass one routinely fail the other.
+
+    Fit points are `n_buckets` doc_id-range checkpoints per source
+    (integer bucket = (doc_id-min)·B div (max-min+1) — identical
+    arithmetic in the oracle): per bucket, cumulative token count N_b
+    and cumulative distinct types V_b (types counted at their FIRST
+    doc), then an OLS of ln V on ln N over the checkpoints — the q247
+    exactness discipline (each log term 6dp-rounded, summed as
+    DECIMAL, one closed-form slope in double with identical operand
+    order both engines). Degenerate fits (a single distinct point)
+    emit NULL rather than a NaN slope.
+
+    Scale: one token explode feeding two map-side-combined aggregates
+    (per-bucket counts, per-token first-doc), a broadcast of the
+    |sources|-row bounds table, and windows over |sources|·B rows —
+    no corpus-sized window, no global sort.
+    """
+    toks = documents.select(
+        "source", "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    bounds = documents.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bucket_of = lambda col: F.expr(
+        f"(({col} - mn) * {int(n_buckets)}) div (mx - mn + 1)"
+    ).cast("long")
+    tokc = (
+        toks.join(F.broadcast(bounds), "source")
+        .withColumn("b", bucket_of("doc_id"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    )
+    first = (
+        toks.groupBy("source", "tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(F.broadcast(bounds), "source")
+        .withColumn("b", bucket_of("fd"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    grid = tokc.join(first, ["source", "b"], "left").fillna(0, subset=["n_new"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        grid.select(
+            "source",
+            "b",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum("n_new").over(w).alias("cum_types"),
+        )
+        .filter(F.col("cum_toks") > 0)
+    )
+    lx = F.log(F.col("cum_toks").cast("double"))
+    ly = F.log(F.col("cum_types").cast("double"))
+    dec = "decimal(28,6)"
+    terms = pts.select(
+        "source",
+        "cum_toks",
+        "cum_types",
+        F.round(lx, 6).cast(dec).alias("x"),
+        F.round(ly, 6).cast(dec).alias("y"),
+        F.round(lx * ly, 6).cast(dec).alias("xy"),
+        F.round(lx * lx, 6).cast(dec).alias("xx"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cum_toks").cast("long").alias("total_tokens"),
+        F.max("cum_types").cast("long").alias("vocab"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = cov / varx
+    # n_points >= 2 is checked EXPLICITLY: at one point the algebraic
+    # varx is 0, but the 6dp term rounding leaves a ~1e-5 residue that
+    # would "fit" a garbage slope of rounding noise
+    fit_ok = (F.col("n_points") >= 2) & (varx != 0)
+    return (
+        agg.select(
+            "source",
+            "n_points",
+            "total_tokens",
+            "vocab",
+            F.when(fit_ok, F.round(beta, 6)).alias("heaps_beta"),
+            F.when(
+                fit_ok,
+                F.round((F.col("sy") - beta * F.col("sx")) / n, 6),
+            ).alias("heaps_logk"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_ks_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source length-distribution drift: the two-sample
+    Kolmogorov–Smirnov statistic D between each source's document-
+    length ECDF and the ECDF of everything else. The companion to the
+    token-distribution divergences (q253/q260): JS over unigrams
+    catches topical drift, KS over lengths catches STRUCTURAL drift —
+    a feed that switched from documents to log lines (or started
+    concatenating pages) moves D long before its vocabulary shifts.
+    Reports D (6dp), the length where the gap peaks (smallest such
+    length on ties), and both sample sizes.
+
+    Exactness: ECDFs are exact integer cumulative counts divided once
+    in double — identical rational inputs and operand order in both
+    engines — and the argmax ranks on the 6dp-ROUNDED gap with the
+    length as tie-break, so engine-order never leaks into the answer.
+
+    Scale: one groupBy(source, length), the corpus-length spine is
+    |distinct lengths| rows (window over it is bounded by the length
+    domain, not the corpus), and the evaluation grid is
+    |sources|·|lengths| — both dimension-bounded. Sources with an
+    empty complement (single-source corpus) are excluded: D against
+    nothing is undefined.
+    """
+    src_len = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    len_tot = src_len.groupBy("n_chars").agg(F.sum("c").alias("t"))
+    wl = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # corpus spine: cumulative total per distinct length (|lengths| rows)
+    spine = len_tot.select(
+        "n_chars", F.sum("t").over(wl).alias("cum_all")
+    )
+    totals = src_len.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grand = src_len.agg(F.sum("c").alias("n_all"))
+    # evaluation grid: every source × every corpus length
+    grid = totals.crossJoin(F.broadcast(grand)).crossJoin(
+        F.broadcast(spine.select("n_chars"))
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(src_len, ["source", "n_chars"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn("cum_src", F.sum("c").over(ws))
+        .join(F.broadcast(spine), "n_chars")
+        .filter(F.col("n_all") > F.col("n_src"))  # complement non-empty
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cum_src").cast("double") / F.col("n_src").cast("double")
+            - (F.col("cum_all") - F.col("cum_src")).cast("double")
+            / (F.col("n_all") - F.col("n_src")).cast("double")
+        ),
+        6,
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.desc("d"), F.asc("n_chars")
+    )
+    return (
+        cum.select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs"),
+            (F.col("n_all") - F.col("n_src")).cast("long").alias("n_rest"),
+            "n_chars",
+            gap.alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            "n_docs",
+            "n_rest",
+            F.col("d").alias("ks_d"),
+            F.col("n_chars").cast("long").alias("ks_at_length"),
+        )
+        .orderBy("source")
+    )
