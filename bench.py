@@ -527,6 +527,66 @@ def main() -> None:
                         )
                 finally:
                     shutil.rmtree(root, ignore_errors=True)
+
+            # --- scale-step (r9 verdict ask #3): the SAME docs pushed
+            # through two trigger sizes — 24 batches of ~16 vs 3
+            # batches of ~128. The per-trigger fixed cost (codebook
+            # read, plan setup, checkpoint commit) amortizes with
+            # batch size, so the 8x-larger trigger must show >=3x the
+            # docs/s at flat trigger-to-trigger times — the
+            # test_streaming amortization pin, now in the benched
+            # artifact. Meta-only: adds NO entry, so round-over-round
+            # entry sums stay comparable.
+            step_docs = emb_all.filter(F.col("vec_id") % 5 == 0).limit(384)
+            n_step = step_docs.count()
+            step_meta = {}
+            for label, n_files in (("batch16", 24), ("batch128", 3)):
+                src = os.path.join(es_root, f"src_{label}")
+                step_docs.select("vec_id", "label", "embedding").repartition(
+                    n_files
+                ).write.mode("overwrite").json(src)
+                root = tempfile.mkdtemp(prefix="bench-embstep-")
+                try:
+                    shutil.copytree(es_store, os.path.join(root, "store"))
+                    shutil.copytree(
+                        _sidecar(es_store), _sidecar(os.path.join(root, "store"))
+                    )
+                    t0 = time.time()
+                    q = stream_embedding_gate(
+                        spark.readStream.schema(
+                            "vec_id long, label int, embedding array<float>"
+                        )
+                        .option("maxFilesPerTrigger", 1)
+                        .json(src),
+                        os.path.join(root, "store"),
+                        os.path.join(root, "accepted"),
+                        os.path.join(root, "rejected"),
+                        os.path.join(root, "ckpt"),
+                    )
+                    q.awaitTermination()
+                    elapsed = time.time() - t0
+                    batches = [
+                        p for p in (q.recentProgress or [])
+                        if p.get("numInputRows", 0) > 0
+                    ]
+                    step_meta[label] = {
+                        "n_batches": len(batches),
+                        "docs_per_sec": round(n_step / elapsed, 1),
+                        "batch_trigger_ms": [
+                            int(p["durationMs"]["triggerExecution"])
+                            for p in batches
+                            if "durationMs" in p
+                        ],
+                    }
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
+            if "stream_embedding_sustained" in entry_meta:
+                small = step_meta.get("batch16", {}).get("docs_per_sec", 0)
+                large = step_meta.get("batch128", {}).get("docs_per_sec", 0)
+                entry_meta["stream_embedding_sustained"]["scale_step"] = {
+                    **step_meta,
+                    "large_over_small": round(large / small, 2) if small else None,
+                }
         finally:
             shutil.rmtree(es_root, ignore_errors=True)
 

@@ -1737,6 +1737,40 @@ def arrival_burstiness(
 PSI_BUCKETS = 10  # decile grid for the population-stability index
 
 
+def psi_decile_edges(vals: DataFrame) -> DataFrame:
+    """Decile edges per event type from a (event_type, value) frame via
+    q281's exact-rank ladder: per-(type, value) integer counts, a
+    cumulative window over DISTINCT values only (never a sort of the
+    raw stream), and edge_k = the smallest value whose cumulative
+    count reaches ceil(k·n/10) — pure integer arithmetic, identical
+    in any engine. Returns (event_type, k, edge), k in 1..9 — the
+    fit side of the streaming PSI monitor (edges frozen ONCE on
+    history, every micro-batch scored against them); q298 computes the
+    same ladder inline on its half-1 counts, kept inline there so the
+    driver-recorded plan stays byte-stable.
+    """
+    counts = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wv))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    ks = vals.sparkSession.range(1, PSI_BUCKETS).select(F.col("id").alias("k"))
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cum") >= F.expr(f"(k * n + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
+        )
+        .groupBy("event_type", "k")
+        .agg(F.min("value").alias("edge"))
+    )
+
+
 def value_psi_by_type(events: DataFrame) -> DataFrame:
     """Population Stability Index per event type: bucket the metric
     `value` into deciles fitted on the FIRST half of the time range,

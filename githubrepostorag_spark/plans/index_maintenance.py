@@ -281,7 +281,15 @@ def maintain_ivf_store(
         if n_batch <= driver_bound_rows(spark, bytes_per_row=8 * 512)
         else incremental_knn_probe
     )
-    neighbors = probe(probe_store, probe_batch, k=k)
+    # eager-pinned once for everyone: the audit's hubness rollup below,
+    # the remap branches (which must read the ORIGINAL files before an
+    # overwrite deletes them), and the caller all consume ONE
+    # materialized batch×k result instead of re-running the probe
+    neighbors = probe(probe_store, probe_batch, k=k).localCheckpoint(eager=True)
+    # candidate-pool size for the hubness audit below — counted NOW,
+    # on the same partition-pruned files the probe scanned, because a
+    # drift remap overwrites those files before the audit runs
+    n_cand = int(probe_store.count())
 
     # --- append (cheap path): only the batch's cells gain files; the
     # sidecar folds the batch's |cells|-bounded partials in one append
@@ -356,10 +364,9 @@ def maintain_ivf_store(
         # canonicalize identically, so exchange reuse can silently
         # serve the PRE-append listing to one of them; it also keeps
         # the remap from lazily re-scanning a path it is overwriting.
-        # Pin every result that still reads the store's ORIGINAL files
-        # BEFORE the overwrite deletes them: the probe result is lazy
-        # and a caller consuming it post-remap would hit FILE_NOT_EXIST
-        neighbors = neighbors.localCheckpoint(eager=True)
+        # The probe result was eager-pinned at creation, so it already
+        # holds the store's ORIGINAL files' rows before the overwrite
+        # deletes them.
         full = (
             store.select("vec_id", "label", "ve", "vn", "cell")
             .unionByName(appended.select("vec_id", "label", "ve", "vn", "cell"))
@@ -368,7 +375,6 @@ def maintain_ivf_store(
         )
         write_ivf_store(full, path)
     elif balance_fired:
-        neighbors = neighbors.localCheckpoint(eager=True)  # pre-split files
         cell_rows = drift.select("cell", "n_total").collect()  # |cells|-bounded
         total = int(agg["total"])
         mega = sorted(
@@ -385,9 +391,59 @@ def maintain_ivf_store(
                 next_id += 1
         remapped = n_cells_split > 0  # all-degenerate: nothing rewrote
 
+    # --- serving-health audit (r9 verdict ask #4): the occupancy
+    # trigger above says the index is SHAPED right; these two families
+    # say it still SERVES right, emitted every cycle so the composed
+    # lifecycle reports drift, not just occupancy. Both are bounded:
+    # q272's worst-case scan share comes from the |cells|-row occupancy
+    # frame (top-p cells / total, exact permille), and the probe-side
+    # hubness reads only the already-pinned batch×k neighbor edges —
+    # a hub-forming batch (every new vector adopting the same store
+    # neighbor) drives the top-share far above the uniform baseline,
+    # the earliest serving symptom of q290/q296's hub pathology. The
+    # store is never re-scanned for either.
+    top_cells = [
+        int(r["n_total"])
+        for r in drift.select("n_total")
+        .orderBy(F.desc_nulls_last("n_total"))
+        .limit(3)
+        .collect()
+    ]
+    total_rows = int(agg["total"]) if agg["total"] else 0
+    scan_rows, cum = [], 0
+    for p, c in enumerate(top_cells, start=1):
+        cum += c
+        scan_rows.append(
+            (
+                f"scan_share_p{p}_permille",
+                float(cum * 1000 // total_rows) if total_rows else 0.0,
+            )
+        )
+    hub = (
+        neighbors.groupBy("nbr_id")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .agg(F.max("indeg").alias("mx"), F.sum("indeg").alias("edges"))
+        .collect()[0]
+    )
+    # top share = fraction of the batch adopting the single most-
+    # adopted store neighbor; uniform = the share ANY candidate would
+    # get were each batch vector's k choices spread evenly over the
+    # probed cells' candidates (the same partition-pruned rows the
+    # probe itself scanned — counting them adds no new store I/O).
+    # The delta between the two is the hub signal: ≈uniform-sized for
+    # a spread batch, →1000 when the whole batch piles onto one row.
+    edges = int(hub["edges"] or 0)
+    hub_top = int(hub["mx"]) * 1000 // n_batch if edges else 0
+    hub_uniform = min(k, n_cand) * 1000 // n_cand if (edges and n_cand) else 0
+    hub_rows = [
+        ("probe_hub_top_share_permille", float(hub_top)),
+        ("probe_hub_uniform_permille", float(hub_uniform)),
+        ("probe_hub_delta_permille", float(hub_top - hub_uniform)),
+    ]
+
     import pandas as pd
 
-    audit_rows = [
+    audit_rows = scan_rows + hub_rows + [
         ("n_store", float(n_store)),
         ("n_batch", float(n_batch)),
         ("cells_touched", float(len(batch_cells))),

@@ -246,3 +246,172 @@ def stream_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PSI_ALARM = 0.25  # the credit-scoring "population has shifted" line
+
+
+def stream_psi_monitor(
+    events_stream: DataFrame,
+    history: DataFrame,
+    report_path: str,
+    checkpoint_path: str,
+    alarm_threshold: float = PSI_ALARM,
+):
+    """Always-on PSI drift monitor — the value-distribution twin of the
+    q277 lateness profile, promoting q298's batch audit to a per-
+    trigger stream (r9 verdict ask #5). Decile edges are fitted ONCE
+    on the `history` frame via `eventops.psi_decile_edges` (q281's
+    exact-rank ladder) and FROZEN, the history's smoothed decile mass
+    is precomputed once, and every micro-batch's `value` distribution
+    is scored against them: one report row per (batch_id, event_type)
+    appends to `report_path` carrying n_batch / n_hist / psi / alarmed.
+    Dead-letter-style discipline: the monitor never blocks or mutates
+    the stream — drift lands where an operator can alarm on it
+    (`alarmed` = psi > `alarm_threshold`), and an event type the
+    history has never seen is itself reported as drift (psi NULL,
+    alarmed true) instead of being silently unscored.
+
+    Scale: the fit side runs once (distinct-value ladder, never a raw
+    sort); per trigger the batch collapses to (type, value) counts,
+    buckets against the broadcast 9-edge/|types| table, and reports
+    |types| rows — nothing store- or history-sized is touched per
+    batch. All ten buckets contribute through a constant spine (q298's
+    empty-bucket lesson); the smoothed (+0.5) PSI terms are 12dp-
+    rounded DECIMAL sums, the same arithmetic the batch audit pins.
+    """
+    from githubrepostorag_spark.operators.eventops import (
+        PSI_BUCKETS,
+        psi_decile_edges,
+    )
+
+    spark = history.sparkSession
+    hist = history.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    edges = psi_decile_edges(hist).localCheckpoint(eager=True)  # |types|·9
+    spine = (
+        hist.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, PSI_BUCKETS + 1).select(F.col("id").alias("bucket"))
+            )
+        )
+    )
+    hist_counts = hist.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hist_base = (
+        hist_counts.join(F.broadcast(edges), "event_type", "left")
+        .groupBy("event_type", "value", "c")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("edge") < F.col("value"), 1)), F.lit(0)
+                )
+                + 1
+            ).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").cast("long").alias("b1"))
+    )
+    base = (
+        spine.join(hist_base, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("b1"), F.lit(0)).cast("long").alias("b1"),
+        )
+        .localCheckpoint(eager=True)  # |types|·10 rows, frozen like the edges
+    )
+    n_hist = {
+        r["event_type"]: int(r["n"])
+        for r in hist.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # |types|-bounded
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        vals = batch.filter(F.col("value").isNotNull()).select(
+            "event_type", "value"
+        )
+        bcounts = vals.groupBy("event_type", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).localCheckpoint(eager=True)  # two consumers below
+        bucketed = (
+            bcounts.join(F.broadcast(edges), "event_type", "left")
+            .groupBy("event_type", "value", "c")
+            .agg(
+                (
+                    F.coalesce(
+                        F.sum(F.when(F.col("edge") < F.col("value"), 1)),
+                        F.lit(0),
+                    )
+                    + 1
+                ).alias("bucket")
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("c").cast("long").alias("b2"))
+        )
+        totals2 = bcounts.groupBy("event_type").agg(
+            F.sum("c").cast("long").alias("n2")
+        )
+        n1_df = F.broadcast(
+            spark.createDataFrame(
+                list(n_hist.items()) or [("", 0)], "event_type string, n1 long"
+            )
+        )
+        smooth = float(0.5 * PSI_BUCKETS)
+        p1 = (F.col("b1").cast("double") + F.lit(0.5)) / (
+            F.col("n1").cast("double") + F.lit(smooth)
+        )
+        p2 = (F.col("b2").cast("double") + F.lit(0.5)) / (
+            F.col("n2").cast("double") + F.lit(smooth)
+        )
+        term = F.round((p2 - p1) * F.log(p2 / p1), 12).cast("decimal(38,12)")
+        scored = (
+            base.join(bucketed, ["event_type", "bucket"], "left")
+            .join(n1_df, "event_type")
+            .join(F.broadcast(totals2), "event_type", "left")
+            .select(
+                "event_type",
+                "n1",
+                F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+                "b1",
+                F.coalesce(F.col("b2"), F.lit(0)).alias("b2"),
+            )
+            .withColumn("term", term)
+            .groupBy("event_type")
+            .agg(
+                F.max("n1").alias("n_hist"),
+                F.max("n2").alias("n_batch"),
+                F.round(F.sum("term").cast("double"), 6).alias("psi"),
+            )
+            .filter(F.col("n_batch") > 0)  # types absent from THIS batch
+        )
+        unseen = (
+            totals2.join(n1_df, "event_type", "left_anti")
+            .select(
+                "event_type",
+                F.lit(0).cast("long").alias("n_hist"),
+                F.col("n2").alias("n_batch"),
+                F.lit(None).cast("double").alias("psi"),
+            )
+        )
+        report = (
+            scored.unionByName(unseen)
+            .withColumn(
+                "alarmed",
+                F.coalesce(F.col("psi") > F.lit(alarm_threshold), F.lit(True)),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        report.write.mode("append").parquet(report_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

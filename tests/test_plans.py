@@ -1158,6 +1158,68 @@ def test_split_cell_local_dedups_conflicting_vecids_deterministically(
     ).collect()[0][0] == 4
 
 
+def test_maintenance_serving_health_audit_rows(spark, tmp_path):
+    """r9 verdict ask #4: every maintenance cycle emits q272-style
+    worst-case scan shares and probe-side hubness rows in
+    MaintenanceResult.audit. A spread batch (exact twins of four
+    DIFFERENT store vectors) stays near the uniform adoption baseline;
+    a hub-forming batch (four copies adopting ONE store vector) drives
+    the delta row up — the earliest serving symptom of q290/q296's hub
+    pathology, caught per cycle without a store scan."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.plans.index_maintenance import maintain_ivf_store
+
+    schema = "vec_id long, label int, embedding array<float>"
+    path = str(tmp_path / "ivf")
+    a = [[1.0, 0.0, 0.0, 0.0], [0.99, 0.1, 0.0, 0.0],
+         [0.98, 0.15, 0.0, 0.0], [0.97, 0.2, 0.0, 0.0]]
+    b = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.99, 0.1, 0.0],
+         [0.0, 0.98, 0.15, 0.0], [0.0, 0.97, 0.2, 0.0]]
+    write_ivf_store(
+        spark.createDataFrame(
+            [(i, 0, v) for i, v in enumerate(a)]
+            + [(10 + i, 1, v) for i, v in enumerate(b)],
+            schema,
+        ),
+        path,
+    )
+    spread = spark.createDataFrame(
+        [(100, 0, a[0]), (101, 0, a[1]), (110, 1, b[0]), (111, 1, b[1])],
+        schema,
+    )
+    res1 = maintain_ivf_store(
+        spark, path, spread, k=1, drift_cos_threshold=0.0,
+        balance_permille_threshold=None, run_id="spread",
+    )
+    au1 = {r.step: r.value for r in res1.audit.collect()}
+    for key in ("scan_share_p1_permille", "probe_hub_top_share_permille",
+                "probe_hub_uniform_permille", "probe_hub_delta_permille"):
+        assert key in au1, key
+    # q272 semantics: cumulative, monotone, capped at 1000
+    assert 0 < au1["scan_share_p1_permille"] <= au1["scan_share_p2_permille"]
+    assert au1["scan_share_p2_permille"] <= au1.get(
+        "scan_share_p3_permille", 1000.0
+    ) <= 1000.0
+    # each twin adopts its own distinct neighbor: top share = 1/4
+    assert au1["probe_hub_top_share_permille"] == 250.0
+    assert au1["probe_hub_delta_permille"] <= 250.0
+
+    hub = spark.createDataFrame([(200 + i, 0, a[0]) for i in range(4)], schema)
+    res2 = maintain_ivf_store(
+        spark, path, hub, k=1, drift_cos_threshold=0.0,
+        balance_permille_threshold=None, run_id="hub",
+    )
+    au2 = {r.step: r.value for r in res2.audit.collect()}
+    assert au2["probe_hub_top_share_permille"] == 1000.0
+    assert au2["probe_hub_delta_permille"] >= 600.0
+    assert (
+        au2["probe_hub_delta_permille"]
+        > au1["probe_hub_delta_permille"] + 400.0
+    )
+
+
 def test_round10_new_ops_plan_shapes(spark):
     """Physical-plan pins for the round-10 operators: no cartesian
     product anywhere (q291/q292's crossJoins are against broadcast

@@ -1424,3 +1424,51 @@ def test_embedding_gate_batch_size_amortizes_fixed_cost(spark, tmp_path):
     # generous margin so shared-box load can't flake it: 8x the fixed
     # overhead must show up as AT LEAST a 20% gap
     assert t_one < 0.8 * t_many, (t_one, t_many)
+
+
+def test_stream_psi_monitor_identical_zero_shifted_flagged(spark, tmp_path):
+    """r9 verdict ask #5: the always-on PSI monitor scores every
+    micro-batch against decile edges frozen on the history side. A
+    batch that IS the history distribution scores PSI = 0.0 exactly
+    (b2 == b1, n2 == n1 → every smoothed term vanishes) and is not
+    alarmed; a trigger whose mass shifted past every fitted edge is
+    alarmed; an event type the history never saw gets its own alarmed
+    report row (psi NULL) instead of being silently unscored."""
+    from githubrepostorag_spark.streaming.events import stream_psi_monitor
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, event_type string, value double"
+    hist_rows = [(i, "pay", float(i % 100)) for i in range(1000)] + [
+        (10_000 + i, "tip", float(i % 10)) for i in range(200)
+    ]
+    history = spark.createDataFrame(hist_rows, schema)
+
+    # trigger 1: the history distribution itself
+    spark.createDataFrame(hist_rows, schema).write.mode("overwrite").json(src)
+    q = stream_psi_monitor(
+        spark.readStream.schema(schema).json(src), history, rep, ckpt
+    )
+    q.awaitTermination(300)
+    r1 = {r.event_type: r for r in spark.read.parquet(rep).collect()}
+    assert r1["pay"].psi == 0.0 and not r1["pay"].alarmed
+    assert r1["tip"].psi == 0.0 and not r1["tip"].alarmed
+    assert r1["pay"].n_hist == 1000 and r1["pay"].n_batch == 1000
+
+    # trigger 2: 'pay' mass shifted past every edge + an unseen type
+    shifted = [(50_000 + i, "pay", 1e6 + i) for i in range(500)] + [
+        (60_000 + i, "refund", float(i)) for i in range(50)
+    ]
+    spark.createDataFrame(shifted, schema).write.mode("append").json(src)
+    q2 = stream_psi_monitor(
+        spark.readStream.schema(schema).json(src), history, rep, ckpt
+    )
+    q2.awaitTermination(300)
+    rows = spark.read.parquet(rep).collect()
+    b2 = max(r.batch_id for r in rows)
+    r2 = {r.event_type: r for r in rows if r.batch_id == b2}
+    assert r2["pay"].alarmed and r2["pay"].psi > 0.25
+    assert r2["refund"].alarmed and r2["refund"].psi is None
+    assert r2["refund"].n_hist == 0 and r2["refund"].n_batch == 50
+    assert "tip" not in r2  # absent from the trigger → nothing to score

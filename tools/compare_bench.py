@@ -3,18 +3,34 @@
 new-entry cost, plus the biggest per-entry movers with their winning-
 pass load1 so adjudication starts from facts.
 
-Usage: python tools/compare_bench.py OLD.json NEW.json [top_n]
+Usage:
+    python tools/compare_bench.py OLD.json NEW.json [top_n]
+    python tools/compare_bench.py OLD.json NEW.json --adjudicate [top_n]
+
+--adjudicate (r9 verdict ask #8) closes the loop the judge previously
+ran by hand: it re-runs the top movers in ONE isolated
+`SPARK_GRAFT_BENCH_ONLY` invocation of bench.py, classifies each mover
+by whether the isolated time reproduces the NEW number (current box
+state) or the OLD one (the delta was a load artifact), and appends the
+verdict as a ready-made ledger bullet to README.md.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# movers smaller than this are inside the box's documented run-to-run
+# spread — re-running them adjudicates nothing
+ADJ_MIN_ABS_S = 0.3
+ADJ_MIN_REL = 0.05
+ADJ_MATCH_REL = 0.10  # "reproduces X" = within 10% of X
 
-def main() -> None:
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+
+def _compare(old_path: str, new_path: str, top_n: int):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
@@ -46,6 +62,73 @@ def main() -> None:
     for d, k in deltas[:top_n]:
         l1 = meta.get(k, {}).get("load1")
         print(f"  {d:+7.3f}  {k}: {oq[k]} -> {nq[k]}  (load1 {l1})")
+    return old, new, deltas, pct, med, len(shared)
+
+
+def _adjudicate(old, new, deltas, pct, med, n_shared, top_n) -> None:
+    oq, nq = old["queries"], new["queries"]
+    movers = [
+        (d, k)
+        for d, k in deltas
+        if abs(d) >= max(ADJ_MIN_ABS_S, ADJ_MIN_REL * oq[k])
+    ][:top_n]
+    if not movers:
+        print("adjudicate: no mover exceeds the noise floor "
+              f"(|delta| >= max({ADJ_MIN_ABS_S}s, {ADJ_MIN_REL:.0%})) — "
+              "nothing to re-run")
+        return
+    names = [k for _, k in movers]
+    print(f"adjudicate: isolated BENCH_ONLY rerun of {names} ...")
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(names))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO, env=env, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    iso = json.load(open(os.path.join(REPO, "bench_result_only.json")))
+    iq, iload = iso["queries"], iso.get("loadavg_start")
+    parts = []
+    for d, k in movers:
+        r = iq.get(k)
+        if r is None:
+            parts.append(f"`{k}` {oq[k]}→{nq[k]} s isolated-rerun MISSING")
+            continue
+        near_new = abs(r - nq[k]) <= ADJ_MATCH_REL * nq[k]
+        near_old = abs(r - oq[k]) <= ADJ_MATCH_REL * oq[k]
+        if near_new and near_old:
+            verdict = "within noise of both"
+        elif near_new:
+            verdict = ("reproduces the new number — real on this box"
+                       if d > 0 else "reproduces the new number — real win")
+        elif near_old:
+            verdict = "matches the OLD number — suite-read was a load artifact"
+        else:
+            verdict = "matches neither — box unstable, re-measure"
+        parts.append(f"`{k}` {oq[k]}→{nq[k]} s, isolated {r} s ({verdict})")
+    so = sum(oq[k] for k in sorted(set(oq) & set(nq)))
+    sn = sum(nq[k] for k in sorted(set(oq) & set(nq)))
+    bullet = (
+        f"- adjudication (scripted `compare_bench.py --adjudicate`, "
+        f"isolated-run load_start {iload}): {n_shared} shared entries "
+        f"{so:.1f} → {sn:.1f} s ({pct:+.1f}%, median {med:+.3f} s); "
+        f"movers re-run isolated: " + "; ".join(parts) + "."
+    )
+    print("\nledger bullet:\n" + bullet)
+    readme = os.path.join(REPO, "README.md")
+    with open(readme, "a") as f:
+        f.write(bullet + "\n")
+    print(f"appended to {readme}")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    adjudicate = "--adjudicate" in args
+    args = [a for a in args if a != "--adjudicate"]
+    old_path, new_path = args[0], args[1]
+    top_n = int(args[2]) if len(args) > 2 else (3 if adjudicate else 12)
+    old, new, deltas, pct, med, n_shared = _compare(old_path, new_path, top_n)
+    if adjudicate:
+        _adjudicate(old, new, deltas, pct, med, n_shared, top_n)
 
 
 if __name__ == "__main__":
