@@ -926,8 +926,14 @@ def reconcile_replay_rows(store: DataFrame) -> DataFrame:
     sidecar it replaces (r9 ADVICE low #2). Every rebuild path
     (`upgrade_ivf_store` lost-sidecar branch, `_split_cell_local`,
     `compact_ivf_store`) must reconcile through this helper, not a
-    bare dropDuplicates."""
-    return store.filter(F.col("batch_id") < 0).unionByName(
+    bare dropDuplicates.
+
+    NULL batch_id classifies as additive: current-layout writers
+    always stamp one, but a half-migrated frame reaching this helper
+    must degrade to keeping rows, never to silently dropping them
+    (a bare `< 0` filter would lose NULLs from BOTH branches)."""
+    additive = F.col("batch_id").isNull() | (F.col("batch_id") < 0)
+    return store.filter(additive).unionByName(
         store.filter(F.col("batch_id") >= 0).dropDuplicates(["vec_id", "batch_id"])
     )
 

@@ -357,9 +357,18 @@ def stream_psi_monitor(
         totals2 = bcounts.groupBy("event_type").agg(
             F.sum("c").cast("long").alias("n2")
         )
+        # pandas → Arrow: a plain-rows createDataFrame would back this
+        # per-TRIGGER frame with a Python RDD and pay a Python-worker
+        # scan task every batch (the measured-seconds cost the gates'
+        # audit frames dodge the same way)
         n1_df = F.broadcast(
             spark.createDataFrame(
-                list(n_hist.items()) or [("", 0)], "event_type string, n1 long"
+                pd.DataFrame(
+                    {
+                        "event_type": list(n_hist) or [""],
+                        "n1": list(n_hist.values()) or [0],
+                    }
+                ).astype({"n1": "int64"})
             )
         )
         smooth = float(0.5 * PSI_BUCKETS)

@@ -1262,3 +1262,25 @@ def test_round10_new_ops_plan_shapes(spark):
         plans["q293"]._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in q293, q293
+
+
+def test_reconcile_replay_rows_keeps_null_batch_id(spark):
+    """Round-10 self-review: a NULL batch_id must classify as additive
+    (kept verbatim), never fall through BOTH branch filters and vanish
+    from a rebuild — the failure mode of a bare `batch_id < 0` split
+    over a half-migrated frame."""
+    from githubrepostorag_spark.operators.similarity import reconcile_replay_rows
+
+    rows = spark.createDataFrame(
+        [
+            (1, None),   # pre-upgrade row: no batch stamp
+            (1, -1), (1, -1),   # legit repeat maintenance appends
+            (2, 9), (2, 9),     # replay duplicate: dedup to one
+        ],
+        "vec_id long, batch_id int",
+    )
+    got = sorted(
+        (r.vec_id, -99 if r.batch_id is None else r.batch_id)
+        for r in reconcile_replay_rows(rows).collect()
+    )  # None sorts via the -99 sentinel (py3 can't order int vs None)
+    assert got == [(1, -99), (1, -1), (1, -1), (2, 9)], got
