@@ -51,12 +51,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ROUND-11 PLAN (written ahead): after this round's head lands, every
 # registry query has a driver row from round 6 or later and the q01..q48
 # re-test pass is complete. The standing rotation from round 11 on:
-# head = any round-11 newcomers first (newcomers always outrank
-# retests), then the queries with the OLDEST driver recordings
-# (starting with the round-6 rows: q49 onward in registry order,
-# skipping any re-recorded since). Full-surface coverage stays
-# guaranteed every round by the two-scale strict sweeps regardless of
-# which 50 the driver samples.
+# head = the six late-round-10 additions q301..q306 (registered after
+# this head was frozen at 50 so as not to displace the retest tail;
+# both committed r10 strict sweeps cover them), then any round-11
+# newcomers (newcomers always outrank retests), then the queries with
+# the OLDEST driver recordings (starting with the round-6 rows: q49
+# onward in registry order, skipping any re-recorded since).
+# Full-surface coverage stays guaranteed every round by the two-scale
+# strict sweeps regardless of which 50 the driver samples.
 #
 # Full-surface coverage is guaranteed every round by tools/check_parity.py
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
@@ -1149,6 +1151,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 operators
         "q299_km_survival": lambda sp, sf: E.km_survival(t(sp, sf, "events")),
         "q300_volume_acf": lambda sp, sf: E.volume_acf(t(sp, sf, "events")),
+        "q301_mannwhitney_quality": lambda sp, sf: TO.mannwhitney_quality_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q302_length_gini": lambda sp, sf: TO.length_gini_by_source(
+            t(sp, sf, "documents")
+        ),
+        "q303_burrows_delta": lambda sp, sf: TO.burrows_delta(
+            t(sp, sf, "documents")
+        ),
+        "q304_cusum_changepoint": lambda sp, sf: E.cusum_changepoint(
+            t(sp, sf, "events")
+        ),
+        "q305_token_positions": lambda sp, sf: TO.token_position_profile(
+            t(sp, sf, "documents")
+        ),
+        "q306_transition_entropy": lambda sp, sf: E.transition_entropy(
+            t(sp, sf, "events")
+        ),
     })
 
 
@@ -9105,6 +9125,221 @@ def oracle_sql() -> dict[str, str]:
                                            * CAST(sy AS DOUBLE)), 0.0),
                          6) AS acf
             FROM agg ORDER BY event_type, lag
+        """,
+        "q301_mannwhitney_quality": f"""
+            WITH x AS (
+              SELECT source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n
+                                         ELSE 0.0 END), 4) AS q
+              FROM (SELECT source,
+                           CAST(len({_TOKS}) AS DOUBLE) AS n,
+                           CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                           CAST(len(list_filter({_TOKS},
+                                tk -> list_contains({stop_list}, tk)))
+                                AS DOUBLE) AS sw
+                    FROM documents)),
+            sv AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c
+                   FROM x GROUP BY 1, 2),
+            vt AS (SELECT q, CAST(sum(c) AS BIGINT) AS t FROM sv GROUP BY 1),
+            spine AS (SELECT q, t,
+                             2 * (sum(t) OVER (ORDER BY q) - t) + t + 1 AS r2
+                      FROM vt),
+            grand AS (SELECT CAST(sum(t) AS DECIMAL(38,0)) AS n_all,
+                             sum(CAST(t AS DECIMAL(12,0))
+                                 * CAST(t AS DECIMAL(12,0))
+                                 * CAST(t AS DECIMAL(12,0))
+                                 - CAST(t AS DECIMAL(12,0))) AS tie_sum
+                      FROM vt),
+            ps AS (SELECT sv.source,
+                          CAST(sum(sv.c) AS DECIMAL(38,0)) AS n1,
+                          sum(CAST(sv.c AS DECIMAL(19,0))
+                              * CAST(sp.r2 AS DECIMAL(19,0))) AS sum_r2
+                   FROM sv JOIN spine sp ON sp.q = sv.q GROUP BY 1),
+            j AS (SELECT source, n1, sum_r2, n_all, tie_sum,
+                         sum_r2 - CAST(n1 AS DECIMAL(19,0))
+                                  * (CAST(n1 AS DECIMAL(19,0)) + 1) AS u2,
+                         CAST(n1 AS DOUBLE)
+                           * CAST(n_all - n1 AS DOUBLE) / 12.0
+                           * ((CAST(n_all AS DOUBLE) + 1.0)
+                              - CAST(tie_sum AS DOUBLE)
+                                / (CAST(n_all AS DOUBLE)
+                                   * (CAST(n_all AS DOUBLE) - 1.0))) AS var_u
+                  FROM ps CROSS JOIN grand WHERE n_all > n1)
+            SELECT source,
+                   CAST(n1 AS BIGINT) AS n_docs,
+                   CAST(n_all - n1 AS BIGINT) AS n_rest,
+                   round(CAST(u2 AS DOUBLE) / 2.0, 4) AS u_stat,
+                   CASE WHEN var_u > 0.0
+                        THEN round(((CAST(u2 AS DOUBLE)
+                                     - CAST(n1 AS DOUBLE)
+                                       * CAST(n_all - n1 AS DOUBLE)) / 2.0)
+                                   / sqrt(var_u), 6)
+                   END AS z
+            FROM j ORDER BY source
+        """,
+        "q302_length_gini": """
+            WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                        FROM documents GROUP BY 1, 2),
+            cum AS (SELECT source, n_chars, c,
+                           CAST(sum(c) OVER (PARTITION BY source
+                                             ORDER BY n_chars) - c
+                                AS DECIMAL(19,0)) AS c_prev
+                    FROM sl),
+            ps AS (SELECT source,
+                          CAST(sum(c) AS DECIMAL(38,0)) AS n,
+                          sum(CAST(n_chars AS DECIMAL(19,0))
+                              * CAST(c AS DECIMAL(19,0))) AS s,
+                          sum(CAST(n_chars AS DECIMAL(12,0))
+                              * (2 * CAST(c AS DECIMAL(12,0)) * c_prev
+                                 + CAST(c AS DECIMAL(12,0))
+                                   * (CAST(c AS DECIMAL(12,0)) + 1))) AS w2
+                   FROM cum GROUP BY 1)
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(s AS BIGINT) AS total_chars,
+                   CASE WHEN s > 0
+                        THEN round(CAST(w2 AS DOUBLE)
+                                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                                   - (CAST(n AS DOUBLE) + 1.0)
+                                     / CAST(n AS DOUBLE), 6)
+                   END AS gini
+            FROM ps ORDER BY source
+        """,
+        "q303_burrows_delta": f"""
+            WITH st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+                        FROM (SELECT source, unnest({_TOKS}) AS token
+                              FROM documents)
+                        GROUP BY 1, 2),
+            totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
+                       FROM st GROUP BY 1),
+            head AS (SELECT token
+                     FROM (SELECT token, sum(cnt) AS tot FROM st GROUP BY 1)
+                     ORDER BY tot DESC, token ASC LIMIT {TO.BURROWS_K}),
+            tf AS (SELECT g.source, g.token,
+                          CAST(round(CAST(coalesce(st.cnt, 0) AS DOUBLE)
+                                     * {float(TO.FREQ_SCALE)}
+                                     / CAST(g.n_src AS DOUBLE)) AS BIGINT)
+                            AS tf_i
+                   FROM (SELECT t.source, t.n_src, h.token
+                         FROM totals t CROSS JOIN head h) g
+                   LEFT JOIN st ON st.source = g.source
+                                AND st.token = g.token),
+            stats AS (SELECT token, CAST(count(*) AS BIGINT) AS k_src,
+                             sum(CAST(tf_i AS DECIMAL(38,0))) AS s1,
+                             sum(CAST(tf_i AS DECIMAL(19,0))
+                                 * CAST(tf_i AS DECIMAL(19,0))) AS s2
+                      FROM tf GROUP BY 1),
+            z AS (SELECT tf.source, tf.token,
+                         (CAST(tf.tf_i AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / CAST(k_src AS DOUBLE))
+                         / sqrt(CAST(s2 AS DOUBLE) / CAST(k_src AS DOUBLE)
+                                - (CAST(s1 AS DOUBLE) / CAST(k_src AS DOUBLE))
+                                  * (CAST(s1 AS DOUBLE)
+                                     / CAST(k_src AS DOUBLE))) AS z
+                  FROM tf JOIN stats USING (token)
+                  WHERE CAST(s2 AS DOUBLE) / CAST(k_src AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(k_src AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(k_src AS DOUBLE))
+                        > 0.0),
+            pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                             CAST(round(abs(a.z - b.z) * 1000000000.0)
+                                  AS DECIMAL(38,0)) AS zd
+                      FROM z a JOIN z b ON a.token = b.token
+                                       AND a.source < b.source)
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   round(CAST(sum(zd) AS DOUBLE) / 1000000000.0
+                         / CAST(count(*) AS DOUBLE), 6) AS delta
+            FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q304_cusum_changepoint": """
+            WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS x
+                           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
+                              CAST(sum(x) AS BIGINT) AS t_all
+                       FROM daily GROUP BY 1),
+            spine AS (SELECT event_type, t_all,
+                             CAST(date_diff('day', d0, d1) + 1 AS BIGINT)
+                               AS n_days,
+                             CAST(unnest(generate_series(d0, d1,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM bounds),
+            cum AS (SELECT s.event_type, s.t_all, s.n_days, s.day,
+                           CAST(sum(coalesce(d.x, 0)) OVER (
+                             PARTITION BY s.event_type ORDER BY s.day)
+                             AS BIGINT) AS s_t,
+                           CAST(row_number() OVER (
+                             PARTITION BY s.event_type ORDER BY s.day)
+                             AS BIGINT) AS t_idx
+                    FROM spine s LEFT JOIN daily d
+                      ON d.event_type = s.event_type AND d.day = s.day),
+            dev AS (SELECT *, abs(s_t * n_days - t_idx * t_all) AS dev
+                    FROM cum)
+            SELECT event_type, n_days, t_all AS n_events, day AS cp_day,
+                   round(CAST(dev AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+                     AS cusum_peak
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY dev DESC, day) AS rk FROM dev)
+            WHERE rk = 1 ORDER BY event_type
+        """,
+        "q305_token_positions": f"""
+            WITH base AS (SELECT {_TOKS} AS toks FROM documents),
+            head AS (SELECT token
+                     FROM (SELECT token, count(*) AS tot
+                           FROM (SELECT unnest(toks) AS token FROM base)
+                           GROUP BY 1)
+                     ORDER BY tot DESC, token ASC
+                     LIMIT {TO.TOKEN_POS_K}),
+            pos AS (SELECT len(toks) AS n,
+                           generate_subscripts(toks, 1) - 1 AS idx,
+                           unnest(toks) AS token
+                    FROM base),
+            terms AS (SELECT p.token,
+                             CASE WHEN p.n > 1
+                                  THEN CAST(p.idx AS DOUBLE)
+                                       / CAST(p.n - 1 AS DOUBLE)
+                                  ELSE 0.5 END AS rel,
+                             CASE WHEN 2 * p.idx < p.n THEN 1 ELSE 0 END AS fh
+                      FROM pos p JOIN head h ON h.token = p.token)
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occ,
+                   round(CAST(sum(CAST(round(rel * {float(TO.FREQ_SCALE)})
+                                       AS DECIMAL(38,0))) AS DOUBLE)
+                         / {float(TO.FREQ_SCALE)}
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_rel_pos,
+                   round(CAST(sum(fh) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                         6) AS first_half_share
+            FROM terms GROUP BY 1 ORDER BY n_occ DESC, token ASC
+        """,
+        "q306_transition_entropy": """
+            WITH seq AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            pairs AS (SELECT prev_type, event_type,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS n_out
+                    FROM pairs GROUP BY 1),
+            terms AS (SELECT p.prev_type, p.event_type, p.cnt, t.n_out,
+                             CAST(round(CAST(p.cnt AS DOUBLE)
+                                        / CAST(t.n_out AS DOUBLE)
+                                        * ln(CAST(p.cnt AS DOUBLE)
+                                             / CAST(t.n_out AS DOUBLE))
+                                        * 1000000000000.0)
+                                  AS DECIMAL(38,0)) AS term_i,
+                             row_number() OVER (PARTITION BY p.prev_type
+                               ORDER BY p.cnt DESC, p.event_type) AS rk
+                      FROM pairs p JOIN tot t USING (prev_type))
+            SELECT prev_type,
+                   CAST(max(n_out) AS BIGINT) AS n_out,
+                   CAST(count(*) AS BIGINT) AS n_next_types,
+                   max(CASE WHEN rk = 1 THEN event_type END) AS top_next,
+                   round(-CAST(sum(term_i) AS DOUBLE) / 1000000000000.0, 6)
+                     AS entropy_nats
+            FROM terms GROUP BY 1 ORDER BY prev_type
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -2073,3 +2073,137 @@ def volume_acf(
         "n_pairs",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Per-event-type changepoint detection on daily volume: the CUSUM
+    statistic (Page 1954) over the type's full calendar span — the
+    day t maximizing |Σ_{i≤t}(x_i − mean)| marks the most likely level
+    shift. The structural complement to q75's pointwise z-scores
+    (which flag spiky DAYS) and q300's ACF (which measures memory):
+    CUSUM localizes WHEN a feed's volume regime changed, the first
+    question after a drift alarm fires.
+
+    Exactness: the deviation is kept in integers by scaling out the
+    mean — |S_t·D − t·T| with S_t the cumulative count, D the span in
+    days, T the total (products ≤ T·D fit a long at any realistic
+    scale; at 10¹² events over 10⁵ days that is 10¹⁷ < 2⁶³). Ties on
+    the peak resolve to the EARLIEST day. Only the final
+    normalization |S_t·D − t·T|/D is double, rounded to 6 dp.
+
+    Scale: one groupBy(type, day); the calendar spine (sequence of
+    dates, zero-filled via left join) and the cumulative window are
+    bounded by the DAY domain per type, never by event count — the
+    q291-style domain-bounded window exception, documented here.
+    NULL timestamps are excluded (same policy as q295).
+    """
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("x").alias("t_all"),
+    )
+    spine = bounds.select(
+        "event_type",
+        "t_all",
+        (F.datediff("d1", "d0") + F.lit(1)).cast("long").alias("n_days"),
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn("s_t", F.sum("x").over(wd))
+        .withColumn(
+            "t_idx", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        )
+    )
+    dev = F.abs(
+        F.col("s_t") * F.col("n_days") - F.col("t_idx").cast("long") * F.col("t_all")
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("dev"), F.asc("day")
+    )
+    return (
+        cum.withColumn("dev", dev)
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").alias("n_days"),
+            F.col("t_all").cast("long").alias("n_events"),
+            F.col("day").alias("cp_day"),
+            F.round(
+                F.col("dev").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-event-type outgoing-transition entropy: for each type, the
+    Shannon entropy (nats) of the next-event-type distribution over
+    the q15 transition pairs, plus the modal next type. The summary
+    layer over q15's raw transition matrix: a type whose outgoing
+    entropy collapses has become a deterministic funnel step, one
+    whose entropy rises is losing its place in the flow — the single
+    number a sequence-model data card wants per state.
+
+    Exactness: transition counts are exact; each entropy term
+    p·ln(p) is one double expression (identical operands both
+    engines) scaled into 10¹² fixed-point before the per-type sum, so
+    accumulation order cannot diverge. The modal next type breaks
+    count ties alphabetically.
+
+    Scale: the lag window partitions by user (per-user event counts
+    bound it — the q15 plan, one shuffle on user_id); the entropy
+    fold runs on the |types|² transition matrix, dimension-bounded.
+    """
+    seq = events.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("n_out"))
+    p = F.col("cnt").cast("double") / F.col("n_out").cast("double")
+    term_i = F.round(p * F.log(p) * F.lit(1.0e12)).cast("decimal(38,0)")
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    ranked = (
+        pairs.join(tot, "prev_type")
+        .withColumn("term_i", term_i)
+        .withColumn("rk", F.row_number().over(wm))
+    )
+    return (
+        ranked.groupBy("prev_type")
+        .agg(
+            F.max(F.col("n_out")).cast("long").alias("n_out"),
+            F.count(F.lit(1)).cast("long").alias("n_next_types"),
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias(
+                "top_next"
+            ),
+            F.sum("term_i").alias("s_term"),
+        )
+        .select(
+            "prev_type",
+            "n_out",
+            "n_next_types",
+            "top_next",
+            F.round(
+                -F.col("s_term").cast("double") / F.lit(1.0e12), 6
+            ).alias("entropy_nats"),
+        )
+        .orderBy("prev_type")
+    )

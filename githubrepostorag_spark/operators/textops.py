@@ -2261,6 +2261,198 @@ def code_metrics(documents: DataFrame) -> DataFrame:
     )
 
 
+# Burrows' delta: number of most-frequent terms forming the style profile.
+BURROWS_K = 120
+# Fixed-point scale for relative term frequencies (q303) and relative
+# positions (q305): 12 decimal digits, so every cross-engine sum is an
+# integer/DECIMAL sum and no float accumulation order can diverge.
+FREQ_SCALE = 1_000_000_000_000
+
+
+def burrows_delta(documents: DataFrame, k: int = BURROWS_K) -> DataFrame:
+    """Stylometric distance between sources: Burrows' delta (Burrows
+    2002) over the corpus's ``k`` most frequent tokens — for each term
+    the per-source relative frequency is z-scored across sources, and
+    delta(A,B) is the mean |z_A − z_B|. The classic "same author?"
+    statistic, here answering the pipeline question "which feeds are
+    stylistic clones" (a mirror crawl shows up as a near-zero delta
+    long before exact dedup finds the shared documents; a delta
+    outlier is a feed whose register differs from everything else).
+
+    Exactness: relative frequencies are fixed-point integers
+    (round(cnt·10¹²/n_src) — one double division then one round, same
+    operands both engines), so the cross-source mean and the sum of
+    squares are exact integer/DECIMAL sums immune to accumulation
+    order; μ, σ, z and the final mean-|Δz| (itself re-scaled to 10⁹
+    fixed-point before summation over terms) are doubles with
+    identical operand order. Terms with σ = 0 carry no style signal
+    and are dropped (n_terms reports the kept count).
+
+    Scale: one token explode → groupBy(source, token) with map-side
+    partial agg; the term head is a TakeOrdered(k); everything after
+    runs on the |sources|·k grid (broadcast joins) — the pairwise
+    stage is |sources|²·k rows, dimension-bounded, never corpus-sized.
+    """
+    st = (
+        scale_out(documents.select("source", "text"), "source")
+        .select("source", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = st.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    head = (
+        st.groupBy("token")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("token"))
+        .limit(k)
+        .select("token")
+    )
+    grid = totals.crossJoin(F.broadcast(head))
+    tf = (
+        grid.join(st, ["source", "token"], "left")
+        .fillna(0, subset=["cnt"])
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.lit(float(FREQ_SCALE))
+                / F.col("n_src").cast("double")
+            )
+            .cast("long")
+            .alias("tf_i"),
+        )
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("k_src"),
+        F.sum(F.col("tf_i").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("tf_i").cast("decimal(19,0)")
+            * F.col("tf_i").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    kd = F.col("k_src").cast("double")
+    mu = F.col("s1").cast("double") / kd
+    var = F.col("s2").cast("double") / kd - mu * mu
+    z = tf.join(F.broadcast(stats), "token").select(
+        "source",
+        "token",
+        ((F.col("tf_i").cast("double") - mu) / F.sqrt(var)).alias("z"),
+        var.alias("var"),
+    ).filter(F.col("var") > F.lit(0.0))
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("z").alias("z_a"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("z").alias("z_b"),
+    )
+    pairs = a.join(F.broadcast(b), "token").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    zdiff_i = F.round(
+        F.abs(F.col("z_a") - F.col("z_b")) * F.lit(1.0e9)
+    ).cast("decimal(38,0)")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(zdiff_i).alias("sdz"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms",
+            F.round(
+                F.col("sdz").cast("double")
+                / F.lit(1.0e9)
+                / F.col("n_terms").cast("double"),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+TOKEN_POS_K = 50
+
+
+def token_position_profile(documents: DataFrame, k: int = TOKEN_POS_K) -> DataFrame:
+    """Positional profile of the corpus's top-``k`` tokens: where in a
+    document does each frequent token tend to occur? Mean relative
+    position (0 = document start, 1 = end) plus the share of
+    occurrences landing in the first half. Template/boilerplate
+    detection by position: a header token sits near 0 with a ~1.0
+    first-half share, a signature/footer near 1 — positional skew
+    flags the strippable scaffolding that frequency alone can't
+    distinguish from content words (the positional complement of
+    q263's template-prefix mining).
+
+    Exactness: relative position is idx/(len−1) (single-token docs
+    pin 0.5), one double division rounded into 10¹² fixed-point, so
+    the per-token accumulation is an exact DECIMAL sum; the first-half
+    test 2·idx < len is pure integer. Final means are doubles with
+    identical operand order, rounded to 6 dp.
+
+    Scale: the term head is a TakeOrdered(k) over a map-side-combined
+    token count; the positional pass explodes with position but
+    filters against the BROADCAST head before the shuffle, so the
+    aggregated stream holds only occurrences of the k head terms.
+    """
+    toks = TXT.tokens(F.col("text"))
+    base = scale_out(documents.select("doc_id", "text"), "doc_id").select(
+        toks.alias("toks")
+    )
+    head = (
+        base.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("token"))
+        .limit(k)
+        .select("token")
+    )
+    pos = (
+        base.select(
+            F.size("toks").alias("n"),
+            F.posexplode("toks").alias("idx", "token"),
+        )
+        .join(F.broadcast(head), "token")
+    )
+    rel = F.when(
+        F.col("n") > 1,
+        F.col("idx").cast("double") / (F.col("n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.5))
+    rel_i = F.round(rel * F.lit(float(FREQ_SCALE))).cast("decimal(38,0)")
+    first_half = (F.lit(2) * F.col("idx") < F.col("n")).cast("long")
+    return (
+        pos.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.sum(rel_i).alias("srel"),
+            F.sum(first_half).cast("long").alias("n_first"),
+        )
+        .select(
+            "token",
+            "n_occ",
+            F.round(
+                F.col("srel").cast("double")
+                / F.lit(float(FREQ_SCALE))
+                / F.col("n_occ").cast("double"),
+                6,
+            ).alias("mean_rel_pos"),
+            F.round(
+                F.col("n_first").cast("double")
+                / F.col("n_occ").cast("double"),
+                6,
+            ).alias("first_half_share"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+    )
+
+
 # --- Gopher-rule quality battery (Rae et al. 2021, Table A1) ---------
 # Thresholds follow the paper; every comparison below is INTEGER
 # arithmetic (10*sym > n_words etc.), so there is no float knife-edge

@@ -1662,3 +1662,170 @@ def length_ks_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def mannwhitney_quality_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source quality drift as a rank test: the Mann-Whitney U of
+    each source's quality scores against the rest of the corpus, with
+    the tie-corrected normal approximation z. The nonparametric
+    companion to q291's length-KS: KS asks "is the SHAPE different",
+    U asks "is one source's quality stochastically HIGHER" — the
+    question a mixture re-weighting actually needs answered before it
+    up-samples a feed.
+
+    Exactness: quality is the q17 score rounded to 4 dp, so the value
+    domain is ≤ 10,001 points and every rank statistic reduces to
+    integer arithmetic over (value, count) groups — twice the midrank
+    of value v is the integer 2·|{x < v}| + t_v + 1, so 2·R₁ and 2·U₁
+    are exact DECIMAL sums (no float rank accumulation in either
+    engine). The tie term Σ(t³−t) is an exact DECIMAL sum too
+    (t ≤ n = 10¹² keeps t³ < 10³⁸). Only the final mean/variance/z
+    arithmetic is double, with identical operand order in both
+    engines; z is NULL when the variance is 0 (degenerate corpus).
+
+    Scale: one groupBy(source, quality4) over the corpus, then a
+    window across the ≤10,001-point value spine (domain-bounded, the
+    q291 exception) and broadcast joins of per-source totals. No
+    corpus-sized window partition anywhere.
+    """
+    q4 = F.round(TXT.quality_score(F.col("text")), 4)
+    sv = (
+        scale_out(documents.select("source", "text"), "source")
+        .select("source", q4.alias("q"))
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vt = sv.groupBy("q").agg(F.sum("c").alias("t"))
+    wq = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # value spine (≤ 10,001 rows): 2×midrank of each value is integer
+    spine = vt.select(
+        "q",
+        "t",
+        (
+            F.lit(2) * (F.sum("t").over(wq) - F.col("t"))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    grand = vt.agg(
+        F.sum("t").cast("decimal(38,0)").alias("n_all"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            - F.col("t").cast("decimal(38,0)")
+        ).alias("tie_sum"),
+    )
+    per_src = (
+        sv.join(F.broadcast(spine.select("q", "r2")), "q")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("decimal(38,0)").alias("n1"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("r2").cast("decimal(38,0)")
+            ).alias("sum_r2"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .filter(F.col("n_all") > F.col("n1"))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n_all") - F.col("n1")).cast("double")
+    nd = F.col("n_all").cast("double")
+    # 2·U₁ = 2·R₁ − n₁(n₁+1), exact in DECIMAL
+    u2 = F.col("sum_r2") - F.col("n1") * (F.col("n1") + F.lit(1))
+    var_u = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_sum").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = F.when(
+        var_u > F.lit(0.0),
+        F.round(
+            ((u2.cast("double") - n1d * n2d) / F.lit(2.0)) / F.sqrt(var_u),
+            6,
+        ),
+    )
+    return (
+        per_src.select(
+            "source",
+            F.col("n1").cast("long").alias("n_docs"),
+            (F.col("n_all") - F.col("n1")).cast("long").alias("n_rest"),
+            F.round(u2.cast("double") / F.lit(2.0), 4).alias("u_stat"),
+            z.alias("z"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_gini_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source Gini coefficient of document length (characters) —
+    the inequality summary of a feed's size distribution. A source
+    whose Gini drifts up is concentrating its bytes into a few huge
+    documents (concatenated dumps, log rollups); drifting toward 0
+    means templated uniform records. Complements q270 (MAD) and q291
+    (KS vs rest): those compare distributions, this scores internal
+    concentration on the same 0..1 scale across sources of very
+    different volumes.
+
+    Exactness: with lengths sorted ascending and 1-based ranks,
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Tied lengths occupy a known
+    rank block, so 2·Σ i·xᵢ = Σ_v x_v·(2·c_v·C_prev + c_v·(c_v+1))
+    — an exact integer (DECIMAL) sum over (source, length) groups;
+    the tie-block expansion makes the statistic independent of intra-
+    tie ordering, so both engines agree bit-for-bit. Only the final
+    two divisions are double, same operand order both sides. Sources
+    with zero total bytes report NULL (Gini undefined).
+
+    Scale: one groupBy(source, n_chars); the per-source cumulative
+    window runs over distinct LENGTHS, not documents (length-domain
+    bounded — the q291 exception), and everything after is a
+    per-source fold.
+    """
+    sl = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    xdec = F.col("n_chars").cast("decimal(38,0)")
+    cum = sl.withColumn(
+        "c_prev", (F.sum("c").over(ws) - F.col("c")).cast("decimal(38,0)")
+    )
+    per_src = cum.groupBy("source").agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(xdec * cdec).alias("s"),
+        F.sum(
+            xdec
+            * (
+                F.lit(2).cast("decimal(38,0)") * cdec * F.col("c_prev")
+                + cdec * (cdec + F.lit(1))
+            )
+        ).alias("w2"),
+    )
+    nd = F.col("n").cast("double")
+    gini = F.when(
+        F.col("s") > F.lit(0),
+        F.round(
+            F.col("w2").cast("double")
+            / (nd * F.col("s").cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ),
+    )
+    return (
+        per_src.select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("s").cast("long").alias("total_chars"),
+            gini.alias("gini"),
+        )
+        .orderBy("source")
+    )

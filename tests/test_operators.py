@@ -5011,3 +5011,181 @@ def test_volume_acf_periodic_and_constant_series(spark):
     assert got[("alt", 1)].n_pairs == 23  # dense grid: 24 buckets
     assert got[("flat", 1)].acf is None  # zero variance → NULL, not NaN
     assert got[("flat", 2)].acf is None
+
+
+def test_mannwhitney_quality_hand_computed(spark):
+    """q301: source A holds two q=1.0 docs, source B two q=0.25 docs.
+    Midranks: {0.25: 1.5, 1.0: 3.5} → U_A = 4 (the maximum n1·n2),
+    U_B = 0; tie-corrected var = (4/12)·(5 − 12/12) = 4/3, so
+    z_A = 2/√(4/3) = +1.732051 and z_B is its mirror."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "en", "A", 3),
+            (2, "p q", "en", "A", 3),
+            (3, "the the", "en", "B", 7),
+            (4, "the the", "en", "B", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in TO.mannwhitney_quality_by_source(docs).collect()}
+    assert set(got) == {"A", "B"}
+    assert (got["A"].n_docs, got["A"].n_rest) == (2, 2)
+    assert got["A"].u_stat == 4.0
+    assert got["B"].u_stat == 0.0
+    z = round(2.0 / math.sqrt(4.0 / 3.0), 6)
+    assert got["A"].z == z
+    assert got["B"].z == -z
+
+
+def test_mannwhitney_degenerate_corpus_z_null(spark):
+    """q301: all docs identical quality → variance 0 → z NULL, U still
+    reported (every rank is the shared midrank)."""
+    docs = spark.createDataFrame(
+        [(i, "x y", "en", "A" if i < 2 else "B", 3) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for r in TO.mannwhitney_quality_by_source(docs).collect():
+        assert r.z is None
+        assert r.u_stat == 2.0  # n1·n2/2: dead-center under pure ties
+
+
+def test_length_gini_hand_computed(spark):
+    """q302: lengths [1,1,2] → Σi·xᵢ = 9, G = 18/(3·4) − 4/3 = 1/6;
+    a uniform source pins G = 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "t", "en", "A", 1),
+            (2, "t", "en", "A", 1),
+            (3, "t", "en", "A", 2),
+            (4, "t", "en", "B", 5),
+            (5, "t", "en", "B", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in TO.length_gini_by_source(docs).collect()}
+    assert (got["A"].n_docs, got["A"].total_chars) == (3, 4)
+    assert got["A"].gini == round(18.0 / 12.0 - 4.0 / 3.0, 6)
+    assert got["B"].gini == 0.0
+
+
+def test_burrows_delta_clone_source_is_zero(spark):
+    """q303: B is a stylistic clone of A (identical relative term
+    frequencies), C is disjoint — delta(A,B) = 0 exactly, and C is
+    equidistant from both (same z-profile gap)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "en", "A", 5),
+            (2, "x x y", "en", "B", 5),
+            (3, "z z z", "en", "C", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source_a, r.source_b): r for r in TO.burrows_delta(docs).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert got[("A", "B")].delta == 0.0
+    assert got[("A", "C")].delta == got[("B", "C")].delta
+    assert got[("A", "C")].delta > 1.0
+    # all three tokens vary across sources → none dropped
+    assert got[("A", "B")].n_terms == 3
+
+
+def test_cusum_changepoint_level_shift_and_gap_days(spark):
+    """q304: counts [5,5,5,1,1,1] over six days put the CUSUM peak on
+    day 3 with |S₃·D − 3·T|/D = 36/6 = 6; a sparse type with an
+    EMPTY middle day gets the zero-filled spine (D=3, not 2) and the
+    tie on the peak resolves to the EARLIEST day."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([5, 5, 5, 1, 1, 1]):
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 8), eid, "shift", 1.0, "{}")
+            )
+            eid += 1
+    for day, cnt in [(0, 2), (2, 2)]:  # gap on day 1
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 9), eid, "sparse", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.cusum_changepoint(events).collect()}
+    s = got["shift"]
+    assert (s.n_days, s.n_events) == (6, 18)
+    assert s.cp_day == dt.date(2024, 3, 3)
+    assert s.cusum_peak == 6.0
+    g = got["sparse"]
+    assert (g.n_days, g.n_events) == (3, 4)
+    assert g.cp_day == dt.date(2024, 3, 1)  # tie → earliest
+    assert g.cusum_peak == round(2.0 / 3.0, 6)
+
+
+def test_token_position_profile_header_footer(spark):
+    """q305: in 'h m t' the header token pins rel 0.0 / first-half 1,
+    the footer pins rel 1.0 / first-half 0, the middle token is 0.5
+    and still first-half (2·1 < 3); a single-token doc contributes
+    rel 0.5 by definition."""
+    docs = spark.createDataFrame(
+        [
+            (1, "h m t", "en", "A", 5),
+            (2, "solo", "en", "A", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.token: r for r in TO.token_position_profile(docs).collect()}
+    assert set(got) == {"h", "m", "t", "solo"}
+    assert (got["h"].mean_rel_pos, got["h"].first_half_share) == (0.0, 1.0)
+    assert (got["m"].mean_rel_pos, got["m"].first_half_share) == (0.5, 1.0)
+    assert (got["t"].mean_rel_pos, got["t"].first_half_share) == (1.0, 0.0)
+    assert (got["solo"].mean_rel_pos, got["solo"].first_half_share) == (
+        0.5,
+        1.0,
+    )
+
+
+def test_transition_entropy_hand_computed(spark):
+    """q306: user1 A→B→A→C, user2 A→B. From A: {B:2, C:1} →
+    H = −(2/3·ln 2/3 + 1/3·ln 1/3), modal next B; from B: single
+    successor → H = 0."""
+    import datetime as dt
+    import math
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 0), 1, "A", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 1), 1, "B", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "A", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 3), 1, "C", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0), 2, "A", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 1), 2, "B", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.prev_type: r for r in E.transition_entropy(events).collect()}
+    assert set(got) == {"A", "B"}
+    a = got["A"]
+    assert (a.n_out, a.n_next_types, a.top_next) == (3, 2, "B")
+    want = -(
+        round(2.0 / 3.0 * math.log(2.0 / 3.0) * 1e12)
+        + round(1.0 / 3.0 * math.log(1.0 / 3.0) * 1e12)
+    ) / 1e12
+    assert a.entropy_nats == round(want, 6)
+    b = got["B"]
+    assert (b.n_out, b.n_next_types, b.top_next) == (1, 1, "A")
+    assert b.entropy_nats == 0.0

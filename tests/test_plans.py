@@ -1252,6 +1252,12 @@ def test_round10_new_ops_plan_shapes(spark):
         "q298": E.value_psi_by_type(events),
         "q299": E.km_survival(events),
         "q300": E.volume_acf(events),
+        "q301": TO.mannwhitney_quality_by_source(docs),
+        "q302": TO.length_gini_by_source(docs),
+        "q303": TO.burrows_delta(docs),
+        "q304": E.cusum_changepoint(events),
+        "q305": TO.token_position_profile(docs),
+        "q306": E.transition_entropy(events),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
