@@ -2294,7 +2294,9 @@ def burrows_delta(documents: DataFrame, k: int = BURROWS_K) -> DataFrame:
     stage is |sources|²·k rows, dimension-bounded, never corpus-sized.
     """
     st = (
-        scale_out(documents.select("source", "text"), "source")
+        # spread on doc_id, NOT source: the explode must parallelize
+        # past the 20-partition / source-skew ceiling
+        scale_out(documents.select("doc_id", "source", "text"), "doc_id")
         .select("source", F.explode(TXT.tokens(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

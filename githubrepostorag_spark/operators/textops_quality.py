@@ -1690,7 +1690,9 @@ def mannwhitney_quality_by_source(documents: DataFrame) -> DataFrame:
     """
     q4 = F.round(TXT.quality_score(F.col("text")), 4)
     sv = (
-        scale_out(documents.select("source", "text"), "source")
+        # spread on doc_id, NOT source: 20 sources would cap the
+        # scoring stage at 20 skewed partitions
+        scale_out(documents.select("doc_id", "source", "text"), "doc_id")
         .select("source", q4.alias("q"))
         .groupBy("source", "q")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -5189,3 +5189,102 @@ def test_transition_entropy_hand_computed(spark):
     b = got["B"]
     assert (b.n_out, b.n_next_types, b.top_next) == (1, 1, "A")
     assert b.entropy_nats == 0.0
+
+def test_round10_late_operator_invariants(spark):
+    """Bound-invariants for q301-q306 over hostile inputs (unicode
+    zoo, empty/whitespace docs, an all-empty source, zero-length
+    docs, NULL timestamps, single-day event types): U stays within
+    [0, n1·n2], Gini within [0, 1), Burrows' delta is a finite
+    non-negative over exactly C(sources-with-tokens, 2) pairs, CUSUM
+    ignores NULL ts and survives one-day spans, positional stats stay
+    probabilities, and entropy is bounded by ln(fanout)."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    def body(i):
+        if i % 11 == 0:
+            return ""
+        if i % 11 == 1:
+            return "   "
+        if i % 11 == 2:
+            return "наш мир 🌍 مرحبا שלום étoile 中文"
+        toks = [
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:5]
+            for j in range(i % 7 + 1)
+        ]
+        return " ".join(toks)
+
+    rows = [(i, body(i), "en", f"src{i % 3}", len(body(i))) for i in range(40)]
+    rows += [(100 + j, "", "en", "src_empty", 0) for j in range(3)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n_total = docs.count()
+
+    mw = TO.mannwhitney_quality_by_source(docs).collect()
+    assert {r.source for r in mw} == {"src0", "src1", "src2", "src_empty"}
+    for r in mw:
+        assert r.n_docs + r.n_rest == n_total
+        assert 0.0 <= r.u_stat <= r.n_docs * r.n_rest
+        if r.z is not None:
+            assert math.isfinite(r.z)
+
+    gini = TO.length_gini_by_source(docs).collect()
+    for r in gini:
+        if r.source == "src_empty":
+            assert r.total_chars == 0 and r.gini is None
+        else:
+            assert 0.0 <= r.gini < 1.0
+
+    bd = TO.burrows_delta(docs).collect()
+    # src_empty has no tokens → absent from the profile entirely
+    tokenful = {"src0", "src1", "src2"}
+    assert {(r.source_a, r.source_b) for r in bd} == {
+        ("src0", "src1"), ("src0", "src2"), ("src1", "src2")
+    }
+    for r in bd:
+        assert r.source_a in tokenful and r.source_b in tokenful
+        assert math.isfinite(r.delta) and r.delta >= 0.0
+        assert 1 <= r.n_terms <= TO.BURROWS_K
+
+    pos = TO.token_position_profile(docs).collect()
+    assert 1 <= len(pos) <= TO.TOKEN_POS_K
+    for r in pos:
+        assert 0.0 <= r.mean_rel_pos <= 1.0
+        assert 0.0 <= r.first_half_share <= 1.0
+        assert r.n_occ >= 1
+
+    ev = [
+        # one-day type: n_days = 1, CUSUM peak = 0 exactly
+        (0, dt.datetime(2024, 5, 1, 3), 1, "oneday", 1.0, "{}"),
+        (1, dt.datetime(2024, 5, 1, 9), 2, "oneday", 1.0, "{}"),
+        # NULL ts must be ignored, not crash or skew the spine
+        (2, None, 1, "oneday", 1.0, "{}"),
+        (3, dt.datetime(2024, 5, 1, 1), 3, "spread", 1.0, "{}"),
+        (4, dt.datetime(2024, 5, 9, 1), 3, "spread", 1.0, "{}"),
+        # single-user chain for entropy: A→A self-loop only
+        (5, dt.datetime(2024, 5, 2, 1), 7, "loop", 1.0, "{}"),
+        (6, dt.datetime(2024, 5, 2, 2), 7, "loop", 1.0, "{}"),
+        (7, dt.datetime(2024, 5, 2, 3), 7, "loop", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    cp = {r.event_type: r for r in E.cusum_changepoint(events).collect()}
+    assert cp["oneday"].n_days == 1 and cp["oneday"].n_events == 2
+    assert cp["oneday"].cusum_peak == 0.0  # S₁·1 − 1·T = 0
+    assert cp["spread"].n_days == 9  # zero-filled gap spine
+    assert cp["spread"].cusum_peak >= 0.0
+
+    te = {r.prev_type: r for r in E.transition_entropy(events).collect()}
+    # the only transitions are loop→loop (user 7); others are chains of 1
+    assert te["loop"].n_out == 2 and te["loop"].top_next == "loop"
+    assert te["loop"].entropy_nats == 0.0
+    for r in te.values():
+        assert 0.0 <= r.entropy_nats <= math.log(max(r.n_next_types, 1)) + 1e-9
