@@ -1169,6 +1169,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q306_transition_entropy": lambda sp, sf: E.transition_entropy(
             t(sp, sf, "events")
         ),
+        "q307_theil_sen_trend": lambda sp, sf: E.theil_sen_trend(
+            t(sp, sf, "events")
+        ),
+        "q308_source_quality_mi": lambda sp, sf: TO.source_quality_mi(
+            t(sp, sf, "documents")
+        ),
+        "q309_source_containment": lambda sp, sf: DD.source_containment(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -9340,6 +9349,116 @@ def oracle_sql() -> dict[str, str]:
                    round(-CAST(sum(term_i) AS DOUBLE) / 1000000000000.0, 6)
                      AS entropy_nats
             FROM terms GROUP BY 1 ORDER BY prev_type
+        """,
+        "q307_theil_sen_trend": f"""
+            WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS x
+                           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(day) AS dmin, max(day) AS d1
+                       FROM daily GROUP BY 1),
+            spine AS (SELECT event_type,
+                             CAST(unnest(generate_series(
+                               greatest(dmin,
+                                        d1 - {E.TREND_WINDOW_DAYS - 1}),
+                               d1, INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM bounds),
+            series AS (SELECT s.event_type, s.day,
+                              CAST(coalesce(d.x, 0) AS BIGINT) AS x,
+                              CAST(row_number() OVER (
+                                PARTITION BY s.event_type ORDER BY s.day)
+                                AS BIGINT) AS i
+                       FROM spine s LEFT JOIN daily d
+                         ON d.event_type = s.event_type AND d.day = s.day),
+            slopes AS (SELECT a.event_type, a.day AS day_i, b.day AS day_j,
+                              CAST(b.x - a.x AS DOUBLE)
+                                / CAST(b.i - a.i AS DOUBLE) AS slope
+                       FROM series a JOIN series b
+                         ON a.event_type = b.event_type AND a.i < b.i),
+            ranked AS (SELECT event_type, slope,
+                              row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, day_i, day_j) AS rk,
+                              CAST(count(*) OVER (PARTITION BY event_type)
+                                   AS BIGINT) AS n_pairs
+                       FROM slopes),
+            days_used AS (SELECT event_type,
+                                 CAST(count(*) AS BIGINT) AS n_days
+                          FROM series GROUP BY 1)
+            SELECT r.event_type, d.n_days, r.n_pairs,
+                   round(r.slope, 6) AS sen_slope
+            FROM ranked r JOIN days_used d USING (event_type)
+            WHERE r.rk = (r.n_pairs + 1) // 2
+            ORDER BY r.event_type
+        """,
+        "q308_source_quality_mi": f"""
+            WITH x AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN n > 0 THEN d / n ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN n > 0 THEN (n - sw) / n
+                                         ELSE 0.0 END), 4) AS q
+              FROM (SELECT doc_id, source,
+                           CAST(len({_TOKS}) AS DOUBLE) AS n,
+                           CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS d,
+                           CAST(len(list_filter({_TOKS},
+                                tk -> list_contains({stop_list}, tk)))
+                                AS DOUBLE) AS sw
+                    FROM documents)),
+            tiled AS (SELECT source,
+                             ntile({TO.MI_DECILES}) OVER (ORDER BY q, doc_id)
+                               AS decile
+                      FROM x),
+            cells AS (SELECT source, decile, CAST(count(*) AS BIGINT) AS c_sb
+                      FROM tiled GROUP BY 1, 2),
+            cs AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_src
+                   FROM cells GROUP BY 1),
+            cb AS (SELECT decile, CAST(sum(c_sb) AS BIGINT) AS c_dec
+                   FROM cells GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+            terms AS (SELECT c.source, s.c_src, nn.n,
+                             CAST(round(CAST(c.c_sb AS DOUBLE)
+                                        / CAST(s.c_src AS DOUBLE)
+                                        * ln((CAST(c.c_sb AS DOUBLE)
+                                              * CAST(nn.n AS DOUBLE))
+                                             / (CAST(s.c_src AS DOUBLE)
+                                                * CAST(b.c_dec AS DOUBLE)))
+                                        * 1000000000000.0)
+                                  AS DECIMAL(38,0)) AS kl_term_i
+                      FROM cells c
+                      JOIN cs s USING (source)
+                      JOIN cb b USING (decile)
+                      CROSS JOIN nn)
+            SELECT source,
+                   CAST(max(c_src) AS BIGINT) AS n_docs,
+                   round(CAST(sum(kl_term_i) AS DOUBLE) / 1000000000000.0, 6)
+                     AS kl_nats,
+                   round(CAST(max(c_src) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                         * (CAST(sum(kl_term_i) AS DOUBLE)
+                            / 1000000000000.0), 6) AS mi_contrib_nats
+            FROM terms GROUP BY 1 ORDER BY source
+        """,
+        "q309_source_containment": f"""
+            WITH ss AS (SELECT DISTINCT source, shingle
+                        FROM (SELECT source,
+                                     unnest({_shingles_sql(SHINGLE_K)})
+                                       AS shingle
+                              FROM documents)),
+            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM ss GROUP BY 1),
+            shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                              CAST(count(*) AS BIGINT) AS n_shared
+                       FROM ss a JOIN ss b
+                         ON a.shingle = b.shingle
+                        AND a.source <> b.source
+                       GROUP BY 1, 2),
+            grid AS (SELECT x.source AS source_a, y.source AS source_b,
+                            x.n_sh
+                     FROM sizes x JOIN sizes y ON x.source <> y.source)
+            SELECT g.source_a, g.source_b,
+                   CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+                   g.n_sh AS n_shingles_a,
+                   round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                         / CAST(g.n_sh AS DOUBLE), 6) AS containment
+            FROM grid g LEFT JOIN shared s USING (source_a, source_b)
+            ORDER BY 1, 2
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

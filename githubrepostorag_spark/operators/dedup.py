@@ -2023,3 +2023,73 @@ def component_source_mix(
         )
         .orderBy("component_size")
     )
+
+
+def source_containment(documents: DataFrame) -> DataFrame:
+    """Directional shingle-vocabulary containment between sources:
+    for every ordered pair (A, B), the fraction of A's distinct
+    character 4-shingles that also appear anywhere in B. The
+    asymmetric complement to q169's pair-level leakage matrix: q169
+    counts verified near-dup DOCUMENT pairs, this measures VOCABULARY
+    absorption — a small feed fully swallowed by a large aggregator
+    shows containment(A→B) ≈ 1 with containment(B→A) tiny, a signal
+    no symmetric statistic exposes (the subset-copy case Jaccard
+    dilutes toward 0).
+
+    Exactness: pure integer set cardinalities and one final division
+    rounded to 6 dp. Pairs sharing nothing report 0 explicitly (full
+    |sources|·(|sources|−1) grid).
+
+    Scale: distinct (source, shingle) is one shuffle with map-side
+    partial dedup; the self-join keys on SHINGLE with per-key fanout
+    ≤ |sources|² (constant), so the pair stage is linear in distinct
+    shingles — never a doc×doc blowup; sizes and the zero-fill grid
+    are |sources|-bounded broadcasts.
+    """
+    from githubrepostorag_spark.session import scale_out
+
+    ss = (
+        scale_out(documents.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "source",
+            F.explode(TXT.char_shingles(F.col("text"), SHINGLE_K)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    shared = (
+        ss.select(F.col("source").alias("source_a"), "shingle")
+        .join(
+            ss.select(F.col("source").alias("source_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), "n_sh")
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("source").alias("source_b")))
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .fillna(0, subset=["n_shared"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_sh").alias("n_shingles_a"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_sh").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

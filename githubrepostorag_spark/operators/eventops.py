@@ -2207,3 +2207,112 @@ def transition_entropy(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+# Theil-Sen robust trend: analysis window (days, ending at each type's
+# last active day). Constant-bounds the pairwise slope set at any SF.
+TREND_WINDOW_DAYS = 128
+
+
+def theil_sen_trend(
+    events: DataFrame, window_days: int = TREND_WINDOW_DAYS
+) -> DataFrame:
+    """Per-event-type robust volume trend: the Theil-Sen estimator
+    (median of pairwise slopes) over the type's zero-filled daily
+    counts in its last ``window_days`` days. The outlier-proof
+    complement to q114's least-squares trend and q304's CUSUM: one
+    flash-crowd day drags an OLS slope, but the median slope moves
+    only when the LEVEL genuinely trends.
+
+    Exactness: slopes are one double division (xⱼ−xᵢ)/(j−i) over
+    exact integer daily counts, identical operands both engines; the
+    median is the LOWER median picked by row_number over the total
+    order (slope, day_i, day_j) — no engine-specific percentile
+    interpolation anywhere. Reported slope rounds to 6 dp.
+
+    Scale: the spine is capped at ``window_days`` rows per type, so
+    the pairwise self-join materializes at most W(W−1)/2 = 8,128 rows
+    per type and the median window is constant-bounded — the analysis
+    window, not the corpus, fixes the cost (the km/acf exception
+    pattern). NULL timestamps are excluded (q295 policy); a type
+    active on a single day has no pairs and is omitted.
+    """
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.col("dmin"), F.date_sub(F.col("d1"), window_days - 1)
+                ),
+                F.col("d1"),
+            )
+        ).alias("day"),
+    )
+    series = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ).cast("long"),
+        )
+    )
+    a = series.select(
+        "event_type",
+        F.col("day").alias("day_i"),
+        F.col("i").alias("ii"),
+        F.col("x").alias("xi"),
+    )
+    b = series.select(
+        "event_type",
+        F.col("day").alias("day_j"),
+        F.col("i").alias("jj"),
+        F.col("x").alias("xj"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("ii") < F.col("jj"))
+        .select(
+            "event_type",
+            "day_i",
+            "day_j",
+            (
+                (F.col("xj") - F.col("xi")).cast("double")
+                / (F.col("jj") - F.col("ii")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        "slope", "day_i", "day_j"
+    )
+    counted = slopes.withColumn("rk", F.row_number().over(wm)).join(
+        slopes.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        ),
+        "event_type",
+    )
+    days_used = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        counted.filter(
+            F.col("rk") == F.expr("(n_pairs + 1) div 2")
+        )
+        .join(F.broadcast(days_used), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )

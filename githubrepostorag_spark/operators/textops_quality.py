@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from githubrepostorag_spark.functions import text as TXT
-from githubrepostorag_spark.functions.ranks import global_percent_rank, global_rank
+from githubrepostorag_spark.functions.ranks import (
+    ansi_ntile,
+    global_percent_rank,
+    global_rank,
+)
 from githubrepostorag_spark.operators.textops import (
     LOGREG_LR,
     LOGREG_ROUNDS,
@@ -1828,6 +1832,87 @@ def length_gini_by_source(documents: DataFrame) -> DataFrame:
             F.col("n").cast("long").alias("n_docs"),
             F.col("s").cast("long").alias("total_chars"),
             gini.alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+MI_DECILES = 10
+
+
+def source_quality_mi(documents: DataFrame, k: int = MI_DECILES) -> DataFrame:
+    """Mutual information between SOURCE and corpus-wide quality
+    decile, reported per source: each row carries the source's KL
+    divergence of its decile distribution from the corpus decile
+    marginal, and its MI contribution p(s)·KL — the total MI is the
+    column sum. The information-theoretic upgrade of q262's χ²: χ²
+    says "dependent or not", MI says how many nats knowing the feed
+    tells you about quality — the exact number a mixture re-weighter
+    trades against diversity. Per-source contribution is provably
+    ≥ 0 (it is p(s)·KL(P(decile|s) ‖ P(decile))).
+
+    Exactness: deciles come from the distributed global rank over the
+    total order (quality4, doc_id) tiled with the exact ANSI-NTILE
+    closed form — row-identical to the oracle's real NTILE. Every
+    probability is a ratio of exact counts; each cell's p·ln(ratio)
+    term is one double expression scaled into 10¹² fixed-point before
+    the per-source sum (≤ k cells per source), so accumulation order
+    cannot diverge.
+
+    Scale: the rank is corpus-parallel (`ranks.global_rank` — never a
+    single-task window); cells reduce to |sources|·k rows; marginals
+    broadcast. No hot window, no corpus-sized partition (the q107/q288
+    refit shape, applied from birth).
+    """
+    q4 = TXT.quality_score(F.col("text"))
+    scored = scale_out(
+        documents.select("doc_id", "source", "text"), "doc_id"
+    ).select("doc_id", "source", q4.alias("q"))
+    ranked = global_rank(
+        scored, [F.asc("q"), F.asc("doc_id")], rank_col="_grank"
+    )
+    n_df = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    cells = (
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "decile", ansi_ntile(F.col("_grank") - F.lit(1), F.col("_n"), k)
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sb"))
+    )
+    c_s = cells.groupBy("source").agg(F.sum("c_sb").alias("c_src"))
+    c_b = cells.groupBy("decile").agg(F.sum("c_sb").alias("c_dec"))
+    joined = (
+        cells.join(F.broadcast(c_s), "source")
+        .join(F.broadcast(c_b), "decile")
+        .crossJoin(F.broadcast(n_df))
+    )
+    ratio = (
+        F.col("c_sb").cast("double") * F.col("_n").cast("double")
+    ) / (F.col("c_src").cast("double") * F.col("c_dec").cast("double"))
+    kl_term_i = F.round(
+        F.col("c_sb").cast("double")
+        / F.col("c_src").cast("double")
+        * F.log(ratio)
+        * F.lit(1.0e12)
+    ).cast("decimal(38,0)")
+    per_src = joined.groupBy("source").agg(
+        F.max("c_src").cast("long").alias("n_docs"),
+        F.max("_n").cast("long").alias("n_all"),
+        F.sum(kl_term_i).alias("s_kl"),
+    )
+    kl = F.col("s_kl").cast("double") / F.lit(1.0e12)
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            F.round(kl, 6).alias("kl_nats"),
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_all").cast("double")
+                * kl,
+                6,
+            ).alias("mi_contrib_nats"),
         )
         .orderBy("source")
     )

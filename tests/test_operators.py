@@ -5288,3 +5288,102 @@ def test_round10_late_operator_invariants(spark):
     assert te["loop"].entropy_nats == 0.0
     for r in te.values():
         assert 0.0 <= r.entropy_nats <= math.log(max(r.n_next_types, 1)) + 1e-9
+
+
+def test_theil_sen_trend_hand_computed(spark):
+    """q307: [1,1,1,6] over four days has slopes
+    {0, 0, 5/3, 0, 5/2, 5} → the LOWER median (rank 3 of 6) is 0.0 —
+    the level-shift day does NOT drag the robust slope; a clean ramp
+    [1,2,3] pins slope 1; a gap day zero-fills to [1,0,1] → median 0."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    eid = 0
+
+    def add(day, cnt, typ):
+        nonlocal eid
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 6, 1 + day, 6), eid, typ, 1.0, "{}")
+            )
+            eid += 1
+
+    for day, cnt in enumerate([1, 1, 1, 6]):  # x = [1,1,1,6]
+        add(day, cnt, "shift")
+    for day, cnt in enumerate([1, 2, 3]):
+        add(day, cnt, "ramp")
+    add(0, 1, "gap")
+    add(2, 1, "gap")
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.theil_sen_trend(events).collect()}
+    # shift [1,1,1,6]: slopes {0,0,5/3,0,5/2,5} sorted
+    # [0,0,0,5/3,5/2,5] → rank (6+1)//2 = 3 → 0.0
+    s = got["shift"]
+    assert (s.n_days, s.n_pairs, s.sen_slope) == (4, 6, 0.0)
+    r = got["ramp"]
+    assert (r.n_days, r.n_pairs, r.sen_slope) == (3, 3, 1.0)
+    g = got["gap"]
+    assert (g.n_days, g.n_pairs, g.sen_slope) == (3, 3, 0.0)
+
+
+def test_source_quality_mi_dependence_and_independence(spark):
+    """q308 with k=2: perfectly separated sources give each half its
+    own source → KL = ln 2 per source, MI = ln 2 total; identical
+    quality distributions give MI = 0 exactly."""
+    import math
+
+    dep = spark.createDataFrame(
+        [
+            (1, "the the", "en", "A", 7),
+            (2, "the the", "en", "A", 7),
+            (3, "x y", "en", "B", 3),
+            (4, "x y", "en", "B", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in TO.source_quality_mi(dep, k=2).collect()}
+    ln2 = round(round(1.0 * math.log(2.0) * 1e12) / 1e12, 6)
+    assert got["A"].kl_nats == ln2 and got["B"].kl_nats == ln2
+    assert got["A"].mi_contrib_nats == round(0.5 * (round(1.0 * math.log(2.0) * 1e12) / 1e12), 6)
+
+    # same quality everywhere; deciles split purely by doc_id tie-break
+    ind = spark.createDataFrame(
+        [
+            (1, "x y", "en", "A", 3),
+            (2, "x y", "en", "B", 3),
+            (3, "x y", "en", "A", 3),
+            (4, "x y", "en", "B", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for r in TO.source_quality_mi(ind, k=2).collect():
+        assert r.kl_nats == 0.0 and r.mi_contrib_nats == 0.0
+
+
+def test_source_containment_subset_copy(spark):
+    """q309: A's single shingle lives inside B (containment A→B = 1,
+    B→A = 0.5 — the asymmetry Jaccard hides), C shares nothing and
+    still appears with explicit zeros."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd", "en", "A", 4),
+            (2, "abcde", "en", "B", 5),
+            (3, "wxyz", "en", "C", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source_a, r.source_b): r for r in DD.source_containment(docs).collect()
+    }
+    assert len(got) == 6
+    assert got[("A", "B")].containment == 1.0
+    assert got[("B", "A")].containment == 0.5
+    assert got[("B", "A")].n_shingles_a == 2
+    assert got[("A", "C")].containment == 0.0
+    assert got[("C", "B")].n_shared == 0

@@ -1232,6 +1232,7 @@ def test_round10_new_ops_plan_shapes(spark):
     from githubrepostorag_spark.sources.testdata import load_table
 
     from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import dedup as DD
     from githubrepostorag_spark.operators import eventops as E
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -1258,6 +1259,9 @@ def test_round10_new_ops_plan_shapes(spark):
         "q304": E.cusum_changepoint(events),
         "q305": TO.token_position_profile(docs),
         "q306": E.transition_entropy(events),
+        "q307": E.theil_sen_trend(events),
+        "q308": TO.source_quality_mi(docs),
+        "q309": DD.source_containment(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
