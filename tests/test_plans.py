@@ -1294,3 +1294,29 @@ def test_reconcile_replay_rows_keeps_null_batch_id(spark):
         for r in reconcile_replay_rows(rows).collect()
     )  # None sorts via the -99 sentinel (py3 can't order int vs None)
     assert got == [(1, -99), (1, -1), (1, -1), (2, 9)], got
+
+
+def test_doc_scans_spread_on_doc_id_not_source(spark):
+    """Round-10 self-review regression (ADVICE): operators that
+    scale_out the documents scan must hash-repartition on doc_id —
+    spreading on `source` caps the map stage at |sources| partitions
+    and inherits the largest feed's skew. Pins the Exchange key for
+    the q301/q303 scans (the two that shipped wrong)."""
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for name, df in {
+        "q301": TO.mannwhitney_quality_by_source(docs),
+        "q303": TO.burrows_delta(docs),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        reparts = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "REPARTITION_BY_NUM" in ln
+        ]
+        assert reparts, (name, "expected an explicit scale_out repartition")
+        for ln in reparts:
+            key = ln.split("hashpartitioning(", 1)[1]
+            assert key.startswith("doc_id"), (name, ln)
