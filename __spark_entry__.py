@@ -51,9 +51,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ROUND-11 PLAN (written ahead): after this round's head lands, every
 # registry query has a driver row from round 6 or later and the q01..q48
 # re-test pass is complete. The standing rotation from round 11 on:
-# head = the six late-round-10 additions q301..q306 (registered after
+# head = the nine late-round-10 additions q301..q309 (registered after
 # this head was frozen at 50 so as not to displace the retest tail;
-# both committed r10 strict sweeps cover them), then any round-11
+# committed r10 strict sweeps cover them), then any round-11
 # newcomers (newcomers always outrank retests), then the queries with
 # the OLDEST driver recordings (starting with the round-6 rows: q49
 # onward in registry order, skipping any re-recorded since).
