@@ -51,7 +51,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ROUND-11 PLAN (written ahead): after this round's head lands, every
 # registry query has a driver row from round 6 or later and the q01..q48
 # re-test pass is complete. The standing rotation from round 11 on:
-# head = the nine late-round-10 additions q301..q309 (registered after
+# head = the ten late-round-10 additions q301..q310 (registered after
 # this head was frozen at 50 so as not to displace the retest tail;
 # committed r10 strict sweeps cover them), then any round-11
 # newcomers (newcomers always outrank retests), then the queries with
@@ -1177,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q309_source_containment": lambda sp, sf: DD.source_containment(
             t(sp, sf, "documents")
+        ),
+        "q310_embedding_corr": lambda sp, sf: S.embedding_corr_pairs(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -9459,6 +9462,51 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(g.n_sh AS DOUBLE), 6) AS containment
             FROM grid g LEFT JOIN shared s USING (source_a, source_b)
             ORDER BY 1, 2
+        """,
+        "q310_embedding_corr": f"""
+            WITH t AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            terms AS (SELECT dim,
+                             CAST(round(v, 6) AS DECIMAL(28,6)) AS x,
+                             CAST(round(v * v, 12) AS DECIMAL(38,12)) AS xx
+                      FROM t),
+            pd AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS DOUBLE) AS sx,
+                          CAST(sum(xx) AS DOUBLE) AS sxx
+                   FROM terms GROUP BY 1),
+            crossterms AS (SELECT a.dim AS di, b.dim AS dj,
+                                  CAST(sum(CAST(round(a.v * b.v, 12)
+                                                AS DECIMAL(38,12)))
+                                       AS DOUBLE) AS sxy
+                           FROM t a JOIN t b
+                             ON a.vec_id = b.vec_id AND a.dim < b.dim
+                           GROUP BY 1, 2),
+            c AS (SELECT ct.di, ct.dj,
+                         CASE WHEN (CAST(i.n AS DOUBLE) * i.sxx
+                                    - i.sx * i.sx) > 0.0
+                               AND (CAST(i.n AS DOUBLE) * j.sxx
+                                    - j.sx * j.sx) > 0.0
+                              THEN round((CAST(i.n AS DOUBLE) * ct.sxy
+                                          - i.sx * j.sx)
+                                         / (sqrt(CAST(i.n AS DOUBLE) * i.sxx
+                                                 - i.sx * i.sx)
+                                            * sqrt(CAST(i.n AS DOUBLE) * j.sxx
+                                                   - j.sx * j.sx)), 6)
+                         END AS corr
+                  FROM crossterms ct
+                  JOIN pd i ON i.dim = ct.di
+                  JOIN pd j ON j.dim = ct.dj)
+            SELECT CAST(row_number() OVER (
+                     ORDER BY coalesce(abs(corr), -1.0) DESC, di, dj)
+                     AS BIGINT) AS rank,
+                   CAST(di AS BIGINT) AS dim_i,
+                   CAST(dj AS BIGINT) AS dim_j,
+                   corr
+            FROM c
+            QUALIFY rank <= {S.CORR_TOP_PAIRS}
+            ORDER BY rank
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

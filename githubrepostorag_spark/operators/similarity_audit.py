@@ -865,3 +865,102 @@ def variance_concentration(embeddings: DataFrame) -> DataFrame:
         share(F.col("variance").cast("decimal(28,6)")).alias("var_share_permille"),
         share(F.col("cum_var")).alias("cum_share_permille"),
     ).orderBy("rank")
+
+
+CORR_TOP_PAIRS = 32
+
+
+def embedding_corr_pairs(
+    embeddings: DataFrame, top: int = CORR_TOP_PAIRS
+) -> DataFrame:
+    """Most-entangled embedding axis pairs: Pearson correlation of
+    every dimension pair (i < j), ranked by |corr|, top-``top``
+    reported. The OFF-diagonal complement to q292's variance spectrum:
+    q292 finds rogue high-variance axes, this finds REDUNDANT axes —
+    a pair at |corr| → 1 means the model spends two dimensions on one
+    direction (PQ subspaces that split such a pair quantize the same
+    signal twice, and whitening/rotation before indexing is the
+    standard fix; Jégou et al.'s optimized PQ exists exactly for
+    this).
+
+    Exactness: reuses q292's fixed-point discipline — per-dim Σx, Σx²
+    and pairwise Σxᵢxⱼ accumulate 6dp/12dp-rounded terms as DECIMAL
+    (order-independent); the correlation assembles those exact sums in
+    double with identical operand order, rounds to 6 dp BEFORE
+    ranking, and degenerate (zero-variance) pairs report NULL and rank
+    last (tie-broken by the pair id).
+
+    Scale: the cross terms come from one JVM-side nested ``transform``
+    over each row (d(d−1)/2 structs per vector — 2,016 at d=64, no
+    self-join, no shuffle of the raw vectors) followed by one
+    partially-aggregated shuffle onto d(d−1)/2 group keys; everything
+    after is |dims|²-bounded. The explode inflates rows d²/2× but
+    map-side combine collapses them before the exchange — the plan's
+    only corpus-sized pass."""
+    base = embeddings.select(V.as_double(F.col("embedding")).alias("e"))
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(e) - 2), i -> "
+        "transform(sequence(i + 1, size(e) - 1), j -> "
+        "struct(i AS di, j AS dj, e[i] * e[j] AS vv))))"
+    )
+    cross = (
+        base.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.di").alias("di"),
+            F.col("p.dj").alias("dj"),
+            F.round(F.col("p.vv"), 12).cast("decimal(38,12)").alias("xy"),
+        )
+        .groupBy("di", "dj")
+        .agg(F.sum("xy").cast("double").alias("sxy"))
+    )
+    terms = base.select(
+        F.posexplode(F.col("e")).alias("dim", "v")
+    ).select(
+        "dim",
+        F.round(F.col("v"), 6).cast("decimal(28,6)").alias("x"),
+        F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)").alias("xx"),
+    )
+    pd_ = terms.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    a = pd_.select(
+        F.col("dim").alias("di"),
+        F.col("n").alias("n"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    b = pd_.select(
+        F.col("dim").alias("dj"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy") - F.col("sx_i") * F.col("sx_j")
+    var_i = nn * F.col("sxx_i") - F.col("sx_i") * F.col("sx_i")
+    var_j = nn * F.col("sxx_j") - F.col("sx_j") * F.col("sx_j")
+    corr = F.when(
+        (var_i > F.lit(0.0)) & (var_j > F.lit(0.0)),
+        F.round(num / (F.sqrt(var_i) * F.sqrt(var_j)), 6),
+    )
+    # NULL (degenerate) pairs rank LAST: coalesce AFTER abs, to -1
+    wr = Window.orderBy(
+        F.desc(F.coalesce(F.abs(F.col("corr")), F.lit(-1.0))),
+        F.asc("di"),
+        F.asc("dj"),
+    )
+    return (
+        cross.join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .withColumn("corr", corr)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(
+            "rank",
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dim_j"),
+            "corr",
+        )
+        .orderBy("rank")
+    )

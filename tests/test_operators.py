@@ -5387,3 +5387,28 @@ def test_source_containment_subset_copy(spark):
     assert got[("B", "A")].n_shingles_a == 2
     assert got[("A", "C")].containment == 0.0
     assert got[("C", "B")].n_shared == 0
+
+
+def test_embedding_corr_pairs_hand_computed(spark):
+    """q310: dim1 = 2·dim0 (corr exactly 1), dim2 anti-correlates with
+    dim0 (corr −1 ranks by |corr| right alongside), dim3 is constant →
+    its pairs are NULL-corr and rank LAST (the coalesce-after-abs
+    regression pin)."""
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0, -1.0, 5.0]),
+            (2, 0, [2.0, 4.0, -2.0, 5.0]),
+            (3, 0, [3.0, 6.0, -3.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = S.embedding_corr_pairs(emb).collect()
+    assert [r.rank for r in got] == list(range(1, 7))  # all C(4,2) pairs
+    by_pair = {(r.dim_i, r.dim_j): r for r in got}
+    assert by_pair[(0, 1)].corr == 1.0
+    assert by_pair[(0, 2)].corr == -1.0
+    assert by_pair[(1, 2)].corr == -1.0
+    # constant dim 3: every pair with it is degenerate → NULL, ranked last
+    for pair in [(0, 3), (1, 3), (2, 3)]:
+        assert by_pair[pair].corr is None
+        assert by_pair[pair].rank >= 4

@@ -1262,6 +1262,7 @@ def test_round10_new_ops_plan_shapes(spark):
         "q307": E.theil_sen_trend(events),
         "q308": TO.source_quality_mi(docs),
         "q309": DD.source_containment(docs),
+        "q310": S.embedding_corr_pairs(emb),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
