@@ -51,7 +51,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ROUND-11 PLAN (written ahead): after this round's head lands, every
 # registry query has a driver row from round 6 or later and the q01..q48
 # re-test pass is complete. The standing rotation from round 11 on:
-# head = the ten late-round-10 additions q301..q310 (registered after
+# head = the twelve late-round-10 additions q301..q312 (registered after
 # this head was frozen at 50 so as not to displace the retest tail;
 # committed r10 strict sweeps cover them), then any round-11
 # newcomers (newcomers always outrank retests), then the queries with
@@ -1180,6 +1180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q310_embedding_corr": lambda sp, sf: S.embedding_corr_pairs(
             t(sp, sf, "embeddings")
+        ),
+        "q311_winsorized_length": lambda sp, sf: TO.winsorized_length_stats(
+            t(sp, sf, "documents")
+        ),
+        "q312_hill_tail_index": lambda sp, sf: R.hill_tail_index(
+            t(sp, sf, "orders")
         ),
     })
 
@@ -9507,6 +9513,66 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             QUALIFY rank <= {S.CORR_TOP_PAIRS}
             ORDER BY rank
+        """,
+        "q311_winsorized_length": f"""
+            WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                        FROM documents GROUP BY 1, 2),
+            cum AS (SELECT source, n_chars, c,
+                           sum(c) OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS cum
+                    FROM sl),
+            totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                       FROM sl GROUP BY 1),
+            ranks AS (SELECT source, n,
+                             (n * {TO.WINSOR_LO_PCT} + 99) // 100 AS r_lo,
+                             (n * {TO.WINSOR_HI_PCT} + 99) // 100 AS r_hi
+                      FROM totals),
+            plo AS (SELECT cum.source, min(cum.n_chars) AS p10
+                    FROM cum JOIN ranks USING (source)
+                    WHERE cum.cum >= ranks.r_lo GROUP BY 1),
+            phi AS (SELECT cum.source, min(cum.n_chars) AS p90
+                    FROM cum JOIN ranks USING (source)
+                    WHERE cum.cum >= ranks.r_hi GROUP BY 1),
+            bounds AS (SELECT r.source, r.n, plo.p10, phi.p90
+                       FROM ranks r JOIN plo USING (source)
+                       JOIN phi USING (source))
+            SELECT sl.source,
+                   CAST(max(b.n) AS BIGINT) AS n_docs,
+                   CAST(max(b.p10) AS BIGINT) AS p10,
+                   CAST(max(b.p90) AS BIGINT) AS p90,
+                   round(CAST(sum(CAST(greatest(b.p10,
+                                least(b.p90, sl.n_chars))
+                                AS DECIMAL(19,0))
+                              * CAST(sl.c AS DECIMAL(19,0))) AS DOUBLE)
+                         / CAST(max(b.n) AS DOUBLE), 6) AS winsorized_mean
+            FROM sl JOIN bounds b USING (source)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q312_hill_tail_index": f"""
+            WITH top AS (SELECT o_orderkey, o_totalprice
+                         FROM orders
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                         LIMIT {R.HILL_K + 1}),
+            ranked AS (SELECT *, row_number() OVER (
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                       FROM top),
+            ref AS (SELECT o_totalprice AS x_ref FROM ranked
+                    WHERE rk = {R.HILL_K + 1}),
+            terms AS (SELECT CAST(round(ln(CAST(r.o_totalprice AS DOUBLE)
+                                           / CAST(f.x_ref AS DOUBLE))
+                                        * 1000000000000.0)
+                                  AS DECIMAL(38,0)) AS t,
+                             f.x_ref
+                      FROM ranked r CROSS JOIN ref f
+                      WHERE r.rk <= {R.HILL_K})
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(max(x_ref) AS DOUBLE) AS x_ref,
+                   CASE WHEN sum(t) > 0
+                        THEN round(CAST(count(*) AS DOUBLE)
+                                   / (CAST(sum(t) AS DOUBLE)
+                                      / 1000000000000.0), 6)
+                   END AS hill_alpha
+            FROM terms GROUP BY x_ref
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1941,3 +1941,66 @@ def benford_first_digit(orders: DataFrame) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+HILL_K = 256
+
+
+def hill_tail_index(orders: DataFrame, k: int = HILL_K) -> DataFrame:
+    """Hill estimator of the order-value tail index: over the top
+    ``k``+1 order totals, α̂ = k / Σᵢ ln(xᵢ / x_ref) with x_ref the
+    (k+1)-th largest (Hill 1975). The parametric sharpening of q135's
+    Pareto 80/20 share: α ≈ 1 means revenue concentration grows
+    without bound as the corpus grows (plan for whale orders), α > 2
+    means the tail has finite variance and q171-style concentration
+    numbers are stable. One row out.
+
+    Exactness: the top set is an exact TakeOrdered on
+    (total DESC, orderkey ASC); each log-ratio is one double ln over
+    DECIMAL money operands, scaled into 10¹² fixed-point before the
+    k-term sum; α divides once and rounds to 6 dp. A degenerate tail
+    (all k+1 totals equal → Σ = 0) reports NULL.
+
+    Scale: TakeOrderedAndProject reduces the corpus to k+1 rows with
+    no global sort and no shuffle beyond the take's reduce; the rank
+    window that follows orders 257 rows — constant-bounded, the
+    documented exception shape.
+    """
+    top = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    ref = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("o_totalprice").alias("x_ref")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.round(
+                F.log(
+                    F.col("o_totalprice").cast("double")
+                    / F.col("x_ref").cast("double")
+                )
+                * F.lit(1.0e12)
+            )
+            .cast("decimal(38,0)")
+            .alias("t"),
+            F.col("x_ref"),
+        )
+    )
+    s = F.col("s_t").cast("double") / F.lit(1.0e12)
+    return terms.groupBy("x_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t").alias("s_t"),
+    ).select(
+        "k",
+        F.col("x_ref").cast("double").alias("x_ref"),
+        F.when(
+            F.col("s_t") > F.lit(0),
+            F.round(F.col("k").cast("double") / s, 6),
+        ).alias("hill_alpha"),
+    )

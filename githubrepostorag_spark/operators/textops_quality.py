@@ -1916,3 +1916,80 @@ def source_quality_mi(documents: DataFrame, k: int = MI_DECILES) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+WINSOR_LO_PCT = 10
+WINSOR_HI_PCT = 90
+
+
+def winsorized_length_stats(documents: DataFrame) -> DataFrame:
+    """Per-source winsorized document-length statistics: the P10/P90
+    length bounds (type-1 lower quantiles) and the mean after clamping
+    every document into [P10, P90]. The robust-location companion to
+    q270's MAD (robust scale) and q302's Gini (concentration): a feed
+    whose raw mean is dragged by a handful of concatenated dumps keeps
+    a stable winsorized mean — the pair (raw mean vs winsorized mean)
+    is the standard outlier-mass indicator a data card reports.
+
+    Exactness: quantile ranks are pure integers (ceil(p·n) as
+    (p·n + 99) div 100 over exact counts), the quantile is the
+    SMALLEST length whose cumulative count reaches the rank (type-1 —
+    no interpolation, no float percentile), and the winsorized sum is
+    an exact DECIMAL sum of clamped integer lengths; one final
+    division rounds to 6 dp.
+
+    Scale: one groupBy(source, n_chars); the cumulative window runs
+    over distinct lengths per source (length-domain bounded — the
+    q291 exception); bounds re-join broadcast.
+    """
+    sl = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sl.withColumn("cum", F.sum("c").over(ws))
+    totals = sl.groupBy("source").agg(F.sum("c").alias("n"))
+    ranks = totals.select(
+        "source",
+        "n",
+        F.expr(f"(n * {WINSOR_LO_PCT} + 99) div 100").alias("r_lo"),
+        F.expr(f"(n * {WINSOR_HI_PCT} + 99) div 100").alias("r_hi"),
+    )
+    j = cum.join(F.broadcast(ranks), "source")
+    p_lo = (
+        j.filter(F.col("cum") >= F.col("r_lo"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("p10"))
+    )
+    p_hi = (
+        j.filter(F.col("cum") >= F.col("r_hi"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("p90"))
+    )
+    bounds = ranks.join(F.broadcast(p_lo), "source").join(
+        F.broadcast(p_hi), "source"
+    )
+    clamped = F.greatest(
+        F.col("p10"), F.least(F.col("p90"), F.col("n_chars"))
+    ).cast("decimal(38,0)")
+    return (
+        sl.join(F.broadcast(bounds), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("p10").cast("long").alias("p10"),
+            F.max("p90").cast("long").alias("p90"),
+            F.sum(clamped * F.col("c").cast("decimal(19,0)")).alias("ws"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "p10",
+            "p90",
+            F.round(
+                F.col("ws").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("source")
+    )

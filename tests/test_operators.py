@@ -5412,3 +5412,55 @@ def test_embedding_corr_pairs_hand_computed(spark):
     for pair in [(0, 3), (1, 3), (2, 3)]:
         assert by_pair[pair].corr is None
         assert by_pair[pair].rank >= 4
+
+
+def test_winsorized_length_stats_hand_computed(spark):
+    """q311: lengths [1..10] → r_lo = ceil(1) = 1 → P10 = 1,
+    r_hi = ceil(9) = 9 → P90 = 9; clamping caps only the 10 at 9 →
+    mean (55 − 10 + 9)/10 = 5.4. A heavy-outlier source shows the
+    winsorized mean holding near the body while the raw mean flies."""
+    rows = [(i, "t", "en", "A", i) for i in range(1, 11)]
+    rows += [(100, "t", "en", "B", 10), (101, "t", "en", "B", 10),
+             (102, "t", "en", "B", 1000000)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in TO.winsorized_length_stats(docs).collect()}
+    a = got["A"]
+    assert (a.n_docs, a.p10, a.p90) == (10, 1, 9)
+    assert a.winsorized_mean == 5.4
+    b = got["B"]
+    # n=3: r_lo = ceil(0.3) = 1 → P10 = 10; r_hi = ceil(2.7) = 3 → P90
+    # is the LARGEST value (nothing clamps down but the mean is exact)
+    assert (b.p10, b.p90) == (10, 1000000)
+    assert b.winsorized_mean == round((10 + 10 + 1000000) / 3.0, 6)
+
+
+def test_hill_tail_index_pareto_sample(spark):
+    """q312 on an exact Pareto(α=2) grid: with x_(i) = (k+1)/i)^(1/2)
+    scaled, the Hill estimate recovers α within the discretization
+    error; a constant tail reports NULL (Σ ln ratios = 0)."""
+    from githubrepostorag_spark.operators import relational as R
+
+    k = 16
+    rows = [
+        (i, (100000.0 * ((k + 1) / i) ** 0.5))
+        for i in range(1, k + 2)
+    ]
+    orders = spark.createDataFrame(
+        [(oid, round(v, 2)) for oid, v in rows],
+        "o_orderkey long, o_totalprice double",
+    )
+    got = R.hill_tail_index(orders, k=k).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.k == k
+    # alpha estimate: k / sum(ln(x_i/x_ref)) ≈ 2 for Pareto(2)
+    assert 1.5 < r.hill_alpha < 2.7
+    flat = spark.createDataFrame(
+        [(i, 50.0) for i in range(1, k + 2)],
+        "o_orderkey long, o_totalprice double",
+    )
+    fr = R.hill_tail_index(flat, k=k).collect()
+    assert len(fr) == 1 and fr[0].hill_alpha is None

@@ -1263,6 +1263,8 @@ def test_round10_new_ops_plan_shapes(spark):
         "q308": TO.source_quality_mi(docs),
         "q309": DD.source_containment(docs),
         "q310": S.embedding_corr_pairs(emb),
+        "q311": TO.winsorized_length_stats(docs),
+        "q312": R.hill_tail_index(orders),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
