@@ -51,7 +51,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ROUND-11 PLAN (written ahead): after this round's head lands, every
 # registry query has a driver row from round 6 or later and the q01..q48
 # re-test pass is complete. The standing rotation from round 11 on:
-# head = the twelve late-round-10 additions q301..q312 (registered after
+# head = the thirteen late-round-10 additions q301..q313 (registered after
 # this head was frozen at 50 so as not to displace the retest tail;
 # committed r10 strict sweeps cover them), then any round-11
 # newcomers (newcomers always outrank retests), then the queries with
@@ -1187,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_hill_tail_index": lambda sp, sf: R.hill_tail_index(
             t(sp, sf, "orders")
         ),
+        "q313_lang_confusion": lambda sp, sf: TO.lang_confusion(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -1815,8 +1818,9 @@ _LOW_TOKS = (
 )
 
 
-def _language_id_sql() -> str:
-    """Generated from LANG_MARKERS so Spark and oracle can't drift."""
+def _language_id_sql(extra: str = "") -> str:
+    """Generated from LANG_MARKERS so Spark and oracle can't drift.
+    ``extra`` injects passthrough columns (e.g. ", source" for q313)."""
     from githubrepostorag_spark.operators.textops import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1832,10 +1836,10 @@ def _language_id_sql() -> str:
     case += f"                        ELSE '{langs[-1]}' END"
     return f"""
             WITH h AS (
-              SELECT doc_id, lang, CAST(len({_LOW_TOKS}) AS BIGINT) AS n,
+              SELECT doc_id, lang{extra}, CAST(len({_LOW_TOKS}) AS BIGINT) AS n,
                      {hit_cols}
               FROM documents)
-            SELECT doc_id, lang AS declared_lang,
+            SELECT doc_id{extra}, lang AS declared_lang,
                    {case} AS detected_lang,
                    CAST({best} AS BIGINT) AS marker_hits,
                    CASE WHEN n > 0 THEN round({best} / CAST(n AS DOUBLE), 6)
@@ -9573,6 +9577,21 @@ def oracle_sql() -> dict[str, str]:
                                       / 1000000000000.0), 6)
                    END AS hill_alpha
             FROM terms GROUP BY x_ref
+        """,
+        "q313_lang_confusion": f"""
+            WITH perdoc AS ({_language_id_sql(extra=", source")}),
+            cells AS (SELECT source, declared_lang, detected_lang,
+                             CAST(count(*) AS BIGINT) AS n_docs
+                      FROM perdoc GROUP BY 1, 2, 3),
+            decl AS (SELECT source, declared_lang,
+                            CAST(sum(n_docs) AS BIGINT) AS n_declared
+                     FROM cells GROUP BY 1, 2)
+            SELECT c.source, c.declared_lang, c.detected_lang, c.n_docs,
+                   round(CAST(c.n_docs AS DOUBLE)
+                         / CAST(d.n_declared AS DOUBLE), 6)
+                     AS share_of_declared
+            FROM cells c JOIN decl d USING (source, declared_lang)
+            ORDER BY 1, 2, 3
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -174,12 +174,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_id(documents: DataFrame) -> DataFrame:
+def language_id(
+    documents: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Content-based language ID (the n-gram-heuristic deliverable):
     score each language by marker-stopword hit count over lowercased
     tokens, pick the argmax (alphabetical tie-break), 'und' when no
     marker hits. Pure column expressions — one scan, no shuffle, no
     UDF; at 100 TB this is a free map alongside any other per-doc pass.
+    ``extra_cols`` pass through untouched (q313 threads ``source``).
     """
     langs = sorted(LANG_MARKERS)
     # Staged projections: the per-language hit counts are interpreted
@@ -189,11 +192,15 @@ def language_id(documents: DataFrame) -> DataFrame:
     # times (argmax whens × greatest re-expansion; no CSE outside
     # codegen).
     tok_df = documents.select(
-        "doc_id", "lang", TXT.tokens(F.lower(F.col("text"))).alias("toks")
+        "doc_id",
+        "lang",
+        *extra_cols,
+        TXT.tokens(F.lower(F.col("text"))).alias("toks"),
     )
     counted = tok_df.select(
         "doc_id",
         "lang",
+        *extra_cols,
         F.size("toks").alias("n"),
         *[
             F.size(F.filter(F.col("toks"), lambda t: t.isin(*LANG_MARKERS[lang])))
@@ -206,6 +213,7 @@ def language_id(documents: DataFrame) -> DataFrame:
         detected = detected.when(F.col(f"h_{lang}") == F.col("best"), F.lit(lang))
     return counted.select(
         "doc_id",
+        *extra_cols,
         F.col("lang").alias("declared_lang"),
         detected.alias("detected_lang"),
         F.col("best").cast("long").alias("marker_hits"),

@@ -1993,3 +1993,47 @@ def winsorized_length_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Label-vs-heuristic language agreement, localized by source: the
+    confusion matrix between each document's DECLARED ``lang`` tag and
+    the content-based q52 detector, with each cell's share of its
+    declared row. The labeling-quality audit q52 alone can't give: a
+    feed whose declared 'en' rows detect as 'und'/'es' in bulk has a
+    broken upstream tagger (or mixed-language payloads) — exactly the
+    rows a lang-filtered training mixture would silently mis-route.
+
+    Exactness: detection is q52's integer marker-hit argmax verbatim
+    (alphabetical tie-break, 'und' on zero hits); cells and shares are
+    exact counts with one 6 dp division.
+
+    Scale: the detector is a pure map (one scan, no shuffle); the
+    matrix aggregation shuffles once onto |sources|·|langs|² keys and
+    the declared-row totals broadcast back — dimension-bounded end to
+    end.
+    """
+    from githubrepostorag_spark.operators.textops import language_id
+
+    per_doc = language_id(documents, extra_cols=("source",))
+    cells = per_doc.groupBy(
+        "source", "declared_lang", "detected_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    decl = cells.groupBy("source", "declared_lang").agg(
+        F.sum("n_docs").alias("n_declared")
+    )
+    return (
+        cells.join(F.broadcast(decl), ["source", "declared_lang"])
+        .select(
+            "source",
+            "declared_lang",
+            "detected_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_declared").cast("double"),
+                6,
+            ).alias("share_of_declared"),
+        )
+        .orderBy("source", "declared_lang", "detected_lang")
+    )

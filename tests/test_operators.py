@@ -5464,3 +5464,28 @@ def test_hill_tail_index_pareto_sample(spark):
     )
     fr = R.hill_tail_index(flat, k=k).collect()
     assert len(fr) == 1 and fr[0].hill_alpha is None
+
+
+def test_lang_confusion_hand_computed(spark):
+    """q313: source A declares both docs 'en' — one is marker-English
+    ('the'), one is marker-free noise → cells (en→en) and (en→und)
+    each at share 0.5; source B's declared 'fr' doc containing English
+    markers lands in the (fr→en) off-diagonal cell at share 1.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the dog", "en", "A", 31),
+            (2, "zzz qqq xxx", "en", "A", 11),
+            (3, "the the and with that", "fr", "B", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source, r.declared_lang, r.detected_lang): r
+        for r in TO.lang_confusion(docs).collect()
+    }
+    assert got[("A", "en", "en")].n_docs == 1
+    assert got[("A", "en", "en")].share_of_declared == 0.5
+    assert got[("A", "en", "und")].share_of_declared == 0.5
+    assert got[("B", "fr", "en")].n_docs == 1
+    assert got[("B", "fr", "en")].share_of_declared == 1.0
+    assert len(got) == 3

@@ -1265,6 +1265,7 @@ def test_round10_new_ops_plan_shapes(spark):
         "q310": S.embedding_corr_pairs(emb),
         "q311": TO.winsorized_length_stats(docs),
         "q312": R.hill_tail_index(orders),
+        "q313": TO.lang_confusion(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
