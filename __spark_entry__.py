@@ -9297,7 +9297,10 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) AS t_idx
                     FROM spine s LEFT JOIN daily d
                       ON d.event_type = s.event_type AND d.day = s.day),
-            dev AS (SELECT *, abs(s_t * n_days - t_idx * t_all) AS dev
+            dev AS (SELECT *, abs(CAST(s_t AS DECIMAL(38,0))
+                                    * CAST(n_days AS DECIMAL(38,0))
+                                  - CAST(t_idx AS DECIMAL(38,0))
+                                    * CAST(t_all AS DECIMAL(38,0))) AS dev
                     FROM cum)
             SELECT event_type, n_days, t_all AS n_events, day AS cp_day,
                    round(CAST(dev AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
@@ -9339,7 +9342,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      lag(event_type) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) AS prev_type
-              FROM events),
+              FROM events WHERE ts IS NOT NULL),
             pairs AS (SELECT prev_type, event_type,
                              CAST(count(*) AS BIGINT) AS cnt
                       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),

@@ -2086,9 +2086,12 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
 
     Exactness: the deviation is kept in integers by scaling out the
     mean — |S_t·D − t·T| with S_t the cumulative count, D the span in
-    days, T the total (products ≤ T·D fit a long at any realistic
-    scale; at 10¹² events over 10⁵ days that is 10¹⁷ < 2⁶³). Ties on
-    the peak resolve to the EARLIEST day. Only the final
+    days, T the total. The products are computed in decimal(38,0),
+    not long: past 2^63 a long product would wrap silently in Spark
+    while the DuckDB oracle raises, so the engines would fail
+    NON-identically; decimal keeps both exact through 10³⁸ (10¹²
+    events over 10⁵ days is 10¹⁷ — decimal headroom is 10²¹×). Ties
+    on the peak resolve to the EARLIEST day. Only the final
     normalization |S_t·D − t·T|/D is double, rounded to 6 dp.
 
     Scale: one groupBy(type, day); the calendar spine (sequence of
@@ -2125,7 +2128,8 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
         )
     )
     dev = F.abs(
-        F.col("s_t") * F.col("n_days") - F.col("t_idx").cast("long") * F.col("t_all")
+        F.col("s_t").cast("decimal(38,0)") * F.col("n_days").cast("decimal(38,0)")
+        - F.col("t_idx").cast("decimal(38,0)") * F.col("t_all").cast("decimal(38,0)")
     )
     wp = Window.partitionBy("event_type").orderBy(
         F.desc("dev"), F.asc("day")
@@ -2155,6 +2159,9 @@ def transition_entropy(events: DataFrame) -> DataFrame:
     entropy collapses has become a deterministic funnel step, one
     whose entropy rises is losing its place in the flow — the single
     number a sequence-model data card wants per state.
+    NULL timestamps are excluded before the lag window (same policy
+    as q295/q304): Spark orders NULLs first and DuckDB last, so an
+    unfiltered NULL ts would make the engines build different pairs.
 
     Exactness: transition counts are exact; each entropy term
     p·ln(p) is one double expression (identical operands both
@@ -2166,12 +2173,16 @@ def transition_entropy(events: DataFrame) -> DataFrame:
     bound it — the q15 plan, one shuffle on user_id); the entropy
     fold runs on the |types|² transition matrix, dimension-bounded.
     """
-    seq = events.withColumn(
-        "prev_type",
-        F.lag("event_type").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ),
-    ).filter(F.col("prev_type").isNotNull())
+    seq = (
+        events.filter(F.col("ts").isNotNull())
+        .withColumn(
+            "prev_type",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
     pairs = seq.groupBy("prev_type", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

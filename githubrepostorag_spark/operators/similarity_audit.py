@@ -896,15 +896,25 @@ def embedding_corr_pairs(
     partially-aggregated shuffle onto d(d−1)/2 group keys; everything
     after is |dims|²-bounded. The explode inflates rows d²/2× but
     map-side combine collapses them before the exchange — the plan's
-    only corpus-sized pass."""
+    only corpus-sized pass.
+
+    Degenerate vectors (size < 2) are filtered before the pair
+    transform: ``sequence(0, size(e) - 2)`` DESCENDS when the stop is
+    below the start (Spark's sequence steps −1 for start > stop), so
+    a 0- or 1-element embedding would emit malformed out-of-range
+    pair structs while the oracle's self-join emits nothing — the
+    guard keeps both engines at "no pairs" for ragged rows. Per-dim
+    stats stay UNfiltered (the oracle's unnest counts a 1-element
+    vector's dim 0 in ``pd`` even though it contributes no pair)."""
     base = embeddings.select(V.as_double(F.col("embedding")).alias("e"))
+    pair_base = base.filter(F.size(F.col("e")) > 1)
     pair_structs = F.expr(
         "flatten(transform(sequence(0, size(e) - 2), i -> "
         "transform(sequence(i + 1, size(e) - 1), j -> "
         "struct(i AS di, j AS dj, e[i] * e[j] AS vv))))"
     )
     cross = (
-        base.select(F.explode(pair_structs).alias("p"))
+        pair_base.select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.di").alias("di"),
             F.col("p.dj").alias("dj"),

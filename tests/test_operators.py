@@ -5286,6 +5286,12 @@ def test_round10_late_operator_invariants(spark):
     # the only transitions are loop→loop (user 7); others are chains of 1
     assert te["loop"].n_out == 2 and te["loop"].top_next == "loop"
     assert te["loop"].entropy_nats == 0.0
+    # NULL-ts regression (r11 ADVICE): user 1's NULL-ts row must NOT
+    # pair with their single real event — Spark orders NULLs first,
+    # DuckDB last, so an unfiltered NULL would build different pairs
+    # per engine. With the filter, users 1 and 2 each have one real
+    # event → no "oneday" transition at all.
+    assert "oneday" not in te
     for r in te.values():
         assert 0.0 <= r.entropy_nats <= math.log(max(r.n_next_types, 1)) + 1e-9
 
@@ -5412,6 +5418,32 @@ def test_embedding_corr_pairs_hand_computed(spark):
     for pair in [(0, 3), (1, 3), (2, 3)]:
         assert by_pair[pair].corr is None
         assert by_pair[pair].rank >= 4
+
+
+def test_embedding_corr_pairs_ragged_vectors(spark):
+    """q310 regression (r11 ADVICE): sequence(0, size(e)-2) DESCENDS
+    for 0/1-element vectors (Spark sequence steps -1 when start >
+    stop), which used to emit malformed out-of-range pair structs.
+    Ragged rows must contribute NO pairs — but their dims still count
+    in the per-dim stats (matching the oracle's unnest semantics)."""
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0]),        # 1-element: no pairs, dim0 n += 1
+            (2, 0, []),           # empty: contributes nothing
+            (3, 0, [1.0, 2.0]),
+            (4, 0, [2.0, 3.0]),
+            (5, 0, [3.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = S.embedding_corr_pairs(emb).collect()
+    # exactly the one valid pair (0,1) — no (0,-1)/(1,0) garbage structs
+    assert [(r.dim_i, r.dim_j) for r in got] == [(0, 1)]
+    r = got[0]
+    assert r.rank == 1
+    # per-dim n for dim0 is 4 (includes the ragged vector), so the
+    # correlation is the oracle's mixed-n value, finite and in [-1, 1]
+    assert r.corr is not None and -1.0 <= r.corr <= 1.0
 
 
 def test_winsorized_length_stats_hand_computed(spark):
