@@ -1190,6 +1190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q313_lang_confusion": lambda sp, sf: TO.lang_confusion(
             t(sp, sf, "documents")
         ),
+        "q314_unsafe_terms": lambda sp, sf: TO.unsafe_content_scan(
+            t(sp, sf, "documents")
+        ),
+        "q315_unsafe_report": lambda sp, sf: TO.unsafe_content_report(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -9595,6 +9601,50 @@ def oracle_sql() -> dict[str, str]:
                      AS share_of_declared
             FROM cells c JOIN decl d USING (source, declared_lang)
             ORDER BY 1, 2, 3
+        """,
+        "q314_unsafe_terms": f"""
+            WITH hits AS (SELECT doc_id,
+                                 list_filter(
+                                   string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> list_contains(
+                                     {_sql_list(TO.UNSAFE_TERMS)}, x)) AS h
+                          FROM documents)
+            SELECT doc_id, CAST(len(h) AS BIGINT) AS n_hits,
+                   CAST(len(list_distinct(h)) AS BIGINT) AS n_terms,
+                   len(h) > 0 AS unsafe
+            FROM hits ORDER BY doc_id
+        """,
+        "q315_unsafe_report": f"""
+            WITH base AS (SELECT source,
+                                 list_filter(
+                                   string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> list_contains(
+                                     {_sql_list(TO.UNSAFE_TERMS)}, x)) AS h
+                          FROM documents),
+            totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(CASE WHEN len(h) > 0 THEN 1
+                                            ELSE 0 END) AS BIGINT)
+                                AS n_flagged,
+                              CAST(sum(len(h)) AS BIGINT) AS n_hits
+                       FROM base GROUP BY 1),
+            cnts AS (SELECT source, term, count(*) AS cnt
+                     FROM (SELECT source, unnest(h) AS term
+                           FROM base WHERE len(h) > 0)
+                     GROUP BY 1, 2),
+            top AS (SELECT source, term AS top_term
+                    FROM (SELECT source, term,
+                                 row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, term) AS rk
+                          FROM cnts)
+                    WHERE rk = 1)
+            SELECT t.source, t.n_docs, t.n_flagged,
+                   CAST(t.n_flagged * 1000 // t.n_docs AS BIGINT)
+                     AS flagged_permille,
+                   t.n_hits, top.top_term
+            FROM totals t LEFT JOIN top ON top.source = t.source
+            ORDER BY t.source
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

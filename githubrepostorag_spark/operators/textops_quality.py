@@ -2037,3 +2037,142 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "declared_lang", "detected_lang")
     )
+
+
+# --- round 11: C4 unsafe-content blocklist (r10 verdict ask #3) ------
+
+# C4's page-level blocklist rule (Raffel et al. 2020 §2.2): beyond the
+# line/page cleaning q225 implements, C4 also REMOVES any page that
+# contains a word from the "List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words" (LDNOOBW) — a blunt word-boundary match, by
+# design (the paper accepts the false positives). The default lexicon
+# below is a small printable stand-in spanning the list's categories
+# (adult content, drugs-spam, shock content); a production deployment
+# passes the full LDNOOBW list for its language via ``lexicon`` — the
+# operator is lexicon-size-agnostic (the list broadcasts as a literal
+# array; LDNOOBW's largest language file is ~400 terms).
+UNSAFE_TERMS = (
+    "bukkake",
+    "camgirl",
+    "cialis",
+    "erotic",
+    "fetish",
+    "gore",
+    "hardcore",
+    "hentai",
+    "milf",
+    "nsfw",
+    "nude",
+    "porn",
+    "smut",
+    "viagra",
+    "xxx",
+)
+
+
+def _unsafe_hits_col(text_col, lexicon):
+    """Array of blocklist hits in a text column: case-insensitive,
+    word-boundary (alnum-run tokenization) — ONE split + one JVM-side
+    lambda filter, no regex alternation blowup, no UDF. Multiple
+    occurrences of a term all survive (hit COUNT is meaningful)."""
+    toks = F.split(F.lower(text_col), "[^a-z0-9]+", -1)
+    lex = list(lexicon)
+    return F.filter(toks, lambda x: x.isin(lex))
+
+
+def unsafe_content_scan(
+    documents: DataFrame,
+    lexicon: tuple[str, ...] = UNSAFE_TERMS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document C4 §2.2 blocklist scan: total blocklisted-token
+    hits, distinct flagged terms, and the page-level ``unsafe`` flag
+    (C4 drops the page on ANY hit). The review-signal form — the gate
+    form is :func:`unsafe_page_filter`, and the corpus rollup is
+    :func:`unsafe_content_report`.
+
+    Exactness: tokenization is a single deterministic alnum-run split
+    of the lowercased text; every output is an integer count or a
+    boolean — no floats anywhere.
+
+    Scale: one scan, zero shuffles, zero UDFs; the lexicon rides as a
+    broadcast literal array (|lexicon| is a few hundred at most).
+    """
+    hits = _unsafe_hits_col(F.col(text_col), lexicon)
+    lex_arr = F.array(*[F.lit(w) for w in lexicon])
+    return documents.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_hits"),
+        F.size(F.array_intersect(hits, lex_arr)).cast("long").alias(
+            "n_terms"
+        ),
+        (F.size(hits) > 0).alias("unsafe"),
+    ).orderBy("doc_id")
+
+
+def unsafe_page_filter(
+    documents: DataFrame,
+    lexicon: tuple[str, ...] = UNSAFE_TERMS,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 §2.2 page drop as a pure filter predicate: keep only
+    documents with ZERO blocklist hits. Same single-scan shape as
+    gopher_pass_filter / code_hygiene_filter so it splices into
+    plans.curation.curation_pipeline as an opt-in gate with no extra
+    join or shuffle; ``F.exists`` short-circuits on the first hit."""
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+", -1)
+    lex = list(lexicon)
+    return documents.filter(~F.exists(toks, lambda x: x.isin(lex)))
+
+
+def unsafe_content_report(
+    documents: DataFrame,
+    lexicon: tuple[str, ...] = UNSAFE_TERMS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unsafe-content report: docs scanned, pages the C4
+    blocklist would drop (count + exact integer permille), total term
+    hits, and the modal flagged term (ties alphabetical; NULL when the
+    source is clean) — the corpus data-card row a curation run ships
+    alongside q215's source cards.
+
+    Scale: one scan computes the hits array; per-source totals are one
+    partial-aggregated shuffle onto |sources| keys, and the modal term
+    works on the exploded hits of FLAGGED docs only — bounded by
+    |sources|·|lexicon| groups, broadcast back onto the totals.
+    """
+    hits = _unsafe_hits_col(F.col(text_col), lexicon)
+    base = documents.select(
+        "source", hits.alias("hits"), (F.size(hits) > 0).alias("unsafe")
+    )
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("unsafe").cast("long")).cast("long").alias("n_flagged"),
+        F.sum(F.size("hits")).cast("long").alias("n_hits"),
+    )
+    term_counts = (
+        base.filter("unsafe")
+        .select("source", F.explode("hits").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    top = (
+        term_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("term").alias("top_term"))
+    )
+    return (
+        totals.join(F.broadcast(top), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.expr("n_flagged * 1000 div n_docs").cast("long").alias(
+                "flagged_permille"
+            ),
+            "n_hits",
+            "top_term",
+        )
+        .orderBy("source")
+    )

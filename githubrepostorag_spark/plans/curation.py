@@ -66,6 +66,7 @@ def curation_pipeline(
     pack_budget: int = PACK_BUDGET,
     gopher_gate: bool = False,
     code_hygiene_gate: bool = False,
+    unsafe_content_gate: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; see module docstring for stages.
 
@@ -82,6 +83,11 @@ def curation_pipeline(
     high-entropy secret check) in the same pure-filter position — the
     battery a repository corpus (The Stack) runs instead of / alongside
     the prose-oriented Gopher rules. Adds a 'code_hygiene' audit row.
+
+    `unsafe_content_gate` (opt-in) splices the C4 §2.2 blocklist page
+    drop (textops_quality.unsafe_page_filter, Raffel et al. 2020) last
+    in the gate chain — same pure-filter shape, no join — and adds an
+    'unsafe_content' audit/timing row.
     """
     t = F.col("text")
     # --- stage 1: quality gate (same predicates as curation_funnel) ---
@@ -103,6 +109,10 @@ def curation_pipeline(
         from githubrepostorag_spark.operators import textops as TO
 
         gated = TO.code_hygiene_filter(gated)
+    if unsafe_content_gate:
+        from githubrepostorag_spark.operators import textops as TO
+
+        gated = TO.unsafe_page_filter(gated)
 
     # --- stage 2: exact dedup (canonical min-id per fingerprint) ---
     exact_keep = DD.exact_dedup(gated).select(
@@ -175,16 +185,21 @@ def curation_pipeline(
         ("raw", int(head["n_raw"])),
         ("quality_gate", int(head["n_gated"])),
     ]
-    if gopher_gate and not code_hygiene_gate:
+    if gopher_gate and not (code_hygiene_gate or unsafe_content_gate):
         # opt-in extra scan: the battery-gated count is its own stage
         counts.append(
             ("gopher_gate", timer.time("gopher_gate", gated.count))
         )
-    if code_hygiene_gate:
+    if code_hygiene_gate and not unsafe_content_gate:
         # `gated` is the terminal gate frame; its count records the
         # combined hygiene stage (gopher first when both are on)
         counts.append(
             ("code_hygiene", timer.time("code_hygiene", gated.count))
+        )
+    if unsafe_content_gate:
+        # terminal gate frame when on (gopher/hygiene fold in before)
+        counts.append(
+            ("unsafe_content", timer.time("unsafe_content", gated.count))
         )
     counts += [
         ("exact_dedup", timer.time("exact_dedup", exact.count)),

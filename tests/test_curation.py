@@ -553,6 +553,48 @@ def test_curation_pipeline_code_hygiene_gate(spark):
         res.unpersist()
 
 
+def test_curation_pipeline_unsafe_content_gate(spark):
+    """unsafe_content_gate=True splices the C4 blocklist page drop
+    last in the gate chain: a funnel-passing doc containing a
+    blocklisted term survives the DEFAULT run but is dropped when the
+    gate is on, and the audit/timing frames carry an unsafe_content
+    stage with count == quality_gate − 1."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    def prose(i, extra=""):
+        # per-doc-distinct vocabulary so the LSH near-dup stage keeps
+        # every doc (shared text would collapse them to one survivor)
+        words = " ".join(f"word{i}x{j} common filler" for j in range(40))
+        return f"the document {i} begins here {words} {extra} and ends"
+
+    rows = [(i, prose(i), "en", "srcA", 300) for i in range(1, 9)]
+    # long, funnel-passing, but contains one blocklisted token
+    rows.append((99, prose(99, extra="some porn link"), "en", "srcA", 300))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame([(1000, "benchmark eval text here")],
+                                  "doc_id long, text string")
+    base = curation_pipeline(docs, bench, run_id="nou")
+    gated = curation_pipeline(docs, bench, run_id="usg",
+                              unsafe_content_gate=True)
+    try:
+        base_ids = {r.doc_id for r in base.corpus.select("doc_id").collect()}
+        gate_ids = {r.doc_id for r in gated.corpus.select("doc_id").collect()}
+        assert 99 in base_ids      # default run admits the page
+        assert 99 not in gate_ids  # the gate alone drops it
+        audit = {r["stage"]: r["n_docs"] for r in gated.audit.collect()}
+        assert "unsafe_content" in audit
+        assert audit["unsafe_content"] == audit["quality_gate"] - 1
+        base_audit = {r["stage"] for r in base.audit.collect()}
+        assert "unsafe_content" not in base_audit
+        stages = {r.stage for r in gated.timed_stages.collect()}
+        assert "unsafe_content" in stages
+    finally:
+        base.unpersist()
+        gated.unpersist()
+
+
 def test_mixture_plan_end_to_end(spark):
     """Plan integers are exact, quotas bite when the budget is below a
     source's raw tokens, and the sampled frame obeys the quota."""

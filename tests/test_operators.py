@@ -5521,3 +5521,51 @@ def test_lang_confusion_hand_computed(spark):
     assert got[("B", "fr", "en")].n_docs == 1
     assert got[("B", "fr", "en")].share_of_declared == 1.0
     assert len(got) == 3
+
+
+def test_unsafe_content_scan_hand_computed(spark):
+    """q314: word-boundary, case-insensitive blocklist hits — 'porn'
+    twice + 'XXX' once = 3 hits over 2 distinct terms; 'pornography'
+    is a DIFFERENT token (alnum-run split) and must NOT hit; a clean
+    doc and an empty doc are 0/0/false."""
+    docs = spark.createDataFrame(
+        [
+            (1, "some PORN here, porn there, and XXX too", "en", "A", 40),
+            (2, "pornography studies is a clean academic token", "en", "A", 46),
+            (3, "perfectly ordinary prose about ducks", "en", "B", 36),
+            (4, "", "en", "B", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in TO.unsafe_content_scan(docs).collect()}
+    assert (got[1].n_hits, got[1].n_terms, got[1].unsafe) == (3, 2, True)
+    assert (got[2].n_hits, got[2].n_terms, got[2].unsafe) == (0, 0, False)
+    assert (got[3].n_hits, got[3].unsafe) == (0, False)
+    assert (got[4].n_hits, got[4].unsafe) == (0, False)
+
+
+def test_unsafe_page_filter_and_report(spark):
+    """q315 + the gate form: the filter keeps exactly the zero-hit
+    docs; the report's permille is integer-exact and the modal term
+    breaks count ties alphabetically (NULL for a clean source)."""
+    rows = [
+        (1, "porn porn xxx", "en", "A", 13),     # flagged: porn x2, xxx x1
+        (2, "xxx and porn", "en", "A", 12),      # flagged: 1 + 1
+        (3, "clean text one", "en", "A", 14),
+        (4, "clean text two", "en", "A", 14),
+        (5, "totally fine", "en", "B", 12),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = {r.doc_id for r in TO.unsafe_page_filter(docs).collect()}
+    assert kept == {3, 4, 5}
+    got = {r.source: r for r in TO.unsafe_content_report(docs).collect()}
+    a = got["A"]
+    assert (a.n_docs, a.n_flagged, a.n_hits) == (4, 2, 5)
+    assert a.flagged_permille == 500  # 2 * 1000 div 4, exact
+    assert a.top_term == "porn"  # 3 hits vs xxx's 2
+    b = got["B"]
+    assert (b.n_docs, b.n_flagged, b.n_hits) == (1, 0, 0)
+    assert b.flagged_permille == 0 and b.top_term is None
