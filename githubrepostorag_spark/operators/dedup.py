@@ -1131,7 +1131,13 @@ def incremental_near_dups(
     new_bands = _bands_from_sigs(new_sigs, n_bands).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_val"
     )
-    store_bands = _excl(spark.read.parquet(path + "/bands"))
+    # tombstoned (taken-down) docs must not veto newcomers: anti-join
+    # the store side against the tombstone table (broadcast — bounded
+    # by takedown volume, tiny next to the store)
+    tombs = _read_dedup_tombstones(spark, path)
+    store_bands = _without_tombstoned(
+        _excl(spark.read.parquet(path + "/bands")), tombs
+    )
     cand = (
         store_bands.join(F.broadcast(new_bands), ["band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("new_id"))
@@ -1139,7 +1145,9 @@ def incremental_near_dups(
         .distinct()
     )
 
-    store_sigs = _excl(spark.read.parquet(path + "/signatures"))
+    store_sigs = _without_tombstoned(
+        _excl(spark.read.parquet(path + "/signatures")), tombs
+    )
     old = store_sigs.select(
         F.col("doc_id").alias("old_id"),
         *[F.col(c).alias(f"o_{c}") for c in sig_cols],
@@ -1202,6 +1210,73 @@ def append_to_dedup_store(
     ).sortWithinPartitions("fp").write.mode("append").parquet(path + "/fingerprints")
 
 
+def _dedup_tombstones_path(path: str) -> str:
+    return path.rstrip("/") + "/tombstones"
+
+
+def _read_dedup_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Tombstoned doc_ids for the store at `path`, or None when no
+    deletion has ever run (one driver-side fs.exists, no Spark job)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_dedup_tombstones_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(_dedup_tombstones_path(path)).select(
+        "doc_id"
+    ).distinct()
+
+
+def _without_tombstoned(
+    df: DataFrame, tombstones: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    if tombstones is None:
+        return df
+    return df.join(
+        F.broadcast(tombstones.select(F.col("doc_id").alias(id_col))),
+        id_col,
+        "left_anti",
+    )
+
+
+def delete_from_dedup_store(spark: SparkSession, path: str, doc_ids) -> int:
+    """Takedown/deletion for the persisted LSH dedup store (r10
+    verdict ask #4): TOMBSTONE the given doc_ids so they stop vetoing
+    newcomers — a deleted document's signatures/bands/fingerprints no
+    longer match incoming batches in `incremental_near_dups` /
+    `incremental_exact_dups` (both anti-join the store side against
+    the tombstone table). Without this, a taken-down doc keeps
+    rejecting its own near-duplicates forever, which is exactly
+    backwards: after a takedown, a RESUBMISSION of similar content is
+    a fresh editorial decision, not a duplicate of removed data.
+
+    Tombstones are an APPEND (one tiny parquet write, no store
+    rewrite) — the physical purge of the three tables rides the next
+    `compact_dedup_store`, which applies tombstones and clears the
+    table. That is the right 100 TB split: deletes are latency-
+    sensitive (legal clocks), compaction is scheduled.
+
+    `doc_ids` is a DataFrame with a doc_id column or a Python
+    iterable of ids. Returns the number of distinct ids tombstoned.
+    """
+    import pandas as pd
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+        n = ids.count()
+        ids.coalesce(1).write.mode("append").parquet(
+            _dedup_tombstones_path(path)
+        )
+        return int(n)
+    vals = sorted({int(d) for d in doc_ids})
+    if not vals:
+        return 0
+    spark.createDataFrame(pd.DataFrame({"doc_id": vals})).coalesce(
+        1
+    ).write.mode("append").parquet(_dedup_tombstones_path(path))
+    return len(vals)
+
+
 def compact_dedup_store(spark: SparkSession, path: str) -> None:
     """Offline compaction of the persisted LSH dedup store: a streaming
     gate appends one small file set per micro-batch to each of the
@@ -1218,9 +1293,18 @@ def compact_dedup_store(spark: SparkSession, path: str) -> None:
     Run OFFLINE with no gate in flight: folding batch ids collapses
     the per-batch replay-exclusion keys, so a batch replayed ACROSS a
     compaction boundary would re-append its rows.
+
+    Tombstones (`delete_from_dedup_store`) are applied PHYSICALLY
+    here: dead rows drop from all three tables and the tombstone table
+    is cleared — compaction is the scheduled purge the append-time
+    tombstone write defers to.
     """
+    tombs = _read_dedup_tombstones(spark, path)
+    if tombs is not None:
+        tombs = tombs.localCheckpoint(eager=True)  # pin: its dir is
+        # deleted below, before the lazy table rewrites would read it
     sigs = (
-        spark.read.parquet(path + "/signatures")
+        _without_tombstoned(spark.read.parquet(path + "/signatures"), tombs)
         .dropDuplicates(["doc_id", "batch_id"])
         .withColumn("batch_id", F.lit(-1))
         .localCheckpoint(eager=True)  # pin before overwriting its source
@@ -1229,7 +1313,7 @@ def compact_dedup_store(spark: SparkSession, path: str) -> None:
         "overwrite"
     ).parquet(path + "/signatures")
     bands = (
-        spark.read.parquet(path + "/bands")
+        _without_tombstoned(spark.read.parquet(path + "/bands"), tombs)
         .dropDuplicates(["doc_id", "band_idx", "band_val", "batch_id"])
         .withColumn("batch_id", F.lit(-1))
         .localCheckpoint(eager=True)
@@ -1238,7 +1322,7 @@ def compact_dedup_store(spark: SparkSession, path: str) -> None:
         "overwrite"
     ).partitionBy("band_idx").parquet(path + "/bands")
     fps = (
-        spark.read.parquet(path + "/fingerprints")
+        _without_tombstoned(spark.read.parquet(path + "/fingerprints"), tombs)
         .dropDuplicates(["doc_id", "batch_id"])
         .withColumn("batch_id", F.lit(-1))
         .localCheckpoint(eager=True)
@@ -1246,6 +1330,12 @@ def compact_dedup_store(spark: SparkSession, path: str) -> None:
     fps.coalesce(spark.sparkContext.defaultParallelism).sortWithinPartitions(
         "fp"
     ).write.mode("overwrite").parquet(path + "/fingerprints")
+    if tombs is not None:
+        # applied physically above — clear so future probes skip the
+        # anti-join entirely (fs.exists returns False again)
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(_dedup_tombstones_path(path))
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def incremental_exact_dups(
@@ -1261,7 +1351,10 @@ def incremental_exact_dups(
     new_fp = new_docs.select(
         F.col("doc_id").alias("new_id"), TXT.fingerprint(F.col("text")).alias("fp")
     )
-    store = spark.read.parquet(path + "/fingerprints")
+    store = _without_tombstoned(
+        spark.read.parquet(path + "/fingerprints"),
+        _read_dedup_tombstones(spark, path),
+    )
     return (
         store.join(F.broadcast(new_fp), "fp")
         .filter(F.col("doc_id") != F.col("new_id"))

@@ -1092,6 +1092,88 @@ def compact_ivf_store(spark, path: str) -> None:
     )
 
 
+def delete_from_ivf_store(spark, path: str, predicate) -> int:
+    """Takedown/deletion for the persisted IVF store (r10 verdict ask
+    #4): remove every row matching ``predicate`` (a Column or SQL
+    string over the store columns vec_id/label/batch_id/cell),
+    rewriting ONLY the cells that contain matches — the missing
+    lifecycle verb next to append (`maintain_ivf_store`), split
+    (`_split_cell_local`) and compaction. A license revocation or a
+    repo takedown (q231's signal) is `delete_from_ivf_store(spark,
+    path, F.col("vec_id").isin(ids))` — no full-store rebuild.
+
+    Cost model at 100 TB: one column-pruned scan of vec_id/cell to
+    locate the affected cells, then a partition-pruned read + dynamic
+    partition overwrite of ONLY those cell directories; untouched
+    cells keep their files byte-identical (input-files pin in
+    test_plans). Cells left EMPTY are dropped driver-side (dynamic
+    overwrite cannot replace a partition with zero rows — leaving the
+    old files would resurrect the deleted vectors on the next scan).
+
+    The sidecar is DECREMENTED by replacement, the `_split_cell_local`
+    discipline: affected cells' partials are rebuilt from the
+    reconciled surviving rows (keyed by the frame's own batch ids, so
+    a still-pending replay's ``exclude_batch_id`` keys survive),
+    untouched cells' partials are kept verbatim. Affected cells come
+    out replay-reconciled as a side effect — the same normalization
+    compaction applies, so probe/serve results equal a from-scratch
+    rebuild of the surviving rows (pinned in test_plans).
+
+    NULL-predicate rows (predicate can't evaluate) are KEPT — deletion
+    must be explicit, never a three-valued-logic accident. Returns the
+    number of (reconciled) rows removed.
+    """
+    upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate first
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    store = spark.read.parquet(path)
+    doomed_cells = sorted(
+        int(r["cell"])
+        for r in store.filter(pred).select("cell").distinct().collect()
+    )  # |cells|-bounded collect; the scan reads only pred's columns + cell
+    if not doomed_cells:
+        return 0
+    # partition-pruned read of ONLY the affected cells, replay-
+    # reconciled once (the rewrite below re-lands these rows, so the
+    # reconciliation must happen here exactly as compaction does)
+    affected = reconcile_replay_rows(
+        store.filter(F.col("cell").isin(doomed_cells))
+    ).localCheckpoint(eager=True)  # pin before overwriting its source
+    kept = affected.filter(
+        ~F.coalesce(pred, F.lit(False))
+    ).localCheckpoint(eager=True)
+    n_deleted = affected.count() - kept.count()
+    if n_deleted == 0:
+        return 0
+    # dynamic overwrite replaces exactly the partitions present in
+    # `kept`; cells whose every row died are absent from it and their
+    # directories are removed driver-side below
+    kept.repartition("cell").write.mode("overwrite").partitionBy("cell").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+    kept_cells = {
+        int(r["cell"]) for r in kept.select("cell").distinct().collect()
+    }
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for c in doomed_cells:
+        if c in kept_cells:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/cell={c}")
+        p.getFileSystem(conf).delete(p, True)
+    # sidecar decrement by replacement (the _split_cell_local shape):
+    # untouched cells' partials verbatim, affected cells' rebuilt from
+    # the surviving rows keyed by their own batch ids
+    kept_sc = (
+        read_ivf_sidecar(spark, path)
+        .filter(~F.col("cell").isin(doomed_cells))
+        .localCheckpoint(eager=True)  # pin before overwriting its source
+    )
+    kept_sc.unionByName(cell_sum_partials(kept, None)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ivf_sidecar_path(path))
+    return int(n_deleted)
+
+
 def write_ivf_store(embeddings: DataFrame, path: str) -> None:
     """Materialize the vector table partitioned by assigned IVF cell:
     parquet directory per cell, rows carrying the prepared (cast +

@@ -246,14 +246,29 @@ def maintain_ivf_store(
     drift_cos_threshold: float = DRIFT_COS_THRESHOLD,
     balance_permille_threshold: int = BALANCE_PERMILLE_THRESHOLD,
     run_id: str = "maintenance",
+    delete_predicate=None,
 ) -> MaintenanceResult:
     """Run one maintenance cycle against the store at `path` with a
     `batch` of (vec_id, label, embedding) rows. See module docstring.
+
+    ``delete_predicate`` (optional, a Column or SQL string over the
+    store columns): pending takedowns applied FIRST in the cycle via
+    `delete_from_ivf_store` — deletions land before the frozen
+    centroids are read, so the cycle's drift/balance decisions see the
+    post-takedown store. The audit always carries an ``n_deleted``
+    row (0.0 when no predicate), the lifecycle's takedown ledger.
     """
     # pre-sidecar store: one-shot in-place migration (fs.exists no-op
     # in the steady state) — ADVICE r8 medium: the sidecar read below
     # must not AnalysisException on an old layout
     upgrade_ivf_store(spark, path)
+    n_deleted = 0
+    if delete_predicate is not None:
+        from githubrepostorag_spark.operators.similarity import (
+            delete_from_ivf_store,
+        )
+
+        n_deleted = delete_from_ivf_store(spark, path, delete_predicate)
     # --- frozen centroids from the sidecar (|cells| rows, no store scan)
     partials = read_ivf_sidecar(spark, path).localCheckpoint(eager=False)
     frozen_tbl = fold_partials(partials).localCheckpoint(eager=False)
@@ -444,6 +459,7 @@ def maintain_ivf_store(
     import pandas as pd
 
     audit_rows = scan_rows + hub_rows + [
+        ("n_deleted", float(n_deleted)),
         ("n_store", float(n_store)),
         ("n_batch", float(n_batch)),
         ("cells_touched", float(len(batch_cells))),

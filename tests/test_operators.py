@@ -5569,3 +5569,67 @@ def test_unsafe_page_filter_and_report(spark):
     b = got["B"]
     assert (b.n_docs, b.n_flagged, b.n_hits) == (1, 0, 0)
     assert b.flagged_permille == 0 and b.top_term is None
+
+
+def test_dedup_store_tombstones_stop_vetoing(spark, tmp_path):
+    """r10 verdict ask #4 (dedup side): after delete_from_dedup_store,
+    a near-dup / exact-dup of the DELETED doc is admitted (the
+    tombstone anti-join), other stored docs still veto, and
+    compact_dedup_store purges the dead rows physically and clears the
+    tombstone table."""
+    import os
+
+    store = str(tmp_path / "dedup_store")
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (2, "completely unrelated content about spark plans", "en", "s0", 46),
+        ],
+    )
+    DD.write_dedup_store(corpus, store)
+    probe = _docs(
+        spark,
+        [
+            # near-exact dup of stored doc 1 (one word changed)
+            (101, "the quick brown fox jumps over the lazy cat", "en", "s2", 44),
+            # exact dup (normalized) of stored doc 2
+            (102, "Completely  UNRELATED content about spark plans", "en", "s2", 46),
+        ],
+    )
+    # before any deletion: both vetoes fire (102 is an exact dup of 2,
+    # so it near-matches too)
+    near = DD.incremental_near_dups(spark, store, probe, min_est_jaccard=0.5)
+    assert {(r.new_id, r.old_id) for r in near.collect()} == {(101, 1), (102, 2)}
+    exact = DD.incremental_exact_dups(spark, store, probe)
+    assert {(r.new_id, r.old_id) for r in exact.collect()} == {(102, 2)}
+
+    # takedown doc 1: its near-dup is ADMITTED, doc 2 still vetoes
+    assert DD.delete_from_dedup_store(spark, store, [1]) == 1
+    near2 = DD.incremental_near_dups(spark, store, probe, min_est_jaccard=0.5)
+    assert {(r.new_id, r.old_id) for r in near2.collect()} == {(102, 2)}
+    exact2 = DD.incremental_exact_dups(spark, store, probe)
+    assert {(r.new_id, r.old_id) for r in exact2.collect()} == {(102, 2)}
+
+    # compaction applies the tombstone physically and clears the table
+    DD.compact_dedup_store(spark, store)
+    assert not os.path.exists(store + "/tombstones")
+    sig_ids = {r.doc_id for r in spark.read.parquet(store + "/signatures").collect()}
+    fp_ids = {r.doc_id for r in spark.read.parquet(store + "/fingerprints").collect()}
+    band_ids = {r.doc_id for r in spark.read.parquet(store + "/bands").collect()}
+    assert sig_ids == fp_ids == band_ids == {2}
+    # post-compaction probe behavior identical
+    assert {
+        (r.new_id, r.old_id)
+        for r in DD.incremental_near_dups(
+            spark, store, probe, min_est_jaccard=0.5
+        ).collect()
+    } == {(102, 2)}
+    assert {
+        (r.new_id, r.old_id)
+        for r in DD.incremental_exact_dups(spark, store, probe).collect()
+    } == {(102, 2)}
+    # a DataFrame id set works too, and re-deleting is idempotent-safe
+    ids_df = spark.createDataFrame([(2,)], "doc_id long")
+    assert DD.delete_from_dedup_store(spark, store, ids_df) == 1
+    assert DD.incremental_exact_dups(spark, store, probe).count() == 0
