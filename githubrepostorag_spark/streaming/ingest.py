@@ -23,6 +23,8 @@ checkpoint with no state-store growth.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -380,6 +382,110 @@ def np_assign_cells(B, cent_cells, C):
     return np.asarray(cent_cells, dtype="int64")[np.argmax(sims, axis=1)]
 
 
+class EmbeddingPsiRef(NamedTuple):
+    """Frozen PSI reference for the embedding gate: the decile grid of
+    the store's distance-to-assigned-centroid distribution (9 edges),
+    the history's per-bucket counts (10), and the history row count."""
+
+    edges: list  # 9 decile edges over dist = round(1 - cos, 6)
+    b1: list     # 10 history bucket counts
+    n_hist: int
+
+
+def embedding_psi_reference(spark, ivf_store_path: str) -> EmbeddingPsiRef:
+    """Fit the embedding gate's frozen PSI reference (r10 verdict ask
+    #5): ONE store scan computes each stored vector's distance to its
+    assigned cell centroid (centroids folded from the persisted
+    sidecar — the serving codebook, not a refit), the decile edges
+    come from q281's exact-rank ladder (`psi_decile_edges` — distinct
+    distances only, never a raw sort), and the history mass per bucket
+    is counted against those edges. Everything collected is
+    O(PSI_BUCKETS): 9 edges + 10 counts + 1 total.
+
+    Run ONCE at gate setup (the same freeze discipline as
+    `stream_psi_monitor`'s history fit); per-trigger scoring is then
+    pure driver-side numpy in `_embedding_gate_batch` — no Spark job,
+    nothing store-sized ever touched per batch.
+    """
+    from githubrepostorag_spark.functions import vectors as V
+    from githubrepostorag_spark.operators.eventops import (
+        PSI_BUCKETS,
+        psi_decile_edges,
+    )
+    from githubrepostorag_spark.operators.similarity import (
+        fold_partials,
+        read_ivf_sidecar,
+        reconcile_replay_rows,
+        upgrade_ivf_store,
+    )
+
+    upgrade_ivf_store(spark, ivf_store_path)
+    cents = V.prepare(
+        fold_partials(read_ivf_sidecar(spark, ivf_store_path)).select(
+            "cell", "centroid"
+        ),
+        "centroid",
+        "cv",
+        "cn",
+    ).select("cell", "cv", "cn")
+    dists = (
+        reconcile_replay_rows(spark.read.parquet(ivf_store_path))
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.lit("emb").alias("event_type"),
+            F.round(
+                F.lit(1.0)
+                - V.prepared_cosine(
+                    F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")
+                ),
+                6,
+            ).alias("value"),
+        )
+        .filter(F.col("value").isNotNull())  # degenerate rows unscored
+        .localCheckpoint(eager=False)  # edges + bucket counts below
+    )
+    edges = [
+        float(r["edge"])
+        for r in psi_decile_edges(dists).orderBy("k").collect()
+    ]
+    e_arr = F.array(*[F.lit(e) for e in edges])
+    b1_rows = (
+        dists.select(
+            (
+                F.size(F.filter(e_arr, lambda e: e < F.col("value"))) + 1
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    b1 = [0] * PSI_BUCKETS
+    for r in b1_rows:
+        b1[int(r["bucket"]) - 1] = int(r["count"])
+    return EmbeddingPsiRef(edges=edges, b1=b1, n_hist=sum(b1))
+
+
+def _np_psi(dists, ref: EmbeddingPsiRef) -> float:
+    """Driver-side PSI of a batch's distances against the frozen
+    reference — the same smoothed (+0.5/bucket), 12dp-rounded-term,
+    6dp-rounded-sum arithmetic as `stream_psi_monitor` / q298, in
+    numpy (strictly-below edge comparison included)."""
+    import numpy as np
+
+    from githubrepostorag_spark.functions.numerics import np_round_half_away
+    from githubrepostorag_spark.operators.eventops import PSI_BUCKETS
+
+    e = np.asarray(ref.edges, dtype="float64")
+    b = (e[None, :] < dists[:, None]).sum(axis=1) + 1
+    b2 = np.bincount(b, minlength=PSI_BUCKETS + 1)[1:].astype("float64")
+    b1 = np.asarray(ref.b1, dtype="float64")
+    smooth = 0.5 * PSI_BUCKETS
+    p1 = (b1 + 0.5) / (float(ref.n_hist) + smooth)
+    p2 = (b2 + 0.5) / (float(len(dists)) + smooth)
+    terms = np_round_half_away((p2 - p1) * np.log(p2 / p1), 12)
+    return float(np_round_half_away(float(terms.sum()), 6))
+
+
 def _embedding_gate_batch(
     batch: DataFrame,
     batch_id: int,
@@ -387,6 +493,9 @@ def _embedding_gate_batch(
     accepted_path: str,
     rejected_path: str,
     max_cos: float,
+    psi_ref: EmbeddingPsiRef | None = None,
+    psi_audit_path: str | None = None,
+    psi_alarm: float = 0.25,
 ) -> None:
     """One `stream_embedding_gate` micro-batch, module-level so tests
     can drive it directly (replay = call twice with the same batch_id).
@@ -471,6 +580,32 @@ def _embedding_gate_batch(
     cell_of = np_assign_cells(B, cent_cells, C)
     batch_cells = sorted({int(c) for c in cell_of})
 
+    # --- semantic-drift PSI (r10 verdict ask #5): the batch's
+    # distance-to-assigned-centroid distribution scored against the
+    # FROZEN decile grid fitted on the store (`embedding_psi_reference`)
+    # — the drift alarm complementing q99 (centroid drift) and q265
+    # (occupancy). Distances use the LIVE replay-excluded codebook the
+    # assignment above used; only the grid is frozen. Pure numpy on the
+    # already-collected batch — zero extra Spark jobs per trigger; a
+    # replay re-derives the identical row (read-side dedup on batch_id).
+    psi_row = None
+    if psi_ref is not None and psi_audit_path is not None:
+        cidx = {c: i for i, c in enumerate(cent_cells)}
+        rowc = C[[cidx[int(c)] for c in cell_of]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.einsum("ij,ij->i", B, rowc) / (
+                np.linalg.norm(B, axis=1) * np.linalg.norm(rowc, axis=1)
+            )
+        dists = np_round_half_away(1.0 - cos, 6)
+        dists = dists[np.isfinite(dists)]  # degenerate rows unscored
+        psi = _np_psi(dists, psi_ref) if len(dists) else None
+        psi_row = {
+            "batch_id": int(batch_id),
+            "n_batch": int(len(dists)),
+            "psi": psi,
+            "alarmed": bool(psi > psi_alarm) if psi is not None else True,
+        }
+
     # store side pruned to the batch's cells (bounded by n_cells): the
     # isin on the partition column lands in the file index as
     # PartitionFilters — untouched cell directories are never opened.
@@ -549,6 +684,23 @@ def _embedding_gate_batch(
         f"vec_id long, label {lab_sql}, batch_id int",
         accepted_path,
     )
+    if psi_row is not None:
+        _write(
+            pd.DataFrame(
+                {
+                    "batch_id": np.asarray([psi_row["batch_id"]], dtype="int64"),
+                    "n_batch": np.asarray([psi_row["n_batch"]], dtype="int64"),
+                    "psi": np.asarray(
+                        [psi_row["psi"]
+                         if psi_row["psi"] is not None else np.nan],
+                        dtype="float64",
+                    ),
+                    "alarmed": np.asarray([psi_row["alarmed"]], dtype=bool),
+                }
+            ),
+            "batch_id long, n_batch long, psi double, alarmed boolean",
+            psi_audit_path,
+        )
     if keep.any():
         kb = B[keep]
         store_pdf = pd.DataFrame(
@@ -591,6 +743,8 @@ def stream_embedding_gate(
     rejected_path: str,
     checkpoint_path: str,
     max_cos: float = 0.95,
+    psi_audit_path: str | None = None,
+    psi_alarm: float = 0.25,
 ):
     """Continuous SEMANTIC admission gate: every micro-batch of
     embedding rows (vec_id, label, embedding) is probed against the
@@ -625,11 +779,24 @@ def stream_embedding_gate(
     match and is accepted — the same recall edge the IVF audits (q115)
     price; run the exact near-dup audit (q31) over the accepted log to
     bound it.
+
+    ``psi_audit_path`` (opt-in, r10 verdict ask #5): fit the frozen
+    distance-to-centroid decile grid ONCE at gate setup
+    (`embedding_psi_reference` — one store scan, amortized over the
+    stream's life) and append one PSI row per trigger — the gate's
+    semantic-drift alarm, q298's discipline on the embedding plane.
     """
+    psi_ref = (
+        embedding_psi_reference(vecs_stream.sparkSession, ivf_store_path)
+        if psi_audit_path is not None
+        else None
+    )
 
     def gate_batch(batch: DataFrame, batch_id: int) -> None:
         _embedding_gate_batch(
-            batch, batch_id, ivf_store_path, accepted_path, rejected_path, max_cos
+            batch, batch_id, ivf_store_path, accepted_path, rejected_path,
+            max_cos, psi_ref=psi_ref, psi_audit_path=psi_audit_path,
+            psi_alarm=psi_alarm,
         )
 
     return (

@@ -1472,3 +1472,95 @@ def test_stream_psi_monitor_identical_zero_shifted_flagged(spark, tmp_path):
     assert r2["refund"].alarmed and r2["refund"].psi is None
     assert r2["refund"].n_hist == 0 and r2["refund"].n_batch == 50
     assert "tip" not in r2  # absent from the trigger → nothing to score
+
+
+def test_embedding_gate_psi_identical_zero_shifted_flagged(spark, tmp_path):
+    """r10 verdict ask #5: the embedding gate's per-trigger PSI over
+    the distance-to-assigned-centroid distribution. A batch whose
+    distance distribution IS the store's (the store's own vectors
+    re-arriving) scores PSI = 0.0 exactly; a batch of far-off-centroid
+    vectors lands its whole mass in the top decile and alarms."""
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.streaming.ingest import (
+        _embedding_gate_batch,
+        embedding_psi_reference,
+    )
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    # two clusters with per-vector jitter so the distance distribution
+    # has real spread (distinct deciles, not a single point mass)
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0, 0.01 * (i % 7), 0.002 * i, 0.0]))
+        rows.append((100 + i, 1, [0.01 * (i % 5), 1.0, 0.0, 0.003 * i]))
+    base = spark.createDataFrame(rows, schema)
+    write_ivf_store(base, store)
+    ref = embedding_psi_reference(spark, store)
+    assert len(ref.edges) == 9 and len(ref.b1) == 10
+    assert ref.n_hist == 40 and sum(ref.b1) == 40
+
+    audit = str(tmp_path / "psi_audit")
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    # identical distribution: the store's own vectors as the batch
+    _embedding_gate_batch(
+        base, 7, store, acc, rej, max_cos=2.0,  # max_cos>1: nothing rejected,
+        psi_ref=ref, psi_audit_path=audit,      # gate outcome irrelevant here
+    )
+    got = {r.batch_id: r for r in spark.read.parquet(audit).collect()}
+    assert got[7].n_batch == 40
+    assert got[7].psi == 0.0
+    assert got[7].alarmed is False
+
+    # shifted: vectors near-orthogonal to both centroids -> top decile
+    far = spark.createDataFrame(
+        [(500 + i, 0, [0.0, 0.01 * i, 1.0, 0.5]) for i in range(10)], schema
+    )
+    _embedding_gate_batch(
+        far, 8, store, acc, rej, max_cos=2.0,
+        psi_ref=ref, psi_audit_path=audit,
+    )
+    got = {r.batch_id: r for r in spark.read.parquet(audit).collect()}
+    assert got[8].n_batch == 10
+    assert got[8].psi is not None and got[8].psi > 0.25
+    assert got[8].alarmed is True
+
+
+def test_stream_embedding_gate_psi_wiring(spark, tmp_path):
+    """stream_embedding_gate(psi_audit_path=...) fits the frozen grid
+    once at setup and appends one PSI row per trigger; without the
+    opt-in no audit directory appears."""
+    import os
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    src = str(tmp_path / "vsrc")
+    acc, rej = str(tmp_path / "vacc"), str(tmp_path / "vrej")
+    ckpt = str(tmp_path / "vckpt")
+    audit = str(tmp_path / "psi")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(i, i % 2, [1.0 + 0.01 * i, float(i % 3), 0.0, 0.0])
+             for i in range(8)],
+            schema,
+        ),
+        store,
+    )
+    spark.createDataFrame(
+        [(100, 0, [0.999, 0.02, 0.0, 0.0]), (101, 0, [0.0, 0.02, 0.999, 0.0])],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_embedding_gate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+        store, acc, rej, ckpt, psi_audit_path=audit,
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(audit).collect()
+    assert len(rows) == 1 and rows[0].n_batch == 2
+    assert rows[0].psi is not None
+    # the gate itself still worked (one accept or reject per vector)
+    n_acc = spark.read.parquet(acc).count()
+    assert n_acc >= 1
