@@ -42,6 +42,9 @@ class CurationResult(NamedTuple):
     corpus: DataFrame  # surviving documents with quality + batch columns
     audit: DataFrame   # one row per stage: (stage_idx, stage, n_docs)
     timed_stages: DataFrame  # (stage_idx, stage, seconds) — see plans.timing
+    # opt-in (lang_audit=True): per-stage detected-language composition
+    # (stage_idx, stage, detected_lang, n_docs, share) — None otherwise
+    lang_audit: DataFrame | None = None
 
     def unpersist(self) -> None:
         self.corpus.unpersist()
@@ -67,6 +70,7 @@ def curation_pipeline(
     gopher_gate: bool = False,
     code_hygiene_gate: bool = False,
     unsafe_content_gate: bool = False,
+    lang_audit: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; see module docstring for stages.
 
@@ -88,6 +92,19 @@ def curation_pipeline(
     drop (textops_quality.unsafe_page_filter, Raffel et al. 2020) last
     in the gate chain — same pure-filter shape, no join — and adds an
     'unsafe_content' audit/timing row.
+
+    `lang_audit` (opt-in, r10 verdict ask #6): thread the q52/q313
+    content-based language detector through every stage frame and
+    return a per-stage detected-language composition table
+    (stage_idx, stage, detected_lang, n_docs, share) in
+    `CurationResult.lang_audit` — a gate that silently skews the
+    LANGUAGE mixture (the other mixture axis next to q84/q234's
+    source) becomes visible as a share shift between adjacent stages.
+    Cost when on: one extra |langs|-bounded aggregation pass per
+    lineage-cut stage frame (the detector itself is a pure map); the
+    'gated' row is the TERMINAL gate frame (all opt-in gates applied).
+    The release pipeline consumes this pipeline's output, so its
+    language mix is audited here at the door.
     """
     t = F.col("text")
     # --- stage 1: quality gate (same predicates as curation_funnel) ---
@@ -213,8 +230,53 @@ def curation_pipeline(
         [(i, s, c, run_id) for i, (s, c) in enumerate(counts)],
         "stage_idx long, stage string, n_docs long, curation_run_id string",
     )
+
+    lang_frame = None
+    if lang_audit:
+        import functools
+
+        from pyspark.sql import Window
+
+        from githubrepostorag_spark.operators import textops as TO
+
+        lang_stages = [
+            ("raw", documents),
+            ("gated", gated),  # terminal gate frame (opt-in gates applied)
+            ("exact_dedup", exact),
+            ("near_dup", survivors),
+            ("decontaminated", clean),
+            ("mixed", mixed),
+            ("packed", corpus),
+        ]
+        per_stage = [
+            TO.language_id(frame)
+            .groupBy("detected_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "detected_lang",
+                "n_docs",
+            )
+            for i, (stage, frame) in enumerate(lang_stages)
+        ]
+        w_tot = Window.partitionBy("stage_idx")
+        lang_frame = (
+            functools.reduce(lambda a, b: a.unionByName(b), per_stage)
+            .withColumn(
+                "share",
+                F.round(
+                    F.col("n_docs").cast("double")
+                    / F.sum("n_docs").over(w_tot).cast("double"),
+                    6,
+                ),
+            )
+            .withColumn("curation_run_id", F.lit(run_id))
+        )
+
     return CurationResult(
         corpus=corpus,
         audit=audit,
         timed_stages=timer.frame(spark, run_id, "curation_run_id"),
+        lang_audit=lang_frame,
     )

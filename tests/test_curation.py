@@ -663,3 +663,60 @@ def test_split_length_ladder_exact_rank_selection(spark):
         ps = sorted(p for s, p in got if s == split)
         vals = [got[(split, p)].p_tokens for p in ps]
         assert vals == sorted(vals)
+
+
+def test_curation_pipeline_lang_audit_shows_dropped_feed(spark, tmp_path):
+    """r10 verdict ask #6: lang_audit=True threads the q52 detector
+    through every stage frame; a quality gate that silently drops a
+    non-English feed shows up as the language's share going to zero
+    between the raw and gated stages."""
+    from githubrepostorag_spark.plans.curation import curation_pipeline
+
+    def en_doc(i):
+        # funnel-passing English with per-doc-distinct filler so the
+        # LSH stage keeps every doc
+        markers = "the and of to in is for with that it " * 3
+        filler = " ".join(f"alpha{i}beta{j} gamma" for j in range(30))
+        return markers + filler
+
+    rows = [(i, en_doc(i), "en", "feedE", 400) for i in range(1, 7)]
+    # a German feed that FAILS the funnel (short docs) — the gate
+    # silently removes the whole language
+    de = "der die und das ist nicht mit ein zu den " * 3
+    rows += [(100 + j, de, "de", "feedD", len(de)) for j in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(0, "unrelated benchmark text")], "bench_id long, text string"
+    )
+    res = curation_pipeline(docs, bench, run_id="lng", lang_audit=True)
+    try:
+        assert res.lang_audit is not None
+        mix = res.lang_audit.collect()
+        by_stage = {}
+        for r in mix:
+            by_stage.setdefault(r.stage, {})[r.detected_lang] = r
+        # raw: both languages visible with exact counts and shares
+        assert by_stage["raw"]["de"].n_docs == 4
+        assert by_stage["raw"]["en"].n_docs == 6
+        assert by_stage["raw"]["de"].share == 0.4
+        # the funnel dropped the ENTIRE German feed: no de row from
+        # the gated stage onward
+        for stage in ("gated", "exact_dedup", "near_dup",
+                      "decontaminated", "mixed", "packed"):
+            assert "de" not in by_stage[stage], stage
+            assert by_stage[stage]["en"].share == 1.0
+        # shares sum to 1 within every stage
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for r in mix:
+            sums[r.stage] += r.share
+        assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+        # default run: no lang audit computed
+        res2 = curation_pipeline(docs, bench, run_id="nolng")
+        assert res2.lang_audit is None
+        res2.unpersist()
+    finally:
+        res.unpersist()
