@@ -64,65 +64,73 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
 # AND sf0.1 — committed as PARITY_LOCAL_r{N}_strict.txt / PARITY_SF0.1_.
 _ROTATION_HEAD = [
-    # ROUND-10 head (executes the plan the r9 header wrote ahead, = r9
-    # verdict ask #2): the 12 round-10 newcomers — ten registered ahead
-    # in round 9 (q289..q298, never driver-recorded) plus the two added
-    # in round 10 itself (q299 Kaplan-Meier survival, q300 volume ACF)
-    # — then the ENTIRE remaining q11..q48 re-test tail (38 slots,
-    # round-1 recordings, oldest first). 12 + 38 = 50 exactly: this
-    # completes the q01..q48 re-test pass, after which every registry
-    # query has a driver row from round 6 or later.
-    "q289_heaps_fit",
-    "q290_knn_hubness",
-    "q291_length_ks",
-    "q292_variance_spectrum",
-    "q293_repeat_revenue",
-    "q294_source_cross_entropy",
-    "q295_arrival_burstiness",
-    "q296_knn_hubness_ivf",
-    "q297_benford_totals",
-    "q298_value_psi",
-    "q299_km_survival",
-    "q300_volume_acf",
-    # q11..q48 re-test pass, part 2 of 2 (round-1 recordings)
-    "q11_market_share",
-    "q12_events_tumbling",
-    "q13_events_sessionize",
-    "q14_events_json",
-    "q15_events_transitions",
-    "q16_doc_token_stats",
-    "q17_doc_quality",
-    "q18_doc_topics",
-    "q19_doc_fingerprints",
-    "q20_doc_chunks",
-    "q21_doc_source_rollup",
-    "q22_doc_lang_profile",
-    "q23_minhash_signatures",
-    "q24_lsh_buckets",
-    "q25_jaccard_pairs",
-    "q26_simhash",
-    "q27_simhash_buckets",
-    "q28_knn_bruteforce",
-    "q29_label_centroids",
-    "q30_ivf_assign",
-    "q31_near_dup_pairs",
-    "q32_knn_per_label",
-    "q33_graph_2hop",
-    "q34_jaccard_lsh",
-    "q35_ivf_knn",
-    "q36_code_chunks",
-    "q37_file_rollup",
-    "q38_module_rollup",
-    "q39_vector_rows",
-    "q40_retrieve_chunk",
-    "q41_enrich_chunks",
-    "q42_preprocess_flags",
-    "q43_component_kind",
-    "q44_multimodal_meta",
-    "q45_multimodal_dedup",
-    "q46_drill_down",
-    "q47_cube_agg",
-    "q48_rolling_avg",
+    # ROUND-11 head (executes the plan the r10 header wrote ahead, = r10
+    # verdict ask #1): the 13 late-round-10 additions q301..q313 (never
+    # driver-recorded; covered by the committed r10 two-scale strict
+    # sweeps + the judge's independent runs), then the 2 round-11
+    # newcomers (q314/q315, the C4 unsafe-content blocklist), then the
+    # 35 queries with the OLDEST driver recordings in registry order
+    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q202).
+    # 13 + 2 + 35 = 50 exactly.
+    #
+    # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
+    # then the REMAINING round-4 rows (q203_band_sweep onward in
+    # registry order: q203..q219, 17 slots), then the round-6 rows
+    # (q52_language_id onward in registry order) until 50. Newcomers
+    # always outrank retests; full-surface coverage stays guaranteed
+    # every round by the two-scale strict sweeps.
+    "q301_mannwhitney_quality",
+    "q302_length_gini",
+    "q303_burrows_delta",
+    "q304_cusum_changepoint",
+    "q305_token_positions",
+    "q306_transition_entropy",
+    "q307_theil_sen_trend",
+    "q308_source_quality_mi",
+    "q309_source_containment",
+    "q310_embedding_corr",
+    "q311_winsorized_length",
+    "q312_hill_tail_index",
+    "q313_lang_confusion",
+    "q314_unsafe_terms",
+    "q315_unsafe_report",
+    # oldest driver rows: round-3 recordings
+    "q49_multimodal_resize",
+    "q50_frame_sample",
+    "q51_binary_features",
+    # oldest driver rows: round-4 recordings, registry order
+    "q86_pq_codes",
+    "q87_pq_adc_knn",
+    "q88_pq_rerank",
+    "q97_semantic_dedup",
+    "q100_jl_knn",
+    "q115_ivf_recall",
+    "q116_pq_recall",
+    "q117_jl_recall",
+    "q118_int8_recall",
+    "q153_minhash_error",
+    "q166_approx_pct_audit",
+    "q172_knn_graph",
+    "q173_knn_graph_ivf",
+    "q184_boilerplate_scrub",
+    "q185_hard_negatives",
+    "q186_mmr_rerank",
+    "q187_bpe_merges",
+    "q188_balanced_shards",
+    "q189_logreg_train",
+    "q190_bpe_encode",
+    "q191_logreg_scores",
+    "q192_training_sequences",
+    "q193_skew_report",
+    "q194_epoch_upsample",
+    "q195_vocab_coverage",
+    "q196_data_contract",
+    "q197_decontaminate_scrub",
+    "q198_normalize_text",
+    "q199_dsir_weights",
+    "q200_doc_kcore",
+    "q201_code_metrics",
+    "q202_token_budget",
 ]
 
 

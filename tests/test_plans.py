@@ -1481,3 +1481,60 @@ def test_maintain_ivf_store_delete_predicate_audit(spark, tmp_path):
     res2 = maintain_ivf_store(spark, path, batch, k=3, run_id="plain")
     audit2 = {r.step: r.value for r in res2.audit.collect()}
     assert audit2["n_deleted"] == 0.0
+
+
+def test_every_scale_out_call_site_keys_on_high_cardinality_column():
+    """r10 verdict ask #8, generalizing
+    test_doc_scans_spread_on_doc_id_not_source beyond q301/q303: EVERY
+    scale_out call site in the package must key on a row-grain
+    (high-cardinality) column. Keying on source/lang/event_type caps
+    the map stage at that column's cardinality (the r10 self-caught
+    20-partition ceiling) and inherits the largest group's skew —
+    exactly the mistake every future per-source operator will find
+    attractive. Static AST pin so NEW call sites are covered the
+    moment they are written, with no per-operator plan test needed."""
+    import ast
+    import pathlib
+
+    import githubrepostorag_spark as pkg_mod
+
+    HIGH_CARD = {
+        "doc_id", "file_path", "node_id", "vec_id", "event_id",
+        "user_id", "chunk_id",
+    }
+    LOW_CARD_EXAMPLES = {
+        "source", "lang", "event_type", "label", "cell", "repo",
+        "module", "shard", "batch_id",
+    }
+    assert not (HIGH_CARD & LOW_CARD_EXAMPLES)
+    pkg = pathlib.Path(pkg_mod.__file__).parent
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = (
+                fn.id
+                if isinstance(fn, ast.Name)
+                else (fn.attr if isinstance(fn, ast.Attribute) else None)
+            )
+            if name != "scale_out":
+                continue
+            # args[0] is the frame; every later positional arg is a key
+            # (zero keys = keyless round-robin, which cannot ceiling)
+            for a in node.args[1:]:
+                if (
+                    isinstance(a, ast.Constant)
+                    and isinstance(a.value, str)
+                    and a.value in HIGH_CARD
+                ):
+                    continue
+                offenders.append(
+                    f"{py.relative_to(pkg)}:{node.lineno}: scale_out key "
+                    f"{ast.dump(a) if not isinstance(a, ast.Constant) else a.value!r}"
+                    " is not a known high-cardinality column — add the"
+                    " column to HIGH_CARD only if it is row-grain"
+                )
+    assert not offenders, "\n".join(offenders)
