@@ -1122,6 +1122,13 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     NULL-predicate rows (predicate can't evaluate) are KEPT — deletion
     must be explicit, never a three-valued-logic accident. Returns the
     number of (reconciled) rows removed.
+
+    Run OFFLINE with no gate in flight, the compaction discipline: a
+    micro-batch whose first attempt appended rows, got those rows
+    deleted here, and then REPLAYED would re-append them (its replay
+    contract is "re-derive identical decisions", which includes the
+    append). Deletions between batches are safe — the tombstone-less
+    store has no per-row history to resurrect.
     """
     upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate first
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate

@@ -2119,7 +2119,11 @@ def unsafe_page_filter(
     documents with ZERO blocklist hits. Same single-scan shape as
     gopher_pass_filter / code_hygiene_filter so it splices into
     plans.curation.curation_pipeline as an opt-in gate with no extra
-    join or shuffle; ``F.exists`` short-circuits on the first hit."""
+    join or shuffle; ``F.exists`` short-circuits on the first hit.
+    NULL text evaluates to a NULL predicate and is DROPPED (the
+    filter-gate convention: only provably-clean pages pass); in the
+    curation pipeline NULL text never reaches this gate — the funnel's
+    length predicate already removed it."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+", -1)
     lex = list(lexicon)
     return documents.filter(~F.exists(toks, lambda x: x.isin(lex)))

@@ -5633,3 +5633,45 @@ def test_dedup_store_tombstones_stop_vetoing(spark, tmp_path):
     ids_df = spark.createDataFrame([(2,)], "doc_id long")
     assert DD.delete_from_dedup_store(spark, store, ids_df) == 1
     assert DD.incremental_exact_dups(spark, store, probe).count() == 0
+
+
+def test_unsafe_content_hostile_corpus_invariants(spark):
+    """q314/q315 bound invariants over hostile inputs: unicode zoo,
+    empty/whitespace docs, punctuation-fused terms (still hit — the
+    alnum-run split is the word boundary), and an all-clean source.
+    n_terms <= n_hits <= token count, permille in [0, 1000], and the
+    report's totals reconcile with the per-doc scan exactly."""
+    rows = [
+        (1, "наш мир 🌍 مرحبا שלום étoile 中文", "xx", "uni", 30),
+        (2, "", "en", "uni", 0),
+        (3, "   \n\t  ", "en", "uni", 7),
+        (4, "…porn… (xxx) [PORN]!", "en", "dirty", 20),
+        (5, "wholesome gardening advice", "en", "clean", 26),
+        (6, "supportxxx is one token not a hit", "en", "clean", 33),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scan = {r.doc_id: r for r in TO.unsafe_content_scan(docs).collect()}
+    assert len(scan) == 6
+    for r in scan.values():
+        assert 0 <= r.n_terms <= r.n_hits
+        assert r.unsafe == (r.n_hits > 0)
+    assert (scan[4].n_hits, scan[4].n_terms) == (3, 2)  # porn x2 + xxx
+    for d in (1, 2, 3, 5, 6):
+        assert scan[d].n_hits == 0 and scan[d].unsafe is False
+    rep = {r.source: r for r in TO.unsafe_content_report(docs).collect()}
+    assert set(rep) == {"uni", "dirty", "clean"}
+    for r in rep.values():
+        assert 0 <= r.flagged_permille <= 1000
+        assert r.n_flagged <= r.n_docs
+    assert rep["dirty"].n_flagged == 1 and rep["dirty"].flagged_permille == 1000
+    assert rep["dirty"].top_term == "porn"
+    assert rep["clean"].n_flagged == 0 and rep["clean"].top_term is None
+    # totals reconcile exactly with the per-doc scan
+    assert sum(r.n_hits for r in rep.values()) == sum(
+        r.n_hits for r in scan.values()
+    )
+    kept = {r.doc_id for r in TO.unsafe_page_filter(docs).collect()}
+    assert kept == {1, 2, 3, 5, 6}

@@ -1538,3 +1538,34 @@ def test_every_scale_out_call_site_keys_on_high_cardinality_column():
                     " column to HIGH_CARD only if it is row-grain"
                 )
     assert not offenders, "\n".join(offenders)
+
+
+def test_round11_new_ops_plan_shapes(spark):
+    """Physical-plan pins for the round-11 operators: no cartesian
+    product; the q314 per-doc scan is a single-scan projection (no
+    join, no shuffle beyond its output sort) and q315's only joins are
+    the broadcast of the |sources|-row top-term/totals frames."""
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plans = {
+        "q314": TO.unsafe_content_scan(docs),
+        "q315": TO.unsafe_content_report(docs),
+        "gate": TO.unsafe_page_filter(docs),
+    }
+    for name, df in plans.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+    # the gate form is a pure filter: no exchange at all
+    gate_plan = plans["gate"]._sc._jvm.PythonSQLUtils.explainString(
+        plans["gate"]._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in gate_plan, gate_plan
+    # q315's joins broadcast (top-term + totals are |sources|-bounded)
+    rep_plan = plans["q315"]._sc._jvm.PythonSQLUtils.explainString(
+        plans["q315"]._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in rep_plan, rep_plan
