@@ -1262,7 +1262,11 @@ def delete_from_dedup_store(spark: SparkSession, path: str, doc_ids) -> int:
     import pandas as pd
 
     if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select("doc_id").distinct()
+        # pin before the count+write pair: two actions on an unpinned
+        # frame would recompute its lineage, and a non-deterministic
+        # source (a sampled takedown list) could tombstone one id set
+        # and report another
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
         n = ids.count()
         ids.coalesce(1).write.mode("append").parquet(
             _dedup_tombstones_path(path)
