@@ -67,15 +67,17 @@ _ROTATION_HEAD = [
     # ROUND-11 head (executes the plan the r10 header wrote ahead, = r10
     # verdict ask #1): the 13 late-round-10 additions q301..q313 (never
     # driver-recorded; covered by the committed r10 two-scale strict
-    # sweeps + the judge's independent runs), then the 2 round-11
-    # newcomers (q314/q315, the C4 unsafe-content blocklist), then the
-    # 35 queries with the OLDEST driver recordings in registry order
-    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q202).
-    # 13 + 2 + 35 = 50 exactly.
+    # sweeps + the judge's independent runs), then the 3 round-11
+    # newcomers (q314/q315 the C4 unsafe-content blocklist, q316 the
+    # embedding-plane distance PSI), then the
+    # 34 queries with the OLDEST driver recordings in registry order
+    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q201).
+    # 13 + 3 + 34 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q203_band_sweep onward in
-    # registry order: q203..q219, 17 slots), then the round-6 rows
+    # then the REMAINING round-4 rows (q202_token_budget, then
+    # q203_band_sweep onward in registry order through q219 — 18
+    # slots), then the round-6 rows
     # (q52_language_id onward in registry order) until 50. Newcomers
     # always outrank retests; full-surface coverage stays guaranteed
     # every round by the two-scale strict sweeps.
@@ -94,6 +96,7 @@ _ROTATION_HEAD = [
     "q313_lang_confusion",
     "q314_unsafe_terms",
     "q315_unsafe_report",
+    "q316_centroid_dist_psi",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -130,7 +133,6 @@ _ROTATION_HEAD = [
     "q199_dsir_weights",
     "q200_doc_kcore",
     "q201_code_metrics",
-    "q202_token_budget",
 ]
 
 
@@ -1203,6 +1205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q315_unsafe_report": lambda sp, sf: TO.unsafe_content_report(
             t(sp, sf, "documents")
+        ),
+        "q316_centroid_dist_psi": lambda sp, sf: S.centroid_dist_psi(
+            t(sp, sf, "embeddings")
         ),
     })
 
@@ -9653,6 +9658,90 @@ def oracle_sql() -> dict[str, str]:
                    t.n_hits, top.top_term
             FROM totals t LEFT JOIN top ON top.source = t.source
             ORDER BY t.source
+        """,
+        "q316_centroid_dist_psi": f"""
+            WITH dims AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            cent_dims AS (SELECT label, dim, round(avg(v), 6) AS cv
+                          FROM dims GROUP BY 1, 2),
+            cent AS (SELECT label AS centroid_label,
+                            list(cv ORDER BY dim) AS centroid
+                     FROM cent_dims GROUP BY 1),
+            scored AS (
+              SELECT e.vec_id, c.centroid_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.centroid AS DOUBLE[]))
+                       AS sim
+              FROM embeddings e CROSS JOIN cent c),
+            top AS (SELECT vec_id, round(1.0 - sim, 6) AS value
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC NULLS LAST, centroid_label)
+                            AS rn
+                          FROM scored)
+                    WHERE rn = 1 AND sim IS NOT NULL),
+            halved AS (SELECT value,
+                              CASE WHEN row_number() OVER (ORDER BY vec_id)
+                                     <= count(*) OVER () // 2
+                                   THEN 1 ELSE 2 END AS half
+                       FROM top),
+            counts AS (SELECT value,
+                              CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS c1,
+                              CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS c2
+                       FROM halved GROUP BY 1),
+            cum AS (SELECT *, sum(c1) OVER (ORDER BY value) AS cum1
+                    FROM counts),
+            totals AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                              CAST(sum(c2) AS BIGINT) AS n2
+                       FROM counts),
+            ks AS (SELECT CAST(r.range AS BIGINT) AS k
+                   FROM range(1, {E.PSI_BUCKETS}) r),
+            edges AS (SELECT k.k, min(c.value) AS edge
+                      FROM cum c CROSS JOIN totals t CROSS JOIN ks k
+                      WHERE c.cum1 >= (k.k * t.n1 + {E.PSI_BUCKETS - 1})
+                                        // {E.PSI_BUCKETS}
+                      GROUP BY 1),
+            bucketed AS (
+              SELECT bucket, CAST(sum(c1) AS BIGINT) AS b1,
+                     CAST(sum(c2) AS BIGINT) AS b2 FROM (
+                SELECT c.value, c.c1, c.c2,
+                       coalesce(sum(CASE WHEN ed.edge < c.value THEN 1 END),
+                                0) + 1 AS bucket
+                FROM counts c LEFT JOIN edges ed ON TRUE
+                GROUP BY c.value, c.c1, c.c2)
+              GROUP BY 1),
+            spine AS (SELECT CAST(r.range AS BIGINT) AS bucket
+                      FROM range(1, {E.PSI_BUCKETS + 1}) r),
+            fullb AS (SELECT s.bucket,
+                             CAST(coalesce(b.b1, 0) AS BIGINT) AS b1,
+                             CAST(coalesce(b.b2, 0) AS BIGINT) AS b2
+                      FROM spine s LEFT JOIN bucketed b
+                        ON b.bucket = s.bucket),
+            terms AS (SELECT f.bucket, f.b1, f.b2, t.n1, t.n2,
+                             CAST(round(
+                               ((CAST(f.b2 AS DOUBLE) + 0.5)
+                                  / (CAST(t.n2 AS DOUBLE)
+                                     + {E.PSI_BUCKETS * 0.5})
+                                - (CAST(f.b1 AS DOUBLE) + 0.5)
+                                  / (CAST(t.n1 AS DOUBLE)
+                                     + {E.PSI_BUCKETS * 0.5}))
+                               * ln(((CAST(f.b2 AS DOUBLE) + 0.5)
+                                     / (CAST(t.n2 AS DOUBLE)
+                                        + {E.PSI_BUCKETS * 0.5}))
+                                    / ((CAST(f.b1 AS DOUBLE) + 0.5)
+                                       / (CAST(t.n1 AS DOUBLE)
+                                          + {E.PSI_BUCKETS * 0.5}))), 12)
+                               AS DECIMAL(38,12)) AS term
+                      FROM fullb f CROSS JOIN totals t),
+            psi AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi
+                    FROM terms)
+            SELECT t.bucket, t.b1, t.b2,
+                   t.n1 AS n_first, t.n2 AS n_second, p.psi
+            FROM terms t CROSS JOIN psi p
+            ORDER BY t.bucket
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -974,3 +974,136 @@ def embedding_corr_pairs(
         )
         .orderBy("rank")
     )
+
+
+def centroid_dist_psi(embeddings: DataFrame) -> DataFrame:
+    """Embedding-plane PSI (q316): the distance-to-assigned-centroid
+    distribution of the corpus's SECOND half (by vec_id) scored
+    against decile edges fitted on the FIRST half — the oracle-checked
+    batch twin of the streaming embedding gate's drift alarm
+    (`streaming.ingest.embedding_psi_reference` / `_np_psi`), exactly
+    as q298 is the batch twin of `stream_psi_monitor`. A corpus whose
+    later ingests sit systematically farther from (or closer to) their
+    cells than the early corpus has drifted semantically even when
+    q99's centroids and q265's occupancy still look healthy.
+
+    Output: one row per decile bucket — (bucket, b1, b2, n_first,
+    n_second, psi), counts exact, the PSI constant across rows (the
+    smoothed +0.5/bucket, 12dp-fixed-point-term, 6dp-rounded-sum
+    arithmetic q298 pins).
+
+    Exactness: assignment is q30's argmax discipline (sim DESC,
+    centroid_label ASC; NULL-cosine rows unscored); dist is one
+    round(1 − cos, 6) with identical operand order in both engines;
+    the halves split on the exact vec_id rank (distributed
+    `global_rank`, never a single-task window); edges come from
+    q281's exact-rank ladder over DISTINCT distances.
+
+    Scale: centroids broadcast (the corpus never shuffles for
+    assignment); the ladder and every later step run on DISTINCT
+    distance values (6dp-bounded domain); the only corpus-sized
+    shuffles are the rank's range partition and one groupBy(value).
+    """
+    from githubrepostorag_spark.functions.ranks import global_rank
+    from githubrepostorag_spark.operators.eventops import (
+        PSI_BUCKETS,
+        psi_decile_edges,
+    )
+
+    spark = embeddings.sparkSession
+    vecs = V.prepare(embeddings, "embedding", "ve", "vn")
+    cents = F.broadcast(
+        V.prepare(_centroid_arrays(embeddings), "centroid", "cv", "cn").select(
+            "centroid_label", "cv", "cn"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_label")
+    )
+    top = (
+        vecs.crossJoin(cents)
+        .select(
+            "vec_id",
+            "centroid_label",
+            V.prepared_cosine(
+                F.col("ve"), F.col("vn"), F.col("cv"), F.col("cn")
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("sim").isNotNull())
+        .select("vec_id", F.round(F.lit(1.0) - F.col("sim"), 6).alias("value"))
+    )
+    ranked = global_rank(top, [F.asc("vec_id")], rank_col="_r")
+    n_df = F.broadcast(top.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    halved = ranked.crossJoin(n_df).withColumn(
+        "half",
+        F.when(F.col("_r") <= F.expr(f"_n div 2"), F.lit(1)).otherwise(F.lit(2)),
+    )
+    counts = halved.groupBy("value").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)  # ladder + buckets + totals below
+    edges = psi_decile_edges(
+        halved.filter(F.col("half") == 1).select(
+            F.lit("emb").alias("event_type"), "value"
+        )
+    ).select("edge")
+    bucketed = (
+        counts.crossJoin(F.broadcast(edges))
+        .groupBy("value", "c1", "c2")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("edge") < F.col("value"), 1)), F.lit(0))
+                + 1
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("c1").cast("long").alias("b1"),
+            F.sum("c2").cast("long").alias("b2"),
+        )
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    spine = spark.range(1, PSI_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    smooth = float(0.5 * PSI_BUCKETS)
+    p1 = (F.col("b1").cast("double") + F.lit(0.5)) / (
+        F.col("n1").cast("double") + F.lit(smooth)
+    )
+    p2 = (F.col("b2").cast("double") + F.lit(0.5)) / (
+        F.col("n2").cast("double") + F.lit(smooth)
+    )
+    fullb = (
+        spine.join(bucketed, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("b1"), F.lit(0)).cast("long").alias("b1"),
+            F.coalesce(F.col("b2"), F.lit(0)).cast("long").alias("b2"),
+        )
+        .crossJoin(totals)
+        .withColumn(
+            "term", F.round((p2 - p1) * F.log(p2 / p1), 12).cast("decimal(38,12)")
+        )
+        .localCheckpoint(eager=False)  # bucket rows + the psi fold below
+    )
+    psi = F.broadcast(
+        fullb.agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
+    )
+    return (
+        fullb.crossJoin(psi)
+        .select(
+            "bucket",
+            "b1",
+            "b2",
+            F.col("n1").alias("n_first"),
+            F.col("n2").alias("n_second"),
+            "psi",
+        )
+        .orderBy("bucket")
+    )

@@ -5675,3 +5675,51 @@ def test_unsafe_content_hostile_corpus_invariants(spark):
     )
     kept = {r.doc_id for r in TO.unsafe_page_filter(docs).collect()}
     assert kept == {1, 2, 3, 5, 6}
+
+
+def test_centroid_dist_psi_symmetric_zero_and_shift(spark):
+    """q316 hand-computed: two label clusters with MIRRORED geometry
+    (each contributes distances {0.292893, 0.292893, 0.0}) split so
+    half 1 = label 0's vec_ids and half 2 = label 1's — identical
+    distance multisets with equal n ⇒ PSI exactly 0.0, with the
+    hand-derived bucket layout (value 0.0 → bucket 1, value 0.292893
+    → bucket 4 under the 3-row half-1 ladder). A far-off second half
+    moves mass out of the fitted buckets and PSI goes positive."""
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 0, [1.0, 1.0]),
+            (4, 1, [3.0, 0.0]),
+            (5, 1, [0.0, 3.0]),
+            (6, 1, [3.0, 3.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {r.bucket: r for r in S.centroid_dist_psi(emb).collect()}
+    assert set(got) == set(range(1, 11))
+    r1 = got[1]
+    assert (r1.n_first, r1.n_second) == (3, 3)
+    assert r1.psi == 0.0
+    assert (got[1].b1, got[1].b2) == (1, 1)    # the two dist-0 rows
+    assert (got[4].b1, got[4].b2) == (2, 2)    # the four 0.292893 rows
+    for b in set(range(1, 11)) - {1, 4}:
+        assert (got[b].b1, got[b].b2) == (0, 0)
+
+    # shifted second half: an anti-aligned vector lands at dist 2.0,
+    # far outside every fitted edge -> top bucket, PSI > 0
+    shifted = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 0, [1.0, 1.0]),
+            (4, 1, [5.0, 0.0]),
+            (5, 1, [0.0, 5.0]),
+            (6, 1, [-5.0, -5.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got2 = {r.bucket: r for r in S.centroid_dist_psi(shifted).collect()}
+    assert got2[1].psi is not None and got2[1].psi > 0.0
+    # the anti-aligned row sits in the TOP bucket of the fitted grid
+    assert got2[10].b2 >= 1

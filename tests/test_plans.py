@@ -1544,15 +1544,20 @@ def test_round11_new_ops_plan_shapes(spark):
     """Physical-plan pins for the round-11 operators: no cartesian
     product; the q314 per-doc scan is a single-scan projection (no
     join, no shuffle beyond its output sort) and q315's only joins are
-    the broadcast of the |sources|-row top-term/totals frames."""
+    the broadcast of the |sources|-row top-term/totals frames; q316's
+    centroid assignment joins are broadcast (centroids / edges /
+    totals / psi frames are all |labels|- or bucket-bounded)."""
+    from githubrepostorag_spark.operators import similarity_audit as S
     from githubrepostorag_spark.operators import textops as TO
     from githubrepostorag_spark.sources.testdata import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     plans = {
         "q314": TO.unsafe_content_scan(docs),
         "q315": TO.unsafe_content_report(docs),
         "gate": TO.unsafe_page_filter(docs),
+        "q316": S.centroid_dist_psi(emb),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -1569,3 +1574,10 @@ def test_round11_new_ops_plan_shapes(spark):
         plans["q315"]._jdf.queryExecution(), "formatted"
     )
     assert "SortMergeJoin" not in rep_plan, rep_plan
+    # q316: every join is a broadcast (the corpus never shuffles for
+    # centroid assignment) and no single-task window survives the
+    # half-split (global_rank handles it)
+    psi_plan = plans["q316"]._sc._jvm.PythonSQLUtils.explainString(
+        plans["q316"]._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in psi_plan, psi_plan
