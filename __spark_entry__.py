@@ -67,20 +67,21 @@ _ROTATION_HEAD = [
     # ROUND-11 head (executes the plan the r10 header wrote ahead, = r10
     # verdict ask #1): the 13 late-round-10 additions q301..q313 (never
     # driver-recorded; covered by the committed r10 two-scale strict
-    # sweeps + the judge's independent runs), then the 3 round-11
+    # sweeps + the judge's independent runs), then the 5 round-11
     # newcomers (q314/q315 the C4 unsafe-content blocklist, q316 the
-    # embedding-plane distance PSI), then the
-    # 34 queries with the OLDEST driver recordings in registry order
-    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q201).
-    # 13 + 3 + 34 = 50 exactly.
+    # embedding-plane distance PSI, q317 the two-NN intrinsic
+    # dimension, q318 the BH-FDR drift correction), then the
+    # 32 queries with the OLDEST driver recordings in registry order
+    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q199).
+    # 13 + 5 + 32 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q202_token_budget, then
-    # q203_band_sweep onward in registry order through q219 — 18
-    # slots), then the round-6 rows
-    # (q52_language_id onward in registry order) until 50. Newcomers
-    # always outrank retests; full-surface coverage stays guaranteed
-    # every round by the two-scale strict sweeps.
+    # then the REMAINING round-4 rows (q200_doc_kcore,
+    # q201_code_metrics, q202_token_budget, then q203_band_sweep
+    # onward in registry order through q219 — 20 slots), then the
+    # round-6 rows (q52_language_id onward in registry order) until
+    # 50. Newcomers always outrank retests; full-surface coverage
+    # stays guaranteed every round by the two-scale strict sweeps.
     "q301_mannwhitney_quality",
     "q302_length_gini",
     "q303_burrows_delta",
@@ -97,6 +98,8 @@ _ROTATION_HEAD = [
     "q314_unsafe_terms",
     "q315_unsafe_report",
     "q316_centroid_dist_psi",
+    "q317_intrinsic_dim",
+    "q318_drift_fdr",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -131,8 +134,6 @@ _ROTATION_HEAD = [
     "q197_decontaminate_scrub",
     "q198_normalize_text",
     "q199_dsir_weights",
-    "q200_doc_kcore",
-    "q201_code_metrics",
 ]
 
 
@@ -1208,6 +1209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q316_centroid_dist_psi": lambda sp, sf: S.centroid_dist_psi(
             t(sp, sf, "embeddings")
+        ),
+        "q317_intrinsic_dim": lambda sp, sf: S.intrinsic_dim_twonn(
+            t(sp, sf, "embeddings")
+        ),
+        "q318_drift_fdr": lambda sp, sf: TO.length_drift_fdr(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -9742,6 +9749,102 @@ def oracle_sql() -> dict[str, str]:
                    t.n1 AS n_first, t.n2 AS n_second, p.psi
             FROM terms t CROSS JOIN psi p
             ORDER BY t.bucket
+        """,
+        "q317_intrinsic_dim": """
+            WITH p AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            knn AS (SELECT vec_id, rk, round(1.0 - score, 6) AS dist
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, nbr_id) AS rk FROM p)
+                    WHERE rk <= 2),
+            two AS (SELECT vec_id,
+                           min(CASE WHEN rk = 1 THEN dist END) AS d1,
+                           min(CASE WHEN rk = 2 THEN dist END) AS d2
+                    FROM knn GROUP BY 1),
+            j AS (SELECT e.label, t.d1, t.d2,
+                         CASE WHEN t.d1 IS NOT NULL AND t.d2 IS NOT NULL
+                                   AND t.d1 > 0
+                              THEN 1 ELSE 0 END AS used
+                  FROM embeddings e LEFT JOIN two t ON t.vec_id = e.vec_id),
+            agg AS (SELECT CAST(label AS BIGINT) AS label,
+                           CAST(count(*) AS BIGINT) AS n_vecs,
+                           CAST(sum(used) AS BIGINT) AS n_used,
+                           CAST(sum(CASE WHEN d1 = 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_zero_d1,
+                           sum(CASE WHEN used = 1
+                                    THEN CAST(round(ln(d2 / d1), 12)
+                                              AS DECIMAL(38,12)) END) AS s
+                    FROM j GROUP BY 1)
+            SELECT label, n_vecs, n_used, n_zero_d1,
+                   round(CAST(coalesce(s, 0) AS DOUBLE), 6) AS sum_ln_mu,
+                   CASE WHEN n_used > 0 AND CAST(s AS DOUBLE) <> 0.0
+                        THEN round(CAST(n_used AS DOUBLE)
+                                   / CAST(s AS DOUBLE), 6) END AS id_hat
+            FROM agg ORDER BY label
+        """,
+        "q318_drift_fdr": f"""
+            WITH sl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                        FROM documents GROUP BY 1, 2),
+            lt AS (SELECT n_chars, sum(c) AS t FROM sl GROUP BY 1),
+            spine AS (SELECT n_chars,
+                             sum(t) OVER (ORDER BY n_chars) AS cum_all
+                      FROM lt),
+            totals AS (SELECT source, sum(c) AS n_src FROM sl GROUP BY 1),
+            grand AS (SELECT sum(c) AS n_all FROM sl),
+            grid AS (SELECT t.source, t.n_src, g.n_all, s.n_chars
+                     FROM totals t CROSS JOIN grand g
+                     CROSS JOIN (SELECT n_chars FROM spine) s),
+            cum AS (SELECT gr.source, gr.n_src, gr.n_all, gr.n_chars,
+                           sum(coalesce(sl.c, 0)) OVER (
+                             PARTITION BY gr.source ORDER BY gr.n_chars)
+                             AS cum_src
+                    FROM grid gr LEFT JOIN sl
+                      ON sl.source = gr.source AND sl.n_chars = gr.n_chars),
+            d AS (SELECT c.source, c.n_src, c.n_all, c.n_chars,
+                         round(abs(CAST(c.cum_src AS DOUBLE)
+                                   / CAST(c.n_src AS DOUBLE)
+                                   - CAST(sp.cum_all - c.cum_src AS DOUBLE)
+                                   / CAST(c.n_all - c.n_src AS DOUBLE)), 6)
+                           AS d
+                  FROM cum c JOIN spine sp ON sp.n_chars = c.n_chars
+                  WHERE c.n_all > c.n_src),
+            ks AS (SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+                          CAST(n_all - n_src AS BIGINT) AS n_rest,
+                          d AS ks_d
+                   FROM (SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY d DESC, n_chars) AS rk FROM d)
+                   WHERE rk = 1),
+            pv AS (SELECT *,
+                          round(least(1.0, 2.0 * exp(
+                            -2.0 * ks_d * ks_d
+                            * (CAST(n_docs AS DOUBLE)
+                               * CAST(n_rest AS DOUBLE)
+                               / (CAST(n_docs AS DOUBLE)
+                                  + CAST(n_rest AS DOUBLE))))), 12)
+                            AS p_value
+                   FROM ks),
+            ranked AS (SELECT *,
+                              CAST(row_number() OVER (
+                                ORDER BY p_value, source) AS BIGINT) AS rank,
+                              CAST(count(*) OVER () AS BIGINT) AS m
+                       FROM pv),
+            flagged AS (SELECT *,
+                               CAST(rank AS DOUBLE) * {TO.KS_FDR_ALPHA}
+                                 / CAST(m AS DOUBLE) AS crit_raw,
+                               max(CASE WHEN p_value <=
+                                     CAST(rank AS DOUBLE) * {TO.KS_FDR_ALPHA}
+                                       / CAST(m AS DOUBLE)
+                                   THEN rank END) OVER () AS max_ok
+                        FROM ranked)
+            SELECT source, n_docs, n_rest, ks_d, p_value, rank,
+                   round(crit_raw, 12) AS crit,
+                   CAST(CASE WHEN rank <= coalesce(max_ok, 0)
+                             THEN 1 ELSE 0 END AS BIGINT) AS rejected
+            FROM flagged ORDER BY rank
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1107,3 +1107,72 @@ def centroid_dist_psi(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def intrinsic_dim_twonn(embeddings: DataFrame) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate per label (q317, Facco et
+    al. 2017): d̂ = n / Σ ln(r₂/r₁) over each vector's two nearest
+    cosine distances — the NONLINEAR complement to q292's axis-aligned
+    variance spectrum (PCA sees a 100-dim cone as ~4 linear dims; the
+    two-NN ratio sees the manifold the distances actually live on).
+    A label whose d̂ collapses toward 1–2 is a near-duplicate cluster
+    the index wastes cells on; one whose d̂ approaches the ambient
+    dimension offers cosine no contrast to work with (distance
+    concentration — the q290 hubness pathology's cause).
+
+    Output per label: n_vecs, n_used (rows with both neighbors and
+    r₁ > 0), n_zero_d1 (exact-duplicate discards — ln undefined at
+    r₁ = 0), sum_ln_mu, id_hat = round(n_used / Σ, 6), NULL when no
+    usable rows or Σ = 0 (all ties).
+
+    Exactness: neighbor distances are round(1 − score, 6) on
+    `knn_graph`'s 6dp-rounded, id-tie-broken scores (oracle-exact by
+    construction); each ln(r₂/r₁) is rounded to 12dp and summed as
+    DECIMAL(38,12); id_hat divides the EXACT decimal sum cast to
+    double, identical operand order in both engines.
+
+    Scale: `knn_graph`'s blocked matmul scores every candidate pair
+    exactly once (no corpus self-join materialized); the per-vector
+    pivot and label rollup are one groupBy each. At 100 TB the
+    front-end swaps to `knn_graph_ivf` (cell-restricted candidates)
+    with the pivot/rollup unchanged — the estimator is then
+    conditional on the index's candidate sets, which is exactly the
+    geometry the index serves.
+    """
+    g = knn_graph(embeddings, k=2)
+    dist = F.round(F.lit(1.0) - F.col("score"), 6)
+    two = g.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rk") == 1, dist)).alias("d1"),
+        F.min(F.when(F.col("rk") == 2, dist)).alias("d2"),
+    )
+    used = (
+        F.col("d1").isNotNull() & F.col("d2").isNotNull() & (F.col("d1") > 0)
+    )
+    j = embeddings.select("vec_id", "label").join(two, "vec_id", "left")
+    agg = j.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias("n_used"),
+        F.sum(F.when(F.col("d1") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_d1"),
+        F.sum(
+            F.when(
+                used,
+                F.round(F.log(F.col("d2") / F.col("d1")), 12).cast(
+                    "decimal(38,12)"
+                ),
+            )
+        ).alias("_s"),
+    )
+    s_dbl = F.col("_s").cast("double")
+    return agg.select(
+        "label",
+        "n_vecs",
+        "n_used",
+        "n_zero_d1",
+        F.round(F.coalesce(s_dbl, F.lit(0.0)), 6).alias("sum_ln_mu"),
+        F.when(
+            (F.col("n_used") > 0) & (s_dbl != 0.0),
+            F.round(F.col("n_used").cast("double") / s_dbl, 6),
+        ).alias("id_hat"),
+    ).orderBy("label")

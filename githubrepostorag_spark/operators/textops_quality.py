@@ -2180,3 +2180,85 @@ def unsafe_content_report(
         )
         .orderBy("source")
     )
+
+
+KS_FDR_ALPHA = 0.05
+
+
+def length_drift_fdr(documents: DataFrame) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the per-source KS drift
+    tests (q318): which sources ACTUALLY drifted once you account for
+    testing |sources| hypotheses at once. q291 reports each source's
+    two-sample KS D in isolation; with dozens of feeds, the worst raw
+    D is large by selection alone, and alarming on it is the
+    multiple-testing trap every monitoring stack rediscovers. BH
+    (Benjamini & Hochberg 1995) sorts the p-values, finds the largest
+    rank k with p_(k) ≤ k·α/m, and rejects hypotheses 1..k —
+    controlling the expected false-discovery fraction at α = 0.05.
+
+    p-values use the standard two-sample asymptotic bound
+    p = min(1, 2·exp(−2·D²·n_eff)), n_eff = n₁n₂/(n₁+n₂) — the
+    one-term Kolmogorov tail that monitoring systems use at these
+    sample sizes (conservative for small n, exact enough beyond ~35).
+
+    Output per source: sample sizes, ks_d, p_value (12dp), the BH
+    rank, the rank's critical value crit = rank·α/m (12dp), and
+    rejected ∈ {0,1}; ordered by rank.
+
+    Exactness: D and the ECDF machinery are q291's
+    (`length_ks_by_source`, integer cumulative counts); p rounds the
+    identical double expression to 12dp in both engines before any
+    comparison; the BH step is integer ranks and one max — no float
+    accumulates. The p ≤ crit comparison uses the ROUNDED p against
+    the unrounded crit with identical operand order, so both engines
+    agree bit-for-bit.
+
+    Scale: everything after q291's corpus scan lives on |sources|
+    rows — the unpartitioned rank/max windows here are
+    dimension-bounded (the documented q291-exception class), never
+    corpus-sized.
+    """
+    ks = length_ks_by_source(documents)
+    n1 = F.col("n_docs").cast("double")
+    n2 = F.col("n_rest").cast("double")
+    n_eff = n1 * n2 / (n1 + n2)
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * F.col("ks_d") * F.col("ks_d") * n_eff),
+        ),
+        12,
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.asc("p_value"), F.asc("source"))
+    ranked = (
+        ks.withColumn("p_value", p)
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(w_all).cast("long"))
+    )
+    crit = (
+        F.col("rank").cast("double")
+        * F.lit(KS_FDR_ALPHA)
+        / F.col("m").cast("double")
+    )
+    flagged = ranked.withColumn(
+        "_ok_rank",
+        F.when(F.col("p_value") <= crit, F.col("rank")),
+    ).withColumn("_max_ok", F.max("_ok_rank").over(w_all))
+    return flagged.select(
+        "source",
+        "n_docs",
+        "n_rest",
+        "ks_d",
+        "p_value",
+        "rank",
+        F.round(crit, 12).alias("crit"),
+        F.when(
+            F.col("rank") <= F.coalesce(F.col("_max_ok"), F.lit(0)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rejected"),
+    ).orderBy("rank")

@@ -5723,3 +5723,85 @@ def test_centroid_dist_psi_symmetric_zero_and_shift(spark):
     assert got2[1].psi is not None and got2[1].psi > 0.0
     # the anti-aligned row sits in the TOP bucket of the fitted grid
     assert got2[10].b2 >= 1
+
+
+def test_intrinsic_dim_twonn_hand_computed(spark):
+    """q317 hand-computed: two mirrored 3-vector clusters whose 2-NN
+    cosine-distance pairs are {(0.2, 1.0), (0.2, 0.4), (0.4, 1.0)}
+    per label (cross-label sims are <= 0, so top-2 distances stay
+    in-cluster) -> both labels get identical d-hat = 3 / (ln5 + ln2 +
+    ln2.5) with the engine's 12dp-term/DECIMAL-sum arithmetic."""
+    import math
+    from decimal import Decimal
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.8, 0.6]),
+            (3, 0, [0.0, 1.0]),
+            (4, 1, [-1.0, 0.0]),
+            (5, 1, [-0.8, -0.6]),
+            (6, 1, [0.0, -1.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {r.label: r for r in S.intrinsic_dim_twonn(emb).collect()}
+    assert set(got) == {0, 1}
+    terms = [
+        Decimal(str(round(math.log(1.0 / 0.2), 12))),
+        Decimal(str(round(math.log(0.4 / 0.2), 12))),
+        Decimal(str(round(math.log(1.0 / 0.4), 12))),
+    ]
+    s = sum(terms)
+    want_sum = round(float(s), 6)
+    want_id = round(3.0 / float(s), 6)
+    for lbl in (0, 1):
+        r = got[lbl]
+        assert (r.n_vecs, r.n_used, r.n_zero_d1) == (3, 3, 0)
+        assert r.sum_ln_mu == want_sum
+        assert r.id_hat == want_id
+    # sanity: ln5+ln2+ln2.5 = ln25 ~ 3.2189 -> d-hat ~ 0.932
+    assert abs(got[0].id_hat - 0.932) < 0.001
+
+    # duplicate pair: both dupes discard at d1=0; the survivor's only
+    # ratio is 1 -> sum 0 -> id_hat NULL, discards counted
+    dup = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 0, [0.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    r = S.intrinsic_dim_twonn(dup).collect()[0]
+    assert (r.n_vecs, r.n_used, r.n_zero_d1) == (3, 1, 2)
+    assert r.sum_ln_mu == 0.0
+    assert r.id_hat is None
+
+
+def test_length_drift_fdr_hand_computed(spark):
+    """q318 hand-computed: sources a/b identical (10 docs at length
+    100 each), source c fully separated (10 docs at 5000). c's KS
+    D = 1 -> p ~ 3e-6, under rank-1 crit 0.05/3 -> rejected; a and b
+    tie at D = 0.5, p = 2*exp(-2*0.25*20/3) ~ 0.0713 > their crits ->
+    kept. BH max-ok rank = 1."""
+    import math
+
+    rows = (
+        [(i, "a", 100) for i in range(10)]
+        + [(100 + i, "b", 100) for i in range(10)]
+        + [(200 + i, "c", 5000) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = TO.length_drift_fdr(docs).collect()
+    assert [r.source for r in got] == ["c", "a", "b"]
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert [r.rejected for r in got] == [1, 0, 0]
+    n_eff = 10.0 * 20.0 / (10.0 + 20.0)
+    p_ab = round(min(1.0, 2.0 * math.exp(-2.0 * 0.5 * 0.5 * n_eff)), 12)
+    p_c = round(min(1.0, 2.0 * math.exp(-2.0 * 1.0 * 1.0 * n_eff)), 12)
+    assert got[0].p_value == p_c and got[0].ks_d == 1.0
+    assert got[1].p_value == p_ab and got[2].p_value == p_ab
+    assert got[0].crit == round(1.0 * 0.05 / 3.0, 12)
+    # every source keeps its exact sample sizes
+    assert all((r.n_docs, r.n_rest) == (10, 20) for r in got)

@@ -1558,6 +1558,8 @@ def test_round11_new_ops_plan_shapes(spark):
         "q315": TO.unsafe_content_report(docs),
         "gate": TO.unsafe_page_filter(docs),
         "q316": S.centroid_dist_psi(emb),
+        "q317": S.intrinsic_dim_twonn(emb),
+        "q318": TO.length_drift_fdr(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
