@@ -67,21 +67,23 @@ _ROTATION_HEAD = [
     # ROUND-11 head (executes the plan the r10 header wrote ahead, = r10
     # verdict ask #1): the 13 late-round-10 additions q301..q313 (never
     # driver-recorded; covered by the committed r10 two-scale strict
-    # sweeps + the judge's independent runs), then the 5 round-11
+    # sweeps + the judge's independent runs), then the 7 round-11
     # newcomers (q314/q315 the C4 unsafe-content blocklist, q316 the
     # embedding-plane distance PSI, q317 the two-NN intrinsic
-    # dimension, q318 the BH-FDR drift correction), then the
-    # 32 queries with the OLDEST driver recordings in registry order
-    # (q49..q51 from CORRECTNESS_r03, then the round-4 rows q86..q199).
-    # 13 + 5 + 32 = 50 exactly.
+    # dimension, q318 the BH-FDR drift correction, q319 the EWMA
+    # volume control chart, q320 the duplicated-n-gram share), then
+    # the 30 queries with the OLDEST driver recordings in registry
+    # order (q49..q51 from CORRECTNESS_r03, then the round-4 rows
+    # q86..q197). 13 + 7 + 30 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q200_doc_kcore,
-    # q201_code_metrics, q202_token_budget, then q203_band_sweep
-    # onward in registry order through q219 — 20 slots), then the
-    # round-6 rows (q52_language_id onward in registry order) until
-    # 50. Newcomers always outrank retests; full-surface coverage
-    # stays guaranteed every round by the two-scale strict sweeps.
+    # then the REMAINING round-4 rows (q198_normalize_text,
+    # q199_dsir_weights, q200_doc_kcore, q201_code_metrics,
+    # q202_token_budget, then q203_band_sweep onward in registry
+    # order through q219 — 22 slots), then the round-6 rows
+    # (q52_language_id onward in registry order) until 50. Newcomers
+    # always outrank retests; full-surface coverage stays guaranteed
+    # every round by the two-scale strict sweeps.
     "q301_mannwhitney_quality",
     "q302_length_gini",
     "q303_burrows_delta",
@@ -100,6 +102,8 @@ _ROTATION_HEAD = [
     "q316_centroid_dist_psi",
     "q317_intrinsic_dim",
     "q318_drift_fdr",
+    "q319_ewma_alarms",
+    "q320_dup_ngram_share",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -132,8 +136,6 @@ _ROTATION_HEAD = [
     "q195_vocab_coverage",
     "q196_data_contract",
     "q197_decontaminate_scrub",
-    "q198_normalize_text",
-    "q199_dsir_weights",
 ]
 
 
@@ -1214,6 +1216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "embeddings")
         ),
         "q318_drift_fdr": lambda sp, sf: TO.length_drift_fdr(
+            t(sp, sf, "documents")
+        ),
+        "q319_ewma_alarms": lambda sp, sf: E.ewma_volume_alarms(
+            t(sp, sf, "events")
+        ),
+        "q320_dup_ngram_share": lambda sp, sf: DD.dup_ngram_share(
             t(sp, sf, "documents")
         ),
     })
@@ -9845,6 +9853,129 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN rank <= coalesce(max_ok, 0)
                              THEN 1 ELSE 0 END AS BIGINT) AS rejected
             FROM flagged ORDER BY rank
+        """,
+        "q319_ewma_alarms": """
+            WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+                       FROM events WHERE ts IS NOT NULL),
+            span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+            types AS (SELECT DISTINCT event_type FROM e),
+            days AS (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS d
+                     FROM span),
+            grid AS (SELECT t.event_type, u.d FROM types t CROSS JOIN days u),
+            counts AS (SELECT event_type, d, count(*) AS c
+                       FROM e GROUP BY 1, 2),
+            series AS (SELECT g.event_type, g.d,
+                              CAST(coalesce(c.c, 0) AS BIGINT) AS x
+                       FROM grid g LEFT JOIN counts c
+                         ON c.event_type = g.event_type AND c.d = g.d),
+            lagged AS (SELECT event_type, d, x,
+                      lag(x, 1) OVER w AS x1,
+                      lag(x, 2) OVER w AS x2,
+                      lag(x, 3) OVER w AS x3,
+                      lag(x, 4) OVER w AS x4,
+                      lag(x, 5) OVER w AS x5,
+                      lag(x, 6) OVER w AS x6,
+                      lag(x, 7) OVER w AS x7
+                       FROM series
+                       WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+            scored AS (SELECT event_type, d,
+                       CAST(round(CAST(x AS DOUBLE) / 2.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x1 AS DOUBLE) / 4.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x2 AS DOUBLE) / 8.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x3 AS DOUBLE) / 16.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x4 AS DOUBLE) / 32.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x5 AS DOUBLE) / 64.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x6 AS DOUBLE) / 128.0, 9) AS DECIMAL(20,9)) +
+                       CAST(round(CAST(x7 AS DOUBLE) / 256.0, 9) AS DECIMAL(20,9)) AS z
+                       FROM lagged WHERE x7 IS NOT NULL),
+            stats AS (SELECT event_type,
+                             CAST(count(*) AS BIGINT) AS n_grid,
+                             CAST(sum(x) AS BIGINT) AS sx,
+                             CAST(sum(x * x) AS BIGINT) AS sxx
+                      FROM series GROUP BY 1),
+            bands AS (SELECT event_type,
+                             round(CAST(sx AS DOUBLE)
+                                   / CAST(n_grid AS DOUBLE), 6) AS mu,
+                             round(sqrt(3.0) * sqrt(
+                               (CAST(n_grid AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / (CAST(n_grid AS DOUBLE)
+                                  * CAST(n_grid AS DOUBLE))), 6) AS band
+                      FROM stats),
+            flagged AS (SELECT s.event_type, s.d, b.mu, b.band,
+                               round(abs(CAST(s.z AS DOUBLE) - b.mu), 9)
+                                 AS dev,
+                               CASE WHEN b.band > 0
+                                         AND round(abs(CAST(s.z AS DOUBLE)
+                                                       - b.mu), 9) > b.band
+                                    THEN 1 ELSE 0 END AS alarm
+                        FROM scored s JOIN bands b
+                          ON b.event_type = s.event_type),
+            rolled AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n_days,
+                              max(mu) AS mean_daily,
+                              max(band) AS ewma_band,
+                              CAST(sum(alarm) AS BIGINT) AS n_alarms
+                       FROM flagged GROUP BY 1),
+            worst AS (SELECT event_type, d AS worst_day, dev AS worst_dev
+                      FROM (SELECT *, row_number() OVER (
+                              PARTITION BY event_type
+                              ORDER BY dev DESC, d) AS rk FROM flagged)
+                      WHERE rk = 1)
+            SELECT r.event_type, r.n_days, r.mean_daily, r.ewma_band,
+                   r.n_alarms, w.worst_day, w.worst_dev
+            FROM rolled r LEFT JOIN worst w
+              ON w.event_type = r.event_type
+            ORDER BY r.event_type
+        """,
+        "q320_dup_ngram_share": f"""
+            WITH tk AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id, source, unnest(list_distinct(
+                    CASE WHEN len(t) < {DD.DUP_NGRAM_N} THEN []::VARCHAR[]
+                         ELSE list_transform(
+                                range(1, len(t) - {DD.DUP_NGRAM_N} + 2),
+                                i -> array_to_string(
+                                  t[i:i+{DD.DUP_NGRAM_N - 1}], ' '))
+                    END)) AS gram
+                  FROM tk),
+            cnt AS (SELECT doc_id, source,
+                           count(*) OVER (PARTITION BY gram) AS nd
+                    FROM g),
+            per_doc AS (SELECT doc_id, source,
+                               CAST(count(*) AS BIGINT) AS n_grams,
+                               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                                    AS BIGINT) AS n_dup
+                        FROM cnt GROUP BY 1, 2),
+            pd2 AS (SELECT *, n_dup * 1000 // n_grams AS permille
+                    FROM per_doc),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+            agg AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_scored,
+                           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+                           CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+                           CAST(sum(permille) AS BIGINT) AS sp,
+                           CAST(sum(CASE WHEN permille > 500
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_majority_dup
+                    FROM pd2 GROUP BY 1)
+            SELECT t.source, t.n_docs,
+                   CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(t.n_docs - coalesce(a.n_scored, 0) AS BIGINT)
+                     AS n_short,
+                   CAST(coalesce(a.total_grams, 0) AS BIGINT) AS total_grams,
+                   CAST(coalesce(a.dup_grams, 0) AS BIGINT) AS dup_grams,
+                   CAST(CASE WHEN a.total_grams > 0
+                             THEN a.dup_grams * 1000 // a.total_grams
+                        END AS BIGINT) AS corpus_permille,
+                   CASE WHEN a.n_scored > 0
+                        THEN round(CAST(a.sp AS DOUBLE)
+                                   / CAST(a.n_scored AS DOUBLE), 6)
+                   END AS mean_doc_permille,
+                   CAST(coalesce(a.n_majority_dup, 0) AS BIGINT)
+                     AS n_majority_dup
+            FROM tot t LEFT JOIN agg a ON a.source = t.source
+            ORDER BY t.source
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -2190,3 +2190,104 @@ def source_containment(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+DUP_NGRAM_N = 8  # Lee et al. 2021 use 50-token spans; 8 word-grams is
+# the repo's scale-matched proxy over the short synthetic docs
+
+
+def dup_ngram_share(documents: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """Per-source duplicated-n-gram mass (q320): for each document,
+    the share of its DISTINCT word n-grams that also appear in at
+    least one other document — the memorization-risk score from the
+    dedup literature (Lee et al. 2021: near-dup training spans are
+    what models regurgitate verbatim; the doc-grain complement to
+    q309's source-level containment and q19's whole-doc hashes, which
+    both miss partial template reuse inside otherwise-unique docs).
+
+    Per source: total docs, scored docs (≥ 1 n-gram), short docs
+    (< n tokens — unscored), total/duplicated gram counts, the
+    corpus-level duplicated permille (integer-exact), the mean per-doc
+    duplicated permille, and how many docs are majority-duplicated
+    (> 500‰) — the rows a span-level dedup pass would rewrite.
+
+    Exactness: grams are `functions.text.word_ngrams` (whitespace
+    tokens, space-joined, duplicates dropped per doc), per-gram doc
+    counts and every permille are integer arithmetic; the only double
+    is the final mean, one division rounded 6dp.
+
+    Scale: ONE corpus-sized shuffle keyed on the gram string (a
+    count-over-gram window — high-cardinality key, no gram-side
+    join), then doc- and source-grain rollups. At 100 TB the gram key
+    would shuffle as a 128-bit hash instead of the string (pure
+    transport-size optimization; kept as the string here so the
+    DuckDB oracle shares the exact key domain).
+    """
+    grams = documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(TXT.word_ngrams(F.col("text"), n))
+        ).alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    per_doc = (
+        grams.withColumn("nd", F.count(F.lit(1)).over(wg))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .withColumn("permille", F.expr("n_dup * 1000 div n_grams"))
+    )
+    totals = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_dup").cast("long").alias("dup_grams"),
+        F.sum("permille").cast("long").alias("_sp"),
+        F.sum(F.when(F.col("permille") > 500, 1).otherwise(0))
+        .cast("long")
+        .alias("n_majority_dup"),
+    )
+    return (
+        totals.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_scored"), F.lit(0))
+            .cast("long")
+            .alias("n_scored"),
+            (F.col("n_docs") - F.coalesce(F.col("n_scored"), F.lit(0)))
+            .cast("long")
+            .alias("n_short"),
+            F.coalesce(F.col("total_grams"), F.lit(0))
+            .cast("long")
+            .alias("total_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("dup_grams"),
+            F.when(
+                F.col("total_grams") > 0,
+                F.expr("dup_grams * 1000 div total_grams"),
+            )
+            .cast("long")
+            .alias("corpus_permille"),
+            F.when(
+                F.col("n_scored") > 0,
+                F.round(
+                    F.col("_sp").cast("double")
+                    / F.col("n_scored").cast("double"),
+                    6,
+                ),
+            ).alias("mean_doc_permille"),
+            F.coalesce(F.col("n_majority_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_majority_dup"),
+        )
+        .orderBy("source")
+    )

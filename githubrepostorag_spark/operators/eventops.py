@@ -2327,3 +2327,140 @@ def theil_sen_trend(
         )
         .orderBy("event_type")
     )
+
+
+EWMA_WINDOW_DAYS = 8  # truncated-EWMA lookback; 2^-9 tail mass dropped
+
+
+def ewma_volume_alarms(
+    events: DataFrame, window_days: int = EWMA_WINDOW_DAYS
+) -> DataFrame:
+    """EWMA control chart over per-type daily event volume (q319,
+    Roberts 1959): z_d = Σ_{i<W} x_{d-i}/2^{i+1} — the λ = 1/2
+    exponentially-weighted moving average, truncated at W days — with
+    the classic ±3σ_EWMA band, σ_EWMA = σ·sqrt(λ/(2−λ)) = σ/sqrt(3).
+    The small-persistent-shift monitor between q304's CUSUM (total
+    variation changepoint) and q298's PSI (distribution shape): a feed
+    that quietly loses 20% of its volume trips the EWMA band days
+    before the raw daily count leaves ±3σ.
+
+    Per type: scored-day count (only days with a FULL W-day history —
+    the truncated sum is cold-start-biased before that), daily mean,
+    the band half-width, alarm count, and the worst day (max |z − μ|,
+    earliest day on ties). A zero-variance series never alarms (the
+    band is a point; alarming on EWMA truncation dust would be noise).
+
+    Exactness: λ = 1/2 makes every weight an exact power of two, so
+    each term round(x/2^{i+1}, 9) is the identical double in both
+    engines and the EWMA is an exact DECIMAL(38,9) sum — no
+    float-accumulation order anywhere. Variance uses integer moment
+    sums (q292's pattern); sqrt is IEEE-correctly-rounded in both
+    engines; the alarm compares 9dp-rounded deviation against the
+    6dp-rounded band.
+
+    Scale: one shuffle to (type, day) counts; the dense grid is
+    |types|×|days| (broadcast span, calendar-bounded); the lag window
+    runs per type over the day grid — time-domain-bounded like
+    q300's ACF, never event-sized.
+    """
+    day_us = 86_400_000_000
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.expr(f"unix_micros(ts) div {day_us}").alias("d")
+    )
+    span = e.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    counts = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    lags = [
+        (F.col("x") if i == 0 else F.lag("x", i).over(wl))
+        for i in range(window_days)
+    ]
+    # DECIMAL(20,9), not (38,9): Spark's CHAINED decimal `+` grows
+    # precision by one per add and, at the 38 cap, silently trades
+    # SCALE for integral digits (9dp -> 6dp after three adds under
+    # allowPrecisionLoss) while DuckDB keeps the scale -- a 2.5e-7
+    # parity break. At (20,9) the eight adds peak at (27,9): lossless
+    # in both engines, and 11 integral digits comfortably hold any
+    # daily count.
+    terms = [
+        F.round(
+            lag.cast("double") / F.lit(float(2 ** (i + 1))), 9
+        ).cast("decimal(20,9)")
+        for i, lag in enumerate(lags)
+    ]
+    z_dec = terms[0]
+    for t_ in terms[1:]:
+        z_dec = z_dec + t_
+    scored = (
+        series.withColumn("z", z_dec)
+        .withColumn("_full", lags[-1].isNotNull())
+        .filter(F.col("_full"))
+    )
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ng = F.col("n_grid").cast("double")
+    mu = F.round(F.col("sx").cast("double") / ng, 6)
+    var = (
+        ng * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (ng * ng)
+    limit = F.round(F.sqrt(F.lit(3.0)) * F.sqrt(var), 6)
+    bands = F.broadcast(
+        stats.select(
+            "event_type", mu.alias("mu"), limit.alias("band"),
+        )
+    )
+    dev = F.round(F.abs(F.col("z").cast("double") - F.col("mu")), 9)
+    flagged = scored.join(bands, "event_type").select(
+        "event_type",
+        "d",
+        "mu",
+        "band",
+        dev.alias("dev"),
+        F.when((F.col("band") > 0) & (dev > F.col("band")), 1)
+        .otherwise(0)
+        .alias("alarm"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("dev"), F.asc("d"))
+    rolled = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("mu").alias("mean_daily"),
+        F.max("band").alias("ewma_band"),
+        F.sum("alarm").cast("long").alias("n_alarms"),
+    )
+    worst = (
+        flagged.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("worst_day"),
+            F.col("dev").alias("worst_dev"),
+        )
+    )
+    return (
+        rolled.join(F.broadcast(worst), "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "mean_daily",
+            "ewma_band",
+            "n_alarms",
+            "worst_day",
+            "worst_dev",
+        )
+        .orderBy("event_type")
+    )

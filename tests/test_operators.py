@@ -5805,3 +5805,82 @@ def test_length_drift_fdr_hand_computed(spark):
     assert got[0].crit == round(1.0 * 0.05 / 3.0, 12)
     # every source keeps its exact sample sizes
     assert all((r.n_docs, r.n_rest) == (10, 20) for r in got)
+
+
+def test_ewma_volume_alarms_hand_computed(spark):
+    """q319 hand-computed over a 16-day grid: a flat type (1/day) has
+    a zero band and never alarms -- its truncated EWMA sits at
+    1 - 2^-8 = 0.99609375, dev exactly 0.00390625, worst day the
+    FIRST scored day (tie -> earliest). A flat-10 type with a single
+    500-spike on the last day alarms exactly once: the spike's EWMA
+    deviation 214.3359375 clears the 3-sigma/sqrt(3) band computed
+    from the contaminated series variance (~205.4), while every other
+    scored day sits far inside it."""
+    import datetime as dt
+    import math
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = []
+    eid = 0
+    for day in range(16):
+        rows.append((eid, dt.datetime(2024, 3, 1 + day, 8), eid, "flat", 1.0, "{}"))
+        eid += 1
+        cnt = 500 if day == 15 else 10
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 9), eid, "spike", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.ewma_volume_alarms(events).collect()}
+    f = got["flat"]
+    assert f.n_days == 9  # 16 grid days, first 7 lack full history
+    assert f.mean_daily == 1.0 and f.ewma_band == 0.0
+    assert f.n_alarms == 0
+    assert f.worst_dev == 0.00390625  # 2^-8 truncation dust, exact
+    d0 = dt.datetime(2024, 3, 1).date().toordinal()  # engine uses epoch
+    s = got["spike"]
+    mu = round(650.0 / 16.0, 6)  # 40.625 exact
+    var = (16.0 * (15 * 100 + 250000) - 650.0 * 650.0) / (16.0 * 16.0)
+    band = round(math.sqrt(3.0) * math.sqrt(var), 6)
+    assert s.mean_daily == mu and s.ewma_band == band
+    assert s.n_alarms == 1
+    # the spike day: z = 250 + 10*(2^-2+...+2^-8) = 254.9609375
+    assert s.worst_dev == round(abs(254.9609375 - mu), 9)
+    assert s.worst_day == f.worst_day + 8  # spike on last, flat worst on first
+    # cross-check the flat worst day is the first FULL-history day
+    assert s.worst_day - 8 == f.worst_day
+
+
+def test_dup_ngram_share_hand_computed(spark):
+    """q320 hand-computed: two identical 10-token docs share all 3 of
+    their distinct 8-grams (1000 permille each); a third doc overlaps
+    on exactly one gram (333 permille); a 2-token doc is unscored
+    (n_short). Source rollups are integer-exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d e f g h i j"),
+            (2, "s1", "a b c d e f g h i j"),
+            (3, "s2", "a b c d e f g h x y"),
+            (4, "s2", "hello world"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in DD.dup_ngram_share(docs).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_scored, s1.n_short) == (2, 2, 0)
+    assert (s1.total_grams, s1.dup_grams) == (6, 6)
+    assert s1.corpus_permille == 1000
+    assert s1.mean_doc_permille == 1000.0
+    assert s1.n_majority_dup == 2
+    s2 = got["s2"]
+    assert (s2.n_docs, s2.n_scored, s2.n_short) == (2, 1, 1)
+    assert (s2.total_grams, s2.dup_grams) == (3, 1)
+    assert s2.corpus_permille == 333
+    assert s2.mean_doc_permille == 333.0
+    assert s2.n_majority_dup == 0

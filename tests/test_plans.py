@@ -1547,12 +1547,15 @@ def test_round11_new_ops_plan_shapes(spark):
     the broadcast of the |sources|-row top-term/totals frames; q316's
     centroid assignment joins are broadcast (centroids / edges /
     totals / psi frames are all |labels|- or bucket-bounded)."""
+    from githubrepostorag_spark.operators import dedup as DD
+    from githubrepostorag_spark.operators import eventops as E
     from githubrepostorag_spark.operators import similarity_audit as S
     from githubrepostorag_spark.operators import textops as TO
     from githubrepostorag_spark.sources.testdata import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     plans = {
         "q314": TO.unsafe_content_scan(docs),
         "q315": TO.unsafe_content_report(docs),
@@ -1560,6 +1563,8 @@ def test_round11_new_ops_plan_shapes(spark):
         "q316": S.centroid_dist_psi(emb),
         "q317": S.intrinsic_dim_twonn(emb),
         "q318": TO.length_drift_fdr(docs),
+        "q319": E.ewma_volume_alarms(events),
+        "q320": DD.dup_ngram_share(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
