@@ -1603,9 +1603,19 @@ def knn_graph(
             ids_sorted = cols_ids[perm]
             m_sorted = m[:, perm]
             idx = np.argsort(-m_sorted, axis=1, kind="stable")[:, :kk]
-            out_v.extend(np.repeat(rows_ids, kk))
-            out_n.extend(ids_sorted[idx].ravel())
-            out_s.extend(np.take_along_axis(m_sorted, idx, axis=1).ravel())
+            vv = np.repeat(rows_ids, kk)
+            nn = ids_sorted[idx].ravel()
+            ss = np.take_along_axis(m_sorted, idx, axis=1).ravel()
+            # the -inf self-diagonal must never leave the kernel: when a
+            # row has fewer than k real candidates in this block, the
+            # top-k window would otherwise surface "self at -inf" as a
+            # phantom neighbor (the oracle's a.vec_id <> b.vec_id join
+            # has no such row) -- visible only on degenerate corpora
+            # with < k+1 vectors, caught by the round-11 hostile pins
+            keep = ss != -np.inf
+            out_v.extend(vv[keep])
+            out_n.extend(nn[keep])
+            out_s.extend(ss[keep])
 
         if same_block:
             np.fill_diagonal(sims, -np.inf)  # a row is not its own neighbor

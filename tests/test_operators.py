@@ -5884,3 +5884,66 @@ def test_dup_ngram_share_hand_computed(spark):
     assert s2.corpus_permille == 333
     assert s2.mean_doc_permille == 333.0
     assert s2.n_majority_dup == 0
+
+
+def test_round11_late_operator_hostile_invariants(spark):
+    """Hostile-corpus pins for q317-q320: degenerate inputs produce
+    DEFINED empty/NULL shapes, never crashes or silent miscounts.
+    - q317: a 2-vector corpus has no second neighbor -> n_used 0,
+      id_hat NULL (not a divide-by-zero or a dropped label).
+    - q318: a single-source corpus has no KS complement -> 0 rows.
+    - q318: two identical sources -> p = 1.0 for both, nothing
+      rejected (2*exp(0) clamps via least to exactly 1.0).
+    - q319: a 3-day span is shorter than the 8-day EWMA window ->
+      0 rows (cold-start days are never scored).
+    - q320: NULL-text and whitespace-only docs count as short,
+      never as scored rows with phantom grams."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    two = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    r = S.intrinsic_dim_twonn(two).collect()
+    assert len(r) == 1
+    assert (r[0].n_vecs, r[0].n_used, r[0].n_zero_d1) == (2, 0, 0)
+    assert r[0].sum_ln_mu == 0.0 and r[0].id_hat is None
+
+    solo = spark.createDataFrame(
+        [(i, "only", 100 + i) for i in range(5)],
+        "doc_id long, source string, n_chars long",
+    )
+    assert TO.length_drift_fdr(solo).count() == 0
+
+    twin = spark.createDataFrame(
+        [(i, "a", 100) for i in range(5)]
+        + [(10 + i, "b", 100) for i in range(5)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = TO.length_drift_fdr(twin).collect()
+    assert [x.rejected for x in rows] == [0, 0]
+    assert all(x.p_value == 1.0 for x in rows)
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 3, 1 + d, 8), i, "t", 1.0, "{}")
+            for i, d in enumerate([0, 1, 2])
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert E.ewma_volume_alarms(ev).count() == 0
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d e f g h i"),
+            (2, "s", None),
+            (3, "s", "   "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = DD.dup_ngram_share(docs).collect()[0]
+    assert (r.n_docs, r.n_scored, r.n_short) == (3, 1, 2)
+    assert (r.total_grams, r.dup_grams) == (2, 0)
