@@ -71,16 +71,18 @@ _ROTATION_HEAD = [
     # newcomers (q314/q315 the C4 unsafe-content blocklist, q316 the
     # embedding-plane distance PSI, q317 the two-NN intrinsic
     # dimension, q318 the BH-FDR drift correction, q319 the EWMA
-    # volume control chart, q320 the duplicated-n-gram share), then
-    # the 30 queries with the OLDEST driver recordings in registry
-    # order (q49..q51 from CORRECTNESS_r03, then the round-4 rows
-    # q86..q197). 13 + 7 + 30 = 50 exactly.
+    # volume control chart, q320 the duplicated-n-gram share, q321
+    # the deterministic bootstrap CI), then the 29 queries with the
+    # OLDEST driver recordings in registry order (q49..q51 from
+    # CORRECTNESS_r03, then the round-4 rows q86..q196).
+    # 13 + 8 + 29 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q198_normalize_text,
-    # q199_dsir_weights, q200_doc_kcore, q201_code_metrics,
-    # q202_token_budget, then q203_band_sweep onward in registry
-    # order through q219 — 22 slots), then the round-6 rows
+    # then the REMAINING round-4 rows (q197_decontaminate_scrub,
+    # q198_normalize_text, q199_dsir_weights, q200_doc_kcore,
+    # q201_code_metrics, q202_token_budget, then q203_band_sweep
+    # onward in registry order through q219 — 23 slots), then the
+    # round-6 rows
     # (q52_language_id onward in registry order) until 50. Newcomers
     # always outrank retests; full-surface coverage stays guaranteed
     # every round by the two-scale strict sweeps.
@@ -104,6 +106,7 @@ _ROTATION_HEAD = [
     "q318_drift_fdr",
     "q319_ewma_alarms",
     "q320_dup_ngram_share",
+    "q321_bootstrap_ci",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -135,7 +138,6 @@ _ROTATION_HEAD = [
     "q194_epoch_upsample",
     "q195_vocab_coverage",
     "q196_data_contract",
-    "q197_decontaminate_scrub",
 ]
 
 
@@ -1222,6 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t(sp, sf, "events")
         ),
         "q320_dup_ngram_share": lambda sp, sf: DD.dup_ngram_share(
+            t(sp, sf, "documents")
+        ),
+        "q321_bootstrap_ci": lambda sp, sf: CU.bootstrap_mean_ci(
             t(sp, sf, "documents")
         ),
     })
@@ -9976,6 +9981,46 @@ def oracle_sql() -> dict[str, str]:
                      AS n_majority_dup
             FROM tot t LEFT JOIN agg a ON a.source = t.source
             ORDER BY t.source
+        """,
+        "q321_bootstrap_ci": f"""
+            WITH reps AS (
+              SELECT d.source, r.b,
+                     CAST(count(*) AS BIGINT) AS n_b,
+                     CAST(sum(d.n_chars) AS BIGINT) AS s_b
+              FROM documents d
+              JOIN (SELECT CAST(unnest(range(0, {CU.BOOT_REPS})) AS BIGINT)
+                             AS b) r
+                ON (d.doc_id * {CU.BOOT_LCG_A} + r.b * {CU.BOOT_LCG_B}
+                    + {CU.BOOT_LCG_C}) % {CU.BOOT_MOD}
+                   < {CU.BOOT_MOD // 2}
+              GROUP BY 1, 2),
+            means AS (SELECT source, b,
+                             round(CAST(s_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE), 6) AS mean_b
+                      FROM reps),
+            ranked AS (SELECT *,
+                              CAST(row_number() OVER (PARTITION BY source
+                                ORDER BY mean_b, b) AS BIGINT) AS rk,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                   AS BIGINT) AS m
+                       FROM means),
+            ci AS (SELECT source, CAST(max(m) AS BIGINT) AS n_reps,
+                          min(CASE WHEN rk = CAST(ceil(CAST(m AS DOUBLE)
+                                * {CU.BOOT_CI_LO}) AS BIGINT)
+                              THEN mean_b END) AS ci_lo,
+                          min(CASE WHEN rk = CAST(ceil(CAST(m AS DOUBLE)
+                                * {CU.BOOT_CI_HI}) AS BIGINT)
+                              THEN mean_b END) AS ci_hi
+                   FROM ranked GROUP BY 1),
+            base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            round(CAST(sum(n_chars) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE), 6) AS mean_len
+                     FROM documents GROUP BY 1)
+            SELECT b2.source, b2.n_docs, b2.mean_len,
+                   CAST(coalesce(c.n_reps, 0) AS BIGINT) AS n_reps,
+                   c.ci_lo, c.ci_hi
+            FROM base b2 LEFT JOIN ci c ON c.source = b2.source
+            ORDER BY b2.source
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

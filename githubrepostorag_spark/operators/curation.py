@@ -1870,3 +1870,98 @@ def source_cross_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("model_source", "eval_source")
     )
+
+
+BOOT_REPS = 64          # bootstrap replicates
+BOOT_LCG_A = 1103515245  # glibc LCG multiplier — shared, documented
+BOOT_LCG_B = 2_654_435_761  # Knuth hash multiplier for the replicate id:
+# it must span the 2^31 ring (a small b-coefficient like 12345 shifts u
+# by < 0.04% of the modulus, making all 64 replicates near-identical —
+# caught by the q321 hand test's CI-contains-mean sanity pin)
+BOOT_LCG_C = 12821
+BOOT_MOD = 2_147_483_648  # 2^31
+BOOT_CI_LO = 0.05
+BOOT_CI_HI = 0.95
+
+
+def bootstrap_mean_ci(documents: DataFrame) -> DataFrame:
+    """Deterministic subsample-bootstrap confidence interval for the
+    per-source mean document length (q321, Politis & Romano 1994's
+    m-out-of-n subsampling, B = 64 half-replicates): every corpus
+    report in this repo quotes a per-source mean; this operator says
+    how much that mean would wobble under resampling — the difference
+    between "source X got shorter" and noise, and the uncertainty
+    band the q318 FDR discipline needs upstream monitors to respect.
+
+    Randomness is a seeded integer LCG on (doc_id, replicate) — NOT
+    engine RNG — so replicate membership is bit-identical in Spark
+    and DuckDB and across runs/partitionings: doc d is in replicate b
+    iff (d·1103515245 + b·2654435761 + 12821) mod 2³¹ < 2³⁰. The CI is
+    rank-based [5th, 95th] percentile of the replicate means
+    (k = ceil(q·m) over the m non-empty replicates, value ties broken
+    by replicate id).
+
+    Exactness: membership and per-replicate sums are pure integer
+    arithmetic; each replicate mean is one double division rounded
+    6dp; the percentile is integer ranks — no float accumulation.
+
+    Scale: the only corpus-sized work is one projection exploded ×B —
+    and the per-(source, replicate) partial sums collapse MAP-SIDE
+    before the shuffle, so the exchange carries |sources|·B rows, not
+    the corpus. The rank windows run per source over ≤ B rows.
+    """
+    b_spine = F.explode(
+        F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))
+    ).alias("b")
+    u = (
+        F.col("doc_id") * F.lit(BOOT_LCG_A)
+        + F.col("b") * F.lit(BOOT_LCG_B)
+        + F.lit(BOOT_LCG_C)
+    ) % F.lit(BOOT_MOD)
+    reps = (
+        documents.select("doc_id", "source", "n_chars", b_spine)
+        .filter(u < F.lit(BOOT_MOD // 2))
+        .groupBy("source", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("n_chars").cast("long").alias("s_b"),
+        )
+        .select(
+            "source",
+            "b",
+            F.round(
+                F.col("s_b").cast("double") / F.col("n_b").cast("double"), 6
+            ).alias("mean_b"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(F.asc("mean_b"), F.asc("b"))
+    wm = Window.partitionBy("source")
+    ranked = reps.withColumn("rk", F.row_number().over(wr).cast("long")).withColumn(
+        "m", F.count(F.lit(1)).over(wm).cast("long")
+    )
+    k_lo = F.ceil(F.col("m").cast("double") * F.lit(BOOT_CI_LO)).cast("long")
+    k_hi = F.ceil(F.col("m").cast("double") * F.lit(BOOT_CI_HI)).cast("long")
+    ci = ranked.groupBy("source").agg(
+        F.max("m").cast("long").alias("n_reps"),
+        F.min(F.when(F.col("rk") == k_lo, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == k_hi, F.col("mean_b"))).alias("ci_hi"),
+    )
+    base = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_len"),
+    )
+    return (
+        base.join(F.broadcast(ci), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "mean_len",
+            F.coalesce(F.col("n_reps"), F.lit(0)).cast("long").alias("n_reps"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("source")
+    )

@@ -5947,3 +5947,53 @@ def test_round11_late_operator_hostile_invariants(spark):
     r = DD.dup_ngram_share(docs).collect()[0]
     assert (r.n_docs, r.n_scored, r.n_short) == (3, 1, 2)
     assert (r.total_grams, r.dup_grams) == (2, 0)
+
+
+def test_bootstrap_mean_ci_hand_computed(spark):
+    """q321: replicate membership is the documented LCG, bit-for-bit —
+    the test re-derives every replicate in pure Python (the spec) and
+    checks the engine's n_reps / ci bounds / means exactly. The
+    single-doc source pins the degenerate path: every non-empty
+    replicate has mean == the doc's length, so the CI collapses to a
+    point and empty replicates shrink n_reps below B."""
+    import math
+
+    from githubrepostorag_spark.operators import curation as CU
+
+    rows = [(i, "s", i * 10) for i in range(1, 7)] + [(100, "t", 555)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in CU.bootstrap_mean_ci(docs).collect()}
+
+    def expected(ids_lens):
+        reps = []
+        for b in range(CU.BOOT_REPS):
+            mem = [
+                (i, L)
+                for i, L in ids_lens
+                if (i * CU.BOOT_LCG_A + b * CU.BOOT_LCG_B + CU.BOOT_LCG_C)
+                % CU.BOOT_MOD
+                < CU.BOOT_MOD // 2
+            ]
+            if mem:
+                reps.append(
+                    (round(sum(L for _, L in mem) / len(mem), 6), b)
+                )
+        reps.sort()
+        m = len(reps)
+        k_lo = math.ceil(m * CU.BOOT_CI_LO)
+        k_hi = math.ceil(m * CU.BOOT_CI_HI)
+        return m, reps[k_lo - 1][0], reps[k_hi - 1][0]
+
+    s_ids = [(i, i * 10) for i in range(1, 7)]
+    m, lo, hi = expected(s_ids)
+    r = got["s"]
+    assert (r.n_docs, r.mean_len) == (6, 35.0)
+    assert r.n_reps == m
+    assert (r.ci_lo, r.ci_hi) == (lo, hi)
+    assert r.ci_lo <= r.mean_len <= r.ci_hi
+
+    m_t, lo_t, hi_t = expected([(100, 555)])
+    rt = got["t"]
+    assert (rt.n_docs, rt.mean_len) == (1, 555.0)
+    assert rt.n_reps == m_t and 0 < m_t < CU.BOOT_REPS
+    assert rt.ci_lo == 555.0 and rt.ci_hi == 555.0

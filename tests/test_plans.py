@@ -1547,6 +1547,7 @@ def test_round11_new_ops_plan_shapes(spark):
     the broadcast of the |sources|-row top-term/totals frames; q316's
     centroid assignment joins are broadcast (centroids / edges /
     totals / psi frames are all |labels|- or bucket-bounded)."""
+    from githubrepostorag_spark.operators import curation as CU
     from githubrepostorag_spark.operators import dedup as DD
     from githubrepostorag_spark.operators import eventops as E
     from githubrepostorag_spark.operators import similarity_audit as S
@@ -1565,6 +1566,7 @@ def test_round11_new_ops_plan_shapes(spark):
         "q318": TO.length_drift_fdr(docs),
         "q319": E.ewma_volume_alarms(events),
         "q320": DD.dup_ngram_share(docs),
+        "q321": CU.bootstrap_mean_ci(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
