@@ -462,7 +462,18 @@ def embedding_psi_reference(spark, ivf_store_path: str) -> EmbeddingPsiRef:
     b1 = [0] * PSI_BUCKETS
     for r in b1_rows:
         b1[int(r["bucket"]) - 1] = int(r["count"])
-    return EmbeddingPsiRef(edges=edges, b1=b1, n_hist=sum(b1))
+    n_hist = sum(b1)
+    if n_hist == 0:
+        # every stored row had a degenerate (NULL-cosine) distance:
+        # a reference fitted here would be pure smoothing — finite
+        # PSI, meaningless signal. Refuse, so the caller skips the
+        # monitor instead of silently trusting it (round-11 ADVICE
+        # close; such a store cannot serve cosine ANN at all).
+        raise ValueError(
+            f"embedding_psi_reference: store {ivf_store_path!r} has no "
+            "finite-distance rows to fit a PSI reference on"
+        )
+    return EmbeddingPsiRef(edges=edges, b1=b1, n_hist=n_hist)
 
 
 def _np_psi(dists, ref: EmbeddingPsiRef) -> float:

@@ -1564,3 +1564,23 @@ def test_stream_embedding_gate_psi_wiring(spark, tmp_path):
     # the gate itself still worked (one accept or reject per vector)
     n_acc = spark.read.parquet(acc).count()
     assert n_acc >= 1
+
+
+def test_embedding_psi_reference_refuses_degenerate_store(spark, tmp_path):
+    """Round-11 ADVICE close: a store whose EVERY row has a degenerate
+    (zero-norm -> NULL-cosine) distance must make the PSI fit REFUSE
+    (ValueError), not return a pure-smoothing reference that scores
+    every batch with finite-but-meaningless PSI."""
+    import pytest as _pytest
+
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.streaming.ingest import embedding_psi_reference
+
+    store = str(tmp_path / "ivf_degen")
+    rows = [(i, 0, [0.0, 0.0, 0.0, 0.0]) for i in range(8)]
+    base = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    write_ivf_store(base, store)
+    with _pytest.raises(ValueError, match="no finite-distance rows"):
+        embedding_psi_reference(spark, store)
