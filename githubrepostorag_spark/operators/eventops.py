@@ -2378,8 +2378,17 @@ def ewma_volume_alarms(
         )
     )
     counts = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
-    series = grid.join(counts, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+    series = (
+        grid.join(counts, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x"),
+        )
+        # both the lag window and the band stats read this frame; the
+        # checkpoint pins the (type, day)-bounded grid so the corpus
+        # scan behind the counts runs ONCE, not once per consumer
+        .localCheckpoint(eager=False)
     )
     wl = Window.partitionBy("event_type").orderBy("d")
     lags = [
