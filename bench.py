@@ -467,6 +467,11 @@ def main() -> None:
             shutil.rmtree(eg_root, ignore_errors=True)
 
     if _want('stream_embedding_sustained'):
+        # import here too: under SPARK_GRAFT_BENCH_ONLY this block can
+        # run WITHOUT the gate block above (whose import it otherwise
+        # borrowed) — an isolated adjudication rerun crashed on exactly
+        # that in round 11
+        from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
         # Sustained embedding-gate throughput (round-7 verdict #3): N
         # micro-batches (maxFilesPerTrigger=1) against a store ~100x the
         # batch size. Before the round-8 fix the per-batch plan re-scanned
