@@ -72,16 +72,18 @@ _ROTATION_HEAD = [
     # embedding-plane distance PSI, q317 the two-NN intrinsic
     # dimension, q318 the BH-FDR drift correction, q319 the EWMA
     # volume control chart, q320 the duplicated-n-gram share, q321
-    # the deterministic bootstrap CI), then the 29 queries with the
-    # OLDEST driver recordings in registry order (q49..q51 from
-    # CORRECTNESS_r03, then the round-4 rows q86..q196).
-    # 13 + 8 + 29 = 50 exactly.
+    # the deterministic bootstrap CI, q322 the Good-Turing unseen
+    # mass, q323 the user-concentration HHI), then the 27 queries
+    # with the OLDEST driver recordings in registry order (q49..q51
+    # from CORRECTNESS_r03, then the round-4 rows q86..q194).
+    # 13 + 10 + 27 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q197_decontaminate_scrub,
+    # then the REMAINING round-4 rows (q195_vocab_coverage,
+    # q196_data_contract, q197_decontaminate_scrub,
     # q198_normalize_text, q199_dsir_weights, q200_doc_kcore,
     # q201_code_metrics, q202_token_budget, then q203_band_sweep
-    # onward in registry order through q219 — 23 slots), then the
+    # onward in registry order through q219 — 25 slots), then the
     # round-6 rows
     # (q52_language_id onward in registry order) until 50. Newcomers
     # always outrank retests; full-surface coverage stays guaranteed
@@ -107,6 +109,8 @@ _ROTATION_HEAD = [
     "q319_ewma_alarms",
     "q320_dup_ngram_share",
     "q321_bootstrap_ci",
+    "q322_good_turing",
+    "q323_user_concentration",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -136,8 +140,6 @@ _ROTATION_HEAD = [
     "q192_training_sequences",
     "q193_skew_report",
     "q194_epoch_upsample",
-    "q195_vocab_coverage",
-    "q196_data_contract",
 ]
 
 
@@ -1228,6 +1230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q321_bootstrap_ci": lambda sp, sf: CU.bootstrap_mean_ci(
             t(sp, sf, "documents")
+        ),
+        "q322_good_turing": lambda sp, sf: TO.good_turing_mass(
+            t(sp, sf, "documents")
+        ),
+        "q323_user_concentration": lambda sp, sf: E.user_concentration(
+            t(sp, sf, "events")
         ),
     })
 
@@ -10021,6 +10029,51 @@ def oracle_sql() -> dict[str, str]:
                    c.ci_lo, c.ci_hi
             FROM base b2 LEFT JOIN ci c ON c.source = b2.source
             ORDER BY b2.source
+        """,
+        "q322_good_turing": f"""
+            WITH toks AS (SELECT source, unnest({_TOKS}) AS tok
+                          FROM documents),
+            counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS r
+                       FROM toks GROUP BY 1, 2),
+            agg AS (SELECT source,
+                           CAST(sum(r) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hapax,
+                           CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_dis
+                    FROM counts GROUP BY 1)
+            SELECT source, n_tokens, vocab, n_hapax, n_dis,
+                   round(CAST(n_hapax AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) AS p0,
+                   round(CAST(n_hapax AS DOUBLE)
+                         / CAST(vocab AS DOUBLE), 6) AS hapax_vocab_share,
+                   CASE WHEN n_hapax > 0
+                        THEN round(2.0 * CAST(n_dis AS DOUBLE)
+                                   / CAST(n_hapax AS DOUBLE), 6)
+                   END AS r1_star
+            FROM agg ORDER BY source
+        """,
+        "q323_user_concentration": """
+            WITH counts AS (SELECT event_type, user_id,
+                                   CAST(count(*) AS BIGINT) AS c
+                            FROM events GROUP BY 1, 2),
+            agg AS (SELECT event_type,
+                           CAST(sum(c) AS BIGINT) AS n_events,
+                           CAST(count(*) AS BIGINT) AS n_users,
+                           CAST(sum(c * c) AS BIGINT) AS ss,
+                           CAST(max(c) AS BIGINT) AS cmax
+                    FROM counts GROUP BY 1)
+            SELECT event_type, n_events, n_users,
+                   round(CAST(ss AS DOUBLE)
+                         / (CAST(n_events AS DOUBLE)
+                            * CAST(n_events AS DOUBLE)), 6) AS hhi,
+                   round((CAST(n_events AS DOUBLE)
+                          * CAST(n_events AS DOUBLE))
+                         / CAST(ss AS DOUBLE), 6) AS effective_users,
+                   CAST(cmax * 1000 // n_events AS BIGINT)
+                     AS top_user_share_permille
+            FROM agg ORDER BY event_type
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

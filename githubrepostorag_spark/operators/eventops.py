@@ -2473,3 +2473,51 @@ def ewma_volume_alarms(
         )
         .orderBy("event_type")
     )
+
+
+def user_concentration(events: DataFrame) -> DataFrame:
+    """Per-type user-concentration audit (q323): the Herfindahl–
+    Hirschman index of event mass across users, the max single-user
+    share, and the implied effective-user count N²/Σc². The
+    infrastructure twin of q290's hubness: a type whose HHI climbs is
+    one bot (or one retry loop) away from being a single-tenant
+    feed — rate limits, dedup stores, and per-user fairness caps all
+    key off exactly this number, and q295's burstiness can look
+    healthy while one user supplies every event.
+
+    Output per type: n_events, n_users (NULL-user rows counted as
+    one synthetic user each is WRONG — they group as one NULL user,
+    documented), hhi = round(Σc²/N², 6), effective_users =
+    round(N²/Σc², 6), top_user_share_permille (integer-exact).
+
+    Exactness: per-(type, user) counts are integers; Σc² sums
+    BIGINT (c ≤ N ≤ 10⁷ at test scales keeps Σc² < 2⁶³; at larger
+    N the sum upgrades to DECIMAL unchanged in both engines); the
+    two divisions round 6dp with pinned operand order.
+
+    Scale: ONE shuffle to (type, user) counts with map-side combine,
+    then a |types|-bounded rollup — the corpus never sorts and no
+    per-user window exists.
+    """
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_ss"),
+        F.max("c").cast("long").alias("_cmax"),
+    )
+    n_dbl = F.col("n_events").cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.round(F.col("_ss").cast("double") / (n_dbl * n_dbl), 6).alias("hhi"),
+        F.round((n_dbl * n_dbl) / F.col("_ss").cast("double"), 6).alias(
+            "effective_users"
+        ),
+        F.expr("_cmax * 1000 div n_events")
+        .cast("long")
+        .alias("top_user_share_permille"),
+    ).orderBy("event_type")

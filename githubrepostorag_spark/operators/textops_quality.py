@@ -2262,3 +2262,70 @@ def length_drift_fdr(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("rejected"),
     ).orderBy("rank")
+
+
+def good_turing_mass(documents: DataFrame) -> DataFrame:
+    """Good–Turing unseen-vocabulary mass per source (q322, Good
+    1953): p₀ = N₁/N — the probability that the source's NEXT token
+    is a type never seen before, estimated from the hapax count. The
+    forward-looking companion to q289's Heaps fit (how fast has vocab
+    grown) and q195's coverage (how much of a FIXED vocab is hit):
+    p₀ says how open-ended the source still is. A template/log feed
+    shows p₀ near 0 (closed vocabulary — dedup and compression will
+    feast); a crawl feed stays high; a SPIKE in p₀ on a stable feed
+    is an encoding or tokenizer break upstream.
+
+    Output per source: token count N, vocab V, hapax count N₁,
+    dis-legomena N₂, p0 = round(N₁/N, 6), hapax share of vocab
+    round(N₁/V, 6), and the Good–Turing adjusted singleton count
+    r₁* = 2·N₂/N₁ (round 6, NULL when N₁ = 0 — a fully closed
+    vocabulary has no singleton estimate to adjust).
+
+    Exactness: token counts are `functions.text.tokens` (whitespace)
+    exploded once; every statistic is integer until the three final
+    single divisions, rounded 6dp with pinned operand order.
+
+    Scale: one corpus-sized shuffle to (source, token) counts —
+    map-side combinable — then a |sources|-bounded rollup of the
+    frequency-of-frequency classes (only r ∈ {1, 2} need their own
+    counters; everything else folds into N and V).
+    """
+    toks = documents.select(
+        "source", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n_hapax",
+        "n_dis",
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("p0"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("vocab").cast("double"), 6
+        ).alias("hapax_vocab_share"),
+        F.when(
+            F.col("n_hapax") > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("n_dis").cast("double")
+                / F.col("n_hapax").cast("double"),
+                6,
+            ),
+        ).alias("r1_star"),
+    ).orderBy("source")

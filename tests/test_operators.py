@@ -5997,3 +5997,54 @@ def test_bootstrap_mean_ci_hand_computed(spark):
     assert (rt.n_docs, rt.mean_len) == (1, 555.0)
     assert rt.n_reps == m_t and 0 < m_t < CU.BOOT_REPS
     assert rt.ci_lo == 555.0 and rt.ci_hi == 555.0
+
+
+def test_good_turing_mass_hand_computed(spark):
+    """q322: "x x y z" -> N=4 V=3 hapax={y,z} dis={x}: p0 = 2/4,
+    hapax share 2/3, r1* = 2*1/2 = 1.0. A closed vocabulary ("w w w
+    w") has p0 = 0 and NO r1* (NULL, not a 0/0 NaN)."""
+    docs = spark.createDataFrame(
+        [(1, "a", "x x y z"), (2, "b", "w w"), (3, "b", "w w")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in TO.good_turing_mass(docs).collect()}
+    a = got["a"]
+    assert (a.n_tokens, a.vocab, a.n_hapax, a.n_dis) == (4, 3, 2, 1)
+    assert a.p0 == 0.5
+    assert a.hapax_vocab_share == round(2.0 / 3.0, 6)
+    assert a.r1_star == 1.0
+    b = got["b"]
+    assert (b.n_tokens, b.vocab, b.n_hapax, b.n_dis) == (4, 1, 0, 0)
+    assert b.p0 == 0.0 and b.hapax_vocab_share == 0.0
+    assert b.r1_star is None
+
+
+def test_user_concentration_hand_computed(spark):
+    """q323: counts {u1: 3, u2: 1} -> HHI = (9+1)/16 = 0.625,
+    effective users 1.6, top share 750 permille; a single-user type
+    pins the degenerate ceiling (HHI 1.0, 1000 permille)."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 8 + i), u, "t1", 1.0, "{}")
+        for i, u in enumerate([1, 1, 1, 2])
+    ] + [
+        (10 + i, dt.datetime(2024, 3, 2, 8 + i), 7, "t2", 1.0, "{}")
+        for i in range(5)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.user_concentration(events).collect()}
+    t1 = got["t1"]
+    assert (t1.n_events, t1.n_users) == (4, 2)
+    assert t1.hhi == 0.625 and t1.effective_users == 1.6
+    assert t1.top_user_share_permille == 750
+    t2 = got["t2"]
+    assert (t2.n_events, t2.n_users) == (5, 1)
+    assert t2.hhi == 1.0 and t2.effective_users == 1.0
+    assert t2.top_user_share_permille == 1000

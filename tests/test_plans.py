@@ -1567,6 +1567,8 @@ def test_round11_new_ops_plan_shapes(spark):
         "q319": E.ewma_volume_alarms(events),
         "q320": DD.dup_ngram_share(docs),
         "q321": CU.bootstrap_mean_ci(docs),
+        "q322": TO.good_turing_mass(docs),
+        "q323": E.user_concentration(events),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
