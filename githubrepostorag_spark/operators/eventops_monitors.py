@@ -1,0 +1,803 @@
+"""Drift, survival and concentration monitors over the event stream —
+the PSI decile machinery, CUSUM/EWMA control charts, the volume ACF,
+Kaplan–Meier survival, transition entropy, the Theil–Sen trend and the
+user-concentration HHI. Mechanically split out of ``eventops.py`` in
+round 11 (same discipline as the round-10 ``textops_quality`` /
+``similarity_audit`` splits — the r9 verdict's sub-2,500-LoC module
+rule): every public name is still importable from
+``githubrepostorag_spark.operators.eventops`` (PEP 562 forwarding
+there), so existing citations, tests and oracles are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PSI_BUCKETS = 10  # decile grid for the population-stability index
+
+
+def psi_decile_edges(vals: DataFrame) -> DataFrame:
+    """Decile edges per event type from a (event_type, value) frame via
+    q281's exact-rank ladder: per-(type, value) integer counts, a
+    cumulative window over DISTINCT values only (never a sort of the
+    raw stream), and edge_k = the smallest value whose cumulative
+    count reaches ceil(k·n/10) — pure integer arithmetic, identical
+    in any engine. Returns (event_type, k, edge), k in 1..9 — the
+    fit side of the streaming PSI monitor (edges frozen ONCE on
+    history, every micro-batch scored against them); q298 computes the
+    same ladder inline on its half-1 counts, kept inline there so the
+    driver-recorded plan stays byte-stable.
+    """
+    counts = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wv))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    ks = vals.sparkSession.range(1, PSI_BUCKETS).select(F.col("id").alias("k"))
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cum") >= F.expr(f"(k * n + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
+        )
+        .groupBy("event_type", "k")
+        .agg(F.min("value").alias("edge"))
+    )
+
+
+def value_psi_by_type(events: DataFrame) -> DataFrame:
+    """Population Stability Index per event type: bucket the metric
+    `value` into deciles fitted on the FIRST half of the time range,
+    score the second half against those fixed edges, and report
+    PSI = Σ (p₂−p₁)·ln(p₂/p₁) — the production drift monitor (credit-
+    scoring lineage; <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+    The events twin of the corpus drift screens: q291's KS is a single
+    worst-gap, PSI localizes mass movement across the whole grid and
+    is the number ops teams alarm on.
+
+    Exactness and scale share q281's exact-rank ladder: decile edges
+    come from per-(type, value) integer counts with a cumulative
+    window over DISTINCT values only (never a global sort of the
+    event stream), bucket assignment is a |distinct values|×9
+    bounded join against the broadcast edge table, counts are
+    integers, and the smoothed (+0.5/bucket) PSI terms are 12dp-
+    rounded DECIMAL sums — bit-equal in the oracle. The time split is
+    the integer midpoint of the observed microsecond range; NULL
+    timestamps are excluded (not arrivals), NULL values excluded (not
+    measurements). All ten buckets contribute via a constant spine —
+    a bucket empty in BOTH halves still carries a nonzero smoothed
+    term whenever n₁ ≠ n₂ (coincident decile edges collapse buckets),
+    so skipping it would under-report the documented metric.
+    """
+    e = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "value", F.unix_micros("ts").alias("us"))
+    # integer div, not /2: float division's long-cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB, so an odd min+max would split the
+    # halves differently between the engines
+    span = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    halved = e.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        F.when(F.col("us") <= F.col("mid"), 1).otherwise(2).alias("half"),
+    )
+    counts = halved.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum1", F.sum("c1").over(wv))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    ks = halved.sparkSession.range(1, PSI_BUCKETS).select(
+        F.col("id").alias("k")
+    )
+    # edge_k = smallest value whose half-1 cumulative reaches
+    # ceil(k·n1/10): ((k*n1 + 9) div 10) in pure integers
+    edges = (
+        cum.join(F.broadcast(totals.select("event_type", "n1")), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cum1") >= F.expr(f"(k * n1 + {PSI_BUCKETS - 1}) div {PSI_BUCKETS}")
+        )
+        .groupBy("event_type", "k")
+        .agg(F.min("value").alias("edge"))
+    )
+    bucketed = (
+        counts.join(F.broadcast(edges), "event_type", "left")
+        .groupBy("event_type", "value", "c1", "c2")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("edge") < F.col("value"), 1)), F.lit(0)
+                )
+                + 1
+            ).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+    )
+    # constant 10-bucket spine per type: buckets collapsed away by
+    # coincident edges still carry their smoothed term
+    spine = (
+        totals.select("event_type")
+        .crossJoin(
+            F.broadcast(
+                halved.sparkSession.range(1, PSI_BUCKETS + 1).select(
+                    F.col("id").alias("bucket")
+                )
+            )
+        )
+    )
+    full = (
+        spine.join(bucketed, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["b1", "b2"])
+    )
+    j = full.join(F.broadcast(totals), "event_type")
+    p1 = (F.col("b1").cast("double") + F.lit(0.5)) / (
+        F.col("n1").cast("double") + F.lit(0.5 * PSI_BUCKETS)
+    )
+    p2 = (F.col("b2").cast("double") + F.lit(0.5)) / (
+        F.col("n2").cast("double") + F.lit(0.5 * PSI_BUCKETS)
+    )
+    term = F.round((p2 - p1) * F.log(p2 / p1), 12).cast("decimal(38,12)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_half1"),
+            F.max("n2").alias("n_half2"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KM_CENSOR_DAYS = 7  # users last seen inside this tail are right-censored
+ACF_BUCKET_S = 3600  # time-bucket width for the volume series
+ACF_MAX_LAG = 6  # autocorrelation ladder depth (lags 1..6 buckets)
+
+
+def km_survival(events: DataFrame, censor_days: int = KM_CENSOR_DAYS) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days between a
+    user's first and last event): at each observed lifetime d the
+    curve multiplies in the fraction of still-at-risk users who did
+    NOT end there, S(d) = Π_{d' ≤ d} (1 − deaths(d')/at_risk(d')) —
+    the censoring-correct estimator (Kaplan & Meier 1958) of "how
+    long does a user stay active". q68 reports raw retention shares
+    and q176 fits an exponential to them; neither handles the users
+    the observation window CUTS OFF. Here a user whose last event
+    falls within the final `censor_days` of the stream horizon may
+    still be active: they leave the risk set at their observed
+    lifetime WITHOUT counting as a death (dropping or death-counting
+    them would bias lifetimes short — the entire point of KM).
+
+    Output: one row per distinct lifetime (duration_days, n_at_risk,
+    n_deaths, n_censored, survival), the survival column stepping
+    down only at death durations.
+
+    Scale shape: one shuffle to the per-user (first, last) aggregate,
+    the horizon attached as a broadcast scalar, then everything runs
+    on the |distinct lifetimes| grid — bounded by the calendar span,
+    never user- or event-sized. The two cumulative windows (reverse
+    count for the risk set, forward log-sum for the product) are
+    single-partition but DOMAIN-bounded, the documented q291-style
+    exception. Exactness: counts are integers; each log-factor is
+    6dp-rounded into DECIMAL(28,6) so the running sum is exact and
+    order-independent (q289's ln discipline); doubles appear only in
+    the final exp, rounded 6dp, with an exact-zero factor short-
+    circuited through a MIN flag instead of ln(0).
+    """
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    hor = per_user.agg(F.max("last_day").alias("horizon"))
+    u = per_user.crossJoin(F.broadcast(hor)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("duration_days"),
+        (F.col("last_day") < F.date_sub(F.col("horizon"), censor_days)).alias(
+            "died"
+        ),
+    )
+    by_dur = u.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("n_deaths"),
+        F.sum(F.when(F.col("died"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    # risk set = users with lifetime >= d: reverse cumulative count
+    # over the lifetime grid (|calendar days| rows, domain-bounded)
+    wr = Window.orderBy(F.desc("duration_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = by_dur.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(wr).cast("long"),
+    )
+    fac = (F.col("n_at_risk") - F.col("n_deaths")) / F.col(
+        "n_at_risk"
+    ).cast("double")
+    wc = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        ar.withColumn("_fac", fac)
+        .withColumn(
+            "_term",
+            F.when(
+                F.col("_fac") > 0,
+                F.round(F.log("_fac"), 6).cast("decimal(28,6)"),
+            ),
+        )
+        .withColumn("_lsum", F.sum("_term").over(wc))
+        .withColumn("_minfac", F.min("_fac").over(wc))
+    )
+    survival = F.when(F.col("_minfac") == 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_lsum").cast("double")), 6)
+    )
+    return stepped.select(
+        "duration_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        survival.alias("survival"),
+    ).orderBy("duration_days")
+
+
+def volume_acf(
+    events: DataFrame, bucket_s: int = ACF_BUCKET_S, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Autocorrelation ladder of per-type event volume: count events
+    per `bucket_s`-second bucket on the DENSE global bucket grid
+    (zero buckets included — skipping empty buckets would splice
+    distant periods together and fake correlation), then Pearson r
+    between the series and its lag-l shift for l = 1..`max_lag`.
+    The memory view of traffic structure: q295's CV² says arrivals
+    are bursty, the ACF says on WHAT timescale volume predicts
+    itself — a slow-decaying ladder means load is forecastable (and
+    a cache/prefetch pays off), a spike at the daily lag is
+    seasonality q175 adjusts for, ≈0 everywhere is memoryless.
+
+    Scale shape: one shuffle to (type, bucket) counts; the dense
+    series comes from a |types|×|buckets| grid (broadcast spine,
+    calendar-bounded). The lag shift is a per-type window over the
+    bucket grid — bounded by the time domain like q291/q295, never
+    event-sized — emitting all `max_lag` shifts from ONE window pass
+    (array explode), so the ladder costs one sort of the grid, not
+    max_lag sorts. Moments are exact: integer counts cast
+    DECIMAL(19,0), pair products inferred DECIMAL(38,0) (legal in
+    both engines), summed exactly; doubles appear only in the final
+    Pearson ratio, identical operand order in the oracle, rounded
+    6dp with a zero-variance series yielding NULL (never NaN).
+    """
+    us = int(bucket_s) * 1_000_000
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.expr(f"unix_micros(ts) div {us}").alias("b")
+    )
+    span = e.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+        )
+    )
+    counts = e.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(counts, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+    )
+    wl = Window.partitionBy("event_type").orderBy("b")
+    shifted = series.select(
+        "event_type",
+        "b",
+        "x",
+        *[F.lag("x", lag).over(wl).alias(f"_y{lag}") for lag in range(1, max_lag + 1)],
+    )
+    stacked = (
+        shifted.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lag).cast("long").alias("lag"),
+                            F.col(f"_y{lag}").alias("y"),
+                        )
+                        for lag in range(1, max_lag + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    dec = "decimal(19,0)"
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n_pairs").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        n_d * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Per-event-type changepoint detection on daily volume: the CUSUM
+    statistic (Page 1954) over the type's full calendar span — the
+    day t maximizing |Σ_{i≤t}(x_i − mean)| marks the most likely level
+    shift. The structural complement to q75's pointwise z-scores
+    (which flag spiky DAYS) and q300's ACF (which measures memory):
+    CUSUM localizes WHEN a feed's volume regime changed, the first
+    question after a drift alarm fires.
+
+    Exactness: the deviation is kept in integers by scaling out the
+    mean — |S_t·D − t·T| with S_t the cumulative count, D the span in
+    days, T the total. The products are computed in decimal(38,0),
+    not long: past 2^63 a long product would wrap silently in Spark
+    while the DuckDB oracle raises, so the engines would fail
+    NON-identically; decimal keeps both exact through 10³⁸ (10¹²
+    events over 10⁵ days is 10¹⁷ — decimal headroom is 10²¹×). Ties
+    on the peak resolve to the EARLIEST day. Only the final
+    normalization |S_t·D − t·T|/D is double, rounded to 6 dp.
+
+    Scale: one groupBy(type, day); the calendar spine (sequence of
+    dates, zero-filled via left join) and the cumulative window are
+    bounded by the DAY domain per type, never by event count — the
+    q291-style domain-bounded window exception, documented here.
+    NULL timestamps are excluded (same policy as q295).
+    """
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("x").alias("t_all"),
+    )
+    spine = bounds.select(
+        "event_type",
+        "t_all",
+        (F.datediff("d1", "d0") + F.lit(1)).cast("long").alias("n_days"),
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn("s_t", F.sum("x").over(wd))
+        .withColumn(
+            "t_idx", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        )
+    )
+    dev = F.abs(
+        F.col("s_t").cast("decimal(38,0)") * F.col("n_days").cast("decimal(38,0)")
+        - F.col("t_idx").cast("decimal(38,0)") * F.col("t_all").cast("decimal(38,0)")
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("dev"), F.asc("day")
+    )
+    return (
+        cum.withColumn("dev", dev)
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").alias("n_days"),
+            F.col("t_all").cast("long").alias("n_events"),
+            F.col("day").alias("cp_day"),
+            F.round(
+                F.col("dev").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-event-type outgoing-transition entropy: for each type, the
+    Shannon entropy (nats) of the next-event-type distribution over
+    the q15 transition pairs, plus the modal next type. The summary
+    layer over q15's raw transition matrix: a type whose outgoing
+    entropy collapses has become a deterministic funnel step, one
+    whose entropy rises is losing its place in the flow — the single
+    number a sequence-model data card wants per state.
+    NULL timestamps are excluded before the lag window (same policy
+    as q295/q304): Spark orders NULLs first and DuckDB last, so an
+    unfiltered NULL ts would make the engines build different pairs.
+
+    Exactness: transition counts are exact; each entropy term
+    p·ln(p) is one double expression (identical operands both
+    engines) scaled into 10¹² fixed-point before the per-type sum, so
+    accumulation order cannot diverge. The modal next type breaks
+    count ties alphabetically.
+
+    Scale: the lag window partitions by user (per-user event counts
+    bound it — the q15 plan, one shuffle on user_id); the entropy
+    fold runs on the |types|² transition matrix, dimension-bounded.
+    """
+    seq = (
+        events.filter(F.col("ts").isNotNull())
+        .withColumn(
+            "prev_type",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("n_out"))
+    p = F.col("cnt").cast("double") / F.col("n_out").cast("double")
+    term_i = F.round(p * F.log(p) * F.lit(1.0e12)).cast("decimal(38,0)")
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    ranked = (
+        pairs.join(tot, "prev_type")
+        .withColumn("term_i", term_i)
+        .withColumn("rk", F.row_number().over(wm))
+    )
+    return (
+        ranked.groupBy("prev_type")
+        .agg(
+            F.max(F.col("n_out")).cast("long").alias("n_out"),
+            F.count(F.lit(1)).cast("long").alias("n_next_types"),
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias(
+                "top_next"
+            ),
+            F.sum("term_i").alias("s_term"),
+        )
+        .select(
+            "prev_type",
+            "n_out",
+            "n_next_types",
+            "top_next",
+            F.round(
+                -F.col("s_term").cast("double") / F.lit(1.0e12), 6
+            ).alias("entropy_nats"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# Theil-Sen robust trend: analysis window (days, ending at each type's
+# last active day). Constant-bounds the pairwise slope set at any SF.
+TREND_WINDOW_DAYS = 128
+
+
+def theil_sen_trend(
+    events: DataFrame, window_days: int = TREND_WINDOW_DAYS
+) -> DataFrame:
+    """Per-event-type robust volume trend: the Theil-Sen estimator
+    (median of pairwise slopes) over the type's zero-filled daily
+    counts in its last ``window_days`` days. The outlier-proof
+    complement to q114's least-squares trend and q304's CUSUM: one
+    flash-crowd day drags an OLS slope, but the median slope moves
+    only when the LEVEL genuinely trends.
+
+    Exactness: slopes are one double division (xⱼ−xᵢ)/(j−i) over
+    exact integer daily counts, identical operands both engines; the
+    median is the LOWER median picked by row_number over the total
+    order (slope, day_i, day_j) — no engine-specific percentile
+    interpolation anywhere. Reported slope rounds to 6 dp.
+
+    Scale: the spine is capped at ``window_days`` rows per type, so
+    the pairwise self-join materializes at most W(W−1)/2 = 8,128 rows
+    per type and the median window is constant-bounded — the analysis
+    window, not the corpus, fixes the cost (the km/acf exception
+    pattern). NULL timestamps are excluded (q295 policy); a type
+    active on a single day has no pairs and is omitted.
+    """
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.col("dmin"), F.date_sub(F.col("d1"), window_days - 1)
+                ),
+                F.col("d1"),
+            )
+        ).alias("day"),
+    )
+    series = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ).cast("long"),
+        )
+    )
+    a = series.select(
+        "event_type",
+        F.col("day").alias("day_i"),
+        F.col("i").alias("ii"),
+        F.col("x").alias("xi"),
+    )
+    b = series.select(
+        "event_type",
+        F.col("day").alias("day_j"),
+        F.col("i").alias("jj"),
+        F.col("x").alias("xj"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("ii") < F.col("jj"))
+        .select(
+            "event_type",
+            "day_i",
+            "day_j",
+            (
+                (F.col("xj") - F.col("xi")).cast("double")
+                / (F.col("jj") - F.col("ii")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        "slope", "day_i", "day_j"
+    )
+    counted = slopes.withColumn("rk", F.row_number().over(wm)).join(
+        slopes.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        ),
+        "event_type",
+    )
+    days_used = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        counted.filter(
+            F.col("rk") == F.expr("(n_pairs + 1) div 2")
+        )
+        .join(F.broadcast(days_used), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EWMA_WINDOW_DAYS = 8  # truncated-EWMA lookback; 2^-9 tail mass dropped
+
+
+def ewma_volume_alarms(
+    events: DataFrame, window_days: int = EWMA_WINDOW_DAYS
+) -> DataFrame:
+    """EWMA control chart over per-type daily event volume (q319,
+    Roberts 1959): z_d = Σ_{i<W} x_{d-i}/2^{i+1} — the λ = 1/2
+    exponentially-weighted moving average, truncated at W days — with
+    the classic ±3σ_EWMA band, σ_EWMA = σ·sqrt(λ/(2−λ)) = σ/sqrt(3).
+    The small-persistent-shift monitor between q304's CUSUM (total
+    variation changepoint) and q298's PSI (distribution shape): a feed
+    that quietly loses 20% of its volume trips the EWMA band days
+    before the raw daily count leaves ±3σ.
+
+    Per type: scored-day count (only days with a FULL W-day history —
+    the truncated sum is cold-start-biased before that), daily mean,
+    the band half-width, alarm count, and the worst day (max |z − μ|,
+    earliest day on ties). A zero-variance series never alarms (the
+    band is a point; alarming on EWMA truncation dust would be noise).
+
+    Exactness: λ = 1/2 makes every weight an exact power of two, so
+    each term round(x/2^{i+1}, 9) is the identical double in both
+    engines and the EWMA is an exact DECIMAL(38,9) sum — no
+    float-accumulation order anywhere. Variance uses integer moment
+    sums (q292's pattern); sqrt is IEEE-correctly-rounded in both
+    engines; the alarm compares 9dp-rounded deviation against the
+    6dp-rounded band.
+
+    Scale: one shuffle to (type, day) counts; the dense grid is
+    |types|×|days| (broadcast span, calendar-bounded); the lag window
+    runs per type over the day grid — time-domain-bounded like
+    q300's ACF, never event-sized.
+    """
+    day_us = 86_400_000_000
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.expr(f"unix_micros(ts) div {day_us}").alias("d")
+    )
+    span = e.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    counts = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    series = (
+        grid.join(counts, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x"),
+        )
+        # both the lag window and the band stats read this frame; the
+        # checkpoint pins the (type, day)-bounded grid so the corpus
+        # scan behind the counts runs ONCE, not once per consumer
+        .localCheckpoint(eager=False)
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    lags = [
+        (F.col("x") if i == 0 else F.lag("x", i).over(wl))
+        for i in range(window_days)
+    ]
+    # DECIMAL(20,9), not (38,9): Spark's CHAINED decimal `+` grows
+    # precision by one per add and, at the 38 cap, silently trades
+    # SCALE for integral digits (9dp -> 6dp after three adds under
+    # allowPrecisionLoss) while DuckDB keeps the scale -- a 2.5e-7
+    # parity break. At (20,9) the eight adds peak at (27,9): lossless
+    # in both engines, and 11 integral digits comfortably hold any
+    # daily count.
+    terms = [
+        F.round(
+            lag.cast("double") / F.lit(float(2 ** (i + 1))), 9
+        ).cast("decimal(20,9)")
+        for i, lag in enumerate(lags)
+    ]
+    z_dec = terms[0]
+    for t_ in terms[1:]:
+        z_dec = z_dec + t_
+    scored = (
+        series.withColumn("z", z_dec)
+        .withColumn("_full", lags[-1].isNotNull())
+        .filter(F.col("_full"))
+    )
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ng = F.col("n_grid").cast("double")
+    mu = F.round(F.col("sx").cast("double") / ng, 6)
+    var = (
+        ng * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (ng * ng)
+    limit = F.round(F.sqrt(F.lit(3.0)) * F.sqrt(var), 6)
+    bands = F.broadcast(
+        stats.select(
+            "event_type", mu.alias("mu"), limit.alias("band"),
+        )
+    )
+    dev = F.round(F.abs(F.col("z").cast("double") - F.col("mu")), 9)
+    flagged = scored.join(bands, "event_type").select(
+        "event_type",
+        "d",
+        "mu",
+        "band",
+        dev.alias("dev"),
+        F.when((F.col("band") > 0) & (dev > F.col("band")), 1)
+        .otherwise(0)
+        .alias("alarm"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("dev"), F.asc("d"))
+    rolled = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("mu").alias("mean_daily"),
+        F.max("band").alias("ewma_band"),
+        F.sum("alarm").cast("long").alias("n_alarms"),
+    )
+    worst = (
+        flagged.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("worst_day"),
+            F.col("dev").alias("worst_dev"),
+        )
+    )
+    return (
+        rolled.join(F.broadcast(worst), "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "mean_daily",
+            "ewma_band",
+            "n_alarms",
+            "worst_day",
+            "worst_dev",
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_concentration(events: DataFrame) -> DataFrame:
+    """Per-type user-concentration audit (q323): the Herfindahl–
+    Hirschman index of event mass across users, the max single-user
+    share, and the implied effective-user count N²/Σc². The
+    infrastructure twin of q290's hubness: a type whose HHI climbs is
+    one bot (or one retry loop) away from being a single-tenant
+    feed — rate limits, dedup stores, and per-user fairness caps all
+    key off exactly this number, and q295's burstiness can look
+    healthy while one user supplies every event.
+
+    Output per type: n_events, n_users (NULL-user rows counted as
+    one synthetic user each is WRONG — they group as one NULL user,
+    documented), hhi = round(Σc²/N², 6), effective_users =
+    round(N²/Σc², 6), top_user_share_permille (integer-exact).
+
+    Exactness: per-(type, user) counts are integers; Σc² sums
+    BIGINT (c ≤ N ≤ 10⁷ at test scales keeps Σc² < 2⁶³; at larger
+    N the sum upgrades to DECIMAL unchanged in both engines); the
+    two divisions round 6dp with pinned operand order.
+
+    Scale: ONE shuffle to (type, user) counts with map-side combine,
+    then a |types|-bounded rollup — the corpus never sorts and no
+    per-user window exists.
+    """
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_ss"),
+        F.max("c").cast("long").alias("_cmax"),
+    )
+    n_dbl = F.col("n_events").cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.round(F.col("_ss").cast("double") / (n_dbl * n_dbl), 6).alias("hhi"),
+        F.round((n_dbl * n_dbl) / F.col("_ss").cast("double"), 6).alias(
+            "effective_users"
+        ),
+        F.expr("_cmax * 1000 div n_events")
+        .cast("long")
+        .alias("top_user_share_permille"),
+    ).orderBy("event_type")
