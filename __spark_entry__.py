@@ -73,13 +73,15 @@ _ROTATION_HEAD = [
     # dimension, q318 the BH-FDR drift correction, q319 the EWMA
     # volume control chart, q320 the duplicated-n-gram share, q321
     # the deterministic bootstrap CI, q322 the Good-Turing unseen
-    # mass, q323 the user-concentration HHI), then the 27 queries
-    # with the OLDEST driver recordings in registry order (q49..q51
-    # from CORRECTNESS_r03, then the round-4 rows q86..q194).
-    # 13 + 10 + 27 = 50 exactly.
+    # mass, q323 the user-concentration HHI, q324 the dedup
+    # transitivity/false-merge audit), then the 26 queries with the
+    # OLDEST driver recordings in registry order (q49..q51 from
+    # CORRECTNESS_r03, then the round-4 rows q86..q193).
+    # 13 + 11 + 26 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q195_vocab_coverage,
+    # then the REMAINING round-4 rows (q194_epoch_upsample,
+    # q195_vocab_coverage,
     # q196_data_contract, q197_decontaminate_scrub,
     # q198_normalize_text, q199_dsir_weights, q200_doc_kcore,
     # q201_code_metrics, q202_token_budget, then q203_band_sweep
@@ -111,6 +113,7 @@ _ROTATION_HEAD = [
     "q321_bootstrap_ci",
     "q322_good_turing",
     "q323_user_concentration",
+    "q324_transitivity_audit",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -139,7 +142,6 @@ _ROTATION_HEAD = [
     "q191_logreg_scores",
     "q192_training_sequences",
     "q193_skew_report",
-    "q194_epoch_upsample",
 ]
 
 
@@ -1236,6 +1238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q323_user_concentration": lambda sp, sf: E.user_concentration(
             t(sp, sf, "events")
+        ),
+        "q324_transitivity_audit": lambda sp, sf: DD.transitivity_audit(
+            S.near_dup_pairs(t(sp, sf, "embeddings")),
+            t(sp, sf, "embeddings").select(F.col("vec_id").alias("node")),
         ),
     })
 
@@ -10074,6 +10080,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cmax * 1000 // n_events AS BIGINT)
                      AS top_user_share_permille
             FROM agg ORDER BY event_type
+        """,
+        "q324_transitivity_audit": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), labels AS (
+              SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+            ), comp AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS s
+              FROM labels GROUP BY 1
+            ), ec AS (
+              SELECT l.component, CAST(count(*) AS BIGINT) AS e
+              FROM pairs p JOIN labels l ON l.node = p.id_a GROUP BY 1
+            ), per AS (
+              SELECT c.s, CAST(coalesce(ec.e, 0) AS BIGINT) AS e
+              FROM comp c LEFT JOIN ec ON ec.component = c.component
+            )
+            SELECT CAST(s AS BIGINT) AS component_size,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(s * (s - 1) // 2) AS BIGINT) AS implied_pairs,
+                   CAST(sum(e) AS BIGINT) AS verified_pairs,
+                   CAST(sum(s * (s - 1) // 2) - sum(e) AS BIGINT)
+                     AS extra_pairs,
+                   CAST(CASE WHEN sum(s * (s - 1) // 2) > 0
+                             THEN (sum(s * (s - 1) // 2) - sum(e)) * 1000
+                                    // sum(s * (s - 1) // 2)
+                        END AS BIGINT) AS chain_gap_permille
+            FROM per GROUP BY 1 ORDER BY 1
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

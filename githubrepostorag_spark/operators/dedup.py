@@ -2291,3 +2291,65 @@ def dup_ngram_share(documents: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def transitivity_audit(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Chaining-error audit of components-based dedup (q324): for each
+    component SIZE, how many doc pairs the connected-components merge
+    implies (s·(s−1)/2 per component) versus how many were actually
+    VERIFIED as near-duplicates (the edge list), and the gap permille.
+    Components treat near-duplication as transitive; it is not — A≈B
+    and B≈C do not make A≈C — and the gap is exactly the mass of
+    merges made on chained evidence alone (the false-merge exposure
+    Lee et al. 2021 §4 accept as the price of clustering). A corpus
+    whose big components are near-cliques (gap → 0) dedups safely;
+    gap → 1000 in the large sizes means one promiscuous hub document
+    is stitching unrelated docs into a mega-cluster and the canonical
+    picker is deleting non-duplicates.
+
+    Output per component size: n_components, implied_pairs,
+    verified_pairs, extra_pairs, chain_gap_permille (integer-exact;
+    NULL for singletons, which imply no pairs).
+
+    Composition, no new kernel: `dedup_components`' label frame, one
+    size rollup, one edge→component join (every verified edge lives
+    inside one component by construction), one |sizes|-bounded final
+    group. The only corpus-scale work is the label propagation q55
+    already pays.
+    """
+    labels = dedup_components(edges, nodes)
+    comp = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    ec = (
+        edges.join(
+            labels.withColumnRenamed("node", "id_a"), "id_a"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("e"))
+    )
+    per = comp.join(ec, "component", "left").select(
+        "s", F.coalesce(F.col("e"), F.lit(0)).cast("long").alias("e")
+    )
+    agg = per.groupBy(F.col("s").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("implied_pairs"),
+        F.sum("e").cast("long").alias("verified_pairs"),
+    )
+    return agg.select(
+        "component_size",
+        "n_components",
+        "implied_pairs",
+        "verified_pairs",
+        (F.col("implied_pairs") - F.col("verified_pairs"))
+        .cast("long")
+        .alias("extra_pairs"),
+        F.when(
+            F.col("implied_pairs") > 0,
+            F.expr(
+                "(implied_pairs - verified_pairs) * 1000 div implied_pairs"
+            ),
+        )
+        .cast("long")
+        .alias("chain_gap_permille"),
+    ).orderBy("component_size")

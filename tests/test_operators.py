@@ -6048,3 +6048,24 @@ def test_user_concentration_hand_computed(spark):
     assert (t2.n_events, t2.n_users) == (5, 1)
     assert t2.hhi == 1.0 and t2.effective_users == 1.0
     assert t2.top_user_share_permille == 1000
+
+
+def test_transitivity_audit_hand_computed(spark):
+    """q324: a 3-node PATH (A-B-C) implies 3 pairs but verified only
+    2 -> the chained pair A-C is the false-merge exposure; a 3-clique
+    implies 3 and verified 3 -> gap 0. Both are size-3 components so
+    the size row aggregates: implied 6, verified 5, gap 166 permille.
+    The singleton row implies nothing (NULL gap, not 0/0)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (4, 6), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    got = {r.component_size: r for r in DD.transitivity_audit(edges, nodes).collect()}
+    assert set(got) == {1, 3}
+    s1 = got[1]
+    assert (s1.n_components, s1.implied_pairs, s1.verified_pairs) == (1, 0, 0)
+    assert s1.chain_gap_permille is None
+    s3 = got[3]
+    assert s3.n_components == 2
+    assert (s3.implied_pairs, s3.verified_pairs, s3.extra_pairs) == (6, 5, 1)
+    assert s3.chain_gap_permille == 166

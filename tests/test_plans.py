@@ -1569,6 +1569,10 @@ def test_round11_new_ops_plan_shapes(spark):
         "q321": CU.bootstrap_mean_ci(docs),
         "q322": TO.good_turing_mass(docs),
         "q323": E.user_concentration(events),
+        "q324": DD.transitivity_audit(
+            spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+            spark.createDataFrame([(1,), (2,), (3,)], "node long"),
+        ),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
