@@ -74,14 +74,15 @@ _ROTATION_HEAD = [
     # volume control chart, q320 the duplicated-n-gram share, q321
     # the deterministic bootstrap CI, q322 the Good-Turing unseen
     # mass, q323 the user-concentration HHI, q324 the dedup
-    # transitivity/false-merge audit), then the 26 queries with the
-    # OLDEST driver recordings in registry order (q49..q51 from
-    # CORRECTNESS_r03, then the round-4 rows q86..q193).
-    # 13 + 11 + 26 = 50 exactly.
+    # transitivity/false-merge audit, q325 the diurnal-activity
+    # entropy, q326 the char-class profile), then the 24 queries
+    # with the OLDEST driver recordings in registry order (q49..q51
+    # from CORRECTNESS_r03, then the round-4 rows q86..q191).
+    # 13 + 13 + 24 = 50 exactly.
     #
     # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q194_epoch_upsample,
-    # q195_vocab_coverage,
+    # then the REMAINING round-4 rows (q192_training_sequences,
+    # q193_skew_report, q194_epoch_upsample, q195_vocab_coverage,
     # q196_data_contract, q197_decontaminate_scrub,
     # q198_normalize_text, q199_dsir_weights, q200_doc_kcore,
     # q201_code_metrics, q202_token_budget, then q203_band_sweep
@@ -114,6 +115,8 @@ _ROTATION_HEAD = [
     "q322_good_turing",
     "q323_user_concentration",
     "q324_transitivity_audit",
+    "q325_diurnal_entropy",
+    "q326_char_classes",
     # oldest driver rows: round-3 recordings
     "q49_multimodal_resize",
     "q50_frame_sample",
@@ -140,8 +143,6 @@ _ROTATION_HEAD = [
     "q189_logreg_train",
     "q190_bpe_encode",
     "q191_logreg_scores",
-    "q192_training_sequences",
-    "q193_skew_report",
 ]
 
 
@@ -1242,6 +1243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q324_transitivity_audit": lambda sp, sf: DD.transitivity_audit(
             S.near_dup_pairs(t(sp, sf, "embeddings")),
             t(sp, sf, "embeddings").select(F.col("vec_id").alias("node")),
+        ),
+        "q325_diurnal_entropy": lambda sp, sf: E.diurnal_entropy(
+            t(sp, sf, "events")
+        ),
+        "q326_char_classes": lambda sp, sf: TO.char_class_profile(
+            t(sp, sf, "documents")
         ),
     })
 
@@ -10118,6 +10125,78 @@ def oracle_sql() -> dict[str, str]:
                                     // sum(s * (s - 1) // 2)
                         END AS BIGINT) AS chain_gap_permille
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "q325_diurnal_entropy": """
+            WITH hrs AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h
+                         FROM events WHERE ts IS NOT NULL),
+            counts AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS cnt
+                       FROM hrs GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_ev
+                    FROM counts GROUP BY 1),
+            terms AS (SELECT c.event_type, c.h, c.cnt, t.n_ev,
+                             CAST(round(CAST(c.cnt AS DOUBLE)
+                                        / CAST(t.n_ev AS DOUBLE)
+                                        * ln(CAST(c.cnt AS DOUBLE)
+                                             / CAST(t.n_ev AS DOUBLE))
+                                        * 1000000000000.0)
+                                  AS DECIMAL(38,0)) AS term_i,
+                             row_number() OVER (PARTITION BY c.event_type
+                               ORDER BY c.cnt DESC, c.h) AS rk
+                      FROM counts c JOIN tot t USING (event_type))
+            SELECT event_type,
+                   CAST(max(n_ev) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_hours_active,
+                   round(-CAST(sum(term_i) AS DOUBLE)
+                         / 1000000000000.0, 6) AS entropy_nats,
+                   round((-CAST(sum(term_i) AS DOUBLE)
+                          / 1000000000000.0) / ln(24.0), 6)
+                     AS entropy_norm,
+                   CAST(max(CASE WHEN rk = 1 THEN h END) AS BIGINT)
+                     AS peak_hour,
+                   CAST(max(CASE WHEN rk = 1 THEN cnt END) * 1000
+                        // max(n_ev) AS BIGINT) AS peak_share_permille
+            FROM terms GROUP BY 1 ORDER BY event_type
+        """,
+        "q326_char_classes": """
+            WITH per AS (
+              SELECT source,
+                     length(text) AS n_all,
+                     length(text) - length(regexp_replace(text,
+                       '[A-Za-z]', '', 'g')) AS a,
+                     length(text) - length(regexp_replace(text,
+                       '[0-9]', '', 'g')) AS d,
+                     length(text) - length(regexp_replace(text,
+                       '[ \t\n\r]', '', 'g')) AS s,
+                     length(text) - length(regexp_replace(text,
+                       '[!-/:-@\[-`{-~]', '', 'g')) AS p
+              FROM documents),
+            agg AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(coalesce(sum(n_all), 0) AS BIGINT)
+                             AS n_chars,
+                           CAST(sum(a) AS BIGINT) AS sa,
+                           CAST(sum(d) AS BIGINT) AS sd,
+                           CAST(sum(s) AS BIGINT) AS ss,
+                           CAST(sum(p) AS BIGINT) AS sp
+                    FROM per GROUP BY 1)
+            SELECT source, n_docs, n_chars,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN sa * 1000 // n_chars END AS BIGINT)
+                     AS alpha_permille,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN sd * 1000 // n_chars END AS BIGINT)
+                     AS digit_permille,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN ss * 1000 // n_chars END AS BIGINT)
+                     AS space_permille,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN sp * 1000 // n_chars END AS BIGINT)
+                     AS punct_permille,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN (n_chars - sa - sd - ss - sp) * 1000
+                                    // n_chars END AS BIGINT)
+                     AS other_permille
+            FROM agg ORDER BY source
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -801,3 +801,72 @@ def user_concentration(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("top_user_share_permille"),
     ).orderBy("event_type")
+
+
+def diurnal_entropy(events: DataFrame) -> DataFrame:
+    """Hour-of-day activity entropy per event type (q325): the
+    normalized Shannon entropy of each type's 24-hour activity
+    histogram, with its peak hour and peak share. The bot/cron
+    detector in the monitor family: organic traffic spreads over the
+    diurnal cycle (entropy_norm near 1), a scheduled job or scripted
+    feed hammers one hour (entropy_norm → 0, peak share → 1000‰) —
+    a shape q295's burstiness (gap CV² inside chunks) and q323's HHI
+    (user concentration) both miss, because a bot can be gap-regular
+    AND multi-user while still firing only at 03:00 UTC.
+
+    Output per type: n_events, n_hours_active, entropy_nats (6dp),
+    entropy_norm = H/ln(24) (6dp), peak_hour (ties → smallest hour),
+    peak_share_permille (integer-exact).
+
+    Exactness: q306's fixed-point entropy arithmetic — each p·ln p
+    term is rounded to an integer at 1e12 scale and summed as
+    DECIMAL(38,0), so no float accumulation order exists; hours come
+    from the UTC session clock in both engines.
+
+    Scale: one map-side-combinable shuffle to (type, hour) — at most
+    24·|types| rows ever exist past the scan.
+    """
+    hours = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    )
+    counts = hours.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n_ev"))
+    p = F.col("cnt").cast("double") / F.col("n_ev").cast("double")
+    term_i = F.round(p * F.log(p) * F.lit(1.0e12)).cast("decimal(38,0)")
+    wm = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("h"))
+    ranked = (
+        counts.join(tot, "event_type")
+        .withColumn("term_i", term_i)
+        .withColumn("rk", F.row_number().over(wm))
+    )
+    s_dbl = F.col("s_term").cast("double")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_ev").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours_active"),
+            F.max(F.when(F.col("rk") == 1, F.col("h")))
+            .cast("long")
+            .alias("peak_hour"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("_peak_cnt"),
+            F.sum("term_i").alias("s_term"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_hours_active",
+            F.round(-s_dbl / F.lit(1.0e12), 6).alias("entropy_nats"),
+            F.round(
+                (-s_dbl / F.lit(1.0e12)) / F.log(F.lit(24.0)), 6
+            ).alias("entropy_norm"),
+            "peak_hour",
+            F.expr("_peak_cnt * 1000 div n_events")
+            .cast("long")
+            .alias("peak_share_permille"),
+        )
+        .orderBy("event_type")
+    )

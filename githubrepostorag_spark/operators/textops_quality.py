@@ -2329,3 +2329,65 @@ def good_turing_mass(documents: DataFrame) -> DataFrame:
             ),
         ).alias("r1_star"),
     ).orderBy("source")
+
+
+def char_class_profile(documents: DataFrame) -> DataFrame:
+    """Per-source character-class composition (q326): the permille of
+    letters, digits, whitespace, ASCII punctuation, and everything
+    else across each source's text mass. The raw-material profile
+    under the Gopher/C4 boolean gates (q220/q225 DECIDE with ratios;
+    this REPORTS them): a code feed lives near 700/50/150/100, a
+    prose feed near 800/10/170/20, and a drift in the "other" class
+    is the first visible symptom of an encoding break or a binary
+    blob leaking into a text column — before any gate trips.
+
+    Output per source: n_docs, n_chars (total, NULL-text docs
+    contribute nothing), then alpha/digit/space/punct/other permille
+    (integer-exact; `other` is the exact remainder so the five
+    classes always sum to ≤ 1000 with rounding slack in none — each
+    permille floors independently).
+
+    Exactness: class counts are `length(regexp_replace(...))` with
+    explicit character classes (`[A-Za-z]`, `[0-9]`, `[ \\t\\n\\r]`,
+    the ASCII punctuation ranges) — identical in Java regex and RE2;
+    no shorthand classes (\\s, \\w) whose definitions differ between
+    engines. Integer sums, integer divisions.
+
+    Scale: a single scan with map-side-combinable sums; |sources|
+    rows past it.
+    """
+    t = F.col("text")
+    n_all = F.length(t)
+    n_alpha = n_all - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    n_digit = n_all - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = n_all - F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))
+    n_punct = n_all - F.length(
+        F.regexp_replace(t, "[!-/:-@\\[-`{-~]", "")
+    )
+    agg = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_all).cast("long").alias("n_chars"),
+        F.sum(n_alpha).cast("long").alias("_a"),
+        F.sum(n_digit).cast("long").alias("_d"),
+        F.sum(n_space).cast("long").alias("_s"),
+        F.sum(n_punct).cast("long").alias("_p"),
+    )
+    def pm(c):
+        return F.when(
+            F.col("n_chars") > 0, F.expr(f"{c} * 1000 div n_chars")
+        ).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        pm("_a").alias("alpha_permille"),
+        pm("_d").alias("digit_permille"),
+        pm("_s").alias("space_permille"),
+        pm("_p").alias("punct_permille"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(n_chars - _a - _d - _s - _p) * 1000 div n_chars"),
+        )
+        .cast("long")
+        .alias("other_permille"),
+    ).orderBy("source")

@@ -6069,3 +6069,62 @@ def test_transitivity_audit_hand_computed(spark):
     assert s3.n_components == 2
     assert (s3.implied_pairs, s3.verified_pairs, s3.extra_pairs) == (6, 5, 1)
     assert s3.chain_gap_permille == 166
+
+
+def test_diurnal_entropy_hand_computed(spark):
+    """q325: a type split 4/4 across two hours has H = ln 2 (norm
+    ln2/ln24), peak = the SMALLER tied hour at 500 permille; a
+    single-hour type pins the degenerate floor (H = 0, peak share
+    1000)."""
+    import datetime as dt
+    import math
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i, 3, 5), i, "a", 1.0, "{}")
+        for i in range(4)
+    ] + [
+        (10 + i, dt.datetime(2024, 3, 1 + i, 15, 5), i, "a", 1.0, "{}")
+        for i in range(4)
+    ] + [
+        (20 + i, dt.datetime(2024, 3, 1 + i, 7, 0), 9, "b", 1.0, "{}")
+        for i in range(5)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.diurnal_entropy(events).collect()}
+    a = got["a"]
+    assert (a.n_events, a.n_hours_active) == (8, 2)
+    s_term = 2 * round(0.5 * math.log(0.5) * 1.0e12)
+    h_nats = round(-s_term / 1.0e12, 6)
+    assert a.entropy_nats == h_nats == 0.693147
+    assert a.entropy_norm == round((-s_term / 1.0e12) / math.log(24.0), 6)
+    assert (a.peak_hour, a.peak_share_permille) == (3, 500)
+    b = got["b"]
+    assert (b.n_events, b.n_hours_active) == (5, 1)
+    assert b.entropy_nats == 0.0 and b.entropy_norm == 0.0
+    assert (b.peak_hour, b.peak_share_permille) == (7, 1000)
+
+
+def test_char_class_profile_hand_computed(spark):
+    """q326: "ab1 .\\n" = 2 alpha / 1 digit / 2 space / 1 punct of 6
+    chars; a NULL-text doc adds to n_docs but no chars; non-ASCII
+    letters land in `other` (the encoding-break detector), never in
+    the ASCII classes."""
+    docs = spark.createDataFrame(
+        [(1, "s", "ab1 .\n"), (2, "s", None), (3, "u", "héé")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in TO.char_class_profile(docs).collect()}
+    s = got["s"]
+    assert (s.n_docs, s.n_chars) == (2, 6)
+    assert (s.alpha_permille, s.digit_permille) == (333, 166)
+    assert (s.space_permille, s.punct_permille) == (333, 166)
+    assert s.other_permille == 0
+    u = got["u"]
+    assert (u.n_docs, u.n_chars) == (1, 3)
+    assert (u.alpha_permille, u.other_permille) == (333, 666)

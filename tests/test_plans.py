@@ -1573,6 +1573,8 @@ def test_round11_new_ops_plan_shapes(spark):
             spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
             spark.createDataFrame([(1,), (2,), (3,)], "node long"),
         ),
+        "q325": E.diurnal_entropy(events),
+        "q326": TO.char_class_profile(docs),
     }
     for name, df in plans.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(
