@@ -10157,7 +10157,7 @@ def oracle_sql() -> dict[str, str]:
                         // max(n_ev) AS BIGINT) AS peak_share_permille
             FROM terms GROUP BY 1 ORDER BY event_type
         """,
-        "q326_char_classes": """
+        "q326_char_classes": r"""
             WITH per AS (
               SELECT source,
                      length(text) AS n_all,
