@@ -10011,7 +10011,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d
               JOIN (SELECT CAST(unnest(range(0, {CU.BOOT_REPS})) AS BIGINT)
                              AS b) r
-                ON (d.doc_id * {CU.BOOT_LCG_A} + r.b * {CU.BOOT_LCG_B}
+                ON ((d.doc_id % {CU.BOOT_MOD}) * {CU.BOOT_LCG_A}
+                    + r.b * {CU.BOOT_LCG_B}
                     + {CU.BOOT_LCG_C}) % {CU.BOOT_MOD}
                    < {CU.BOOT_MOD // 2}
               GROUP BY 1, 2),

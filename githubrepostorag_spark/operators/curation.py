@@ -1896,7 +1896,13 @@ def bootstrap_mean_ci(documents: DataFrame) -> DataFrame:
     Randomness is a seeded integer LCG on (doc_id, replicate) — NOT
     engine RNG — so replicate membership is bit-identical in Spark
     and DuckDB and across runs/partitionings: doc d is in replicate b
-    iff (d·1103515245 + b·2654435761 + 12821) mod 2³¹ < 2³⁰. The CI is
+    iff ((d mod 2³¹)·1103515245 + b·2654435761 + 12821) mod 2³¹ < 2³⁰.
+    doc_id is reduced mod 2³¹ BEFORE the multiply (r11 ADVICE): the
+    unreduced product wraps silently in Spark for doc_id ≳ 8.4e9 while
+    DuckDB raises on overflow — engines failing non-identically. After
+    reduction the product is ≤ (2³¹−1)·1103515245 ≈ 2.4e18, inside
+    BIGINT in both engines for every non-negative doc_id, and the
+    residue is unchanged ((d mod m)·a ≡ d·a mod m). The CI is
     rank-based [5th, 95th] percentile of the replicate means
     (k = ceil(q·m) over the m non-empty replicates, value ties broken
     by replicate id).
@@ -1914,7 +1920,7 @@ def bootstrap_mean_ci(documents: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))
     ).alias("b")
     u = (
-        F.col("doc_id") * F.lit(BOOT_LCG_A)
+        (F.col("doc_id") % F.lit(BOOT_MOD)) * F.lit(BOOT_LCG_A)
         + F.col("b") * F.lit(BOOT_LCG_B)
         + F.lit(BOOT_LCG_C)
     ) % F.lit(BOOT_MOD)

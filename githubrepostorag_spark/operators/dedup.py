@@ -1215,27 +1215,50 @@ def _dedup_tombstones_path(path: str) -> str:
 
 
 def _read_dedup_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """Tombstoned doc_ids for the store at `path`, or None when no
-    deletion has ever run (one driver-side fs.exists, no Spark job)."""
+    """Tombstoned (doc_id, max_batch) rows for the store at `path`, or
+    None when no deletion has ever run (one driver-side fs.exists, no
+    Spark job). max_batch is the store's max batch_id AT TOMBSTONE TIME
+    (the r11 ADVICE watermark): only store rows with batch_id <= that
+    watermark are masked, so a legitimate post-takedown RESUBMISSION of
+    the same doc_id (appended in a later batch) is neither hidden from
+    the incremental probes nor purged by the next compaction. A doc_id
+    deleted more than once keeps its LATEST watermark (max), which
+    covers every earlier one."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(_dedup_tombstones_path(path))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
-    return spark.read.parquet(_dedup_tombstones_path(path)).select(
-        "doc_id"
-    ).distinct()
+    return (
+        spark.read.parquet(_dedup_tombstones_path(path))
+        .groupBy("doc_id")
+        .agg(F.max("max_batch").cast("long").alias("max_batch"))
+    )
 
 
 def _without_tombstoned(
     df: DataFrame, tombstones: DataFrame | None, id_col: str = "doc_id"
 ) -> DataFrame:
+    """Mask store rows covered by a tombstone: same doc_id AND
+    batch_id <= the tombstone's watermark. Compacted rows carry
+    batch_id -1, which every watermark covers (>= -1 by construction —
+    a compaction that PRECEDED the tombstone; a compaction AFTER it
+    would have purged the tombstone physically and cleared the table).
+    Left-join + filter rather than left_anti so the batch predicate
+    participates; the aggregated tombstone table is unique per doc_id,
+    so the join cannot duplicate store rows."""
     if tombstones is None:
         return df
-    return df.join(
-        F.broadcast(tombstones.select(F.col("doc_id").alias(id_col))),
-        id_col,
-        "left_anti",
+    t = tombstones.select(
+        F.col("doc_id").alias(id_col), F.col("max_batch").alias("_tomb_wm")
+    )
+    return (
+        df.join(F.broadcast(t), id_col, "left")
+        .filter(
+            F.col("_tomb_wm").isNull()
+            | (F.col("batch_id") > F.col("_tomb_wm"))
+        )
+        .drop("_tomb_wm")
     )
 
 
@@ -1256,17 +1279,50 @@ def delete_from_dedup_store(spark: SparkSession, path: str, doc_ids) -> int:
     table. That is the right 100 TB split: deletes are latency-
     sensitive (legal clocks), compaction is scheduled.
 
+    Each tombstone is SCOPED by a batch watermark (r11 ADVICE): it
+    records the store's max batch_id at delete time and masks only
+    rows with batch_id <= that watermark. A post-takedown resubmission
+    of the same doc_id (a fresh editorial decision) appended in a
+    LATER batch is live immediately — visible to the probes and kept
+    by compaction — instead of being silently masked and purged.
+    Assumes append batch ids are monotonically non-decreasing (the
+    streaming gates use epoch ids); compacted rows (batch_id -1) are
+    always covered.
+
     `doc_ids` is a DataFrame with a doc_id column or a Python
     iterable of ids. Returns the number of distinct ids tombstoned.
     """
     import pandas as pd
+
+    # the watermark: max batch_id across the store at delete time (the
+    # three tables share per-append batch ids — signatures is written
+    # first in append_dedup_batch, so it bounds the other two); -1 for
+    # a store that was never appended to (then nothing is masked,
+    # which is vacuously correct for an empty store)
+    jvm = spark._jvm
+    sig_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/signatures")
+    fs = sig_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    wm = -1
+    if fs.exists(sig_p):
+        row = (
+            spark.read.parquet(path + "/signatures")
+            .agg(F.max("batch_id"))
+            .first()
+        )
+        if row[0] is not None:
+            wm = int(row[0])
 
     if isinstance(doc_ids, DataFrame):
         # pin before the count+write pair: two actions on an unpinned
         # frame would recompute its lineage, and a non-deterministic
         # source (a sampled takedown list) could tombstone one id set
         # and report another
-        ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+        ids = (
+            doc_ids.select("doc_id")
+            .distinct()
+            .withColumn("max_batch", F.lit(wm).cast("long"))
+            .localCheckpoint(eager=True)
+        )
         n = ids.count()
         ids.coalesce(1).write.mode("append").parquet(
             _dedup_tombstones_path(path)
@@ -1275,9 +1331,9 @@ def delete_from_dedup_store(spark: SparkSession, path: str, doc_ids) -> int:
     vals = sorted({int(d) for d in doc_ids})
     if not vals:
         return 0
-    spark.createDataFrame(pd.DataFrame({"doc_id": vals})).coalesce(
-        1
-    ).write.mode("append").parquet(_dedup_tombstones_path(path))
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": vals, "max_batch": [wm] * len(vals)})
+    ).coalesce(1).write.mode("append").parquet(_dedup_tombstones_path(path))
     return len(vals)
 
 

@@ -1128,7 +1128,17 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     deleted here, and then REPLAYED would re-append them (its replay
     contract is "re-derive identical decisions", which includes the
     append). Deletions between batches are safe — the tombstone-less
-    store has no per-row history to resurrect.
+    store has no per-row history to resurrect. (The composed
+    `plans.index_lifecycle.takedown` wraps this verb together with the
+    dedup-store and corpus deletes in the safe order.)
+
+    CRASH RECOVERY: the three store writes (sidecar, data overwrite,
+    empty-cell dir drops) are separate non-atomic steps, ordered
+    sidecar-first so every partial state is repaired by RE-RUNNING the
+    same call (see the inline ordering comment); the only transient
+    inconsistency is a sidecar that under-counts — post-delete
+    centroids served a moment early, never deleted vectors still
+    counted.
     """
     upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate first
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1151,6 +1161,37 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     n_deleted = affected.count() - kept.count()
     if n_deleted == 0:
         return 0
+    # CRASH ORDERING (r11 ADVICE): the three non-atomic steps run
+    # sidecar -> data overwrite -> empty-cell dir drops, so every
+    # crash window leaves a state that re-running the SAME delete
+    # repairs, and the transient sidecar error is a conservative
+    # UNDER-count (post-delete centroids, never ghost mass):
+    #   * crash after the sidecar write: data still holds the doomed
+    #     rows, sidecar already reflects the survivors — re-running
+    #     the delete re-matches the same rows (the predicate is over
+    #     store columns, which are untouched) and completes;
+    #   * crash after the data overwrite but before the dir drops:
+    #     emptied cells' old files would resurrect their rows on the
+    #     next scan, but those rows still match the predicate, so a
+    #     re-run recomputes them as doomed and drops the dirs.
+    # The reverse (sidecar last, the pre-r12 order) left a crash
+    # window where the sidecar counted DELETED vectors with nothing
+    # re-matching to repair it. `kept` is eagerly checkpointed above,
+    # so the sidecar write does not read the store files it precedes.
+    # Recovery discipline: if this call raises partway, re-invoke with
+    # the same predicate (idempotent — a fully-applied delete returns
+    # 0 and writes nothing).
+    kept_sc = (
+        read_ivf_sidecar(spark, path)
+        .filter(~F.col("cell").isin(doomed_cells))
+        .localCheckpoint(eager=True)  # pin before overwriting its source
+    )
+    # sidecar decrement by replacement (the _split_cell_local shape):
+    # untouched cells' partials verbatim, affected cells' rebuilt from
+    # the surviving rows keyed by their own batch ids
+    kept_sc.unionByName(cell_sum_partials(kept, None)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ivf_sidecar_path(path))
     # dynamic overwrite replaces exactly the partitions present in
     # `kept`; cells whose every row died are absent from it and their
     # directories are removed driver-side below
@@ -1167,17 +1208,6 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
             continue
         p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/cell={c}")
         p.getFileSystem(conf).delete(p, True)
-    # sidecar decrement by replacement (the _split_cell_local shape):
-    # untouched cells' partials verbatim, affected cells' rebuilt from
-    # the surviving rows keyed by their own batch ids
-    kept_sc = (
-        read_ivf_sidecar(spark, path)
-        .filter(~F.col("cell").isin(doomed_cells))
-        .localCheckpoint(eager=True)  # pin before overwriting its source
-    )
-    kept_sc.unionByName(cell_sum_partials(kept, None)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(ivf_sidecar_path(path))
     return int(n_deleted)
 
 

@@ -1048,8 +1048,15 @@ def centroid_dist_psi(embeddings: DataFrame) -> DataFrame:
             F.lit("emb").alias("event_type"), "value"
         )
     ).select("edge")
+    # LEFT join on TRUE, not crossJoin: with exactly one scored vector the
+    # first half is empty, psi_decile_edges returns ZERO edges, and a cross
+    # join would drop every count row (b1=b2=0 yet n_second=1 — internally
+    # inconsistent, and divergent from the oracle's LEFT JOIN ... ON TRUE
+    # which lands the mass in bucket 1). Same shape as q298's
+    # value_psi_by_type left join; edges is ≤9 rows so the nested-loop
+    # broadcast is bounded.
     bucketed = (
-        counts.crossJoin(F.broadcast(edges))
+        counts.join(F.broadcast(edges), F.lit(True), "left")
         .groupBy("value", "c1", "c2")
         .agg(
             (

@@ -5635,6 +5635,74 @@ def test_dedup_store_tombstones_stop_vetoing(spark, tmp_path):
     assert DD.incremental_exact_dups(spark, store, probe).count() == 0
 
 
+def test_dedup_tombstones_scoped_by_batch_watermark(spark, tmp_path):
+    """r11 ADVICE: tombstones record the store's max batch_id at delete
+    time and mask ONLY rows at or before that watermark. A post-
+    takedown RESUBMISSION of the same doc_id (appended in a later
+    batch) is live immediately — it vetoes probes again and survives
+    compaction — while the pre-takedown rows stay masked and purged."""
+    import os
+
+    store = str(tmp_path / "dedup_store_wm")
+    text1 = "the quick brown fox jumps over the lazy dog"
+    corpus = _docs(
+        spark,
+        [
+            (1, text1, "en", "s0", 44),
+            (2, "completely unrelated content about spark plans", "en", "s0", 46),
+        ],
+    )
+    DD.write_dedup_store(corpus, store)  # base rows carry batch_id -1
+    probe = _docs(
+        spark,
+        [(101, "the quick brown fox jumps over the lazy cat", "en", "s2", 44)],
+    )
+    # takedown doc 1, then RESUBMIT the same doc_id in batch 7
+    assert DD.delete_from_dedup_store(spark, store, [1]) == 1
+    resub = _docs(spark, [(1, text1, "en", "s3", 44)])
+    DD.append_to_dedup_store(resub, store, batch_id=7)
+    # the batch-7 row is NOT masked: doc 1 vetoes near-dups again
+    near = DD.incremental_near_dups(spark, store, probe, min_est_jaccard=0.5)
+    assert {(r.new_id, r.old_id) for r in near.collect()} == {(101, 1)}
+    exact = DD.incremental_exact_dups(
+        spark, store, _docs(spark, [(201, text1, "en", "s2", 44)])
+    )
+    assert {(r.new_id, r.old_id) for r in exact.collect()} == {(201, 1)}
+    # and exactly ONE live signature row for doc 1 (the batch-7 one);
+    # the masked pre-takedown row is still physically present
+    sigs = spark.read.parquet(store + "/signatures")
+    assert sigs.filter("doc_id = 1").count() == 2
+    live = DD._without_tombstoned(
+        sigs, DD._read_dedup_tombstones(spark, store)
+    )
+    assert [
+        r.batch_id for r in live.filter("doc_id = 1").collect()
+    ] == [7]
+    # compaction purges the pre-takedown row, KEEPS the resubmission
+    DD.compact_dedup_store(spark, store)
+    assert not os.path.exists(store + "/tombstones")
+    sig_ids = sorted(
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(store + "/signatures").collect()
+    )
+    assert sig_ids == [(1, -1), (2, -1)]  # batch folded, doc 1 alive
+    assert {
+        (r.new_id, r.old_id)
+        for r in DD.incremental_near_dups(
+            spark, store, probe, min_est_jaccard=0.5
+        ).collect()
+    } == {(101, 1)}
+    # a second delete AFTER the resubmission covers it (watermark 7,
+    # folded rows at -1 are <= any watermark)
+    assert DD.delete_from_dedup_store(spark, store, [1]) == 1
+    assert (
+        DD.incremental_near_dups(
+            spark, store, probe, min_est_jaccard=0.5
+        ).count()
+        == 0
+    )
+
+
 def test_unsafe_content_hostile_corpus_invariants(spark):
     """q314/q315 bound invariants over hostile inputs: unicode zoo,
     empty/whitespace docs, punctuation-fused terms (still hit — the
@@ -5723,6 +5791,31 @@ def test_centroid_dist_psi_symmetric_zero_and_shift(spark):
     assert got2[1].psi is not None and got2[1].psi > 0.0
     # the anti-aligned row sits in the TOP bucket of the fitted grid
     assert got2[10].b2 >= 1
+
+
+def test_centroid_dist_psi_single_vector_keeps_counts(spark):
+    """q316 hostile pin (r11 ADVICE medium): exactly ONE scored vector
+    -> the first half is EMPTY (1 div 2 = 0), psi_decile_edges returns
+    zero edges, and the old crossJoin dropped every count row so all
+    buckets reported b1=b2=0 while n_second=1 — internally
+    inconsistent and divergent from the oracle's LEFT JOIN ... ON TRUE.
+    The left-join fix lands the single row's mass in bucket 1 exactly
+    as the oracle does."""
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {r.bucket: r for r in S.centroid_dist_psi(emb).collect()}
+    assert set(got) == set(range(1, 11))
+    assert (got[1].n_first, got[1].n_second) == (0, 1)
+    # the single second-half row survives bucketing: bucket 1 carries it
+    assert (got[1].b1, got[1].b2) == (0, 1)
+    for b in range(2, 11):
+        assert (got[b].b1, got[b].b2) == (0, 0)
+    # counts reconcile with the totals (the exact invariant the old
+    # crossJoin broke)
+    assert sum(r.b2 for r in got.values()) == got[1].n_second
+    assert got[1].psi is not None and got[1].psi > 0.0
 
 
 def test_intrinsic_dim_twonn_hand_computed(spark):
@@ -5997,6 +6090,48 @@ def test_bootstrap_mean_ci_hand_computed(spark):
     assert (rt.n_docs, rt.mean_len) == (1, 555.0)
     assert rt.n_reps == m_t and 0 < m_t < CU.BOOT_REPS
     assert rt.ci_lo == 555.0 and rt.ci_hi == 555.0
+
+
+def test_bootstrap_mean_ci_huge_doc_ids_no_overflow(spark):
+    """q321 regression (r11 ADVICE): doc_ids near BIGINT max. The old
+    unreduced doc_id·1103515245 product wrapped silently in Spark
+    (negative u passing u < 2^30) while DuckDB raised on overflow.
+    After the mod-2^31 pre-reduction both engines compute the same
+    in-range product; the engine must match a pure-Python reference
+    of the reduced formula exactly."""
+    import math
+
+    from githubrepostorag_spark.operators import curation as CU
+
+    big = 9_223_372_036_854_775_000  # > 8.4e9 wrap threshold, near i64 max
+    ids_lens = [(big - i, 100 + 7 * i) for i in range(8)]
+    docs = spark.createDataFrame(
+        [(i, "s", L) for i, L in ids_lens],
+        "doc_id long, source string, n_chars long",
+    )
+    reps = []
+    for b in range(CU.BOOT_REPS):
+        mem = [
+            L
+            for i, L in ids_lens
+            if (
+                (i % CU.BOOT_MOD) * CU.BOOT_LCG_A
+                + b * CU.BOOT_LCG_B
+                + CU.BOOT_LCG_C
+            )
+            % CU.BOOT_MOD
+            < CU.BOOT_MOD // 2
+        ]
+        if mem:
+            reps.append((round(sum(mem) / len(mem), 6), b))
+    reps.sort()
+    m = len(reps)
+    assert m > 1  # membership is non-degenerate at this id range
+    k_lo = math.ceil(m * CU.BOOT_CI_LO)
+    k_hi = math.ceil(m * CU.BOOT_CI_HI)
+    r = CU.bootstrap_mean_ci(docs).collect()[0]
+    assert r.n_reps == m
+    assert (r.ci_lo, r.ci_hi) == (reps[k_lo - 1][0], reps[k_hi - 1][0])
 
 
 def test_good_turing_mass_hand_computed(spark):

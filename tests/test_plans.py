@@ -1449,6 +1449,91 @@ def test_delete_from_ivf_store_serving_matches_rebuild(spark, tmp_path):
         assert not any(v in doomed for v, _ in got)
 
 
+def test_delete_from_ivf_store_crash_windows_rerun_repairs(spark, tmp_path):
+    """r11 ADVICE (crash ordering): the delete's three writes run
+    sidecar -> data -> dir-drops, so each crash window is repaired by
+    re-running the SAME call. Both windows are simulated on disk:
+    (1) sidecar updated but data untouched — the transient sidecar is
+    a conservative UNDER-count and the re-run completes the delete;
+    (2) data overwritten but an emptied cell's old directory left
+    behind — the resurrected rows still match the predicate, so the
+    re-run drops the directory. Final store + sidecar equal a clean
+    single-shot delete in both cases."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.similarity import (
+        delete_from_ivf_store,
+        fold_partials,
+        ivf_sidecar_path,
+        read_ivf_sidecar,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    doomed = [int(r["vec_id"]) for r in base.orderBy("vec_id").limit(4).collect()]
+    pred = F.col("vec_id").isin(doomed)
+
+    def _snapshot(p):
+        rows = sorted(
+            (int(r.vec_id), int(r.cell), int(r.batch_id))
+            for r in spark.read.parquet(p).collect()
+        )
+        sc = sorted(
+            (int(r.cell), int(r.n))
+            for r in fold_partials(read_ivf_sidecar(spark, p)).collect()
+        )
+        return rows, sc
+
+    # the clean single-shot reference
+    p_ref = str(tmp_path / "ivf_ref")
+    write_ivf_store(base, p_ref)
+    n_ref = delete_from_ivf_store(spark, p_ref, pred)
+    assert n_ref == 4
+    want = _snapshot(p_ref)
+
+    # window 1: sidecar landed, data did not (crash before overwrite)
+    p_c1 = str(tmp_path / "ivf_crash1")
+    write_ivf_store(base, p_c1)
+    shutil.rmtree(ivf_sidecar_path(p_c1))
+    shutil.copytree(ivf_sidecar_path(p_ref), ivf_sidecar_path(p_c1))
+    # the transient sidecar UNDER-counts (survivors only) — never ghosts
+    assert (
+        fold_partials(read_ivf_sidecar(spark, p_c1)).agg(F.sum("n")).first()[0]
+        == base.count() - 4
+    )
+    assert delete_from_ivf_store(spark, p_c1, pred) == 4  # re-run repairs
+    assert _snapshot(p_c1) == want
+
+    # window 2: data + sidecar landed, an emptied cell's dir survived
+    victim_cell = int(
+        spark.read.parquet(p_ref)
+        .groupBy("cell").count().orderBy("count", "cell").first()["cell"]
+    )
+    cpred = F.col("cell") == F.lit(victim_cell)
+    p_full = str(tmp_path / "ivf_full")  # pristine twin for the old dir
+    write_ivf_store(base, p_full)
+    p_c2 = str(tmp_path / "ivf_crash2")
+    write_ivf_store(base, p_c2)
+    n_cell = delete_from_ivf_store(spark, p_c2, cpred)
+    assert n_cell > 0 and not os.path.exists(f"{p_c2}/cell={victim_cell}")
+    want2 = _snapshot(p_c2)
+    # resurrect the emptied cell's directory (the un-dropped old files)
+    shutil.copytree(
+        f"{p_full}/cell={victim_cell}", f"{p_c2}/cell={victim_cell}"
+    )
+    assert delete_from_ivf_store(spark, p_c2, cpred) == n_cell  # re-run
+    assert not os.path.exists(f"{p_c2}/cell={victim_cell}")
+    assert _snapshot(p_c2) == want2
+
+    # fully-applied delete: the re-run is a no-op returning 0
+    assert delete_from_ivf_store(spark, p_c2, cpred) == 0
+    assert delete_from_ivf_store(spark, p_c1, pred) == 0
+
+
 def test_maintain_ivf_store_delete_predicate_audit(spark, tmp_path):
     """r10 verdict ask #4 (lifecycle wiring): a maintenance cycle with
     delete_predicate applies the takedown FIRST and ledgers it as the
