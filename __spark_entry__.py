@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from githubrepostorag_spark.operators import curation as CU
 from githubrepostorag_spark.operators import dedup as DD
+from githubrepostorag_spark.operators import dedup_spans as DS
 from githubrepostorag_spark.operators import eventops as E
 from githubrepostorag_spark.operators import graph as G
 from githubrepostorag_spark.operators import multimodal as MM
@@ -64,85 +65,73 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # under the strict-v3 comparator (NaN-vs-NULL a hard failure) at sf0.01
 # AND sf0.1 — committed as PARITY_LOCAL_r{N}_strict.txt / PARITY_SF0.1_.
 _ROTATION_HEAD = [
-    # ROUND-11 head (executes the plan the r10 header wrote ahead, = r10
-    # verdict ask #1): the 13 late-round-10 additions q301..q313 (never
-    # driver-recorded; covered by the committed r10 two-scale strict
-    # sweeps + the judge's independent runs), then the 7 round-11
-    # newcomers (q314/q315 the C4 unsafe-content blocklist, q316 the
-    # embedding-plane distance PSI, q317 the two-NN intrinsic
-    # dimension, q318 the BH-FDR drift correction, q319 the EWMA
-    # volume control chart, q320 the duplicated-n-gram share, q321
-    # the deterministic bootstrap CI, q322 the Good-Turing unseen
-    # mass, q323 the user-concentration HHI, q324 the dedup
-    # transitivity/false-merge audit, q325 the diurnal-activity
-    # entropy, q326 the char-class profile), then the 24 queries
-    # with the OLDEST driver recordings in registry order (q49..q51
-    # from CORRECTNESS_r03, then the round-4 rows q86..q191).
-    # 13 + 13 + 24 = 50 exactly.
+    # ROUND-12 head (executes the plan the r11 header wrote ahead, = r11
+    # verdict ask #1): the round-12 newcomers first (newcomers always
+    # outrank retests), then the REMAINING round-4 driver rows
+    # (q192..q219 in registry order — all 28 of them, last recorded in
+    # CORRECTNESS_r04), then the OLDEST round-6 rows (q52 onward in
+    # registry order) to exactly 50. After this round, no driver row
+    # predates round 6, and the round-6 backlog shrinks to 27.
     #
-    # ROUND-12 PLAN (written ahead): head = any round-12 newcomers,
-    # then the REMAINING round-4 rows (q192_training_sequences,
-    # q193_skew_report, q194_epoch_upsample, q195_vocab_coverage,
-    # q196_data_contract, q197_decontaminate_scrub,
-    # q198_normalize_text, q199_dsir_weights, q200_doc_kcore,
-    # q201_code_metrics, q202_token_budget, then q203_band_sweep
-    # onward in registry order through q219 — 25 slots), then the
-    # round-6 rows
-    # (q52_language_id onward in registry order) until 50. Newcomers
-    # always outrank retests; full-surface coverage stays guaranteed
-    # every round by the two-scale strict sweeps.
-    "q301_mannwhitney_quality",
-    "q302_length_gini",
-    "q303_burrows_delta",
-    "q304_cusum_changepoint",
-    "q305_token_positions",
-    "q306_transition_entropy",
-    "q307_theil_sen_trend",
-    "q308_source_quality_mi",
-    "q309_source_containment",
-    "q310_embedding_corr",
-    "q311_winsorized_length",
-    "q312_hill_tail_index",
-    "q313_lang_confusion",
-    "q314_unsafe_terms",
-    "q315_unsafe_report",
-    "q316_centroid_dist_psi",
-    "q317_intrinsic_dim",
-    "q318_drift_fdr",
-    "q319_ewma_alarms",
-    "q320_dup_ngram_share",
-    "q321_bootstrap_ci",
-    "q322_good_turing",
-    "q323_user_concentration",
-    "q324_transitivity_audit",
-    "q325_diurnal_entropy",
-    "q326_char_classes",
-    # oldest driver rows: round-3 recordings
-    "q49_multimodal_resize",
-    "q50_frame_sample",
-    "q51_binary_features",
-    # oldest driver rows: round-4 recordings, registry order
-    "q86_pq_codes",
-    "q87_pq_adc_knn",
-    "q88_pq_rerank",
-    "q97_semantic_dedup",
-    "q100_jl_knn",
-    "q115_ivf_recall",
-    "q116_pq_recall",
-    "q117_jl_recall",
-    "q118_int8_recall",
-    "q153_minhash_error",
-    "q166_approx_pct_audit",
-    "q172_knn_graph",
-    "q173_knn_graph_ivf",
-    "q184_boilerplate_scrub",
-    "q185_hard_negatives",
-    "q186_mmr_rerank",
-    "q187_bpe_merges",
-    "q188_balanced_shards",
-    "q189_logreg_train",
-    "q190_bpe_encode",
-    "q191_logreg_scores",
+    # ROUND-13 PLAN (written ahead): head = any round-13 newcomers,
+    # then the remaining round-6 rows in registry order (q223_cdc_rolling
+    # onward — 27 rows: q223..q228, q231..q238, then the rest of the
+    # round-6 recordings by registry order), then the round-7 rows
+    # (oldest first) until 50. Full-surface coverage stays guaranteed
+    # every round by the two-scale strict sweeps regardless of which
+    # 50 the driver samples.
+    "q327_dup_span_scrub",
+    "q328_takedown_audit",
+    "q329_unsafe_phrases",
+    "q330_release_lang_audit",
+    "q331_span_autocorr",
+    "q332_rare_token_docs",
+    "q333_source_switch_matrix",
+    # oldest driver rows: the remaining round-4 recordings, registry order
+    "q192_training_sequences",
+    "q193_skew_report",
+    "q194_epoch_upsample",
+    "q195_vocab_coverage",
+    "q196_data_contract",
+    "q197_decontaminate_scrub",
+    "q198_normalize_text",
+    "q199_dsir_weights",
+    "q200_doc_kcore",
+    "q201_code_metrics",
+    "q202_token_budget",
+    "q203_band_sweep",
+    "q204_surprisal_buckets",
+    "q205_quality_ensemble",
+    "q206_cluster_quality",
+    "q207_incremental_knn",
+    "q208_tokenizer_fertility",
+    "q209_dedup_bias",
+    "q210_modal_shard_pack",
+    "q211_sft_turns",
+    "q212_preference_pairs",
+    "q213_packing_fill",
+    "q214_label_dispersion",
+    "q215_source_data_card",
+    "q216_cdc_chunks",
+    "q217_cdc_dedup",
+    "q218_hash_ring",
+    "q219_interp_lm",
+    # oldest driver rows: round-6 recordings, registry order
+    "q52_language_id",
+    "q53_winnow_fingerprints",
+    "q54_near_dup_in_cells",
+    "q55_dedup_components",
+    "q56_dedup_survivors",
+    "q57_stratified_sample",
+    "q58_quota_sample",
+    "q59_pack_batches",
+    "q60_repetition",
+    "q61_srp_buckets",
+    "q62_asof_join",
+    "q63_range_join",
+    "q64_length_profile",
+    "q65_vocab_top",
+    "q220_gopher_rules",
 ]
 
 
@@ -307,6 +296,50 @@ def _q163(sp: SparkSession, sf: str) -> DataFrame:
         FROM ranked WHERE rk <= 3
         """
     )
+
+
+TAKEDOWN_MOD = 17  # deterministic doomed set: doc_id % 17 == 0
+
+
+def _takedown_audit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q328: run the REAL composed takedown (`plans.index_lifecycle.
+    takedown`) against throwaway corpus/IVF/dedup stores built from
+    the sf tables, with the deterministic doomed set doc_id % 17 == 0,
+    and return its audit frame — the lifecycle verb itself under the
+    driver's oracle gate (the audit values are pure counts DuckDB
+    derives from the same tables)."""
+    import shutil
+    import tempfile
+
+    from githubrepostorag_spark.operators.dedup import write_dedup_store
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.plans.index_lifecycle import takedown
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [
+        int(r["doc_id"])
+        for r in docs.filter(
+            F.col("doc_id") % TAKEDOWN_MOD == 0
+        ).select("doc_id").distinct().collect()
+    ]
+    work = tempfile.mkdtemp(prefix="q328_takedown_")
+    try:
+        corpus_path = work + "/corpus"
+        ivf_path = work + "/ivf"
+        dedup_path = work + "/dedup"
+        docs.select("doc_id", "source", "text").write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        write_ivf_store(emb, ivf_path)
+        write_dedup_store(docs, dedup_path)
+        audit = takedown(
+            spark, corpus_path, ivf_path, dedup_path, ids, run_id="q328"
+        ).orderBy("step")
+        audit = audit.localCheckpoint(eager=True)  # pin before cleanup
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return audit
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1250,6 +1283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q326_char_classes": lambda sp, sf: TO.char_class_profile(
             t(sp, sf, "documents")
         ),
+        "q327_dup_span_scrub": lambda sp, sf: DS.dup_span_scrub(
+            t(sp, sf, "documents")
+        ),
+        "q328_takedown_audit": _takedown_audit_sim,
+        "q329_unsafe_phrases": lambda sp, sf: TO.unsafe_content_scan(
+            t(sp, sf, "documents"), lexicon=TO.UNSAFE_PHRASE_LEXICON
+        ),
     })
 
 
@@ -1462,6 +1502,32 @@ _TOKS = (
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _unsafe_hits_sql(lexicon) -> str:
+    """DuckDB twin of textops_quality._unsafe_hits_col for a lexicon
+    with multi-token phrases: singles via the list_filter q314 uses,
+    phrase occurrences via the double-space padded replace() length
+    delta (identical left-to-right non-overlapping counting), each
+    occurrence contributing the canonical phrase string. Expects CTE
+    columns `toks` and `padded`."""
+    singles = [w for w in lexicon if " " not in w]
+    phrases = [w for w in lexicon if " " in w]
+    parts = []
+    if singles:
+        parts.append(
+            f"list_filter(toks, x -> list_contains({_sql_list(singles)}, x))"
+        )
+    else:
+        parts.append("list_filter(toks, x -> false)")
+    for p in phrases:
+        ph = " " + p.replace(" ", "  ") + " "
+        cnt = (
+            f"((length(padded) - length(replace(padded, '{ph}', '')))"
+            f" // {len(ph)})"
+        )
+        parts.append(f"list_transform(range(1, {cnt} + 1), i -> '{p}')")
+    return " || ".join(parts)
 
 
 def _pq_cte() -> str:
@@ -10198,6 +10264,98 @@ def oracle_sql() -> dict[str, str]:
                                     // n_chars END AS BIGINT)
                      AS other_permille
             FROM agg ORDER BY source
+        """,
+        "q327_dup_span_scrub": f"""
+            WITH tk AS (SELECT doc_id, source, {_TOKS} AS t
+                        FROM documents),
+            gl AS (SELECT doc_id,
+                          CASE WHEN len(t) < {DD.DUP_NGRAM_N}
+                               THEN []::VARCHAR[]
+                               ELSE list_transform(
+                                 range(1, len(t) - {DD.DUP_NGRAM_N} + 2),
+                                 i -> array_to_string(
+                                   t[i:i+{DD.DUP_NGRAM_N - 1}], ' '))
+                          END AS gs
+                   FROM tk),
+            occ AS (SELECT doc_id, unnest(gs) AS gram,
+                           generate_subscripts(gs, 1) AS gpos
+                    FROM gl),
+            marked AS (SELECT doc_id, gpos,
+                              min(doc_id) OVER (PARTITION BY gram)
+                                AS min_doc,
+                              max(doc_id) OVER (PARTITION BY gram)
+                                AS max_doc
+                       FROM occ),
+            cov AS (SELECT DISTINCT doc_id, pos FROM (
+                      SELECT doc_id,
+                             unnest(range(gpos,
+                                          gpos + {DD.DUP_NGRAM_N})) AS pos
+                      FROM marked
+                      WHERE min_doc <> max_doc AND doc_id <> min_doc)),
+            tok AS (SELECT doc_id, unnest(t) AS tok,
+                           generate_subscripts(t, 1) AS pos
+                    FROM tk),
+            kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+                     WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.doc_id = k.doc_id
+                                         AND c.pos = k.pos)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(tok, ' ' ORDER BY pos)
+                                 AS clean_text,
+                               CAST(count(*) AS BIGINT) AS n_kept
+                        FROM kept GROUP BY 1),
+            base AS (SELECT doc_id, source, CAST(len(t) AS BIGINT)
+                              AS n_tokens
+                     FROM tk)
+            SELECT b.doc_id, b.source, b.n_tokens,
+                   CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
+        "q328_takedown_audit": f"""
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id % {TAKEDOWN_MOD} = 0),
+            nreq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+            ndoc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            nemb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+            nivf AS (SELECT CAST(count(*) AS BIGINT) AS n
+                     FROM embeddings e JOIN ids i ON e.vec_id = i.doc_id),
+            ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n
+                      FROM documents d JOIN ids i ON d.doc_id = i.doc_id)
+            SELECT step, value, 'q328' AS run_id FROM (
+              SELECT 'n_requested' AS step, nreq.n AS value FROM nreq
+              UNION ALL
+              SELECT 'n_tombstoned', nreq.n FROM nreq
+              UNION ALL
+              SELECT 'n_ivf_deleted', nivf.n FROM nivf
+              UNION ALL
+              SELECT 'n_ivf_after', nemb.n - nivf.n FROM nemb, nivf
+              UNION ALL
+              SELECT 'n_corpus_removed', ncorp.n FROM ncorp
+              UNION ALL
+              SELECT 'n_corpus_after', ndoc.n - ncorp.n FROM ndoc, ncorp)
+            ORDER BY step
+        """,
+        "q329_unsafe_phrases": f"""
+            WITH tk AS (SELECT doc_id,
+                               string_split_regex(lower(text),
+                                                  '[^a-z0-9]+') AS toks
+                        FROM documents),
+            pads AS (SELECT doc_id, toks,
+                            ' ' || array_to_string(
+                              list_filter(toks, x -> x <> ''), '  ')
+                              || ' ' AS padded
+                     FROM tk),
+            hits AS (SELECT doc_id,
+                            {_unsafe_hits_sql(TO.UNSAFE_PHRASE_LEXICON)}
+                              AS h
+                     FROM pads)
+            SELECT doc_id, CAST(len(h) AS BIGINT) AS n_hits,
+                   CAST(len(list_distinct(h)) AS BIGINT) AS n_terms,
+                   len(h) > 0 AS unsafe
+            FROM hits ORDER BY doc_id
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

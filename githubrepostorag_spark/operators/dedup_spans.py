@@ -1,0 +1,127 @@
+"""Span-grain dedup TRANSFORMS — the rewrite half of the duplicated-
+n-gram family (q320 measures, this module scrubs).
+
+Reference parity: the reference repo has no span-level rewriter (its
+only dedup surface is whole-result content-set dedup in the agent
+loop, `rag_worker/src/worker/services/agent_graph.py:258`);
+this module is part of the beyond-reference training-data plane, after
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better"): cross-document duplicated spans are what models regurgitate
+verbatim, so the curation pipeline must be able to REMOVE them, not
+just score them (q320's permille report).
+
+House pattern: q89 line_dedup_stats -> q184 boilerplate_scrub,
+q70 decontaminate -> q197 decontaminate_scrub, q320 dup_ngram_share ->
+q327 dup_span_scrub (this file). Split out of `operators/dedup.py`
+(2,400+ LoC) per the 2,500-LoC module rule, same discipline as the
+round-11 `eventops_monitors` split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.operators.dedup import DUP_NGRAM_N
+from githubrepostorag_spark.session import scale_out
+
+__all__ = ["dup_span_scrub"]
+
+
+def dup_span_scrub(documents: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (q327): rewrite each
+    document with every token deleted that sits inside a word n-gram
+    occurring in at least one OTHER document, keeping exactly one
+    corpus copy of each duplicated span — the Lee et al. 2021
+    ExactSubstr payoff, and the transform half of q320's
+    `dup_ngram_share` (a corpus with 30% template mass now gets
+    CLEANED, not just flagged).
+
+    Policy (keep-one): the span's canonical owner is the SMALLEST
+    doc_id containing the gram; the span survives there and is
+    scrubbed everywhere else. Deterministic, no RNG, and it preserves
+    corpus information — "remove from all" would delete the content
+    entirely. A token is removed when covered by >= 1 foreign
+    duplicated gram occurrence (grams overlap; coverage is the union).
+
+    Output: one row per input document — (doc_id, source, n_tokens,
+    n_removed, clean_text). clean_text is the surviving tokens in
+    original order joined by single spaces (token-space rewrite:
+    original whitespace is normalized, the same contract as the
+    chunkers' token views). Documents shorter than n tokens carry no
+    grams and come back untouched (n_removed 0); a document whose
+    EVERY token was duplicated survives with empty clean_text — the
+    caller's min-length gate is the right place to drop it, not a
+    silent filter here (the q184 contract).
+
+    Exactness: grams are `functions.text.word_ngrams` (whitespace
+    tokens, space-joined, positions kept); "appears in >= 2 distinct
+    docs" is min(doc_id) != max(doc_id) over the gram — pure integer
+    window arithmetic, no countDistinct; reassembly is the q184/q197
+    position-keyed sort_array. No floats anywhere.
+
+    Scale: the gram window is THE single corpus-sized gram-keyed
+    exchange (high-cardinality key, identical shape to q320's); the
+    covered-position side is bounded by duplicated-occurrence mass x n,
+    never the corpus; the anti-join + groupBy(doc_id) reassembly
+    exchanges are doc-keyed (inherent to any rewrite — q184 pays the
+    same). At 100 TB the gram key would shuffle as a 128-bit hash
+    instead of the string (transport-size only; kept as the string so
+    the DuckDB oracle shares the exact key domain).
+    """
+    docs = scale_out(
+        documents.select("doc_id", "source", "text"), "doc_id"
+    ).localCheckpoint(eager=False)  # gram pass + token pass + totals
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(TXT.word_ngrams(F.col("text"), n)).alias("gpos", "gram"),
+    )
+    wg = Window.partitionBy("gram")
+    # >= 2 distinct docs iff min != max over the gram's doc_ids; the
+    # occurrence is FOREIGN (scrubbed) when this doc is not the
+    # canonical (smallest) owner
+    covered = (
+        occ.withColumn("min_doc", F.min("doc_id").over(wg))
+        .withColumn("max_doc", F.max("doc_id").over(wg))
+        .filter(
+            (F.col("min_doc") != F.col("max_doc"))
+            & (F.col("doc_id") != F.col("min_doc"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+    )  # duplicates across overlapping grams are fine: anti-join semantics
+    toks = docs.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = docs.select(
+        "doc_id", "source", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

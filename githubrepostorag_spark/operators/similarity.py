@@ -845,6 +845,39 @@ def ivf_sidecar_path(path: str) -> str:
     return path.rstrip("/") + IVF_SIDECAR_SUFFIX
 
 
+IVF_TAKEDOWN_SUFFIX = "__takedowns"
+
+
+def ivf_takedown_guard_path(path: str) -> str:
+    """Takedown-guard directory for the IVF store at `path` (sibling,
+    like the sidecar): tiny parquet of (vec_id, max_batch) rows, one
+    per physically deleted vector, where max_batch is the store's max
+    batch_id AT DELETE TIME. The streaming embedding gate anti-joins
+    each micro-batch against it (batch rows with vec_id in the guard
+    AND batch_id <= max_batch are dropped), so an at-least-once REPLAY
+    of a batch whose first attempt appended rows that a takedown then
+    deleted does NOT resurrect them — the r11 documented race. A
+    GENUINE resubmission (a later batch id) passes, the dedup-store
+    watermark semantics. Cleared by `write_ivf_store` (fresh store)."""
+    return path.rstrip("/") + IVF_TAKEDOWN_SUFFIX
+
+
+def read_ivf_takedown_guard(spark, path: str) -> DataFrame | None:
+    """The takedown guard for the store at `path`, aggregated to one
+    (vec_id, max_batch) row per vec_id (latest watermark wins), or
+    None when no takedown has ever run (driver-side fs.exists only)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(ivf_takedown_guard_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return (
+        spark.read.parquet(ivf_takedown_guard_path(path))
+        .groupBy("vec_id")
+        .agg(F.max("max_batch").cast("long").alias("max_batch"))
+    )
+
+
 def cell_sum_partials(prepped: DataFrame, batch_id: int | None = -1) -> DataFrame:
     """Per-cell running-mean state `(cell, n, sum_vec, batch_id)` from
     prepared rows carrying (cell, ve). This is the ONLY shape the
@@ -1161,6 +1194,24 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     n_deleted = affected.count() - kept.count()
     if n_deleted == 0:
         return 0
+    # takedown GUARD first (replay-race close, r11 verdict ask #3):
+    # record the deleted vec_ids + the store's max batch_id so the
+    # streaming embedding gate can refuse to re-append them from an
+    # at-least-once replay of a pre-takedown batch. Bounded by
+    # takedown volume; written before anything mutates so even a
+    # crash immediately after leaves the guard protecting rows the
+    # re-run will then delete.
+    row_wm = store.agg(F.max("batch_id")).first()
+    guard_wm = int(row_wm[0]) if row_wm[0] is not None else -1
+    doomed_rows = (
+        affected.join(kept.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id")
+        .distinct()
+        .withColumn("max_batch", F.lit(guard_wm).cast("long"))
+    )
+    doomed_rows.coalesce(1).write.mode("append").parquet(
+        ivf_takedown_guard_path(path)
+    )
     # CRASH ORDERING (r11 ADVICE): the three non-atomic steps run
     # sidecar -> data overwrite -> empty-cell dir drops, so every
     # crash window leaves a state that re-running the SAME delete
@@ -1237,6 +1288,11 @@ def write_ivf_store(embeddings: DataFrame, path: str) -> None:
         "vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell"
     )
     prepped.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    # a fresh store has no takedown history: clear any stale guard so
+    # re-ingesting a previously-deleted vec_id is not masked forever
+    spark0 = embeddings.sparkSession
+    gp = spark0._jvm.org.apache.hadoop.fs.Path(ivf_takedown_guard_path(path))
+    gp.getFileSystem(spark0._jsc.hadoopConfiguration()).delete(gp, True)
     # sidecar from the WRITTEN rows (one scan of the fresh local files,
     # exactly consistent with what landed) — overwrite resets history
     stored = embeddings.sparkSession.read.parquet(path)

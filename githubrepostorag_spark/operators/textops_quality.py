@@ -2070,14 +2070,94 @@ UNSAFE_TERMS = (
 )
 
 
+# Multi-token phrases used by q329's demo lexicon: drawn from the
+# synthetic corpus vocabulary so the scan exercises real hits; a
+# production deployment loads the real phrase list via
+# ``load_unsafe_lexicon`` (LDNOOBW carries multi-word entries too).
+UNSAFE_PHRASE_LEXICON = (
+    "gore",
+    "fast merge batch",
+    "hash value",
+    "table table",
+)
+
+
+def load_unsafe_lexicon(path: str | None = None) -> tuple[str, ...]:
+    """Lexicon-file seam (r11 verdict ask #5, the embedder-seam
+    discipline): a production deployment points ``path`` at the public
+    C4 LDNOOBW list for its language (one term or phrase per line,
+    ``#`` comments and blank lines skipped); entries are normalized to
+    the matcher's canonical form — lowercase alnum-run tokens joined
+    by single spaces — then deduped and sorted, so file formatting
+    can never change match semantics. With no path (or a missing
+    file) the small printable stand-in ``UNSAFE_TERMS`` is returned —
+    the container has no network to fetch the real list, exactly like
+    the hash-embedder stand-in behind `functions.embed` (pytest-pinned
+    seam: `test_unsafe_lexicon_file_seam`)."""
+    import os
+    import re
+
+    if path is None or not os.path.exists(path):
+        return UNSAFE_TERMS
+    out = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            toks = re.split(r"[^a-z0-9]+", line.lower())
+            norm = " ".join(t for t in toks if t)
+            if norm:
+                out.add(norm)
+    return tuple(sorted(out))
+
+
 def _unsafe_hits_col(text_col, lexicon):
     """Array of blocklist hits in a text column: case-insensitive,
     word-boundary (alnum-run tokenization) — ONE split + one JVM-side
     lambda filter, no regex alternation blowup, no UDF. Multiple
-    occurrences of a term all survive (hit COUNT is meaningful)."""
+    occurrences of a term all survive (hit COUNT is meaningful).
+
+    MULTI-TOKEN PHRASES (r11 verdict ask #5): lexicon entries
+    containing a space match as contiguous token SEQUENCES. The text's
+    tokens are joined with double spaces and space-padded, each phrase
+    likewise ('a b' -> ' a  b '), and occurrences are counted by the
+    length-delta of a replace() — pure JVM string ops, no regex, no
+    UDF, and identical left-to-right non-overlapping semantics in
+    Spark and DuckDB (the BPE-merge counting discipline; back-to-back
+    occurrences never share characters because every token boundary
+    carries TWO spaces and each match consumes one). Token-overlapping
+    self-similar phrases ('a b a' in 'a b a b a') count left-to-right
+    non-overlapping — documented, engine-identical. Each occurrence
+    contributes the canonical phrase string to the hits array. A
+    lexicon with NO phrases compiles to the exact pre-r12 single-split
+    plan — the default-lexicon oracle parity is unchanged by
+    construction."""
     toks = F.split(F.lower(text_col), "[^a-z0-9]+", -1)
-    lex = list(lexicon)
-    return F.filter(toks, lambda x: x.isin(lex))
+    singles = [w for w in lexicon if " " not in w]
+    phrases = [w for w in lexicon if " " in w]
+    hits = (
+        F.filter(toks, lambda x: x.isin(singles))
+        if singles
+        else F.array().cast("array<string>")
+    )
+    if phrases:
+        padded = F.concat(
+            F.lit(" "),
+            F.array_join(F.filter(toks, lambda x: x != F.lit("")), "  "),
+            F.lit(" "),
+        )
+        for p in phrases:
+            ph = " " + p.replace(" ", "  ") + " "
+            cnt = (
+                (
+                    F.length(padded)
+                    - F.length(F.replace(padded, F.lit(ph), F.lit("")))
+                )
+                / F.lit(len(ph))
+            ).cast("int")
+            hits = F.concat(hits, F.array_repeat(F.lit(p), cnt))
+    return hits
 
 
 def unsafe_content_scan(
@@ -2123,10 +2203,22 @@ def unsafe_page_filter(
     NULL text evaluates to a NULL predicate and is DROPPED (the
     filter-gate convention: only provably-clean pages pass); in the
     curation pipeline NULL text never reaches this gate — the funnel's
-    length predicate already removed it."""
+    length predicate already removed it. Multi-token phrase entries
+    are honored (the `_unsafe_hits_col` matcher); a phrase-free
+    lexicon keeps the exact single-split short-circuit plan."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+", -1)
-    lex = list(lexicon)
-    return documents.filter(~F.exists(toks, lambda x: x.isin(lex)))
+    singles = [w for w in lexicon if " " not in w]
+    phrases = [w for w in lexicon if " " in w]
+    dirty = (
+        F.exists(toks, lambda x: x.isin(singles))
+        if singles
+        else F.lit(False)
+    )
+    if phrases:
+        dirty = dirty | (
+            F.size(_unsafe_hits_col(F.col(text_col), tuple(phrases))) > 0
+        )
+    return documents.filter(~dirty)
 
 
 def unsafe_content_report(

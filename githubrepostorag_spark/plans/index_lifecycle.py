@@ -46,6 +46,97 @@ from githubrepostorag_spark.plans.timing import StageTimer
 from githubrepostorag_spark.streaming.ingest import stream_embedding_gate
 
 
+def takedown(
+    spark: SparkSession,
+    corpus_path: str | None,
+    ivf_path: str | None,
+    dedup_path: str | None,
+    doc_ids,
+    run_id: str = "takedown",
+) -> DataFrame:
+    """ONE composed takedown verb (r11 verdict ask #3): run the three
+    per-store deletes in the safe order with a single audit frame,
+    instead of leaving the ordering to the caller (the r11 "three
+    separate verbs with a documented race" gap). Any store path may be
+    None (skipped, audited as -1).
+
+    Safe order — each step strictly reduces exposure and leaves a
+    state a RE-RUN completes:
+
+      1. dedup-store tombstone (`delete_from_dedup_store`): one tiny
+         append — the deleted docs stop vetoing newcomers immediately
+         and, with the batch watermark, any in-flight/replayed gate
+         batch at or before the watermark drops them rather than
+         re-appending (the tombstone-aware `stream_dedup_gate`).
+      2. IVF delete (`delete_from_ivf_store`): the vectors stop being
+         SERVED; its takedown guard makes a replayed embedding batch
+         refuse to resurrect them. Runs before the corpus rewrite so
+         a crash between the two leaves the index missing rows the
+         corpus still holds (a rebuild re-adds them and the re-run
+         re-deletes) — never an index serving rows the corpus lost.
+      3. corpus parquet rewrite: the source of truth loses the rows
+         LAST, so every earlier crash state can still re-derive the
+         full delete from the corpus + the id list.
+
+    The whole sequence is idempotent: re-invoking with the same ids
+    re-tombstones (watermark max-folds), the IVF delete returns 0,
+    and the corpus anti-join removes nothing further. Legal-clock
+    discipline: step 1 lands within one Spark job of the call.
+
+    `doc_ids` is a Python iterable of ids (the takedown request).
+    Returns the audit frame (step, value, run_id) with LONG values:
+    n_requested, n_tombstoned, n_ivf_deleted, n_ivf_after,
+    n_corpus_removed, n_corpus_after (-1 for skipped stores).
+    """
+    import pandas as pd
+
+    from githubrepostorag_spark.operators.dedup import (
+        delete_from_dedup_store,
+    )
+    from githubrepostorag_spark.operators.similarity import (
+        delete_from_ivf_store,
+    )
+
+    ids = sorted({int(d) for d in doc_ids})
+    n_tomb = n_ivf = n_ivf_after = n_removed = n_after = -1
+    if dedup_path is not None:
+        n_tomb = delete_from_dedup_store(spark, dedup_path, ids)
+    if ivf_path is not None:
+        from pyspark.sql import functions as F
+
+        n_ivf = delete_from_ivf_store(
+            spark, ivf_path, F.col("vec_id").isin(ids)
+        )
+        n_ivf_after = spark.read.parquet(ivf_path).count()
+    if corpus_path is not None:
+        from pyspark.sql import functions as F
+
+        corpus = spark.read.parquet(corpus_path)
+        n_before = corpus.count()
+        kept = corpus.filter(
+            ~F.col("doc_id").isin(ids)
+        ).localCheckpoint(eager=True)  # pin before overwriting its source
+        n_after = kept.count()
+        n_removed = n_before - n_after
+        kept.write.mode("overwrite").parquet(corpus_path)
+    audit = pd.DataFrame(
+        {
+            "step": [
+                "n_requested",
+                "n_tombstoned",
+                "n_ivf_deleted",
+                "n_ivf_after",
+                "n_corpus_removed",
+                "n_corpus_after",
+            ],
+            "value": [len(ids), n_tomb, n_ivf, n_ivf_after, n_removed, n_after],
+        }
+    )
+    audit["value"] = audit["value"].astype("int64")
+    audit["run_id"] = run_id
+    return spark.createDataFrame(audit)
+
+
 class LifecycleResult(NamedTuple):
     served: DataFrame       # (vec_id, label, score) — final top-k
     maintenance: MaintenanceResult

@@ -169,9 +169,28 @@ def stream_dedup_gate(
         # list that size costs more in expression analysis than the
         # join it replaces (measured 4.9 → 7.9 s on the one-shot gate).
         spark = batch.sparkSession
-        from githubrepostorag_spark.operators.dedup import minhash_signatures
+        from githubrepostorag_spark.operators.dedup import (
+            _read_dedup_tombstones,
+            minhash_signatures,
+        )
 
         batch = batch.localCheckpoint(eager=False)  # accept writes + fp
+        # TOMBSTONE-AWARE (r11 verdict ask #3, closing the documented
+        # replay-races-takedown window): rows whose doc_id was
+        # tombstoned at a watermark >= this batch_id are a REPLAY of
+        # content a takedown already removed — drop them entirely (no
+        # accept log row, no store append), so the at-least-once
+        # re-delivery cannot resurrect deleted documents. A GENUINE
+        # resubmission arrives in a batch NEWER than the takedown
+        # watermark (batch_id > max_batch) and passes — the same
+        # watermark semantics the store-side masks use. Broadcast
+        # anti-join, bounded by takedown volume per trigger.
+        tombs = _read_dedup_tombstones(spark, dedup_store_path)
+        if tombs is not None:
+            covered = tombs.filter(
+                F.col("max_batch") >= F.lit(int(batch_id))
+            ).select("doc_id")
+            batch = batch.join(F.broadcast(covered), "doc_id", "left_anti")
         keep = exact_dedup(batch).select(F.col("canonical_doc_id").alias("doc_id"))
         batch = batch.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
         sigs = minhash_signatures(batch).localCheckpoint(eager=False)
@@ -556,6 +575,28 @@ def _embedding_gate_batch(
     brows = batch.select("vec_id", "label", "embedding").collect()
     lab_int32 = batch.schema["label"].dataType.simpleString() in ("int", "integer")
     lab_dtype = np.int32 if lab_int32 else np.int64
+    # TAKEDOWN-GUARD-AWARE (r11 verdict ask #3): rows whose vec_id was
+    # deleted by `delete_from_ivf_store` at a watermark >= this
+    # batch_id are a REPLAY of content a takedown already removed —
+    # drop them (no accept log, no store append) so at-least-once
+    # re-delivery cannot resurrect deleted vectors. A genuine
+    # resubmission (batch_id > the takedown watermark) passes. The
+    # guard is bounded by takedown volume; this batch is already
+    # driver-side, so the check is a dict lookup, no extra job.
+    from githubrepostorag_spark.operators.similarity import (
+        read_ivf_takedown_guard,
+    )
+
+    guard = read_ivf_takedown_guard(spark, ivf_store_path)
+    if guard is not None:
+        wm = {
+            int(r["vec_id"]): int(r["max_batch"]) for r in guard.collect()
+        }
+        brows = [
+            r
+            for r in brows
+            if wm.get(int(r["vec_id"]), -(10**18)) < int(batch_id)
+        ]
     if not brows:
         return
 

@@ -5745,6 +5745,92 @@ def test_unsafe_content_hostile_corpus_invariants(spark):
     assert kept == {1, 2, 3, 5, 6}
 
 
+def test_unsafe_phrase_matcher_hand_computed(spark):
+    """q329 (r11 verdict ask #5): multi-token lexicon entries match as
+    contiguous token sequences — across punctuation and case (the
+    alnum-run normalization), counting every occurrence; back-to-back
+    occurrences both count (double-space padding: adjacent matches
+    share no characters); token-overlapping self-similar phrases count
+    left-to-right non-overlapping (documented); single-token entries
+    keep the q314 semantics alongside."""
+    lex = ("gore", "hash value", "table table")
+    docs = spark.createDataFrame(
+        [
+            # 2x "hash value" (one across punctuation/case) + 1 single
+            (1, "s", "Hash Value! and hash-value and gore"),
+            # back-to-back phrase occurrences: "table table table table"
+            # = 2 non-overlapping "table table" (4 tokens -> 2 pairs)
+            (2, "s", "table table table table"),
+            # 3 tokens: left-to-right non-overlap -> exactly 1 match
+            (3, "s", "table table table"),
+            # phrase words present but NOT adjacent: no hit
+            (4, "s", "hash and value"),
+            (5, "s", "clean text entirely"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in TO.unsafe_content_scan(docs, lexicon=lex).collect()
+    }
+    assert (got[1].n_hits, got[1].n_terms, got[1].unsafe) == (3, 2, True)
+    assert (got[2].n_hits, got[2].n_terms) == (2, 1)
+    assert (got[3].n_hits, got[3].n_terms) == (1, 1)
+    assert (got[4].n_hits, got[4].unsafe) == (0, False)
+    assert (got[5].n_hits, got[5].unsafe) == (0, False)
+    # the page filter honors phrases: docs 1-3 drop, 4-5 survive
+    kept = {r.doc_id for r in TO.unsafe_page_filter(docs, lexicon=lex).collect()}
+    assert kept == {4, 5}
+    # report totals reconcile with the scan
+    rep = TO.unsafe_content_report(docs, lexicon=lex).collect()
+    assert sum(r.n_hits for r in rep) == 6
+    # a phrase-only lexicon works too (no single-token branch)
+    only = {
+        r.doc_id: r.n_hits
+        for r in TO.unsafe_content_scan(
+            docs, lexicon=("hash value",)
+        ).collect()
+    }
+    assert only[1] == 2 and only[4] == 0
+    kept2 = {
+        r.doc_id
+        for r in TO.unsafe_page_filter(docs, lexicon=("hash value",)).collect()
+    }
+    assert kept2 == {2, 3, 4, 5}
+
+
+def test_unsafe_lexicon_file_seam(spark, tmp_path):
+    """r11 verdict ask #5 (seam): load_unsafe_lexicon reads a real
+    LDNOOBW-style file (one entry per line, comments/blank lines,
+    mixed case and punctuation) into the canonical normalized form;
+    a missing/None path falls back to the documented UNSAFE_TERMS
+    stand-in; and the loaded lexicon drives the scan end to end."""
+    from githubrepostorag_spark.operators.textops_quality import (
+        UNSAFE_TERMS,
+        load_unsafe_lexicon,
+    )
+
+    assert load_unsafe_lexicon(None) == UNSAFE_TERMS
+    assert load_unsafe_lexicon(str(tmp_path / "missing.txt")) == UNSAFE_TERMS
+    lex_file = tmp_path / "ldnoobw_en.txt"
+    lex_file.write_text(
+        "# comment line\n"
+        "Gore\n"
+        "\n"
+        "hash-VALUE\n"   # normalizes to the phrase 'hash value'
+        "gore\n"         # duplicate after normalization
+        "  nude  \n"
+    )
+    lex = load_unsafe_lexicon(str(lex_file))
+    assert lex == ("gore", "hash value", "nude")
+    docs = spark.createDataFrame(
+        [(1, "s", "some hash value gore here")],
+        "doc_id long, source string, text string",
+    )
+    r = TO.unsafe_content_scan(docs, lexicon=lex).collect()[0]
+    assert (r.n_hits, r.n_terms, r.unsafe) == (2, 2, True)
+
+
 def test_centroid_dist_psi_symmetric_zero_and_shift(spark):
     """q316 hand-computed: two label clusters with MIRRORED geometry
     (each contributes distances {0.292893, 0.292893, 0.0}) split so
@@ -5977,6 +6063,110 @@ def test_dup_ngram_share_hand_computed(spark):
     assert s2.corpus_permille == 333
     assert s2.mean_doc_permille == 333.0
     assert s2.n_majority_dup == 0
+
+
+def test_dup_span_scrub_hand_computed(spark):
+    """q327 hand-computed (the q320 transform half, Lee et al. 2021
+    keep-one policy): an 8-token span planted in docs 1, 2, 3 survives
+    only in doc 1 (the smallest doc_id owning the gram) and is scrubbed
+    from the others; unique text is untouched; a <8-token doc carries
+    no grams and comes back verbatim (token-space); an all-duplicated
+    doc survives with EMPTY clean_text, not a dropped row. The
+    before/after q320 pin: corpus duplicated-gram mass goes from
+    positive to ZERO after one scrub pass."""
+    from githubrepostorag_spark.operators import dedup_spans as DS
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "keep my unique intro " + span),
+            (2, "s1", "different lead in here " + span),
+            (3, "s2", span),
+            (4, "s2", "short text"),
+            (5, "s2", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in DS.dup_span_scrub(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1 is the canonical owner: everything survives
+    assert (got[1].n_tokens, got[1].n_removed) == (12, 0)
+    assert got[1].clean_text == "keep my unique intro " + span
+    # doc 2 loses exactly the span's 8 tokens, keeps its unique lead
+    # (boundary grams crossing lead+span exist only in doc 2 -> unique)
+    assert (got[2].n_tokens, got[2].n_removed) == (12, 8)
+    assert got[2].clean_text == "different lead in here"
+    # doc 3 was ONLY the span: empty clean_text, not a dropped row
+    assert (got[3].n_tokens, got[3].n_removed) == (8, 8)
+    assert got[3].clean_text == ""
+    # short doc: no grams, untouched
+    assert (got[4].n_tokens, got[4].n_removed) == (2, 0)
+    assert got[4].clean_text == "short text"
+    # empty doc: defined zero row
+    assert (got[5].n_tokens, got[5].n_removed) == (0, 0)
+    assert got[5].clean_text == ""
+
+    # before/after q320: dup mass positive before, ZERO after the scrub
+    before = DD.dup_ngram_share(docs).collect()
+    assert sum(r.dup_grams for r in before) > 0
+    scrubbed = DS.dup_span_scrub(docs).select(
+        "doc_id", "source", F.col("clean_text").alias("text")
+    )
+    after = DD.dup_ngram_share(scrubbed).collect()
+    assert sum(r.dup_grams for r in after) == 0
+
+
+def test_dup_span_scrub_overlap_and_intra_doc(spark):
+    """q327 edge pins: (a) overlapping duplicated grams union their
+    coverage (an 9-token shared run = two overlapping 8-grams removes
+    all 9 tokens); (b) a span repeated TWICE inside the canonical doc
+    is kept in full there (intra-doc repetition is q19/q90's business,
+    not cross-doc scrubbing) yet scrubbed from the other doc; (c) a
+    gram shared only WITHIN one doc (nowhere else) is never scrubbed."""
+    from githubrepostorag_spark.operators import dedup_spans as DS
+
+    run9 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    span = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, "s", run9),                      # canonical for run9
+            (2, "s", "x y " + run9),             # loses all 9
+            (3, "s", span + " mid " + span),     # canonical, intra-doc x2
+            (4, "s", "lead words " + span),      # loses the 8
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in DS.dup_span_scrub(docs).collect()}
+    assert (got[1].n_removed, got[1].clean_text) == (0, run9)
+    assert (got[2].n_removed, got[2].clean_text) == (9, "x y")
+    # canonical doc keeps BOTH intra-doc copies
+    assert (got[3].n_removed, got[3].clean_text) == (0, span + " mid " + span)
+    assert (got[4].n_removed, got[4].clean_text) == (8, "lead words")
+
+
+def test_dup_span_scrub_hostile_null_and_whitespace(spark):
+    """q327 hostile pins: NULL-text docs come back with NULL token
+    counts (three-valued, matching the oracle's len(NULL)) and empty
+    clean_text — never a crash or a phantom row; space-only docs are a
+    defined (0, 0, '') row (house `tokens()` trims SPACES, matching
+    DuckDB trim — interior tab/newline-only text tokenizes to empty-
+    string tokens identically in both engines, a deliberate shared
+    quirk); and a corpus where EVERY doc is the
+    same text keeps exactly one copy (the smallest doc_id)."""
+    from githubrepostorag_spark.operators import dedup_spans as DS
+
+    span = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "     "), (3, "s", span), (4, "s", span)],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in DS.dup_span_scrub(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].n_tokens is None and got[1].n_removed is None
+    assert got[1].clean_text == ""
+    assert (got[2].n_tokens, got[2].n_removed, got[2].clean_text) == (0, 0, "")
+    assert (got[3].n_removed, got[3].clean_text) == (0, span)
+    assert (got[4].n_removed, got[4].clean_text) == (8, "")
 
 
 def test_round11_late_operator_hostile_invariants(spark):

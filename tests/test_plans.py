@@ -1568,6 +1568,35 @@ def test_maintain_ivf_store_delete_predicate_audit(spark, tmp_path):
     assert audit2["n_deleted"] == 0.0
 
 
+def test_dup_span_scrub_plan_shape(spark):
+    """q327 plan pin: no cartesian product, and the gram-keyed window
+    exchange stays the SINGLE corpus-sized gram shuffle (the q320
+    discipline) — every other exchange is doc-keyed (anti-join +
+    reassembly) or a bounded broadcast. Also: no corpus-sized global
+    Sort (the final orderBy is the only top-level sort, on the doc-
+    grain output)."""
+    import re
+
+    from githubrepostorag_spark.operators import dedup_spans as DS
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = DS.dup_span_scrub(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # exactly one exchange hash-partitioned on the gram key (the
+    # formatted plan lists partitioning under per-node Arguments)
+    assert len(re.findall(r"hashpartitioning\(gram", plan)) == 1, plan
+    # every OTHER repartitioning is doc-keyed: the reassembly hash
+    # exchange and the final doc-grain range sort
+    others = re.findall(r"(?:hash|range)partitioning\((\w+)", plan)
+    assert sorted(set(others)) == ["doc_id", "gram"], others
+    # and it really runs: results materialize without error
+    assert df.limit(5).count() == 5
+
+
 def test_every_scale_out_call_site_keys_on_high_cardinality_column():
     """r10 verdict ask #8, generalizing
     test_doc_scans_spread_on_doc_id_not_source beyond q301/q303: EVERY

@@ -1142,6 +1142,152 @@ def test_dedup_gate_probe_excludes_own_batch_on_replay(spark, tmp_path):
     assert unguarded == {100, 101, 102}
 
 
+def test_takedown_during_replay_not_resurrected_embedding_gate(spark, tmp_path):
+    """r11 verdict ask #3 (embedding side): a takedown BETWEEN a
+    batch's first attempt and its at-least-once replay must not be
+    undone by the replay. The guard written by delete_from_ivf_store
+    makes the replayed batch drop the deleted vec_ids; a GENUINE
+    resubmission in a LATER batch passes (watermark semantics)."""
+    from githubrepostorag_spark.operators.similarity import (
+        delete_from_ivf_store,
+        write_ivf_store,
+    )
+    from githubrepostorag_spark.streaming.ingest import _embedding_gate_batch
+
+    schema = "vec_id long, label int, embedding array<float>"
+    store = str(tmp_path / "ivf")
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 1, [0.0, 1.0, 0.0, 0.0])],
+            schema,
+        ),
+        store,
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, [0.0, 0.0, 1.0, 0.0]), (101, 0, [0.0, 0.0, 0.0, 1.0])],
+        schema,
+    )
+    # first attempt: both fresh vectors append (crash before ckpt commit)
+    _embedding_gate_batch(batch, 5, store, acc, rej, max_cos=0.95)
+    assert {
+        r.vec_id for r in spark.read.parquet(store).collect()
+    } == {1, 2, 100, 101}
+    # takedown lands between the attempt and the replay
+    assert delete_from_ivf_store(spark, store, F.col("vec_id") == 101) == 1
+    n_acc_101 = spark.read.parquet(acc).filter("vec_id = 101").count()
+    # the REPLAY (same batch_id): guard drops 101, 100 re-derives
+    _embedding_gate_batch(batch, 5, store, acc, rej, max_cos=0.95)
+    live = spark.read.parquet(store)
+    assert live.filter("vec_id = 101").count() == 0  # NOT resurrected
+    assert live.filter("vec_id = 100").count() == 2  # dup rows, read-deduped
+    # no new accept-log row for the deleted vec either
+    assert spark.read.parquet(acc).filter("vec_id = 101").count() == n_acc_101
+    # a LATER batch resubmitting vec 101 is a fresh decision: admitted
+    resub = spark.createDataFrame(
+        [(101, 0, [0.0, 0.0, 0.0, 1.0])], schema
+    )
+    _embedding_gate_batch(resub, 6, store, acc, rej, max_cos=0.95)
+    assert spark.read.parquet(store).filter("vec_id = 101").count() == 1
+
+
+def test_takedown_during_replay_not_resurrected_dedup_gate(spark, tmp_path):
+    """r11 verdict ask #3 (text side): run the REAL stream_dedup_gate,
+    take down an accepted doc, then force a full replay of the same
+    batch (fresh checkpoint over the same source). The tombstone-aware
+    gate drops the taken-down doc (watermark covers the replayed
+    batch_id), so neither the store nor the accept log resurrects it;
+    and post-takedown probe decisions equal a from-scratch store
+    rebuilt from the surviving corpus."""
+    import shutil
+
+    from githubrepostorag_spark.operators.dedup import (
+        compact_dedup_store,
+        incremental_near_dups,
+        write_dedup_store,
+    )
+    from githubrepostorag_spark.plans.index_lifecycle import takedown
+    from githubrepostorag_spark.streaming.ingest import stream_dedup_gate
+
+    doomed_text = "the quick brown fox jumps over the lazy dog " * 30
+    fresh_text = "completely different content about spark shuffles " * 30
+    store = str(tmp_path / "dedup_store")
+    corpus = str(tmp_path / "corpus")
+    src = str(tmp_path / "src")
+    acc = str(tmp_path / "accepted")
+    rej = str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    write_dedup_store(spark.createDataFrame([(1, fresh_text)], schema), store)
+    spark.createDataFrame(
+        [(1, "s", fresh_text)], "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(corpus)
+    # batch 0: doc 100 (doomed-to-be) + near-copy guard doc
+    spark.createDataFrame([(100, doomed_text)], schema).write.mode(
+        "overwrite"
+    ).json(src)
+    q = stream_dedup_gate(
+        spark.readStream.schema(schema).json(src), store, acc, rej, ckpt
+    )
+    q.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {100}
+    n_acc_before = spark.read.parquet(acc).count()
+
+    # the composed takedown (corpus + dedup store; no IVF here)
+    audit = {
+        r.step: r.value
+        for r in takedown(spark, corpus, None, store, [100]).collect()
+    }
+    assert audit["n_requested"] == 1 and audit["n_tombstoned"] == 1
+    assert audit["n_ivf_deleted"] == -1  # skipped store audited as -1
+    # doc 100 was never in the corpus parquet: nothing removed there
+    assert audit["n_corpus_removed"] == 0
+
+    # REPLAY: wipe the checkpoint so the same source re-processes as
+    # the same batch id — the at-least-once worst case
+    shutil.rmtree(ckpt)
+    q = stream_dedup_gate(
+        spark.readStream.schema(schema).json(src), store, acc, rej, ckpt
+    )
+    q.awaitTermination(300)
+    # not resurrected: no NEW accept row, no live store row
+    assert spark.read.parquet(acc).count() == n_acc_before
+    probe = spark.createDataFrame([(999, doomed_text + " tail")], schema)
+    assert (
+        incremental_near_dups(spark, store, probe, min_est_jaccard=0.5).count()
+        == 0
+    )
+    # probe decisions equal a from-scratch rebuild of the survivors
+    rebuilt = str(tmp_path / "rebuilt")
+    write_dedup_store(
+        spark.read.parquet(corpus).select("doc_id", "text"), rebuilt
+    )
+    for p in (
+        probe,
+        spark.createDataFrame([(998, fresh_text + " tail")], schema),
+    ):
+        got = {
+            (r.new_id, r.old_id)
+            for r in incremental_near_dups(
+                spark, store, p, min_est_jaccard=0.5
+            ).collect()
+        }
+        want = {
+            (r.new_id, r.old_id)
+            for r in incremental_near_dups(
+                spark, rebuilt, p, min_est_jaccard=0.5
+            ).collect()
+        }
+        assert got == want
+    # compaction purges the masked rows physically; decisions unchanged
+    compact_dedup_store(spark, store)
+    assert (
+        incremental_near_dups(spark, store, probe, min_est_jaccard=0.5).count()
+        == 0
+    )
+
+
 def test_compact_ivf_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
     """Compaction must (a) cut the per-cell file count the gate's
     appends accumulated, (b) keep centroids bit-identical, (c) keep
