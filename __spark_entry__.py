@@ -1290,6 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q329_unsafe_phrases": lambda sp, sf: TO.unsafe_content_scan(
             t(sp, sf, "documents"), lexicon=TO.UNSAFE_PHRASE_LEXICON
         ),
+        "q330_release_lang_audit": lambda sp, sf: CU.lang_epoch_shift(
+            t(sp, sf, "documents")
+        ),
     })
 
 
@@ -10356,6 +10359,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(h)) AS BIGINT) AS n_terms,
                    len(h) > 0 AS unsafe
             FROM hits ORDER BY doc_id
+        """,
+        "q330_release_lang_audit": f"""
+            WITH {_epoch_docs_ctes(stop_list)},
+            lid AS ({_language_id_sql()}),
+            j AS (SELECT l.detected_lang, d.n_copies
+                  FROM lid l JOIN docs d USING (doc_id)),
+            agg AS (SELECT detected_lang,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(n_copies) AS BIGINT) AS n_shipped
+                    FROM j GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tr,
+                           CAST(sum(n_shipped) AS BIGINT) AS ts
+                    FROM agg)
+            SELECT a.detected_lang, a.n_docs, a.n_shipped,
+                   round(CAST(a.n_docs AS DOUBLE)
+                         / CAST(t.tr AS DOUBLE), 6) AS share_raw,
+                   round(CAST(a.n_shipped AS DOUBLE)
+                         / CAST(t.ts AS DOUBLE), 6) AS share_shipped
+            FROM agg a CROSS JOIN tot t
+            ORDER BY a.detected_lang
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -1971,3 +1971,68 @@ def bootstrap_mean_ci(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def lang_epoch_shift(documents: DataFrame) -> DataFrame:
+    """Language-composition shift under quality-weighted epoch mixing
+    (q330): per detected language, the corpus's RAW document share vs
+    its SHIPPED share once `epoch_upsample` replicates high-quality
+    sources — the batch, oracle-checked twin of the release plan's
+    opt-in `lang_audit` (r11 verdict ask #6). Temperature/quality
+    mixing reweights SOURCES; whenever languages correlate with
+    sources (they always do in a crawl), that silently reweights
+    LANGUAGES, and this is the one-page audit that makes the shift
+    explicit before a multilingual model trains on it.
+
+    Output: one row per detected language — (detected_lang, n_docs,
+    n_shipped, share_raw, share_shipped), shares one double division
+    rounded 6dp over exact integer counts, ordered by language.
+
+    Exactness: detection is q52's marker-argmax (integer hit counts,
+    alphabetical tie-break); copy counts are q194's integer epoch
+    arithmetic (deterministic md5-bucket fractional slice, no RNG);
+    the only floats are the two final share divisions.
+
+    Scale: language_id is a free map on the one corpus scan that also
+    feeds the quality score; per-doc copy counts collapse map-side
+    onto doc_id; everything after the |langs|-sized aggregate is a
+    broadcast of a 1-row totals frame.
+    """
+    from githubrepostorag_spark.operators.textops import language_id
+
+    lid = language_id(documents).select("doc_id", "detected_lang")
+    copies = (
+        epoch_upsample(documents)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )
+    agg = (
+        lid.join(copies, "doc_id")
+        .groupBy("detected_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_shipped"),
+        )
+    )
+    totals = F.broadcast(
+        agg.agg(
+            F.sum("n_docs").cast("long").alias("_tr"),
+            F.sum("n_shipped").cast("long").alias("_ts"),
+        )
+    )
+    return (
+        agg.crossJoin(totals)
+        .select(
+            "detected_lang",
+            "n_docs",
+            "n_shipped",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_tr").cast("double"), 6
+            ).alias("share_raw"),
+            F.round(
+                F.col("n_shipped").cast("double") / F.col("_ts").cast("double"),
+                6,
+            ).alias("share_shipped"),
+        )
+        .orderBy("detected_lang")
+    )

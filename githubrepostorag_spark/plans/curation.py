@@ -50,6 +50,59 @@ class CurationResult(NamedTuple):
         self.corpus.unpersist()
 
 
+def lang_composition(
+    stages, run_id: str, run_col: str = "curation_run_id"
+) -> DataFrame:
+    """Per-stage detected-language composition (r11 verdict ask #6,
+    generalizing the r11 curation-only audit): one (stage_idx, stage,
+    detected_lang, n_docs, share) row per language per stage, tagged
+    with the run id. ``stages`` is an ordered list of (name, frame)
+    pairs; each frame needs doc_id + text (a missing declared ``lang``
+    column is NULL-filled — only the DETECTED language feeds the
+    audit). Rows are counted exactly as given, so a caller weighting
+    by shipped copies passes the epoch-EXPANDED frame (one row per
+    copy), which is how the release audit shows temperature/quality
+    mixing shifting the language mix.
+
+    Scale: language_id is a free map per stage (no shuffle); each
+    stage collapses to |langs| rows before the union; the share window
+    runs over the tiny per-stage frame only."""
+    import functools
+
+    from pyspark.sql import Window
+
+    from githubrepostorag_spark.operators import textops as TO
+
+    per_stage = []
+    for i, (stage, frame) in enumerate(stages):
+        if "lang" not in frame.columns:
+            frame = frame.withColumn("lang", F.lit(None).cast("string"))
+        per_stage.append(
+            TO.language_id(frame)
+            .groupBy("detected_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "detected_lang",
+                "n_docs",
+            )
+        )
+    w_tot = Window.partitionBy("stage_idx")
+    return (
+        functools.reduce(lambda a, b: a.unionByName(b), per_stage)
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w_tot).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(run_col, F.lit(run_id))
+    )
+
+
 JACCARD_KEEP = 0.8
 MIX_PER_SOURCE = 200
 PACK_BUDGET = 2048
@@ -233,45 +286,17 @@ def curation_pipeline(
 
     lang_frame = None
     if lang_audit:
-        import functools
-
-        from pyspark.sql import Window
-
-        from githubrepostorag_spark.operators import textops as TO
-
-        lang_stages = [
-            ("raw", documents),
-            ("gated", gated),  # terminal gate frame (opt-in gates applied)
-            ("exact_dedup", exact),
-            ("near_dup", survivors),
-            ("decontaminated", clean),
-            ("mixed", mixed),
-            ("packed", corpus),
-        ]
-        per_stage = [
-            TO.language_id(frame)
-            .groupBy("detected_lang")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-            .select(
-                F.lit(i).cast("long").alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "detected_lang",
-                "n_docs",
-            )
-            for i, (stage, frame) in enumerate(lang_stages)
-        ]
-        w_tot = Window.partitionBy("stage_idx")
-        lang_frame = (
-            functools.reduce(lambda a, b: a.unionByName(b), per_stage)
-            .withColumn(
-                "share",
-                F.round(
-                    F.col("n_docs").cast("double")
-                    / F.sum("n_docs").over(w_tot).cast("double"),
-                    6,
-                ),
-            )
-            .withColumn("curation_run_id", F.lit(run_id))
+        lang_frame = lang_composition(
+            [
+                ("raw", documents),
+                ("gated", gated),  # terminal gate frame (opt-in gates applied)
+                ("exact_dedup", exact),
+                ("near_dup", survivors),
+                ("decontaminated", clean),
+                ("mixed", mixed),
+                ("packed", corpus),
+            ],
+            run_id,
         )
 
     return CurationResult(

@@ -44,6 +44,9 @@ class MixturePlanResult(NamedTuple):
     plan: DataFrame     # per-source: weight, tokens, epochs, quota
     sampled: DataFrame  # documents surviving the epoch-1 quota filter
     timed_stages: DataFrame
+    # opt-in (lang_audit=True): detected-language composition raw vs
+    # sampled — None otherwise (r11 verdict ask #6)
+    lang_audit: DataFrame | None = None
 
     def unpersist(self) -> None:
         pass
@@ -53,8 +56,15 @@ def mixture_plan(
     documents: DataFrame,
     token_budget: int = MIX_TOKEN_BUDGET,
     epochs: int = CU.REPEAT_EPOCHS,
+    lang_audit: bool = False,
 ) -> MixturePlanResult:
     """Build the sampling plan; see module docstring for stages.
+
+    `lang_audit` (opt-in, r11 verdict ask #6): detected-language
+    composition of the raw corpus vs the quota-sampled survivors —
+    DoReMi-style source reweighting moves language shares whenever
+    languages correlate with sources, and this is the audit row that
+    shows it instead of leaving it implicit in source shares.
 
     Per source: budget_tokens = floor(budget · weight_micro / 1e6)
     (exact integers); epochs_needed = the smallest epoch count whose
@@ -141,10 +151,20 @@ def mixture_plan(
         .drop("quota_permille")
     )
     sampled = timer.time("quota_sample", lambda: sampled.localCheckpoint(eager=True))
+    lang_frame = None
+    if lang_audit:
+        from githubrepostorag_spark.plans.curation import lang_composition
+
+        lang_frame = lang_composition(
+            [("raw", documents), ("sampled", sampled)],
+            "mixture",
+            run_col="mixture_run_id",
+        )
     return MixturePlanResult(
         plan=plan,
         sampled=sampled,
         timed_stages=timer.frame(
             documents.sparkSession, "mixture", "mixture_run_id"
         ),
+        lang_audit=lang_frame,
     )

@@ -49,6 +49,9 @@ class ReleaseResult(NamedTuple):
     sequences: DataFrame  # per-doc-copy rows with shard + sequence metadata
     manifest: DataFrame   # per-stage counts + per-shard token totals
     timed_stages: DataFrame  # (stage_idx, stage, seconds) — see plans.timing
+    # opt-in (lang_audit=True): per-stage detected-language composition
+    # including the SHIPPED (epoch-expanded) stage — None otherwise
+    lang_audit: DataFrame | None = None
 
     def unpersist(self) -> None:
         self.sequences.unpersist()
@@ -60,12 +63,23 @@ def package_release(
     run_id: str,
     n_shards: int = CU.N_SHARDS,
     budget: int = CU.SEQ_BUDGET,
+    lang_audit: bool = False,
 ) -> ReleaseResult:
     """documents(doc_id, text, source, ...) → packaged training corpus.
 
     `benchmark` is the held-out eval set whose spans must not ship.
     Returns per-copy sequence rows (doc_id, epoch, shard, batch/offset
     metadata) and the manifest.
+
+    `lang_audit` (opt-in, r11 verdict ask #6): per-stage detected-
+    language shares through the RELEASE funnel — raw, rewritten (post
+    both scrubs), quality-gated, deduped, and SHIPPED, where shipped
+    counts one row per epoch COPY, so quality-weighted upsampling
+    (temperature mixing) visibly shifts the language mix when one
+    language's sources earn more epochs. The scrubs rewrite text, so
+    the detected language is recomputed from the CLEANED text at every
+    stage — a scrub that guts one language's docs below the gate shows
+    up as a share drop, not a silent skew.
     """
     spark = documents.sparkSession
     keep_cols = documents.select("doc_id", "source").localCheckpoint(eager=False)
@@ -142,8 +156,28 @@ def package_release(
             F.lit(run_id).alias("release_run_id"),
         )
     )
+    lang_frame = None
+    if lang_audit:
+        from githubrepostorag_spark.plans.curation import lang_composition
+
+        # shipped = one row per epoch copy (epochs joins back to the
+        # deduped text, multiplying each doc by its copy count)
+        shipped = deduped.join(epochs.select("doc_id"), "doc_id")
+        lang_frame = lang_composition(
+            [
+                ("raw", documents),
+                ("rewritten", rewritten),
+                ("quality_gate", gated),
+                ("exact_dedup", deduped),
+                ("shipped", shipped),
+            ],
+            run_id,
+            run_col="release_run_id",
+        )
+
     return ReleaseResult(
         sequences=sequences,
         manifest=stage_rows.unionByName(shard_rows),
         timed_stages=timer.frame(spark, run_id, "release_run_id"),
+        lang_audit=lang_frame,
     )

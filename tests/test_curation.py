@@ -720,3 +720,112 @@ def test_curation_pipeline_lang_audit_shows_dropped_feed(spark, tmp_path):
         res2.unpersist()
     finally:
         res.unpersist()
+
+
+def test_release_lang_audit_shows_epoch_mix_shift(spark):
+    """r11 verdict ask #6: package_release(lang_audit=True) reports
+    per-stage detected-language shares INCLUDING the shipped
+    (epoch-expanded) stage — a high-quality French feed earns more
+    epochs than a stopword-heavy English feed, so the shipped French
+    share strictly exceeds its raw share. The q330 operator
+    (lang_epoch_shift) is the oracle-checked batch twin and must agree
+    with the plan's raw/shipped shares on the same corpus."""
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.plans.release import package_release
+
+    fr_markers = "le la et les des est pas pour une dans " * 2
+    en_markers = "the and of to in is for with that it " * 2
+
+    def fr_doc(i):  # distinct-rich, zero {'the','a'} stopwords
+        return fr_markers + " ".join(
+            f"mot{i}x{j} unique{j}fr" for j in range(30)
+        )
+
+    def en_doc(i):  # stopword-flooded, repetition-heavy -> low quality
+        return en_markers + ("the a the a " * 40) + f"doc{i}"
+
+    rows = [(i, fr_doc(i), "fr", "feedF", 400) for i in range(1, 7)]
+    rows += [(100 + j, en_doc(j), "en", "feedE", 400) for j in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(0, "unrelated benchmark body")], "bench_id long, text string"
+    )
+    res = package_release(docs, bench, run_id="rel-lng", lang_audit=True)
+    try:
+        assert res.lang_audit is not None
+        mix = res.lang_audit.collect()
+        by_stage = {}
+        for r in mix:
+            by_stage.setdefault(r.stage, {})[r.detected_lang] = r
+        assert set(by_stage) == {
+            "raw", "rewritten", "quality_gate", "exact_dedup", "shipped"
+        }
+        raw_fr = by_stage["raw"]["fr"]
+        shipped_fr = by_stage["shipped"]["fr"]
+        assert raw_fr.n_docs == 6 and by_stage["raw"]["en"].n_docs == 6
+        # the temperature/quality mixing SHIFT: more French copies ship
+        assert shipped_fr.n_docs > raw_fr.n_docs
+        assert shipped_fr.share > raw_fr.share
+        # shares sum to 1 within every stage
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for r in mix:
+            sums[r.stage] += r.share
+        assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+        # default run computes no audit
+        assert package_release(docs, bench, run_id="no").lang_audit is None
+
+        # q330 operator twin: raw/shipped shares agree with the plan's
+        # raw + shipped stages (same corpus, no scrub/gate drops here —
+        # every doc survives to the epoch stage in this fixture)
+        op = {r.detected_lang: r for r in CU.lang_epoch_shift(docs).collect()}
+        assert op["fr"].n_docs == 6
+        assert op["fr"].share_raw == raw_fr.share
+        assert op["fr"].n_shipped == shipped_fr.n_docs
+        assert op["fr"].share_shipped == shipped_fr.share
+        assert op["fr"].share_shipped > op["fr"].share_raw
+    finally:
+        res.unpersist()
+
+
+def test_mixture_plan_lang_audit_raw_vs_sampled(spark):
+    """r11 verdict ask #6 (mixture side): mixture_plan(lang_audit=True)
+    reports detected-language shares raw vs quota-sampled; the sampled
+    composition must equal re-running the q52 detector on the sampled
+    frame itself, and shares sum to 1 per stage."""
+    from githubrepostorag_spark.operators import textops as TO
+    from githubrepostorag_spark.plans.mixture import mixture_plan
+
+    fr = "le la et les des est pas pour une dans "
+    en = "the and of to in is for with that it "
+    rows = [(i, fr + f"mot{i}", "fr", "feedF", 100) for i in range(1, 9)]
+    rows += [(50 + j, en + f"word{j}", "en", "feedE", 100) for j in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    res = mixture_plan(docs, token_budget=60, lang_audit=True)
+    assert res.lang_audit is not None
+    mix = res.lang_audit.collect()
+    stages = {r.stage for r in mix}
+    assert stages == {"raw", "sampled"}
+    raw = {r.detected_lang: r.n_docs for r in mix if r.stage == "raw"}
+    assert raw == {"fr": 8, "en": 8}
+    sampled = {r.detected_lang: r.n_docs for r in mix if r.stage == "sampled"}
+    want = {
+        r.detected_lang: r.cnt
+        for r in TO.language_id(res.sampled)
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert sampled == want
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in mix:
+        sums[r.stage] += r.share
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+    assert mixture_plan(docs, token_budget=60).lang_audit is None
