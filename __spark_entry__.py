@@ -24,6 +24,7 @@ from githubrepostorag_spark.operators import multimodal as MM
 from githubrepostorag_spark.operators import relational as R
 from githubrepostorag_spark.operators import similarity as S
 from githubrepostorag_spark.operators import textops as TO
+from githubrepostorag_spark.operators import textops_vocab as TV
 from githubrepostorag_spark.functions.text import SIGNATURE_SETS, STOPWORDS
 from githubrepostorag_spark.operators.dedup import (
     LSH_BANDS,
@@ -86,7 +87,7 @@ _ROTATION_HEAD = [
     "q330_release_lang_audit",
     "q331_span_autocorr",
     "q332_rare_token_docs",
-    "q333_source_switch_matrix",
+    "q333_interarrival_burst",
     # oldest driver rows: the remaining round-4 recordings, registry order
     "q192_training_sequences",
     "q193_skew_report",
@@ -1293,6 +1294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q330_release_lang_audit": lambda sp, sf: CU.lang_epoch_shift(
             t(sp, sf, "documents")
         ),
+        "q331_span_autocorr": lambda sp, sf: TV.span_autocorr(
+            t(sp, sf, "documents")
+        ),
+        "q332_rare_token_docs": lambda sp, sf: TV.rare_token_docs(
+            t(sp, sf, "documents")
+        ),
+        "q333_interarrival_burst": lambda sp, sf: E.interarrival_burst(
+            t(sp, sf, "events")
+        ),
     })
 
 
@@ -1505,6 +1515,21 @@ _TOKS = (
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _autocorr_lag_sql(lag: int) -> str:
+    """One lag's per-document (n_pairs, n_match) over the `tk` CTE —
+    DuckDB twin of textops_vocab.span_autocorr's zip_with expression
+    (1-based list indexing; empty range -> NULL list_sum -> 0)."""
+    return f"""SELECT source, CAST({lag} AS BIGINT) AS lag,
+                      CAST(greatest(len(t) - {lag}, 0) AS BIGINT)
+                        AS n_pairs,
+                      CAST(coalesce(list_sum(list_transform(
+                             range(1, greatest(len(t) - {lag}, 0) + 1),
+                             i -> CASE WHEN t[i] = t[i + {lag}]
+                                       THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                        AS n_match
+               FROM tk"""
 
 
 def _unsafe_hits_sql(lexicon) -> str:
@@ -10379,6 +10404,68 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(t.ts AS DOUBLE), 6) AS share_shipped
             FROM agg a CROSS JOIN tot t
             ORDER BY a.detected_lang
+        """,
+        "q331_span_autocorr": f"""
+            WITH tk AS (SELECT source, {_TOKS} AS t FROM documents),
+            per AS ({" UNION ALL ".join(_autocorr_lag_sql(lag) for lag in range(1, TV.AUTOCORR_MAX_LAG + 1))}),
+            agg AS (SELECT source, lag,
+                           CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+                           CAST(sum(n_match) AS BIGINT) AS n_matches
+                    FROM per GROUP BY 1, 2)
+            SELECT source, lag, n_pairs, n_matches,
+                   CASE WHEN n_pairs > 0
+                        THEN round(CAST(n_matches AS DOUBLE)
+                                   / CAST(n_pairs AS DOUBLE), 6)
+                   END AS autocorr
+            FROM agg ORDER BY source, lag
+        """,
+        "q332_rare_token_docs": f"""
+            WITH tk AS (SELECT doc_id, source,
+                               list_distinct({_TOKS}) AS t
+                        FROM documents),
+            p AS (SELECT doc_id, source, unnest(t) AS tok FROM tk),
+            d AS (SELECT doc_id, source,
+                         count(*) OVER (PARTITION BY tok) AS df
+                  FROM p)
+            SELECT doc_id, source,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN df <= {TV.RARE_DF_MAX} THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_rare,
+                   CAST(sum(CASE WHEN df <= {TV.RARE_DF_MAX} THEN 1
+                                 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+                     AS rare_permille
+            FROM d GROUP BY 1, 2 ORDER BY doc_id
+        """,
+        "q333_interarrival_burst": """
+            WITH seq AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events WHERE ts IS NOT NULL),
+            g AS (SELECT event_type, gap FROM seq WHERE gap IS NOT NULL),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_gaps,
+                           CAST(sum(gap) AS BIGINT) AS s1,
+                           CAST(sum(CAST(gap AS DECIMAL(38,0))
+                                    * CAST(gap AS DECIMAL(38,0)))
+                                AS DECIMAL(38,0)) AS s2
+                    FROM g GROUP BY 1),
+            m AS (SELECT event_type, n_gaps,
+                         CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+                         sqrt(greatest(
+                           CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE)
+                                / CAST(n_gaps AS DOUBLE)), 0.0)) AS sd
+                  FROM agg)
+            SELECT event_type, n_gaps, mu AS mean_gap_us,
+                   CASE WHEN n_gaps >= 2 AND mu > 0
+                        THEN round(sd / mu, 6) END AS cv,
+                   CASE WHEN n_gaps >= 2 AND sd + mu > 0
+                        THEN round((sd - mu) / (sd + mu), 6)
+                   END AS burstiness
+            FROM m ORDER BY event_type
         """,
     })
     return {k: _normalize_neg_zero(v) for k, v in oracles.items()}

@@ -870,3 +870,86 @@ def diurnal_entropy(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def interarrival_burst(events: DataFrame) -> DataFrame:
+    """Inter-arrival burstiness per event type (q333): over each
+    (user, type) stream's consecutive-event gaps, the coefficient of
+    variation and the Goh–Barabási burstiness index
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B near 0 is Poisson traffic, B → 1 is
+    bursty (bots, scrapers, retry storms), B < 0 is pacemaker-regular
+    (cron). The per-type one-number answer "is this event stream
+    organic?", complementing q304/q319 (volume changepoints — WHEN it
+    shifted) and q325 (diurnal shape — WHERE in the day). Distinct
+    from q295 (`arrival_burstiness`) by GRAIN: q295 measures the
+    MERGED per-type arrival process (the queueing/capacity number —
+    many independent users superpose toward Poisson), while this
+    op's gaps are per-(user, type) behavioral streams, where a single
+    account's metronome retry loop or scripted burst stands out
+    even though it vanishes in the merged stream.
+
+    NULL timestamps are excluded before the lag window (the q306
+    policy — the engines order NULLs differently, so an unfiltered
+    NULL would pair different events).
+
+    Exactness: gaps are exact integer microseconds; Σgap is BIGINT
+    and Σgap² a DECIMAL(38,0) (a decade-long gap squares to ~1e26 —
+    silent BIGINT wrap in Spark, raise in DuckDB: the q321 lesson,
+    sized away); μ, σ, cv, B are single double expressions over those
+    exact sums with identical operand order in the oracle — μ ships
+    unrounded (bit-identical division; 6dp rounding at ~1e11 magnitude
+    is below double resolution and the engines' rounders diverge),
+    cv and B are O(1) ratios rounded 6dp once. Types with < 2 gaps
+    report NULL cv/burstiness (no spread evidence), not 0.
+
+    Scale: the lag window partitions on user_id (the q15/q306 plan —
+    one shuffle, per-user counts bound it); the moment rollup is one
+    partial-aggregated groupBy on |types| keys.
+    """
+    seq = (
+        events.filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn(
+            "gap",
+            F.col("us")
+            - F.lag("us").over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    "us", "event_id"
+                )
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n_gaps").cast("double") - mu * mu
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        # mean gap stays UNROUNDED: one double division of exact integer
+        # sums is bit-identical in both engines, while rounding a ~1e11
+        # magnitude at 6dp is below double resolution and the engines'
+        # round algorithms (BigDecimal half-up vs native) diverge there
+        mu.alias("mean_gap_us"),
+        F.when(
+            (F.col("n_gaps") >= 2) & (mu > 0), F.round(sd / mu, 6)
+        ).alias("cv"),
+        F.when(
+            (F.col("n_gaps") >= 2) & (sd + mu > 0),
+            F.round((sd - mu) / (sd + mu), 6),
+        ).alias("burstiness"),
+    ).orderBy("event_type")

@@ -1,0 +1,156 @@
+"""Token-sequence and vocabulary profiling operators — the round-12
+additions to the text-analysis family, split into their own module per
+the 2,500-LoC rule (`textops.py` and `textops_quality.py` are both at
+the cap; same discipline as the r11 `eventops_monitors` split).
+
+Reference parity: none of this exists in the reference (its text
+surface is chunking + LLM enrichment, `transform_service.py`); these
+are beyond-reference training-data operators: q331 catches periodic /
+machine-looping text that n-gram repeat fractions (q60) miss, q332
+catches OCR-garbage / mojibake documents whose vocabulary is mostly
+corpus-rare — both standard pretraining-curation screens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from githubrepostorag_spark.functions import text as TXT
+from githubrepostorag_spark.session import scale_out
+
+__all__ = ["span_autocorr", "rare_token_docs"]
+
+AUTOCORR_MAX_LAG = 8  # token lags 1..8 — covers the short loop periods
+# machine-generated boilerplate actually exhibits (list items, table
+# rows); longer periods surface in q60's n-gram repeat fraction instead
+
+RARE_DF_MAX = 2  # a token is corpus-RARE when <= 2 documents use it
+
+
+def span_autocorr(
+    documents: DataFrame, max_lag: int = AUTOCORR_MAX_LAG
+) -> DataFrame:
+    """Token-lag autocorrelation per source (q331): for each lag
+    1..max_lag, the probability that token i equals token i+lag,
+    pooled over the source's documents — the periodicity screen for
+    machine-generated or template-looping text. Natural prose has low,
+    flat autocorrelation; a doc stream stuck in "<li> item </li>"
+    loops spikes at the loop period. Complements q60 (repeat fraction
+    ignores WHERE repeats sit) and q320 (cross-document spans): this
+    is the within-document periodic signal.
+
+    Output: (source, lag, n_pairs, n_matches, autocorr) — counts
+    exact integers, autocorr one rounded division, NULL when the
+    source has no lag-l pairs.
+
+    Exactness: token equality on the raw whitespace tokens (the _TOKS
+    domain); per-doc per-lag match counts are array expressions —
+    no explode of the token stream, no window.
+
+    Scale: everything up to the final rollup is MAP-SIDE (zip_with
+    over shifted array copies — the q82 word_ngrams discipline); the
+    only shuffle is the partial-aggregated groupBy on (source, lag),
+    a |sources|·max_lag key space. The per-lag struct array adds
+    max_lag small ints per doc, not a token-stream copy.
+    """
+    toks = TXT.tokens(F.col("text"))
+    n = F.size(toks)
+    per_lag = []
+    for lag in range(1, max_lag + 1):
+        shifted = F.slice(toks, lag + 1, F.greatest(n - lag, F.lit(0)))
+        # zip_with pads the shorter side with NULL; tok == NULL is NULL,
+        # and filter(x -> x) keeps only TRUE — padding never counts
+        matches = F.size(
+            F.filter(
+                F.zip_with(toks, shifted, lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        per_lag.append(
+            F.struct(
+                F.lit(lag).cast("long").alias("lag"),
+                F.greatest(n - lag, F.lit(0)).cast("long").alias("n_pairs"),
+                matches.cast("long").alias("n_match"),
+            )
+        )
+    exploded = scale_out(
+        documents.select("doc_id", "source", "text"), "doc_id"
+    ).select("source", F.explode(F.array(*per_lag)).alias("s"))
+    return (
+        exploded.groupBy("source", F.col("s.lag").alias("lag"))
+        .agg(
+            F.sum("s.n_pairs").cast("long").alias("n_pairs"),
+            F.sum("s.n_match").cast("long").alias("n_matches"),
+        )
+        .select(
+            "source",
+            "lag",
+            "n_pairs",
+            "n_matches",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(
+                    F.col("n_matches").cast("double")
+                    / F.col("n_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("autocorr"),
+        )
+        .orderBy("source", "lag")
+    )
+
+
+def rare_token_docs(documents: DataFrame, df_max: int = RARE_DF_MAX) -> DataFrame:
+    """Rare-vocabulary document profile (q332): per document, the
+    share of its DISTINCT tokens that are corpus-RARE (used by at most
+    ``df_max`` documents) — the OCR-garbage / mojibake / binary-spill
+    screen: a document whose vocabulary is mostly words nobody else
+    uses is noise to a language model even when its length and
+    punctuation stats (q17/q20) look normal. The doc-grain complement
+    to q322's source-level hapax mass.
+
+    Output: one row per document with >= 1 token — (doc_id, source,
+    n_distinct, n_rare, rare_permille), permille integer-exact
+    (floor), ordered by doc_id. Token-less docs carry no vocabulary
+    evidence and are omitted (the q320 n_short discipline).
+
+    Exactness: distinct-token sets via array_distinct on the raw
+    whitespace tokens; document frequency is countDistinct-free — one
+    COUNT over the (token, doc) DISTINCT pairs; permille is integer
+    div.
+
+    Scale: ONE corpus-sized shuffle keyed on the token string (the
+    df window — high-cardinality key, the q320 gram discipline), then
+    a doc-keyed rollup. At 100 TB the token key would shuffle as a
+    64-bit hash (transport only; the string keeps the oracle's key
+    domain identical).
+    """
+    pairs = scale_out(
+        documents.select("doc_id", "source", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("tok"),
+    )
+    wt = Window.partitionBy("tok")
+    return (
+        pairs.withColumn("df", F.count(F.lit(1)).over(wt))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("df") <= df_max, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_distinct",
+            "n_rare",
+            F.expr("n_rare * 1000 div n_distinct").cast("long").alias(
+                "rare_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )

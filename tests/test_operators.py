@@ -6453,3 +6453,149 @@ def test_char_class_profile_hand_computed(spark):
     u = got["u"]
     assert (u.n_docs, u.n_chars) == (1, 3)
     assert (u.alpha_permille, u.other_permille) == (333, 666)
+
+
+def test_span_autocorr_hand_computed(spark):
+    """q331: "a b a b a b" autocorrelates perfectly at every even lag
+    (1.0) and not at all at odd lags (0.0); an aperiodic doc is flat
+    zero; a source whose only doc has one token has zero pairs at
+    every lag and reports NULL autocorr, not 0/0."""
+    from githubrepostorag_spark.operators import textops_vocab as TV
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b a b a b"),
+            (2, "s2", "p q r s t u"),
+            (3, "s3", "solo"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.source, r.lag): r for r in TV.span_autocorr(docs).collect()}
+    assert {k[0] for k in got} == {"s1", "s2", "s3"}
+    # s1: 6 tokens -> lag l has 6-l pairs; matches = pairs iff l even
+    for lag in range(1, 9):
+        r = got[("s1", lag)]
+        assert r.n_pairs == max(6 - lag, 0)
+        if r.n_pairs == 0:
+            assert r.autocorr is None
+        elif lag % 2 == 0:
+            assert (r.n_matches, r.autocorr) == (r.n_pairs, 1.0)
+        else:
+            assert (r.n_matches, r.autocorr) == (0, 0.0)
+    # aperiodic: all-zero autocorr where pairs exist
+    for lag in range(1, 6):
+        assert got[("s2", lag)].autocorr == 0.0
+    # single-token doc: zero pairs everywhere -> NULL
+    for lag in range(1, 9):
+        r = got[("s3", lag)]
+        assert (r.n_pairs, r.n_matches) == (0, 0)
+        assert r.autocorr is None
+
+
+def test_rare_token_docs_hand_computed(spark):
+    """q332: corpus document frequency over DISTINCT per-doc tokens —
+    a token repeated inside one doc counts once toward df; docs whose
+    vocabulary is mostly df<=2 tokens rank as rare (permille floor
+    exact); an empty doc carries no vocabulary evidence and is
+    omitted."""
+    from githubrepostorag_spark.operators import textops_vocab as TV
+
+    docs = spark.createDataFrame(
+        [
+            # "common" df=3 (not rare), "shared" df=2 (rare),
+            # per-doc uniques df=1 (rare)
+            (1, "s", "common common shared u1a u1b"),
+            (2, "s", "common shared"),
+            (3, "s", "common u3a"),
+            (4, "s", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in TV.rare_token_docs(docs).collect()}
+    assert set(got) == {1, 2, 3}  # empty doc omitted
+    # doc1: distinct {common, shared, u1a, u1b} -> rare {shared,u1a,u1b}
+    assert (got[1].n_distinct, got[1].n_rare, got[1].rare_permille) == (4, 3, 750)
+    assert (got[2].n_distinct, got[2].n_rare, got[2].rare_permille) == (2, 1, 500)
+    assert (got[3].n_distinct, got[3].n_rare, got[3].rare_permille) == (2, 1, 500)
+
+
+def test_interarrival_burst_hand_computed(spark):
+    """q333: per-(user, type) gaps — a metronome user (equal gaps) has
+    sigma 0 so cv = 0 and B = -1; gaps {1s, 3s} give mu = 2e6 us,
+    sigma = 1e6, cv = 0.5, B = -1/3; a single-gap type reports NULL
+    cv/burstiness; and a second user's interleaved event creates NO
+    cross-user gap."""
+    import datetime as dt
+
+    from githubrepostorag_spark.operators import eventops as E
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # metronome: user 1, type a, every 10 s
+        (1, s(0), 1, "a", 1.0, "{}"),
+        (2, s(10), 1, "a", 1.0, "{}"),
+        (3, s(20), 1, "a", 1.0, "{}"),
+        # user 2 interleaves ONE type-a event: no gap of its own, and
+        # no phantom cross-user gap at 5 s
+        (4, s(5), 2, "a", 1.0, "{}"),
+        # bursty-ish: user 3, type b, gaps 1 s and 3 s
+        (5, s(0), 3, "b", 1.0, "{}"),
+        (6, s(1), 3, "b", 1.0, "{}"),
+        (7, s(4), 3, "b", 1.0, "{}"),
+        # single gap: user 4, type c, two events
+        (8, s(0), 4, "c", 1.0, "{}"),
+        (9, s(7), 4, "c", 1.0, "{}"),
+        # NULL ts excluded
+        (10, None, 1, "a", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in E.interarrival_burst(events).collect()}
+    a = got["a"]
+    assert a.n_gaps == 2  # user 1's two 10s gaps; user 2 contributes none
+    assert a.mean_gap_us == 10_000_000.0
+    assert (a.cv, a.burstiness) == (0.0, -1.0)
+    b = got["b"]
+    assert b.n_gaps == 2 and b.mean_gap_us == 2_000_000.0
+    assert b.cv == 0.5
+    assert b.burstiness == round((1e6 - 2e6) / (1e6 + 2e6), 6)
+    c = got["c"]
+    assert c.n_gaps == 1 and c.mean_gap_us == 7_000_000.0
+    assert c.cv is None and c.burstiness is None
+
+
+def test_round12_new_ops_plan_shapes(spark):
+    """Physical-plan pins for the round-12 operators: no cartesian
+    product anywhere; q331 is map-side up to one (source, lag)
+    aggregate exchange; q332's only corpus-sized exchanges are the
+    token-keyed df window and the doc rollup; q333 shuffles once on
+    the (user, type) window and once on the |types| aggregate."""
+    import re
+
+    from githubrepostorag_spark.operators import curation as CU
+    from githubrepostorag_spark.operators import eventops as E
+    from githubrepostorag_spark.operators import textops_vocab as TV
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plans = {
+        "q330": CU.lang_epoch_shift(docs),
+        "q331": TV.span_autocorr(docs),
+        "q332": TV.rare_token_docs(docs),
+        "q333": E.interarrival_burst(events),
+    }
+    for name, df in plans.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name == "q332":
+            keys = set(
+                re.findall(r"(?:hash|range)partitioning\((\w+)", plan)
+            )
+            assert keys <= {"tok", "doc_id"}, keys
