@@ -1156,14 +1156,18 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     must be explicit, never a three-valued-logic accident. Returns the
     number of (reconciled) rows removed.
 
-    Run OFFLINE with no gate in flight, the compaction discipline: a
-    micro-batch whose first attempt appended rows, got those rows
-    deleted here, and then REPLAYED would re-append them (its replay
-    contract is "re-derive identical decisions", which includes the
-    append). Deletions between batches are safe — the tombstone-less
-    store has no per-row history to resurrect. (The composed
-    `plans.index_lifecycle.takedown` wraps this verb together with the
-    dedup-store and corpus deletes in the safe order.)
+    The r11-documented replay race is CLOSED (r12): this delete writes
+    a takedown GUARD (`ivf_takedown_guard_path` — deleted vec_ids +
+    the store's max batch_id), and the streaming embedding gate drops
+    guard-covered rows from any batch at or before that watermark, so
+    an at-least-once replay of a pre-takedown batch re-derives its
+    decisions WITHOUT re-appending the deleted vectors; a genuine
+    resubmission in a later batch passes (pinned by
+    `test_takedown_during_replay_not_resurrected_embedding_gate`).
+    Offline discipline is still the recommendation for compaction-
+    grade rewrites, but takedown no longer depends on it. (The
+    composed `plans.index_lifecycle.takedown` wraps this verb together
+    with the dedup-store and corpus deletes in the safe order.)
 
     CRASH RECOVERY: the three store writes (sidecar, data overwrite,
     empty-cell dir drops) are separate non-atomic steps, ordered

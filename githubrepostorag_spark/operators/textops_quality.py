@@ -2194,14 +2194,19 @@ def unsafe_page_filter(
     documents: DataFrame,
     lexicon: tuple[str, ...] = UNSAFE_TERMS,
     text_col: str = "text",
+    keep_null_text: bool = False,
 ) -> DataFrame:
     """C4 §2.2 page drop as a pure filter predicate: keep only
     documents with ZERO blocklist hits. Same single-scan shape as
     gopher_pass_filter / code_hygiene_filter so it splices into
     plans.curation.curation_pipeline as an opt-in gate with no extra
     join or shuffle; ``F.exists`` short-circuits on the first hit.
-    NULL text evaluates to a NULL predicate and is DROPPED (the
-    filter-gate convention: only provably-clean pages pass); in the
+    By default NULL text evaluates to a NULL predicate and is DROPPED
+    (the filter-gate convention: only provably-clean pages pass) —
+    a PINNED contract (`test_unsafe_page_filter_null_text_contract`),
+    not an accident of three-valued logic; pass
+    ``keep_null_text=True`` to route NULL-text rows through instead
+    (a caller that gates text-less metadata rows elsewhere). In the
     curation pipeline NULL text never reaches this gate — the funnel's
     length predicate already removed it. Multi-token phrase entries
     are honored (the `_unsafe_hits_col` matcher); a phrase-free
@@ -2218,7 +2223,10 @@ def unsafe_page_filter(
         dirty = dirty | (
             F.size(_unsafe_hits_col(F.col(text_col), tuple(phrases))) > 0
         )
-    return documents.filter(~dirty)
+    keep = ~dirty
+    if keep_null_text:
+        keep = F.col(text_col).isNull() | keep
+    return documents.filter(keep)
 
 
 def unsafe_content_report(

@@ -70,8 +70,13 @@ def span_autocorr(
         per_lag.append(
             F.struct(
                 F.lit(lag).cast("long").alias("lag"),
+                # both engines' greatest() IGNORES NULLs, so a NULL-text
+                # doc contributes 0 pairs; coalesce the match count to 0
+                # too (Spark's size-of-NULL is NULL and an all-NULL-text
+                # source would otherwise sum to NULL where the oracle's
+                # coalesced list_sum reports 0)
                 F.greatest(n - lag, F.lit(0)).cast("long").alias("n_pairs"),
-                matches.cast("long").alias("n_match"),
+                F.coalesce(matches, F.lit(0)).cast("long").alias("n_match"),
             )
         )
     exploded = scale_out(

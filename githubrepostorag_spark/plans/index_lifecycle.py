@@ -83,6 +83,13 @@ def takedown(
     and the corpus anti-join removes nothing further. Legal-clock
     discipline: step 1 lands within one Spark job of the call.
 
+    Operational note (the watermark's monotonic-batch-id assumption):
+    streaming batch ids are per-checkpoint, so before pointing a gate
+    with a FRESH checkpoint at a store that has pending tombstones,
+    run the store's compaction first (it applies and clears them) —
+    otherwise a new batch-0's reused doc_ids would be masked as
+    replays. Resumed gates (same checkpoint) need nothing.
+
     `doc_ids` is a Python iterable of ids (the takedown request).
     Returns the audit frame (step, value, run_id) with LONG values:
     n_requested, n_tombstoned, n_ivf_deleted, n_ivf_after,

@@ -6599,3 +6599,56 @@ def test_round12_new_ops_plan_shapes(spark):
                 re.findall(r"(?:hash|range)partitioning\((\w+)", plan)
             )
             assert keys <= {"tok", "doc_id"}, keys
+
+
+def test_unsafe_page_filter_null_text_contract(spark):
+    """r11 ADVICE close-out: the NULL-text DROP is a pinned contract
+    (only provably-clean pages pass the default gate), and the new
+    keep_null_text flag routes NULL-text rows through while the dirty
+    page still drops — in both the single-token and phrase paths."""
+    docs = spark.createDataFrame(
+        [
+            (1, "s", None),
+            (2, "s", "clean page body"),
+            (3, "s", "porn here"),
+            (4, "s", "a hash value phrase"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    assert {r.doc_id for r in TO.unsafe_page_filter(docs).collect()} == {2, 4}
+    assert {
+        r.doc_id
+        for r in TO.unsafe_page_filter(docs, keep_null_text=True).collect()
+    } == {1, 2, 4}
+    phrase_lex = ("hash value",)
+    assert {
+        r.doc_id for r in TO.unsafe_page_filter(docs, lexicon=phrase_lex).collect()
+    } == {2, 3}
+    assert {
+        r.doc_id
+        for r in TO.unsafe_page_filter(
+            docs, lexicon=phrase_lex, keep_null_text=True
+        ).collect()
+    } == {1, 2, 3}
+
+
+def test_vocab_ops_hostile_null_text(spark):
+    """q331/q332 hostile pins: NULL-text docs contribute zero pairs
+    and zero matches to span_autocorr (both engines' greatest()
+    ignores NULLs; the match count is coalesced) — even when a source
+    is ALL NULL text — and are omitted from rare_token_docs (no
+    vocabulary evidence), matching the oracle's unnest-of-NULL."""
+    from githubrepostorag_spark.operators import textops_vocab as TV
+
+    docs = spark.createDataFrame(
+        [(1, "sN", None), (2, "sN", None), (3, "s", "a b a")],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.source, r.lag): r for r in TV.span_autocorr(docs).collect()}
+    for lag in range(1, 9):
+        r = got[("sN", lag)]
+        assert (r.n_pairs, r.n_matches) == (0, 0)
+        assert r.autocorr is None
+    assert got[("s", 2)].autocorr == 1.0
+    rare = {r.doc_id for r in TV.rare_token_docs(docs).collect()}
+    assert rare == {3}
