@@ -1156,6 +1156,12 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     must be explicit, never a three-valued-logic accident. Returns the
     number of (reconciled) rows removed.
 
+    ``predicate`` may also be a DataFrame with a ``vec_id`` column (a
+    MASS revocation — every vector of a banned license, millions of
+    ids): matching switches to a broadcast semi/anti-join, so no
+    multi-megabyte ``isin`` literal is ever built and the id set never
+    collects to the driver (r12 ADVICE close-out).
+
     The r11-documented replay race is CLOSED (r12): this delete writes
     a takedown GUARD (`ivf_takedown_guard_path` — deleted vec_ids +
     the store's max batch_id), and the streaming embedding gate drops
@@ -1178,11 +1184,32 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     counted.
     """
     upgrade_ivf_store(spark, path)  # pre-sidecar store: migrate first
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(predicate, _DF):
+        ids = F.broadcast(
+            predicate.select("vec_id").distinct().localCheckpoint(eager=True)
+        )  # pin: the id frame is read for the cell scan AND the anti-join
+
+        def _match(df):
+            return df.join(ids, "vec_id", "left_semi")
+
+        def _keep(df):
+            return df.join(ids, "vec_id", "left_anti")
+
+    else:
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        def _match(df):
+            return df.filter(pred)
+
+        def _keep(df):
+            return df.filter(~F.coalesce(pred, F.lit(False)))
+
     store = spark.read.parquet(path)
     doomed_cells = sorted(
         int(r["cell"])
-        for r in store.filter(pred).select("cell").distinct().collect()
+        for r in _match(store).select("cell").distinct().collect()
     )  # |cells|-bounded collect; the scan reads only pred's columns + cell
     if not doomed_cells:
         return 0
@@ -1192,9 +1219,7 @@ def delete_from_ivf_store(spark, path: str, predicate) -> int:
     affected = reconcile_replay_rows(
         store.filter(F.col("cell").isin(doomed_cells))
     ).localCheckpoint(eager=True)  # pin before overwriting its source
-    kept = affected.filter(
-        ~F.coalesce(pred, F.lit(False))
-    ).localCheckpoint(eager=True)
+    kept = _keep(affected).localCheckpoint(eager=True)
     n_deleted = affected.count() - kept.count()
     if n_deleted == 0:
         return 0

@@ -90,12 +90,19 @@ def takedown(
     otherwise a new batch-0's reused doc_ids would be masked as
     replays. Resumed gates (same checkpoint) need nothing.
 
-    `doc_ids` is a Python iterable of ids (the takedown request).
+    `doc_ids` is the takedown request: a Python iterable of ids, or a
+    DataFrame with a ``doc_id`` column for MASS revocations (millions
+    of ids) — the DataFrame path never collects the id set and never
+    builds an ``isin`` literal: the dedup tombstone appends the frame,
+    the IVF delete semi/anti-joins it, and the corpus rewrite is a
+    broadcast anti-join (r12 ADVICE close-out).
     Returns the audit frame (step, value, run_id) with LONG values:
     n_requested, n_tombstoned, n_ivf_deleted, n_ivf_after,
     n_corpus_removed, n_corpus_after (-1 for skipped stores).
     """
     import pandas as pd
+
+    from pyspark.sql import functions as F
 
     from githubrepostorag_spark.operators.dedup import (
         delete_from_dedup_store,
@@ -104,24 +111,36 @@ def takedown(
         delete_from_ivf_store,
     )
 
-    ids = sorted({int(d) for d in doc_ids})
+    if isinstance(doc_ids, DataFrame):
+        ids_df = (
+            doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+        )  # pin: read by every store's delete below
+        n_requested = ids_df.count()
+    else:
+        ids_df = None
+        ids = sorted({int(d) for d in doc_ids})
+        n_requested = len(ids)
     n_tomb = n_ivf = n_ivf_after = n_removed = n_after = -1
     if dedup_path is not None:
-        n_tomb = delete_from_dedup_store(spark, dedup_path, ids)
+        n_tomb = delete_from_dedup_store(
+            spark, dedup_path, ids_df if ids_df is not None else ids
+        )
     if ivf_path is not None:
-        from pyspark.sql import functions as F
-
         n_ivf = delete_from_ivf_store(
-            spark, ivf_path, F.col("vec_id").isin(ids)
+            spark,
+            ivf_path,
+            ids_df.select(F.col("doc_id").alias("vec_id"))
+            if ids_df is not None
+            else F.col("vec_id").isin(ids),
         )
         n_ivf_after = spark.read.parquet(ivf_path).count()
     if corpus_path is not None:
-        from pyspark.sql import functions as F
-
         corpus = spark.read.parquet(corpus_path)
         n_before = corpus.count()
-        kept = corpus.filter(
-            ~F.col("doc_id").isin(ids)
+        kept = (
+            corpus.join(F.broadcast(ids_df), "doc_id", "left_anti")
+            if ids_df is not None
+            else corpus.filter(~F.col("doc_id").isin(ids))
         ).localCheckpoint(eager=True)  # pin before overwriting its source
         n_after = kept.count()
         n_removed = n_before - n_after
@@ -136,7 +155,9 @@ def takedown(
                 "n_corpus_removed",
                 "n_corpus_after",
             ],
-            "value": [len(ids), n_tomb, n_ivf, n_ivf_after, n_removed, n_after],
+            "value": [
+                n_requested, n_tomb, n_ivf, n_ivf_after, n_removed, n_after
+            ],
         }
     )
     audit["value"] = audit["value"].astype("int64")

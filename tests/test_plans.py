@@ -1712,3 +1712,50 @@ def test_round11_new_ops_plan_shapes(spark):
         plans["q316"]._jdf.queryExecution(), "formatted"
     )
     assert "SortMergeJoin" not in psi_plan, psi_plan
+
+
+def test_takedown_dataframe_ids_equals_list_ids(spark, tmp_path):
+    """r12 ADVICE close-out: the mass-revocation path — doc_ids as a
+    DataFrame — produces byte-identical stores and the same audit as
+    the list path (broadcast joins instead of isin literals; the id
+    set never collects), and the IVF delete accepts the id frame
+    directly."""
+    from pyspark.sql import functions as F
+
+    from githubrepostorag_spark.operators.dedup import write_dedup_store
+    from githubrepostorag_spark.operators.similarity import write_ivf_store
+    from githubrepostorag_spark.plans.index_lifecycle import takedown
+    from githubrepostorag_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    doomed = [int(r["doc_id"]) for r in docs.orderBy("doc_id").limit(6).collect()]
+
+    def build(tag):
+        root = tmp_path / tag
+        c, i, d = str(root / "c"), str(root / "i"), str(root / "d")
+        docs.select("doc_id", "source", "text").write.parquet(c)
+        write_ivf_store(emb, i)
+        write_dedup_store(docs, d)
+        return c, i, d
+
+    c1, i1, d1 = build("list")
+    a1 = {r.step: r.value for r in takedown(spark, c1, i1, d1, doomed).collect()}
+    c2, i2, d2 = build("frame")
+    ids_df = spark.createDataFrame([(x,) for x in doomed], "doc_id long")
+    a2 = {r.step: r.value for r in takedown(spark, c2, i2, d2, ids_df).collect()}
+    assert a1 == a2
+    assert a1["n_requested"] == 6 and a1["n_corpus_removed"] == 6
+    assert a1["n_ivf_deleted"] >= 0  # whatever overlaps the vec space
+    # final states identical
+    for p1, p2, key in ((c1, c2, "doc_id"), (i1, i2, "vec_id")):
+        s1 = sorted(r[key] for r in spark.read.parquet(p1).select(key).collect())
+        s2 = sorted(r[key] for r in spark.read.parquet(p2).select(key).collect())
+        assert s1 == s2
+    live1 = sorted(
+        r.doc_id for r in spark.read.parquet(d1 + "/tombstones").collect()
+    )
+    live2 = sorted(
+        r.doc_id for r in spark.read.parquet(d2 + "/tombstones").collect()
+    )
+    assert live1 == live2 == sorted(doomed)
