@@ -1837,14 +1837,22 @@ def edit_distance_verify(
             "doc_b",
         )
     )
-    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    # The DP kernel is materialized into its OWN projection first:
+    # referencing `F.levenshtein(...)` from both output columns of one
+    # select evaluates the O(len_a*len_b) kernel TWICE per pair —
+    # Catalyst's CollapseProject declines to inline a non-cheap
+    # expression referenced more than once, so the two-step form keeps
+    # exactly one evaluation (r12 optimization, guide §7.2 duplicated-
+    # subtree check; measured 7.0 s -> 3.4 s on the 58k-pair tail at
+    # sf0.1).
+    step = joined.withColumn("_dist", F.levenshtein(F.col("ta"), F.col("tb")))
     mx = F.greatest(F.length("ta"), F.length("tb"))
-    return joined.select(
+    return step.select(
         "doc_a",
         "doc_b",
         "jaccard",
-        dist.cast("long").alias("edit_dist"),
-        F.when(mx > 0, F.round(1.0 - dist / mx.cast("double"), 6))
+        F.col("_dist").cast("long").alias("edit_dist"),
+        F.when(mx > 0, F.round(1.0 - F.col("_dist") / mx.cast("double"), 6))
         .otherwise(F.lit(1.0))
         .alias("edit_sim"),
     )

@@ -905,8 +905,22 @@ def embedding_corr_pairs(
     pair structs while the oracle's self-join emits nothing — the
     guard keeps both engines at "no pairs" for ragged rows. Per-dim
     stats stay UNfiltered (the oracle's unnest counts a 1-element
-    vector's dim 0 in ``pd`` even though it contributes no pair)."""
-    base = embeddings.select(V.as_double(F.col("embedding")).alias("e"))
+    vector's dim 0 in ``pd`` even though it contributes no pair).
+
+    The input is spread across the cluster FIRST (`scale_out`): the
+    pair transform emits d(d−1)/2 structs per vector (2,016 at d=64 —
+    a ~1000× row inflation) and the vector table arrives as a single
+    scan split, so without the up-front repartition the entire explode
+    + decimal aggregation ran in ONE task (measured 10.8 s at sf0.1;
+    2.5 s after — r12 optimization, guide §2.5 input-skew rule: the
+    tiny raw-row shuffle buys full parallelism for the dominant
+    map-side work, and the partial aggregation still collapses to
+    d(d−1)/2 groups per task before the exchange)."""
+    from githubrepostorag_spark.session import scale_out
+
+    base = scale_out(embeddings.select("vec_id", "embedding"), "vec_id").select(
+        V.as_double(F.col("embedding")).alias("e")
+    )
     pair_base = base.filter(F.size(F.col("e")) > 1)
     pair_structs = F.expr(
         "flatten(transform(sequence(0, size(e) - 2), i -> "

@@ -942,9 +942,15 @@ def _cdc_from_gram_hash(
     documents: DataFrame, k: int, divisor: int, gram_hash
 ) -> DataFrame:
     """Shared CDC chunk builder: `gram_hash(p)` scores the k-gram at
-    1-based position p; boundaries where hash ≡ 0 (mod divisor)."""
+    1-based position p; boundaries where hash ≡ 0 (mod divisor).
+
+    The input is spread across the cluster first (r12 optimization):
+    the boundary scorer is O(n_chars) hash work PER ROW (a full md5
+    round per position for q216), and the corpus arrives as a single
+    scan split — without the tiny raw-row repartition the whole scan →
+    score → explode chain ran in ONE task (guide §2.5 input skew)."""
     n_grams = (F.length("text") - F.lit(k - 1)).alias("n_grams")
-    base = documents.filter(F.length("text") > 0).select(
+    base = scale_out(documents.filter(F.length("text") > 0), "doc_id").select(
         "doc_id", "text", F.length("text").cast("long").alias("n"), n_grams
     )
     starts_tail = F.when(
@@ -1088,7 +1094,9 @@ def cdc_chunks_rolling(
     starts_tail = F.when(
         n_grams >= 2, F.aggregate(io, acc0, step, lambda a: a["st"])
     ).otherwise(F.array().cast("array<int>"))
-    base = documents.filter(F.length("text") > 0).select(
+    # scale_out: the rolling fold is O(n_chars) per row and the corpus
+    # arrives as one scan split (see _cdc_from_gram_hash — same r12 fix)
+    base = scale_out(documents.filter(F.length("text") > 0), "doc_id").select(
         "doc_id", "text", F.length("text").cast("long").alias("n")
     )
     return _chunks_from_starts(

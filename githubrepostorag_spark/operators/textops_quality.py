@@ -720,22 +720,28 @@ def novelty_profile(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
     single earlier document matches it (cross-doc mosaic duplication
     that pairwise near-dup metrics under-count).
 
-    Plan shape: one gram explode → per-gram min(doc_id) (one shuffle,
-    map-side combined) → join the per-doc distinct grams back on the
-    gram → per-doc conditional count. Linear in corpus grams, no pair
-    work at all.
+    Plan shape (r12 optimization): the corpus is spread across the
+    cluster FIRST (`scale_out` — the raw scan is one split, so the
+    gram explode otherwise runs in a single task), then ONE gram
+    explode feeds ONE gram-keyed window that attaches the per-gram
+    min(doc_id) in place — the previous groupBy+join-back shape
+    evaluated the explode twice (once per join side) and broadcast the
+    full distinct-gram table, which at 100 TB is corpus-sized and
+    cannot broadcast. One corpus-sized exchange on the gram, then the
+    doc-keyed rollup. Linear in corpus grams, no pair work at all.
     """
     from githubrepostorag_spark.operators.curation import word_ngram_set
 
     grams = (
-        documents.select(
+        scale_out(documents.select("doc_id", "text"), "doc_id")
+        .select(
             "doc_id", word_ngram_set(F.col("text"), int(n)).alias("gs")
         )
         .select("doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
     )
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(Window.partitionBy("g"))
     return (
-        grams.join(first, "g")
+        grams.withColumn("first_doc", first)
         .groupBy("doc_id", "n_grams")
         .agg(
             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
@@ -811,22 +817,26 @@ def source_novelty(documents: DataFrame, n: int = NOVELTY_GRAM_N) -> DataFrame:
     content and which are re-crawls of what the corpus already holds
     (the evidence behind q236's repeat-decay parameters).
 
-    Same two-shuffle shape as novelty_profile; the rollup keys on
-    source, and the rate divides exact long sums (order-independent).
+    Same shape as novelty_profile (r12 optimization: scale_out +
+    single explode + gram-keyed window instead of the double-explode
+    groupBy+broadcast-join-back — see novelty_profile's docstring);
+    the rollup keys on source, and the rate divides exact long sums
+    (order-independent).
     """
     from githubrepostorag_spark.operators.curation import word_ngram_set
 
     grams = (
-        documents.select(
+        scale_out(documents.select("doc_id", "source", "text"), "doc_id")
+        .select(
             "doc_id",
             "source",
             word_ngram_set(F.col("text"), int(n)).alias("gs"),
         )
         .select("doc_id", "source", F.explode("gs").alias("g"))
     )
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(Window.partitionBy("g"))
     return (
-        grams.join(first, "g")
+        grams.withColumn("first_doc", first)
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),

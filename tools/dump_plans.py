@@ -1,0 +1,47 @@
+"""Dump .explain('formatted') for a list of registry queries to
+plans/r12/<name>_<tag>.txt — the round-12 optimization evidence files.
+
+Usage:
+    python tools/dump_plans.py before q310_embedding_corr q264_edit_verify ...
+    python tools/dump_plans.py after  q310_embedding_corr ...
+
+Heavy fixture-building entries (q328) are skipped unless explicitly
+requested last — the plan of the returned audit frame is a localCheckpoint
+scan and carries no signal; for those we document the component plans
+instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from githubrepostorag_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("dump_plans")
+    qs = entry_mod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan.splitlines())} lines)")
+
+
+if __name__ == "__main__":
+    main()
