@@ -372,9 +372,15 @@ def decontaminate(
     # in one projection would re-evaluate it per EXPLODED row — ~50×
     # the work, measured 30× slower. CollapseProject keeps the split
     # because the alias is referenced twice and the expression isn't
-    # cheap.
+    # cheap. The corpus is spread across the cluster first (r12
+    # optimization): the interpreted gram transform + explode is the
+    # dominant per-row cost and the corpus arrives as one scan split,
+    # so without the tiny raw-row repartition the whole pass ran in a
+    # single task (guide §2.5 input skew).
+    from githubrepostorag_spark.session import scale_out
+
     corpus_grams = (
-        corpus.select(F.col(id_col), grams.alias("grams"))
+        scale_out(corpus, "doc_id").select(F.col(id_col), grams.alias("grams"))
         .select(
             F.col(id_col),
             F.size("grams").alias("n_grams"),
@@ -517,8 +523,10 @@ def bloom_decontaminate(
         bitmap[r["word"]] = r["bits"]
     bitmap_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
 
+    from githubrepostorag_spark.session import scale_out
+
     corpus_grams = (
-        corpus.select(F.col(id_col), grams.alias("grams"))
+        scale_out(corpus, "doc_id").select(F.col(id_col), grams.alias("grams"))
         .select(
             F.col(id_col),
             F.size("grams").alias("n_grams"),
@@ -1082,8 +1090,13 @@ def decontaminate_scrub(
     bench_grams = benchmark.select(
         F.explode(word_ngram_set(F.col(text_col), n)).alias("gram")
     ).distinct()
+    from githubrepostorag_spark.session import scale_out
+
+    # scale_out: the per-LINE word_ngram_set below is interpreted-HOF
+    # work per exploded row, and the lazily-pinned line frame would
+    # otherwise inherit the scan's single split (r12 — guide §2.5)
     lines = (
-        corpus.select(
+        scale_out(corpus, "doc_id").select(
             "doc_id",
             F.posexplode(F.split(text_col, "\n")).alias("pos", "raw_line"),
         )
@@ -1703,8 +1716,14 @@ def ngram_coverage_depth(
     flags — partial-aggregated, so the shuffle carries one row per
     (n, gram)), one |ns|-row final agg. Exact integer permille.
     """
+    from githubrepostorag_spark.session import scale_out
+
+    # scale_out: |ns| interpreted word_ngrams explodes run over this
+    # frame and the corpus arrives as one scan split (r12 — guide §2.5)
     split_df = train_split(
-        documents, val_permille=val_permille, test_permille=test_permille
+        scale_out(documents, "doc_id"),
+        val_permille=val_permille,
+        test_permille=test_permille,
     ).select("split", "text")
     branches = [
         split_df.select(

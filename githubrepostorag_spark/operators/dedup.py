@@ -1193,17 +1193,36 @@ def append_to_dedup_store(
     signatures filtered to the accepted ids, so the batch is shingled
     exactly once per trigger instead of once for the probe and again
     here."""
-    base = sigs if sigs is not None else minhash_signatures(new_docs)
-    sigs = base.withColumn(
-        "batch_id", F.lit(int(batch_id))
-    ).localCheckpoint(eager=True)
+    # Caller-passed signature frames are already materialized (the
+    # streaming gate's probe pinned them), so re-checkpointing here
+    # costs one extra Spark job PER TRIGGER for nothing — both writes
+    # below recompute only a literal column and a broadcast anti-join
+    # on top of the pinned RDD. Only the self-computed path (where the
+    # two writes would each replay the full shingle+md5 chain) still
+    # pins (r12 optimization).
+    base = sigs if sigs is not None else minhash_signatures(new_docs).localCheckpoint(
+        eager=True
+    )
+    # One output file per append (r12 optimization, guide §6 small
+    # files): an ingestion batch is small next to the store by
+    # definition (bulk builds go through write_dedup_store), but the
+    # batch frame arrives 32-way partitioned, so every append used to
+    # drop ~32 tiny files per table — ~64 for the band table, whose
+    # partitionBy writer emits one file per (task, band_idx) — and
+    # every SUBSEQUENT trigger's store probe paid the listing + open
+    # cost of the accumulated litter (measured: 8-trigger sustained
+    # run left 500+ files; per-trigger probe time grew with it). The
+    # coalesce(1) collapses only the cheap post-pin projection; the
+    # band sort keeps its row-group-skipping layout, now global per
+    # file.
+    sigs = base.withColumn("batch_id", F.lit(int(batch_id))).coalesce(1)
     sigs.write.mode("append").parquet(path + "/signatures")
     _bands_from_sigs(sigs, n_bands).withColumn(
         "batch_id", F.lit(int(batch_id))
     ).sortWithinPartitions("band_val").write.mode(
         "append"
     ).partitionBy("band_idx").parquet(path + "/bands")
-    new_docs.select(
+    new_docs.coalesce(1).select(
         "doc_id",
         TXT.fingerprint(F.col("text")).alias("fp"),
         F.lit(int(batch_id)).alias("batch_id"),
@@ -1611,7 +1630,12 @@ def pair_ngram_precision(documents: DataFrame) -> DataFrame:
     # makes sense on pairs the near-dup pipeline would actually judge
     pairs = lsh_candidate_pairs(documents, n_bands=2).localCheckpoint(eager=True)
     toks = TXT.tokens(F.col("text"))
-    base = documents.select("doc_id", toks.alias("t"))
+    # scale_out: the token/bigram explodes below are per-row work and
+    # the corpus arrives as one scan split (r12 — guide §2.5); A/B
+    # isolated runs measured 4.55 s with vs 4.69 s without
+    base = scale_out(documents.select("doc_id", "text"), "doc_id").select(
+        "doc_id", toks.alias("t")
+    )
     uni = base.select("doc_id", F.explode("t").alias("g"))
     big = base.filter(F.size("t") >= 2).select(
         "doc_id",
@@ -2287,7 +2311,10 @@ def dup_ngram_share(documents: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     transport-size optimization; kept as the string here so the
     DuckDB oracle shares the exact key domain).
     """
-    grams = documents.select(
+    # scale_out: the gram build + explode is the dominant per-row cost
+    # and the corpus arrives as one scan split (r12 optimization —
+    # guide §2.5 input skew; same fix as the CDC/novelty chains)
+    grams = scale_out(documents.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id",
         "source",
         F.explode(

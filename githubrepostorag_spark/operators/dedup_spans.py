@@ -95,33 +95,46 @@ def dup_span_scrub(documents: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
             ).alias("pos"),
         )
     )  # duplicates across overlapping grams are fine: anti-join semantics
-    toks = docs.select(
-        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
-    )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-    )
-    base = docs.select(
-        "doc_id", "source", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    # Rewrite happens MAP-SIDE on the document row (r12 optimization,
+    # guide §8: decide with small rows, move heavy rows once): the
+    # covered positions collapse to ONE array row per scrubbed doc —
+    # bounded by duplicated mass — and attach to the docs by a
+    # doc-keyed join; the surviving positions are an array_except over
+    # the position range and the text rebuilds with element_at, all in
+    # one projection. The previous shape exploded the FULL token
+    # stream, anti-joined it on (doc_id, pos) (a corpus-sized
+    # exchange) and re-assembled with a second corpus-sized
+    # groupBy(doc_id) — two token-grain shuffles that carried every
+    # token of every document, scrubbed or not. Identical output:
+    # array_except preserves first-array order, so surviving tokens
+    # stay in original position order exactly like the old
+    # sort_array(collect_list) reassembly.
+    rm = covered.groupBy("doc_id").agg(F.collect_set("pos").alias("rm"))
+    toks = TXT.tokens(F.col("text"))
+    pos_range = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(
+        pos_range, F.coalesce(F.col("rm"), F.array().cast("array<int>"))
     )
     return (
-        base.join(rebuilt, "doc_id", "left")
+        docs.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            kept_pos.alias("_kp"),
+            toks.alias("_t"),
+        )
         .select(
             "doc_id",
             "source",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.size("_kp")).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform("_kp", lambda p: F.element_at(F.col("_t"), p + 1)),
+            ).alias("clean_text"),
         )
         .orderBy("doc_id")
     )

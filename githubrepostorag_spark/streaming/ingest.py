@@ -202,7 +202,16 @@ def stream_dedup_gate(
             exclude_batch_id=int(batch_id),  # replay skips its own append
             sigs=sigs,
         ).localCheckpoint(eager=True)  # pins the whole lazy chain above
-        dup_ids = hits.select(F.col("new_id").alias("doc_id")).distinct()
+        # dup_ids pinned too (r12): four consumers broadcast it (the
+        # accept filter, the accepted write, and both store-append
+        # sides) and each would otherwise re-run its distinct exchange
+        # as separate AQE jobs per trigger — one tiny pin job replaces
+        # ~3 recomputations of the same reject-id set.
+        dup_ids = (
+            hits.select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         accepted = batch.join(dup_ids, "doc_id", "left_anti")
         # BOTH logs land before the store mutates: a crash after either
         # write but before the append replays the batch against the
