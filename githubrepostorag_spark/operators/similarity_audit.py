@@ -586,8 +586,13 @@ def gate_recall_audit(
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("score").alias("ivf_top1"))
     )
+    # the brute-force verifier evaluates |batch|·|store| interpreted
+    # higher-order cosines; spread the store side first so the nested
+    # loop doesn't run in the scan's single split (r12 — guide §2.5)
+    from githubrepostorag_spark.session import scale_out
+
     sp = V.prepare(
-        store.select(F.col("vec_id").alias("nbr_id"), "embedding"),
+        scale_out(store.select(F.col("vec_id").alias("nbr_id"), "embedding"), "nbr_id"),
         "embedding", "se", "sn",
     ).select("nbr_id", "se", "sn")
     bp = V.prepare(batch.select("vec_id", "embedding"), "embedding", "be", "bn").select(

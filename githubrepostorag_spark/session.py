@@ -99,6 +99,15 @@ def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # DataFrame debugging stamps every PySpark API call with its
+        # Python call site via one extra py4j round trip (PySpark 4's
+        # error-enrichment default). Plan-construction-heavy paths pay
+        # dearly — the agent's batched retrieval builds its hop
+        # predicates from thousands of Column ops and measured 19.2 s
+        # -> 16.1 s (min-of-2, batch100) with it off. Error messages
+        # keep the full JVM trace; only the Python-line annotation is
+        # dropped (r12 optimization, guide §1.2 per-task work).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the bench harness prints its result JSON as
         # the final stdout line and the driver's tail capture is small —
