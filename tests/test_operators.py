@@ -3552,6 +3552,70 @@ def test_edit_distance_verify_order_sensitivity(spark):
     assert got[(1, 3)].edit_sim > 0.9
 
 
+def test_edit_distance_verify_single_levenshtein_eval(spark):
+    """r12 optimization pin: the O(len_a*len_b) Levenshtein kernel is
+    materialized into its own projection and referenced by both output
+    columns — if a refactor folds it back into one select, Catalyst's
+    CollapseProject duplicates the evaluation (measured 2x the stage)
+    and the physical plan shows TWO levenshtein calls. The plan must
+    carry exactly one."""
+    from githubrepostorag_spark.operators import dedup as DDm
+
+    rows = [
+        (1, "alpha beta gamma delta " * 5, "en", "s0", 100),
+        (2, "alpha beta gamma delta " * 5 + "tail", "en", "s0", 105),
+    ]
+    df = _docs(spark, rows)
+    DDm._PAIR_CACHE.clear()
+    DDm._SIG_CACHE.clear()
+    out = DDm.edit_distance_verify(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("levenshtein(") == 1, plan
+
+
+def test_append_to_dedup_store_one_file_per_table(spark, tmp_path):
+    """r12 optimization pin (guide §6 small files): a micro-batch
+    append must land exactly ONE parquet data file in the signature
+    and fingerprint tables and one per touched band_idx directory —
+    before the fix each append dropped one file per task (~32/append)
+    and every subsequent trigger's store probe paid the accumulated
+    listing/open cost."""
+    import pathlib
+
+    from githubrepostorag_spark.operators.dedup import (
+        append_to_dedup_store,
+        write_dedup_store,
+    )
+
+    base = _docs(spark, [(1, "alpha beta gamma", "en", "s0", 20)])
+    store = str(tmp_path / "store")
+    write_dedup_store(base, store)
+
+    def n_files(sub):
+        return len(list(pathlib.Path(store, sub).rglob("*.parquet")))
+
+    sig0, fp0 = n_files("signatures"), n_files("fingerprints")
+    batch = _docs(
+        spark,
+        [(2, "delta epsilon zeta", "en", "s0", 20),
+         (3, "eta theta iota", "en", "s0", 20)],
+    ).select("doc_id", "text")
+    append_to_dedup_store(batch, store, batch_id=7)
+    assert n_files("signatures") == sig0 + 1
+    assert n_files("fingerprints") == fp0 + 1
+    # bands: at most one new file per band_idx directory
+    import collections
+
+    bands = collections.Counter(
+        p.parent.name
+        for p in pathlib.Path(store, "bands").rglob("*.parquet")
+    )
+    appended = spark.read.parquet(store + "/bands").filter("batch_id = 7")
+    assert appended.count() > 0  # the append really landed
+    for d, c in bands.items():
+        assert c <= 2, (d, c)  # base write file + exactly one append file
+
+
 def test_ivf_cell_balance_exact_permille(spark):
     from githubrepostorag_spark.operators import similarity as S
 

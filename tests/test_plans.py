@@ -1615,6 +1615,9 @@ def test_every_scale_out_call_site_keys_on_high_cardinality_column():
     HIGH_CARD = {
         "doc_id", "file_path", "node_id", "vec_id", "event_id",
         "user_id", "chunk_id",
+        # row-grain alias of vec_id (gate_recall_audit's store side —
+        # the r12 brute-force-verifier spread)
+        "nbr_id",
     }
     LOW_CARD_EXAMPLES = {
         "source", "lang", "event_type", "label", "cell", "repo",
