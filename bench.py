@@ -748,17 +748,31 @@ def main() -> None:
             json.dump(detail, f, indent=2)
         file_status = "partial: wrote bench_result_only.json"
     else:
+        # ALWAYS write the per-query detail to a side path (r12 verdict
+        # ask #2): the loadavg guard starved two rounds of per-query
+        # ground truth because the adjudicating box is never idle. The
+        # side file carries loadavg_start/_end so consumers can judge
+        # contamination themselves; the guard below still protects only
+        # the canonical committed artifact. SPARK_GRAFT_BENCH_OUT
+        # overrides the side path.
+        side_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+            repo_dir, "bench_result_latest.json"
+        )
+        with open(side_path, "w") as f:
+            json.dump(detail, f, indent=2)
         out_path = os.path.join(repo_dir, "bench_result.json")
         if loadavg_start > max_load and not force and os.path.exists(out_path):
             file_status = (
                 f"NOT written: loadavg_start {loadavg_start} > {max_load} "
                 "(loaded box; existing artifact kept — rerun idle or set "
-                "SPARK_GRAFT_BENCH_FORCE=1)"
+                "SPARK_GRAFT_BENCH_FORCE=1); detail in "
+                + os.path.basename(side_path)
             )
+            out_path = side_path
         else:
             with open(out_path, "w") as f:
                 json.dump(detail, f, indent=2)
-            file_status = "written"
+            file_status = "written (+detail side copy)"
     print(json.dumps(detail, separators=(",", ":")))
     sys.stdout.flush()
     # Headline: a SHORT object as the very last line so any tail capture

@@ -380,7 +380,7 @@ def decontaminate(
     from githubrepostorag_spark.session import scale_out
 
     corpus_grams = (
-        scale_out(corpus, "doc_id").select(F.col(id_col), grams.alias("grams"))
+        scale_out(corpus, id_col).select(F.col(id_col), grams.alias("grams"))
         .select(
             F.col(id_col),
             F.size("grams").alias("n_grams"),
@@ -526,7 +526,7 @@ def bloom_decontaminate(
     from githubrepostorag_spark.session import scale_out
 
     corpus_grams = (
-        scale_out(corpus, "doc_id").select(F.col(id_col), grams.alias("grams"))
+        scale_out(corpus, id_col).select(F.col(id_col), grams.alias("grams"))
         .select(
             F.col(id_col),
             F.size("grams").alias("n_grams"),

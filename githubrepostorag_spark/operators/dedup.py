@@ -1192,7 +1192,15 @@ def append_to_dedup_store(
     batch_id column) — the streaming gate passes its probe-side
     signatures filtered to the accepted ids, so the batch is shingled
     exactly once per trigger instead of once for the probe and again
-    here."""
+    here. CONTRACT: a caller-passed frame must already be pinned
+    (localCheckpoint/persist-materialized); this function deliberately
+    does NOT re-checkpoint it, so an unpinned frame would silently
+    re-run the full shingle+md5 chain for each of the two writes below.
+
+    Append batches are assumed micro-batch-sized: each append coalesces
+    to ONE task/file per table (see comment below). A thousands-of-docs
+    backfill should go through `write_dedup_store` (bulk path, full
+    write parallelism) rather than this API."""
     # Caller-passed signature frames are already materialized (the
     # streaming gate's probe pinned them), so re-checkpointing here
     # costs one extra Spark job PER TRIGGER for nothing — both writes

@@ -878,7 +878,12 @@ CORR_TOP_PAIRS = 32
 def embedding_corr_pairs(
     embeddings: DataFrame, top: int = CORR_TOP_PAIRS
 ) -> DataFrame:
-    """Most-entangled embedding axis pairs: Pearson correlation of
+    """Input contract: ``embeddings`` must carry ``vec_id`` (the
+    spread key) and ``embedding`` — the r12 `scale_out` keyed the
+    repartition on vec_id, narrowing the previous embedding-only
+    requirement (r12 ADVICE note).
+
+    Most-entangled embedding axis pairs: Pearson correlation of
     every dimension pair (i < j), ranked by |corr|, top-``top``
     reported. The OFF-diagonal complement to q292's variance spectrum:
     q292 finds rogue high-variance axes, this finds REDUNDANT axes —

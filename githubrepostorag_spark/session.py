@@ -107,7 +107,12 @@ def get_spark(app_name: str = "githubrepostorag_spark", cpus: int | None = None)
         # -> 16.1 s (min-of-2, batch100) with it off. Error messages
         # keep the full JVM trace; only the Python-line annotation is
         # dropped (r12 optimization, guide §1.2 per-task work).
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # SPARK_GRAFT_DF_DEBUG=1 re-enables it (interactive debugging,
+        # and the r13 controlled A/B the r12 verdict asked for).
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG", "") == "1" else "false",
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the bench harness prints its result JSON as
         # the final stdout line and the driver's tail capture is small —

@@ -1648,6 +1648,13 @@ def test_every_scale_out_call_site_keys_on_high_cardinality_column():
                     and a.value in HIGH_CARD
                 ):
                     continue
+                # `scale_out(corpus, id_col)`: the operator's id_col
+                # parameter IS its row-grain id by contract (defaults
+                # to doc_id; r12 ADVICE fixed the hardcoded literal so
+                # callers with a renamed id column resolve) — row-grain
+                # by the same argument as the literal allowlist.
+                if isinstance(a, ast.Name) and a.id == "id_col":
+                    continue
                 offenders.append(
                     f"{py.relative_to(pkg)}:{node.lineno}: scale_out key "
                     f"{ast.dump(a) if not isinstance(a, ast.Constant) else a.value!r}"

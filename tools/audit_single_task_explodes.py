@@ -1,0 +1,113 @@
+"""Plan audit: find registry queries whose physical plan contains a
+Generate (explode) node with NO Exchange anywhere below it — i.e. the
+explode inherits the scan's split count, which for the single-row-group
+test parquet means the whole explode chain runs in ONE task (guide §2.5
+input skew). The r12/r13 `scale_out` sweeps were driven by this audit;
+it is promoted into tools/ per the r12 verdict (ask #6) so the triage
+state is reproducible.
+
+For each flagged site the fix is NOT automatic: per the measured triage
+rule (OPTIMIZATION_r12.md), spread only where the pre-shuffle per-row
+work dominates (interpreted HOFs, per-position hashing, big struct
+fan-outs). Cheap explodes feeding a shuffle anyway, or tiny inputs
+where chain overhead dominates, carry a measured do-not-spread note in
+code instead.
+
+Usage:
+    python tools/audit_single_task_explodes.py            # all queries
+    python tools/audit_single_task_explodes.py q26 q27    # substring filter
+Prints one line per flagged query: name + the Generate node's first
+line, and a summary count. Exit code 0 always (informational).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from githubrepostorag_spark.session import get_spark
+
+
+def tree_lines(plan_str: str) -> list[tuple[int, str]]:
+    """(depth, op) pairs from the tree section of explain('formatted').
+
+    Depth is derived from the indentation glyphs Spark prints
+    (':  ', '+- ', ':- ', '   ')."""
+    out = []
+    for ln in plan_str.splitlines():
+        if not ln.strip():
+            break  # blank line ends the tree section
+        m = re.match(r"^([:\s+\-]*)\*?\s*\(?\d*\)?\s*([A-Za-z].*)$", ln)
+        if not m:
+            continue
+        indent, op = m.groups()
+        out.append((len(indent) // 3, op.strip()))
+    return out
+
+
+def generates_without_exchange(plan_str: str) -> list[str]:
+    """Generate nodes with no Exchange/AQEShuffleRead below them.
+
+    In explain('formatted') trees, a node's children print AFTER it at
+    greater depth; we scan each Generate's subtree for any shuffle
+    boundary (Exchange / AQEShuffleRead) or an in-memory/LogicalRDD scan
+    (localCheckpoint output is already distributed by the producing
+    plan — its split count is whatever the producer wrote, so the audit
+    treats it as reviewed-elsewhere)."""
+    lines = tree_lines(plan_str)
+    flagged = []
+    for i, (d, op) in enumerate(lines):
+        if not op.startswith("Generate"):
+            continue
+        ok = False
+        for d2, op2 in lines[i + 1:]:
+            if d2 <= d:
+                break
+            if (
+                op2.startswith("Exchange")
+                or op2.startswith("AQEShuffleRead")
+                or op2.startswith("ShuffleQueryStage")
+                or "LogicalRDD" in op2
+                or op2.startswith("Scan ExistingRDD")
+                or op2.startswith("InMemory")
+            ):
+                ok = True
+                break
+        if not ok:
+            flagged.append(op[:100])
+    return flagged
+
+
+def main() -> None:
+    pats = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("audit_explodes")
+    qs = entry_mod.queries()
+    if pats:
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
+    n_flagged = 0
+    for name, fn in sorted(qs.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            print(f"ERROR {name}: {e}")
+            continue
+        hits = generates_without_exchange(plan)
+        if hits:
+            n_flagged += 1
+            for h in hits:
+                print(f"{name}: {h}")
+    print(f"-- {n_flagged} queries flagged (of {len(qs)})")
+
+
+if __name__ == "__main__":
+    main()

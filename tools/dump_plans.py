@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for a list of registry queries to
-plans/r12/<name>_<tag>.txt — the round-12 optimization evidence files.
+plans/<round>/<name>_<tag>.txt (round dir from $SPARK_GRAFT_PLANS_ROUND,
+default r13) — the optimization evidence files.
 
 Usage:
     python tools/dump_plans.py before q310_embedding_corr q264_edit_verify ...
@@ -26,8 +27,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
