@@ -113,7 +113,9 @@ def _or_tree(conds: list):
 
 
 def _scored(
-    store: DataFrame, queries: DataFrame, query_meta: list[dict] | None = None
+    store: DataFrame,
+    queries: DataFrame,
+    query_meta: list[dict] | None = None,
 ) -> DataFrame:
     """All (query × candidate) scores under the query's filters (SURVEY
     F10). Vectors are unit-normalized at write → cosine == dot.
@@ -173,6 +175,147 @@ def _scored(
         empty = _scored_schema_like(store, queries)
         return empty
     return out
+
+
+def _scored_np(store: DataFrame, meta_rows: list[dict]) -> DataFrame:
+    """`_scored` computed through the Arrow boundary (guide §4.2/§8):
+    ONE pass over the slim store ships each candidate row into numpy
+    once, scores it against the whole (broadcast-in-closure) query
+    block, and emits exactly the rows the per-group broadcast hash
+    joins would — same filters, same null semantics, bit-identical
+    scores.
+
+    Why: the agent's batches are many-queries × small-store, so the
+    join shape evaluates the interpreted `zip_with`+`aggregate` dot
+    fold once per (query, candidate) pair — measured as the dominant
+    cost of agent_batch100 (~4 s of a ~12 s entry at 100×2.3k pairs).
+    Here each pair's score is one fused numpy multiply-add sweep:
+    accumulation runs dim-sequentially (acc += v[:, i] * q[i]) in
+    float64 over float→double-cast inputs, which reproduces the JVM
+    fold's left-to-right order bit for bit; rows whose vector is NULL
+    or off-dimension yield NULL score (the fold's null-poisoning
+    outcome). Rounding stays JVM-side (`F.round`) so the decimal
+    discipline is byte-identical to `_scored`'s.
+
+    `meta_rows` must carry ``qvec`` in addition to `_scored`'s meta
+    (the agent passes its own embeddings; they are round-tripped
+    through float32 below exactly as the array<float> query column
+    stores them)."""
+    import numpy as np
+
+    scopes = sorted({r["q_scope"] for r in meta_rows})
+    groups: dict[tuple[str, ...], list[dict]] = {}
+    for r in meta_rows:
+        keys = tuple(k for k in FILTER_KEYS if r[f"flt_{k}"] is not None)
+        groups.setdefault(keys, []).append(r)
+    # plain-python payload captured by the closure (no DataFrames):
+    # (query_id, scope, {filter key: value}, topics-or-None, qvec f64)
+    payload = []
+    dims = set()
+    for keys, rows in groups.items():
+        for r in rows:
+            qv = np.asarray(r["qvec"], dtype=np.float32).astype(np.float64)
+            dims.add(qv.shape[0])
+            payload.append(
+                (
+                    r["query_id"],
+                    r["q_scope"],
+                    {k: r[f"flt_{k}"] for k in keys},
+                    r["flt_topics"],
+                    qv,
+                )
+            )
+    assert len(dims) == 1, f"mixed query dims unsupported: {dims}"
+    dim = dims.pop()
+
+    slim = store.filter(F.col("scope").isin(scopes)).select(
+        "scope", *_SLIM_COLS, "topics", "vector"
+    )
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            cols = batch.to_pydict()
+            n = len(cols["row_id"])
+            if n == 0:
+                continue
+            vecs = cols["vector"]
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in vecs),
+                dtype=np.int64,
+                count=n,
+            )
+            valid = lens == dim
+            Vm = (
+                np.asarray(
+                    [v for v, ok in zip(vecs, valid) if ok], dtype=np.float64
+                ).reshape(int(valid.sum()), dim)
+                if valid.any()
+                else np.zeros((0, dim))
+            )
+            scope_arr = np.asarray(cols["scope"], dtype=object)
+            key_arrs = {
+                k: np.asarray(cols[k], dtype=object) for k in FILTER_KEYS
+            }
+            topics_masks: dict[str, np.ndarray] = {}
+            out_cols: dict[str, list] = {c: [] for c in ("query_id", *_SLIM_COLS)}
+            out_scores: list = []
+            src = {c: np.asarray(cols[c], dtype=object) for c in _SLIM_COLS}
+            # one (valid rows × queries) score matrix per batch,
+            # accumulated dim-sequentially: per element this is the JVM
+            # fold's exact left-to-right order
+            Q = np.stack([qv for *_rest, qv in payload])  # (q, dim)
+            S = np.zeros((Vm.shape[0], len(payload)), dtype=np.float64)
+            for i in range(dim):
+                S = S + Vm[:, i : i + 1] * Q[None, :, i]
+            valid_pos = np.cumsum(valid) - 1  # row idx -> Vm/S row
+            for qi, (qid, qscope, flt, topics_val, _qv) in enumerate(payload):
+                mask = scope_arr == qscope
+                for k, v in flt.items():
+                    mask = mask & (key_arrs[k] == v)
+                if topics_val is not None:
+                    tm = topics_masks.get(topics_val)
+                    if tm is None:
+                        tm = np.fromiter(
+                            (topics_val in (t or []) for t in cols["topics"]),
+                            dtype=bool,
+                            count=n,
+                        )
+                        topics_masks[topics_val] = tm
+                    mask = mask & tm
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                out_cols["query_id"].extend([qid] * idx.size)
+                for c in _SLIM_COLS:
+                    out_cols[c].extend(src[c][idx].tolist())
+                out_scores.extend(
+                    float(S[valid_pos[j], qi]) if valid[j] else None
+                    for j in idx
+                )
+            if not out_scores:
+                continue
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(out_cols["query_id"], type=pa.string()),
+                    **{
+                        c: pa.array(out_cols[c], type=pa.string())
+                        for c in _SLIM_COLS
+                    },
+                    "score": pa.array(out_scores, type=pa.float64()),
+                }
+            )
+
+    raw = slim.mapInArrow(
+        score_batches,
+        "query_id string, "
+        + ", ".join(f"{c} string" for c in _SLIM_COLS)
+        + ", score double",
+    )
+    return raw.select(
+        "query_id", *_SLIM_COLS, F.round(F.col("score"), 6).alias("score")
+    )
 
 
 def _scored_schema_like(store: DataFrame, queries: DataFrame) -> DataFrame:
@@ -281,6 +424,7 @@ def retrieve_batch_multi(
     n_probes: int = 3,
     query_meta: list[dict] | None = None,
     max_depth: int = 2,
+    np_kernel: bool = False,
 ) -> DataFrame:
     """Seed-and-expand retrieval for a batch of queries spanning ANY mix
     of scopes — the whole batch runs as ONE Spark job.
@@ -298,6 +442,18 @@ def retrieve_batch_multi(
     p_max_depth gating, so mixed-depth batches rank correctly. Callers
     holding filter metadata driver-side (the agent does) pass
     `query_meta` (with q_scope per row) to skip the metadata collect.
+
+    ``np_kernel``: opt-in vectorized scorer for the exact path — the
+    caller must pass `query_meta` rows that ALSO carry the query's
+    ``qvec``. Scoring then runs as one Arrow pass over the slim store
+    (`_scored_np`): each store row ships through the Python boundary
+    once and is scored against the whole broadcast query block in
+    numpy, instead of being joined and re-scored per query by the
+    interpreted higher-order fold. Scores are bit-identical (see
+    `_scored_np`); rounding stays JVM-side. The agent turns this on —
+    its batches are exactly the many-queries×small-store shape the
+    fold is slowest at. Oracle-parity callers (q40's retrieve_batch)
+    keep the default JVM fold.
     """
     ivf = ivf or {}
     meta_rows = (
@@ -327,7 +483,11 @@ def retrieve_batch_multi(
     if exact_meta:
         exact_ids = [r["query_id"] for r in exact_meta]
         sub = queries if not ivf else queries.filter(F.col("query_id").isin(exact_ids))
-        parts.append(_scored(store, sub, exact_meta))
+        parts.append(
+            _scored_np(store, exact_meta)
+            if np_kernel
+            else _scored(store, sub, exact_meta)
+        )
     for tscope, index in ivf.items():
         qids = [r["query_id"] for r in meta_rows if r["q_scope"] == tscope]
         if not qids:

@@ -204,6 +204,8 @@ class GraphRAGAgent:
                     "p_start_k": p.start_k,
                     "p_adjacent_k": p.adjacent_k,
                     "p_max_depth": p.max_depth,
+                    # the vectorized scorer's input (np_kernel below)
+                    "qvec": rows[-1][1],
                 }
             )
         df = self.spark.createDataFrame(
@@ -228,7 +230,11 @@ class GraphRAGAgent:
             SCOPE_TO_TABLE.get(s, s): idx for s, idx in self.ivf.items() if idx is not None
         }
         rows = retrieve_batch_multi(
-            self.store, qdf, ivf=ivf_t or None, query_meta=meta
+            self.store, qdf, ivf=ivf_t or None, query_meta=meta,
+            # the agent holds its query embeddings driver-side, so the
+            # exact path can score through the vectorized Arrow kernel
+            # (one store pass for the whole batch — see _scored_np)
+            np_kernel=True,
         ).collect()
         for r in rows:
             d = r.asDict()

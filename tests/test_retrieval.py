@@ -76,3 +76,52 @@ def test_empty_query_batch(spark, store, queries):
     out = retrieve_batch(store, queries.limit(0), "code")
     assert out.count() == 0
     assert "query_id" in out.columns and "score" in out.columns
+
+
+def test_scored_np_matches_join_kernel(spark, store, queries):
+    """The vectorized Arrow scorer (`_scored_np`, the agent's exact
+    path — r13 optimization) must reproduce the broadcast-join +
+    interpreted-fold scorer row for row, score for score: same
+    candidate multiset under the same filters (multiset equality via
+    two exceptAll probes), including the float32 round-trip the
+    array<float> query column imposes."""
+    from githubrepostorag_spark.operators.retrieval import (
+        _scored,
+        _scored_np,
+        with_scope_params,
+    )
+
+    q = with_scope_params(
+        queries.withColumn("qvec", F.col("qvec").cast("array<float>")), "code"
+    )
+    meta = [r.asDict() for r in q.collect()]
+    old = _scored(store, q, meta)
+    new = _scored_np(store, meta)
+    assert old.count() == new.count() > 0
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_retrieve_np_kernel_end_to_end_identical(spark, store, queries):
+    """retrieve_batch_multi(np_kernel=True) — the agent configuration —
+    returns exactly the rows of the default JVM path."""
+    from githubrepostorag_spark.operators.retrieval import (
+        retrieve_batch_multi,
+        with_scope_params,
+    )
+
+    q = with_scope_params(
+        queries.withColumn("qvec", F.col("qvec").cast("array<float>")), "code"
+    )
+    meta = [r.asDict() for r in q.collect()]
+    key = lambda r: (r["query_id"], r["row_id"], r["score"], r["hop"])
+    old = sorted(map(key, retrieve_batch_multi(store, q, query_meta=meta).collect()))
+    new = sorted(
+        map(
+            key,
+            retrieve_batch_multi(
+                store, q, query_meta=meta, np_kernel=True
+            ).collect(),
+        )
+    )
+    assert old == new and len(old) > 0
