@@ -1224,17 +1224,37 @@ def append_to_dedup_store(
     # band sort keeps its row-group-skipping layout, now global per
     # file.
     sigs = base.withColumn("batch_id", F.lit(int(batch_id))).coalesce(1)
-    sigs.write.mode("append").parquet(path + "/signatures")
-    _bands_from_sigs(sigs, n_bands).withColumn(
-        "batch_id", F.lit(int(batch_id))
-    ).sortWithinPartitions("band_val").write.mode(
-        "append"
-    ).partitionBy("band_idx").parquet(path + "/bands")
-    new_docs.coalesce(1).select(
-        "doc_id",
-        TXT.fingerprint(F.col("text")).alias("fp"),
-        F.lit(int(batch_id)).alias("batch_id"),
-    ).sortWithinPartitions("fp").write.mode("append").parquet(path + "/fingerprints")
+
+    # The three appends are INDEPENDENT single-task jobs over the same
+    # pinned signature frame (bands derive from it; fingerprints from
+    # the pinned batch), each dominated by driver-side commit latency —
+    # run them concurrently from driver threads (guide §2.6). Callers
+    # see the append complete only when all three landed, as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_sigs():
+        sigs.write.mode("append").parquet(path + "/signatures")
+
+    def _w_bands():
+        _bands_from_sigs(sigs, n_bands).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).sortWithinPartitions("band_val").write.mode(
+            "append"
+        ).partitionBy("band_idx").parquet(path + "/bands")
+
+    def _w_fps():
+        new_docs.coalesce(1).select(
+            "doc_id",
+            TXT.fingerprint(F.col("text")).alias("fp"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        ).sortWithinPartitions("fp").write.mode("append").parquet(
+            path + "/fingerprints"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(w) for w in (_w_sigs, _w_bands, _w_fps)]
+        for f in futures:
+            f.result()
 
 
 def _dedup_tombstones_path(path: str) -> str:

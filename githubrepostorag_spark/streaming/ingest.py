@@ -194,6 +194,10 @@ def stream_dedup_gate(
         keep = exact_dedup(batch).select(F.col("canonical_doc_id").alias("doc_id"))
         batch = batch.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
         sigs = minhash_signatures(batch).localCheckpoint(eager=False)
+        # LAZY pin for hits (r13): the eager dup_ids pin right below is
+        # its first consumer, so ONE Spark job materializes the whole
+        # probe chain AND the reject-id set — the r12 shape paid a
+        # separate job per pin (~0.3 s/trigger of pure job latency).
         hits = incremental_near_dups(
             spark,
             dedup_store_path,
@@ -201,8 +205,8 @@ def stream_dedup_gate(
             min_est_jaccard=min_est_jaccard,
             exclude_batch_id=int(batch_id),  # replay skips its own append
             sigs=sigs,
-        ).localCheckpoint(eager=True)  # pins the whole lazy chain above
-        # dup_ids pinned too (r12): four consumers broadcast it (the
+        ).localCheckpoint(eager=False)
+        # dup_ids pinned (r12): four consumers broadcast it (the
         # accept filter, the accepted write, and both store-append
         # sides) and each would otherwise re-run its distinct exchange
         # as separate AQE jobs per trigger — one tiny pin job replaces
@@ -220,12 +224,28 @@ def stream_dedup_gate(
         # doc_id at read). Appending the store first instead would make
         # a replayed batch probe its own half-landed signatures and
         # falsely reject within-batch near-dup pairs.
-        accepted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(accepted_path)
-        hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode("append").parquet(
-            rejected_path
-        )
+        #
+        # The two logs are INDEPENDENT jobs over already-pinned inputs,
+        # so they run concurrently from driver threads (guide §2.6) —
+        # the barrier before the store append is the .result() pair,
+        # preserving the crash-safety ordering above. Per-trigger wall
+        # drops by roughly one write's commit latency.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_acc():
+            accepted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(accepted_path)
+
+        def _write_rej():
+            hits.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(rejected_path)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa, fb = pool.submit(_write_acc), pool.submit(_write_rej)
+            fa.result()
+            fb.result()
         acc_sigs = sigs.join(dup_ids, "doc_id", "left_anti")
         append_to_dedup_store(
             accepted.select("doc_id", "text"), dedup_store_path,
