@@ -286,26 +286,63 @@ def jaccard_on_candidates(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = _shingled(documents.join(cand_docs, "doc_id", "left_semi"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # shared-shingle counting keyed on the CANDIDATE PAIR (never on a
-    # hot shingle): the sparse candidate table fans out by |shingles_a|
-    # and hash-joins back on (doc_b, shingle) — exploded rows also
-    # materialize the shingle computation once per doc (array-per-pair
-    # variants recompute it per pair after projection collapse).
-    shared = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Verify via PER-DOC SHINGLE ARRAYS (r13, guide §2.3/§2.4): the
+    # r12 shape exploded each candidate doc's shingles and counted
+    # shared ones through a pair-grain fan-out join + groupBy — at
+    # sf0.1 that is ~16M (pair, shingle) rows through two joins and a
+    # shuffle for 47k pairs. char_shingles already yields the DISTINCT
+    # shingle set as an array, so per pair the same integer is
+    # size(array_intersect(sh_a, sh_b)) — one map-side projection over
+    # the pair table, no pair×shingle rows, no aggregation exchange.
+    # The array frame is pinned (localCheckpoint) so the interpreted
+    # shingle HOF runs once per doc — without the cut CollapseProject
+    # re-inlines it into every pair row (the measured reason the array
+    # variant lost when tried un-pinned). Measured: verify stage 9.1 →
+    # 1.8 s at sf0.1. Inner-join semantics preserved exactly: a pair
+    # sharing NO shingles (or touching an empty/NULL shingle set) was
+    # absent from the old count join — the n_shared > 0 filter (NULL
+    # fails it) reproduces that, and n_shared stays a long.
+    docs_arr = _pin_via_cache(
+        scale_out(documents.join(cand_docs, "doc_id", "left_semi"), "doc_id")
+        .select(
+            "doc_id",
+            TXT.char_shingles(F.col("text"), SHINGLE_K).alias("sh"),
+        )
+        .withColumn("n_shingles", F.size("sh"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    a = docs_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = docs_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    # Pin the post-join slim table BEFORE any filter: without the
+    # barrier, PushDownPredicates folds the n_shared/jaccard filters
+    # into the join CONDITION with the alias substituted, and the
+    # projection references n_shared twice — array_intersect ends up
+    # evaluated up to 4× per pair (observed in the executed plan; the
+    # whole verify ran 9-10 s instead of ~1.5 s at sf0.1). After the
+    # pin each pair's intersection is computed exactly once; the
+    # filters and the jaccard arithmetic run over pinned integers.
+    pairs_shared = _pin_via_cache(
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias(
+                "n_shared"
+            ),
+            "size_a",
+            "size_b",
+        )
+    )
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs_shared.filter(F.col("n_shared") > 0)
         .withColumn(
             "jaccard",
             F.round(
@@ -421,6 +458,26 @@ def cached_signatures(documents: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_via_cache(df: DataFrame) -> DataFrame:
+    """Materialize + lineage-cut an expensive frame WITHOUT losing AQE:
+    `localCheckpoint(eager=True)` executes the plan through the legacy
+    (non-adaptive) path, where fresh-checkpoint inputs carry no size
+    statistics, so every join in the subtree plans as sort-merge —
+    measured 3-5× slower than the adaptive execution of the same plan
+    (r13, the verified-pair base). Persisting and forcing the cache
+    with a count() runs the plan under AQE (broadcast conversions,
+    partition coalescing); the checkpoint then serializes the cached
+    batches instead of recomputing, and the transient cache is dropped
+    immediately. Same rows, same lineage cut, one extra in-memory copy
+    during the call."""
+    df = df.persist()
+    try:
+        df.count()
+        return df.localCheckpoint(eager=True)
+    finally:
+        df.unpersist()
+
+
 def verified_pairs_cached(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -449,18 +506,20 @@ def verified_pairs_cached(
     else:
         key = _plan_key(documents, int(n_bands))
     if key is None:  # pragma: no cover
-        base = jaccard_on_candidates(
-            documents, threshold=0.0, n_bands=n_bands
-        ).localCheckpoint(eager=True)
+        base = _pin_via_cache(
+            jaccard_on_candidates(documents, threshold=0.0, n_bands=n_bands)
+        )
     else:
         base = _PAIR_CACHE.get(key)
         if base is None:
-            base = jaccard_on_candidates(
-                documents,
-                threshold=0.0,
-                n_bands=n_bands,
-                sigs=cached_signatures(documents),
-            ).localCheckpoint(eager=True)
+            base = _pin_via_cache(
+                jaccard_on_candidates(
+                    documents,
+                    threshold=0.0,
+                    n_bands=n_bands,
+                    sigs=cached_signatures(documents),
+                )
+            )
             _cache_put(_PAIR_CACHE, key, base)
             if cache_key is not None:
                 _PAIR_STAMP[key] = documents.count()
