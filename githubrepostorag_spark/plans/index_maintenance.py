@@ -274,9 +274,13 @@ def maintain_ivf_store(
     frozen_tbl = fold_partials(partials).localCheckpoint(eager=False)
     frozen = frozen_tbl.select(F.col("cell").alias("centroid_label"), "centroid")
     assigned = _assign_cells(batch, frozen).localCheckpoint(eager=False)
-    n_batch = assigned.count()
+    # ONE job yields both the batch size and its distinct cells (r13:
+    # maintain is job-latency-bound — a separate count + collect paid
+    # two scheduler round-trips for |cells| rows of information)
+    cell_counts = assigned.groupBy("cell").count().collect()
+    n_batch = sum(int(r["count"]) for r in cell_counts)
     batch_cells = sorted(
-        r["cell"] for r in assigned.select("cell").distinct().collect()
+        int(r["cell"]) for r in cell_counts
     )  # bounded by n_cells — the probe's partition-pruning predicate
 
     # --- probe: top-k store neighbors per new vector, reading ONLY the
@@ -311,8 +315,17 @@ def maintain_ivf_store(
     appended = V.prepare(assigned, "embedding", "ve", "vn").select(
         "vec_id", "label", "ve", "vn", F.lit(-1).alias("batch_id"), "cell"
     ).localCheckpoint(eager=True)  # store append + sidecar + refit below
-    appended.write.mode("append").partitionBy("cell").parquet(path)
-    append_ivf_sidecar(appended, path, batch_id=-1)
+    # the two appends are independent writes to different directories
+    # over the pinned frame — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fs = _pool.submit(
+            lambda: appended.write.mode("append").partitionBy("cell").parquet(path)
+        )
+        _fc = _pool.submit(append_ivf_sidecar, appended, path, -1)
+        _fs.result()
+        _fc.result()
 
     # --- drift: refit = closed-form fold of (sidecar ∪ batch) partials
     # vs frozen, by cosine — |cells|·dim rows end to end, no store scan
@@ -341,12 +354,21 @@ def maintain_ivf_store(
         .select("cell", "n_store", "n_total", "cos_frozen_refit")
         .localCheckpoint(eager=False)
     )
-    agg = drift.agg(
-        F.min("cos_frozen_refit").alias("m"),
-        F.sum("n_total").alias("total"),
-        F.count(F.lit(1)).alias("n_cells"),
-        F.max("n_total").alias("max_cell"),
-    ).collect()[0]
+    # ONE collect of the |cells|-row drift frame serves the trigger
+    # aggregate, the top-3 scan-share audit, and the balance branch's
+    # per-cell list below — this replaced three separate jobs over the
+    # same tiny frame (r13: the cycle is job-latency-bound). The driver
+    # arithmetic mirrors the previous Spark aggregate exactly: min/max/
+    # sum ignore NULLs and come back None when every input is NULL.
+    drift_rows = drift.collect()
+    _cos = [r["cos_frozen_refit"] for r in drift_rows if r["cos_frozen_refit"] is not None]
+    _tot = [int(r["n_total"]) for r in drift_rows if r["n_total"] is not None]
+    agg = {
+        "m": min(_cos) if _cos else None,
+        "total": sum(_tot) if _tot else None,
+        "n_cells": len(drift_rows),
+        "max_cell": max(_tot) if _tot else None,
+    }
     min_cos, n_cells = agg["m"], int(agg["n_cells"])
     n_store = int(agg["total"]) - n_batch
     # q265's vs_uniform_permille on the post-append occupancy: the
@@ -390,7 +412,7 @@ def maintain_ivf_store(
         )
         write_ivf_store(full, path)
     elif balance_fired:
-        cell_rows = drift.select("cell", "n_total").collect()  # |cells|-bounded
+        cell_rows = drift_rows  # |cells|-bounded, already collected above
         total = int(agg["total"])
         mega = sorted(
             int(r["cell"])
@@ -417,12 +439,13 @@ def maintain_ivf_store(
     # neighbor) drives the top-share far above the uniform baseline,
     # the earliest serving symptom of q290/q296's hub pathology. The
     # store is never re-scanned for either.
+    # desc NULLS LAST over the already-collected drift rows
     top_cells = [
         int(r["n_total"])
-        for r in drift.select("n_total")
-        .orderBy(F.desc_nulls_last("n_total"))
-        .limit(3)
-        .collect()
+        for r in sorted(
+            drift_rows,
+            key=lambda r: (r["n_total"] is None, -(r["n_total"] or 0)),
+        )[:3]
     ]
     total_rows = int(agg["total"]) if agg["total"] else 0
     scan_rows, cum = [], 0
